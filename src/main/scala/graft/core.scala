@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** One judged query: a Spark DataFrame program plus (optionally) the ANSI-SQL
+  * twin the driver runs in DuckDB over the same parquet tables.
+  *
+  * Conventions that make the DuckDB hash-compare deterministic:
+  *   - every output column is explicitly aliased, identically on both sides;
+  *   - results end with an ORDER BY over a unique column prefix on both sides;
+  *   - money/quantity aggregates cast inputs to DECIMAL first (exact,
+  *     order-independent) and cast the final aggregate back to DOUBLE, so both
+  *     engines produce bit-identical doubles regardless of summation order;
+  *   - timestamps are rendered as 'yyyy-MM-dd[ HH:mm:ss]' strings.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean)
+
+object Q {
+  def apply(name: String, oracle: String, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle), bench)
+  def noOracle(name: String, bench: Boolean = false)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None, bench)
+}
+
+/** Loaders for the driver-provided parquet test tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read a test table. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+    * reads only as a long (spark.sql.legacy.parquet.nanosAsLong, set in every
+    * session builder here); convert it to a micros-truncated TimestampType so
+    * queries see a real timestamp — DuckDB's nanos→timestamp cast truncates
+    * identically. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register every table as a temp view so spark.sql(...) queries work. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+object Util {
+  import org.apache.spark.sql.functions._
+
+  /** Exact decimal view of a 2-decimal-valued double column (money, qty).
+    * Both Spark and DuckDB round the same binary double to the same 2-decimal
+    * value, and decimal addition is exact, so aggregates built on this are
+    * order-independent and engine-identical. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Final aggregate back to double for a stable output type. */
+  def d(c: Column): Column = c.cast("double")
+
+  def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  def ymdHms(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}
+
+/** Session factory used by mains and tests: local mode sized for the
+  * container, AQE on, UTC, 32 shuffle partitions (not the 200 default). */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+  }
+  def get(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
