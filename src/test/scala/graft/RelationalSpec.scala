@@ -34,4 +34,24 @@ class RelationalSpec extends SparkSpec {
   test("every oracle name has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("approx_count_distinct is within 5% of exact on every group") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("a"),
+        countDistinct(col("o_custkey")).as("e"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("a"), r.getAs[Long]("e"))
+      assert(math.abs(a - e).toDouble / e < 0.05, s"approx=$a exact=$e")
+    }
+  }
+
+  test("distribute/cluster query reports sorted_ok on every group") {
+    val rows = SparkEntry.queries("rel_distribute_cluster")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("sorted_ok")))
+  }
 }
