@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Util._
+import graft.sources.cassandralike.{CellStore, Options, Seed}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Judged connector-operator queries (SURVEY §2.1): each seeds a
+  * cassandralike cell store FROM the driver parquet tables through the real
+  * DSv2 write path (W1–W5), reads it back through the real DSv2 scan
+  * (S1–S6, P1/P2/P4, T1/T2), and produces a result DuckDB can replicate
+  * straight from the parquet — so the whole write→store→scan→decode loop is
+  * inside the verified path. */
+object Connector {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def m(c: org.apache.spark.sql.Column) = c.cast("decimal(12,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // ---- S3 standard row scan + T1 binary decode + full-fidelity readback ----
+    Q("conn_scan_regular",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "scan_regular", t(s, dir, "customer"))
+      Seed.read(s, store)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- P1 projection pushdown: only 2 of 5 cells decoded at the source ----
+    Q("conn_projection_pushdown",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_acctbal > 1000""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "proj_pushdown", t(s, dir, "customer"))
+      Seed.read(s, store)
+        .filter($"c_acctbal" > 1000)
+        .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
+    },
+
+    // ---- S1 token-range splits + key-equality partition pruning ----
+    Q("conn_key_lookup",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "key_lookup", t(s, dir, "customer"))
+      Seed.read(s, store)
+        .filter($"c_custkey".isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
+    // survives via its other live cells) ----
+    Q("conn_missing_cell_null",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END
+        |        AS o_orderpriority, o_totalprice FROM orders) x
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "orders").select($"o_orderkey",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_orderpriority")
+          .as("o_orderpriority"),
+        $"o_totalprice")
+      val store = Seed.table(s, dir, "missing_cell", src)
+      Seed.read(s, store)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), d(sum(m($"o_totalprice"))).as("total"))
+        .orderBy($"o_orderpriority".asc_nulls_first)
+    },
+
+    // ---- tombstone write + scan-level skip (S3) and whole-row deletion ----
+    Q("conn_tombstone_delete",
+      """SELECT count(*) AS n_live,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal_live
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "tombstone", cust)
+      // second write: tombstone every cell of keys divisible by 10 (ts=2 beats
+      // the seed's ts=1; the scan drops tombstoned cells, so the rows vanish)
+      val dead = cust.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey", lit(null).cast("string").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      Seed.append(dead, store, Map(
+        Options.WriteTimestamp -> "2", Options.NullsAsTombstones -> "true"))
+      Seed.read(s, store)
+        .agg(count(lit(1)).as("n_live"), d(sum(m($"c_acctbal"))).as("bal_live"))
+    },
+
+    // ---- last-write-wins reconciliation across two write epochs ----
+    Q("conn_lww_overwrite",
+      """SELECT CAST(sum(CAST(
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+        |  AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+        |  count(*) AS n
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "lww", cust)
+      val updated = cust.filter($"c_custkey" % 3 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100)
+      Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+      Seed.read(s, store)
+        .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n"))
+    },
+
+    // ---- T1 dual decode: binary and text cells in one table read identically ----
+    Q("conn_dual_decode",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+      val store = Seed.table(s, dir, "dual_decode", cust.filter($"c_custkey" % 2 === 0))
+      // odd keys stored as ASCII text cells: the text-fallback decode path
+      Seed.append(cust.filter($"c_custkey" % 2 =!= 0), store,
+        Map(Options.Encoding -> "text"))
+      Seed.read(s, store)
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // ---- T2 validator rendering: typed cells surfaced as strings ----
+    Q("conn_validator_read",
+      """SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "validator", t(s, dir, "nation"))
+      // re-declare the stored table with validator-rendered string columns,
+      // the cassandra.cf.validatorType read mode (cells stay binary-typed)
+      CellStore.writeMeta(store, CellStore.Meta(
+        "n_nationkey INT,n_name STRING,n_regionkey STRING",
+        ":key,n_name,n_regionkey",
+        Map("validators" -> "UTF8Type,Int32Type")))
+      Seed.read(s, store)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")
+        .orderBy($"n_nationkey")
+    },
+
+    // ---- S5/W2 transposed pivot: one relational row per stored cell.
+    // (l_orderkey, l_linenumber) is not unique in the testdata, so duplicate
+    // cell addresses reconcile by last-write-wins; within one write epoch the
+    // deterministic tie-break is max value bytes — the oracle models it with
+    // max(value) per cell address. ----
+    Q("conn_transposed_pivot",
+      """SELECT row_key, column_name, max(value) AS value FROM (
+        |  SELECT lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS row_key,
+        |         lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |         CAST(l_quantity AS VARCHAR) AS value
+        |  FROM lineitem) x
+        |GROUP BY row_key, column_name
+        |ORDER BY row_key, column_name""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        $"l_quantity".cast("string").as("value"))
+      val store = Seed.table(s, dir, "transposed", src)
+      Seed.read(s, store)
+        .select($"row_key", $"column_name", $"value")
+        .orderBy($"row_key", $"column_name")
+    },
+
+    // ---- S4 wide-row paged scan: few keys, thousands of cells, small pages ----
+    Q("conn_widerow_paging",
+      """SELECT row_key, count(*) AS n_cells,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM (SELECT row_key, column_name, max(value) AS value
+        |      FROM (SELECT l_returnflag || l_linestatus AS row_key,
+        |                   lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                     lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |                   CAST(l_quantity AS VARCHAR) AS value
+        |            FROM lineitem) c
+        |      GROUP BY row_key, column_name) x
+        |GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        concat($"l_returnflag", $"l_linestatus").as("row_key"),
+        concat(lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+        $"l_quantity".cast("string").as("value"))
+      val store = Seed.table(s, dir, "widerow", src)
+      // page size 500 forces dozens of page fetches per wide row (S4); the
+      // result must be identical to an unpaged scan
+      Seed.read(s, store, Map(Options.WideRowPageSize -> "500"))
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n_cells"), d(sum(m($"value"))).as("qty"))
+        .orderBy($"row_key")
+    },
+
+    // ---- P2 slice-range predicate: bounds + reversed + per-key count cap ----
+    Q("conn_slice_range",
+      """SELECT row_key, column_name, value FROM (
+        |  SELECT row_key, column_name, value,
+        |         row_number() OVER (PARTITION BY row_key ORDER BY column_name DESC) AS rn
+        |  FROM (SELECT row_key, column_name, max(value) AS value
+        |        FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                     lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                       lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |                     CAST(l_quantity AS VARCHAR) AS value
+        |              FROM lineitem) cc
+        |        GROUP BY row_key, column_name) c
+        |  WHERE column_name >= '0000001000' AND column_name <= '0000005999-9999'
+        |) x WHERE rn <= 5 ORDER BY row_key, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        concat(lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+        $"l_quantity".cast("string").as("value"))
+      val store = Seed.table(s, dir, "slice", src)
+      // server-side slice: [start, finish], reversed comparator order, top-5
+      // per key (input/HiveCassandraStandardColumnInputFormat.java:73-94)
+      Seed.read(s, store, Map(
+        Options.SliceStart -> "0000001000",
+        Options.SliceFinish -> "0000005999-9999",
+        Options.SliceReversed -> "true",
+        Options.SliceCount -> "5"))
+        .select($"row_key", $"column_name", $"value")
+        .orderBy($"row_key", $"column_name")
+    },
+
+    // ---- S6 super-column cells: 4-column transposed form ----
+    Q("conn_super_pivot",
+      """SELECT row_key, count(*) AS n_subcells,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT row_key, column_name, sub_column_name, max(value) AS value
+        |      FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                   lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS column_name,
+        |                   lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS sub_column_name,
+        |                   CAST(l_extendedprice AS VARCHAR) AS value
+        |            FROM lineitem) c
+        |      GROUP BY row_key, column_name, sub_column_name) x
+        |GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("sub_column_name"),
+        $"l_extendedprice".cast("string").as("value"))
+      val store = Seed.table(s, dir, "super", src)
+      Seed.read(s, store)
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n_subcells"), d(sum(m($"value"))).as("revenue"))
+        .orderBy($"row_key")
+    },
+
+    // ---- W1 cf: map expansion + intended whole-family map read (SURVEY §8) ----
+    Q("conn_family_map",
+      """SELECT prop_key, prop_value, count(*) AS n FROM (
+        |  SELECT 'brand' AS prop_key, p_brand AS prop_value FROM part
+        |  UNION ALL
+        |  SELECT 'type' AS prop_key, p_type AS prop_value FROM part) x
+        |GROUP BY prop_key, prop_value ORDER BY prop_key, prop_value""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "part").select($"p_partkey",
+        map(lit("brand"), $"p_brand", lit("type"), $"p_type").as("props"))
+      val store = Seed.table(s, dir, "family_map", src, mapping = Some(":key,cf:"))
+      Seed.read(s, store)
+        .select(explode($"props").as(Seq("prop_key", "prop_value")))
+        .groupBy($"prop_key", $"prop_value").agg(count(lit(1)).as("n"))
+        .orderBy($"prop_key", $"prop_value")
+    },
+
+    // ---- W5 + multi-insert: one cached source, two cassandralike sinks ----
+    Q("conn_multi_insert",
+      """SELECT 'big' AS sink, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice >= 150000
+        |UNION ALL
+        |SELECT 'small' AS sink, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice < 150000
+        |ORDER BY sink""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice").cache()
+      try {
+        val big = Seed.table(s, dir, "mi_big", src.filter($"o_totalprice" >= 150000))
+        val small = Seed.table(s, dir, "mi_small", src.filter($"o_totalprice" < 150000))
+        def agg(store: String, tag: String) =
+          Seed.read(s, store).agg(count(lit(1)).as("n"),
+            d(sum(m($"o_totalprice"))).as("total"))
+            .select(lit(tag).as("sink"), $"n", $"total")
+        agg(big, "big").unionAll(agg(small, "small")).orderBy($"sink")
+      } finally src.unpersist()
+    },
+
+    // ---- D1–D3 DDL lifecycle through SQL on the custom TableCatalog ----
+    Q("conn_catalog_ddl",
+      """SELECT n_name, count(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.cust_by_nation")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.cust_by_nation
+          |  (c_custkey BIGINT, n_name STRING)
+          |USING cassandralike
+          |TBLPROPERTIES ('buckets' = '8', 'consistency' = 'QUORUM')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.cust_by_nation
+          |SELECT c_custkey, n_name FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+      // DROP TABLE (D2) exercised on a throwaway table
+      s.sql("CREATE TABLE IF NOT EXISTS cassandralike.ks.scratch (k BIGINT, v STRING) USING cassandralike")
+      s.sql("DROP TABLE cassandralike.ks.scratch")
+      s.table("cassandralike.ks.cust_by_nation")
+        .groupBy($"n_name").agg(count(lit(1)).as("n_cust"))
+        .orderBy($"n_name")
+    }
+  )
+}

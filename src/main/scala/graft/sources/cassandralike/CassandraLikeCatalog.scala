@@ -1,0 +1,155 @@
+package graft.sources.cassandralike
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DDL lifecycle (D1–D3) as a Spark `TableCatalog` — the Spark-native form of
+  * the reference's metastore hooks (CassandraStorageHandler.java:235-298,
+  * CassandraManager.java:110-263 in /root/reference):
+  *
+  *   - `CREATE TABLE cassandralike.ns.t (...) OPTIONS (mapping '...')`
+  *     creates the namespace (keyspace) on demand — the reference creates the
+  *     keyspace with RF/strategy from table properties on NotFound
+  *     (CassandraManager.java:152-176); our `replication.factor` /
+  *     `placement.strategy` properties are accepted and recorded;
+  *   - DROP TABLE removes the column family (D2); external-style semantics —
+  *     the data directory IS the table, `purge` removes it entirely;
+  *   - table properties (mapping, buckets, consistency, slice knobs…) travel
+  *     in the CREATE OPTIONS map and resolve conf-over-props at scan/write
+  *     time (D3).
+  *
+  * Register with:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.cassandralike",
+  *     classOf[CassandraLikeCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.cassandralike.warehouse", dir)
+  * }}}
+  */
+class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: java.nio.file.Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = java.nio.file.Paths.get(
+      Option(options.get("warehouse")).getOrElse(
+        sys.props("java.io.tmpdir") + "/cassandralike-warehouse"))
+    java.nio.file.Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def tableDir(ident: Identifier): java.nio.file.Path =
+    warehouse.resolve(ident.namespace().mkString("/")).resolve(ident.name())
+
+  // ---- TableCatalog ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = warehouse.resolve(namespace.mkString("/"))
+    if (!java.nio.file.Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve(CellStore.MetaFile)))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    CellStore.readMeta(dir.toString) match {
+      case Some(m) =>
+        new CassandraLikeTable(
+          (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
+          dir.toString, StructType.fromDDL(m.schemaDdl), Some(m.mapping),
+          m.properties)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    require(partitions.isEmpty, "cassandralike tables are token-partitioned; PARTITIONED BY is not supported")
+    val dir = tableDir(ident)
+    if (java.nio.file.Files.exists(dir.resolve(CellStore.MetaFile)))
+      throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap -
+      TableCatalog.PROP_OWNER - TableCatalog.PROP_PROVIDER - TableCatalog.PROP_LOCATION
+    // validates the mapping (arity, :key presence, transposed shape) at DDL
+    // time, like the reference's preCreateTable mapping check
+    val mapping = props.getOrElse(Options.Mapping, ColumnMapping.auto(schema))
+    ColumnMapping.parse(mapping, schema)
+    CellStore.writeMeta(dir.toString,
+      CellStore.Meta(schema.toDDL, mapping, props - Options.Mapping))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!java.nio.file.Files.exists(dir.resolve(CellStore.MetaFile))) false
+    else { CellStore.dropTable(dir.toString); true }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!java.nio.file.Files.exists(tableDir(oldIdent).resolve(CellStore.MetaFile)))
+      throw new NoSuchTableException(oldIdent)
+    java.nio.file.Files.createDirectories(tableDir(newIdent).getParent)
+    java.nio.file.Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  // ---- SupportsNamespaces (keyspace lifecycle) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val s = java.nio.file.Files.list(warehouse)
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    java.nio.file.Files.isDirectory(warehouse.resolve(namespace.mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(warehouse.resolve(namespace.mkString("/")))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    CellStore.dropTable(warehouse.resolve(namespace.mkString("/")).toString)
+    true
+  }
+}

@@ -1,0 +1,429 @@
+package graft.sources.cassandralike
+
+import java.util
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Option keys understood by the cassandralike source — the table-property
+  * plumbing (D3). Effective value resolution is read/write option over
+  * `spark.cassandralike.*` session conf over table property, mirroring the
+  * reference's conf-over-table-props resolution
+  * (CassandraStorageHandler.java:31-190 in /root/reference). */
+object Options {
+  val Path = "path"
+  val Mapping = "mapping" // cassandra.columns.mapping DSL
+  val Buckets = "buckets" // token-ring ranges = scan/write parallelism (S1)
+  val Encoding = "encoding" // binary | text cell-value marshal (T1 fixture knob)
+  val BatchMutateSize = "batch.mutate.size" // W3 flush threshold
+  val Consistency = "consistency" // W4; coerced to ONE when invalid
+  val WriteTimestamp = "write.timestamp" // fixed logical ts (deterministic tests)
+  val NullsAsTombstones = "write.nulls.as.tombstones"
+  val WideRowPageSize = "widerow.page.size" // S4 page size
+  val SliceStart = "slice.start" // P2 static slice knobs (reference parity)
+  val SliceFinish = "slice.finish"
+  val SliceReversed = "slice.reversed"
+  val SliceCount = "slice.count"
+  val Hosts = "locality.hosts" // S2: comma list mapped bucket->host round-robin
+
+  val DefaultBuckets = 32
+  val DefaultBatchMutate = 500 // serde/AbstractColumnSerDe.java:75
+  val DefaultPageSize = 1000 // serde/AbstractColumnSerDe.java:71
+
+  /** Resolution order: per-read/write option > session conf (merged into the
+    * option map driver-side, see [[CassandraLikeTable.withConfOverrides]]) >
+    * table property. */
+  def effective(
+      options: Map[String, String],
+      tableProps: Map[String, String],
+      key: String): Option[String] =
+    options.get(key).orElse(tableProps.get(key))
+
+  /** `spark.cassandralike.<key>` session confs, captured ON THE DRIVER at
+    * scan/write build time (executors have no active session). */
+  def confOverrides(): Map[String, String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.conf.getAll.collect {
+        case (k, v) if k.startsWith("spark.cassandralike.") =>
+          k.stripPrefix("spark.cassandralike.") -> v
+      }.toMap).getOrElse(Map.empty)
+}
+
+/** Path-based entry point: `spark.read.format("cassandralike").load(dir)` /
+  * `df.write.format("cassandralike")...save(dir)`. The catalog
+  * (CassandraLikeCatalog) is the DDL-capable entry point. */
+class DefaultSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cassandralike"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dir(options: CaseInsensitiveStringMap): String =
+    Option(options.get(Options.Path)).getOrElse(
+      throw new IllegalArgumentException("cassandralike requires a path"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CellStore.readMeta(dir(options)) match {
+      case Some(m) => StructType.fromDDL(m.schemaDdl)
+      case None => throw new IllegalArgumentException(
+        s"no cassandralike table at ${dir(options)} (missing meta.json)")
+    }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val d = properties.get(Options.Path)
+    require(d != null, "cassandralike requires a path")
+    val meta = CellStore.readMeta(d)
+    val props = meta.map(_.properties).getOrElse(Map.empty) ++ properties.asScala
+    val mapping = Options.effective(props, Map.empty, Options.Mapping)
+      .orElse(meta.map(_.mapping))
+    new CassandraLikeTable(d, d, schema, mapping, props)
+  }
+}
+
+/** One cassandralike table over a CellStore directory. */
+class CassandraLikeTable(
+    tableName: String,
+    val dir: String,
+    val tableSchema: StructType,
+    mappingStr: Option[String],
+    val tableProps: Map[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+
+  val mapping: ColumnMapping = ColumnMapping.forTable(tableSchema, mappingStr)
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** Session-conf overrides merge UNDER explicit options (option > conf >
+    * table property — the reference's conf-over-table-props resolution, D3). */
+  def withConfOverrides(options: Map[String, String]): Map[String, String] =
+    Options.confOverrides() ++ options
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CellScanBuilder(this,
+      withConfOverrides(options.asCaseSensitiveMap().asScala.toMap))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CellWriteBuilder(this, info)
+
+  def opt(options: Map[String, String], key: String): Option[String] =
+    Options.effective(options, tableProps, key)
+}
+
+/** Scan construction with projection pushdown (P1,
+  * SupportsPushDownRequiredColumns — the reference reads Hive's needed-column
+  * IDs and fetches only those cells, input/HiveCassandraStandardColumnInput
+  * Format.java:55-59,95-98) and predicate pushdown (P2 — improving on the
+  * reference, whose slice range was static configuration only: here real
+  * Catalyst predicates on the key and on the transposed clustering column are
+  * accepted and evaluated inside the scan; key-equality predicates also prune
+  * token-range partitions). */
+class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = table.tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val m = table.mapping
+    val keyName = m.keyField.name
+    val sliceName =
+      if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
+    def pushable(f: Filter): Boolean = f match {
+      case EqualTo(c, _) => c == keyName || sliceName.contains(c)
+      case In(c, _) => c == keyName
+      case GreaterThan(c, _) => sliceName.contains(c)
+      case GreaterThanOrEqual(c, _) => sliceName.contains(c)
+      case LessThan(c, _) => sliceName.contains(c)
+      case LessThanOrEqual(c, _) => sliceName.contains(c)
+      case _ => false
+    }
+    val (accepted, rejected) = filters.partition(pushable)
+    pushed = accepted
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new CellScan(table, required, pushed, options)
+}
+
+final case class CellInputPartition(
+    tableDir: String,
+    bucket: Int,
+    hosts: Array[String]) extends InputPartition {
+  /** S2: replica-aware placement hook (the reference's split locations,
+    * input/HiveCassandraStandardSplit.java:69-71). Empty in local mode. */
+  override def preferredLocations(): Array[String] = hosts
+}
+
+class CellScan(
+    table: CassandraLikeTable,
+    required: StructType,
+    filters: Array[Filter],
+    options: Map[String, String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = filters.map(_.toString).mkString(", ")
+    s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} PushedFilters: [$f]"
+  }
+
+  /** S1: one partition per token-range bucket; key-equality pushdown prunes
+    * to only the buckets that can hold matching keys. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val buckets = table.opt(options, Options.Buckets)
+      .map(_.toInt).getOrElse(Options.DefaultBuckets)
+    val hosts = table.opt(options, Options.Hosts)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
+    val keyType = table.mapping.keyField.dataType
+    val keyName = table.mapping.keyField.name
+    // bucket pruning from key-equality predicates
+    val keyValues: Option[Seq[Any]] = {
+      val vs = filters.collect {
+        case EqualTo(c, v) if c == keyName => Seq(v)
+        case In(c, vs0) if c == keyName => vs0.toSeq
+      }
+      if (vs.isEmpty) None
+      else Some(vs.reduce(_ intersect _)) // AND of pushed key predicates
+    }
+    val wanted: Option[Set[Int]] = keyValues.map(_.map { v =>
+      val cat = CatalystTypeConverters.convertToCatalyst(v)
+      TokenRing.bucket(Codecs.encode(keyType, cat), buckets)
+    }.toSet)
+    (0 until buckets)
+      .filter(b => wanted.forall(_.contains(b)))
+      .filter(b => CellStore.segmentFiles(table.dir, b).nonEmpty)
+      .map(b => CellInputPartition(table.dir, b,
+        if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CellReaderFactory(table.tableSchema, table.mapping.fields, required,
+      filters, options, table.tableProps)
+}
+
+final case class CellReaderFactory(
+    fullSchema: StructType,
+    mappedFields: Seq[MappedField],
+    required: StructType,
+    filters: Array[Filter],
+    options: Map[String, String],
+    tableProps: Map[String, String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CellInputPartition]
+    new CellPartitionReader(cp, ColumnMapping(mappedFields), required, filters,
+      (k: String) => Options.effective(options, tableProps, k))
+  }
+}
+
+/** The scan itself: merges the bucket's segments (LWW, tombstone-skipping),
+  * then assembles rows per the mapping —
+  *   - regular (S3): one row per storage row, cells looked up by name,
+  *     missing cell -> SQL NULL (P4, input/LazyCassandraRow.java:92-99),
+  *     `cf:` map field materializes remaining cells as map<string,string>
+  *     (the reference left this unfinished — SURVEY §8 — we implement the
+  *     intended semantics);
+  *   - transposed (S5): one row per cell `(key, column[, subcolumn], value)`
+  *     (input/CassandraHiveRecordReader.java:112-180), iterated through the
+  *     wide-row pager (S4) with slice start/finish/reversed/count (P2);
+  *   - super cells (S6): 4-column form over (col, sub) pairs.
+  * All decode goes through the dual binary/text codecs (T1). */
+class CellPartitionReader(
+    part: CellInputPartition,
+    mapping: ColumnMapping,
+    required: StructType,
+    filters: Array[Filter],
+    opt: String => Option[String])
+  extends PartitionReader[InternalRow] {
+
+  // T2: positional per-cell validator list (reference's
+  // cassandra.cf.validatorType, serde/CassandraColumnSerDe.java:24,106-126);
+  // a single name for the transposed :value column
+  private val validators: Option[Seq[String]] =
+    opt("validators").map(_.split(",").map(_.trim).toSeq)
+  private val validator = opt("validator")
+  // P3 (lazy field decode, input/LazyCassandraRow.java:45-106): only fields
+  // the projection or a pushed predicate touches are decoded at all
+  private val needed: Set[String] =
+    required.fieldNames.toSet ++ filters.flatMap(_.references)
+  private val rows: Iterator[InternalRow] = {
+    val cells = CellStore.mergedBucket(part.tableDir, part.bucket)
+    val byKey = groupByKey(cells)
+    if (mapping.transposed) byKey.flatMap(transposedRows)
+    else byKey.flatMap(regularRow)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (rows.hasNext) { current = rows.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def groupByKey(cells: Seq[Cell]): Iterator[(Array[Byte], Seq[Cell])] = {
+    if (cells.isEmpty) return Iterator.empty
+    val out = mutable.ArrayBuffer.empty[(Array[Byte], Seq[Cell])]
+    var start = 0
+    var i = 1
+    while (i <= cells.length) {
+      if (i == cells.length || !java.util.Arrays.equals(cells(i).key, cells(start).key)) {
+        out += ((cells(start).key, cells.slice(start, i)))
+        start = i
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  // ---- row assembly ----
+
+  private val keyType = mapping.keyField.dataType
+  private val requiredNames = required.fieldNames
+
+  private def decodeValue(dt: DataType, bytes: Array[Byte]): Any =
+    validator match {
+      case Some(v) => Codecs.validatorString(v, bytes)
+      case None => Codecs.decode(dt, bytes)
+    }
+
+  private def project(values: Map[String, Any]): Option[InternalRow] = {
+    if (!filters.forall(f => FilterEval.eval(f, values))) return None
+    Some(new GenericInternalRow(
+      requiredNames.map(n => values.getOrElse(n, null)).toArray[Any]))
+  }
+
+  /** Regular mapping: one InternalRow per storage row (S3). */
+  private def regularRow(group: (Array[Byte], Seq[Cell])): Option[InternalRow] = {
+    val (key, cells) = group
+    val byName = cells.map(c => new String(c.col, java.nio.charset.StandardCharsets.UTF_8) -> c).toMap
+    val cellIdx = mapping.cellFields.map(_.name).zipWithIndex.toMap
+    val values = mutable.HashMap.empty[String, Any]
+    mapping.fields.foreach { f =>
+      if (needed.contains(f.name)) f.role match {
+        case FieldRole.Key =>
+          values(f.name) = Codecs.decode(keyType, key) // keys are canonical binary
+        case FieldRole.Cell(cellName) =>
+          val vd = validators.map(_.apply(cellIdx(f.name)))
+          values(f.name) = byName.get(cellName).map { c =>
+            vd match {
+              case Some(v) => Codecs.validatorString(v, c.value)
+              case None => decodeValue(f.dataType, c.value)
+            }
+          }.orNull
+        case FieldRole.FamilyMap =>
+          val named = mapping.cellFields.map { case MappedField(_, _, FieldRole.Cell(n)) => n }.toSet
+          val mt = f.dataType.asInstanceOf[MapType]
+          val rest = cells.filterNot(c =>
+            named.contains(new String(c.col, java.nio.charset.StandardCharsets.UTF_8)))
+          values(f.name) = ArrayBasedMapData(
+            rest.map(c => Codecs.decode(StringType, c.col)).toArray,
+            rest.map(c => Codecs.decode(mt.valueType, c.value)).toArray)
+        case _ => ()
+      }
+    }
+    project(values.toMap)
+  }
+
+  /** Transposed mapping: one row per cell, via the wide-row pager (S4/S5/S6). */
+  private def transposedRows(group: (Array[Byte], Seq[Cell])): Iterator[InternalRow] = {
+    val (key, cellsAsc) = group
+    val reversed = opt(Options.SliceReversed).exists(_.toBoolean)
+    val startB = opt(Options.SliceStart).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val finishB = opt(Options.SliceFinish).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val count = opt(Options.SliceCount).map(_.toInt)
+    val pageSize = opt(Options.WideRowPageSize).map(_.toInt)
+      .getOrElse(Options.DefaultPageSize)
+
+    // comparator-ordered slice honoring start/finish bounds and direction
+    val sliced0 = cellsAsc.filter { c =>
+      startB.forall(s => Codecs.compareBytes(c.col, s) >= 0) &&
+        finishB.forall(f => Codecs.compareBytes(c.col, f) <= 0)
+    }
+    val sliced = if (reversed) sliced0.reverse else sliced0
+
+    // the remote-fetch model the pager drives: cells from startCol (inclusive)
+    // in scan direction, capped at `cnt`
+    def fetch(startCol: Array[Byte], cnt: Int): Seq[Cell] = {
+      val from =
+        if (startCol == null) sliced
+        else if (reversed) sliced.dropWhile(c => Codecs.compareBytes(c.col, startCol) > 0)
+        else sliced.dropWhile(c => Codecs.compareBytes(c.col, startCol) < 0)
+      from.take(cnt)
+    }
+    val order: (Array[Byte], Array[Byte]) => Int =
+      if (reversed) (a, b) => -Codecs.compareBytes(a, b) else Codecs.compareBytes
+    var it: Iterator[Cell] = new WideRowIterator(fetch, math.max(2, pageSize), order)
+    count.foreach(n => it = it.take(n)) // per-key count cap (P2)
+
+    val keyVal = Codecs.decode(keyType, key)
+    val colField = mapping.field(FieldRole.TransColumn)
+    val valField = mapping.field(FieldRole.TransValue)
+    val subField = if (mapping.hasSubColumn) Some(mapping.field(FieldRole.TransSubColumn)) else None
+
+    it.flatMap { c =>
+      val values = mutable.HashMap[String, Any](
+        mapping.keyField.name -> keyVal,
+        colField.name -> Codecs.decode(colField.dataType, c.col),
+        valField.name -> decodeValue(valField.dataType, c.value))
+      subField.foreach(sf => values(sf.name) = Codecs.decode(sf.dataType, c.sub))
+      project(values.toMap)
+    }
+  }
+}
+
+/** Exact post-decode evaluation of the pushed filters. The source accepts a
+  * filter only if it can evaluate it exactly (so Spark needn't re-apply). */
+object FilterEval {
+  def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
+    case EqualTo(c, v) => cmp(row.get(c).orNull, conv(v)).contains(0)
+    case In(c, vs) => vs.exists(v => cmp(row.get(c).orNull, conv(v)).contains(0))
+    case GreaterThan(c, v) => cmp(row.get(c).orNull, conv(v)).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmp(row.get(c).orNull, conv(v)).exists(_ >= 0)
+    case LessThan(c, v) => cmp(row.get(c).orNull, conv(v)).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmp(row.get(c).orNull, conv(v)).exists(_ <= 0)
+    case _ => true
+  }
+
+  private def conv(v: Any): Any = CatalystTypeConverters.convertToCatalyst(v)
+
+  private def integral(n: Number): Boolean = n match {
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  /** None when either side is null or incomparable (SQL three-valued logic:
+    * a null comparison never satisfies a pushed predicate). */
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: Number, y: Number) =>
+      if (integral(x) && integral(y)) Some(java.lang.Long.compare(x.longValue, y.longValue))
+      else Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+    case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+}

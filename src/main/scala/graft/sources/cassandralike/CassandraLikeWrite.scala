@@ -1,0 +1,208 @@
+package graft.sources.cassandralike
+
+import java.io.{BufferedOutputStream, DataOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Write path (W1–W5): rows become cell mutations buffered per token bucket
+  * and flushed every `batch.mutate.size` cells (default 500 — the reference's
+  * batch_mutate threshold, serde/AbstractColumnSerDe.java:75,
+  * serde2/CassandraPut.java:95-141). Task attempts write temp segment files
+  * and rename on job commit, so retries are clean (replacing the reference's
+  * at-least-once non-transactional sink, HiveCassandraOutputFormat.java:47-51,
+  * with Spark's epoch commit semantics). */
+class CellWriteBuilder(table: CassandraLikeTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // session-conf overrides resolved here, on the driver (D3)
+      import scala.jdk.CollectionConverters._
+      val merged = table.withConfOverrides(
+        info.options().asCaseSensitiveMap().asScala.toMap)
+      new CellBatchWrite(table, merged.asJava, doTruncate)
+    }
+  }
+}
+
+final case class CellWriterCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
+
+class CellBatchWrite(
+    table: CassandraLikeTable,
+    optionsJ: java.util.Map[String, String],
+    truncate: Boolean) extends BatchWrite {
+
+  import scala.jdk.CollectionConverters._
+  private val options = optionsJ.asScala.toMap
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // W4: consistency validated here; invalid values coerce to ONE
+    // (serde2/CassandraAbstractPut.java:39-50)
+    val consistency = Options.effective(options, table.tableProps, Options.Consistency)
+      .map(_.toUpperCase) match {
+      case Some(c) if Set("ONE", "TWO", "THREE", "QUORUM", "ALL", "ANY",
+        "LOCAL_QUORUM", "EACH_QUORUM").contains(c) => c
+      case _ => "ONE"
+    }
+    CellWriterFactory(table.dir, table.tableSchema, table.mapping.fields,
+      options, table.tableProps, consistency)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) CellStore.truncate(table.dir)
+    messages.foreach {
+      case CellWriterCommit(files) => files.foreach { case (bucket, tmp) =>
+        Files.move(Paths.get(table.dir, CellStore.SstDir, tmp),
+          Paths.get(table.dir, CellStore.SstDir, CellStore.newSegmentName(bucket)),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CellWriterCommit(files) => files.foreach { case (_, tmp) =>
+        Files.deleteIfExists(Paths.get(table.dir, CellStore.SstDir, tmp))
+      }
+      case _ => ()
+    }
+}
+
+final case class CellWriterFactory(
+    dir: String,
+    schema: StructType,
+    mappedFields: Seq[MappedField],
+    options: Map[String, String],
+    tableProps: Map[String, String],
+    consistency: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CellDataWriter(dir, ColumnMapping(mappedFields),
+      (k: String) => Options.effective(options, tableProps, k), consistency)
+}
+
+class CellDataWriter(
+    dir: String,
+    mapping: ColumnMapping,
+    opt: String => Option[String],
+    val consistency: String) extends DataWriter[InternalRow] {
+
+  private val buckets = opt(Options.Buckets).map(_.toInt).getOrElse(Options.DefaultBuckets)
+  private val batchSize = opt(Options.BatchMutateSize).map(_.toInt)
+    .getOrElse(Options.DefaultBatchMutate)
+  private val textEncoding = opt(Options.Encoding).contains("text")
+  private val nullsAsTombstones = opt(Options.NullsAsTombstones).exists(_.toBoolean)
+  // One logical write timestamp per job (last-write-wins across jobs; the
+  // reference stamps serialize time, serde/RegularTableMapping.java:84,94).
+  // The `write.timestamp` option pins it for deterministic tests. Equal-ts
+  // collisions resolve by deterministic value comparison (CellStore merge).
+  private val baseTs = opt(Options.WriteTimestamp).map(_.toLong)
+    .getOrElse(System.currentTimeMillis())
+
+  private val buffer = mutable.ArrayBuffer.empty[Cell]
+  private val streams = mutable.HashMap.empty[Int, (String, DataOutputStream)]
+  /** Number of threshold flushes performed (observable for W3 tests). */
+  var flushes = 0
+
+  private val keyIdx = mapping.fields.indexWhere(_.role == FieldRole.Key)
+  private val keyType = mapping.keyField.dataType
+
+  private def encodeValue(dt: DataType, v: Any): Array[Byte] =
+    if (textEncoding) Codecs.encodeText(dt, v) else Codecs.encode(dt, v)
+
+  override def write(row: InternalRow): Unit = {
+    val keyRaw = row.get(keyIdx, keyType)
+    require(keyRaw != null, "null row key")
+    val key = Codecs.encode(keyType, keyRaw) // keys are canonical binary
+    val ts = baseTs
+
+    if (mapping.transposed) {
+      // W2: one cell per row (serde/TransposedMapping.java:34-72)
+      val colF = mapping.field(FieldRole.TransColumn)
+      val valF = mapping.field(FieldRole.TransValue)
+      val col = Codecs.encode(colF.dataType,
+        row.get(mapping.fields.indexWhere(_.role == FieldRole.TransColumn), colF.dataType))
+      val sub = if (mapping.hasSubColumn) {
+        val sf = mapping.field(FieldRole.TransSubColumn)
+        Codecs.encode(sf.dataType,
+          row.get(mapping.fields.indexWhere(_.role == FieldRole.TransSubColumn), sf.dataType))
+      } else null
+      val vIdx = mapping.fields.indexWhere(_.role == FieldRole.TransValue)
+      val v = row.get(vIdx, valF.dataType)
+      if (v == null) {
+        if (nullsAsTombstones) add(Cell(key, col, sub, null, ts, tombstone = true))
+      } else add(Cell(key, col, sub, encodeValue(valF.dataType, v), ts, tombstone = false))
+    } else {
+      // W1: one cell per non-key column (serde/RegularTableMapping.java:25-104)
+      mapping.fields.zipWithIndex.foreach { case (f, i) =>
+        f.role match {
+          case FieldRole.Cell(cellName) =>
+            val v = row.get(i, f.dataType)
+            val col = cellName.getBytes(UTF_8)
+            if (v == null) {
+              if (nullsAsTombstones) add(Cell(key, col, null, null, ts, tombstone = true))
+            } else add(Cell(key, col, null, encodeValue(f.dataType, v), ts, tombstone = false))
+          case FieldRole.FamilyMap =>
+            // cf: map expansion — one cell per entry
+            // (serde/RegularTableMapping.java:54-91)
+            val mt = f.dataType.asInstanceOf[MapType]
+            val map = row.getMap(i)
+            if (map != null) {
+              var j = 0
+              while (j < map.numElements()) {
+                val mk = map.keyArray().get(j, mt.keyType)
+                val mv = map.valueArray().get(j, mt.valueType)
+                if (mv != null)
+                  add(Cell(key, Codecs.encode(mt.keyType, mk), null,
+                    encodeValue(mt.valueType, mv), ts, tombstone = false))
+                j += 1
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+    if (buffer.length >= batchSize) { flush(); flushes += 1 } // W3
+  }
+
+  private def add(c: Cell): Unit = buffer += c
+
+  private def flush(): Unit = {
+    buffer.foreach { c =>
+      val b = TokenRing.bucket(c.key, buckets)
+      val (_, out) = streams.getOrElseUpdate(b, {
+        val tmp = s"tmp-${UUID.randomUUID()}-b$b.bin"
+        Files.createDirectories(Paths.get(dir, CellStore.SstDir))
+        (tmp, new DataOutputStream(new BufferedOutputStream(
+          Files.newOutputStream(Paths.get(dir, CellStore.SstDir, tmp)), 1 << 16)))
+      })
+      CellStore.writeCell(out, c)
+    }
+    buffer.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    streams.values.foreach(_._2.close())
+    CellWriterCommit(streams.map { case (b, (tmp, _)) => (b, tmp) }.toSeq)
+  }
+
+  override def abort(): Unit = {
+    streams.values.foreach(_._2.close())
+    streams.values.foreach { case (tmp, _) =>
+      Files.deleteIfExists(Paths.get(dir, CellStore.SstDir, tmp))
+    }
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,136 @@
+package graft.sources.cassandralike
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The dual binary/text type bridge — the reference connector's signature
+  * semantic (SURVEY §1.3; serde2/lazy/CassandraLazy{Integer,Long,Float,
+  * Double,Boolean,Timestamp,Binary}.java in /root/reference).
+  *
+  * Decode precedence: a cell whose byte length exactly matches the fixed-width
+  * binary form of the target type decodes as big-endian binary; otherwise the
+  * bytes are parsed as ASCII text; garbage decodes to SQL NULL. On the
+  * ambiguous case (e.g. 4 ASCII digits for an int) BINARY WINS — the length
+  * match is checked first (serde2/lazy/CassandraLazyInteger.java:21-30).
+  *
+  * Encode (write marshal) follows the reference's Hive-type -> marshal-type
+  * table (serde2/lazy/LazyCassandraUtils.java:17-41): numerics/boolean as
+  * fixed-width big-endian, strings UTF-8, timestamps 8-byte epoch millis.
+  * Deliberately NOT ported (SURVEY §8 defects): base64 sniffing on binary
+  * reads (CassandraLazyBinary.java:31-48) and the DateType write /
+  * epoch-millis read asymmetry.
+  *
+  * Values are Catalyst-internal: strings are UTF8String, timestamps are Long
+  * micros — codecs sit inside the DSv2 scan/write, so they speak InternalRow.
+  */
+object Codecs {
+
+  /** Marshal a Catalyst value to cell bytes. Null values have no cell. */
+  def encode(dt: DataType, v: Any): Array[Byte] = dt match {
+    case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+    case IntegerType => ByteBuffer.allocate(4).putInt(v.asInstanceOf[Int]).array()
+    case LongType => ByteBuffer.allocate(8).putLong(v.asInstanceOf[Long]).array()
+    case FloatType => ByteBuffer.allocate(4).putFloat(v.asInstanceOf[Float]).array()
+    case DoubleType => ByteBuffer.allocate(8).putDouble(v.asInstanceOf[Double]).array()
+    case StringType => v.asInstanceOf[UTF8String].getBytes.clone()
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    case TimestampType => // Catalyst micros -> epoch millis, 8-byte BE
+      ByteBuffer.allocate(8).putLong(Math.floorDiv(v.asInstanceOf[Long], 1000L)).array()
+    case other => throw new IllegalArgumentException(s"unsupported cell type $other")
+  }
+
+  /** Marshal a Catalyst value to ASCII-text cell bytes (the storage form the
+    * text-fallback decode path exists for: cells written by text-era tools). */
+  def encodeText(dt: DataType, v: Any): Array[Byte] = {
+    val s = dt match {
+      case BooleanType => v.asInstanceOf[Boolean].toString
+      case IntegerType | LongType => v.toString
+      case FloatType => v.asInstanceOf[Float].toString
+      case DoubleType => v.asInstanceOf[Double].toString
+      case StringType => v.asInstanceOf[UTF8String].toString
+      case TimestampType => Math.floorDiv(v.asInstanceOf[Long], 1000L).toString
+      case BinaryType => return v.asInstanceOf[Array[Byte]]
+      case other => throw new IllegalArgumentException(s"unsupported cell type $other")
+    }
+    s.getBytes(UTF_8)
+  }
+
+  /** Dual decode: binary on exact width, else text, else null. Returns
+    * Catalyst-internal values (UTF8String / micros). */
+  def decode(dt: DataType, bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    dt match {
+      case StringType => UTF8String.fromBytes(bytes)
+      case BinaryType => bytes
+      case IntegerType =>
+        if (bytes.length == 4) ByteBuffer.wrap(bytes).getInt
+        else text(bytes).flatMap(_.toIntOption).map(Int.box).orNull
+      case LongType =>
+        if (bytes.length == 8) ByteBuffer.wrap(bytes).getLong
+        else text(bytes).flatMap(_.toLongOption).map(Long.box).orNull
+      case FloatType =>
+        if (bytes.length == 4) ByteBuffer.wrap(bytes).getFloat
+        else text(bytes).flatMap(_.toFloatOption).map(Float.box).orNull
+      case DoubleType =>
+        if (bytes.length == 8) ByteBuffer.wrap(bytes).getDouble
+        else text(bytes).flatMap(_.toDoubleOption).map(Double.box).orNull
+      case BooleanType =>
+        if (bytes.length == 1) bytes(0) != 0
+        else text(bytes).map(_.toLowerCase) match {
+          case Some("true") => Boolean.box(true)
+          case Some("false") => Boolean.box(false)
+          case _ => null
+        }
+      case TimestampType =>
+        if (bytes.length == 8) ByteBuffer.wrap(bytes).getLong * 1000L // millis -> micros
+        else text(bytes).flatMap(_.toLongOption).map(ms => Long.box(ms * 1000L)).orNull
+      case other => throw new IllegalArgumentException(s"unsupported cell type $other")
+    }
+  }
+
+  /** ASCII-printable view of bytes, None if not plausible text. */
+  private def text(bytes: Array[Byte]): Option[String] = {
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b < 0x20 && b != '\t') return None
+      i += 1
+    }
+    Some(new String(bytes, UTF_8))
+  }
+
+  /** Render cell bytes to a string through a named CQL validator type —
+    * the validator read mode where every column surfaces as a string
+    * (serde2/lazy/CassandraLazyValidator.java:27-35,
+    * serde/CassandraColumnSerDe.java:106-153). Unknown validator or
+    * width mismatch renders as hex (BytesType behavior). */
+  def validatorString(validator: String, bytes: Array[Byte]): UTF8String = {
+    if (bytes == null) return null
+    val s = validator match {
+      case "Int32Type" if bytes.length == 4 => ByteBuffer.wrap(bytes).getInt.toString
+      case "LongType" if bytes.length == 8 => ByteBuffer.wrap(bytes).getLong.toString
+      case "FloatType" if bytes.length == 4 => ByteBuffer.wrap(bytes).getFloat.toString
+      case "DoubleType" if bytes.length == 8 => ByteBuffer.wrap(bytes).getDouble.toString
+      case "BooleanType" if bytes.length == 1 => (bytes(0) != 0).toString
+      case "UTF8Type" | "AsciiType" => new String(bytes, UTF_8)
+      case _ => bytes.map(b => f"$b%02x").mkString
+    }
+    UTF8String.fromString(s)
+  }
+
+  /** Key ordering/equality wrapper: cell names sort in unsigned-byte
+    * (Cassandra BytesType comparator) order. */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure (no Spark) tests: mapping DSL, dual codecs, wide-row pager.
+  * Property-style checks run over seeded random vectors (the scalatestplus
+  * scalacheck bridge is not in the offline cache). */
+class CellStoreSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: scala.util.Random => A)(check: A => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach(_ => check(gen(rnd)))
+  }
+
+  // ---- mapping DSL (FIXTURES.md §2; AbstractColumnSerDe.java:182-274) ----
+
+  private val regularSchema = StructType.fromDDL(
+    "userid STRING, name STRING, age INT, score DOUBLE")
+  private val transSchema = StructType.fromDDL(
+    "row_key STRING, column_name STRING, value STRING")
+  private val superSchema = StructType.fromDDL(
+    "row_key STRING, column_name STRING, sub_column_name STRING, value STRING")
+
+  test("auto mapping: first column becomes :key, rest map by name") {
+    assert(ColumnMapping.auto(regularSchema) == ":key,name,age,score")
+  }
+
+  test("auto mapping: row_key/column_name/value auto-transposes") {
+    assert(ColumnMapping.auto(transSchema) == ":key,:column,:value")
+    assert(ColumnMapping.auto(superSchema) == ":key,:column,:subcolumn,:value")
+  }
+
+  test("parse: regular fields get Cell roles; key identified") {
+    val m = ColumnMapping.parse(":key,name,age,score", regularSchema)
+    assert(!m.transposed)
+    assert(m.keyField.name == "userid")
+    assert(m.cellFields.map(_.name) == Seq("name", "age", "score"))
+  }
+
+  test("parse: transposed requires :value; mixing cells is rejected") {
+    assertThrows[IllegalArgumentException](
+      ColumnMapping.parse(":key,:column,foo", transSchema))
+    val m = ColumnMapping.parse(":key,:column,:value", transSchema)
+    assert(m.transposed && !m.hasSubColumn)
+    assert(ColumnMapping.parse(":key,:column,:subcolumn,:value", superSchema).hasSubColumn)
+  }
+
+  test("parse: cf: trailing-colon requires a map column") {
+    val mapSchema = StructType.fromDDL("userid STRING, props MAP<STRING,STRING>")
+    val m = ColumnMapping.parse(":key,cf:", mapSchema)
+    assert(m.familyMapField.map(_.name).contains("props"))
+    assertThrows[IllegalArgumentException](
+      ColumnMapping.parse(":key,cf:", regularSchema.add("p", StringType)))
+  }
+
+  test("parse: arity and single-:key enforced") {
+    assertThrows[IllegalArgumentException](
+      ColumnMapping.parse(":key,name", regularSchema))
+    assertThrows[IllegalArgumentException](
+      ColumnMapping.parse(":key,:key,age,score", regularSchema))
+  }
+
+  // ---- dual codecs (FIXTURES.md §3; CassandraLazy*.java) ----
+
+  test("binary round-trip per type: decode(encode(v)) == v") {
+    forAll(_.nextInt()) { i => assert(Codecs.decode(IntegerType, Codecs.encode(IntegerType, i)) == i) }
+    forAll(_.nextLong()) { l => assert(Codecs.decode(LongType, Codecs.encode(LongType, l)) == l) }
+    forAll(_.nextDouble() * 1e12 - 5e11) { d =>
+      assert(Codecs.decode(DoubleType, Codecs.encode(DoubleType, d)) == d)
+    }
+    forAll(_.nextFloat() * 1e6f) { f =>
+      assert(Codecs.decode(FloatType, Codecs.encode(FloatType, f)) == f)
+    }
+    forAll(_.nextBoolean()) { b => assert(Codecs.decode(BooleanType, Codecs.encode(BooleanType, b)) == b) }
+    forAll(r => r.alphanumeric.take(r.nextInt(30)).mkString) { s =>
+      val u = UTF8String.fromString(s)
+      assert(Codecs.decode(StringType, Codecs.encode(StringType, u)) == u)
+    }
+    // timestamps: millis precision survives the bridge (micros truncate)
+    forAll(r => math.abs(r.nextLong()) % 1000000000000L * 1000L) { micros =>
+      assert(Codecs.decode(TimestampType, Codecs.encode(TimestampType, micros)) == micros)
+    }
+  }
+
+  test("text fallback: ASCII digits decode when width mismatches") {
+    assert(Codecs.decode(IntegerType, "12345".getBytes) == 12345)
+    assert(Codecs.decode(LongType, "9876543".getBytes) == 9876543L)
+    assert(Codecs.decode(DoubleType, "3.5".getBytes) == 3.5)
+    assert(Codecs.decode(BooleanType, "true".getBytes) == true)
+    assert(Codecs.decode(BooleanType, "False".getBytes) == false)
+  }
+
+  test("ambiguous width: binary wins (4 ASCII digits as int)") {
+    val bytes = "1234".getBytes // exactly 4 bytes
+    val expected = java.nio.ByteBuffer.wrap(bytes).getInt // NOT 1234
+    assert(Codecs.decode(IntegerType, bytes) == expected)
+    assert(expected != 1234)
+    // 8 ASCII digits as bigint: binary wins too
+    val b8 = "12345678".getBytes
+    assert(Codecs.decode(LongType, b8) == java.nio.ByteBuffer.wrap(b8).getLong)
+  }
+
+  test("garbage decodes to null, not an exception") {
+    assert(Codecs.decode(IntegerType, "xyz".getBytes) == null)
+    assert(Codecs.decode(LongType, Array[Byte](1, 2, 3)) == null)
+    assert(Codecs.decode(DoubleType, "not-a-number".getBytes) == null)
+    assert(Codecs.decode(BooleanType, "maybe".getBytes) == null)
+    assert(Codecs.decode(TimestampType, "2024-nope".getBytes) == null)
+  }
+
+  test("text round-trip: decode(encodeText(v)) == v when widths differ") {
+    val u = UTF8String.fromString("hello")
+    assert(Codecs.decode(StringType, Codecs.encodeText(StringType, u)) == u)
+    assert(Codecs.decode(IntegerType, Codecs.encodeText(IntegerType, 42)) == 42)
+    assert(Codecs.decode(DoubleType, Codecs.encodeText(DoubleType, 123.25)) == 123.25)
+    assert(Codecs.decode(BooleanType, Codecs.encodeText(BooleanType, true)) == true)
+  }
+
+  test("validator rendering (T2)") {
+    assert(Codecs.validatorString("Int32Type", Codecs.encode(IntegerType, 7)).toString == "7")
+    assert(Codecs.validatorString("LongType", Codecs.encode(LongType, 99L)).toString == "99")
+    assert(Codecs.validatorString("UTF8Type", "abc".getBytes).toString == "abc")
+    assert(Codecs.validatorString("BytesType", Array[Byte](0x0a, 0x7f)).toString == "0a7f")
+  }
+
+  // ---- wide-row pager (S4; ColumnFamilyWideRowRecordReader.java:240-385) ----
+
+  private def cell(i: Int): Cell =
+    Cell("k".getBytes, f"c$i%06d".getBytes, null, s"v$i".getBytes, 1L, tombstone = false)
+
+  private def pagedFetch(cells: IndexedSeq[Cell])(start: Array[Byte], cnt: Int): Seq[Cell] = {
+    val from = if (start == null) cells
+    else cells.dropWhile(c => Codecs.compareBytes(c.col, start) < 0)
+    from.take(cnt)
+  }
+
+  test("pager yields every cell exactly once across page boundaries") {
+    for (n <- Seq(0, 1, 99, 100, 101, 250, 2500)) {
+      val cells = (0 until n).map(cell)
+      val got = new WideRowIterator(pagedFetch(cells), 100).toSeq
+      assert(got.size == n, s"n=$n")
+      assert(got.map(c => new String(c.col)) == cells.map(c => new String(c.col)))
+    }
+  }
+
+  test("pager terminates on ghost re-fetch (no-progress guard)") {
+    // a fetch that always returns the same full page must not loop forever
+    val one = (0 until 100).map(cell)
+    val it = new WideRowIterator((_, cnt) => one.take(cnt), 100)
+    assert(it.size == 100)
+  }
+
+  // ---- store merge: LWW + tombstones ----
+
+  test("segment merge: last-write-wins and tombstone skip") {
+    val dir = java.nio.file.Files.createTempDirectory("cellstore").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      java.nio.file.Files.createDirectories(sst)
+      def seg(name: String, cells: Seq[Cell]): Unit = {
+        val out = new java.io.DataOutputStream(
+          java.nio.file.Files.newOutputStream(sst.resolve(name)))
+        cells.foreach(CellStore.writeCell(out, _))
+        out.close()
+      }
+      val k = "key1".getBytes
+      seg("b0-a.bin", Seq(
+        Cell(k, "c1".getBytes, null, "old".getBytes, 1L, tombstone = false),
+        Cell(k, "c2".getBytes, null, "keep".getBytes, 1L, tombstone = false),
+        Cell(k, "c3".getBytes, null, "dead".getBytes, 1L, tombstone = false)))
+      seg("b0-b.bin", Seq(
+        Cell(k, "c1".getBytes, null, "new".getBytes, 2L, tombstone = false),
+        Cell(k, "c3".getBytes, null, null, 2L, tombstone = true)))
+      val merged = CellStore.mergedBucket(dir, 0)
+      assert(merged.map(c => new String(c.col) -> new String(c.value)).toMap ==
+        Map("c1" -> "new", "c2" -> "keep"))
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("meta.json round-trips schema, mapping, properties") {
+    val dir = java.nio.file.Files.createTempDirectory("cellmeta").toString
+    try {
+      val meta = CellStore.Meta("a BIGINT,b STRING", ":key,b",
+        Map("buckets" -> "8", "consistency" -> "QUORUM", "odd \"quote\"" -> "v\nnl"))
+      CellStore.writeMeta(dir, meta)
+      assert(CellStore.readMeta(dir).contains(meta))
+    } finally CellStore.dropTable(dir)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** End-to-end DSv2 connector tests on sf0.001: write->read round trips plus
+  * plan-level assertions that pushdown actually reached the source. */
+class ConnectorSpec extends SparkSpec {
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("regular round trip preserves every value (binary codecs)") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val store = Seed.table(spark, sfDir, "spec_roundtrip", cust)
+    val back = Seed.read(spark, store)
+    assert(back.count() == cust.count())
+    assert(back.exceptAll(cust).isEmpty && cust.exceptAll(back).isEmpty)
+  }
+
+  test("P1: projection pushdown prunes the scan schema") {
+    val store = Seed.table(spark, sfDir, "spec_prune",
+      Tables.load(spark, sfDir, "customer"))
+    val df = Seed.read(spark, store).select(col("c_custkey"), col("c_acctbal"))
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSet == Set("c_custkey", "c_acctbal"))
+  }
+
+  test("P2: key and slice predicates are pushed (visible in scan description)") {
+    val store = Seed.table(spark, sfDir, "spec_pushf",
+      Tables.load(spark, sfDir, "customer"))
+    val df = Seed.read(spark, store).filter(col("c_custkey") === 42L)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("c_custkey"),
+      s"pushed filter missing from: ${scan.scan.description()}")
+  }
+
+  test("S1: key-equality predicates prune token-range partitions") {
+    val store = Seed.table(spark, sfDir, "spec_bucketprune",
+      Tables.load(spark, sfDir, "customer"))
+    val all = scanOf(Seed.read(spark, store)).inputRDD.getNumPartitions
+    val one = scanOf(Seed.read(spark, store).filter(col("c_custkey") === 42L))
+      .inputRDD.getNumPartitions
+    assert(all > 1, s"expected multiple buckets, got $all")
+    assert(one == 1, s"expected 1 pruned partition, got $one")
+  }
+
+  test("W3: writer flushes every batch.mutate.size cells") {
+    val dir = java.nio.file.Files.createTempDirectory("w3").toString
+    try {
+      val mapping = ColumnMapping.parse(":key,v",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+      val w = new CellDataWriter(dir, mapping,
+        k => if (k == Options.BatchMutateSize) Some("10") else None, "ONE")
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      (1 to 95).foreach { i =>
+        row.update(0, i.toLong)
+        row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(s"v$i"))
+        w.write(row)
+      }
+      assert(w.flushes == 9) // 95 cells / 10-cell threshold
+      // job-commit rename makes task-attempt temp files visible
+      val msg = w.commit().asInstanceOf[CellWriterCommit]
+      msg.files.foreach { case (bucket, tmp) =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(dir, CellStore.SstDir, tmp),
+          java.nio.file.Paths.get(dir, CellStore.SstDir, CellStore.newSegmentName(bucket)))
+      }
+      val total = (0 until Options.DefaultBuckets)
+        .map(b => CellStore.mergedBucket(dir, b).size).sum
+      assert(total == 95)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("W4: invalid consistency coerces to ONE, valid passes through") {
+    def consistencyOf(v: Option[String]): String = {
+      val dirTmp = java.nio.file.Files.createTempDirectory("w4").toString
+      try {
+        CellStore.writeMeta(dirTmp, CellStore.Meta("k BIGINT,v STRING", ":key,v", Map.empty))
+        val table = new CassandraLikeTable("t", dirTmp,
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"),
+          None, Map.empty)
+        val opts = new java.util.HashMap[String, String]()
+        v.foreach(opts.put(Options.Consistency, _))
+        val bw = new CellBatchWrite(table, opts, truncate = false)
+        val factory = bw.createBatchWriterFactory(null)
+          .asInstanceOf[CellWriterFactory]
+        factory.consistency
+      } finally CellStore.dropTable(dirTmp)
+    }
+    assert(consistencyOf(Some("QUORUM")) == "QUORUM")
+    assert(consistencyOf(Some("bogus")) == "ONE")
+    assert(consistencyOf(None) == "ONE")
+  }
+
+  test("transposed pivot emits one row per cell in comparator order") {
+    val sp = spark; import sp.implicits._
+    val src = Seq(("a", "c2", "v2"), ("a", "c1", "v1"), ("b", "c9", "v9"))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_trans", src)
+    val got = Seed.read(spark, store).as[(String, String, String)].collect().toSet
+    assert(got == Set(("a", "c1", "v1"), ("a", "c2", "v2"), ("b", "c9", "v9")))
+  }
+
+  test("slice count caps per key, not globally") {
+    val sp = spark; import sp.implicits._
+    val src = (1 to 20).flatMap(i => Seq(("k1", f"c$i%02d", s"$i"), ("k2", f"c$i%02d", s"$i")))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_slicecount", src)
+    val got = Seed.read(spark, store, Map(Options.SliceCount -> "3"))
+      .groupBy("row_key").count().as[(String, Long)].collect().toMap
+    assert(got == Map("k1" -> 3L, "k2" -> 3L))
+    // reversed: the LAST 3 columns per key
+    val rev = Seed.read(spark, store,
+      Map(Options.SliceCount -> "2", Options.SliceReversed -> "true"))
+      .select("column_name").distinct().as[String].collect().toSet
+    assert(rev == Set("c20", "c19"))
+  }
+
+  test("catalog: SQL DDL round trip incl. drop and rename") {
+    val wh = java.nio.file.Files.createTempDirectory("cat").toString
+    spark.conf.set("spark.sql.catalog.speccat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.speccat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS speccat.ks1")
+    spark.sql("CREATE TABLE speccat.ks1.t1 (k BIGINT, v STRING) USING cassandralike TBLPROPERTIES('buckets'='4')")
+    spark.sql("INSERT INTO speccat.ks1.t1 VALUES (1, 'one'), (2, 'two')")
+    val rows = spark.table("speccat.ks1.t1").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "one"), (2L, "two")))
+    spark.sql("ALTER TABLE speccat.ks1.t1 RENAME TO ks1.t2")
+    assert(spark.table("speccat.ks1.t2").count() == 2)
+    spark.sql("DROP TABLE speccat.ks1.t2")
+    assert(spark.sql("SHOW TABLES IN speccat.ks1").count() == 0)
+  }
+
+  test("D3: session conf overrides table property (conf-over-props)") {
+    val sp = spark; import sp.implicits._
+    val src = (1 to 10).map(i => ("k1", f"c$i%02d", s"$i"))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_confprop", src,
+      props = Map(Options.SliceCount -> "5"))
+    try {
+      // table property alone: 5 cells
+      assert(Seed.read(spark, store).count() == 5)
+      // session conf beats table property
+      spark.conf.set(s"spark.cassandralike.${Options.SliceCount}", "2")
+      assert(Seed.read(spark, store).count() == 2)
+      // read option beats both
+      assert(Seed.read(spark, store, Map(Options.SliceCount -> "7")).count() == 7)
+    } finally spark.conf.unset(s"spark.cassandralike.${Options.SliceCount}")
+  }
+}
