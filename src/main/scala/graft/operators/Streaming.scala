@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Q
+import graft.Util._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Judged streaming queries: real Structured Streaming executions over the
+  * `events` table, verified against batch-equivalent DuckDB oracles. */
+object Streaming {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- tumbling event-time window + watermark ----
+    Q("stream_window_counts",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+      bench = true) { (s, dir) =>
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), d(sum(col("value").cast("decimal(12,2)"))).as("total"))
+      StreamOps.runToMemory(s, agg, "complete")
+        .select(ymdHms(col("window.start")).as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
+    // ---- sliding window (2h length, 1h slide): each event lands in 2 windows ----
+    Q("stream_sliding_counts",
+      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                     date_trunc('hour', ts)]) AS win_start, value
+        |      FROM events) x
+        |GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, dir) =>
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), d(sum(col("value").cast("decimal(12,2)"))).as("total"))
+      StreamOps.runToMemory(s, agg, "complete")
+        .select(ymdHms(col("window.start")).as("win_start"), col("n"), col("total"))
+        .orderBy(col("win_start"))
+    },
+
+    // ---- session windows (30-min inactivity gap) per user, append mode:
+    // only watermark-closed sessions are emitted, so both sides restrict to
+    // sessions ending at least 2h before the stream's end ----
+    Q("stream_session_windows",
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM marked)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE < (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.TimestampType
+      val maxTs = graft.Tables.load(s, dir, "events")
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      // session_window.end = last event + gap, i.e. the oracle's
+      // max(ts) + INTERVAL 30 MINUTE
+      StreamOps.runToMemory(s, agg, "append")
+        .filter(col("session_window.end")
+          < lit(maxTs).cast(TimestampType) - expr("INTERVAL 2 HOUR"))
+        .select(col("user_id"), ymdHms(col("session_window.start")).as("sess_start"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the LLM-pipeline operators on sf0.001 (the generic
+  * run-everything loop lives in RelationalSpec; here we pin invariants the
+  * DuckDB oracle can't express). */
+class LlmPipelineSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  /** Brute-force 5-word-shingle Jaccard pairs >= threshold, no LSH — the
+    * in-Spark reference for sketch recall. */
+  private def exactPairs(threshold: Double): Set[(Long, Long)] = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val sh = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5))))"))
+        .as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= threshold)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash-LSH finds exactly the true Jaccard>=0.8 pairs (full recall)") {
+    val got = q("llm_dedup_minhash").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs(0.8))
+    assert(got.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash banding finds exactly the true Jaccard>=0.8 pairs") {
+    val got = q("llm_dedup_simhash").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exactPairs(0.8))
+  }
+
+  test("ann_topk returns exactly 5 ranked neighbors per query") {
+    val rows = q("llm_ann_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(rs.forall(r => r.getAs[Long]("neighbor") != r.getAs[Long]("qid")))
+    }
+  }
+
+  test("ann_ivf approximation-ratio contract holds on every query") {
+    assert(q("llm_ann_ivf").collect().forall(_.getAs[Boolean]("ratio_ok")))
+  }
+
+  test("fingerprint is deterministic across runs and discriminates docs") {
+    val a = q("llm_text_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = q("llm_text_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length > a.length / 2)
+  }
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    val streamed = q("stream_window_counts")
+      .select("win_start", "event_type", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
