@@ -298,6 +298,67 @@ object Connector {
       } finally src.unpersist()
     },
 
+    // ---- T4 nested-type cells: list/map/struct values JSON-encoded into the
+    // cell on write and decoded back after the scan (the reference JSON-encodes
+    // non-primitive Hive values, serde2/TableMapping.java:116-133; the
+    // Spark-first form is to_json before the DSv2 write and from_json after
+    // the scan — SURVEY §1.4). The oracle never parses JSON: it recomputes the
+    // same aggregate from the raw parquet columns, so any loss of fidelity in
+    // the encode→store→decode loop fails the hash compare. ----
+    Q("conn_nested_json",
+      """SELECT brand, count(*) AS n_words, CAST(sum(size) AS BIGINT) AS total_size
+        |FROM (SELECT p_brand AS brand, p_size AS size,
+        |             unnest(string_split(p_type, ' ')) AS word
+        |      FROM part) x
+        |GROUP BY brand ORDER BY brand""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "part").select($"p_partkey",
+        to_json(struct($"p_brand".as("brand"), $"p_size".as("size"))).as("doc"),
+        to_json(split($"p_type", " ")).as("words"))
+      val store = Seed.table(s, dir, "nested_json", src)
+      Seed.read(s, store)
+        .select(
+          from_json($"doc",
+            org.apache.spark.sql.types.StructType.fromDDL("brand STRING, size INT")).as("doc"),
+          explode(from_json($"words",
+            org.apache.spark.sql.types.DataType.fromDDL("array<string>"))).as("word"))
+        .select($"doc.brand".as("brand"), $"doc.size".as("size"), $"word")
+        .groupBy($"brand")
+        .agg(count(lit(1)).as("n_words"), sum($"size").cast("bigint").as("total_size"))
+        .orderBy($"brand")
+    },
+
+    // ---- S6 counter cells: a counter is a row of 8-byte long increment
+    // cells; the read materializes each increment as a plain long
+    // (input/ColumnFamilyWideRowRecordReader.java:414-428) and the counter
+    // VALUE is their sum — increments-as-sum is the Spark-native counter
+    // semantic (SURVEY §1.4; the reference's counter write path was a TODO,
+    // serde2/CassandraPut.java:103). Duplicate cell addresses reconcile by
+    // LWW before the sum, which the oracle models with max(value). ----
+    Q("conn_counter_sum",
+      """SELECT counter, CAST(sum(value) AS BIGINT) AS counter_value, count(*) AS n_incr
+        |FROM (SELECT row_key AS counter, column_name, max(value) AS value
+        |      FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                   lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                     lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |                   CAST(l_linenumber AS BIGINT) AS value
+        |            FROM lineitem) c
+        |      GROUP BY row_key, column_name) x
+        |GROUP BY counter ORDER BY counter""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        concat(lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+        $"l_linenumber".cast("long").as("value"))
+      val store = Seed.table(s, dir, "counter", src)
+      Seed.read(s, store)
+        .select($"row_key".as("counter"), $"value")
+        .groupBy($"counter")
+        .agg(sum($"value").as("counter_value"), count(lit(1)).as("n_incr"))
+        .orderBy($"counter")
+    },
+
     // ---- D1–D3 DDL lifecycle through SQL on the custom TableCatalog ----
     Q("conn_catalog_ddl",
       """SELECT n_name, count(*) AS n_cust FROM customer

@@ -83,6 +83,43 @@ object Streaming {
         .select(col("user_id"), ymdHms(col("session_window.start")).as("sess_start"),
           col("n_events"))
         .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // ---- custom keyed state (flatMapGroupsWithState): first-seen dedup of
+    // (user, event_type) pairs, emitting each pair once with its earliest
+    // event time. State per user = event types already emitted; within a
+    // batch the true per-type min is computed first (the iterator's order is
+    // arbitrary), so the output is deterministic. With Trigger.AvailableNow
+    // over the fixture this runs as one batch; at scale the same operator
+    // runs incrementally with state in the state store, partitioned by
+    // user_id — no driver-side state anywhere. ----
+    Q("stream_stateful_firstseen",
+      """SELECT user_id, event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ds = StreamOps.eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .as[(Long, String, java.sql.Timestamp)]
+      val firstSeen = ds.groupByKey(_._1)
+        .flatMapGroupsWithState[Map[String, java.sql.Timestamp],
+          (Long, String, java.sql.Timestamp)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+          val seen = state.getOption.getOrElse(Map.empty[String, java.sql.Timestamp])
+          val batchMin = rows.foldLeft(Map.empty[String, java.sql.Timestamp]) {
+            case (m, (_, typ, ts)) =>
+              if (m.get(typ).forall(ts.before)) m.updated(typ, ts) else m
+          }
+          val fresh = batchMin.filter { case (typ, _) => !seen.contains(typ) }
+          state.update(seen ++ fresh)
+          fresh.iterator.map { case (typ, ts) => (user, typ, ts) }
+        }
+        .toDF("user_id", "event_type", "ts0")
+      StreamOps.runToMemory(s, firstSeen, "append")
+        .select(col("user_id"), col("event_type"), ymdHms(col("ts0")).as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
     }
   )
 }
