@@ -269,9 +269,13 @@ class CellPartitionReader(
   // the projection or a pushed predicate touches are decoded at all
   private val needed: Set[String] =
     required.fieldNames.toSet ++ filters.flatMap(_.references)
+  // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
+  // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
+  // unit the pager (S4) then chunks, matching the reference's bound where
+  // the server holds the row and the client pages it.
+  private val merge = new CellStore.BucketMergeIterator(part.tableDir, part.bucket)
   private val rows: Iterator[InternalRow] = {
-    val cells = CellStore.mergedBucket(part.tableDir, part.bucket)
-    val byKey = groupByKey(cells)
+    val byKey = groupAdjacentByKey(merge)
     if (mapping.transposed) byKey.flatMap(transposedRows)
     else byKey.flatMap(regularRow)
   }
@@ -281,21 +285,21 @@ class CellPartitionReader(
     if (rows.hasNext) { current = rows.next(); true } else false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = merge.close()
 
-  private def groupByKey(cells: Seq[Cell]): Iterator[(Array[Byte], Seq[Cell])] = {
-    if (cells.isEmpty) return Iterator.empty
-    val out = mutable.ArrayBuffer.empty[(Array[Byte], Seq[Cell])]
-    var start = 0
-    var i = 1
-    while (i <= cells.length) {
-      if (i == cells.length || !java.util.Arrays.equals(cells(i).key, cells(start).key)) {
-        out += ((cells(start).key, cells.slice(start, i)))
-        start = i
+  /** Cells arrive in (key, col, sub) order; group runs of equal key without
+    * materializing anything beyond the current row. */
+  private def groupAdjacentByKey(cells: Iterator[Cell]): Iterator[(Array[Byte], Seq[Cell])] = {
+    val it = cells.buffered
+    new Iterator[(Array[Byte], Seq[Cell])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (Array[Byte], Seq[Cell]) = {
+        val k = it.head.key
+        val buf = mutable.ArrayBuffer.empty[Cell]
+        while (it.hasNext && java.util.Arrays.equals(it.head.key, k)) buf += it.next()
+        (k, buf.toSeq)
       }
-      i += 1
     }
-    out.iterator
   }
 
   // ---- row assembly ----

@@ -44,12 +44,36 @@ object TokenRing {
   * and rename on task commit, so failed task attempts leave no visible data
   * (Spark-task-retry-based fault tolerance; replaces the reference's broken
   * client failover, SURVEY §8 / client/CassandraProxyClient.java:424-466).
+  *
+  * A segment is a sequence of SORTED RUNS — each `batch_mutate`-sized flush
+  * is sorted by cell address and written behind a `[cellCount, byteLen]`
+  * header. Reads k-way-merge every run of the bucket through a priority
+  * queue ([[BucketMergeIterator]]), reconciling duplicate addresses by
+  * timestamp as they surface, so scan memory is O(runs + one row's cells),
+  * never O(bucket) — the property that keeps a 100-TB scan inside executor
+  * memory regardless of bucket size.
   */
 object CellStore {
   val MetaFile = "meta.json"
   val SstDir = "sst"
 
-  // ---- segment file format: length-prefixed cells, one stream per bucket ----
+  /** Total order on cell addresses: (key, col, sub) in unsigned-byte
+    * (Cassandra BytesType comparator) order. */
+  val addressOrdering: Ordering[Cell] = new Ordering[Cell] {
+    def compare(a: Cell, b: Cell): Int = {
+      val k = Codecs.compareBytes(a.key, b.key)
+      if (k != 0) return k
+      val c = Codecs.compareBytes(a.col, b.col)
+      if (c != 0) return c
+      Codecs.compareBytes(
+        if (a.sub == null) Array.emptyByteArray else a.sub,
+        if (b.sub == null) Array.emptyByteArray else b.sub)
+    }
+  }
+
+  private def addrEq(a: Cell, b: Cell): Boolean = addressOrdering.compare(a, b) == 0
+
+  // ---- segment file format: [int cellCount][long byteLen][cells…]* runs ----
 
   def writeCell(out: DataOutputStream, c: Cell): Unit = {
     writeBytes(out, c.key)
@@ -58,6 +82,18 @@ object CellStore {
     writeBytes(out, c.value)
     out.writeLong(c.ts)
     out.writeBoolean(c.tombstone)
+  }
+
+  /** Append one sorted run (the order invariant is enforced here). */
+  def writeRun(out: DataOutputStream, cells: Seq[Cell]): Unit = {
+    if (cells.isEmpty) return
+    val sorted = cells.sorted(addressOrdering)
+    val payload = new ByteArrayOutputStream(64 * cells.length)
+    val pout = new DataOutputStream(payload)
+    sorted.foreach(writeCell(pout, _))
+    out.writeInt(sorted.length)
+    out.writeLong(payload.size().toLong)
+    payload.writeTo(out)
   }
 
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
@@ -70,18 +106,96 @@ object CellStore {
     else { val b = new Array[Byte](n); in.readFully(b); b }
   }
 
-  def readSegment(file: Path): Iterator[Cell] = {
-    val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(file), 1 << 16))
-    new Iterator[Cell] {
-      private var nextCell: Cell = advance()
-      private def advance(): Cell =
-        try Cell(readBytes(in), readBytes(in), readBytes(in), readBytes(in),
-          in.readLong(), in.readBoolean())
-        catch { case _: EOFException => in.close(); null }
-      def hasNext: Boolean = nextCell != null
-      def next(): Cell = { val c = nextCell; nextCell = advance(); c }
+  private def readCell(in: DataInputStream): Cell =
+    Cell(readBytes(in), readBytes(in), readBytes(in), readBytes(in),
+      in.readLong(), in.readBoolean())
+
+  /** Run directory of a segment: (payload offset, cell count) per run, found
+    * by skipping payloads header-to-header (no cell parse). */
+  def runOffsets(file: Path): Seq[(Long, Int)] = {
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(file), 1 << 12))
+    try {
+      val runs = mutable.ArrayBuffer.empty[(Long, Int)]
+      var offset = 0L
+      var done = false
+      while (!done) {
+        val count = try in.readInt() catch { case _: EOFException => done = true; 0 }
+        if (!done) {
+          val len = in.readLong()
+          runs += ((offset + 12L, count))
+          var toSkip = len
+          while (toSkip > 0) toSkip -= in.skip(toSkip)
+          offset += 12L + len
+        }
+      }
+      runs.toSeq
+    } finally in.close()
+  }
+
+  /** Stream one run's cells; the returned iterator owns its stream and
+    * closes it on exhaustion (BucketMergeIterator.close covers early exit). */
+  private final class RunIterator(file: Path, offset: Long, count: Int)
+    extends Iterator[Cell] with AutoCloseable {
+    private val raw = Files.newInputStream(file)
+    private var toSkip = offset
+    while (toSkip > 0) toSkip -= raw.skip(toSkip)
+    private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
+    private var remaining = count
+    def hasNext: Boolean = remaining > 0
+    def next(): Cell = {
+      val c = readCell(in)
+      remaining -= 1
+      if (remaining == 0) close()
+      c
     }
+    def close(): Unit = { remaining = 0; in.close() }
+  }
+
+  /** All cells of a segment in stored (run) order — test/tooling view. */
+  def readSegment(file: Path): Iterator[Cell] =
+    runOffsets(file).iterator.flatMap { case (off, n) => new RunIterator(file, off, n) }
+
+  /** K-way streaming merge of every sorted run in a bucket: yields live cells
+    * in address order after last-write-wins reconciliation, holding only one
+    * buffered head per run (the scan-level tombstone filter,
+    * input/CassandraHiveRecordReader.java:205-207, happens here). */
+  final class BucketMergeIterator(tableDir: String, bucket: Int)
+    extends Iterator[Cell] with AutoCloseable {
+    private val runs: Seq[RunIterator] =
+      for {
+        f <- segmentFiles(tableDir, bucket)
+        (off, n) <- runOffsets(f)
+      } yield new RunIterator(f, off, n)
+    private val heap = new mutable.PriorityQueue[BufferedIterator[Cell]]()(
+      Ordering.by[BufferedIterator[Cell], Cell](_.head)(addressOrdering.reverse))
+    runs.foreach { r => val b = r.buffered; if (b.hasNext) heap.enqueue(b) }
+
+    private var nextLive: Cell = advance()
+
+    private def advance(): Cell = {
+      while (heap.nonEmpty) {
+        var winner: Cell = null
+        // drain every run whose head sits at the globally-least address
+        var more = true
+        while (more) {
+          val it = heap.dequeue()
+          var c = it.next()
+          if (winner == null || newerThan(c, winner)) winner = c
+          while (it.hasNext && addrEq(it.head, winner)) {
+            c = it.next()
+            if (newerThan(c, winner)) winner = c
+          }
+          if (it.hasNext) heap.enqueue(it)
+          more = heap.nonEmpty && addrEq(heap.head.head, winner)
+        }
+        if (!winner.tombstone) return winner
+      }
+      null
+    }
+
+    def hasNext: Boolean = nextLive != null
+    def next(): Cell = { val c = nextLive; nextLive = advance(); c }
+    def close(): Unit = runs.foreach(_.close())
   }
 
   def segmentFiles(tableDir: String, bucket: Int): Seq[Path] = {
@@ -96,33 +210,12 @@ object CellStore {
     } finally s.close()
   }
 
-  /** All live cells of one bucket after last-write-wins reconciliation,
-    * ordered by (key unsigned-bytes, col, sub). Tombstoned cells are dropped
-    * here — the scan-level filter (input/CassandraHiveRecordReader.java:
-    * 205-207). Per-bucket memory is bounded by the split size, the same
-    * bound the reference's 64Ki-row splits impose; the 100-TB path swaps
-    * this for a k-way streaming merge over sorted segments with identical
-    * semantics. */
+  /** All live cells of one bucket after last-write-wins reconciliation, in
+    * address order — materialized convenience over [[BucketMergeIterator]]
+    * for tests and tooling; the scan itself streams. */
   def mergedBucket(tableDir: String, bucket: Int): Seq[Cell] = {
-    val best = new mutable.HashMap[CellKey, Cell]()
-    for (f <- segmentFiles(tableDir, bucket); c <- readSegment(f)) {
-      val k = CellKey(c.key, c.col, c.sub)
-      best.get(k) match {
-        case Some(prev) if !newerThan(c, prev) => ()
-        case _ => best.update(k, c)
-      }
-    }
-    best.values.filterNot(_.tombstone).toSeq.sortWith { (a, b) =>
-      val k = Codecs.compareBytes(a.key, b.key)
-      if (k != 0) k < 0
-      else {
-        val c = Codecs.compareBytes(a.col, b.col)
-        if (c != 0) c < 0
-        else Codecs.compareBytes(
-          if (a.sub == null) Array.emptyByteArray else a.sub,
-          if (b.sub == null) Array.emptyByteArray else b.sub) < 0
-      }
-    }
+    val it = new BucketMergeIterator(tableDir, bucket)
+    try it.toSeq finally it.close()
   }
 
   /** Timestamp reconciliation; ties break on value bytes then liveness,
@@ -133,22 +226,6 @@ object CellStore {
     else Codecs.compareBytes(
       if (a.value == null) Array.emptyByteArray else a.value,
       if (b.value == null) Array.emptyByteArray else b.value) > 0
-
-  private final case class CellKey(key: Array[Byte], col: Array[Byte], sub: Array[Byte]) {
-    override val hashCode: Int = {
-      var h = java.util.Arrays.hashCode(key) * 31 + java.util.Arrays.hashCode(col)
-      h = h * 31 + (if (sub == null) 0 else java.util.Arrays.hashCode(sub))
-      h
-    }
-    override def equals(o: Any): Boolean = o match {
-      case that: CellKey =>
-        java.util.Arrays.equals(key, that.key) &&
-          java.util.Arrays.equals(col, that.col) &&
-          ((sub == null && that.sub == null) ||
-            (sub != null && that.sub != null && java.util.Arrays.equals(sub, that.sub)))
-      case _ => false
-    }
-  }
 
   // ---- meta.json ----
 

@@ -155,28 +155,69 @@ class CellStoreSpec extends AnyFunSuite {
 
   // ---- store merge: LWW + tombstones ----
 
+  private def seg(dir: String, name: String, runs: Seq[Cell]*): Unit = {
+    val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+    java.nio.file.Files.createDirectories(sst)
+    val out = new java.io.DataOutputStream(
+      java.nio.file.Files.newOutputStream(sst.resolve(name)))
+    runs.foreach(CellStore.writeRun(out, _))
+    out.close()
+  }
+
   test("segment merge: last-write-wins and tombstone skip") {
     val dir = java.nio.file.Files.createTempDirectory("cellstore").toString
     try {
-      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
-      java.nio.file.Files.createDirectories(sst)
-      def seg(name: String, cells: Seq[Cell]): Unit = {
-        val out = new java.io.DataOutputStream(
-          java.nio.file.Files.newOutputStream(sst.resolve(name)))
-        cells.foreach(CellStore.writeCell(out, _))
-        out.close()
-      }
       val k = "key1".getBytes
-      seg("b0-a.bin", Seq(
+      seg(dir, "b0-a.bin", Seq(
         Cell(k, "c1".getBytes, null, "old".getBytes, 1L, tombstone = false),
         Cell(k, "c2".getBytes, null, "keep".getBytes, 1L, tombstone = false),
         Cell(k, "c3".getBytes, null, "dead".getBytes, 1L, tombstone = false)))
-      seg("b0-b.bin", Seq(
+      seg(dir, "b0-b.bin", Seq(
         Cell(k, "c1".getBytes, null, "new".getBytes, 2L, tombstone = false),
         Cell(k, "c3".getBytes, null, null, 2L, tombstone = true)))
       val merged = CellStore.mergedBucket(dir, 0)
       assert(merged.map(c => new String(c.col) -> new String(c.value)).toMap ==
         Map("c1" -> "new", "c2" -> "keep"))
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("run format: writeRun sorts, runOffsets indexes, readSegment replays") {
+    val dir = java.nio.file.Files.createTempDirectory("cellruns").toString
+    try {
+      val k = "k".getBytes
+      def c(col: String, v: String) =
+        Cell(k, col.getBytes, null, v.getBytes, 1L, tombstone = false)
+      // two runs in one segment, each written UNSORTED
+      seg(dir, "b0-a.bin",
+        Seq(c("c3", "3"), c("c1", "1")),
+        Seq(c("c2", "2"), c("c0", "0"), c("c4", "4")))
+      val file = CellStore.segmentFiles(dir, 0).head
+      val offs = CellStore.runOffsets(file)
+      assert(offs.map(_._2) == Seq(2, 3))
+      // stored order is per-run sorted
+      assert(CellStore.readSegment(file).map(x => new String(x.col)).toSeq ==
+        Seq("c1", "c3", "c0", "c2", "c4"))
+      // the merge interleaves runs back into global address order
+      assert(CellStore.mergedBucket(dir, 0).map(x => new String(x.col)) ==
+        Seq("c0", "c1", "c2", "c3", "c4"))
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("k-way merge reconciles duplicates across and within runs") {
+    val dir = java.nio.file.Files.createTempDirectory("cellkway").toString
+    try {
+      val k1 = "a".getBytes; val k2 = "b".getBytes
+      def c(k: Array[Byte], col: String, v: String, ts: Long, dead: Boolean = false) =
+        Cell(k, col.getBytes, null, if (dead) null else v.getBytes, ts, dead)
+      // same address twice within one run (ts tie -> max value bytes wins)
+      seg(dir, "b0-a.bin", Seq(c(k1, "x", "m", 1), c(k1, "x", "z", 1)))
+      // three more segments overlapping both keys
+      seg(dir, "b0-b.bin", Seq(c(k1, "x", "old", 0), c(k2, "y", "keep", 1)))
+      seg(dir, "b0-c.bin", Seq(c(k2, "z", "dead", 5)), Seq(c(k1, "w", "live", 1)))
+      seg(dir, "b0-d.bin", Seq(c(k2, "z", "", 6, dead = true)))
+      val merged = CellStore.mergedBucket(dir, 0)
+        .map(x => (new String(x.key), new String(x.col), new String(x.value)))
+      assert(merged == Seq(("a", "w", "live"), ("a", "x", "z"), ("b", "y", "keep")))
     } finally CellStore.dropTable(dir)
   }
 
