@@ -16,11 +16,20 @@ object Bench {
     // Warm-up: JIT + parquet footer caches, so measured numbers reflect
     // steady-state execution (what a long-lived cluster would see).
     SparkEntry.benchQueries.foreach(q =>
-      try q.fn(spark, sfDir).count() catch { case _: Throwable => () })
+      try q.fn(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: $e")
+      })
+    // A failed query records -1, never a bogus wall-clock.
     val results = SparkEntry.benchQueries.map { q =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      try {
+        q.fn(spark, sfDir).count()
+        q.name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: $e")
+          q.name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -197,6 +197,13 @@ class CellDataWriter(
   override def commit(): WriterCommitMessage = {
     flush()
     streams.values.foreach(_._2.close())
+    // task-local compaction: every committed segment is ONE sorted run, so a
+    // bucket read costs one cursor per segment (per writing task), never one
+    // per flush — the bound that keeps reader fd/memory use flat as tasks
+    // stream arbitrarily many batches
+    streams.values.foreach { case (tmp, _) =>
+      CellStore.compactSegment(Paths.get(dir, CellStore.SstDir, tmp))
+    }
     CellWriterCommit(streams.map { case (b, (tmp, _)) => (b, tmp) }.toSeq)
   }
 

@@ -132,45 +132,60 @@ object CellStore {
     } finally in.close()
   }
 
-  /** Stream one run's cells; the returned iterator owns its stream and
-    * closes it on exhaustion (BucketMergeIterator.close covers early exit). */
-  private final class RunIterator(file: Path, offset: Long, count: Int)
-    extends Iterator[Cell] with AutoCloseable {
-    private val raw = Files.newInputStream(file)
-    private var toSkip = offset
-    while (toSkip > 0) toSkip -= raw.skip(toSkip)
-    private val in = new DataInputStream(new BufferedInputStream(raw, 1 << 16))
-    private var remaining = count
-    def hasNext: Boolean = remaining > 0
-    def next(): Cell = {
-      val c = readCell(in)
-      remaining -= 1
-      if (remaining == 0) close()
-      c
+  /** InputStream over positional FileChannel reads: any number of run
+    * cursors share ONE os file handle per segment, so reader fd usage is
+    * O(segments), never O(runs). */
+  private final class ChannelRangeInputStream(ch: java.nio.channels.FileChannel, start: Long)
+    extends InputStream {
+    private var pos = start
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
     }
-    def close(): Unit = { remaining = 0; in.close() }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val n = ch.read(java.nio.ByteBuffer.wrap(b, off, len), pos)
+      if (n > 0) pos += n
+      n
+    }
+  }
+
+  /** Read handle for one segment file: one FileChannel, N run cursors doing
+    * buffered positional reads against it. */
+  final class SegmentReader(file: Path) extends AutoCloseable {
+    private val ch = java.nio.channels.FileChannel.open(
+      file, java.nio.file.StandardOpenOption.READ)
+    def runs(): Seq[Iterator[Cell]] =
+      runOffsets(file).map { case (off, n) => runIterator(off, n) }
+    def runIterator(offset: Long, cellCount: Int): Iterator[Cell] = new Iterator[Cell] {
+      private val in = new DataInputStream(new BufferedInputStream(
+        new ChannelRangeInputStream(ch, offset), 1 << 15))
+      private var remaining = cellCount
+      def hasNext: Boolean = remaining > 0
+      def next(): Cell = { val c = readCell(in); remaining -= 1; c }
+    }
+    def close(): Unit = ch.close()
   }
 
   /** All cells of a segment in stored (run) order — test/tooling view. */
-  def readSegment(file: Path): Iterator[Cell] =
-    runOffsets(file).iterator.flatMap { case (off, n) => new RunIterator(file, off, n) }
+  def readSegment(file: Path): Iterator[Cell] = {
+    val r = new SegmentReader(file)
+    r.runs().iterator.flatten // channel closes with dropTable/GC; test-only
+  }
 
-  /** K-way streaming merge of every sorted run in a bucket: yields live cells
-    * in address order after last-write-wins reconciliation, holding only one
-    * buffered head per run (the scan-level tombstone filter,
-    * input/CassandraHiveRecordReader.java:205-207, happens here). */
-  final class BucketMergeIterator(tableDir: String, bucket: Int)
-    extends Iterator[Cell] with AutoCloseable {
-    private val runs: Seq[RunIterator] =
-      for {
-        f <- segmentFiles(tableDir, bucket)
-        (off, n) <- runOffsets(f)
-      } yield new RunIterator(f, off, n)
+  /** K-way streaming merge of sorted cell runs: yields cells in address
+    * order, reconciling duplicate addresses by timestamp (LWW, value-byte
+    * tie-break) as they surface; holds one buffered head per run.
+    * `dropTombstones=true` is the scan view (the scan-level filter,
+    * input/CassandraHiveRecordReader.java:205-207); `false` preserves
+    * tombstones for compaction, where they must keep shadowing older cells
+    * in OTHER segments. */
+  final class MergeIterator(runSeq: Seq[Iterator[Cell]], dropTombstones: Boolean)
+    extends Iterator[Cell] {
     private val heap = new mutable.PriorityQueue[BufferedIterator[Cell]]()(
       Ordering.by[BufferedIterator[Cell], Cell](_.head)(addressOrdering.reverse))
-    runs.foreach { r => val b = r.buffered; if (b.hasNext) heap.enqueue(b) }
+    runSeq.foreach { r => val b = r.buffered; if (b.hasNext) heap.enqueue(b) }
 
-    private var nextLive: Cell = advance()
+    private var nextCell: Cell = advance()
 
     private def advance(): Cell = {
       while (heap.nonEmpty) {
@@ -188,14 +203,53 @@ object CellStore {
           if (it.hasNext) heap.enqueue(it)
           more = heap.nonEmpty && addrEq(heap.head.head, winner)
         }
-        if (!winner.tombstone) return winner
+        if (!(dropTombstones && winner.tombstone)) return winner
       }
       null
     }
 
-    def hasNext: Boolean = nextLive != null
-    def next(): Cell = { val c = nextLive; nextLive = advance(); c }
-    def close(): Unit = runs.foreach(_.close())
+    def hasNext: Boolean = nextCell != null
+    def next(): Cell = { val c = nextCell; nextCell = advance(); c }
+  }
+
+  /** The bucket scan: merge every run of every segment, live cells only. */
+  final class BucketMergeIterator(tableDir: String, bucket: Int)
+    extends Iterator[Cell] with AutoCloseable {
+    private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
+    private val inner = new MergeIterator(segs.flatMap(_.runs()), dropTombstones = true)
+    def hasNext: Boolean = inner.hasNext
+    def next(): Cell = inner.next()
+    def close(): Unit = segs.foreach(_.close())
+  }
+
+  /** Task-local compaction: rewrite a multi-run segment as a single sorted
+    * run (streaming merge — memory stays O(runs), not O(cells)). Runs at
+    * DataWriter.commit, so every COMMITTED segment holds exactly one run and
+    * a bucket read needs one cursor per segment. Tombstones survive (they
+    * shadow cells in other segments); duplicate addresses within the segment
+    * reconcile here — LWW is associative, so merging a subset first yields
+    * the same winner the full merge would. */
+  def compactSegment(file: Path): Unit = {
+    if (runOffsets(file).size <= 1) return
+    val tmp = file.resolveSibling(file.getFileName.toString + ".compact")
+    val reader = new SegmentReader(file)
+    try {
+      val merged = new MergeIterator(reader.runs(), dropTombstones = false)
+      val raf = new java.io.RandomAccessFile(tmp.toFile, "rw")
+      try {
+        raf.seek(12L) // placeholder header, patched below
+        val out = new DataOutputStream(new BufferedOutputStream(
+          java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
+        var count = 0
+        merged.foreach { c => writeCell(out, c); count += 1 }
+        out.flush()
+        val payloadLen = raf.getChannel.position() - 12L
+        raf.seek(0L)
+        raf.writeInt(count)
+        raf.writeLong(payloadLen)
+      } finally raf.close()
+    } finally reader.close()
+    Files.move(tmp, file, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   def segmentFiles(tableDir: String, bucket: Int): Seq[Path] = {

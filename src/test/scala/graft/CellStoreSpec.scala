@@ -221,6 +221,30 @@ class CellStoreSpec extends AnyFunSuite {
     } finally CellStore.dropTable(dir)
   }
 
+  test("compactSegment collapses runs to one, keeps tombstones, reconciles dups") {
+    val dir = java.nio.file.Files.createTempDirectory("cellcompact").toString
+    try {
+      val k = "k".getBytes
+      def c(col: String, v: String, ts: Long, dead: Boolean = false) =
+        Cell(k, col.getBytes, null, if (dead) null else v.getBytes, ts, dead)
+      seg(dir, "b0-a.bin",
+        Seq(c("c2", "keep", 1), c("c1", "old", 1)),
+        Seq(c("c1", "new", 2), c("c3", "", 2, dead = true)),
+        Seq(c("c4", "x", 1)))
+      val file = CellStore.segmentFiles(dir, 0).head
+      CellStore.compactSegment(file)
+      assert(CellStore.runOffsets(file).size == 1)
+      val cells = CellStore.readSegment(file).toSeq
+      assert(cells.map(x => new String(x.col)) == Seq("c1", "c2", "c3", "c4"))
+      val byCol = cells.map(x => new String(x.col) -> x).toMap
+      assert(new String(byCol("c1").value) == "new") // within-segment LWW
+      assert(byCol("c3").tombstone) // tombstones survive compaction
+      // idempotent on a single-run segment
+      CellStore.compactSegment(file)
+      assert(CellStore.readSegment(file).size == 4)
+    } finally CellStore.dropTable(dir)
+  }
+
   test("meta.json round-trips schema, mapping, properties") {
     val dir = java.nio.file.Files.createTempDirectory("cellmeta").toString
     try {
