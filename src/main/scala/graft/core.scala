@@ -77,6 +77,7 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

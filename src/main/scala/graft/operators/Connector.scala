@@ -232,6 +232,38 @@ object Connector {
         .orderBy($"row_key", $"column_name")
     },
 
+    // ---- P2 native form: the SliceTopKPushdown Catalyst rule rewrites this
+    // per-key top-k window into slice.count/slice.reversed scan options, so
+    // the source stops materializing more than 3 cells per key (SURVEY §4's
+    // optional Rule; ConnectorSpec asserts the rewrite in the plan) ----
+    Q("conn_topk_pushdown",
+      """SELECT row_key, column_name, value FROM (
+        |  SELECT row_key, column_name, value,
+        |         row_number() OVER (PARTITION BY row_key ORDER BY column_name DESC) AS rn
+        |  FROM (SELECT row_key, column_name, max(value) AS value
+        |        FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                     lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                       lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |                     CAST(l_quantity AS VARCHAR) AS value
+        |              FROM lineitem) cc
+        |        GROUP BY row_key, column_name) c
+        |) x WHERE rn <= 3 ORDER BY row_key, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        concat(lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+        $"l_quantity".cast("string").as("value"))
+      val store = Seed.table(s, dir, "topk", src)
+      val w = Window.partitionBy($"row_key").orderBy($"column_name".desc)
+      Seed.read(s, store)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"row_key", $"column_name", $"value")
+        .orderBy($"row_key", $"column_name")
+    },
+
     // ---- S6 super-column cells: 4-column transposed form ----
     Q("conn_super_pivot",
       """SELECT row_key, count(*) AS n_subcells,

@@ -187,7 +187,11 @@ class CellScan(
   override def toBatch: Batch = this
   override def description(): String = {
     val f = filters.map(_.toString).mkString(", ")
-    s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} PushedFilters: [$f]"
+    val slice = Seq(Options.SliceStart, Options.SliceFinish,
+      Options.SliceReversed, Options.SliceCount)
+      .flatMap(k => table.opt(options, k).map(v => s"$k=$v")).mkString(", ")
+    s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} " +
+      s"PushedFilters: [$f] Slice: [$slice]"
   }
 
   /** S1: one partition per token-range bucket; key-equality pushdown prunes

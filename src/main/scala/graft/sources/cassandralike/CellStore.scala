@@ -234,20 +234,7 @@ object CellStore {
     val tmp = file.resolveSibling(file.getFileName.toString + ".compact")
     val reader = new SegmentReader(file)
     try {
-      val merged = new MergeIterator(reader.runs(), dropTombstones = false)
-      val raf = new java.io.RandomAccessFile(tmp.toFile, "rw")
-      try {
-        raf.seek(12L) // placeholder header, patched below
-        val out = new DataOutputStream(new BufferedOutputStream(
-          java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
-        var count = 0
-        merged.foreach { c => writeCell(out, c); count += 1 }
-        out.flush()
-        val payloadLen = raf.getChannel.position() - 12L
-        raf.seek(0L)
-        raf.writeInt(count)
-        raf.writeLong(payloadLen)
-      } finally raf.close()
+      writeSingleRun(tmp, new MergeIterator(reader.runs(), dropTombstones = false))
     } finally reader.close()
     Files.move(tmp, file, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -328,6 +315,46 @@ object CellStore {
     val props = strLit.findAllMatchIn(propsJson).map(m => unq(m.group(1)))
       .toSeq.drop(1).grouped(2).collect { case Seq(k, v) => k -> v }.toMap
     Some(Meta(field("schema"), field("mapping"), props))
+  }
+
+  /** Full-bucket compaction (maintenance): merge every segment of a bucket
+    * into one single-run segment. Because ALL segments participate, nothing
+    * older can remain shadowed, so tombstones are dropped here — the LSM
+    * answer to unbounded segment growth under many append jobs (each job's
+    * tasks add one segment per touched bucket). Single-maintainer discipline:
+    * concurrent readers keep their already-open channels (files are deleted
+    * only after the replacement is visible), but concurrent writers must be
+    * quiesced, as with any compaction. */
+  def compactBucket(tableDir: String, bucket: Int): Unit = {
+    val files = segmentFiles(tableDir, bucket)
+    if (files.size <= 1 && files.forall(runOffsets(_).size <= 1)) return
+    val readers = files.map(new SegmentReader(_))
+    try {
+      val merged = new MergeIterator(readers.flatMap(_.runs()), dropTombstones = true)
+      val target = Paths.get(tableDir, SstDir, newSegmentName(bucket))
+      val tmp = target.resolveSibling(target.getFileName.toString + ".compact")
+      writeSingleRun(tmp, merged)
+      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally readers.foreach(_.close())
+    files.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Stream an already-sorted cell sequence into `target` as one run,
+    * patching the [count, byteLen] header afterwards. */
+  private def writeSingleRun(target: Path, cells: Iterator[Cell]): Unit = {
+    val raf = new java.io.RandomAccessFile(target.toFile, "rw")
+    try {
+      raf.seek(12L) // placeholder header, patched below
+      val out = new DataOutputStream(new BufferedOutputStream(
+        java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
+      var count = 0
+      cells.foreach { c => writeCell(out, c); count += 1 }
+      out.flush()
+      val payloadLen = raf.getChannel.position() - 12L
+      raf.seek(0L)
+      raf.writeInt(count)
+      raf.writeLong(payloadLen)
+    } finally raf.close()
   }
 
   def dropTable(tableDir: String): Unit = {

@@ -245,6 +245,29 @@ class CellStoreSpec extends AnyFunSuite {
     } finally CellStore.dropTable(dir)
   }
 
+  test("compactBucket merges all segments into one and drops tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("bucketcompact").toString
+    try {
+      val k = "k".getBytes
+      def c(col: String, v: String, ts: Long, dead: Boolean = false) =
+        Cell(k, col.getBytes, null, if (dead) null else v.getBytes, ts, dead)
+      seg(dir, "b0-a.bin", Seq(c("c1", "old", 1), c("c2", "keep", 1)))
+      seg(dir, "b0-b.bin", Seq(c("c1", "new", 2), c("c2", "", 2, dead = true)))
+      val before = CellStore.mergedBucket(dir, 0)
+      CellStore.compactBucket(dir, 0)
+      assert(CellStore.segmentFiles(dir, 0).size == 1)
+      val file = CellStore.segmentFiles(dir, 0).head
+      assert(CellStore.runOffsets(file).size == 1)
+      // whole-bucket compaction drops tombstones entirely
+      assert(CellStore.readSegment(file).forall(!_.tombstone))
+      // the merged view is unchanged
+      val after = CellStore.mergedBucket(dir, 0)
+      assert(after.map(x => (new String(x.col), new String(x.value))) ==
+        before.map(x => (new String(x.col), new String(x.value))))
+      assert(after.map(x => new String(x.col)) == Seq("c1"))
+    } finally CellStore.dropTable(dir)
+  }
+
   test("meta.json round-trips schema, mapping, properties") {
     val dir = java.nio.file.Files.createTempDirectory("cellmeta").toString
     try {

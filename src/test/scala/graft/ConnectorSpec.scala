@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * plan-level assertions that pushdown actually reached the source. */
 class ConnectorSpec extends SparkSpec {
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    val plan = df.queryExecution.executedPlan
+    plan.collectFirst { case b: BatchScanExec => b }
+      .orElse(plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
       .getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   test("regular round trip preserves every value (binary codecs)") {
     val cust = Tables.load(spark, sfDir, "customer")
@@ -117,6 +122,44 @@ class ConnectorSpec extends SparkSpec {
       Map(Options.SliceCount -> "2", Options.SliceReversed -> "true"))
       .select("column_name").distinct().as[String].collect().toSet
     assert(rev == Set("c20", "c19"))
+  }
+
+  test("SliceTopKPushdown: per-key top-k window becomes slice count pushdown") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{rank, row_number}
+    val src = (1 to 20).flatMap(i => Seq(("k1", f"c$i%02d", s"a$i"), ("k2", f"c$i%02d", s"b$i")))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_topk", src)
+    val df = Seed.read(spark, store)
+
+    // DESC top-3: rewritten to slice.count=3 + slice.reversed
+    val wd = Window.partitionBy($"row_key").orderBy($"column_name".desc)
+    val topk = df.withColumn("rn", row_number().over(wd)).filter($"rn" <= 3)
+    val desc1 = scanOf(topk).scan.description()
+    assert(desc1.contains(s"${Options.SliceCount}=3") &&
+      desc1.contains(s"${Options.SliceReversed}=true"), desc1)
+    val got = topk.select($"row_key", $"column_name").as[(String, String)].collect().toSet
+    assert(got == Set(("k1", "c20"), ("k1", "c19"), ("k1", "c18"),
+      ("k2", "c20"), ("k2", "c19"), ("k2", "c18")))
+
+    // ASC with strict bound: rn < 3 -> slice.count=2, not reversed
+    val wa = Window.partitionBy($"row_key").orderBy($"column_name")
+    val ta = df.withColumn("rn", row_number().over(wa)).filter($"rn" < 3)
+    val desc2 = scanOf(ta).scan.description()
+    assert(desc2.contains(s"${Options.SliceCount}=2") &&
+      !desc2.contains(Options.SliceReversed), desc2)
+    assert(ta.select($"column_name").distinct().as[String].collect().toSet == Set("c01", "c02"))
+
+    // guard: a filter below the window blocks the rewrite (filter-then-topk)
+    val tb = df.filter($"column_name" >= "c18")
+      .withColumn("rn", row_number().over(wa)).filter($"rn" <= 2)
+    assert(!scanOf(tb).scan.description().contains(Options.SliceCount))
+    assert(tb.select($"column_name").distinct().as[String].collect().toSet == Set("c18", "c19"))
+
+    // guard: rank() admits ties and is not a slice
+    val tr = df.withColumn("rn", rank().over(wa)).filter($"rn" <= 3)
+    assert(!scanOf(tr).scan.description().contains(Options.SliceCount))
   }
 
   test("catalog: SQL DDL round trip incl. drop and rename") {
