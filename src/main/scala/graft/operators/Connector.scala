@@ -391,6 +391,35 @@ object Connector {
         .orderBy($"counter")
     },
 
+    // ---- T1 as a native codegen expression: cassandra_decode(bytes, 'type')
+    // (graft.functions.CassandraDecode, registered by GraftExtensions). The
+    // three columns pin the three decode regimes: text fallback (digit
+    // strings shorter than the binary width), the AMBIGUOUS case — exactly 4
+    // ASCII digits decode as a big-endian binary int, binary wins
+    // (serde2/lazy/CassandraLazyInteger.java:21-30) — which the oracle
+    // reproduces with explicit byte arithmetic, and garbage -> NULL. ----
+    Q("conn_decode_expr",
+      """SELECT c_custkey,
+        |  c_custkey AS ck_text,
+        |  CAST(ord(substr(s, 1, 1)) * 16777216 + ord(substr(s, 2, 1)) * 65536 +
+        |       ord(substr(s, 3, 1)) * 256 + ord(substr(s, 4, 1)) AS INTEGER)
+        |    AS nk_ambiguous,
+        |  CAST(NULL AS INTEGER) AS garbage_null
+        |FROM (SELECT c_custkey, CAST(c_nationkey + 1000 AS VARCHAR) AS s
+        |      FROM customer) t
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "customer").select(
+        $"c_custkey",
+        expr("cassandra_decode(cast(cast(c_custkey as string) as binary), 'bigint')")
+          .as("ck_text"),
+        expr("cassandra_decode(cast(cast(c_nationkey + 1000 as string) as binary), 'int')")
+          .as("nk_ambiguous"),
+        expr("cassandra_decode(cast(c_mktsegment as binary), 'int')")
+          .as("garbage_null"))
+        .orderBy($"c_custkey")
+    },
+
     // ---- D1–D3 DDL lifecycle through SQL on the custom TableCatalog ----
     Q("conn_catalog_ddl",
       """SELECT n_name, count(*) AS n_cust FROM customer

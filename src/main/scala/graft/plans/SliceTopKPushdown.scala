@@ -125,6 +125,31 @@ object SliceTopKPushdown extends Rule[LogicalPlan] {
   * {{{ .config("spark.sql.extensions", "graft.plans.GraftExtensions") }}}
   * or `builder.withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{CassandraDecode, CassandraValidatorString}
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SliceTopKPushdown)
+    e.injectFunction((
+      new FunctionIdentifier("cassandra_decode"),
+      new ExpressionInfo(classOf[CassandraDecode].getName, "cassandra_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "usage: cassandra_decode(bytes, 'type')")
+        CassandraDecode(exprs.head,
+          CassandraDecode.parseType(litString(exprs(1), "decode type")))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("cassandra_validator"),
+      new ExpressionInfo(classOf[CassandraValidatorString].getName, "cassandra_validator"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "usage: cassandra_validator(bytes, 'ValidatorType')")
+        CassandraValidatorString(exprs.head, litString(exprs(1), "validator name"))
+      }))
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.types._
+
+import graft.functions.{CassandraDecode, CassandraValidatorString}
+
+/** The cassandra_decode / cassandra_validator expression surface: SQL-level
+  * behavior plus a forced whole-codegen compile check (GenerateUnsafeProjection
+  * throws if doGenCode emits bad Java). */
+class FunctionsSpec extends SparkSpec {
+
+  test("cassandra_decode SQL: binary wins on width, text falls back, garbage nulls") {
+    val r = spark.sql(
+      """SELECT
+        |  cassandra_decode(cast('1234' as binary), 'int') AS ambiguous4,
+        |  cassandra_decode(cast('123' as binary), 'int') AS text_int,
+        |  cassandra_decode(cast('xyz' as binary), 'int') AS garbage,
+        |  cassandra_decode(cast('12345678' as binary), 'bigint') AS ambiguous8,
+        |  cassandra_decode(cast('2.5' as binary), 'double') AS text_double,
+        |  cassandra_decode(cast('true' as binary), 'boolean') AS text_bool,
+        |  cassandra_decode(cast('hello' as binary), 'string') AS s
+        |""".stripMargin).head()
+    assert(r.getInt(0) == java.nio.ByteBuffer.wrap("1234".getBytes).getInt)
+    assert(r.getInt(1) == 123)
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == java.nio.ByteBuffer.wrap("12345678".getBytes).getLong)
+    assert(r.getDouble(4) == 2.5)
+    assert(r.getBoolean(5))
+    assert(r.getString(6) == "hello")
+  }
+
+  test("cassandra_validator SQL: typed rendering with hex fallback") {
+    val r = spark.sql(
+      """SELECT
+        |  cassandra_validator(cast('abc' as binary), 'UTF8Type') AS s,
+        |  cassandra_validator(cast('ab' as binary), 'Int32Type') AS hex
+        |""".stripMargin).head()
+    assert(r.getString(0) == "abc")
+    assert(r.getString(1) == "6162") // width mismatch renders as hex
+  }
+
+  test("cassandra_decode codegen compiles and matches interpreted eval") {
+    val cases: Seq[(DataType, Array[Byte])] = Seq(
+      IntegerType -> java.nio.ByteBuffer.allocate(4).putInt(-77).array(),
+      IntegerType -> "123".getBytes,
+      IntegerType -> "nope".getBytes, // 4 bytes -> binary wins, NOT null
+      IntegerType -> "junk!".getBytes, // text parse fails -> null
+      LongType -> java.nio.ByteBuffer.allocate(8).putLong(1L << 40).array(),
+      FloatType -> "1.5".getBytes,
+      DoubleType -> "3.25".getBytes,
+      BooleanType -> Array[Byte](1),
+      BooleanType -> "false".getBytes,
+      TimestampType -> java.nio.ByteBuffer.allocate(8).putLong(1700000000123L).array(),
+      StringType -> "abc".getBytes,
+      BinaryType -> Array[Byte](9, 8, 7))
+    cases.foreach { case (dt, bytes) =>
+      val e = CassandraDecode(Literal(bytes, BinaryType), dt)
+      val interpreted = e.eval(InternalRow.empty)
+      val proj = GenerateUnsafeProjection.generate(Seq(e)) // Janino compile
+      val row = proj(InternalRow.empty)
+      val generated = if (row.isNullAt(0)) null else row.get(0, dt)
+      (interpreted, generated) match {
+        case (a: Array[Byte], b: Array[Byte]) => assert(a.sameElements(b), s"$dt/$bytes")
+        case (a, b) => assert(a == b, s"$dt decode mismatch: $a vs $b")
+      }
+    }
+  }
+
+  test("cassandra_validator codegen compiles and matches interpreted eval") {
+    val cases = Seq(
+      "Int32Type" -> java.nio.ByteBuffer.allocate(4).putInt(7).array(),
+      "LongType" -> java.nio.ByteBuffer.allocate(8).putLong(99L).array(),
+      "UTF8Type" -> "abc".getBytes,
+      "BytesType" -> Array[Byte](0x0a, 0x7f))
+    cases.foreach { case (v, bytes) =>
+      val e = CassandraValidatorString(Literal(bytes, BinaryType), v)
+      val interpreted = e.eval(InternalRow.empty)
+      val proj = GenerateUnsafeProjection.generate(Seq(e))
+      val row = proj(InternalRow.empty)
+      assert(row.getUTF8String(0) == interpreted, s"validator $v")
+    }
+  }
+
+  test("null input and unknown type name") {
+    assert(spark.sql("SELECT cassandra_decode(cast(NULL as binary), 'int') AS x")
+      .head().isNullAt(0))
+    assertThrows[Exception](
+      spark.sql("SELECT cassandra_decode(cast('x' as binary), 'decimal')").collect())
+  }
+}
