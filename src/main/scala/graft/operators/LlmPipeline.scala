@@ -148,8 +148,16 @@ object LlmPipeline {
       verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // ---- character 4-gram Jaccard similarity join (exact, inverted-index
-    // equi-join; at larger scale add prefix filtering on rare grams) ----
+    // ---- character 4-gram Jaccard similarity join: EXACT, via prefix
+    // filtering (the AllPairs/PPJoin bound): under a global gram order
+    // (rarest document-frequency first), any pair with J >= t must share a
+    // gram within each side's first n - ceil(t*n) + 1 grams — if prefixes
+    // were disjoint, the intersection would fit in the suffixes,
+    // |A∩B| <= ceil(t|A|)-1 < t|A|, contradicting J >= t. So the candidate
+    // join touches only prefix grams (~1-t of each doc, and the hottest
+    // grams sort last, OUT of most prefixes), then exact Jaccard verifies
+    // candidates only. Same results as the naive inverted-index join, but
+    // the equi-join no longer explodes on stop-gram buckets at scale. ----
     Q("llm_dedup_ngram",
       """WITH g AS (SELECT doc_id,
         |    unnest(list_distinct([text[i:i+3] for i in range(1, len(text)-2)])) AS gram
