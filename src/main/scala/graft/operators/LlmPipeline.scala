@@ -41,12 +41,18 @@ object LlmPipeline {
 
   /** Exact Jaccard for candidate pairs only: the shingle inverted index is
     * restricted to docs that appear in a candidate pair, so verification cost
-    * scales with candidates, not the corpus. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    * scales with candidates, not the corpus — including the size counts,
+    * which aggregate only candidate docs' shingles. */
+  private def verifyJaccard(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    // the candidate set is referenced by three downstream branches (both
+    // sides of the intersection join via cdocs, and the final semi-join);
+    // persist it so candidate GENERATION — the expensive sketch pipeline —
+    // runs once. Candidates are tiny relative to the corpus by construction.
+    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cdocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     val shc = sh.join(cdocs, "doc_id")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a")
       .join(shc.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -96,7 +102,11 @@ object LlmPipeline {
     // exact Jaccard verification; the oracle recomputes true pairs, so a
     // recall miss would show up as a row-count mismatch. ----
     Q("llm_dedup_minhash", jaccardOracle, bench = true) { (s, dir) =>
+      // the shingle table feeds three passes (signatures, candidate
+      // restriction, size counts) — persist it once instead of re-exploding
+      // the corpus; MEMORY_AND_DISK spills rather than recomputes at scale
       val sh = shingles(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // an INDEPENDENT universal-hash family per minhash index:
       // h_i = (a_i*h + b_i) mod p with fixed-seed coefficients. (A two-hash
       // Kirsch-Mitzenmacher family fails here: one exclusive shingle with a
@@ -145,6 +155,7 @@ object LlmPipeline {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       val sh = shingles(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
     },
 
