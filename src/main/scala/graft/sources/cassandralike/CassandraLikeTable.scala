@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources._
@@ -135,13 +135,21 @@ class CassandraLikeTable(
   * accepted and evaluated inside the scan; key-equality predicates also prune
   * token-range partitions). */
 class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownLimit {
 
   private var required: StructType = table.tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Partial limit pushdown: each partition stops emitting after `limit`
+    * rows (correct because pushed filters are evaluated exactly in the
+    * reader, so every emitted row is a real result row). Returning false
+    * keeps Spark's global Limit on top. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val m = table.mapping
@@ -165,7 +173,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CellScan(table, required, pushed, options)
+    new CellScan(table, required, pushed, options, limit)
 }
 
 final case class CellInputPartition(
@@ -181,7 +189,30 @@ class CellScan(
     table: CassandraLikeTable,
     required: StructType,
     filters: Array[Filter],
-    options: Map[String, String]) extends Scan with Batch {
+    options: Map[String, String],
+    limit: Option[Int] = None)
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** Runtime (join-produced) key filters — the DSv2 dynamic-partition-pruning
+    * hook. Spark calls `filter` after executing the build side of a selective
+    * join, then re-plans partitions; key values prune token-range buckets
+    * exactly like planning-time predicates, and the reader also applies them
+    * row-level so less data reaches the probe side. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(table.mapping.keyField.name))
+
+  override def filter(fs: Array[Filter]): Unit = {
+    val keyName = table.mapping.keyField.name
+    runtimeFilters = fs.filter {
+      case EqualTo(c, _) => c == keyName
+      case In(c, _) => c == keyName
+      case _ => false
+    }
+  }
+
+  private def effectiveFilters: Array[Filter] = filters ++ runtimeFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -191,21 +222,38 @@ class CellScan(
       Options.SliceReversed, Options.SliceCount)
       .flatMap(k => table.opt(options, k).map(v => s"$k=$v")).mkString(", ")
     s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} " +
-      s"PushedFilters: [$f] Slice: [$slice]"
+      s"PushedFilters: [$f] Slice: [$slice]" +
+      limit.map(n => s" Limit: $n").getOrElse("")
   }
 
-  /** S1: one partition per token-range bucket; key-equality pushdown prunes
-    * to only the buckets that can hold matching keys. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Store statistics from the pruned buckets' segment files: byte size plus
+    * a row estimate from the run headers (cells before LWW reconciliation;
+    * regular mappings divide by the cell-per-row fan-out). Feeds Catalyst's
+    * join sizing so small cassandralike tables auto-broadcast — the
+    * reference's Hive stack needed a manual MAPJOIN hint for this. */
+  override def estimateStatistics(): Statistics = {
+    val segs = plannedBuckets.flatMap(b => CellStore.segmentFiles(table.dir, b))
+    val bytes = segs.map(java.nio.file.Files.size(_)).sum
+    val cells = segs.map(f => CellStore.runOffsets(f).map(_._2.toLong).sum).sum
+    val rowFanout =
+      if (table.mapping.transposed) 1L
+      else math.max(1, table.mapping.cellFields.size).toLong
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(cells / rowFanout)
+    }
+  }
+
+  private def plannedBuckets: Seq[Int] = {
     val buckets = table.opt(options, Options.Buckets)
       .map(_.toInt).getOrElse(Options.DefaultBuckets)
-    val hosts = table.opt(options, Options.Hosts)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
     val keyType = table.mapping.keyField.dataType
     val keyName = table.mapping.keyField.name
-    // bucket pruning from key-equality predicates
+    // bucket pruning from key-equality predicates (planning-time + runtime)
     val keyValues: Option[Seq[Any]] = {
-      val vs = filters.collect {
+      val vs = effectiveFilters.collect {
         case EqualTo(c, v) if c == keyName => Seq(v)
         case In(c, vs0) if c == keyName => vs0.toSeq
       }
@@ -219,6 +267,14 @@ class CellScan(
     (0 until buckets)
       .filter(b => wanted.forall(_.contains(b)))
       .filter(b => CellStore.segmentFiles(table.dir, b).nonEmpty)
+  }
+
+  /** S1: one partition per token-range bucket; key-equality pushdown prunes
+    * to only the buckets that can hold matching keys. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hosts = table.opt(options, Options.Hosts)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
+    plannedBuckets
       .map(b => CellInputPartition(table.dir, b,
         if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))))
       .toArray[InputPartition]
@@ -226,7 +282,7 @@ class CellScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     CellReaderFactory(table.tableSchema, table.mapping.fields, required,
-      filters, options, table.tableProps)
+      effectiveFilters, options, table.tableProps, limit)
 }
 
 final case class CellReaderFactory(
@@ -235,11 +291,12 @@ final case class CellReaderFactory(
     required: StructType,
     filters: Array[Filter],
     options: Map[String, String],
-    tableProps: Map[String, String]) extends PartitionReaderFactory {
+    tableProps: Map[String, String],
+    limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
     new CellPartitionReader(cp, ColumnMapping(mappedFields), required, filters,
-      (k: String) => Options.effective(options, tableProps, k))
+      (k: String) => Options.effective(options, tableProps, k), limit)
   }
 }
 
@@ -260,7 +317,8 @@ class CellPartitionReader(
     mapping: ColumnMapping,
     required: StructType,
     filters: Array[Filter],
-    opt: String => Option[String])
+    opt: String => Option[String],
+    limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   // T2: positional per-cell validator list (reference's
@@ -280,8 +338,12 @@ class CellPartitionReader(
   private val merge = new CellStore.BucketMergeIterator(part.tableDir, part.bucket)
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
-    if (mapping.transposed) byKey.flatMap(transposedRows)
-    else byKey.flatMap(regularRow)
+    val all =
+      if (mapping.transposed) byKey.flatMap(transposedRows)
+      else byKey.flatMap(regularRow)
+    // pushed (partial) limit: every emitted row already passed the pushed
+    // filters, so the partition can stop at `limit` rows
+    limit.map(all.take).getOrElse(all)
   }
   private var current: InternalRow = _
 
