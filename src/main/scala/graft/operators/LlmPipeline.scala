@@ -67,6 +67,46 @@ object LlmPipeline {
       .filter(col("jac") >= threshold)
   }
 
+  /** Distinct character 4-grams per document (docs shorter than 4 chars drop
+    * out — identically in the DuckDB oracle). */
+  private[graft] def charGrams(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 4)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
+        .as("gram"))
+
+  /** AllPairs/PPJoin prefix postings: under the global gram order (ascending
+    * document frequency, gram as tie-break), a doc with n grams keeps only
+    * its first n − ⌈t·n⌉ + 1 grams. Any pair with Jaccard ≥ t must collide
+    * inside both prefixes: if the smallest shared gram sat past A's prefix,
+    * everything before it in A would be exclusive to A, leaving
+    * |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t·|A∪B| — contradicting J ≥ t. The
+    * ⌈t·n⌉ is computed in exact integer arithmetic ((9n+9) div 10 for t=0.9)
+    * so a float rounding can never shorten a prefix below the bound. */
+  private[graft] def gramPrefixes(grams: DataFrame): DataFrame = {
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    grams.join(df, "gram").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
+      .filter(col("rk") <= col("n") - expr("(9*n + 9) div 10") + 1)
+      .select("doc_id", "gram")
+  }
+
+  /** Sketch-prefiltered candidate pairs for the embedding similarity join:
+    * the N²/2 enumeration streams only (vec_id, 16-long sign sketch) rows —
+    * a pair survives iff its sketch Hamming distance clears the 5σ cutoff
+    * for cosine threshold `t`. See the llm_dedup_embedding comment and
+    * [[graft.functions.SignSketch]] for the recall bound. */
+  private[graft] def embeddingCandidates(e: DataFrame, t: Double): DataFrame = {
+    val cut = graft.functions.SignSketch.cutoff(t)
+    val sk = e.select(col("vec_id"), expr("sign_sketch(v)").as("sk"))
+    sk.as("x").join(sk.as("y"),
+        col("x.vec_id") < col("y.vec_id") &&
+          expr(s"sketch_hamming(x.sk, y.sk) <= $cut"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+  }
+
   /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */
   private val jaccardOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -160,15 +200,13 @@ object LlmPipeline {
     },
 
     // ---- character 4-gram Jaccard similarity join: EXACT, via prefix
-    // filtering (the AllPairs/PPJoin bound): under a global gram order
-    // (rarest document-frequency first), any pair with J >= t must share a
-    // gram within each side's first n - ceil(t*n) + 1 grams — if prefixes
-    // were disjoint, the intersection would fit in the suffixes,
-    // |A∩B| <= ceil(t|A|)-1 < t|A|, contradicting J >= t. So the candidate
-    // join touches only prefix grams (~1-t of each doc, and the hottest
-    // grams sort last, OUT of most prefixes), then exact Jaccard verifies
-    // candidates only. Same results as the naive inverted-index join, but
-    // the equi-join no longer explodes on stop-gram buckets at scale. ----
+    // filtering (the AllPairs/PPJoin bound, see gramPrefixes). The candidate
+    // equi-join touches only prefix grams (~(1-t) of each doc, and the
+    // hottest stop-grams sort LAST in the document-frequency order, out of
+    // most prefixes), then exact Jaccard verifies candidate pairs only —
+    // same results as the naive inverted-index join without its quadratic
+    // stop-gram buckets at scale. LlmPipelineSpec asserts both the row
+    // reduction and result-equality against the naive join. ----
     Q("llm_dedup_ngram",
       """WITH g AS (SELECT doc_id,
         |    unnest(list_distinct([text[i:i+3] for i in range(1, len(text)-2)])) AS gram
@@ -181,28 +219,43 @@ object LlmPipeline {
         |FROM inter JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      val grams = docs(s, dir).filter(length(col("text")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
-          .as("gram"))
-      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = grams.as("a")
-        .join(grams.as("b"), col("a.gram") === col("b.gram") &&
+      // gram postings feed three passes (df counts, prefix ranking, exact
+      // verification) — persist once; the harness clears cache per query
+      val grams = charGrams(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prefix = gramPrefixes(grams)
+      val cand = prefix.as("a")
+        .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
           col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
-        .filter(col("jac") >= 0.9)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, grams.withColumnRenamed("gram", "shingle"), 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // ---- embedding-cosine near-dup via random-hyperplane (sign) LSH:
-    // 64 tables x 4 Rademacher projections; candidates from bucket
-    // collisions; exact cosine verification at threshold 0.45 ----
+    // ---- embedding-cosine similarity join at threshold 0.45, exact, via a
+    // 1024-bit sign-sketch prefilter (graft.functions.SignSketch) in front
+    // of the full dot product.
+    //
+    // Why not banded bucket-LSH here: the fixture vectors are 64-dim
+    // quasi-random (pairwise cos ≈ N(0, 1/8); the judged pairs sit at
+    // 0.45–0.6, barely above noise). Sign-LSH collision probability per bit
+    // at cos 0.45 is 1 − acos(0.45)/π ≈ 0.648, so a 16-bit band matches a
+    // TRUE pair with prob 0.648^16 ≈ 1e-3 — across 16 tables that is ~1.6%
+    // recall, and the exact oracle would go red; pushing recall to ~1 at
+    // this threshold needs ≈ 9.2·1.5^b tables (≈20,000 at b = 19), i.e.
+    // bucket-LSH is information-theoretically out of its regime below
+    // cos ≈ 0.8. (The sublinear bucketed path for genuine near-dup
+    // thresholds is what llm_dedup_minhash/simhash exercise.)
+    //
+    // The scalable EXACT shape is therefore the open blocked all-pairs
+    // enumeration every production similarity join uses at low thresholds,
+    // made cheap per pair: phase 1 streams only (vec_id, 16-long sketch)
+    // through the partition-pair nested loop and keeps pairs whose sketch
+    // Hamming distance clears a 5σ Chernoff cutoff (~4% of pairs on random
+    // data — LlmPipelineSpec asserts the rate); phase 2 equi-joins the
+    // survivors back to full vectors for exact cosine. A true pair escapes
+    // the prefilter with prob < 3e-7; no recall luck involved. ----
     Q("llm_dedup_embedding",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -214,27 +267,10 @@ object LlmPipeline {
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       val e = emb(s, dir)
         .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
-      // 256 deterministic Rademacher hyperplanes; bit p = sign of projection
-      val sigs = e.withColumn("bits", expr(
-        """transform(sequence(0, 255), p ->
-          |  aggregate(sequence(0, 63), cast(0.0 as double),
-          |    (acc, d) -> acc + element_at(v, d+1) *
-          |      (case when (xxhash64(p*64 + d, 'graft-rp') & 1) = 1 then 1.0 else -1.0 end)) > 0)""".stripMargin))
-      val buckets = sigs.select(col("vec_id"), col("v"), col("norm"), posexplode(expr(
-        // [] subscripts are 0-based in Spark SQL
-        """transform(sequence(0, 63), t ->
-          |  (case when bits[t*4]   then 8 else 0 end) +
-          |  (case when bits[t*4+1] then 4 else 0 end) +
-          |  (case when bits[t*4+2] then 2 else 0 end) +
-          |  (case when bits[t*4+3] then 1 else 0 end))""".stripMargin))
-        .as(Seq("tbl", "bucket")))
-      val cand = buckets.as("x").join(buckets.as("y"), Seq("tbl", "bucket"))
-        .filter(col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          col("x.v").as("va"), col("x.norm").as("na"),
-          col("y.v").as("vb"), col("y.norm").as("nb"))
-        .dropDuplicates("id_a", "id_b")
+      val cand = embeddingCandidates(e, 0.45)
       cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
         .withColumn("cos", expr(
           "aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
           / (col("na") * col("nb")))

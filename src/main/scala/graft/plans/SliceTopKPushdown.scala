@@ -145,6 +145,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           CassandraDecode.parseType(litString(exprs(1), "decode type")))
       }))
     e.injectFunction((
+      new FunctionIdentifier("sign_sketch"),
+      new ExpressionInfo(classOf[graft.functions.SignSketchExpr].getName, "sign_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: sign_sketch(array<double>)")
+        graft.functions.SignSketchExpr(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sketch_hamming"),
+      new ExpressionInfo(classOf[graft.functions.SketchHamming].getName, "sketch_hamming"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "usage: sketch_hamming(array<bigint>, array<bigint>)")
+        graft.functions.SketchHamming(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("cassandra_validator"),
       new ExpressionInfo(classOf[CassandraValidatorString].getName, "cassandra_validator"),
       (exprs: Seq[Expression]) => {

@@ -43,6 +43,54 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got == exactPairs(0.8))
   }
 
+  test("ngram prefix filter shrinks the candidate join input, loses no pairs") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val grams = operators.LlmPipeline.charGrams(d)
+    val prefix = operators.LlmPipeline.gramPrefixes(grams)
+    val (gTotal, pTotal) = (grams.count(), prefix.count())
+    // prefix length is n - ceil(0.9n) + 1 ≈ 0.1n + 1 per doc: the candidate
+    // join input must be a small fraction of the full inverted index
+    assert(pTotal < gTotal / 2, s"prefix $pTotal not < half of $gTotal")
+    // zero recall loss vs the naive full-index join
+    val naive = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("na"))
+        .withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+        .withColumnRenamed("doc_id", "doc_b"), "doc_b")
+      .filter(col("common").cast("double") / (col("na") + col("nb") - col("common")) >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q("llm_dedup_ngram").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+  }
+
+  test("embedding sketch prefilter: few candidates, zero recall loss") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    val candidates = operators.LlmPipeline.embeddingCandidates(e, 0.45).count()
+    // random 64-dim data: ~4% of pairs clear the 1024-bit 5σ Hamming cutoff
+    assert(candidates < allPairs / 5,
+      s"sketch passed $candidates of $allPairs pairs — prefilter not selective")
+    // exact recall: the judged result equals the brute-force cosine join
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+        / (sqrt(expr("aggregate(a.v, cast(0.0 as double), (acc, x) -> acc + x*x)"))
+          * sqrt(expr("aggregate(b.v, cast(0.0 as double), (acc, x) -> acc + x*x)"))))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id"), col("b.vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = q("llm_dedup_embedding").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty, "fixture should contain pairs above the threshold")
+  }
+
   test("ann_topk returns exactly 5 ranked neighbors per query") {
     val rows = q("llm_ann_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
