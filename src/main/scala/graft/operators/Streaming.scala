@@ -11,44 +11,60 @@ object Streaming {
 
   val all: Seq[Q] = Seq(
 
-    // ---- tumbling event-time window + watermark ----
+    // ---- tumbling event-time window + watermark, APPEND mode: only
+    // watermark-closed windows are emitted, so operator state is bounded on
+    // an infinite stream (complete mode would grow state forever). The
+    // oracle mirrors the emission set exactly: windows whose end precedes
+    // the final watermark max(ts) − 2h. Every event ts carries random
+    // microseconds while window ends are whole hours, so the emission
+    // boundary can never tie and <=/< are equivalent. ----
     Q("stream_window_counts",
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, n, total
+        |FROM w WHERE win + INTERVAL 1 HOUR <= (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |ORDER BY win_start, event_type""".stripMargin,
       bench = true) { (s, dir) =>
       val agg = StreamOps.eventsStream(s, dir)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), d(sum(col("value").cast("decimal(12,2)"))).as("total"))
-      StreamOps.runToMemory(s, agg, "complete")
+      StreamOps.runToMemory(s, agg, "append")
         .select(ymdHms(col("window.start")).as("win_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy(col("win_start"), col("event_type"))
     },
 
-    // ---- sliding window (2h length, 1h slide): each event lands in 2 windows ----
+    // ---- sliding window (2h length, 1h slide), append mode: each event
+    // lands in 2 windows; emitted = windows closed by the final watermark ----
     Q("stream_sliding_counts",
-      """SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
-        |                     date_trunc('hour', ts)]) AS win_start, value
-        |      FROM events) x
-        |GROUP BY 1 ORDER BY win_start""".stripMargin) { (s, dir) =>
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |x AS (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                     date_trunc('hour', ts)]) AS win, value FROM events),
+        |w AS (SELECT win, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |      FROM x GROUP BY 1)
+        |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, n, total
+        |FROM w WHERE win + INTERVAL 2 HOUR <= (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |ORDER BY win_start""".stripMargin) { (s, dir) =>
       val agg = StreamOps.eventsStream(s, dir)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
         .agg(count(lit(1)).as("n"), d(sum(col("value").cast("decimal(12,2)"))).as("total"))
-      StreamOps.runToMemory(s, agg, "complete")
+      StreamOps.runToMemory(s, agg, "append")
         .select(ymdHms(col("window.start")).as("win_start"), col("n"), col("total"))
         .orderBy(col("win_start"))
     },
 
     // ---- session windows (30-min inactivity gap) per user, append mode:
-    // only watermark-closed sessions are emitted, so both sides restrict to
-    // sessions ending at least 2h before the stream's end ----
+    // the judged output is exactly the append-mode emission set — sessions
+    // closed by the final watermark max(ts) − 2h. No batch action runs
+    // inside the query: the oracle reproduces the emission predicate
+    // (session end = last event + gap precedes the watermark). Event ts
+    // carry random microseconds, so the emission boundary can never tie
+    // and the <=/< choice is immaterial. ----
     Q("stream_session_windows",
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |marked AS (
@@ -66,20 +82,13 @@ object Streaming {
         |  count(*) AS n_events
         |FROM sess
         |GROUP BY user_id, sid
-        |HAVING max(ts) + INTERVAL 30 MINUTE < (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT mt - INTERVAL 2 HOUR FROM mx)
         |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.types.TimestampType
-      val maxTs = graft.Tables.load(s, dir, "events")
-        .agg(max(col("ts"))).head().getTimestamp(0)
       val agg = StreamOps.eventsStream(s, dir)
-        .withWatermark("ts", "1 minute")
+        .withWatermark("ts", "2 hours")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-      // session_window.end = last event + gap, i.e. the oracle's
-      // max(ts) + INTERVAL 30 MINUTE
       StreamOps.runToMemory(s, agg, "append")
-        .filter(col("session_window.end")
-          < lit(maxTs).cast(TimestampType) - expr("INTERVAL 2 HOUR"))
         .select(col("user_id"), ymdHms(col("session_window.start")).as("sess_start"),
           col("n_events"))
         .orderBy(col("user_id"), col("sess_start"))

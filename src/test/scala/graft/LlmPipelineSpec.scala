@@ -112,15 +112,21 @@ class LlmPipelineSpec extends SparkSpec {
     assert(a.map(_._2).distinct.length > a.length / 2)
   }
 
-  test("streaming tumbling counts equal the batch aggregation") {
+  test("streaming tumbling counts equal the batch aggregation (closed windows)") {
     val streamed = q("stream_window_counts")
       .select("win_start", "event_type", "n").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
-    val batch = Tables.load(spark, sfDir, "events")
+    val ev = Tables.load(spark, sfDir, "events")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // append mode emits windows closed by the final watermark max(ts) - 2h
+    val batch = ev
       .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .filter(col("w") + expr("INTERVAL 1 HOUR")
+        <= lit(maxTs) - expr("INTERVAL 2 HOUR"))
       .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
+    assert(streamed.nonEmpty)
   }
 }
