@@ -84,16 +84,26 @@ object CellStore {
     out.writeBoolean(c.tombstone)
   }
 
-  /** Append one sorted run (the order invariant is enforced here). */
+  /** Append one sorted run (the order invariant is enforced here), with its
+    * sparse key index. */
   def writeRun(out: DataOutputStream, cells: Seq[Cell]): Unit = {
     if (cells.isEmpty) return
     val sorted = cells.sorted(addressOrdering)
     val payload = new ByteArrayOutputStream(64 * cells.length)
     val pout = new DataOutputStream(payload)
-    sorted.foreach(writeCell(pout, _))
+    val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+    var i = 0
+    sorted.foreach { c =>
+      if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key))
+      writeCell(pout, c)
+      i += 1
+    }
+    val index = serializeIndex(entries.toSeq, sorted.last.key)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
+    out.writeInt(index.length)
     payload.writeTo(out)
+    out.write(index)
   }
 
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
@@ -110,27 +120,99 @@ object CellStore {
     Cell(readBytes(in), readBytes(in), readBytes(in), readBytes(in),
       in.readLong(), in.readBoolean())
 
-  /** Run directory of a segment: (payload offset, cell count) per run, found
-    * by skipping payloads header-to-header (no cell parse). */
-  def runOffsets(file: Path): Seq[(Long, Int)] = {
+  /** One sorted run of a segment: `[int cellCount][long payloadLen]
+    * [int indexByteLen]` header, the cell payload, then a sparse key index —
+    * `[int numEntries]` entries of `(int cellPos, long payloadOffset,
+    * key bytes)` every [[IndexEvery]] cells (always including cell 0) plus
+    * the run's last key. The index is what lets a key-range partition seek
+    * into the middle of a run and lets the planner sample key quantiles
+    * without touching cell data. */
+  final case class RunInfo(payloadOffset: Long, cellCount: Int,
+      indexOffset: Long, indexByteLen: Int)
+
+  final case class RunIndex(cellPos: Array[Int], offsets: Array[Long],
+      keys: Array[Array[Byte]], lastKey: Array[Byte])
+
+  val IndexEvery = 128
+  private val RunHeaderLen = 16L
+
+  /** Run directory of a segment, found by skipping payload+index
+    * header-to-header (no cell parse). */
+  def runInfos(file: Path): Seq[RunInfo] = {
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(file), 1 << 12))
     try {
-      val runs = mutable.ArrayBuffer.empty[(Long, Int)]
+      val runs = mutable.ArrayBuffer.empty[RunInfo]
       var offset = 0L
       var done = false
       while (!done) {
         val count = try in.readInt() catch { case _: EOFException => done = true; 0 }
         if (!done) {
           val len = in.readLong()
-          runs += ((offset + 12L, count))
-          var toSkip = len
+          val idxLen = in.readInt()
+          runs += RunInfo(offset + RunHeaderLen, count, offset + RunHeaderLen + len, idxLen)
+          var toSkip = len + idxLen
           while (toSkip > 0) toSkip -= in.skip(toSkip)
-          offset += 12L + len
+          offset += RunHeaderLen + len + idxLen
         }
       }
       runs.toSeq
     } finally in.close()
   }
+
+  /** (payload offset, cell count) view of [[runInfos]]. */
+  def runOffsets(file: Path): Seq[(Long, Int)] =
+    runInfos(file).map(ri => (ri.payloadOffset, ri.cellCount))
+
+  private def serializeIndex(entries: Seq[(Int, Long, Array[Byte])],
+      lastKey: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(entries.length)
+    entries.foreach { case (pos, off, key) =>
+      out.writeInt(pos); out.writeLong(off); writeBytes(out, key)
+    }
+    writeBytes(out, lastKey)
+    bos.toByteArray
+  }
+
+  private def parseIndex(bytes: Array[Byte]): RunIndex = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val pos = new Array[Int](n)
+    val off = new Array[Long](n)
+    val keys = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { pos(i) = in.readInt(); off(i) = in.readLong(); keys(i) = readBytes(in); i += 1 }
+    RunIndex(pos, off, keys, readBytes(in))
+  }
+
+  // ---- immutable-file driver-side caches: a committed segment never
+  // changes (temp-write + atomic rename), so (path, size, mtime) keys stats
+  // and sample reads forever; planning cost stays O(1) per segment per
+  // process instead of re-walking run headers every plan (VERDICT r3 #8) ----
+
+  final case class SegmentStats(bytes: Long, cells: Long)
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), SegmentStats]()
+  private val sampleCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[Array[Byte]]]()
+
+  private def cacheKey(file: Path): (String, Long, Long) =
+    (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
+
+  /** Total (bytes, cells) of one segment; memoized per immutable file. */
+  def segmentStats(file: Path): SegmentStats =
+    statsCache.computeIfAbsent(cacheKey(file), _ =>
+      SegmentStats(Files.size(file), runInfos(file).map(_.cellCount.toLong).sum))
+
+  /** Sparse key sample of one segment (~1 key per [[IndexEvery]] cells, from
+    * the run indexes only — no cell data read); memoized per immutable file. */
+  def sampleKeys(file: Path): Seq[Array[Byte]] =
+    sampleCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).flatMap(ri => r.readIndex(ri).keys) finally r.close()
+    })
 
   /** InputStream over positional FileChannel reads: any number of run
     * cursors share ONE os file handle per segment, so reader fd usage is
@@ -163,6 +245,38 @@ object CellStore {
       def hasNext: Boolean = remaining > 0
       def next(): Cell = { val c = readCell(in); remaining -= 1; c }
     }
+
+    def readIndex(ri: RunInfo): RunIndex = {
+      val buf = new Array[Byte](ri.indexByteLen)
+      val in = new DataInputStream(new ChannelRangeInputStream(ch, ri.indexOffset))
+      in.readFully(buf)
+      parseIndex(buf)
+    }
+
+    /** Cells of one run restricted to key range [lo, hi) (null = unbounded):
+      * the sparse index prunes non-overlapping runs outright and seeks the
+      * cursor to the last indexed key <= lo, so a range partition reads
+      * O(range + IndexEvery) cells of the run, not the whole run. */
+    def rangeRun(ri: RunInfo, lo: Array[Byte], hi: Array[Byte]): Iterator[Cell] = {
+      if (ri.cellCount == 0) return Iterator.empty
+      val idx = readIndex(ri)
+      if (lo != null && Codecs.compareBytes(idx.lastKey, lo) < 0) return Iterator.empty
+      if (hi != null && Codecs.compareBytes(idx.keys(0), hi) >= 0) return Iterator.empty
+      var e = 0
+      if (lo != null) {
+        while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) <= 0) e += 1
+      }
+      val base = runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
+      val from =
+        if (lo == null) base
+        else base.dropWhile(c => Codecs.compareBytes(c.key, lo) < 0)
+      if (hi == null) from
+      else from.takeWhile(c => Codecs.compareBytes(c.key, hi) < 0)
+    }
+
+    def rangeRuns(lo: Array[Byte], hi: Array[Byte]): Seq[Iterator[Cell]] =
+      runInfos(file).map(rangeRun(_, lo, hi))
+
     def close(): Unit = ch.close()
   }
 
@@ -212,11 +326,19 @@ object CellStore {
     def next(): Cell = { val c = nextCell; nextCell = advance(); c }
   }
 
-  /** The bucket scan: merge every run of every segment, live cells only. */
-  final class BucketMergeIterator(tableDir: String, bucket: Int)
+  /** The bucket scan: merge every run of every segment, live cells only,
+    * optionally restricted to key range [lower, upper) — the sub-bucket
+    * split unit. Every segment participates in every range, so LWW and
+    * tombstone reconciliation stay exact no matter how a bucket is split;
+    * the run index makes each range read ~its share of the bytes. */
+  final class BucketMergeIterator(tableDir: String, bucket: Int,
+      lower: Array[Byte] = null, upper: Array[Byte] = null)
     extends Iterator[Cell] with AutoCloseable {
     private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
-    private val inner = new MergeIterator(segs.flatMap(_.runs()), dropTombstones = true)
+    private val inner = new MergeIterator(
+      if (lower == null && upper == null) segs.flatMap(_.runs())
+      else segs.flatMap(_.rangeRuns(lower, upper)),
+      dropTombstones = true)
     def hasNext: Boolean = inner.hasNext
     def next(): Cell = inner.next()
     def close(): Unit = segs.foreach(_.close())
