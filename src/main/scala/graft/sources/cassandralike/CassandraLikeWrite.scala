@@ -186,8 +186,7 @@ class CellDataWriter(
       val (_, out) = streams.getOrElseUpdate(b, {
         val tmp = s"tmp-${UUID.randomUUID()}-b$b.bin"
         Files.createDirectories(Paths.get(dir, CellStore.SstDir))
-        (tmp, new DataOutputStream(new BufferedOutputStream(
-          Files.newOutputStream(Paths.get(dir, CellStore.SstDir, tmp)), 1 << 16)))
+        (tmp, CellStore.newSegmentStream(Paths.get(dir, CellStore.SstDir, tmp)))
       })
       CellStore.writeRun(out, cells.toSeq)
     }

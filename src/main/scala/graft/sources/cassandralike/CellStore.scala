@@ -57,6 +57,27 @@ object CellStore {
   val MetaFile = "meta.json"
   val SstDir = "sst"
 
+  /** Every segment file starts with `[int magic][int version]`. A reader that
+    * sees anything else fails fast with a crisp IOException instead of
+    * misparsing cell data — the integrity posture of the reference, where a
+    * truncated read surfaces an IOException rather than spinning
+    * (input/CassandraHiveRecordReader.java error paths). Bump the version on
+    * any layout change so old readers reject new files and vice versa. */
+  val SegmentMagic = 0x43534547 // "CSEG"
+  val FormatVersion = 2
+  val SegmentHeaderLen = 8L
+
+  /** THE one way to open a segment file for appending runs — writes the
+    * segment header so every writer (task flush, compaction, tests) produces
+    * the same format. */
+  def newSegmentStream(file: Path): DataOutputStream = {
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(file), 1 << 16))
+    out.writeInt(SegmentMagic)
+    out.writeInt(FormatVersion)
+    out
+  }
+
   /** Total order on cell addresses: (key, col, sub) in unsigned-byte
     * (Cassandra BytesType comparator) order. */
   val addressOrdering: Ordering[Cell] = new Ordering[Cell] {
@@ -137,21 +158,42 @@ object CellStore {
   private val RunHeaderLen = 16L
 
   /** Run directory of a segment, found by skipping payload+index
-    * header-to-header (no cell parse). */
+    * header-to-header (no cell parse). Validates the segment magic/version
+    * and every run header; any mismatch or truncation throws a crisp
+    * IOException — a corrupt file must never be silently misparsed (the r4
+    * regression) or spun on (the skip loop is progress-checked). */
   def runInfos(file: Path): Seq[RunInfo] = {
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(file), 1 << 12))
     try {
+      val magic = try in.readInt() catch {
+        case _: EOFException => throw new IOException(s"truncated segment header: $file")
+      }
+      if (magic != SegmentMagic)
+        throw new IOException(f"not a cassandralike segment (magic 0x$magic%08x): $file")
+      val version = in.readInt()
+      if (version != FormatVersion)
+        throw new IOException(s"unsupported segment format version $version (want $FormatVersion): $file")
       val runs = mutable.ArrayBuffer.empty[RunInfo]
-      var offset = 0L
+      var offset = SegmentHeaderLen
       var done = false
       while (!done) {
         val count = try in.readInt() catch { case _: EOFException => done = true; 0 }
         if (!done) {
           val len = in.readLong()
           val idxLen = in.readInt()
+          if (count < 0 || len < 0 || idxLen < 0)
+            throw new IOException(
+              s"corrupt run header (count=$count payload=$len index=$idxLen) at offset $offset: $file")
           runs += RunInfo(offset + RunHeaderLen, count, offset + RunHeaderLen + len, idxLen)
           var toSkip = len + idxLen
-          while (toSkip > 0) toSkip -= in.skip(toSkip)
+          while (toSkip > 0) {
+            val skipped = in.skip(toSkip)
+            if (skipped > 0) toSkip -= skipped
+            else if (in.read() == -1)
+              throw new EOFException(
+                s"truncated segment (run at offset $offset short by $toSkip bytes): $file")
+            else toSkip -= 1
+          }
           offset += RunHeaderLen + len + idxLen
         }
       }
@@ -280,10 +322,11 @@ object CellStore {
     def close(): Unit = ch.close()
   }
 
-  /** All cells of a segment in stored (run) order — test/tooling view. */
-  def readSegment(file: Path): Iterator[Cell] = {
+  /** All cells of a segment in stored (run) order — eager test/tooling view
+    * (materializes, then closes the channel deterministically). */
+  def readSegment(file: Path): Seq[Cell] = {
     val r = new SegmentReader(file)
-    r.runs().iterator.flatten // channel closes with dropTable/GC; test-only
+    try r.runs().flatMap(_.toSeq) finally r.close()
   }
 
   /** K-way streaming merge of sorted cell runs: yields cells in address
@@ -461,21 +504,52 @@ object CellStore {
     files.foreach(Files.deleteIfExists(_))
   }
 
-  /** Stream an already-sorted cell sequence into `target` as one run,
-    * patching the [count, byteLen] header afterwards. */
+  /** Long-counting wrapper: DataOutputStream.size() is an Int, which
+    * overflows on multi-GB compacted runs. */
+  private final class CountingOutputStream(os: OutputStream) extends OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { os.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      os.write(b, off, len); count += len
+    }
+    override def flush(): Unit = os.flush()
+    override def close(): Unit = os.close()
+  }
+
+  /** Stream an already-sorted cell sequence into `target` as ONE run in the
+    * same `[count][payloadLen][idxLen] payload index` layout [[writeRun]]
+    * emits (the r4 regression was this writer lagging a format revision —
+    * now both paths share the header/index shape and [[runInfos]] verifies
+    * magic/version, so a future drift fails fast instead of corrupting).
+    * The sparse index is accumulated while streaming — memory O(cells /
+    * IndexEvery), never O(cells). */
   private def writeSingleRun(target: Path, cells: Iterator[Cell]): Unit = {
     val raf = new java.io.RandomAccessFile(target.toFile, "rw")
     try {
-      raf.seek(12L) // placeholder header, patched below
-      val out = new DataOutputStream(new BufferedOutputStream(
+      raf.setLength(0L)
+      raf.seek(SegmentHeaderLen + RunHeaderLen) // placeholder headers, patched below
+      val counting = new CountingOutputStream(new BufferedOutputStream(
         java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
+      val out = new DataOutputStream(counting)
+      val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
       var count = 0
-      cells.foreach { c => writeCell(out, c); count += 1 }
+      var lastKey: Array[Byte] = null
+      cells.foreach { c =>
+        if (count % IndexEvery == 0) entries += ((count, counting.count, c.key))
+        writeCell(out, c)
+        count += 1
+        lastKey = c.key
+      }
+      val payloadLen = counting.count
+      out.write(serializeIndex(entries.toSeq, lastKey))
       out.flush()
-      val payloadLen = raf.getChannel.position() - 12L
+      val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)
+      raf.writeInt(SegmentMagic)
+      raf.writeInt(FormatVersion)
       raf.writeInt(count)
       raf.writeLong(payloadLen)
+      raf.writeInt(indexLen)
     } finally raf.close()
   }
 

@@ -158,8 +158,7 @@ class CellStoreSpec extends AnyFunSuite {
   private def seg(dir: String, name: String, runs: Seq[Cell]*): Unit = {
     val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
     java.nio.file.Files.createDirectories(sst)
-    val out = new java.io.DataOutputStream(
-      java.nio.file.Files.newOutputStream(sst.resolve(name)))
+    val out = CellStore.newSegmentStream(sst.resolve(name))
     runs.foreach(CellStore.writeRun(out, _))
     out.close()
   }
@@ -265,6 +264,66 @@ class CellStoreSpec extends AnyFunSuite {
       assert(after.map(x => (new String(x.col), new String(x.value))) ==
         before.map(x => (new String(x.col), new String(x.value))))
       assert(after.map(x => new String(x.col)) == Seq("c1"))
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("compaction rewrites the indexed run format: runInfos/rangeRun/sampleKeys round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("cellidx").toString
+    try {
+      def c(i: Int) = Cell(f"k$i%04d".getBytes, "c".getBytes, null,
+        s"v$i".getBytes, 1L, tombstone = false)
+      // 1000 keys across 3 runs -> compacted single run must carry a sparse
+      // index in the SAME format writeRun emits (the r4 regression was
+      // writeSingleRun lagging a format revision)
+      seg(dir, "b0-a.bin",
+        (0 until 400).map(c), (400 until 800).map(c), (800 until 1000).map(c))
+      val file = CellStore.segmentFiles(dir, 0).head
+      CellStore.compactSegment(file)
+      val infos = CellStore.runInfos(file)
+      assert(infos.size == 1 && infos.head.cellCount == 1000)
+      assert(infos.head.indexByteLen > 0)
+      val r = new CellStore.SegmentReader(file)
+      try {
+        val idx = r.readIndex(infos.head)
+        assert(idx.cellPos.toSeq == (0 until 1000 by CellStore.IndexEvery).toSeq)
+        assert(new String(idx.lastKey) == "k0999")
+        // seek into the middle of the compacted run via the index
+        val ranged = r.rangeRun(infos.head, "k0100".getBytes, "k0200".getBytes)
+          .map(x => new String(x.key)).toSeq
+        assert(ranged == (100 until 200).map(i => f"k$i%04d"))
+      } finally r.close()
+      assert(CellStore.sampleKeys(file).nonEmpty)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("corrupt, truncated, or wrong-version segments fail fast (no livelock)") {
+    val dir = java.nio.file.Files.createTempDirectory("cellcorrupt").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      def cells = (0 until 300).map(i => Cell(f"k$i%04d".getBytes, "c".getBytes,
+        null, s"v$i".getBytes, 1L, tombstone = false))
+      seg(dir, "b0-good.bin", cells)
+      val good = sst.resolve("b0-good.bin")
+
+      // bad magic: arbitrary bytes are rejected up front
+      java.nio.file.Files.write(sst.resolve("bad.bin"),
+        Array.fill[Byte](64)(0x5a))
+      val e1 = intercept[java.io.IOException](CellStore.runInfos(sst.resolve("bad.bin")))
+      assert(e1.getMessage.contains("magic"))
+
+      // stale format version: crisp error naming the version
+      val vOut = new java.io.DataOutputStream(
+        java.nio.file.Files.newOutputStream(sst.resolve("oldver.bin")))
+      vOut.writeInt(CellStore.SegmentMagic); vOut.writeInt(CellStore.FormatVersion - 1)
+      vOut.writeInt(3); vOut.writeLong(10L); vOut.close()
+      val e2 = intercept[java.io.IOException](CellStore.runInfos(sst.resolve("oldver.bin")))
+      assert(e2.getMessage.contains("version"))
+
+      // truncated payload: EOFException, NOT an infinite skip loop (the r4
+      // failure mode: skip() returns 0 at EOF forever)
+      val full = java.nio.file.Files.readAllBytes(good)
+      java.nio.file.Files.write(sst.resolve("trunc.bin"), full.take(full.length - 50))
+      intercept[java.io.EOFException](CellStore.runInfos(sst.resolve("trunc.bin")))
     } finally CellStore.dropTable(dir)
   }
 

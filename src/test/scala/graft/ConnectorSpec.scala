@@ -162,6 +162,119 @@ class ConnectorSpec extends SparkSpec {
     assert(!scanOf(tr).scan.description().contains(Options.SliceCount))
   }
 
+  test("commit-time compaction: multi-flush DSv2 write reads back intact") {
+    // The test whose absence let round 4 ship corrupt: >500 cells per task
+    // forces multiple flush runs per segment, so DataWriter.commit compacts
+    // every segment — the full write -> compact -> read cycle must round-trip.
+    val sp = spark; import sp.implicits._
+    val src = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(1) // one task -> 2000 cells -> 4 batch-size flushes
+    val store = Seed.table(spark, sfDir, "spec_compact_e2e", src)
+    // every committed segment is exactly one indexed run
+    val segs = (0 until Options.DefaultBuckets)
+      .flatMap(b => CellStore.segmentFiles(store, b))
+    assert(segs.nonEmpty)
+    segs.foreach { f =>
+      val infos = CellStore.runInfos(f)
+      assert(infos.size == 1, s"expected 1 compacted run in $f, got ${infos.size}")
+      assert(infos.head.indexByteLen > 0, s"compacted run in $f lacks its index")
+    }
+    val back = Seed.read(spark, store)
+    assert(back.count() == 2000)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("C1: aborted writer attempts leave no visible data; a retry lands exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("c1").toString
+    try {
+      val mapping = ColumnMapping.parse(":key,v",
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"))
+      def attempt(): CellDataWriter = new CellDataWriter(dir, mapping,
+        k => if (k == Options.BatchMutateSize) Some("10") else None, "ONE")
+      def writeAll(w: CellDataWriter): Unit = (1 to 50).foreach { i =>
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+        row.update(0, i.toLong)
+        row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(s"v$i"))
+        w.write(row)
+      }
+      // attempt 1 fails mid-task -> abort: no files, temp or visible, remain
+      val w1 = attempt()
+      writeAll(w1)
+      w1.abort()
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      assert(!java.nio.file.Files.isDirectory(sst) ||
+        { val s = java.nio.file.Files.list(sst); try s.count() == 0 finally s.close() })
+      // attempt 2 (Spark's task retry) commits: data visible exactly once
+      val w2 = attempt()
+      writeAll(w2)
+      val msg = w2.commit().asInstanceOf[CellWriterCommit]
+      msg.files.foreach { case (bucket, tmp) =>
+        java.nio.file.Files.move(sst.resolve(tmp),
+          sst.resolve(CellStore.newSegmentName(bucket)))
+      }
+      val total = (0 until Options.DefaultBuckets)
+        .map(b => CellStore.mergedBucket(dir, b).size).sum
+      assert(total == 50)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("C1: a failing job aborts the batch write, leaving the store empty") {
+    val sp = spark; import sp.implicits._
+    val boom = udf((k: Long) => {
+      if (k == 1500L) throw new RuntimeException("injected task failure")
+      s"v$k"
+    })
+    val src = (1L to 2000L).toDF("k").withColumn("v", boom(col("k")))
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_abort_job"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("k BIGINT,v STRING", ":key,v", Map.empty))
+    intercept[Exception] { Seed.append(src, dir) }
+    // job abort dropped every task's temp file: nothing is visible
+    val visible = (0 until Options.DefaultBuckets)
+      .flatMap(b => CellStore.segmentFiles(dir, b))
+    assert(visible.isEmpty, s"abort left visible segments: $visible")
+    assert(Seed.read(spark, dir).count() == 0)
+  }
+
+  test("limit pushdown reaches the scan and caps partition output") {
+    val store = Seed.table(spark, sfDir, "spec_limit",
+      Tables.load(spark, sfDir, "customer"))
+    val df = Seed.read(spark, store).limit(5)
+    assert(df.count() == 5)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("Limit: 5"), desc)
+  }
+
+  test("estimateStatistics feeds Catalyst sizing from segment metadata") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val store = Seed.table(spark, sfDir, "spec_stats", cust)
+    val stats = Seed.read(spark, store).queryExecution.optimizedPlan.stats
+    val diskBytes = (0 until Options.DefaultBuckets)
+      .flatMap(b => CellStore.segmentFiles(store, b))
+      .map(java.nio.file.Files.size(_)).sum
+    assert(stats.sizeInBytes.toLong == diskBytes,
+      s"sizeInBytes ${stats.sizeInBytes} != on-disk $diskBytes")
+    assert(stats.rowCount.exists(_.toLong == cust.count()),
+      s"rowCount ${stats.rowCount} != ${cust.count()}")
+  }
+
+  test("runtime key filters (DPP hook) prune buckets and rows") {
+    val store = Seed.table(spark, sfDir, "spec_runtime",
+      Tables.load(spark, sfDir, "customer"))
+    val table = new DefaultSource().getTable(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        Tables.load(spark, sfDir, "customer").schema.toDDL),
+      Array.empty, java.util.Map.of(Options.Path, store))
+      .asInstanceOf[CassandraLikeTable]
+    val scan = new CellScanBuilder(table, Map.empty).build().asInstanceOf[CellScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("c_custkey"))
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("c_custkey", Array(42L, 43L))))
+    val after = scan.planInputPartitions().length
+    assert(after <= 2 && after < before, s"runtime In pruned $before -> $after")
+  }
+
   test("catalog: SQL DDL round trip incl. drop and rename") {
     val wh = java.nio.file.Files.createTempDirectory("cat").toString
     spark.conf.set("spark.sql.catalog.speccat",
