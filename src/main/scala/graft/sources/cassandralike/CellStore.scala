@@ -416,6 +416,27 @@ object CellStore {
     } finally s.close()
   }
 
+  /** Every segment file grouped by bucket, from ONE directory listing — the
+    * planning path (stats + bucket pruning + partition planning) shares a
+    * single walk instead of listing per bucket per step; at many-segment
+    * scale the listing itself is the driver-side cost. */
+  def allSegmentFiles(tableDir: String): Map[Int, Seq[Path]] = {
+    val d = Paths.get(tableDir, SstDir)
+    if (!Files.isDirectory(d)) return Map.empty
+    val Name = "b(\\d+)-.*".r
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case Name(b) => Some(b.toInt -> p)
+          case _ => None
+        }
+      }.toSeq.groupMap(_._1)(_._2)
+        .view.mapValues(_.sortBy(_.getFileName.toString)).toMap
+    } finally s.close()
+  }
+
   /** All live cells of one bucket after last-write-wins reconciliation, in
     * address order — materialized convenience over [[BucketMergeIterator]]
     * for tests and tooling; the scan itself streams. */

@@ -236,6 +236,28 @@ class ConnectorSpec extends SparkSpec {
     assert(Seed.read(spark, dir).count() == 0)
   }
 
+  test("S1: big buckets sub-split into key ranges; parallelism grows with data") {
+    val sp = spark; import sp.implicits._
+    val src = (1L to 20000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_subsplit", src,
+      props = Map(Options.Buckets -> "4"))
+    // default target (64Ki cells) -> no splitting at this size
+    val plain = Seed.read(spark, store, Map(Options.Buckets -> "4"))
+    assert(scanOf(plain).inputRDD.getNumPartitions == 4)
+    // low target -> every bucket splits into multiple key ranges
+    val opts = Map(Options.Buckets -> "4", Options.SplitTargetCells -> "1000")
+    val split = Seed.read(spark, store, opts)
+    val parts = scanOf(split).inputRDD.getNumPartitions
+    assert(parts > 4, s"expected sub-bucket splits beyond 4 buckets, got $parts")
+    // ranges partition the keyspace exactly: no row lost or duplicated
+    assert(split.count() == 20000)
+    assert(split.exceptAll(src).isEmpty && src.exceptAll(split).isEmpty)
+    // and each split carries ~its share: no partition reads the whole bucket
+    val sizes = split.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.count(_ > 0) == parts, s"empty splits planned: ${sizes.toSeq}")
+    assert(sizes.max < 20000 / 4, s"a split read a whole bucket: ${sizes.toSeq}")
+  }
+
   test("limit pushdown reaches the scan and caps partition output") {
     val store = Seed.table(spark, sfDir, "spec_limit",
       Tables.load(spark, sfDir, "customer"))
