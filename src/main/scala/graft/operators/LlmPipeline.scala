@@ -147,22 +147,14 @@ object LlmPipeline {
       // the corpus; MEMORY_AND_DISK spills rather than recomputes at scale
       val sh = shingles(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // an INDEPENDENT universal-hash family per minhash index:
-      // h_i = (a_i*h + b_i) mod p with fixed-seed coefficients. (A two-hash
-      // Kirsch-Mitzenmacher family fails here: one exclusive shingle with a
-      // small (h1, h2) dominates every linear combination at once, hiding a
-      // 0.97-Jaccard pair.) a_i*h stays < 1e18, inside ANSI Long arithmetic.
-      val P = 1000000007L
-      val rnd = new scala.util.Random(20260812)
-      val coef = Seq.fill(128)((rnd.nextInt(1000000006) + 1).toLong ->
-        rnd.nextInt(1000000007).toLong)
-      val withH = sh.withColumn("h", expr("pmod(xxhash64(shingle), 1000000007L)"))
-      val aggs = coef.zipWithIndex.map { case ((a, b), i) =>
-        min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"s$i")
-      }
-      val sig = withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 128).map(i => col(s"s$i")): _*).as("sig"))
+      // 128-wide signature in ONE array-buffered aggregate
+      // (graft.functions.MinHashSignature): the per-row update is a tight
+      // multiply-mod loop instead of 128 separate min() columns, map-side
+      // combine still applies, and the shuffle carries one 1 KiB buffer per
+      // group instead of 128 agg slots
+      val sig = sh
+        .withColumn("h", expr("pmod(xxhash64(shingle), 1000000007L)"))
+        .groupBy("doc_id").agg(expr("minhash_signature(h)").as("sig"))
       val bands = sig.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 31), j -> xxhash64(slice(sig, j*4+1, 4), j))"))
         .as(Seq("band", "bh")))
@@ -275,6 +267,61 @@ object LlmPipeline {
           "aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
           / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- embedding near-dup at cos >= 0.9: the SUBLINEAR bucketed path
+    // that the 0.45-threshold exact join (above) is out of regime for. At
+    // near-dup cosines sign-LSH banding works: a true pair at cos 0.9996
+    // disagrees on each sketch bit with prob acos(c)/π ≈ 0.009, so a 16-bit
+    // band collides with prob ≈ 0.865 and 64 bands miss with prob ≈ 1e-55,
+    // while a random pair (cos ≈ 0) collides on a band with prob 2^-16 —
+    // candidates scale ~linearly in N, then exact cosine verifies. The
+    // fixture has no natural near-dups (quasi-random vectors), so the query
+    // derives a deterministic perturbed copy of every vector (± ≤2% per
+    // dimension, a function of (vec_id, dim) both engines compute
+    // identically) and must find exactly the planted (id, id+1000000)
+    // pairs — the DuckDB oracle recomputes the full quadratic join over the
+    // same derived set. ----
+    Q("llm_dedup_embedding_neardup",
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |pert AS (SELECT vec_id + 1000000 AS vec_id,
+        |    [v[i] * (1.0 + 0.01 * ((vec_id + i) % 5 - 2)) for i in range(1, len(v)+1)] AS v
+        |  FROM base),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 3) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val base = emb(s, dir)
+      // deterministic near-dup: identical IEEE double expression order as the
+      // oracle (Spark's transform index is 0-based, DuckDB's range 1-based)
+      val pert = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x * (1.0D + 0.01D * ((vec_id + i + 1) % 5 - 2)))").as("v"))
+      val all = base.unionByName(pert)
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+        .withColumn("sk", expr("sign_sketch(v)"))
+      // 64 bands x 16 sketch bits, packed into one long equi-join key
+      val bands = all.select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 63), j -> j * 65536L +
+          |  ((element_at(sk, CAST(j div 4 AS INT) + 1) >> ((j % 4) * 16)) & 65535L))""".stripMargin))
+        .as("bk"))
+      val cand = bands.as("x").join(bands.as("y"), Seq("bk"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+        .distinct()
+      val side = all.select(col("vec_id"), col("v"), col("norm"))
+      cand
+        .join(side.select(col("vec_id").as("id_a"), col("v").as("va"), col("norm").as("na")), "id_a")
+        .join(side.select(col("vec_id").as("id_b"), col("v").as("vb"), col("norm").as("nb")), "id_b")
+        .withColumn("cos", expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("cos"), 3).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -159,6 +159,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SketchHamming(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: minhash_signature(hash BIGINT)")
+        graft.functions.MinHashSignature(exprs.head).toAggregateExpression()
+      }))
+    e.injectFunction((
       new FunctionIdentifier("cassandra_validator"),
       new ExpressionInfo(classOf[CassandraValidatorString].getName, "cassandra_validator"),
       (exprs: Seq[Expression]) => {

@@ -91,6 +91,37 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain pairs above the threshold")
   }
 
+  test("minhash_signature aggregate equals 128 independent min() columns") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, 10L), (1L, 999L), (1L, 123456L), (2L, 10L), (2L, 77L))
+      .toDF("g", "h")
+    val viaAgg = df.groupBy("g").agg(expr("minhash_signature(h)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (as, bs) = (functions.MinHash.as, functions.MinHash.bs)
+    val expected = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { rows =>
+        (0 until functions.MinHash.N).map(i =>
+          rows.map { case (_, h) => (as(i) * h + bs(i)) % functions.MinHash.P }.min)
+      }.toMap
+    assert(viaAgg.keySet == expected.keySet)
+    expected.foreach { case (g, sig) => assert(viaAgg(g) == sig, s"group $g") }
+  }
+
+  test("embedding near-dup banding finds every planted pair, sublinearly") {
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    val rows = q("llm_dedup_embedding_neardup").collect()
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every (id, id+1000000) planted pair is found — zero recall loss
+    val planted = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(got), s"missed ${(planted -- got).size} planted pairs")
+    // and nothing below the threshold leaks through the exact verify
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.9))
+    // candidate generation is banded: result stays ~N, not N^2
+    assert(got.size < 2 * n, s"${got.size} pairs for $n vectors — not near-dup regime")
+  }
+
   test("ann_topk returns exactly 5 ranked neighbors per query") {
     val rows = q("llm_ann_topk").collect()
     val byQ = rows.groupBy(_.getAs[Long]("qid"))
