@@ -46,7 +46,14 @@ object Options {
     * with data the same way — ≤64Ki rows per split,
     * input/HiveCassandraStandardColumnInputFormat.java:131-189). */
   val DefaultSplitTargetCells = 64L * 1024
+  val WriteBufferCells = "write.buffer.cells" // writer memtable bound (cells)
+
   val DefaultBatchMutate = 500 // serde/AbstractColumnSerDe.java:75
+  /** Total pending cells a writer task holds in memory before spilling its
+    * largest bucket as a sorted run (~10 MB at 100-byte cells) — bounds the
+    * task footprint regardless of bucket count while keeping on-disk runs
+    * large enough that run headers and compaction stay negligible. */
+  val DefaultWriteBufferCells = 64 * 1024
   val DefaultPageSize = 1000 // serde/AbstractColumnSerDe.java:71
 
   /** Resolution order: per-read/write option > session conf (merged into the

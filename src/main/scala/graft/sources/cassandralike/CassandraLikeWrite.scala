@@ -111,6 +111,19 @@ class CellDataWriter(
 
   private val buffer = mutable.ArrayBuffer.empty[Cell]
   private val streams = mutable.HashMap.empty[Int, (String, DataOutputStream)]
+  // Memtable discipline between batch and disk: flushed batches accumulate
+  // in per-bucket pending buffers and spill to disk as ONE sorted run per
+  // bucket only under memory pressure (largest bucket first) or at commit.
+  // A 500-cell batch fanned over 32 buckets would otherwise write ~15-cell
+  // runs — header-dominated IO that commit-time compaction then rereads and
+  // rewrites; with pending buffers, a task whose output fits the write
+  // buffer writes every byte exactly once and compaction has nothing to do.
+  // Memory is bounded by TOTAL pending cells (not per bucket), so a high
+  // bucket count cannot multiply the footprint.
+  private val writeBufferCells = opt(Options.WriteBufferCells).map(_.toInt)
+    .getOrElse(Options.DefaultWriteBufferCells)
+  private val pending = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Cell]]
+  private var totalPending = 0
   /** Number of threshold flushes performed (observable for W3 tests). */
   var flushes = 0
 
@@ -177,29 +190,45 @@ class CellDataWriter(
 
   private def add(c: Cell): Unit = buffer += c
 
-  /** Each flush appends ONE SORTED RUN per touched bucket (CellStore run
-    * format) so the read side can k-way stream-merge instead of
-    * materializing the bucket. Sort cost is O(batch log batch) on a
-    * ~500-cell batch — noise next to the IO it organizes. */
+  /** Each flush hands the batch to the per-bucket pending buffers, then
+    * spills the LARGEST buckets as sorted runs until total pending fits the
+    * write buffer. Sort cost is O(run log run) at spill time — noise next to
+    * the IO it organizes. */
   private def flush(): Unit = {
-    buffer.groupBy(c => TokenRing.bucket(c.key, buckets)).foreach { case (b, cells) =>
-      val (_, out) = streams.getOrElseUpdate(b, {
-        val tmp = s"tmp-${UUID.randomUUID()}-b$b.bin"
-        Files.createDirectories(Paths.get(dir, CellStore.SstDir))
-        (tmp, CellStore.newSegmentStream(Paths.get(dir, CellStore.SstDir, tmp)))
-      })
-      CellStore.writeRun(out, cells.toSeq)
+    buffer.foreach { c =>
+      pending.getOrElseUpdate(TokenRing.bucket(c.key, buckets),
+        mutable.ArrayBuffer.empty[Cell]) += c
     }
+    totalPending += buffer.length
     buffer.clear()
+    while (totalPending > writeBufferCells) {
+      val (b, cells) = pending.maxBy(_._2.length)
+      spillRun(b, cells.toSeq)
+      totalPending -= cells.length
+      pending.remove(b)
+    }
+  }
+
+  private def spillRun(b: Int, cells: Seq[Cell]): Unit = {
+    val (_, out) = streams.getOrElseUpdate(b, {
+      val tmp = s"tmp-${UUID.randomUUID()}-b$b.bin"
+      Files.createDirectories(Paths.get(dir, CellStore.SstDir))
+      (tmp, CellStore.newSegmentStream(Paths.get(dir, CellStore.SstDir, tmp)))
+    })
+    CellStore.writeRun(out, cells)
   }
 
   override def commit(): WriterCommitMessage = {
     flush()
+    pending.foreach { case (b, cells) => spillRun(b, cells.toSeq) }
+    pending.clear()
+    totalPending = 0
     streams.values.foreach(_._2.close())
     // task-local compaction: every committed segment is ONE sorted run, so a
     // bucket read costs one cursor per segment (per writing task), never one
-    // per flush — the bound that keeps reader fd/memory use flat as tasks
-    // stream arbitrarily many batches
+    // per spill — the bound that keeps reader fd/memory use flat as tasks
+    // stream arbitrarily many batches. No-op for the common task whose
+    // output fit the write buffer (segment already a single run).
     streams.values.foreach { case (tmp, _) =>
       CellStore.compactSegment(Paths.get(dir, CellStore.SstDir, tmp))
     }

@@ -163,13 +163,15 @@ class ConnectorSpec extends SparkSpec {
   }
 
   test("commit-time compaction: multi-flush DSv2 write reads back intact") {
-    // The test whose absence let round 4 ship corrupt: >500 cells per task
-    // forces multiple flush runs per segment, so DataWriter.commit compacts
-    // every segment — the full write -> compact -> read cycle must round-trip.
+    // The test whose absence let round 4 ship corrupt: a tiny write buffer
+    // forces every flush to spill multi-run segments, so DataWriter.commit
+    // compacts every segment — the full write -> spill -> compact -> read
+    // cycle must round-trip.
     val sp = spark; import sp.implicits._
     val src = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
       .repartition(1) // one task -> 2000 cells -> 4 batch-size flushes
-    val store = Seed.table(spark, sfDir, "spec_compact_e2e", src)
+    val store = Seed.table(spark, sfDir, "spec_compact_e2e", src,
+      writeOptions = Map(Options.WriteBufferCells -> "100"))
     // every committed segment is exactly one indexed run
     val segs = (0 until Options.DefaultBuckets)
       .flatMap(b => CellStore.segmentFiles(store, b))
