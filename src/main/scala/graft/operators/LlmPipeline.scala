@@ -39,19 +39,21 @@ object LlmPipeline {
         "array_distinct(transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5))))"))
         .as("shingle"))
 
-  /** Exact Jaccard for candidate pairs only: the shingle inverted index is
-    * restricted to docs that appear in a candidate pair, so verification cost
-    * scales with candidates, not the corpus — including the size counts,
-    * which aggregate only candidate docs' shingles. */
-  private def verifyJaccard(cand0: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    // the candidate set is referenced by three downstream branches (both
-    // sides of the intersection join via cdocs, and the final semi-join);
-    // persist it so candidate GENERATION — the expensive sketch pipeline —
-    // runs once. Candidates are tiny relative to the corpus by construction.
+  /** Exact Jaccard verification that re-derives grams for CANDIDATE DOCS
+    * ONLY: the candidate doc-id set (tiny by construction — sketch collisions)
+    * broadcasts into a semi-join against the corpus, and only those docs are
+    * exploded. The full-corpus gram table is never persisted or re-scanned
+    * for verification, so verify cost scales with candidates at any corpus
+    * size. The candidate set itself persists because three branches reference
+    * it (both sides of the doc-id union and the final pair semi-join) — the
+    * expensive sketch pipeline must run once, not three times. */
+  private def verifyJaccardDocs(cand0: DataFrame, d: DataFrame,
+      grams: DataFrame => DataFrame, threshold: Double): DataFrame = {
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cdocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    val shc = sh.join(cdocs, "doc_id")
+    val shc = grams(d.join(broadcast(cdocs), Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a")
       .join(shc.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -142,19 +144,19 @@ object LlmPipeline {
     // exact Jaccard verification; the oracle recomputes true pairs, so a
     // recall miss would show up as a row-count mismatch. ----
     Q("llm_dedup_minhash", jaccardOracle, bench = true) { (s, dir) =>
-      // the shingle table feeds three passes (signatures, candidate
-      // restriction, size counts) — persist it once instead of re-exploding
-      // the corpus; MEMORY_AND_DISK spills rather than recomputes at scale
-      val sh = shingles(docs(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // 128-wide signature in ONE array-buffered aggregate
-      // (graft.functions.MinHashSignature): the per-row update is a tight
-      // multiply-mod loop instead of 128 separate min() columns, map-side
-      // combine still applies, and the shuffle carries one 1 KiB buffer per
-      // group instead of 128 agg slots
-      val sig = sh
-        .withColumn("h", expr("pmod(xxhash64(shingle), 1000000007L)"))
-        .groupBy("doc_id").agg(expr("minhash_signature(h)").as("sig"))
+      val d = docs(s, dir)
+      // MAP-ONLY signatures: each doc's distinct shingle hashes and the
+      // 128-min kernel (graft.functions.MinHashSignatureArr, codegen'd tight
+      // loop) are computed row-locally — no corpus-wide explode, no groupBy
+      // shuffle, no persist. The only shuffles in the whole query are the
+      // band equi-join, the pair distinct, and the candidate-only verify.
+      val sig = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), expr(
+          """minhash_signature_arr(transform(
+            |  array_distinct(transform(sequence(1, size(w)-4),
+            |                           i -> concat_ws(' ', slice(w, i, 5)))),
+            |  s -> pmod(xxhash64(s), 1000000007L)))""".stripMargin).as("sig"))
       val bands = sig.select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, 31), j -> xxhash64(slice(sig, j*4+1, 4), j))"))
         .as(Seq("band", "bh")))
@@ -162,23 +164,18 @@ object LlmPipeline {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
+      verifyJaccardDocs(cand, d, shingles, 0.8).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit
     // bands for candidates, Hamming<=12 prefilter, exact verification ----
     Q("llm_dedup_simhash", jaccardOracle) { (s, dir) =>
       val d = docs(s, dir)
-      val words = d.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("word"))
-        .withColumn("h", expr("xxhash64(word)"))
-      val bitAggs = (0 until 64).map(k =>
-        sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
-      val sig = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(k =>
-            when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
-            .reduce(_.bitwiseOR(_)).as("sig"))
+      // map-only signature: per-bit ±1 voting over the doc's distinct word
+      // hashes happens row-locally (graft.functions.SimHash64) — bit-for-bit
+      // the explode + 64-sum-column formulation, without its shuffle
+      val sig = d.select(col("doc_id"), expr(
+        "simhash64(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"), posexplode(expr(
         "transform(sequence(0, 7), j -> (sig >> (j*8)) & 255)")).as(Seq("band", "bh")))
       val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
@@ -186,9 +183,7 @@ object LlmPipeline {
         .filter(expr("bit_count(x.sig ^ y.sig) <= 12"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sh = shingles(d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      verifyJaccard(cand, sh, 0.8).orderBy(col("doc_a"), col("doc_b"))
+      verifyJaccardDocs(cand, d, shingles, 0.8).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // ---- character 4-gram Jaccard similarity join: EXACT, via prefix
@@ -211,8 +206,9 @@ object LlmPipeline {
         |FROM inter JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // gram postings feed three passes (df counts, prefix ranking, exact
-      // verification) — persist once; the harness clears cache per query
+      // gram postings feed two passes inside the prefix stage (df counts,
+      // prefix ranking) — persist once; verification re-derives grams for
+      // candidate docs only, so the corpus-wide table never feeds verify
       val grams = charGrams(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val prefix = gramPrefixes(grams)
@@ -221,7 +217,8 @@ object LlmPipeline {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(cand, grams.withColumnRenamed("gram", "shingle"), 0.9)
+      verifyJaccardDocs(cand, docs(s, dir),
+        df => charGrams(df).withColumnRenamed("gram", "shingle"), 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

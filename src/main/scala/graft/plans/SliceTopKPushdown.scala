@@ -166,6 +166,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSignature(exprs.head).toAggregateExpression()
       }))
     e.injectFunction((
+      new FunctionIdentifier("minhash_signature_arr"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignatureArr].getName, "minhash_signature_arr"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: minhash_signature_arr(array<bigint>)")
+        graft.functions.MinHashSignatureArr(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: simhash64(array<bigint>)")
+        graft.functions.SimHash64(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("cassandra_validator"),
       new ExpressionInfo(classOf[CassandraValidatorString].getName, "cassandra_validator"),
       (exprs: Seq[Expression]) => {

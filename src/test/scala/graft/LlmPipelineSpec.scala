@@ -107,6 +107,38 @@ class LlmPipelineSpec extends SparkSpec {
     expected.foreach { case (g, sig) => assert(viaAgg(g) == sig, s"group $g") }
   }
 
+  test("minhash_signature_arr scalar kernel equals the aggregate, groupwise") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, Seq(10L, 999L, 123456L)), (2L, Seq(10L, 77L)))
+      .toDF("g", "hs")
+    val viaScalar = df.select(col("g"), expr("minhash_signature_arr(hs)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = df.select(col("g"), explode(col("hs")).as("h"))
+      .groupBy("g").agg(expr("minhash_signature(h)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaScalar == viaAgg)
+  }
+
+  test("simhash64 scalar kernel equals the 64-sum-column formulation") {
+    val sp = spark; import sp.implicits._
+    val d = Tables.load(spark, sfDir, "documents").limit(200)
+    val viaScalar = d.select(col("doc_id"), expr(
+      "simhash64(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = d.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("word"))
+      .withColumn("h", expr("xxhash64(word)"))
+    val bitAggs = (0 until 64).map(k =>
+      sum(when(expr(s"(h >> $k) & 1") === 1, 1).otherwise(-1)).as(s"b$k"))
+    val viaAggs = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(k =>
+          when(col(s"b$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaScalar == viaAggs)
+  }
+
   test("embedding near-dup banding finds every planted pair, sublinearly") {
     val n = Tables.load(spark, sfDir, "embeddings").count()
     val rows = q("llm_dedup_embedding_neardup").collect()
