@@ -471,7 +471,7 @@ class CellPartitionReader(
             }
           }.orNull
         case FieldRole.FamilyMap =>
-          val named = mapping.cellFields.map { case MappedField(_, _, FieldRole.Cell(n)) => n }.toSet
+          val named = mapping.cellFields.collect { case MappedField(_, _, FieldRole.Cell(n)) => n }.toSet
           val mt = f.dataType.asInstanceOf[MapType]
           val rest = cells.filterNot(c =>
             named.contains(new String(c.col, java.nio.charset.StandardCharsets.UTF_8)))

@@ -24,7 +24,36 @@ class CellWriteBuilder(table: CassandraLikeTable, info: LogicalWriteInfo)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  /** The write declares its ideal input layout instead of hand-shuffling:
+    * CLUSTER by row key (all cells of a storage row land in one task → one
+    * segment, and write parallelism comes from Spark's shuffle rather than
+    * whatever partitioning the source happened to have — a single-partition
+    * source would otherwise funnel the whole job through one writer task),
+    * ORDER by the cell address (key, then clustering column for transposed
+    * mappings), so per-bucket runs arrive presorted and the writer's run
+    * sort is an O(n) adaptive pass. Spark inserts the exchange/sort only
+    * when the child's layout doesn't already satisfy it. */
+  override def build(): Write = new Write
+    with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+
+    private def orderCols: Seq[String] = {
+      val m = table.mapping
+      val key = m.keyField.name
+      if (m.transposed) {
+        val sub = if (m.hasSubColumn) Seq(m.field(FieldRole.TransSubColumn).name) else Nil
+        key +: m.field(FieldRole.TransColumn).name +: sub
+      } else Seq(key)
+    }
+
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity(table.mapping.keyField.name)))
+
+    override def requiredOrdering(): Array[SortOrder] =
+      orderCols.map(c => Expressions.sort(Expressions.identity(c),
+        SortDirection.ASCENDING)).toArray
+
     override def toBatch: BatchWrite = {
       // session-conf overrides resolved here, on the driver (D3)
       import scala.jdk.CollectionConverters._
