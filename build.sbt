@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one heap across 32 executor threads — 8g meant
+  // ~250MB/thread and GC-dominated, noisy benchmarks (2x run-to-run swings
+  // on unchanged queries). The container has 128GiB; 32g keeps shuffle and
+  // persist blocks on-heap at sf0.1 without risking the host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+) ++ sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty)) ++ Seq(
 )

@@ -25,6 +25,93 @@ object MinHash {
     (pairs.map(_._1), pairs.map(_._2))
   }
 
+  /** Distinct 5-word-shingle hashes of a document, with zero shingle-string
+    * allocation: split on single spaces (empties kept — identical token
+    * stream to Spark's `split(text, ' ')`), hash each word's UTF-8 bytes
+    * (xx-style mix), slide a 5-window polynomial combine over the word
+    * hashes (boundary-safe: words hash separately before combining), and
+    * dedup the resulting longs. Docs with <5 words return an empty array —
+    * the same drop the `size(w) >= 5` filter performs. Only determinism
+    * matters here (the LSH family consumes these; exact verification
+    * recomputes true Jaccard from strings), so the hash need not equal any
+    * SQL builtin's. */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val bytes = text.getBytes
+    // word hashes: one pass over the bytes, xx-style accumulate per word
+    val wordHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var acc = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        wordHashes += mix64(acc)
+        acc = 0x9e3779b97f4a7c15L
+      } else {
+        acc = (acc ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      }
+      i += 1
+    }
+    val nw = wordHashes.length
+    if (nw < 5) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nw - 4)
+    var j = 0
+    while (j + 5 <= nw) {
+      var h = 0L
+      var k = 0
+      while (k < 5) { h = h * 0xc2b2ae3d27d4eb4fL + wordHashes(j + k); k += 1 }
+      out(j) = mix64(h)
+      j += 1
+    }
+    // distinct: sort + unique (allocation-light, deterministic order is
+    // irrelevant — min/band aggregation is order-independent)
+    java.util.Arrays.sort(out)
+    var n = 0
+    var m = 0
+    while (m < out.length) {
+      if (m == 0 || out(m) != out(m - 1)) { out(n) = out(m); n += 1 }
+      m += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Fused bands kernel: reduce each raw hash into [0, P), run the 128-family
+    * min loop, then emit the 32 band keys (4 consecutive minima + band index,
+    * mixed) — one array allocation per document, no intermediate signature
+    * row, no per-band slice. Band keys only need determinism + spread; the
+    * downstream equi-join carries (bandIndex, key). */
+  def bandKeys(arr: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
+    val buf = Array.fill(N)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      var h = arr.getLong(j) % P
+      if (h < 0) h += P
+      var i = 0
+      while (i < N) {
+        val x = (as(i) * h + bs(i)) % P
+        if (x < buf(i)) buf(i) = x
+        i += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Long](N / 4)
+    var b = 0
+    while (b < bands.length) {
+      var h = b.toLong
+      var k = 0
+      while (k < 4) { h = h * 0xc2b2ae3d27d4eb4fL + buf(b * 4 + k); k += 1 }
+      bands(b) = mix64(h)
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
   /** Row-local signature kernel: the 128 per-family minima over one doc's
     * base-hash array — identical arithmetic to the [[MinHashSignature]]
     * aggregate's update loop, but with the whole document in hand the
@@ -97,6 +184,60 @@ case class MinHashSignatureArr(child: Expression)
         s"graft.functions.MinHash$$.MODULE$$.signatureOf($c);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureArr =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(text)` → `array<bigint>`: distinct 5-word-shingle hashes,
+  * string-allocation-free (see [[MinHash.shingleHashes]]). */
+case class ShingleHashes(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects STRING, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.shingleHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.MinHash$$.MODULE$$.shingleHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `minhash_bands(array<bigint>)` → `array<bigint>` of 32 LSH band keys
+  * (fused 128-min + band combine, see [[MinHash.bandKeys]]). */
+case class MinHashBands(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects ARRAY<BIGINT>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.bandKeys(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.MinHash$$.MODULE$$.bandKeys($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
     copy(child = newChild)
 }
 

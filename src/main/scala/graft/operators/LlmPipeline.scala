@@ -50,10 +50,17 @@ object LlmPipeline {
   private def verifyJaccardDocs(cand0: DataFrame, d: DataFrame,
       grams: DataFrame => DataFrame, threshold: Double): DataFrame = {
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pin the cache NOW: the broadcast branch and the final pair semi-join
+    // both read `cand`, and under AQE their stages launch concurrently — two
+    // racing cache misses would run the whole sketch pipeline twice (observed
+    // as 3x run-to-run swings at sf0.1). One cheap count() materializes the
+    // candidate set once; every later branch is a guaranteed cache hit.
+    cand.count()
     val cdocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     val shc = grams(d.join(broadcast(cdocs), Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shc.count() // same reasoning: three downstream branches read shc
     val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shc.as("a")
       .join(shc.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -145,21 +152,16 @@ object LlmPipeline {
     // recall miss would show up as a row-count mismatch. ----
     Q("llm_dedup_minhash", jaccardOracle, bench = true) { (s, dir) =>
       val d = docs(s, dir)
-      // MAP-ONLY signatures: each doc's distinct shingle hashes and the
-      // 128-min kernel (graft.functions.MinHashSignatureArr, codegen'd tight
-      // loop) are computed row-locally — no corpus-wide explode, no groupBy
-      // shuffle, no persist. The only shuffles in the whole query are the
-      // band equi-join, the pair distinct, and the candidate-only verify.
-      val sig = d.select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), expr(
-          """minhash_signature_arr(transform(
-            |  array_distinct(transform(sequence(1, size(w)-4),
-            |                           i -> concat_ws(' ', slice(w, i, 5)))),
-            |  s -> pmod(xxhash64(s), 1000000007L)))""".stripMargin).as("sig"))
-      val bands = sig.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, 31), j -> xxhash64(slice(sig, j*4+1, 4), j))"))
-        .as(Seq("band", "bh")))
+      // MAP-ONLY candidate generation: doc text → distinct shingle hashes
+      // (string-free rolling-window kernel) → 32 LSH band keys (fused
+      // 128-min + band combine) happens row-locally in two codegen'd
+      // expressions — no corpus-wide explode, no groupBy shuffle, no shingle
+      // string allocation, one output array per doc. The only shuffles in
+      // the whole query are the band equi-join, the pair distinct, and the
+      // candidate-only verify. A doc with <5 words yields an empty band
+      // array and drops out in posexplode, mirroring the shingle filter.
+      val bands = d.select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
       val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -211,6 +213,7 @@ object LlmPipeline {
       // candidate docs only, so the corpus-wide table never feeds verify
       val grams = charGrams(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      grams.count() // pin before the df/size/rank branches race the cache
       val prefix = gramPrefixes(grams)
       val cand = prefix.as("a")
         .join(prefix.as("b"), col("a.gram") === col("b.gram") &&

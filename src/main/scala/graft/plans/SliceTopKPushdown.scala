@@ -173,6 +173,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSignatureArr(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: shingle_hashes(text)")
+        graft.functions.ShingleHashes(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[graft.functions.MinHashBands].getName, "minhash_bands"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: minhash_bands(array<bigint>)")
+        graft.functions.MinHashBands(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

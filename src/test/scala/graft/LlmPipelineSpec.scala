@@ -119,6 +119,22 @@ class LlmPipelineSpec extends SparkSpec {
     assert(viaScalar == viaAgg)
   }
 
+  test("shingle_hashes matches the SQL shingle set in size, per doc") {
+    // hash values are intentionally different from xxhash64(shingle string);
+    // the SET SIZE must match the SQL formulation exactly (same tokenization:
+    // single-space split, empties kept, <5-word docs empty)
+    val d = Tables.load(spark, sfDir, "documents").limit(500)
+    val mismatch = d.select(
+      expr("size(shingle_hashes(text))").as("kernel"),
+      expr("""CASE WHEN size(split(text, ' ')) >= 5 THEN
+              |size(array_distinct(transform(
+              |  sequence(1, size(split(text, ' '))-4),
+              |  i -> concat_ws(' ', slice(split(text, ' '), i, 5)))))
+              |ELSE 0 END""".stripMargin).as("sql"))
+      .filter(col("kernel") =!= col("sql")).count()
+    assert(mismatch == 0)
+  }
+
   test("simhash64 scalar kernel equals the 64-sum-column formulation") {
     val sp = spark; import sp.implicits._
     val d = Tables.load(spark, sfDir, "documents").limit(200)
