@@ -23,6 +23,18 @@ final case class MediaFeatures(
     mean_byte: Double,
     payload_fp: Long)
 
+final case class ResizedMedia(
+    doc_id: Long,
+    out_bytes: Long,
+    checksum: Long,
+    resized_fp: Long)
+
+final case class SampledFrames(
+    doc_id: Long,
+    n_sampled: Long,
+    bytes_sampled: Long,
+    sampled_fp: Long)
+
 object Multimodal {
 
   /** Bytes per synthetic "frame" (a decoded chunk unit — stands in for an
@@ -54,6 +66,81 @@ object Multimodal {
     * see. */
   def decodeFramesStub(payload: Array[Byte]): Iterator[Array[Byte]] =
     payload.grouped(FrameBytes)
+
+  /** Resize target: every payload downsamples to this many "pixels". */
+  val ResizeTo = 256
+  /** Frame-sample stride: keep every k-th decoded frame (keyframe model). */
+  val SampleEvery = 4
+
+  /** Nearest-neighbor downsample of a decoded payload to [[ResizeTo]]
+    * samples — the resize op of an image pipeline, over the stub codec's
+    * byte-"pixels": out(p) = in(p * n / ResizeTo). Deterministic, O(out),
+    * no intermediate full-resolution buffer. */
+  def resizeStub(payload: Array[Byte]): Array[Byte] = {
+    val n = payload.length
+    if (n == 0) return Array.emptyByteArray
+    val out = new Array[Byte](ResizeTo)
+    var p = 0
+    while (p < ResizeTo) {
+      out(p) = payload((p.toLong * n / ResizeTo).toInt)
+      p += 1
+    }
+    out
+  }
+
+  /** Keep every [[SampleEvery]]-th frame of the decoded stream — the
+    * keyframe-extraction op of a video pipeline. Streams through the codec
+    * iterator; memory is one frame, never the decoded payload. */
+  def sampleFramesStub(payload: Array[Byte]): Iterator[Array[Byte]] =
+    decodeFramesStub(payload).zipWithIndex
+      .collect { case (f, i) if i % SampleEvery == 0 => f }
+
+  /** Partition-parallel resize: one pass per item, fixed output schema
+    * (size, checksum, rolling fingerprint of the resized samples). */
+  def resizeAll(items: Dataset[MediaItem]): Dataset[ResizedMedia] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        val out = resizeStub(item.payload)
+        var sum = 0L
+        var fp = 0L
+        var i = 0
+        while (i < out.length) {
+          val b = out(i) & 0xff
+          sum += b
+          fp = (fp * 31 + b) % 1000000007L
+          i += 1
+        }
+        ResizedMedia(item.doc_id, out.length.toLong, sum, fp)
+      }
+    }
+  }
+
+  /** Partition-parallel frame sampling: fingerprint + byte count over the
+    * kept frames only. */
+  def sampleAll(items: Dataset[MediaItem]): Dataset[SampledFrames] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      it.map { item =>
+        var frames = 0L
+        var bytes = 0L
+        var fp = 0L
+        sampleFramesStub(item.payload).foreach { frame =>
+          frames += 1
+          var i = 0
+          while (i < frame.length) {
+            val b = frame(i) & 0xff
+            bytes += 1
+            fp = (fp * 31 + b) % 1000000007L
+            i += 1
+          }
+        }
+        SampledFrames(item.doc_id, frames, bytes, fp)
+      }
+    }
+  }
 
   /** Partition-parallel batched feature extraction: the multimodal
     * equivalent of a vectorized decode UDF. Each partition iterates its

@@ -522,6 +522,52 @@ object LlmPipeline {
         .select(col("doc_id"), col("modality"), col("n_bytes"), col("n_frames"),
           col("mean_byte"), col("payload_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal resize: nearest-neighbor downsample of every payload
+    // to a fixed 256-sample grid (the image-resize op over the stub codec's
+    // byte-pixels; out(p) = in(p*n/256), O(out) per item, partition-parallel
+    // mapPartitions, no shuffle). The oracle recomputes the same sampling
+    // over the UTF-8 bytes in DuckDB. ----
+    Q("llm_multimodal_resize",
+      """WITH b AS (SELECT doc_id, strlen(text) AS n,
+        |    [ord(text[CAST(p * strlen(text) // 256 AS BIGINT) + 1])::BIGINT
+        |     for p in range(0, 256)] AS px
+        |  FROM documents WHERE strlen(text) > 0)
+        |SELECT doc_id, 256::BIGINT AS out_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, px), (a, x) -> a + x) AS checksum,
+        |  list_reduce(list_prepend(0::BIGINT, px),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS resized_fp
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val items = graft.multimodal.Multimodal.synthesize(
+        docs(s, dir).filter(length(col("text")) > 0))
+      graft.multimodal.Multimodal.resizeAll(items).toDF()
+        .select(col("doc_id"), col("out_bytes"), col("checksum"), col("resized_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal frame sampling: keep every 4th 256-byte frame of the
+    // decoded stream (keyframe extraction); fingerprint and count the kept
+    // frames only. Streaming over the codec iterator — memory is one frame
+    // per item regardless of payload size. ----
+    Q("llm_multimodal_frame_sample",
+      """WITH f AS (SELECT doc_id,
+        |    list_aggregate(
+        |      [text[i*256 + 1 : least((i+1)*256, strlen(text))]
+        |       for i in range(0, CAST((strlen(text) + 255) // 256 AS BIGINT)) if i % 4 = 0],
+        |      'string_agg', '') AS kept,
+        |    len([i for i in range(0, CAST((strlen(text) + 255) // 256 AS BIGINT)) if i % 4 = 0]) AS n_sampled
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(strlen(kept) AS BIGINT) AS bytes_sampled,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ord(x)::BIGINT for x in string_split(kept, '')]),
+        |    (a, x) -> (a * 31 + x) % 1000000007) AS sampled_fp
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val items = graft.multimodal.Multimodal.synthesize(docs(s, dir))
+      graft.multimodal.Multimodal.sampleAll(items).toDF()
+        .select(col("doc_id"), col("n_sampled"), col("bytes_sampled"), col("sampled_fp"))
+        .orderBy(col("doc_id"))
     }
   )
 }

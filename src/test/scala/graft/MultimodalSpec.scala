@@ -33,6 +33,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub is nearest-neighbor at exactly ResizeTo samples") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val out = Multimodal.resizeStub(payload)
+    assert(out.length == Multimodal.ResizeTo)
+    (0 until Multimodal.ResizeTo).foreach { p =>
+      assert(out(p) == payload((p.toLong * 1000 / Multimodal.ResizeTo).toInt))
+    }
+    // shorter-than-target payloads upsample by repetition, no OOB
+    val tiny = Multimodal.resizeStub(Array[Byte](7, 9))
+    assert(tiny.length == Multimodal.ResizeTo && tiny.toSet == Set(7.toByte, 9.toByte))
+    assert(Multimodal.resizeStub(Array.emptyByteArray).isEmpty)
+  }
+
+  test("frame sampling keeps exactly every SampleEvery-th frame") {
+    val payload = Array.fill[Byte](256 * 9 + 10)(1)
+    val kept = Multimodal.sampleFramesStub(payload).toSeq
+    // frames 0,4,8 of the 10-frame stream
+    assert(kept.length == 3)
+    assert(kept.map(_.length) == Seq(256, 256, 256))
+    val all = Multimodal.decodeFramesStub(payload).toSeq
+    assert(kept(2).sameElements(all(8)))
+  }
+
+  test("resizeAll and sampleAll are partition-preserving") {
+    val items = Multimodal.synthesize(
+      Tables.load(spark, sfDir, "documents")).repartition(5)
+    assert(Multimodal.resizeAll(items).rdd.getNumPartitions == 5)
+    assert(Multimodal.sampleAll(items).rdd.getNumPartitions == 5)
+  }
+
   test("features are deterministic for a fixed payload") {
     val sp = spark; import sp.implicits._
     val one = Seq(MediaItem(1L, "image", 4, 4, "abcd".getBytes)).toDS()
