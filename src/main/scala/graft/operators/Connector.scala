@@ -115,6 +115,40 @@ object Connector {
         .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n"))
     },
 
+    // ---- LSM maintenance compaction, DISTRIBUTED: after three write epochs
+    // (seed, LWW updates, tombstone deletes) every touched bucket holds 3+
+    // segments; one Spark task per bucket then runs the full-bucket
+    // compaction (merge every segment, keep winners, physically drop
+    // tombstones) — the nodetool-compact shape where maintenance parallelism
+    // is per token range, never a driver loop. The readback after compaction
+    // must equal the logical LWW/tombstone view before it; ConnectorSpec
+    // additionally asserts the physical collapse to one segment per bucket. ----
+    Q("conn_compaction_maintenance",
+      """SELECT CAST(sum(CAST(
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 500 ELSE c_acctbal END
+        |  AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+        |  count(*) AS n_live
+        |FROM customer WHERE c_custkey % 10 <> 3""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "compaction", cust)
+      val updated = cust.filter($"c_custkey" % 7 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 500)
+      Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+      val dead = cust.filter($"c_custkey" % 10 === 3)
+        .select($"c_custkey", lit(null).cast("string").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      Seed.append(dead, store, Map(
+        Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+      val buckets = Options.DefaultBuckets
+      s.sparkContext.parallelize(0 until buckets, buckets)
+        .foreach(b => CellStore.compactBucket(store, b))
+      Seed.read(s, store)
+        .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n_live"))
+    },
+
     // ---- T1 dual decode: binary and text cells in one table read identically ----
     Q("conn_dual_decode",
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal

@@ -186,6 +186,29 @@ class ConnectorSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("distributed bucket compaction collapses segments and drops tombstones physically") {
+    val sp = spark; import sp.implicits._
+    val src = (1L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_bucket_compact", src)
+    Seed.append(src.filter($"k" % 5 === 0)
+      .select($"k", lit(null).cast("string").as("v")), store,
+      Map(Options.WriteTimestamp -> "2", Options.NullsAsTombstones -> "true"))
+    val bucketsWithMulti = (0 until Options.DefaultBuckets)
+      .count(b => CellStore.segmentFiles(store, b).size > 1)
+    assert(bucketsWithMulti > 0, "fixture should produce multi-segment buckets")
+    // one task per bucket — the maintenance parallelism unit
+    spark.sparkContext.parallelize(0 until Options.DefaultBuckets, Options.DefaultBuckets)
+      .foreach(b => CellStore.compactBucket(store, b))
+    (0 until Options.DefaultBuckets).foreach { b =>
+      val files = CellStore.segmentFiles(store, b)
+      assert(files.size <= 1, s"bucket $b still has ${files.size} segments")
+      // tombstones are physically gone: every stored cell is live
+      files.foreach(f => CellStore.readSegment(f).foreach(c => assert(!c.tombstone)))
+    }
+    val back = Seed.read(spark, store).as[(Long, String)].collect().toSet
+    assert(back == (1L to 500L).filterNot(_ % 5 == 0).map(i => (i, s"v$i")).toSet)
+  }
+
   test("C1: aborted writer attempts leave no visible data; a retry lands exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("c1").toString
     try {
