@@ -672,6 +672,39 @@ object Relational {
         .select($"o_orderpriority", $"exact_cust",
           (abs($"approx_cust" - $"exact_cust") / $"exact_cust" < 0.05).as("approx_ok"))
         .orderBy($"o_orderpriority")
+    },
+
+    // ---- approx_percentile (single-pass mergeable quantile sketch). Same
+    // contract shape as rel_approx_distinct: cross-engine sketches differ, so
+    // the oracle carries the exact rank-based quantile and asserts the
+    // RANK-ERROR contract — the approximate p50/p90 must sit within ±2.5% of
+    // the group's rank space around the exact quantile (accuracy 10000 gives
+    // a 1e-4 theoretical bound; the slack covers implementation detail).
+    // Rank error, not value error: that is the guarantee the sketch makes. ----
+    Q("rel_approx_percentile",
+      """SELECT l_returnflag,
+        |  TRUE AS p50_ok,
+        |  TRUE AS p90_ok,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ap"),
+          count(lit(1)).as("n"))
+        .select($"l_returnflag", $"ap".getItem(0).as("p50"), $"ap".getItem(1).as("p90"), $"n")
+      // exact rank of the approximate quantile inside its group
+      val ranks = li.select($"l_returnflag".as("rf"), $"l_extendedprice")
+      approx.join(ranks, $"l_returnflag" === $"rf")
+        .groupBy($"l_returnflag", $"p50", $"p90", $"n")
+        .agg(
+          (sum(when($"l_extendedprice" <= $"p50", 1L).otherwise(0L)) / $"n").as("r50"),
+          (sum(when($"l_extendedprice" <= $"p90", 1L).otherwise(0L)) / $"n").as("r90"))
+        .select($"l_returnflag",
+          (abs($"r50" - 0.5) < 0.025).as("p50_ok"),
+          (abs($"r90" - 0.9) < 0.025).as("p90_ok"),
+          $"n")
+        .orderBy($"l_returnflag")
     }
   )
 }

@@ -40,16 +40,39 @@ object StreamOps {
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
-    * sink and return the materialized result. */
+    * sink and return the materialized result.
+    *
+    * The checkpoint goes to tmpfs when available: each run creates a fresh
+    * UUID checkpoint that is never resumed, so its durability buys nothing,
+    * while the state store's per-batch-per-partition fsyncs on a virtio disk
+    * dominate the query's wall-clock (~3s of fixed overhead at ANY data
+    * size). A production deployment with resumable queries would point
+    * `checkpointLocation` at durable shared storage instead. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        Some(s"/dev/shm/graft_ckpt/$name")
+      else None
+    var w = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
-      .start()
+    ckpt.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
     q.awaitTermination()
+    ckpt.foreach { c =>
+      val root = java.nio.file.Paths.get(c)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }
     spark.table(name)
   }
 }
