@@ -674,6 +674,33 @@ object Relational {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- salted join: the manual skew-mitigation pattern for when one join
+    // key dominates (AQE's skew split handles sort-merge skew at runtime;
+    // salting is the plan-level form that also works for broadcast-ineligible
+    // skewed aggregations). The fact side adds salt = hash(row) % 16; the dim
+    // side explodes into 16 copies, one per salt value; the join key becomes
+    // (key, salt), so one hot key's rows spread over 16 tasks instead of one.
+    // Results are EXACTLY the unsalted join's — the oracle computes the plain
+    // join — and the salt columns never escape the query. ----
+    Q("rel_join_salted",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val salts = 16
+      val fact = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_quantity")
+        .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_quantity"), lit(salts)))
+      val dim = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority")
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      fact.join(dim, $"l_orderkey" === $"o_orderkey" && fact("salt") === dim("salt"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), d(sum(m($"l_quantity"))).as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+
     // ---- approx_percentile (single-pass mergeable quantile sketch). Same
     // contract shape as rel_approx_distinct: cross-engine sketches differ, so
     // the oracle carries the exact rank-based quantile and asserts the
