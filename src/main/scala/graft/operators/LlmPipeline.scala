@@ -116,6 +116,25 @@ object LlmPipeline {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
   }
 
+  /** Verified near-dup pairs (Jaccard >= 0.8) via MinHash-LSH, exactly the
+    * llm_dedup_minhash pipeline: MAP-ONLY candidate generation — doc text →
+    * distinct shingle hashes (string-free rolling-window kernel) → 32 LSH
+    * band keys (fused 128-min + band combine), all row-local in two
+    * codegen'd expressions (no corpus-wide explode, no groupBy shuffle, no
+    * shingle string allocation) — then the band equi-join, pair distinct,
+    * and candidate-only exact verification. A doc with <5 words yields an
+    * empty band array and drops out in posexplode, mirroring the shingle
+    * filter. */
+  private def minhashPairs(d: DataFrame): DataFrame = {
+    val bands = d.select(col("doc_id"),
+      posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccardDocs(cand, d, shingles, 0.8)
+  }
+
   /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */
   private val jaccardOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -151,22 +170,69 @@ object LlmPipeline {
     // exact Jaccard verification; the oracle recomputes true pairs, so a
     // recall miss would show up as a row-count mismatch. ----
     Q("llm_dedup_minhash", jaccardOracle, bench = true) { (s, dir) =>
-      val d = docs(s, dir)
-      // MAP-ONLY candidate generation: doc text → distinct shingle hashes
-      // (string-free rolling-window kernel) → 32 LSH band keys (fused
-      // 128-min + band combine) happens row-locally in two codegen'd
-      // expressions — no corpus-wide explode, no groupBy shuffle, no shingle
-      // string allocation, one output array per doc. The only shuffles in
-      // the whole query are the band equi-join, the pair distinct, and the
-      // candidate-only verify. A doc with <5 words yields an empty band
-      // array and drops out in posexplode, mirroring the shingle filter.
-      val bands = d.select(col("doc_id"),
-        posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
-      verifyJaccardDocs(cand, d, shingles, 0.8).orderBy(col("doc_a"), col("doc_b"))
+      minhashPairs(docs(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- near-dup CLUSTERING: connected components over the verified
+    // minhash pair graph, then one canonical doc (min doc_id) per
+    // component — the step that turns a pair list into "keep this, drop
+    // those" for a dedup pipeline. Components via iterative min-label
+    // propagation (each round: join labels across edges, keep the min),
+    // converging in O(component diameter) rounds — near-dup clusters are
+    // dense and shallow, so 2-3 rounds in practice; an adversarial chain
+    // topology would call for the large-star/small-star O(log n) variant.
+    // Every round is a pair of shuffles over the EDGE set (tiny — dedup
+    // pairs, not the corpus), with a persisted fixpoint check. The oracle
+    // recomputes components with a recursive CTE over the exact pair set. ----
+    Q("llm_dedup_cluster",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([list_aggregate(w[i:i+4], 'string_agg', ' ')
+        |                               for i in range(1, len(w)-3)])) AS shingle
+        |       FROM w WHERE len(w) >= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
+        |          WHERE common*1.0/(s1.n + s2.n - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u AS n, u AS m FROM edges
+        |          UNION SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u),
+        |comps AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n)
+        |SELECT comp AS canonical_doc, count(*) AS n_members
+        |FROM comps GROUP BY comp ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
+      // localCheckpoint (eager) after every round: iterative DataFrame
+      // algorithms otherwise nest the whole lineage inside each new plan and
+      // Catalyst re-optimizes a tree that doubles per round — planning time,
+      // not execution, becomes the cost (measured 85s/round by round 1 at
+      // sf0.001 with persist alone; ~0.3s/round checkpointed). Same device
+      // GraphX/MLlib use for iteration.
+      val pairs = minhashPairs(docs(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+      var comp = edges.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 20) {
+        val next = edges.join(comp, col("src") === col("node"))
+          .select(col("dst").as("node"), col("comp"))
+          .union(comp.select(col("node"), col("comp")))
+          .groupBy("node").agg(min("comp").as("ncomp"))
+          .localCheckpoint()
+        changed = next.join(comp, "node")
+          .filter(col("comp") =!= col("ncomp")).count()
+        comp = next.select(col("node"), col("ncomp").as("comp"))
+        rounds += 1
+      }
+      comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+        .select(col("comp").as("canonical_doc"), col("n_members"))
+        .orderBy(col("canonical_doc"))
     },
 
     // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit

@@ -150,6 +150,40 @@ object Streaming {
         .orderBy($"user_id", $"event_type")
     },
 
+    // ---- streaming sink INTO the cassandralike store: the windowed
+    // aggregation's append-mode emission set flows through foreachBatch into
+    // the connector's DSv2 write path (wide-row layout: one storage row per
+    // window, one column per event type), then reads back through the DSv2
+    // scan. Each micro-batch is one incremental batch write — segments
+    // accumulate per epoch exactly like any other append job, and the
+    // LWW/compaction machinery applies unchanged. This is the operator that
+    // closes the loop between the streaming surface and the store. ----
+    Q("stream_sink_cassandralike",
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, CAST(n AS BIGINT) AS n
+        |FROM w WHERE win + INTERVAL 1 HOUR <= (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      import graft.sources.cassandralike.{CellStore, Seed}
+      val agg = StreamOps.eventsStream(s, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(ymdHms(col("window.start")).as("win_start"), col("event_type"), col("n"))
+      val store = s"${Seed.storeRoot(dir)}/stream_sink"
+      CellStore.dropTable(store)
+      CellStore.writeMeta(store, CellStore.Meta(
+        "win_start STRING,event_type STRING,n BIGINT",
+        ":key,:column,:value", Map.empty))
+      StreamOps.runForeachBatch(agg, "append") { (batch, _) =>
+        Seed.append(batch, store)
+      }
+      Seed.read(s, store)
+        .select(col("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
     // ---- custom keyed state (flatMapGroupsWithState): first-seen dedup of
     // (user, event_type) pairs, emitting each pair once with its earliest
     // event time. State per user = event types already emitted; within a

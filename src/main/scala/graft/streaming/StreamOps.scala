@@ -50,20 +50,51 @@ object StreamOps {
     * `checkpointLocation` at durable shared storage instead. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = withTmpfsCheckpoint { ckpt =>
+      var w = stream.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+      ckpt.foreach(c => w = w.option("checkpointLocation", c))
+      val q0 = w.start()
+      q0.awaitTermination()
+      q0
+    }
+    val _ = q
+    spark.table(name)
+  }
+
+  /** Run a streaming DataFrame through `foreachBatch` to completion
+    * (AvailableNow) — the incremental-sink path: each micro-batch's emission
+    * set is handed to `f` as a batch DataFrame, which can run any batch
+    * write (e.g. append into a cassandralike store). */
+  def runForeachBatch(stream: DataFrame, mode: String)(
+      f: (DataFrame, Long) => Unit): Unit =
+    withTmpfsCheckpoint { ckpt =>
+      var w = stream.writeStream
+        .foreachBatch(f)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+      ckpt.foreach(c => w = w.option("checkpointLocation", c))
+      val q = w.start()
+      q.awaitTermination()
+      q
+    }
+
+  /** Checkpoint housekeeping shared by the runners: per-run UUID dir on
+    * tmpfs when available (these checkpoints are never resumed, so their
+    * durability buys nothing, while state-store fsyncs on a virtio disk are
+    * pure overhead), deleted after termination. A production deployment
+    * with resumable queries would use durable shared storage. */
+  private def withTmpfsCheckpoint[T](run: Option[String] => T): T = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val ckpt =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        Some(s"/dev/shm/graft_ckpt/$name")
+        Some("/dev/shm/graft_ckpt/" + java.util.UUID.randomUUID().toString.replace("-", ""))
       else None
-    var w = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-    ckpt.foreach(c => w = w.option("checkpointLocation", c))
-    val q = w.start()
-    q.awaitTermination()
-    ckpt.foreach { c =>
+    try run(ckpt)
+    finally ckpt.foreach { c =>
       val root = java.nio.file.Paths.get(c)
       if (java.nio.file.Files.exists(root)) {
         import scala.jdk.CollectionConverters._
@@ -73,6 +104,5 @@ object StreamOps {
         finally walk.close()
       }
     }
-    spark.table(name)
   }
 }
