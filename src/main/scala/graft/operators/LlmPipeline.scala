@@ -135,6 +135,41 @@ object LlmPipeline {
     verifyJaccardDocs(cand, d, shingles, 0.8)
   }
 
+  /** Connected components of an undirected pair graph `(doc_a, doc_b)` →
+    * `(node, comp)` with comp = min doc_id reachable. Iterative min-label
+    * propagation: each round joins labels across edges and keeps the min,
+    * converging in O(component diameter) rounds (near-dup clusters are dense
+    * and shallow — 2-3 rounds in practice; an adversarial chain topology
+    * would call for the large-star/small-star O(log n) variant). Every round
+    * is a pair of shuffles over the EDGE set (dedup pairs, not the corpus)
+    * and ends in an eager localCheckpoint: iterative DataFrame algorithms
+    * otherwise nest the whole lineage inside each new plan and Catalyst
+    * re-optimizes a tree that doubles per round — planning time, not
+    * execution, becomes the cost (measured 85s/round by round 1 at sf0.001
+    * with persist alone; ~0.3s/round checkpointed). Same device
+    * GraphX/MLlib use for iteration. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var comp = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val next = edges.join(comp, col("src") === col("node"))
+        .select(col("dst").as("node"), col("comp"))
+        .union(comp.select(col("node"), col("comp")))
+        .groupBy("node").agg(min("comp").as("ncomp"))
+        .localCheckpoint()
+      changed = next.join(comp, "node")
+        .filter(col("comp") =!= col("ncomp")).count()
+      comp = next.select(col("node"), col("ncomp").as("comp"))
+      rounds += 1
+    }
+    comp
+  }
+
   /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */
   private val jaccardOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -204,33 +239,10 @@ object LlmPipeline {
         |comps AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n)
         |SELECT comp AS canonical_doc, count(*) AS n_members
         |FROM comps GROUP BY comp ORDER BY canonical_doc""".stripMargin) { (s, dir) =>
-      // localCheckpoint (eager) after every round: iterative DataFrame
-      // algorithms otherwise nest the whole lineage inside each new plan and
-      // Catalyst re-optimizes a tree that doubles per round — planning time,
-      // not execution, becomes the cost (measured 85s/round by round 1 at
-      // sf0.001 with persist alone; ~0.3s/round checkpointed). Same device
-      // GraphX/MLlib use for iteration.
       val pairs = minhashPairs(docs(s, dir))
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
-      var comp = edges.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node")).localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 20) {
-        val next = edges.join(comp, col("src") === col("node"))
-          .select(col("dst").as("node"), col("comp"))
-          .union(comp.select(col("node"), col("comp")))
-          .groupBy("node").agg(min("comp").as("ncomp"))
-          .localCheckpoint()
-        changed = next.join(comp, "node")
-          .filter(col("comp") =!= col("ncomp")).count()
-        comp = next.select(col("node"), col("ncomp").as("comp"))
-        rounds += 1
-      }
-      comp.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      connectedComponents(pairs)
+        .groupBy("comp").agg(count(lit(1)).as("n_members"))
         .select(col("comp").as("canonical_doc"), col("n_members"))
         .orderBy(col("canonical_doc"))
     },

@@ -155,6 +155,21 @@ class LlmPipelineSpec extends SparkSpec {
     assert(viaScalar == viaAggs)
   }
 
+  test("connected components: chain, triangle, and singleton-free isolation") {
+    val sp = spark; import sp.implicits._
+    // chain 1-2-3-4-5 (diameter 4 — forces multiple propagation rounds),
+    // triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val comp = operators.LlmPipeline.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), s"chain collapsed wrong: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 10) // only nodes that appear in pairs
+  }
+
   test("embedding near-dup banding finds every planted pair, sublinearly") {
     val n = Tables.load(spark, sfDir, "embeddings").count()
     val rows = q("llm_dedup_embedding_neardup").collect()
