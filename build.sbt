@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNWRAPPED: the bench/verify
+// harness parses Bench's one-line JSON from stdout, and sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// line-oriented JSON parsing (BENCH_r0{1..4}.json all show parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
