@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every judged query, in registration order. */
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.Connector.all ++
-      operators.LlmPipeline.all ++ operators.Streaming.all
+      operators.LlmPipeline.all ++ operators.LlmCurate.all ++
+      operators.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a training-data pipeline: sequence packing
+  * (concat-and-chunk into fixed token budgets), deterministic mix sampling
+  * (per-source rates for corpus re-weighting), text normalization, and the
+  * composed quality+dedup corpus-selection step.
+  *
+  * Scale design rules (the 100-TB lens):
+  *   - packing uses a two-level distributed prefix-sum — per-block partial
+  *     sums plus a block-offset scan — never a single global window over the
+  *     corpus;
+  *   - mix sampling is a pure map (arithmetic hash per row, no shuffle, no
+  *     sort), so it composes with any upstream scan at scan cost;
+  *   - normalization is all codegen'd string expressions;
+  *   - selection's dedup arm groups on the full text only to find keeper
+  *     doc_ids (min per group), then semi-joins back — the shuffle carries
+  *     (text-hash, doc_id), not the corpus payload, under partial
+  *     aggregation.
+  */
+object LlmCurate {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Tokens per training sequence (chunk). */
+  private val PackBudget = 2048L
+
+  /** Docs per prefix-sum block. Sized so level-2 (one row per block) stays
+    * small: at 64Ki docs/block a 10^11-doc corpus has ~1.5M block rows —
+    * still a single-task scan, and the same two-level construction recurses
+    * to three levels if that ever grows past one task's comfort. The
+    * fixture uses a small block so the multi-block path actually executes
+    * at sf0.01 (500 docs). */
+  private val PackBlock = 128L
+
+  val all: Seq[Q] = Seq(
+
+    // ---- sequence packing: greedy concat-and-chunk. Documents are laid
+    // out in doc_id order and cut into fixed token-budget training
+    // sequences; a doc belongs to the chunk where its first token lands.
+    // The global running token offset is a distributed prefix-sum:
+    //   level 1: per-block (doc_id div B) token sums — partial aggregate,
+    //            one shuffle of one row per block;
+    //   level 2: running offset across blocks — a window over block rows
+    //            (tiny: corpus/B), broadcast back;
+    //   level 3: within-block running sum — window PARTITIONED by block,
+    //            so every window partition is bounded by B docs.
+    // No stage ever windows over the full corpus in one partition. ----
+    Q("llm_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok,
+         |        COALESCE(sum(tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+         |      FROM t)
+         |SELECT CAST(cumb // $PackBudget AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+      val t = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("tok"),
+        expr(s"doc_id div $PackBlock").as("block"))
+      val blockSums = t.groupBy("block").agg(sum("tok").as("btok"))
+      val wBlocks = Window.orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = blockSums
+        .withColumn("boff", coalesce(sum("btok").over(wBlocks), lit(0L)))
+        .select("block", "boff")
+      val wInBlock = Window.partitionBy("block").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.join(broadcast(offsets), "block")
+        .withColumn("cumb",
+          col("boff") + coalesce(sum("tok").over(wInBlock), lit(0L)))
+        .withColumn("chunk_id", expr(s"cumb div $PackBudget").cast("bigint"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("tok").cast("bigint").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("chunk_id")
+    },
+
+    // ---- deterministic mix sampling: re-weight the corpus to per-source
+    // target rates with a multiplicative arithmetic hash of doc_id — pure
+    // row-local arithmetic both engines compute bit-identically (doc_id <
+    // 2^32 keeps the product inside int64), so the sample is reproducible
+    // across engines, reruns, and repartitionings, unlike rand(seed)-based
+    // sampling whose draw depends on row-to-partition assignment. The
+    // fixture's source is doc_id-periodic (src<N> = doc_id % 20), which is
+    // exactly why the hash must mix doc_id rather than use doc_id % k
+    // directly. Rates cycle 25/50/75/100% by source index. ----
+    Q("llm_mix_sample",
+      """SELECT CAST(substring(source, 4) AS INT) AS src_num,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100
+        |       < 25 * ((CAST(substring(source, 4) AS INT) % 4) + 1)) AS BIGINT) AS n_kept,
+        |  CAST(25 * ((CAST(substring(source, 4) AS INT) % 4) + 1) AS INT) AS target_pct
+        |FROM documents GROUP BY 1, 4 ORDER BY src_num""".stripMargin) { (s, dir) =>
+      val srcNum = expr("cast(substring(source, 4) as int)")
+      val kept = expr("(doc_id * 2654435761) % 4294967296 % 100") <
+        lit(25) * ((srcNum % 4) + 1)
+      docs(s, dir)
+        .groupBy(srcNum.as("src_num"),
+          (lit(25) * ((srcNum % 4) + 1)).cast("int").as("target_pct"))
+        .agg(count(lit(1)).cast("bigint").as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+        .select("src_num", "n_total", "n_kept", "target_pct")
+        .orderBy("src_num")
+    },
+
+    // ---- text normalization: lowercase, strip non-alphanumerics, collapse
+    // runs of spaces — all codegen'd string expressions (no UDF). ----
+    Q("llm_text_clean",
+      """WITH c AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ct
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(ct) AS BIGINT) AS n_chars_clean,
+        |  CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_words_clean
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ct = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, dir).select(col("doc_id"),
+        length(ct).cast("bigint").as("n_chars_clean"),
+        size(split(ct, " ")).cast("bigint").as("n_words_clean"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus selection: the composed curation step every training
+    // pipeline ends with — quality gate (length + lexical diversity), then
+    // exact-dedup keep-first (min doc_id per identical text), reported as
+    // per-language corpus stats. The dedup shuffle carries only
+    // (text, doc_id) pairs into a partial-aggregated min; survivors
+    // semi-join back by doc_id. ----
+    Q("llm_corpus_select",
+      """WITH q AS (SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0
+        |      / len(string_split(text, ' ')) AS diversity
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_words >= 20 AND diversity >= 0.5),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens
+        |FROM f JOIN k USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val words = split(col("text"), " ")
+      val q = docs(s, dir).select(col("doc_id"), col("lang"), col("text"),
+        size(words).cast("bigint").as("n_words"),
+        (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
+      val f = q.filter(col("n_words") >= 20 && col("diversity") >= 0.5)
+      val keep = f.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      f.join(keep, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("n_words").cast("bigint").as("n_tokens"))
+        .orderBy("lang")
+    },
+  )
+}
