@@ -61,7 +61,8 @@ object LlmCurate {
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin) { (s, dir) =>
+         |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin,
+      bench = true) { (s, dir) =>
       val t = docs(s, dir).select(col("doc_id"),
         size(split(col("text"), " ")).cast("bigint").as("tok"),
         expr(s"doc_id div $PackBlock").as("block"))
