@@ -732,6 +732,42 @@ object Relational {
           (abs($"r90" - 0.9) < 0.025).as("p90_ok"),
           $"n")
         .orderBy($"l_returnflag")
+    },
+
+    // ---- AS-OF JOIN: each purchase matched to the same user's latest click
+    // at or before it — the point-in-time join Spark has no native operator
+    // for (DuckDB's ASOF JOIN is the oracle). Composed from existing ops,
+    // option (a) of the custom-operator ladder: UNION the tagged sides, one
+    // shuffle+sort by (user, ts), carry the last click timestamp forward
+    // with last(ignoreNulls) over an unbounded-preceding window, keep the
+    // purchase rows. Cost = one shuffle of clicks+purchases and a linear
+    // window pass — the plan a dedicated as-of operator would produce —
+    // versus the naive inequality join whose per-user cross product is
+    // quadratic in events-per-user at 100 TB. Ties (same µs) break
+    // click-first, matching ASOF's p.ts >= c.ts inclusive bound. ----
+    Q("rel_asof_join",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = t(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"ts", $"event_type",
+          when($"event_type" === "click", $"ts").as("click_ts_raw"),
+          when($"event_type" === "click", 0).otherwise(1).as("side"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_ts", last($"click_ts_raw", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase" && $"click_ts".isNotNull)
+        .select($"event_id".as("purchase_id"), $"user_id",
+          ymdHms($"ts").as("purchase_ts"), ymdHms($"click_ts").as("click_ts"),
+          (unix_timestamp($"ts") - unix_timestamp($"click_ts")).cast("bigint").as("gap_sec"))
+        .orderBy($"purchase_id")
     }
   )
 }
