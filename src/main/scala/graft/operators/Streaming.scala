@@ -219,6 +219,32 @@ object Streaming {
       StreamOps.runToMemory(s, firstSeen, "append")
         .select(col("user_id"), col("event_type"), ymdHms(col("ts0")).as("first_ts"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- stream-static enrichment join: the event stream joined per
+    // micro-batch against a BATCH dimension (customer ⋈ nation), broadcast
+    // to every task — stateless (no watermark, no join state; each input
+    // row emits exactly once), so the stream side scales to any rate and
+    // the static side only needs to stay broadcast-sized. This is the
+    // standard dim-enrichment shape; re-reading the dimension each
+    // micro-batch is what picks up slowly-changing dims at scale. ----
+    Q("stream_join_static",
+      """SELECT e.event_id, e.user_id, e.event_type, n.n_name AS nation
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dim = graft.Tables.load(s, dir, "customer")
+        .join(graft.Tables.load(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select($"c_custkey", $"n_name".as("nation"))
+      val enriched = StreamOps.eventsStream(s, dir)
+        .select($"event_id", $"user_id", $"event_type")
+        .join(broadcast(dim), $"user_id" === $"c_custkey")
+      StreamOps.runToMemory(s, enriched, "append")
+        .select($"event_id", $"user_id", $"event_type", $"nation")
+        .orderBy($"event_id")
     }
   )
 }
