@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Plan-shape regression gate for the judged surface: the scale-critical
+  * properties the bench queries rely on (broadcasts where intended, no
+  * accidental cartesian products, filters reaching the parquet scan) are
+  * asserted here so a refactor can't silently regress them — the failure
+  * mode would otherwise only show as a wall-clock drift at 100 TB.
+  *
+  * Non-equi broadcast joins (BroadcastNestedLoopJoin with a broadcast-sized
+  * build side) are DELIBERATE in the similarity operators — the query set /
+  * sketch side is bounded by construction — so only CartesianProductExec
+  * (both sides unbounded) is globally banned.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectAll) ++
+      p.subqueries.flatMap(collectAll)
+  }
+
+  private val batchQueries: Seq[String] =
+    SparkEntry.benchQueries.map(_.name).filterNot(_.startsWith("stream_"))
+
+  test("no judged bench query plans a cartesian product") {
+    batchQueries.foreach { name =>
+      val all = collectAll(plan(name))
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name plans CartesianProductExec")
+    }
+  }
+
+  test("rel_join_broadcast actually broadcasts the dimension side") {
+    val all = collectAll(plan("rel_join_broadcast"))
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "expected a BroadcastHashJoin in rel_join_broadcast")
+  }
+
+  test("rel_q1 filter is pushed down to the parquet scan") {
+    val scans = collectAll(plan("rel_q1_pricing_summary"))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no parquet scan found")
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+      s"no pushed filters on the q1 scan: ${scans.map(_.metadata.get("PushedFilters"))}")
+  }
+
+  test("rel_q1 reads only the columns it needs") {
+    val scans = collectAll(plan("rel_q1_pricing_summary"))
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    // q1 touches 7 lineitem columns; a full-width scan (16 cols) means
+    // column pruning broke
+    assert(scans.exists(_.requiredSchema.size <= 8),
+      s"q1 scan reads ${scans.map(_.requiredSchema.size)} columns")
+  }
+
+  test("pack_sequences: the only unpartitioned window is the block-offset scan") {
+    // level-2 of the prefix-sum windows over ONE ROW PER BLOCK (corpus/128),
+    // never the corpus itself; any other unpartitioned window would be a
+    // full-corpus single-task sort at scale
+    val wins = collectAll(plan("llm_pack_sequences"))
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.size <= 1,
+      s"${unpartitioned.size} unpartitioned windows in llm_pack_sequences")
+  }
+
+  test("minhash candidate generation stays map-only up to the band join") {
+    // the signature build must not shuffle: between the parquet scan of
+    // documents and the first join there must be no ShuffleExchange except
+    // the band-key equi-join's own exchanges and the final orderBy's range
+    // partitioning. Count total shuffles as a budget: scan -> bands is
+    // map-only, so the whole candidate phase affords at most the join (2) +
+    // pair distinct (1); verification adds its own bounded set. A corpus-
+    // wide explode+groupBy signature build (the shape this replaced) would
+    // blow the budget immediately.
+    val shuffles = collectAll(plan("llm_dedup_minhash"))
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 14, s"llm_dedup_minhash plans $shuffles shuffles")
+  }
+}
