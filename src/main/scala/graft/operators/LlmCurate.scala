@@ -161,5 +161,63 @@ object LlmCurate {
           sum("n_words").cast("bigint").as("n_tokens"))
         .orderBy("lang")
     },
+
+    // ---- unigram-frequency commonness score: per-doc average corpus
+    // frequency of its words — the integer-exact core of LM-based quality
+    // filtering (a doc of very common words is boilerplate; very rare
+    // words, noise). Two aggregations and one join on the vocab table;
+    // every quantity is an exact int64 until the final division, which
+    // both engines evaluate bit-identically on the same ints (a
+    // log-probability formulation would instead sum doubles in
+    // partition-dependent order and lose cross-engine hash equality). ----
+    Q("llm_text_commonness",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS cw FROM w GROUP BY w)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(cw) AS BIGINT) AS sum_freq,
+        |  round(sum(cw) * 1.0 / count(*), 4) AS avg_freq
+        |FROM w JOIN c USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("cw"))
+      words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_words"),
+          sum("cw").cast("bigint").as("sum_freq"))
+        .select(col("doc_id"), col("n_words"), col("sum_freq"),
+          round(col("sum_freq") * 1.0 / col("n_words"), 4).as("avg_freq"))
+        .orderBy("doc_id")
+    },
+
+    // ---- keyword extraction: top-3 terms per doc, TF-IDF-ordered but in
+    // exact integer space — rank by term frequency desc, document
+    // frequency asc (the IDF direction), term asc. For a fixed tf the
+    // tf·ln(N/df) score is monotone in -df, so the integer ranking agrees
+    // with float TF-IDF wherever the latter is well-defined and sidesteps
+    // cross-engine libm ulp differences that would flip near-tied ranks.
+    // The per-doc window partitions bound each sort by the doc's vocab. ----
+    Q("llm_text_keywords",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |r AS (SELECT doc_id, w, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tf.tf DESC, df.df, w) AS rk
+        |  FROM tf JOIN df USING (w))
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val rk = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df"), col("w"))
+      tf.join(df, "w")
+        .withColumn("rk", row_number().over(rk).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("w").as("term"),
+          col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"))
+        .orderBy("doc_id", "rk")
+    },
   )
 }
