@@ -136,38 +136,62 @@ object LlmPipeline {
   }
 
   /** Connected components of an undirected pair graph `(doc_a, doc_b)` →
-    * `(node, comp)` with comp = min doc_id reachable. Iterative min-label
-    * propagation: each round joins labels across edges and keeps the min,
-    * converging in O(component diameter) rounds (near-dup clusters are dense
-    * and shallow — 2-3 rounds in practice; an adversarial chain topology
-    * would call for the large-star/small-star O(log n) variant). Every round
-    * is a pair of shuffles over the EDGE set (dedup pairs, not the corpus)
-    * and ends in an eager localCheckpoint: iterative DataFrame algorithms
-    * otherwise nest the whole lineage inside each new plan and Catalyst
-    * re-optimizes a tree that doubles per round — planning time, not
-    * execution, becomes the cost (measured 85s/round by round 1 at sf0.001
-    * with persist alone; ~0.3s/round checkpointed). Same device
-    * GraphX/MLlib use for iteration. */
+    * `(node, comp)` with comp = min doc_id reachable. Alternating
+    * large-star / small-star edge rewriting (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): large-star hangs every
+    * larger-than-center neighbor under the neighborhood minimum,
+    * small-star re-parents the smaller neighbors; the alternation halves
+    * tree heights every round and converges in O(log n) rounds on ANY
+    * topology — unlike plain min-label propagation, whose O(diameter)
+    * rounds an adversarial chain stretches to O(n). Each round is two
+    * self-aggregations + joins over the EDGE set (dedup pairs, not the
+    * corpus) and ends in an eager localCheckpoint: iterative DataFrame
+    * algorithms otherwise nest the whole lineage inside each new plan and
+    * Catalyst re-optimizes a tree that doubles per round (measured
+    * 85s/round at sf0.001 with persist alone; ~0.3s/round checkpointed).
+    * At convergence the edge set is a star forest (every edge points a
+    * node at its component's min), which is read off directly. */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var comp = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
-    var changed = 1L
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b"))).distinct().localCheckpoint()
+    var edges = pairs.select(
+        least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct().localCheckpoint()
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
-      val next = edges.join(comp, col("src") === col("node"))
-        .select(col("dst").as("node"), col("comp"))
-        .union(comp.select(col("node"), col("comp")))
-        .groupBy("node").agg(min("comp").as("ncomp"))
-        .localCheckpoint()
-      changed = next.join(comp, "node")
-        .filter(col("comp") =!= col("ncomp")).count()
-      comp = next.select(col("node"), col("ncomp").as("comp"))
+    var done = false
+    while (!done && rounds < 50) {
+      // large-star: per center x, m = min(neighborhood ∪ {x}); every
+      // neighbor n > x re-hangs onto m
+      val nbrs = edges.select(col("lo").as("x"), col("hi").as("n"))
+        .union(edges.select(col("hi"), col("lo")))
+      val mins = nbrs.groupBy("x").agg(min("n").as("mn"))
+      val e1 = nbrs.join(mins, "x")
+        .filter(col("n") > col("x"))
+        .select(col("n").as("a"), least(col("mn"), col("x")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .distinct()
+      // small-star: per center hi, m = min of its smaller neighbors; those
+      // neighbors and the center itself re-hang onto m
+      val minsS = e1.groupBy("hi").agg(min("lo").as("m"))
+      val e2 = e1.join(minsS, "hi")
+        .select(col("lo").as("a"), col("m").as("b"))
+        .union(minsS.select(col("hi").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .distinct().localCheckpoint()
+      done = e2.except(edges).isEmpty && edges.except(e2).isEmpty
+      edges = e2
       rounds += 1
     }
-    comp
+    // star forest: every hi is a non-root pointing at its component min
+    nodes.join(edges.select(col("hi").as("node"), col("lo").as("parent")),
+        Seq("node"), "left")
+      .groupBy("node")
+      .agg(min(coalesce(col("parent"), col("node"))).as("comp"))
   }
 
   /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */

@@ -170,6 +170,34 @@ class LlmPipelineSpec extends SparkSpec {
     assert(comp.size == 10) // only nodes that appear in pairs
   }
 
+  test("connected components: random graphs match a union-find reference") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      val got = operators.LlmPipeline.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial: star CC diverges from union-find")
+    }
+  }
+
   test("embedding near-dup banding finds every planted pair, sublinearly") {
     val n = Tables.load(spark, sfDir, "embeddings").count()
     val rows = q("llm_dedup_embedding_neardup").collect()
