@@ -54,4 +54,24 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Boolean]("sorted_ok")))
   }
+
+  test("bloom semi-join reduction actually prunes the fact side") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val dim = Tables.load(spark, sfDir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000)
+    val bloom = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val total = li.count().toDouble
+    val passed = li.filter(mightContain($"l_orderkey")).count().toDouble
+    val trueFrac = dim.count().toDouble /
+      Tables.load(spark, sfDir, "orders").count().toDouble
+    // the bloom must cut the shuffled fact rows to roughly the dim's
+    // selectivity (1% fpp of slack) — a no-op filter means the reduction
+    // silently stopped reducing
+    assert(passed / total < trueFrac + 0.05,
+      f"bloom passed ${passed / total}%.3f of fact rows vs dim selectivity $trueFrac%.3f")
+  }
 }
