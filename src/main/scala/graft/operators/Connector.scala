@@ -98,6 +98,34 @@ object Connector {
         .agg(count(lit(1)).as("n_live"), d(sum(m($"c_acctbal"))).as("bal_live"))
     },
 
+    // ---- snapshot (as-of) read: cells carry write timestamps, so reading
+    // with read.asof=T replays LWW over only the cells written at or before
+    // T — Cassandra-style historical reads from the same immutable
+    // segments, no extra storage. Epoch 2 overwrites AND deletes; the
+    // as-of-1 view must be byte-identical to the original seed (the oracle
+    // is the plain source table), while the default read sees epoch 2
+    // (covered by conn_lww_overwrite / conn_tombstone_delete). ----
+    Q("conn_read_asof",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "asof", cust)
+      val updated = cust.filter($"c_custkey" % 4 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 999)
+      Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+      val dead = cust.filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey", lit(null).cast("string").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      Seed.append(dead, store, Map(
+        Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+      Seed.read(s, store, Map(Options.ReadAsOf -> "1"))
+        .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
+    },
+
     // ---- last-write-wins reconciliation across two write epochs ----
     Q("conn_lww_overwrite",
       """SELECT CAST(sum(CAST(

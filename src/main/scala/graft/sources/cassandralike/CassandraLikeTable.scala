@@ -38,6 +38,14 @@ object Options {
   val SliceCount = "slice.count"
   val Hosts = "locality.hosts" // S2: comma list mapped bucket->host round-robin
   val SplitTargetCells = "split.target.cells" // S1: cells per scan split
+  /** Snapshot read: only cells (incl. tombstones) with ts <= this logical
+    * timestamp participate in LWW reconciliation — the historical-read
+    * counterpart of Cassandra's per-cell write timestamps. Immutable
+    * segments make the snapshot exact as long as compaction hasn't dropped
+    * shadowed cells (whole-bucket compaction collapses history; task-commit
+    * compaction preserves it per segment because LWW reconciliation inside
+    * one write epoch is ts-stable). */
+  val ReadAsOf = "read.asof"
 
   val DefaultBuckets = 32
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
@@ -397,7 +405,8 @@ class CellPartitionReader(
   // unit the pager (S4) then chunks, matching the reference's bound where
   // the server holds the row and the client pages it.
   private val merge = new CellStore.BucketMergeIterator(
-    part.tableDir, part.bucket, part.lower, part.upper)
+    part.tableDir, part.bucket, part.lower, part.upper,
+    asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue))
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =

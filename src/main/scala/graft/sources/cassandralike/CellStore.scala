@@ -375,12 +375,17 @@ object CellStore {
     * tombstone reconciliation stay exact no matter how a bucket is split;
     * the run index makes each range read ~its share of the bytes. */
   final class BucketMergeIterator(tableDir: String, bucket: Int,
-      lower: Array[Byte] = null, upper: Array[Byte] = null)
+      lower: Array[Byte] = null, upper: Array[Byte] = null,
+      asOf: Long = Long.MaxValue)
     extends Iterator[Cell] with AutoCloseable {
     private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
-    private val inner = new MergeIterator(
+    private val raw =
       if (lower == null && upper == null) segs.flatMap(_.runs())
-      else segs.flatMap(_.rangeRuns(lower, upper)),
+      else segs.flatMap(_.rangeRuns(lower, upper))
+    // snapshot read: cells written after the as-of bound never enter LWW
+    // reconciliation, so the winner per address is the latest cell <= asOf
+    private val inner = new MergeIterator(
+      if (asOf == Long.MaxValue) raw else raw.map(_.filter(_.ts <= asOf)),
       dropTombstones = true)
     def hasNext: Boolean = inner.hasNext
     def next(): Cell = inner.next()

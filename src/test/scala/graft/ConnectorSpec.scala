@@ -162,6 +162,27 @@ class ConnectorSpec extends SparkSpec {
     assert(!scanOf(tr).scan.description().contains(Options.SliceCount))
   }
 
+  test("as-of read replays each epoch's snapshot exactly") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val store = Seed.table(spark, sfDir, "spec_asof", src) // epoch 1
+    Seed.append(Seq((2L, "b2", 200.0)).toDF("k", "name", "bal"), store,
+      Map(Options.WriteTimestamp -> "2")) // epoch 2: overwrite k=2
+    Seed.append(
+      Seq((3L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]))
+        .toDF("k", "name", "bal"), store,
+      Map(Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+    def view(asOf: String): Set[(Long, String, Double)] =
+      Seed.read(spark, store, Map(Options.ReadAsOf -> asOf))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(view("1") == Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    assert(view("2") == Set((1L, "a", 10.0), (2L, "b2", 200.0), (3L, "c", 30.0)))
+    assert(view("3") == Set((1L, "a", 10.0), (2L, "b2", 200.0)))
+    // default read = latest
+    assert(Seed.read(spark, store).count() == 2)
+  }
+
   test("commit-time compaction: multi-flush DSv2 write reads back intact") {
     // The test whose absence let round 4 ship corrupt: a tiny write buffer
     // forces every flush to spill multi-run segments, so DataWriter.commit
