@@ -800,6 +800,59 @@ object Relational {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_items"), d(sum(m($"l_quantity"))).as("qty"))
         .orderBy($"o_orderpriority")
+    },
+
+    // ---- bucketed co-located join: both sides pre-bucketed AND pre-sorted
+    // on the join key, so the sort-merge join runs with ZERO exchanges and
+    // zero sorts — each task merges bucket i of both tables in place. At
+    // 100 TB this is THE join strategy for repeatedly-joined fact tables:
+    // the shuffle is paid once at write time and amortized over every
+    // subsequent join; the same layout also makes the per-key groupBy
+    // below exchange-free. The merge hint pins SMJ so the demo can't
+    // degrade to a broadcast at test SF (where orders would fit); the
+    // RelationalSpec asserts the executed plan has no shuffle between the
+    // bucketed scans and the join. ----
+    Q("rel_join_bucketed",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_buck")
+      // the in-memory catalog forgets managed tables across sessions while
+      // their warehouse directories persist — clear both before (re)writing
+      def reset(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS graft_buck.$name")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val dir0 = java.nio.file.Paths.get(s"$wh/graft_buck.db/$name")
+        if (java.nio.file.Files.exists(dir0)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(dir0)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+      }
+      reset("orders_b"); reset("lineitem_b")
+      t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_buck.orders_b")
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_buck.lineitem_b")
+      s.table("graft_buck.lineitem_b")
+        .join(s.table("graft_buck.orders_b").hint("merge")
+            .filter($"o_orderpriority" === "1-URGENT"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(d(sum(m($"l_quantity"))).as("qty"),
+          d(max(m($"o_totalprice"))).as("totalprice"))
+        .orderBy($"l_orderkey")
+        .limit(100)
     }
   )
 }

@@ -75,6 +75,19 @@ class PlanShapeSpec extends SparkSpec {
       s"${unpartitioned.size} unpartitioned windows in llm_pack_sequences")
   }
 
+  test("bucketed join runs with no exchange between scan and join") {
+    val p = plan("rel_join_bucketed")
+    val smjs = collectAll(p)
+      .collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a SortMergeJoin over the bucketed tables")
+    // no shuffle anywhere BELOW the join: bucketing replaced it
+    smjs.foreach { j =>
+      val below = j.children.flatMap(collectAll)
+      assert(!below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        "shuffle under the bucketed SMJ — bucket layout not used")
+    }
+  }
+
   test("minhash candidate generation stays map-only up to the band join") {
     // the signature build must not shuffle: between the parquet scan of
     // documents and the first join there must be no ShuffleExchange except
