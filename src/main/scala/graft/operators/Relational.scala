@@ -853,6 +853,34 @@ object Relational {
           d(max(m($"o_totalprice"))).as("totalprice"))
         .orderBy($"l_orderkey")
         .limit(100)
+    },
+
+    // ---- single-pass dataset profiling (ANALYZE-style): row count, exact
+    // distinct cardinalities, min/max ranges, and a null count in ONE scan
+    // — every aggregate partial-merges, so at 100 TB this is one pass over
+    // the data and one tiny final reduce, where per-column separate passes
+    // would re-scan the table per statistic. ----
+    Q("rel_profile_stats",
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS orderkey_distinct,
+        |  count(DISTINCT l_returnflag) AS flag_distinct,
+        |  CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_min,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_max,
+        |  min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS ship_min,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS ship_max,
+        |  CAST(count(*) - count(l_tax) AS BIGINT) AS tax_nulls
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_orderkey").as("orderkey_distinct"),
+        countDistinct($"l_returnflag").as("flag_distinct"),
+        d(min(m($"l_quantity"))).as("qty_min"),
+        d(max(m($"l_quantity"))).as("qty_max"),
+        min($"l_returnflag").as("flag_min"), max($"l_returnflag").as("flag_max"),
+        ymd(min($"l_shipdate")).as("ship_min"), ymd(max($"l_shipdate")).as("ship_max"),
+        (count(lit(1)) - count($"l_tax")).cast("bigint").as("tax_nulls"))
     }
   )
 }
