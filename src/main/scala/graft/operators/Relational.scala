@@ -230,20 +230,29 @@ object Relational {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
+      // Push the region restriction to the FRONT: region('ASIA') ⋈ nation
+      // is a 5-row broadcast that prunes customer and supplier to ~1/5
+      // BEFORE the fact joins, so the big shuffles carry only surviving
+      // rows — left at the end (the SQL's textual order), the largest
+      // intermediate hauls all regions and then discards 80%. Catalyst
+      // doesn't reorder joins without CBO stats, so the program states the
+      // selective order itself. Supplier grows with scale factor — no
+      // broadcast hint on it; AQE picks that strategy at runtime. Hints
+      // stay only on fixed-cardinality dims (nation=25, region=5 rows at
+      // every SF).
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")).filter($"r_name" === "ASIA"),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
       t(s, dir, "customer")
+        .join(broadcast(asia), $"c_nationkey" === $"n_nationkey")
         .join(t(s, dir, "orders")
           .filter($"o_orderdate" >= lit("1997-01-01 00:00:00").cast("timestamp") &&
                   $"o_orderdate" < lit("1999-01-01 00:00:00").cast("timestamp")),
           $"c_custkey" === $"o_custkey")
         .join(t(s, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
-        // supplier grows with scale factor — no broadcast hint; AQE picks the
-        // strategy at runtime. Hints stay only on fixed-cardinality dims
-        // (nation=25, region=5 rows at every SF).
         .join(t(s, dir, "supplier"),
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-        .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
-        .join(broadcast(t(s, dir, "region")).filter($"r_name" === "ASIA"),
-          $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
         .agg(d(sum(m($"l_extendedprice") * (lit(1) - r($"l_discount")))).as("revenue"))
         .orderBy($"revenue".desc, $"n_name")
