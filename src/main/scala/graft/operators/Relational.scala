@@ -864,6 +864,46 @@ object Relational {
         .limit(100)
     },
 
+    // ---- PIVOT: long-to-wide reshape with per-value conditional
+    // aggregates. Spark's groupBy().pivot(col, values) with EXPLICIT pivot
+    // values compiles to one pass of conditional aggregation — the same
+    // partial-aggregating single shuffle as any groupBy. (Omitting the
+    // value list makes Spark run a distinct-scan first to discover columns
+    // — a second pass worth avoiding at 100 TB when the domain is known.) ----
+    Q("rel_pivot",
+      """SELECT user_id % 10 AS user_bucket,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(($"user_id" % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select($"user_bucket" +: Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0L)).cast("bigint").as(c)): _*)
+        .orderBy($"user_bucket")
+    },
+
+    // ---- semi-structured JSON extraction: pull a typed field out of the
+    // raw JSON props column with get_json_object (codegen'd path walk, no
+    // UDF) and aggregate on it — the schema-on-read shape for event
+    // payloads that don't share a fixed schema. ----
+    Q("rel_json_extract",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy((get_json_object($"props", "$.k").cast("bigint") % 10).as("k_mod"))
+        .agg(count(lit(1)).cast("bigint").as("n"), d(sum(m($"value"))).as("total"))
+        .orderBy($"k_mod")
+    },
+
     // ---- single-pass dataset profiling (ANALYZE-style): row count, exact
     // distinct cardinalities, min/max ranges, and a null count in ONE scan
     // — every aggregate partial-merges, so at 100 TB this is one pass over
