@@ -162,6 +162,33 @@ class ConnectorSpec extends SparkSpec {
     assert(!scanOf(tr).scan.description().contains(Options.SliceCount))
   }
 
+  test("S2: locality.hosts maps buckets round-robin onto preferredLocations") {
+    val sp = spark; import sp.implicits._
+    val src = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_locality", src,
+      props = Map(Options.Buckets -> "8"))
+    val table = new DefaultSource().getTable(
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, v STRING"),
+      Array.empty, java.util.Map.of(Options.Path, store))
+      .asInstanceOf[CassandraLikeTable]
+    val scan = new CellScanBuilder(table,
+        Map(Options.Hosts -> "hostA, hostB,hostC")).build()
+      .asInstanceOf[CellScan]
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[CellInputPartition])
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      assert(p.preferredLocations().toSeq ==
+        Seq(Seq("hostA", "hostB", "hostC")(p.bucket % 3)),
+        s"bucket ${p.bucket} got ${p.preferredLocations().mkString}")
+    }
+    // without the option the hook reports no placement constraint
+    val bare = new CellScanBuilder(table, Map.empty).build()
+      .asInstanceOf[CellScan].planInputPartitions()
+      .map(_.asInstanceOf[CellInputPartition])
+    assert(bare.forall(_.preferredLocations().isEmpty))
+  }
+
   test("as-of read replays each epoch's snapshot exactly") {
     val sp = spark; import sp.implicits._
     val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
