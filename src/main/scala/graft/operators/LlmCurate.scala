@@ -30,27 +30,43 @@ object LlmCurate {
   /** Tokens per training sequence (chunk). */
   private val PackBudget = 2048L
 
-  /** Docs per prefix-sum block. Sized so level-2 (one row per block) stays
-    * small: at 64Ki docs/block a 10^11-doc corpus has ~1.5M block rows —
-    * still a single-task scan, and the same two-level construction recurses
-    * to three levels if that ever grows past one task's comfort. The
-    * fixture uses a small block so the multi-block path actually executes
-    * at sf0.01 (500 docs). */
-  private val PackBlock = 128L
+  /** Greedy concat-and-chunk over (doc_id, tok): each doc joins the chunk
+    * where its first token lands. The global running token offset is a
+    * two-level distributed prefix-sum with `block` docs per level-1 block:
+    * level 2 windows over ONE ROW PER BLOCK and every level-3 window
+    * partition holds at most `block` docs — the output is independent of
+    * `block`, which only balances the two levels. */
+  private[graft] def packChunks(t0: DataFrame, budget: Long, block: Long): DataFrame = {
+    val t = t0.withColumn("block", expr(s"doc_id div $block"))
+    val blockSums = t.groupBy("block").agg(sum("tok").as("btok"))
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockSums
+      .withColumn("boff", coalesce(sum("btok").over(wBlocks), lit(0L)))
+      .select("block", "boff")
+    val wInBlock = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), "block")
+      .withColumn("cumb",
+        col("boff") + coalesce(sum("tok").over(wInBlock), lit(0L)))
+      .withColumn("chunk_id", expr(s"cumb div $budget").cast("bigint"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("tok").cast("bigint").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("chunk_id")
+  }
 
   val all: Seq[Q] = Seq(
 
-    // ---- sequence packing: greedy concat-and-chunk. Documents are laid
-    // out in doc_id order and cut into fixed token-budget training
-    // sequences; a doc belongs to the chunk where its first token lands.
-    // The global running token offset is a distributed prefix-sum:
-    //   level 1: per-block (doc_id div B) token sums — partial aggregate,
-    //            one shuffle of one row per block;
-    //   level 2: running offset across blocks — a window over block rows
-    //            (tiny: corpus/B), broadcast back;
-    //   level 3: within-block running sum — window PARTITIONED by block,
-    //            so every window partition is bounded by B docs.
-    // No stage ever windows over the full corpus in one partition. ----
+    // ---- sequence packing: greedy concat-and-chunk via the two-level
+    // prefix-sum above. The block size adapts to √N (one extra count job,
+    // metadata-cheap on parquet), which balances the levels at ANY corpus
+    // size: 10^11 docs → ~316k block rows for the level-2 single-task
+    // window and ≤316k docs per level-3 window partition. No stage ever
+    // windows over the full corpus in one partition, and the result is
+    // provably independent of the block size (LlmCurateSpec checks several
+    // block sizes against the naive single-window reference). ----
     Q("llm_pack_sequences",
       s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
          |c AS (SELECT doc_id, tok,
@@ -64,45 +80,32 @@ object LlmCurate {
          |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin,
       bench = true) { (s, dir) =>
       val t = docs(s, dir).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("tok"),
-        expr(s"doc_id div $PackBlock").as("block"))
-      val blockSums = t.groupBy("block").agg(sum("tok").as("btok"))
-      val wBlocks = Window.orderBy("block")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = blockSums
-        .withColumn("boff", coalesce(sum("btok").over(wBlocks), lit(0L)))
-        .select("block", "boff")
-      val wInBlock = Window.partitionBy("block").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t.join(broadcast(offsets), "block")
-        .withColumn("cumb",
-          col("boff") + coalesce(sum("tok").over(wInBlock), lit(0L)))
-        .withColumn("chunk_id", expr(s"cumb div $PackBudget").cast("bigint"))
-        .groupBy("chunk_id")
-        .agg(count(lit(1)).cast("bigint").as("n_docs"),
-          sum("tok").cast("bigint").as("n_tokens"),
-          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-        .orderBy("chunk_id")
+        size(split(col("text"), " ")).cast("bigint").as("tok"))
+      val block = math.max(128L, math.ceil(math.sqrt(t.count().toDouble)).toLong)
+      packChunks(t, PackBudget, block)
     },
 
     // ---- deterministic mix sampling: re-weight the corpus to per-source
     // target rates with a multiplicative arithmetic hash of doc_id — pure
-    // row-local arithmetic both engines compute bit-identically (doc_id <
-    // 2^32 keeps the product inside int64), so the sample is reproducible
-    // across engines, reruns, and repartitionings, unlike rand(seed)-based
-    // sampling whose draw depends on row-to-partition assignment. The
+    // row-local arithmetic both engines compute bit-identically, so the
+    // sample is reproducible across engines, reruns, and repartitionings,
+    // unlike rand(seed)-based sampling whose draw depends on
+    // row-to-partition assignment. doc_id is reduced mod 2^31 BEFORE the
+    // Knuth multiply: the product then peaks at ~5.7e18 < int64 max, so
+    // the expression never overflows at any corpus size (Spark would wrap
+    // silently where DuckDB errors — the engines must agree). The
     // fixture's source is doc_id-periodic (src<N> = doc_id % 20), which is
     // exactly why the hash must mix doc_id rather than use doc_id % k
     // directly. Rates cycle 25/50/75/100% by source index. ----
     Q("llm_mix_sample",
       """SELECT CAST(substring(source, 4) AS INT) AS src_num,
         |  CAST(count(*) AS BIGINT) AS n_total,
-        |  CAST(count(*) FILTER ((doc_id * 2654435761) % 4294967296 % 100
+        |  CAST(count(*) FILTER (((doc_id % 2147483648) * 2654435761) % 4294967296 % 100
         |       < 25 * ((CAST(substring(source, 4) AS INT) % 4) + 1)) AS BIGINT) AS n_kept,
         |  CAST(25 * ((CAST(substring(source, 4) AS INT) % 4) + 1) AS INT) AS target_pct
         |FROM documents GROUP BY 1, 4 ORDER BY src_num""".stripMargin) { (s, dir) =>
       val srcNum = expr("cast(substring(source, 4) as int)")
-      val kept = expr("(doc_id * 2654435761) % 4294967296 % 100") <
+      val kept = expr("((doc_id % 2147483648) * 2654435761) % 4294967296 % 100") <
         lit(25) * ((srcNum % 4) + 1)
       docs(s, dir)
         .groupBy(srcNum.as("src_num"),
@@ -133,10 +136,12 @@ object LlmCurate {
 
     // ---- corpus selection: the composed curation step every training
     // pipeline ends with — quality gate (length + lexical diversity), then
-    // exact-dedup keep-first (min doc_id per identical text), reported as
-    // per-language corpus stats. The dedup shuffle carries only
-    // (text, doc_id) pairs into a partial-aggregated min; survivors
-    // semi-join back by doc_id. ----
+    // exact-dedup keep-first (min doc_id per identical content), reported
+    // as per-language corpus stats. Dedup groups on md5(text), NOT the
+    // text itself, so the shuffle carries a 32-byte key per doc instead of
+    // the document payload (same contract as llm_dedup_exact; a 128-bit
+    // content hash is the standard exact-dup identity at corpus scale).
+    // Survivors semi-join back by doc_id. ----
     Q("llm_corpus_select",
       """WITH q AS (SELECT doc_id, lang, text,
         |    len(string_split(text, ' ')) AS n_words,
@@ -144,7 +149,7 @@ object LlmCurate {
         |      / len(string_split(text, ' ')) AS diversity
         |  FROM documents),
         |f AS (SELECT * FROM q WHERE n_words >= 20 AND diversity >= 0.5),
-        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_words) AS BIGINT) AS n_tokens
         |FROM f JOIN k USING (doc_id) GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
@@ -153,7 +158,7 @@ object LlmCurate {
         size(words).cast("bigint").as("n_words"),
         (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
       val f = q.filter(col("n_words") >= 20 && col("diversity") >= 0.5)
-      val keep = f.groupBy("text").agg(min("doc_id").as("doc_id"))
+      val keep = f.groupBy(md5(col("text"))).agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       f.join(keep, Seq("doc_id"), "left_semi")
         .groupBy("lang")

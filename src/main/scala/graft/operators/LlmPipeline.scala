@@ -235,14 +235,11 @@ object LlmPipeline {
     // ---- near-dup CLUSTERING: connected components over the verified
     // minhash pair graph, then one canonical doc (min doc_id) per
     // component — the step that turns a pair list into "keep this, drop
-    // those" for a dedup pipeline. Components via iterative min-label
-    // propagation (each round: join labels across edges, keep the min),
-    // converging in O(component diameter) rounds — near-dup clusters are
-    // dense and shallow, so 2-3 rounds in practice; an adversarial chain
-    // topology would call for the large-star/small-star O(log n) variant.
-    // Every round is a pair of shuffles over the EDGE set (tiny — dedup
-    // pairs, not the corpus), with a persisted fixpoint check. The oracle
-    // recomputes components with a recursive CTE over the exact pair set. ----
+    // those" for a dedup pipeline. Components via alternating
+    // large-star/small-star edge rewriting (see connectedComponents),
+    // O(log n) rounds on any topology, each round shuffling only the EDGE
+    // set (tiny — dedup pairs, not the corpus). The oracle recomputes
+    // components with a recursive CTE over the exact pair set. ----
     Q("llm_dedup_cluster",
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -272,7 +269,16 @@ object LlmPipeline {
     },
 
     // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit
-    // bands for candidates, Hamming<=12 prefilter, exact verification ----
+    // bands with 1-BIT MULTI-PROBE for candidates, Hamming<=12 prefilter,
+    // exact verification. Plain banding has a recall tail: a true pair at
+    // Hamming 12 can differ in every band (~19% chance per such pair — one
+    // real miss surfaced at sf0.1). Probing each band key and its 8
+    // single-bit flips on ONE join side makes banding recall DETERMINISTIC
+    // for everything the prefilter admits: by pigeonhole, missing all 8
+    // probed bands needs >= 2 diffs per band = Hamming >= 16 > 12. Costs a
+    // 9x wider build side on the equi-join, nothing downstream — the
+    // bit_count prefilter still prunes before the expensive exact
+    // verification. ----
     Q("llm_dedup_simhash", jaccardOracle) { (s, dir) =>
       val d = docs(s, dir)
       // map-only signature: per-bit ±1 voting over the doc's distinct word
@@ -282,7 +288,11 @@ object LlmPipeline {
         "simhash64(transform(array_distinct(split(text, ' ')), w -> xxhash64(w)))").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"), posexplode(expr(
         "transform(sequence(0, 7), j -> (sig >> (j*8)) & 255)")).as(Seq("band", "bh")))
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+      val probed = bands.select(col("doc_id"), col("sig"), col("band"),
+        explode(expr(
+          "transform(array(0L, 1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L), d -> bh ^ d)"))
+          .as("bh"))
+      val cand = probed.as("x").join(bands.as("y"), Seq("band", "bh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .filter(expr("bit_count(x.sig ^ y.sig) <= 12"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

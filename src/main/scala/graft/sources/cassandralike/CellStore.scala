@@ -306,7 +306,12 @@ object CellStore {
       if (hi != null && Codecs.compareBytes(idx.keys(0), hi) >= 0) return Iterator.empty
       var e = 0
       if (lo != null) {
-        while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) <= 0) e += 1
+        // seek to the last index entry STRICTLY below lo: entries equal to
+        // lo must not be skipped — cells with key == lo can start before
+        // them (a hot key spans many index entries, all bearing that key;
+        // advancing on <= here seeked past the whole run and dropped every
+        // cell but the tail — the sf0.1 widerow regression)
+        while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) < 0) e += 1
       }
       val base = runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
       val from =

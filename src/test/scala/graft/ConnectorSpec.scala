@@ -162,6 +162,24 @@ class ConnectorSpec extends SparkSpec {
     assert(!scanOf(tr).scan.description().contains(Options.SliceCount))
   }
 
+  test("S1: single hot key spanning many index entries survives sub-splitting") {
+    // regression for the rangeRun index-seek off-by-one: with ONE key owning
+    // the whole bucket, every sparse-index entry bears that key; the [lo, hi)
+    // partition starting AT the key must read the full run, not the tail
+    // after the last index entry (caught by the sf0.1 widerow smoke run)
+    val sp = spark; import sp.implicits._
+    val n = 3000
+    val src = (1 to n).map(i => ("hot", f"c$i%06d", s"$i"))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_hotkey", src,
+      props = Map(Options.Buckets -> "4"))
+    val df = Seed.read(spark, store, Map(Options.SplitTargetCells -> "500"))
+    val parts = df.rdd.getNumPartitions
+    assert(df.count() == n, s"hot-key readback lost cells (planned $parts partitions)")
+    assert(df.select(sum($"value".cast("long"))).head.getLong(0) ==
+      n.toLong * (n + 1) / 2)
+  }
+
   test("S2: locality.hosts maps buckets round-robin onto preferredLocations") {
     val sp = spark; import sp.implicits._
     val src = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -13,10 +13,10 @@ class LlmCurateSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
-  test("pack_sequences: two-level prefix-sum == single-window reference") {
-    // the judged query uses block size 128; the reference is the global
-    // cumulative sum that would NOT scale (one window partition over the
-    // whole corpus) but is trivially correct
+  test("pack_sequences: two-level prefix-sum == single-window reference at any block size") {
+    // the reference is the global cumulative sum that would NOT scale (one
+    // window partition over the whole corpus) but is trivially correct; the
+    // distributed result must be independent of where block boundaries fall
     val t = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("tok"))
     val wAll = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
@@ -27,10 +27,16 @@ class LlmCurateSpec extends SparkSpec {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    val got = q("llm_pack_sequences").collect()
+    for (block <- Seq(1L, 3L, 7L, 128L, 1000000L)) {
+      val got = operators.LlmCurate.packChunks(t, 2048L, block).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == ref, s"block size $block diverges from the reference")
+    }
+    val judged = q("llm_pack_sequences").collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got == ref)
+    assert(judged == ref)
   }
 
   test("pack_sequences: chunks are contiguous doc ranges near the budget") {
