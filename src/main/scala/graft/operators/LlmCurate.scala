@@ -194,6 +194,36 @@ object LlmCurate {
         .orderBy("doc_id")
     },
 
+    // ---- decontamination: flag corpus documents that share any long
+    // n-gram (8 words) with a held-out benchmark set (docs 0-9 here) — the
+    // standard test-set leakage check before training. The benchmark gram
+    // set is tiny by construction and BROADCASTS into the corpus-side
+    // equi-join, so the corpus is touched in one map-side pass: no
+    // corpus-sized shuffle at any size, cost scales with corpus grams x
+    // (benchmark grams in the hash table). ----
+    Q("llm_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([list_aggregate(w[i:i+7], 'string_agg', ' ')
+        |        for i in range(1, len(w)-6)])) AS gram
+        |      FROM w WHERE len(w) >= 8),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_shared
+        |FROM g JOIN bench USING (gram) WHERE g.doc_id >= 10
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(1, size(w)-7), i -> concat_ws(' ', slice(w, i, 8))))"))
+          .as("gram"))
+      val bench = g.filter(col("doc_id") < 10).select("gram").distinct()
+      g.filter(col("doc_id") >= 10)
+        .join(broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(countDistinct("gram").cast("bigint").as("n_shared"))
+        .orderBy("doc_id")
+    },
+
     // ---- keyword extraction: top-3 terms per doc, TF-IDF-ordered but in
     // exact integer space — rank by term frequency desc, document
     // frequency asc (the IDF direction), term asc. For a fixed tf the
