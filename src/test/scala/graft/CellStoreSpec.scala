@@ -296,6 +296,51 @@ class CellStoreSpec extends AnyFunSuite {
     } finally CellStore.dropTable(dir)
   }
 
+  test("rangeRun: any random tiling of key space reproduces the full run exactly") {
+    // property guard for the index-seek class of bug (round 5 shipped an
+    // off-by-one that dropped everything before the last index entry when
+    // a partition bound EQUALED an indexed key): for random cell sets —
+    // including heavy duplicate-key runs — and random tilings whose bounds
+    // deliberately include EXACT cell keys, concatenating the ranges must
+    // equal the whole run, cell for cell
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 5) {
+      val dir = java.nio.file.Files.createTempDirectory(s"cellprop$trial").toString
+      try {
+        val nKeys = 1 + rnd.nextInt(6) // few keys => many duplicates per key
+        val n = 300 + rnd.nextInt(700)
+        val cells = (0 until n).map { i =>
+          Cell(f"k${rnd.nextInt(nKeys)}%04d".getBytes, f"c$i%06d".getBytes, null,
+            s"v$i".getBytes, 1L, tombstone = false)
+        }
+        seg(dir, "b0-a.bin", cells)
+        val file = CellStore.segmentFiles(dir, 0).head
+        CellStore.compactSegment(file)
+        val ri = CellStore.runInfos(file).head
+        val r = new CellStore.SegmentReader(file)
+        try {
+          val full = r.rangeRun(ri, null, null)
+            .map(c => (new String(c.key), new String(c.col))).toVector
+          // random bounds drawn FROM the present keys (worst case: equal keys)
+          val keys = full.map(_._1).distinct.sorted
+          val nb = rnd.nextInt(4)
+          val bounds = Seq.fill(nb)(keys(rnd.nextInt(keys.length))).distinct.sorted
+          val lowers = (null: String) +: bounds
+          val uppers = bounds :+ (null: String)
+          val tiled = lowers.zip(uppers).flatMap { case (lo, hi) =>
+            r.rangeRun(ri,
+              if (lo == null) null else lo.getBytes,
+              if (hi == null) null else hi.getBytes)
+              .map(c => (new String(c.key), new String(c.col))).toVector
+          }
+          assert(tiled == full,
+            s"trial $trial: tiling over bounds $bounds lost/duplicated cells " +
+              s"(${tiled.size} vs ${full.size})")
+        } finally r.close()
+      } finally CellStore.dropTable(dir)
+    }
+  }
+
   test("corrupt, truncated, or wrong-version segments fail fast (no livelock)") {
     val dir = java.nio.file.Files.createTempDirectory("cellcorrupt").toString
     try {
