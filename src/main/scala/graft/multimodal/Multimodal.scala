@@ -35,6 +35,8 @@ final case class SampledFrames(
     bytes_sampled: Long,
     sampled_fp: Long)
 
+final case class MediaEmbedding(doc_id: Long, hv: Array[Double])
+
 object Multimodal {
 
   /** Bytes per synthetic "frame" (a decoded chunk unit — stands in for an
@@ -140,6 +142,25 @@ object Multimodal {
         SampledFrames(item.doc_id, frames, bytes, fp)
       }
     }
+  }
+
+  /** STUB media encoder: payload bytes → 64-dim histogram feature vector
+    * (count of bytes per value-class). The real implementation would run a
+    * vision/audio encoder here; the vector shape, determinism, and
+    * downstream ANN plumbing are what this exercises. */
+  def embedStub(payload: Array[Byte]): Array[Double] = {
+    val h = new Array[Double](64)
+    var i = 0
+    while (i < payload.length) { h((payload(i) & 0xff) % 64) += 1.0; i += 1 }
+    h
+  }
+
+  /** Partition-parallel payload → embedding: the encode stage of a
+    * multimodal retrieval pipeline (no shuffle, no driver collection). */
+  def embedAll(items: Dataset[MediaItem]): Dataset[MediaEmbedding] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.map(i => MediaEmbedding(i.doc_id, embedStub(i.payload))))
   }
 
   /** Partition-parallel batched feature extraction: the multimodal

@@ -686,6 +686,48 @@ object LlmPipeline {
       graft.multimodal.Multimodal.sampleAll(items).toDF()
         .select(col("doc_id"), col("n_sampled"), col("bytes_sampled"), col("sampled_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal → vector handoff: encode payloads into embeddings
+    // (stub encoder: 64-bin byte histogram — deterministic, so the oracle
+    // recomputes it from the character stream) and run cross-modal ANN
+    // against the embeddings table: broadcast the (tiny) query vectors,
+    // score partition-parallel, per-query top-3 via window. This is the
+    // retrieval composition a production pipeline runs after media encode:
+    // encode stage (mapPartitions, no shuffle) -> ANN stage (llm_ann_topk's
+    // plan shape). ----
+    Q("llm_multimodal_embed",
+      """WITH q AS (SELECT doc_id,
+        |    [CAST(len(list_filter([ord(x) FOR x IN string_split(text, '')], v -> v % 64 = j)) AS DOUBLE)
+        |     FOR j IN range(0, 64)] AS hv
+        |  FROM documents WHERE doc_id < 5),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |scored AS (SELECT q.doc_id, e.vec_id,
+        |    list_dot_product(hv, v) / (sqrt(list_dot_product(hv, hv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q, e),
+        |r AS (SELECT doc_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor, round(cos, 3) AS cos
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val items = graft.multimodal.Multimodal.synthesize(
+        docs(s, dir).filter(col("doc_id") < 5))
+      val q = graft.multimodal.Multimodal.embedAll(items).toDF()
+        .withColumn("qnorm",
+          sqrt(expr("aggregate(hv, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      val e = emb(s, dir)
+        .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      val scored = e.join(broadcast(q))
+        .withColumn("cos", expr(
+          "aggregate(zip_with(hv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
+          / (col("qnorm") * col("norm")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.select(col("doc_id"), col("vec_id"), col("cos"),
+        row_number().over(w).cast("bigint").as("rk"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("vec_id").as("neighbor"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("doc_id"), col("rk"))
     }
   )
 }
