@@ -77,6 +77,25 @@ class LlmCurateSpec extends SparkSpec {
     assert(rows.values.map(_._3).toSet == Set(25, 50, 75, 100))
   }
 
+  test("mix_sample and pack_sequences are invariant under repartitioning") {
+    // the determinism claim: hash sampling and the distributed prefix-sum
+    // depend only on doc_id, never on row-to-partition assignment — so any
+    // repartitioning of the input must produce byte-identical results
+    val base = Tables.load(spark, sfDir, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val t = base.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("bigint").as("tok"))
+    val packRef = canon(operators.LlmCurate.packChunks(t, 2048L, 16L))
+    for (parts <- Seq(1, 3, 17)) {
+      val shuffled = t.repartition(parts)
+      assert(canon(operators.LlmCurate.packChunks(shuffled, 2048L, 16L)) == packRef,
+        s"packChunks changed under repartition($parts)")
+    }
+    val mixRef = canon(q("llm_mix_sample"))
+    assert(mixRef.nonEmpty && canon(q("llm_mix_sample")) == mixRef)
+  }
+
   test("text_clean strips punctuation and collapses spaces") {
     val s = spark
     import s.implicits._
