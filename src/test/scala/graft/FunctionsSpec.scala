@@ -90,4 +90,28 @@ class FunctionsSpec extends SparkSpec {
     assertThrows[Exception](
       spark.sql("SELECT cassandra_decode(cast('x' as binary), 'decimal')").collect())
   }
+
+  test("LLM kernel expressions stay codegen'd (no CodegenFallback in judged hot paths)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    // resolve each kernel through real SQL analysis, then check the resolved
+    // expression tree: a kernel silently mixing in CodegenFallback would
+    // break every WholeStageCodegen span it appears in — the property the
+    // dedup/ANN pipelines' throughput rests on
+    val exprs = Seq(
+      "shingle_hashes('a b c d e f')",
+      "minhash_bands(shingle_hashes('a b c d e f'))",
+      "simhash64(array(1L, 2L, 3L))",
+      "minhash_signature_arr(array(1L, 2L, 3L))",
+      "sign_sketch(array(0.5D, -0.5D))",
+      "sketch_hamming(sign_sketch(array(0.5D, -0.5D)), sign_sketch(array(-0.5D, 0.5D)))",
+      "cassandra_decode(cast('1234' as binary), 'int')")
+    exprs.foreach { sql =>
+      val plan = spark.sql(s"SELECT $sql").queryExecution.analyzed
+      val fallbacks = plan.expressions.flatMap(_.collect {
+        case e: CodegenFallback if !e.isInstanceOf[Literal] => e
+      })
+      assert(fallbacks.isEmpty,
+        s"$sql contains CodegenFallback expressions: ${fallbacks.map(_.getClass.getSimpleName)}")
+    }
+  }
 }
