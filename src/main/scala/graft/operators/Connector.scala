@@ -98,6 +98,27 @@ object Connector {
         .agg(count(lit(1)).as("n_live"), d(sum(m($"c_acctbal"))).as("bal_live"))
     },
 
+    // ---- store-to-store join: both sides are cassandralike DSv2 scans
+    // (the reference served multi-CF HiveQL joins the same way — each CF an
+    // InputFormat, Hive joining on top). The dim store auto-broadcasts off
+    // the scan's reported statistics (estimateStatistics -> Catalyst
+    // sizing), exercising the stats path in a real plan decision. ----
+    Q("conn_join_stores",
+      """SELECT n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = Seed.table(s, dir, "join_cust", t(s, dir, "customer"))
+      val nat = Seed.table(s, dir, "join_nat",
+        t(s, dir, "nation").select($"n_nationkey", $"n_name"))
+      Seed.read(s, cust)
+        .join(Seed.read(s, nat), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_cust"), d(sum(m($"c_acctbal"))).as("bal"))
+        .orderBy($"n_name")
+    },
+
     // ---- snapshot (as-of) read: cells carry write timestamps, so reading
     // with read.asof=T replays LWW over only the cells written at or before
     // T — Cassandra-style historical reads from the same immutable

@@ -228,8 +228,14 @@ class CellScan(
     * row-level so less data reaches the probe side. */
   private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** Only advertise the key when the projection kept it: Spark's
+    * PartitionPruning resolves these refs against the scan OUTPUT, and a
+    * key-pruned projection would make every join over this scan fail
+    * analysis (surfaced by the store-to-store join spec). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(table.mapping.keyField.name))
+    if (required.fieldNames.contains(table.mapping.keyField.name))
+      Array(Expressions.column(table.mapping.keyField.name))
+    else Array.empty
 
   override def filter(fs: Array[Filter]): Unit = {
     val keyName = table.mapping.keyField.name

@@ -207,6 +207,17 @@ class ConnectorSpec extends SparkSpec {
     assert(bare.forall(_.preferredLocations().isEmpty))
   }
 
+  test("store-to-store join broadcasts the small store off reported statistics") {
+    val df = SparkEntry.queries("conn_join_stores")(spark, sfDir)
+    // the nation store is tiny; the scan's estimateStatistics must make
+    // Catalyst pick a broadcast join without any hint in the query
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(explained.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast from reported stats:\n$explained")
+    assert(df.count() > 0)
+  }
+
   test("as-of read replays each epoch's snapshot exactly") {
     val sp = spark; import sp.implicits._
     val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
