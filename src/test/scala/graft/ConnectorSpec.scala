@@ -239,6 +239,29 @@ class ConnectorSpec extends SparkSpec {
     assert(Seed.read(spark, store).count() == 2)
   }
 
+  test("as-of snapshot composes with slice options on a transposed store") {
+    val sp = spark; import sp.implicits._
+    val src = (1 to 10).map(i => ("k1", f"c$i%02d", s"v$i"))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_asof_slice", src)
+    // epoch 2 rewrites the even columns
+    Seed.append((2 to 10 by 2).map(i => ("k1", f"c$i%02d", s"w$i"))
+      .toDF("row_key", "column_name", "value"), store,
+      Map(Options.WriteTimestamp -> "2"))
+    // snapshot at epoch 1 + slice [c03, c07]: original values only, sliced
+    val got = Seed.read(spark, store, Map(
+        Options.ReadAsOf -> "1",
+        Options.SliceStart -> "c03", Options.SliceFinish -> "c07"))
+      .select($"column_name", $"value").as[(String, String)].collect().toSet
+    assert(got == (3 to 7).map(i => (f"c$i%02d", s"v$i")).toSet, s"got $got")
+    // latest read with the same slice sees the epoch-2 values
+    val latest = Seed.read(spark, store, Map(
+        Options.SliceStart -> "c03", Options.SliceFinish -> "c07"))
+      .select($"column_name", $"value").as[(String, String)].collect().toSet
+    assert(latest == (3 to 7).map(i =>
+      (f"c$i%02d", if (i % 2 == 0) s"w$i" else s"v$i")).toSet)
+  }
+
   test("commit-time compaction: multi-flush DSv2 write reads back intact") {
     // The test whose absence let round 4 ship corrupt: a tiny write buffer
     // forces every flush to spill multi-run segments, so DataWriter.commit
