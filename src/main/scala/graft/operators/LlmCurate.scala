@@ -194,6 +194,32 @@ object LlmCurate {
         .orderBy("doc_id")
     },
 
+    // ---- train/val/test split: the deterministic 80/10/10 partition every
+    // training run starts from. Same engine-portable arithmetic hash as
+    // llm_mix_sample (doc_id-only, overflow-safe), so the split is stable
+    // across engines, reruns, repartitionings, and INCREMENTAL corpus
+    // growth — a doc's split never changes when new docs arrive, which a
+    // row_number-based split cannot guarantee. Map-only until the final
+    // 3-row aggregate. ----
+    Q("llm_split_corpus",
+      """WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS tok,
+        |    CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val h = expr("((doc_id % 2147483648) * 2654435761) % 4294967296 % 100")
+      docs(s, dir)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("tok"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("tok").cast("bigint").as("n_tokens"))
+        .orderBy("split")
+    },
+
     // ---- decontamination: flag corpus documents that share any long
     // n-gram (8 words) with a held-out benchmark set (docs 0-9 here) — the
     // standard test-set leakage check before training. The benchmark gram
