@@ -531,6 +531,38 @@ object Connector {
       s.table("cassandralike.ks.cust_by_nation")
         .groupBy($"n_name").agg(count(lit(1)).as("n_cust"))
         .orderBy($"n_name")
+    },
+
+    // ---- schema evolution: ADD COLUMN is a metadata-only change over the
+    // immutable segments — rows written before the change surface SQL NULL
+    // through the missing-cell path (P4), Cassandra's add-column
+    // semantics; rows written after carry the new cell. The oracle splits
+    // the corpus the same way the two INSERT epochs do. ----
+    Q("conn_schema_evolution",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_segment,
+        |  CAST(sum(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END AS DECIMAL(12,2))) AS DOUBLE) AS seg_bal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.evolving")
+      s.sql("CREATE TABLE cassandralike.ks.evolving (c_custkey BIGINT, c_name STRING) USING cassandralike")
+      // epoch 1: odd customers, pre-evolution schema
+      s.sql("""INSERT INTO cassandralike.ks.evolving
+              |SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql("ALTER TABLE cassandralike.ks.evolving ADD COLUMN seg_bal DOUBLE")
+      // epoch 2: even customers carry the new column
+      s.sql("""INSERT INTO cassandralike.ks.evolving
+              |SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0""".stripMargin)
+      s.table("cassandralike.ks.evolving")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"seg_bal".isNotNull, 1L).otherwise(0L)).cast("bigint").as("n_with_segment"),
+          d(sum(m($"seg_bal"))).as("seg_bal"))
     }
   )
 }

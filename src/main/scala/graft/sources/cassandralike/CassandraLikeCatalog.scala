@@ -97,8 +97,49 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution on the metadata only — segments are immutable.
+    * ADD COLUMN: rows written before the change surface SQL NULL for the
+    * new column through the missing-cell path (P4), exactly Cassandra's
+    * add-column semantics. DROP COLUMN: the cells stay on disk but are no
+    * longer mapped (Cassandra leaves dropped-column data to compaction);
+    * dropping the :key is rejected by mapping validation. Transposed
+    * tables have a fixed shape — column changes fail validation. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val meta = CellStore.readMeta(dir.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    var schema = StructType.fromDDL(meta.schemaDdl)
+    var tokens = meta.mapping.split(",", -1).map(_.trim).toVector
+    var props = meta.properties
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "cassandralike supports only top-level columns")
+        val n = a.fieldNames()(0)
+        require(!schema.fieldNames.contains(n), s"column $n already exists")
+        schema = schema.add(n, a.dataType(), a.isNullable)
+        tokens = tokens :+ n // new cell stored under the column's own name
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "cassandralike supports only top-level columns")
+        val n = d.fieldNames()(0)
+        val i = schema.fieldNames.indexOf(n)
+        require(i >= 0, s"no such column $n")
+        schema = StructType(schema.fields.patch(i, Nil, 1))
+        tokens = tokens.patch(i, Nil, 1)
+      case s: TableChange.SetProperty =>
+        props += (s.property -> s.value)
+      case r: TableChange.RemoveProperty =>
+        props -= r.property
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    val mapping = tokens.mkString(",")
+    ColumnMapping.parse(mapping, schema) // re-validate (:key survives, shape)
+    CellStore.writeMeta(dir.toString, CellStore.Meta(schema.toDDL, mapping, props))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

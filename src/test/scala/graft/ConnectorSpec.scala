@@ -439,6 +439,30 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN speccat.ks1").count() == 0)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN: old rows surface NULL, key is protected") {
+    val wh = java.nio.file.Files.createTempDirectory("alter").toString
+    spark.conf.set("spark.sql.catalog.altcat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.altcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS altcat.ks")
+    spark.sql("CREATE TABLE altcat.ks.t (k BIGINT, v STRING) USING cassandralike")
+    spark.sql("INSERT INTO altcat.ks.t VALUES (1, 'one')")
+    spark.sql("ALTER TABLE altcat.ks.t ADD COLUMN extra STRING")
+    spark.sql("INSERT INTO altcat.ks.t VALUES (2, 'two', 'x')")
+    val rows = spark.table("altcat.ks.t").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // pre-evolution row surfaces NULL for the added column (missing cell)
+    assert(rows == Set((1L, "one", null), (2L, "two", "x")))
+    spark.sql("ALTER TABLE altcat.ks.t DROP COLUMN v")
+    val after = spark.table("altcat.ks.t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(after == Set((1L, null), (2L, "x")))
+    // dropping the key is rejected by mapping validation
+    assertThrows[Exception](spark.sql("ALTER TABLE altcat.ks.t DROP COLUMN k"))
+    spark.sql("DROP TABLE altcat.ks.t")
+  }
+
   test("D3: session conf overrides table property (conf-over-props)") {
     val sp = spark; import sp.implicits._
     val src = (1 to 10).map(i => ("k1", f"c$i%02d", s"$i"))
