@@ -533,6 +533,34 @@ object Connector {
         .orderBy($"n_name")
     },
 
+    // ---- SQL DELETE by key: tombstones written through SupportsDelete —
+    // the targeted point-delete Cassandra serves (row stays deleted through
+    // compaction; ConnectorSpec asserts that too). The key list is driver
+    // -issued by nature: DELETE ... WHERE key IN (...) is a point
+    // operation, not a scan job. ----
+    Q("conn_delete_where",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 100 <> 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.delete_t")
+      s.sql("""CREATE TABLE cassandralike.ks.delete_t
+              |  (c_custkey BIGINT, c_acctbal DOUBLE) USING cassandralike""".stripMargin)
+      s.sql("INSERT INTO cassandralike.ks.delete_t SELECT c_custkey, c_acctbal FROM customer")
+      val doomed = t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
+        .select($"c_custkey").collect().map(_.getLong(0))
+      if (doomed.nonEmpty)
+        s.sql(s"DELETE FROM cassandralike.ks.delete_t WHERE c_custkey IN (${doomed.mkString(",")})")
+      s.table("cassandralike.ks.delete_t")
+        .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

@@ -122,7 +122,7 @@ class CassandraLikeTable(
     val tableSchema: StructType,
     mappingStr: Option[String],
     val tableProps: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   val mapping: ColumnMapping = ColumnMapping.forTable(tableSchema, mappingStr)
 
@@ -131,6 +131,55 @@ class CassandraLikeTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** SQL `DELETE FROM t WHERE <key predicate>` — Cassandra-style targeted
+    * deletes: tombstone every live cell of the matching keys, written as a
+    * normal segment (one logical timestamp past the current maximum, so
+    * the tombstones win LWW deterministically). Only key equality / IN is
+    * accepted — that is the delete shape the store serves point-wise;
+    * broader predicates would be a full scan-and-delete job, which callers
+    * express explicitly via write.nulls.as.tombstones instead. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val k = mapping.keyField.name
+    filters.nonEmpty && filters.forall {
+      case EqualTo(c, _) => c == k
+      case In(c, _) => c == k
+      case _ => false
+    }
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters), s"DELETE supports only key predicates, got ${filters.mkString(", ")}")
+    val keyType = mapping.keyField.dataType
+    val keys: Seq[Array[Byte]] = filters.flatMap {
+      case EqualTo(_, v) => Seq(v)
+      case In(_, vs) => vs.toSeq
+      case _ => Nil
+    }.map(v => Codecs.encode(keyType,
+      CatalystTypeConverters.convertToCatalyst(v))).toSeq
+    val buckets = tableProps.get(Options.Buckets).map(_.toInt)
+      .getOrElse(Options.DefaultBuckets)
+    keys.groupBy(TokenRing.bucket(_, buckets)).foreach { case (bucket, ks) =>
+      val keySet = ks.map(_.toSeq).toSet
+      val merge = new CellStore.BucketMergeIterator(dir, bucket)
+      val doomed = try {
+        merge.filter(c => keySet.contains(c.key.toSeq)).map { c =>
+          Cell(c.key, c.col, c.sub, Array.emptyByteArray, c.ts, tombstone = true)
+        }.toVector
+      } finally merge.close()
+      if (doomed.nonEmpty) {
+        val ts = doomed.map(_.ts).max + 1
+        val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+        val tmp = sst.resolve(CellStore.newSegmentName(bucket) + ".tmp")
+        val out = CellStore.newSegmentStream(tmp)
+        try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)))
+        finally out.close()
+        java.nio.file.Files.move(tmp,
+          sst.resolve(CellStore.newSegmentName(bucket)),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+  }
 
   /** Session-conf overrides merge UNDER explicit options (option > conf >
     * table property — the reference's conf-over-table-props resolution, D3). */

@@ -463,6 +463,28 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE altcat.ks.t")
   }
 
+  test("DELETE FROM by key writes tombstones; non-key predicates are rejected") {
+    val wh = java.nio.file.Files.createTempDirectory("del").toString
+    spark.conf.set("spark.sql.catalog.delcat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS delcat.ks")
+    spark.sql("CREATE TABLE delcat.ks.t (k BIGINT, v STRING) USING cassandralike")
+    spark.sql("INSERT INTO delcat.ks.t SELECT id, concat('v', id) FROM range(1, 21)")
+    spark.sql("DELETE FROM delcat.ks.t WHERE k = 5")
+    spark.sql("DELETE FROM delcat.ks.t WHERE k IN (7, 11, 5)") // 5 already gone
+    val left = spark.table("delcat.ks.t").collect().map(_.getLong(0)).toSet
+    assert(left == (1L to 20L).toSet -- Set(5L, 7L, 11L))
+    // tombstoned keys stay deleted through whole-bucket compaction
+    val dir = s"$wh/ks/t"
+    (0 until Options.DefaultBuckets).foreach(b => CellStore.compactBucket(dir, b))
+    assert(spark.table("delcat.ks.t").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet -- Set(5L, 7L, 11L))
+    // non-key predicate: the source refuses, Spark raises an analysis error
+    assertThrows[Exception](spark.sql("DELETE FROM delcat.ks.t WHERE v = 'v3'"))
+    spark.sql("DROP TABLE delcat.ks.t")
+  }
+
   test("D3: session conf overrides table property (conf-over-props)") {
     val sp = spark; import sp.implicits._
     val src = (1 to 10).map(i => ("k1", f"c$i%02d", s"$i"))
