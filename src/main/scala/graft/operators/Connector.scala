@@ -533,6 +533,27 @@ object Connector {
         .orderBy($"n_name")
     },
 
+    // ---- table-level TTL (Cassandra default_time_to_live): cells expire
+    // once the reader's clock passes ts + ttl — evaluated at read time
+    // from cell write timestamps, no storage change. Three epochs written
+    // at logical ts 1/2/3; ttl=2 read at now=4 keeps only epochs >= 3
+    // (1+2<=4 and 2+2<=4 expired; tombstones never expire, they must keep
+    // shadowing). ----
+    Q("conn_ttl_expiry",
+      """SELECT count(*) AS n_live,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "ttl", cust.filter($"c_custkey" % 3 === 1))
+      Seed.append(cust.filter($"c_custkey" % 3 === 2), store,
+        Map(Options.WriteTimestamp -> "2"))
+      Seed.append(cust.filter($"c_custkey" % 3 === 0), store,
+        Map(Options.WriteTimestamp -> "3"))
+      Seed.read(s, store, Map(Options.Ttl -> "2", Options.ReadNow -> "4"))
+        .agg(count(lit(1)).as("n_live"), d(sum(m($"c_acctbal"))).as("bal"))
+    },
+
     // ---- SQL DELETE by key: tombstones written through SupportsDelete —
     // the targeted point-delete Cassandra serves (row stays deleted through
     // compaction; ConnectorSpec asserts that too). The key list is driver

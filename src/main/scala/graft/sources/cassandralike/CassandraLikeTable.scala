@@ -46,6 +46,15 @@ object Options {
     * compaction preserves it per segment because LWW reconciliation inside
     * one write epoch is ts-stable). */
   val ReadAsOf = "read.asof"
+  /** Table-level TTL (Cassandra's default_time_to_live): a live cell
+    * expires once `read.now >= ts + ttl` — evaluated at read time from the
+    * cell's write timestamp, no storage change. `read.now` defaults to
+    * Long.MaxValue-safe "no expiry" when unset so TTL only bites when the
+    * reader states its clock (deterministic tests use logical clocks; a
+    * production reader passes wall-clock micros). Tombstones never expire
+    * here — they must keep shadowing older live cells. */
+  val Ttl = "ttl"
+  val ReadNow = "read.now"
 
   val DefaultBuckets = 32
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
@@ -461,7 +470,9 @@ class CellPartitionReader(
   // the server holds the row and the client pages it.
   private val merge = new CellStore.BucketMergeIterator(
     part.tableDir, part.bucket, part.lower, part.upper,
-    asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue))
+    asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue),
+    ttl = opt(Options.Ttl).map(_.toLong).getOrElse(0L),
+    now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L))
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =

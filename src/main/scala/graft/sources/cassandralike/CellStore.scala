@@ -381,17 +381,23 @@ object CellStore {
     * the run index makes each range read ~its share of the bytes. */
   final class BucketMergeIterator(tableDir: String, bucket: Int,
       lower: Array[Byte] = null, upper: Array[Byte] = null,
-      asOf: Long = Long.MaxValue)
+      asOf: Long = Long.MaxValue,
+      ttl: Long = 0L, now: Long = 0L)
     extends Iterator[Cell] with AutoCloseable {
     private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
     private val raw =
       if (lower == null && upper == null) segs.flatMap(_.runs())
       else segs.flatMap(_.rangeRuns(lower, upper))
     // snapshot read: cells written after the as-of bound never enter LWW
-    // reconciliation, so the winner per address is the latest cell <= asOf
-    private val inner = new MergeIterator(
-      if (asOf == Long.MaxValue) raw else raw.map(_.filter(_.ts <= asOf)),
-      dropTombstones = true)
+    // reconciliation, so the winner per address is the latest cell <= asOf.
+    // TTL (table-level default_time_to_live): a live cell expires once
+    // now >= ts + ttl; tombstones never expire (they must keep shadowing).
+    private def prune(it: Iterator[Cell]): Iterator[Cell] = {
+      val a = if (asOf == Long.MaxValue) it else it.filter(_.ts <= asOf)
+      if (ttl <= 0L || now <= 0L) a
+      else a.filter(c => c.tombstone || now < c.ts + ttl)
+    }
+    private val inner = new MergeIterator(raw.map(prune), dropTombstones = true)
     def hasNext: Boolean = inner.hasNext
     def next(): Cell = inner.next()
     def close(): Unit = segs.foreach(_.close())

@@ -463,6 +463,26 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE altcat.ks.t")
   }
 
+  test("TTL expiry: live cells age out by write timestamp, tombstones never do") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "old"), (2L, "old2")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_ttl", src) // ts=1
+    Seed.append(Seq((3L, "new")).toDF("k", "v"), store,
+      Map(Options.WriteTimestamp -> "5"))
+    // tombstone k=2 at ts=6: must shadow even when older than the horizon
+    Seed.append(Seq((2L, null.asInstanceOf[String])).toDF("k", "v"), store,
+      Map(Options.WriteTimestamp -> "6", Options.NullsAsTombstones -> "true"))
+    def read(ttl: String, now: String): Set[Long] =
+      Seed.read(spark, store, Map(Options.Ttl -> ttl, Options.ReadNow -> now))
+        .collect().map(_.getLong(0)).toSet
+    assert(read("10", "7") == Set(1L, 3L))   // nothing expired; k=2 tombstoned
+    assert(read("3", "7") == Set(3L))        // ts=1 epoch expired (1+3<=7)
+    assert(read("3", "20") == Set.empty)     // everything aged out
+    // no clock stated -> no expiry
+    assert(Seed.read(spark, store, Map(Options.Ttl -> "3"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("DELETE FROM by key writes tombstones; non-key predicates are rejected") {
     val wh = java.nio.file.Files.createTempDirectory("del").toString
     spark.conf.set("spark.sql.catalog.delcat",
