@@ -533,6 +533,26 @@ object Connector {
         .orderBy($"n_name")
     },
 
+    // ---- INSERT OVERWRITE (SupportsTruncate): the rewrite path — truncate
+    // drops every segment, then the batch writes fresh ones; the readback
+    // must show ONLY the overwrite's rows, none of the original epoch. ----
+    Q("conn_insert_overwrite",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 4 = 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "overwrite", cust) // full table first
+      cust.filter($"c_custkey" % 4 === 0)
+        .write.format("cassandralike")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option(Options.Path, store)
+        .option(Options.WriteTimestamp, "2")
+        .save()
+      Seed.read(s, store)
+        .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
+    },
+
     // ---- table-level TTL (Cassandra default_time_to_live): cells expire
     // once the reader's clock passes ts + ttl — evaluated at read time
     // from cell write timestamps, no storage change. Three epochs written

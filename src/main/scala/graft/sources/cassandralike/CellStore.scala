@@ -600,12 +600,19 @@ object CellStore {
     finally walk.close()
   }
 
+  /** Drop every COMMITTED segment. Runs inside the overwrite job's commit,
+    * AFTER tasks have staged their `tmp-*` files in the same directory —
+    * those must survive (they are the overwrite's own data, renamed right
+    * after this call), so only `b<bucket>-*.bin` committed names go. */
   def truncate(tableDir: String): Unit = {
     val sst = Paths.get(tableDir, SstDir)
     if (!Files.isDirectory(sst)) return
     import scala.jdk.CollectionConverters._
     val s = Files.list(sst)
-    try s.iterator().asScala.foreach(Files.delete) finally s.close()
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("b"))
+      .foreach(Files.delete)
+    finally s.close()
   }
 
   def newSegmentName(bucket: Int): String = s"b$bucket-${UUID.randomUUID()}.bin"

@@ -463,6 +463,20 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE altcat.ks.t")
   }
 
+  test("as-of read sees through a later DELETE (time-travel undelete)") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_asof_delete", src) // ts=1
+    // catalog-less targeted delete: tombstone k=2 at ts=2
+    Seed.append(Seq((2L, null.asInstanceOf[String])).toDF("k", "v"), store,
+      Map(Options.WriteTimestamp -> "2", Options.NullsAsTombstones -> "true"))
+    assert(Seed.read(spark, store).collect().map(_.getLong(0)).toSet == Set(1L))
+    // the snapshot BEFORE the delete still shows the row — immutable
+    // segments make deletes reversible reads, Cassandra-style
+    assert(Seed.read(spark, store, Map(Options.ReadAsOf -> "1"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("TTL expiry: live cells age out by write timestamp, tombstones never do") {
     val sp = spark; import sp.implicits._
     val src = Seq((1L, "old"), (2L, "old2")).toDF("k", "v")
