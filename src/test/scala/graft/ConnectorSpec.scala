@@ -463,6 +463,26 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE altcat.ks.t")
   }
 
+  test("namespace (keyspace) lifecycle: create, list, drop, cascade rules") {
+    val wh = java.nio.file.Files.createTempDirectory("ns").toString
+    spark.conf.set("spark.sql.catalog.nscat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE nscat.ks1")
+    spark.sql("CREATE NAMESPACE nscat.ks2")
+    val listed = spark.sql("SHOW NAMESPACES IN nscat").collect()
+      .map(_.getString(0)).toSet
+    assert(Set("ks1", "ks2").subsetOf(listed), s"listed $listed")
+    // an occupied keyspace refuses a plain drop, drops with CASCADE
+    spark.sql("CREATE TABLE nscat.ks1.t (k BIGINT, v STRING) USING cassandralike")
+    assertThrows[Exception](spark.sql("DROP NAMESPACE nscat.ks1"))
+    spark.sql("DROP NAMESPACE nscat.ks1 CASCADE")
+    spark.sql("DROP NAMESPACE nscat.ks2")
+    val after = spark.sql("SHOW NAMESPACES IN nscat").collect()
+      .map(_.getString(0)).toSet
+    assert(!after.contains("ks1") && !after.contains("ks2"))
+  }
+
   test("as-of read sees through a later DELETE (time-travel undelete)") {
     val sp = spark; import sp.implicits._
     val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
