@@ -250,6 +250,34 @@ object LlmCurate {
         .orderBy("doc_id")
     },
 
+    // ---- within-doc repetition (Gopher-style quality rule): fraction of
+    // duplicate word-bigrams inside each document — boilerplate and
+    // degenerate generations repeat phrases; natural text mostly doesn't.
+    // Entirely row-local array expressions (no shuffle before the final
+    // ORDER BY), exact integers until the rounded ratio. ----
+    Q("llm_text_repetition",
+      """WITH g AS (SELECT doc_id,
+        |    [list_aggregate(w[i:i+1], 'string_agg', ' ') FOR i IN range(1, len(w))] AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+        |  round((len(grams) - len(list_distinct(grams))) * 1.0 / len(grams), 4) AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val grams = expr(
+        "transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))")
+      docs(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("bigint").as("n_grams"),
+          (size(col("grams")) - size(array_distinct(col("grams"))))
+            .cast("bigint").as("n_dup"))
+        .withColumn("dup_ratio", round(col("n_dup") * 1.0 / col("n_grams"), 4))
+        .orderBy("doc_id")
+    },
+
     // ---- keyword extraction: top-3 terms per doc, TF-IDF-ordered but in
     // exact integer space — rank by term frequency desc, document
     // frequency asc (the IDF direction), term asc. For a fixed tf the

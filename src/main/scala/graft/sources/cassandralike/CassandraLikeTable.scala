@@ -153,12 +153,21 @@ class CassandraLikeTable(
     filters.nonEmpty && filters.forall {
       case EqualTo(c, _) => c == k
       case In(c, _) => c == k
+      case org.apache.spark.sql.sources.AlwaysTrue() => true // DELETE w/o WHERE
       case _ => false
     }
   }
 
+  /** Unconditional `DELETE FROM t` = truncate: drop every committed
+    * segment (same path as INSERT OVERWRITE's truncate). */
+  override def truncateTable(): Boolean = { CellStore.truncate(dir); true }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters), s"DELETE supports only key predicates, got ${filters.mkString(", ")}")
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) {
+      CellStore.truncate(dir) // unconditional DELETE = truncate
+      return
+    }
     val keyType = mapping.keyField.dataType
     val keys: Seq[Array[Byte]] = filters.flatMap {
       case EqualTo(_, v) => Seq(v)

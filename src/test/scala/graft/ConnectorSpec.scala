@@ -536,6 +536,9 @@ class ConnectorSpec extends SparkSpec {
       (1L to 20L).toSet -- Set(5L, 7L, 11L))
     // non-key predicate: the source refuses, Spark raises an analysis error
     assertThrows[Exception](spark.sql("DELETE FROM delcat.ks.t WHERE v = 'v3'"))
+    // unconditional DELETE routes to truncate: table empties
+    spark.sql("DELETE FROM delcat.ks.t")
+    assert(spark.table("delcat.ks.t").count() == 0)
     spark.sql("DROP TABLE delcat.ks.t")
   }
 
