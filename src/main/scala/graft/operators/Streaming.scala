@@ -131,6 +131,58 @@ object Streaming {
         .orderBy($"user_id", $"purchase_ts", $"click_ts")
     },
 
+    // ---- stream-stream LEFT OUTER interval join: matched rows emit on
+    // arrival (the inner part); an UNMATCHED purchase emits its
+    // null-extended row only at state eviction — the outer-join semantics
+    // only watermarks make possible on infinite streams. Spark's exact
+    // eviction instant for interval conditions is an internal detail
+    // (empirically between wm−34min and wm on this fixture), so the JUDGED
+    // comparison restricts both sides to purchases ≥4h before the final
+    // event time (2h watermark delay + 1h interval + 1h margin), where
+    // emission is unconditional — the full outer machinery still runs in
+    // the judged path; only the undocumented boundary zone is excluded
+    // from the hash compare. ----
+    Q("stream_join_left_outer",
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |      AND ts <= (SELECT mt - INTERVAL 4 HOUR FROM mx)),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |matched AS (
+        |  SELECT p.user_id, p.ts AS p_ts, c.ts AS c_ts FROM p JOIN c
+        |    ON p.user_id = c.user_id
+        |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts),
+        |unmatched AS (
+        |  SELECT p.user_id, p.ts AS p_ts, NULL::TIMESTAMP AS c_ts FROM p
+        |  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts))
+        |SELECT user_id, strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+        |ORDER BY user_id, purchase_ts, click_ts""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = StreamOps.eventsStream(s, dir)
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+      val c = StreamOps.eventsStream(s, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = p.join(c,
+        $"user_id" === $"c_user" &&
+          $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
+        "left_outer")
+      // certain-emission bound: distributed 1-row broadcast, no driver action
+      val bound = graft.Tables.load(s, dir, "events")
+        .agg(max($"ts").as("mt"))
+      StreamOps.runToMemory(s, joined, "append")
+        .join(broadcast(bound))
+        .filter($"p_ts" <= $"mt" - expr("INTERVAL 4 HOURS"))
+        .select($"user_id", ymdHms($"p_ts").as("purchase_ts"),
+          ymdHms($"c_ts").as("click_ts"))
+        .orderBy($"user_id", $"purchase_ts", $"click_ts")
+    },
+
     // ---- streaming dedup with watermark-bounded state: first occurrence
     // of each (user, event_type) passes, duplicates are dropped, and
     // per-key state expires once the watermark moves past it —
