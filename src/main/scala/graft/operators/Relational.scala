@@ -829,13 +829,18 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
       import s.implicits._
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_buck")
+      // database keyed on the data dir: concurrent sessions over different
+      // SFs (bench vs verify vs tests) get disjoint warehouse paths instead
+      // of racing on one shared /tmp/graft_warehouse/graft_buck.db
+      val db = "graft_buck_" +
+        (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       // the in-memory catalog forgets managed tables across sessions while
       // their warehouse directories persist — clear both before (re)writing
       def reset(name: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS graft_buck.$name")
+        s.sql(s"DROP TABLE IF EXISTS $db.$name")
         val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        val dir0 = java.nio.file.Paths.get(s"$wh/graft_buck.db/$name")
+        val dir0 = java.nio.file.Paths.get(s"$wh/$db.db/$name")
         if (java.nio.file.Files.exists(dir0)) {
           import scala.jdk.CollectionConverters._
           val walk = java.nio.file.Files.walk(dir0)
@@ -848,13 +853,13 @@ object Relational {
       t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_buck.orders_b")
+        .saveAsTable(s"$db.orders_b")
       t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_buck.lineitem_b")
-      s.table("graft_buck.lineitem_b")
-        .join(s.table("graft_buck.orders_b").hint("merge")
+        .saveAsTable(s"$db.lineitem_b")
+      s.table(s"$db.lineitem_b")
+        .join(s.table(s"$db.orders_b").hint("merge")
             .filter($"o_orderpriority" === "1-URGENT"),
           $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey")

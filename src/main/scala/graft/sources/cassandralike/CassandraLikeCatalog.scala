@@ -102,8 +102,15 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
     * new column through the missing-cell path (P4), exactly Cassandra's
     * add-column semantics. DROP COLUMN: the cells stay on disk but are no
     * longer mapped (Cassandra leaves dropped-column data to compaction);
-    * dropping the :key is rejected by mapping validation. Transposed
-    * tables have a fixed shape — column changes fail validation. */
+    * the drop is recorded with a timestamp (`dropped.<cellName>` property,
+    * Cassandra's system_schema.dropped_columns) and the reader hides cells
+    * at or below it, so re-ADDing the same name does NOT resurrect
+    * pre-drop data — only writes newer than the drop are visible. The drop
+    * timestamp defaults to wall-clock (the write path's default timestamp
+    * domain); jobs pinning `write.timestamp` set the `drop.timestamp`
+    * property first to stay in their logical clock. Dropping the :key is
+    * rejected by mapping validation. Transposed tables have a fixed
+    * shape — column changes fail validation. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     val meta = CellStore.readMeta(dir.toString)
@@ -111,6 +118,14 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
     var schema = StructType.fromDDL(meta.schemaDdl)
     var tokens = meta.mapping.split(",", -1).map(_.trim).toVector
     var props = meta.properties
+    // physical-layout properties are baked into committed segments (token
+    // routing, cell-byte marshal, cell naming): rewriting them on an
+    // occupied table silently misroutes deletes and drops high buckets
+    def occupied: Boolean = CellStore.allSegmentFiles(dir.toString).nonEmpty
+    def guardLayout(property: String): Unit =
+      require(!(Options.LayoutProperties.contains(property) && occupied),
+        s"cannot alter physical-layout property '$property' once the table " +
+          "has committed segments (rewrite the table instead)")
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -125,11 +140,22 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
         val n = d.fieldNames()(0)
         val i = schema.fieldNames.indexOf(n)
         require(i >= 0, s"no such column $n")
+        // record the cell name (the storage-side identity), not the field
+        // name — a remapped field drops the cells it actually pointed at
+        tokens(i) match {
+          case t if !t.startsWith(":") && !t.endsWith(":") =>
+            val ts = props.get(Options.DropTimestamp).map(_.toLong)
+              .getOrElse(System.currentTimeMillis())
+            props += (s"${Options.DroppedPrefix}$t" -> ts.toString)
+          case _ => () // role tokens fail mapping re-validation below
+        }
         schema = StructType(schema.fields.patch(i, Nil, 1))
         tokens = tokens.patch(i, Nil, 1)
       case s: TableChange.SetProperty =>
+        guardLayout(s.property)
         props += (s.property -> s.value)
       case r: TableChange.RemoveProperty =>
+        guardLayout(r.property)
         props -= r.property
       case other =>
         throw new UnsupportedOperationException(

@@ -56,6 +56,22 @@ object Options {
   val Ttl = "ttl"
   val ReadNow = "read.now"
 
+  /** Dropped-column history (Cassandra's system_schema.dropped_columns):
+    * `dropped.<cellName> = <ts>` table properties, written by ALTER TABLE
+    * DROP COLUMN. The reader hides cells with ts <= the drop timestamp, so
+    * re-ADDing a dropped name never resurrects pre-drop data. */
+  val DroppedPrefix = "dropped."
+  /** Pins the drop timestamp recorded by the next DROP COLUMN (for jobs on
+    * a logical clock via `write.timestamp`); wall-clock when unset. */
+  val DropTimestamp = "drop.timestamp"
+
+  /** Properties baked into committed segment bytes — token routing
+    * (buckets), cell naming/shape (mapping), value marshal (encoding).
+    * ALTER TABLE SET/UNSET rejects these once segments exist: existing data
+    * was laid out under the old value, so a change silently misroutes
+    * deletes and unmaps high buckets instead of failing loudly. */
+  val LayoutProperties: Set[String] = Set("buckets", "mapping", "encoding")
+
   val DefaultBuckets = 32
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
     * key-range partitions, so scan parallelism grows with data instead of
@@ -188,7 +204,10 @@ class CassandraLikeTable(
       if (doomed.nonEmpty) {
         val ts = doomed.map(_.ts).max + 1
         val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
-        val tmp = sst.resolve(CellStore.newSegmentName(bucket) + ".tmp")
+        // the writer's `tmp-` staging convention: invisible to segmentFiles'
+        // `b<bucket>-` prefix (a crash mid-write must never leave a file a
+        // scan would open as a committed segment) and spared by truncate
+        val tmp = sst.resolve(s"tmp-${java.util.UUID.randomUUID()}-b$bucket.bin")
         val out = CellStore.newSegmentStream(tmp)
         try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)))
         finally out.close()
@@ -437,8 +456,13 @@ final case class CellReaderFactory(
     limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
+    // dropped-column history: cellName -> drop ts (cells at/below are hidden)
+    val dropped = tableProps.collect {
+      case (k, v) if k.startsWith(Options.DroppedPrefix) =>
+        k.stripPrefix(Options.DroppedPrefix) -> v.toLong
+    }
     new CellPartitionReader(cp, ColumnMapping(mappedFields), required, filters,
-      (k: String) => Options.effective(options, tableProps, k), limit)
+      (k: String) => Options.effective(options, tableProps, k), limit, dropped)
   }
 }
 
@@ -460,7 +484,8 @@ class CellPartitionReader(
     required: StructType,
     filters: Array[Filter],
     opt: String => Option[String],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    dropped: Map[String, Long] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   // T2: positional per-cell validator list (reference's
@@ -538,7 +563,18 @@ class CellPartitionReader(
 
   /** Regular mapping: one InternalRow per storage row (S3). */
   private def regularRow(group: (Array[Byte], Seq[Cell])): Option[InternalRow] = {
-    val (key, cells) = group
+    val (key, cells0) = group
+    // dropped-column guard: a cell written at/below its column's recorded
+    // drop timestamp never surfaces a VALUE, even if the name was later
+    // re-ADDed (Cassandra hides cells older than dropped_columns.dropped
+    // _time). The physical cell still anchors row existence — DROP COLUMN
+    // must not make rows vanish, only their dropped values.
+    val cells =
+      if (dropped.isEmpty) cells0
+      else cells0.filter { c =>
+        dropped.get(new String(c.col, java.nio.charset.StandardCharsets.UTF_8))
+          .forall(dropTs => c.ts > dropTs)
+      }
     val byName = cells.map(c => new String(c.col, java.nio.charset.StandardCharsets.UTF_8) -> c).toMap
     val cellIdx = mapping.cellFields.map(_.name).zipWithIndex.toMap
     val values = mutable.HashMap.empty[String, Any]

@@ -94,8 +94,12 @@ object StreamOps {
     * checkpoint migration. */
   private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(run: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, math.min(prev.toInt, n).toString)
+    // tolerate unset or non-numeric values (e.g. "auto" on some builds):
+    // degrade to the cap instead of failing the run before it starts
+    val prev = spark.conf.get(key, n.toString)
+    val cap = scala.util.Try(prev.toInt).toOption
+      .fold(n)(p => math.min(p, n))
+    spark.conf.set(key, cap.toString)
     try run finally spark.conf.set(key, prev)
   }
 

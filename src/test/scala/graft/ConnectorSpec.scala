@@ -463,6 +463,54 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE altcat.ks.t")
   }
 
+  test("DROP then re-ADD COLUMN does not resurrect pre-drop cells") {
+    val wh = java.nio.file.Files.createTempDirectory("redd").toString
+    spark.conf.set("spark.sql.catalog.reddcat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.reddcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS reddcat.ks")
+    spark.sql("CREATE TABLE reddcat.ks.t (k BIGINT, v STRING) USING cassandralike " +
+      "TBLPROPERTIES('write.timestamp'='100')")
+    spark.sql("INSERT INTO reddcat.ks.t VALUES (1, 'old1'), (2, 'old2')")
+    // drop v at logical ts 150: cells at ts<=150 must never surface again
+    spark.sql("ALTER TABLE reddcat.ks.t SET TBLPROPERTIES('drop.timestamp'='150')")
+    spark.sql("ALTER TABLE reddcat.ks.t DROP COLUMN v")
+    // re-add the same name; new writes carry ts 200 (> drop time)
+    spark.sql("ALTER TABLE reddcat.ks.t ADD COLUMN v STRING")
+    spark.sql("ALTER TABLE reddcat.ks.t SET TBLPROPERTIES('write.timestamp'='200')")
+    spark.sql("INSERT INTO reddcat.ks.t VALUES (2, 'new2')")
+    val rows = spark.table("reddcat.ks.t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSet
+    // key 1's pre-drop cell stays hidden (row survives, value does not);
+    // key 2 surfaces only the post-re-add write
+    assert(rows == Set((1L, null), (2L, "new2")), s"got $rows")
+    spark.sql("DROP TABLE reddcat.ks.t")
+  }
+
+  test("ALTER TABLE rejects physical-layout properties on an occupied table") {
+    val wh = java.nio.file.Files.createTempDirectory("layo").toString
+    spark.conf.set("spark.sql.catalog.laycat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.laycat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS laycat.ks")
+    spark.sql("CREATE TABLE laycat.ks.t (k BIGINT, v STRING) USING cassandralike " +
+      "TBLPROPERTIES('buckets'='4')")
+    // empty table: layout is still re-writable
+    spark.sql("ALTER TABLE laycat.ks.t SET TBLPROPERTIES('buckets'='8')")
+    spark.sql("INSERT INTO laycat.ks.t VALUES (1, 'one')")
+    // occupied: token routing/marshal are baked into segments -> reject
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE laycat.ks.t SET TBLPROPERTIES('buckets'='16')"))
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE laycat.ks.t SET TBLPROPERTIES('encoding'='text')"))
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE laycat.ks.t UNSET TBLPROPERTIES('buckets')"))
+    // non-layout properties stay alterable
+    spark.sql("ALTER TABLE laycat.ks.t SET TBLPROPERTIES('consistency'='QUORUM')")
+    assert(spark.table("laycat.ks.t").count() == 1)
+    spark.sql("DROP TABLE laycat.ks.t")
+  }
+
   test("namespace (keyspace) lifecycle: create, list, drop, cascade rules") {
     val wh = java.nio.file.Files.createTempDirectory("ns").toString
     spark.conf.set("spark.sql.catalog.nscat",

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Deterministic scale-factor multiplier for the graft test tables.
+
+Replicates the FACT tables (orders, lineitem, documents, embeddings, events)
+K times with disjoint key offsets and copies the dimension tables unchanged,
+so every DuckDB oracle in SparkEntry.oracleSql stays computable over the
+scaled directory: foreign keys stay valid (replica r of lineitem references
+replica r of orders via the same offset; dim keys are untouched) and all
+content is a pure deterministic function of the source data.
+
+Document text is salted per replica (" r<k>" suffix, n_chars adjusted) so
+the scaled corpus exercises NEAR-duplicate detection across replicas rather
+than degenerating into exact copies; embeddings replicate verbatim, which
+stresses the LSH/dup paths with genuine duplicate clusters.
+
+Usage:
+  python3 tools/scale.py [src_dir] [dst_dir] [factor]
+  # defaults: /root/testdata/sf0.1 /tmp/graft_sf1 10
+
+Dev tooling only (driver-side python); the Scala library does not depend
+on it.
+"""
+import sys
+from pathlib import Path
+
+import duckdb
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+# fact table -> (key offset per replica, replicated-key columns)
+OFFSETS = {
+    "orders": (1_000_000, ["o_orderkey"]),
+    "lineitem": (1_000_000, ["l_orderkey"]),  # same offset: FK to orders
+    "documents": (100_000, ["doc_id"]),
+    "embeddings": (100_000, ["vec_id"]),
+    "events": (1_000_000, ["event_id"]),
+}
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    Path(dst).mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in DIMS:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet'")
+        print(f"{t}: copied")
+
+    for t, (off, keycols) in OFFSETS.items():
+        cols = [r[0] for r in
+                con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
+        sel = []
+        for c in cols:
+            if c in keycols:
+                sel.append(f"{c} + r * {off} AS {c}")
+            elif t == "documents" and c == "text":
+                sel.append("CASE WHEN r = 0 THEN text "
+                           "ELSE text || ' r' || r END AS text")
+            elif t == "documents" and c == "n_chars":
+                sel.append("n_chars + CASE WHEN r = 0 THEN 0 "
+                           "ELSE length(' r' || r) END AS n_chars")
+            else:
+                sel.append(c)
+        q = (f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', "
+             f"range({factor}) s(r) ORDER BY r, {keycols[0]}")
+        con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet'")
+        n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {n} rows (x{factor})")
+
+
+if __name__ == "__main__":
+    main()
