@@ -37,5 +37,25 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("char_bigrams",
       (exprs: Seq[Expression]) => CharBigrams(exprs.head), "scala_udf")
+    // Spark's own runtime-bloom-join expression pair (what InjectRuntimeFilter
+    // plants), surfaced as SQL functions so a query can build the semi-join
+    // reduction explicitly: bloom_agg(xxhash64(k)[, items[, bits]]) aggregates
+    // a binary bloom; bloom_might_contain(bf, xxhash64(k)) probes it with full
+    // codegen — no Scala UDF, no driver-side filter construction.
+    reg.createOrReplaceTempFunction("bloom_agg",
+      {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg takes 1-3 args, got ${other.size}")
+      }: Seq[Expression] => Expression, "scala_udf")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -102,18 +102,50 @@ object LlmPipeline {
       .select("doc_id", "gram")
   }
 
+  /** Rows per block in the blocked all-pairs enumeration below. Sized so a
+    * task's working set (two blocks of 24-byte sketch rows, plus join
+    * machinery) stays in the low MBs regardless of corpus size; small
+    * enough that even the test fixtures split into multiple blocks so the
+    * blocked shape itself is exercised (and plan-asserted). */
+  private[graft] val EmbedBlockRows = 1024L
+
   /** Sketch-prefiltered candidate pairs for the embedding similarity join:
     * the N²/2 enumeration streams only (vec_id, 16-long sign sketch) rows —
     * a pair survives iff its sketch Hamming distance clears the 5σ cutoff
     * for cosine threshold `t`. See the llm_dedup_embedding comment and
-    * [[graft.functions.SignSketch]] for the recall bound. */
+    * [[graft.functions.SignSketch]] for the recall bound.
+    *
+    * The enumeration is BLOCK-PAIR partitioned, the shape that survives a
+    * 100× scale-up: rows hash into B = ⌈N / EmbedBlockRows⌉ blocks, and
+    * each of the B(B+1)/2 unordered block pairs becomes one equi-join key
+    * (`bp`), so the pair scan runs as independent bounded tasks — task
+    * memory is two blocks of sketch rows (a knob, not an accident of input
+    * partitioning) and the pair budget B(B+1)/2 · blockRows² is visible in
+    * the plan as Exchange(bp) + join. Replication cost is B+1 sketch
+    * copies per row (O(N·B) tiny rows), noise next to the N²/2 pair
+    * evaluations it organizes. A broadcast nested loop over the corpus
+    * (O(N) build memory per task) or a cartesian over full vectors never
+    * appears — PlanShapeSpec asserts it. */
   private[graft] def embeddingCandidates(e: DataFrame, t: Double): DataFrame = {
     val cut = graft.functions.SignSketch.cutoff(t)
-    val sk = e.select(col("vec_id"), expr("sign_sketch(v)").as("sk"))
-    sk.as("x").join(sk.as("y"),
-        col("x.vec_id") < col("y.vec_id") &&
-          expr(s"sketch_hamming(x.sk, y.sk) <= $cut"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+    val n = e.count() // one cheap pruned-scan job; B must be driver-known
+    val b = math.max(1L, (n + EmbedBlockRows - 1) / EmbedBlockRows).toInt
+    val sk = e.select(col("vec_id"), expr("sign_sketch(v)").as("sk"),
+      pmod(hash(col("vec_id")), lit(b)).as("blk"))
+    // row in block k joins as the LOW side of pairs (k, j>=k) and as the
+    // HIGH side of pairs (i<=k, k); diagonal membership appears on both
+    // sides so within-block pairs enumerate once via the vec_id order
+    val lo = sk.select(col("vec_id"), col("sk"), col("blk"),
+      explode(expr(s"transform(sequence(blk, ${b - 1}), j -> blk * ${b}L + j)")).as("bp"))
+    val hi = sk.select(col("vec_id").as("vid_h"), col("sk").as("sk_h"),
+      col("blk").as("blk_h"),
+      explode(expr(s"transform(sequence(0, blk), i -> i * ${b}L + blk)")).as("bp"))
+    lo.join(hi, Seq("bp"))
+      .filter(expr(s"sketch_hamming(sk, sk_h) <= $cut"))
+      .filter((col("blk") === col("blk_h") && col("vec_id") < col("vid_h")) ||
+        col("blk") =!= col("blk_h"))
+      .select(least(col("vec_id"), col("vid_h")).as("id_a"),
+        greatest(col("vec_id"), col("vid_h")).as("id_b"))
   }
 
   /** Verified near-dup pairs (Jaccard >= 0.8) via MinHash-LSH, exactly the

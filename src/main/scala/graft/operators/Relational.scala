@@ -779,16 +779,18 @@ object Relational {
         .orderBy($"purchase_id")
     },
 
-    // ---- bloom-filtered join (semi-join reduction): build a Bloom filter
-    // on the selective dim side's keys, broadcast it, and drop non-matching
-    // fact rows BEFORE the join shuffle — at 100 TB the shuffle's bytes are
-    // the cost, and a 1%-selective dim means ~99% of the fact side never
-    // leaves its input task. False positives pass the bloom but die in the
-    // actual equi-join, so results are EXACTLY the plain join's (the oracle
-    // computes the plain join). Spark's own runtime bloom filters
-    // (InjectRuntimeFilter) apply the same idea automatically when stats
-    // line up; this is the explicit form that also covers the cases the
-    // optimizer's heuristics skip. ----
+    // ---- bloom-filtered join (semi-join reduction): aggregate a Bloom
+    // filter over the selective dim side's keys and drop non-matching fact
+    // rows BEFORE the join shuffle — at 100 TB the shuffle's bytes are the
+    // cost, and a 1%-selective dim means ~99% of the fact side never leaves
+    // its input task. Built from Spark's OWN runtime-filter expressions
+    // (BloomFilterAggregate + BloomFilterMightContain — the pair
+    // InjectRuntimeFilter plants when CBO stats line up), so the probe is
+    // codegen'd inside the fact scan's WholeStageCodegen and the filter is
+    // built distributed (partial aggregates), never on the driver. The
+    // 1-row bloom side broadcasts; false positives die in the actual
+    // equi-join, so results are EXACTLY the plain join's (the oracle
+    // computes the plain join). ----
     Q("rel_join_bloom",
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
@@ -796,15 +798,16 @@ object Relational {
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val dim = t(s, dir, "orders")
         .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000)
         .select($"o_orderkey", $"o_orderpriority")
-      val bloom = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+      // scalar subquery (the shape might_contain requires): the bloom is
+      // aggregated distributed-side, then lands in the probe as a literal
+      val bloom = dim.agg(expr("bloom_agg(xxhash64(o_orderkey), 100000L)")).scalar()
       t(s, dir, "lineitem")
         .select($"l_orderkey", $"l_quantity")
-        .filter(mightContain($"l_orderkey"))
+        .filter(call_function("bloom_might_contain", bloom, xxhash64($"l_orderkey")))
         .join(dim, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_items"), d(sum(m($"l_quantity"))).as("qty"))

@@ -88,6 +88,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("embedding all-pairs enumeration is block-pair partitioned, not NLJ") {
+    // the pair scan must be the bounded-memory blocked shape: an equi-join
+    // on the block-pair key (Exchange(bp) + hash/sort-merge join), never a
+    // broadcast nested loop whose build side is the whole sketch corpus
+    // (O(N) per-task memory) and never a cartesian over full vectors
+    val all = collectAll(plan("llm_dedup_embedding"))
+    assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+      "llm_dedup_embedding plans CartesianProductExec")
+    assert(!all.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "llm_dedup_embedding plans BroadcastNestedLoopJoin over the sketch corpus")
+  }
+
   test("minhash candidate generation stays map-only up to the band join") {
     // the signature build must not shuffle: between the parquet scan of
     // documents and the first join there must be no ShuffleExchange except

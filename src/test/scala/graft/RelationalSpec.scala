@@ -55,17 +55,18 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("sorted_ok")))
   }
 
-  test("bloom semi-join reduction actually prunes the fact side") {
+  test("bloom semi-join reduction actually prunes the fact side, UDF-free") {
     import org.apache.spark.sql.functions._
     val sp = spark; import sp.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val dim = Tables.load(spark, sfDir, "orders")
       .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000)
-    val bloom = dim.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    val bloom = dim.agg(expr("bloom_agg(xxhash64(o_orderkey), 100000L)")).scalar()
     val li = Tables.load(spark, sfDir, "lineitem")
     val total = li.count().toDouble
-    val passed = li.filter(mightContain($"l_orderkey")).count().toDouble
+    val probed = li
+      .filter(call_function("bloom_might_contain", bloom, xxhash64($"l_orderkey")))
+    val passed = probed.collect().length.toDouble // executes probed's own plan
     val trueFrac = dim.count().toDouble /
       Tables.load(spark, sfDir, "orders").count().toDouble
     // the bloom must cut the shuffled fact rows to roughly the dim's
@@ -73,5 +74,13 @@ class RelationalSpec extends SparkSpec {
     // silently stopped reducing
     assert(passed / total < trueFrac + 0.05,
       f"bloom passed ${passed / total}%.3f of fact rows vs dim selectivity $trueFrac%.3f")
+    // native expressions, not a Scala UDF: the probe must live inside
+    // whole-stage codegen (a UDF blocks codegen on the fact scan)
+    val phys = probed.queryExecution.executedPlan.toString
+    assert(!phys.contains("UDF"), s"Scala UDF leaked into the bloom probe plan")
+    assert(phys.contains("might_contain"), "native bloom probe missing from plan")
+    // "*(n)" is the executed-plan string's whole-stage-codegen marker
+    assert(phys.contains("*(1) Filter might_contain"),
+      s"probe fell out of whole-stage codegen:\n$phys")
   }
 }

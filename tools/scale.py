@@ -20,10 +20,13 @@ Usage:
 Dev tooling only (driver-side python); the Scala library does not depend
 on it.
 """
+import shutil
 import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -45,8 +48,7 @@ def main():
     con = duckdb.connect()
 
     for t in DIMS:
-        con.execute(
-            f"COPY (SELECT * FROM '{src}/{t}.parquet') TO '{dst}/{t}.parquet'")
+        shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"{t}: copied")
 
     for t, (off, keycols) in OFFSETS.items():
@@ -67,6 +69,16 @@ def main():
         q = (f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', "
              f"range({factor}) s(r) ORDER BY r, {keycols[0]}")
         con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet'")
+        # cast back to the SOURCE physical schema: DuckDB normalizes
+        # timestamps to micros, but readers key on the original types
+        # (e.g. events.ts is TIMESTAMP(NANOS) and Spark sessions read it
+        # via nanosAsLong) — the scaled table must be type-identical
+        src_schema = pq.read_schema(f"{src}/{t}.parquet")
+        tbl = pq.read_table(f"{dst}/{t}.parquet")
+        want = pa.schema([src_schema.field(f.name) for f in tbl.schema])
+        if tbl.schema != want:
+            tbl = tbl.cast(want)
+            pq.write_table(tbl, f"{dst}/{t}.parquet")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows (x{factor})")
 
