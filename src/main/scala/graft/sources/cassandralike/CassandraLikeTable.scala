@@ -56,6 +56,25 @@ object Options {
   val Ttl = "ttl"
   val ReadNow = "read.now"
 
+  /** Size-tiered auto-compaction trigger: when a write job's commit leaves
+    * a touched bucket with MORE than this many committed segments, the
+    * bucket is full-compacted as part of the commit (distributed over
+    * buckets when a SparkSession is active). Bounds read amplification
+    * under unbounded append jobs without any manual maintenance; unset =
+    * manual compaction only. Runs under the store's single-maintainer
+    * discipline — the committing job is the writer, so compaction inside
+    * its commit is quiesced by construction. */
+  val CompactSegmentsMax = "compact.segments.max"
+
+  /** Counter tables (`counter.merge=true`): same-address cells are 8-byte
+    * long INCREMENTS that reconcile by summation instead of last-write-wins
+    * — at read time, and at full-bucket compaction (which collapses the
+    * increment history into one cell, exactly). The write path is unchanged:
+    * an increment is just a cell write, so counter throughput scales like
+    * any append. Goes beyond the reference, whose counter write path was a
+    * TODO (serde2/CassandraPut.java:103 in /root/reference). */
+  val CounterMerge = "counter.merge"
+
   /** Dropped-column history (Cassandra's system_schema.dropped_columns):
     * `dropped.<cellName> = <ts>` table properties, written by ALTER TABLE
     * DROP COLUMN. The reader hides cells with ts <= the drop timestamp, so
@@ -195,7 +214,10 @@ class CassandraLikeTable(
       .getOrElse(Options.DefaultBuckets)
     keys.groupBy(TokenRing.bucket(_, buckets)).foreach { case (bucket, ks) =>
       val keySet = ks.map(_.toSeq).toSet
-      val merge = new CellStore.BucketMergeIterator(dir, bucket)
+      // counter tables read the collapsed view: one tombstone per merged
+      // cell (at max ts + 1) then shadows every underlying increment
+      val merge = new CellStore.BucketMergeIterator(dir, bucket,
+        counterMerge = tableProps.get(Options.CounterMerge).exists(_.toBoolean))
       val doomed = try {
         merge.filter(c => keySet.contains(c.key.toSeq)).map { c =>
           Cell(c.key, c.col, c.sub, Array.emptyByteArray, c.ts, tombstone = true)
@@ -506,7 +528,8 @@ class CellPartitionReader(
     part.tableDir, part.bucket, part.lower, part.upper,
     asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue),
     ttl = opt(Options.Ttl).map(_.toLong).getOrElse(0L),
-    now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L))
+    now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L),
+    counterMerge = opt(Options.CounterMerge).exists(_.toBoolean))
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =

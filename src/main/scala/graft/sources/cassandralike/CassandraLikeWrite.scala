@@ -89,14 +89,34 @@ class CellBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) CellStore.truncate(table.dir)
-    messages.foreach {
-      case CellWriterCommit(files) => files.foreach { case (bucket, tmp) =>
-        Files.move(Paths.get(table.dir, CellStore.SstDir, tmp),
-          Paths.get(table.dir, CellStore.SstDir, CellStore.newSegmentName(bucket)),
-          StandardCopyOption.ATOMIC_MOVE)
-      }
-      case _ => ()
+    val files = messages.flatMap {
+      case CellWriterCommit(fs) => fs
+      case _ => Nil
     }
+    files.foreach { case (bucket, tmp) =>
+      Files.move(Paths.get(table.dir, CellStore.SstDir, tmp),
+        Paths.get(table.dir, CellStore.SstDir, CellStore.newSegmentName(bucket)),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    // size-tiered auto-compaction: any touched bucket now holding more than
+    // `compact.segments.max` committed segments is full-compacted before the
+    // commit returns — read amplification stays bounded under arbitrarily
+    // many append jobs with zero manual maintenance. Distributed over
+    // buckets (one task per over-threshold bucket); the committing job is
+    // the single writer, so compaction here is quiesced by construction.
+    Options.effective(options, table.tableProps, Options.CompactSegmentsMax)
+      .map(_.toInt).foreach { k =>
+        val dir = table.dir
+        val over = files.map(_._1).distinct
+          .filter(b => CellStore.segmentFiles(dir, b).size > k)
+        if (over.nonEmpty)
+          org.apache.spark.sql.SparkSession.getActiveSession match {
+            case Some(s) =>
+              s.sparkContext.parallelize(over.toSeq, over.size)
+                .foreach(b => CellStore.compactBucket(dir, b))
+            case None => over.foreach(CellStore.compactBucket(dir, _))
+          }
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -1,6 +1,7 @@
 package graft.sources.cassandralike
 
 import java.io._
+import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
@@ -340,8 +341,19 @@ object CellStore {
     * `dropTombstones=true` is the scan view (the scan-level filter,
     * input/CassandraHiveRecordReader.java:205-207); `false` preserves
     * tombstones for compaction, where they must keep shadowing older cells
-    * in OTHER segments. */
-  final class MergeIterator(runSeq: Seq[Iterator[Cell]], dropTombstones: Boolean)
+    * in OTHER segments.
+    *
+    * `counterMerge=true` switches reconciliation from LWW to SUMMING: every
+    * same-address cell is an 8-byte-long increment and the merged value is
+    * their total — the store-level counter semantic the reference left as a
+    * TODO (serde2/CassandraPut.java:103 in /root/reference). A tombstone
+    * resets the counter: increments at or below the newest tombstone
+    * timestamp are discarded. As in Cassandra, deleting then re-incrementing
+    * a counter is only reliable when the new increments carry timestamps
+    * above the delete's; compaction collapses increment history. Memory is
+    * O(one address's cells) — the same bound as one wide row. */
+  final class MergeIterator(runSeq: Seq[Iterator[Cell]], dropTombstones: Boolean,
+      counterMerge: Boolean = false)
     extends Iterator[Cell] {
     private val heap = new mutable.PriorityQueue[BufferedIterator[Cell]]()(
       Ordering.by[BufferedIterator[Cell], Cell](_.head)(addressOrdering.reverse))
@@ -352,20 +364,26 @@ object CellStore {
     private def advance(): Cell = {
       while (heap.nonEmpty) {
         var winner: Cell = null
+        val group = if (counterMerge) mutable.ArrayBuffer.empty[Cell] else null
+        var addr: Cell = null // fixed representative for address comparisons
         // drain every run whose head sits at the globally-least address
         var more = true
         while (more) {
           val it = heap.dequeue()
           var c = it.next()
-          if (winner == null || newerThan(c, winner)) winner = c
-          while (it.hasNext && addrEq(it.head, winner)) {
+          if (addr == null) addr = c
+          if (counterMerge) group += c
+          else if (winner == null || newerThan(c, winner)) winner = c
+          while (it.hasNext && addrEq(it.head, addr)) {
             c = it.next()
-            if (newerThan(c, winner)) winner = c
+            if (counterMerge) group += c
+            else if (newerThan(c, winner)) winner = c
           }
           if (it.hasNext) heap.enqueue(it)
-          more = heap.nonEmpty && addrEq(heap.head.head, winner)
+          more = heap.nonEmpty && addrEq(heap.head.head, addr)
         }
-        if (!(dropTombstones && winner.tombstone)) return winner
+        val out = if (counterMerge) reconcileCounter(group.toSeq) else winner
+        if (!(dropTombstones && out.tombstone)) return out
       }
       null
     }
@@ -373,6 +391,38 @@ object CellStore {
     def hasNext: Boolean = nextCell != null
     def next(): Cell = { val c = nextCell; nextCell = advance(); c }
   }
+
+  /** Counter reconciliation of one address group: sum the live 8-byte-long
+    * increments newer than the newest tombstone; the merged cell carries the
+    * newest contributing timestamp. All increments gone (or shadowed) ->
+    * the tombstone survives with its own timestamp. */
+  private def reconcileCounter(group: Seq[Cell]): Cell = {
+    var tombTs = Long.MinValue
+    group.foreach(c => if (c.tombstone) tombTs = math.max(tombTs, c.ts))
+    var sum = 0L
+    var maxTs = Long.MinValue
+    var live = false
+    group.foreach { c =>
+      if (!c.tombstone && c.ts > tombTs) {
+        if (c.value == null || c.value.length != 8)
+          throw new IOException(
+            s"counter.merge requires 8-byte long increment cells, got ${
+              if (c.value == null) "null" else c.value.length.toString} bytes")
+        sum += ByteBuffer.wrap(c.value).getLong
+        maxTs = math.max(maxTs, c.ts)
+        live = true
+      }
+    }
+    val t = group.head
+    if (!live) Cell(t.key, t.col, t.sub, Array.emptyByteArray, tombTs, tombstone = true)
+    else Cell(t.key, t.col, t.sub,
+      ByteBuffer.allocate(8).putLong(sum).array(), maxTs, tombstone = false)
+  }
+
+  /** Whether a table reconciles same-address cells by counter summation
+    * (`counter.merge` table property) — the policy compaction must honor. */
+  def counterMergeEnabled(tableDir: String): Boolean =
+    readMeta(tableDir).exists(_.properties.get("counter.merge").exists(_.toBoolean))
 
   /** The bucket scan: merge every run of every segment, live cells only,
     * optionally restricted to key range [lower, upper) — the sub-bucket
@@ -382,7 +432,8 @@ object CellStore {
   final class BucketMergeIterator(tableDir: String, bucket: Int,
       lower: Array[Byte] = null, upper: Array[Byte] = null,
       asOf: Long = Long.MaxValue,
-      ttl: Long = 0L, now: Long = 0L)
+      ttl: Long = 0L, now: Long = 0L,
+      counterMerge: Boolean = false)
     extends Iterator[Cell] with AutoCloseable {
     private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
     private val raw =
@@ -397,7 +448,8 @@ object CellStore {
       if (ttl <= 0L || now <= 0L) a
       else a.filter(c => c.tombstone || now < c.ts + ttl)
     }
-    private val inner = new MergeIterator(raw.map(prune), dropTombstones = true)
+    private val inner = new MergeIterator(raw.map(prune), dropTombstones = true,
+      counterMerge = counterMerge)
     def hasNext: Boolean = inner.hasNext
     def next(): Cell = inner.next()
     def close(): Unit = segs.foreach(_.close())
@@ -412,6 +464,11 @@ object CellStore {
     * the same winner the full merge would. */
   def compactSegment(file: Path): Unit = {
     if (runOffsets(file).size <= 1) return
+    // counter tables skip segment-scope collapse: LWW would EAT increments,
+    // and a partial counter collapse can't preserve a tombstone alongside
+    // the newer increments it must not absorb. Full-bucket compaction (all
+    // segments, whole groups visible) is the collapse point for counters.
+    if (counterMergeEnabled(file.getParent.getParent.toString)) return
     val tmp = file.resolveSibling(file.getFileName.toString + ".compact")
     val reader = new SegmentReader(file)
     try {
@@ -532,7 +589,11 @@ object CellStore {
     if (files.size <= 1 && files.forall(runOffsets(_).size <= 1)) return
     val readers = files.map(new SegmentReader(_))
     try {
-      val merged = new MergeIterator(readers.flatMap(_.runs()), dropTombstones = true)
+      // counter tables collapse increment history here — ALL segments
+      // participate, so every address group is complete and the summed
+      // cell is exact (the segment-scope path must not do this)
+      val merged = new MergeIterator(readers.flatMap(_.runs()),
+        dropTombstones = true, counterMerge = counterMergeEnabled(tableDir))
       val target = Paths.get(tableDir, SstDir, newSegmentName(bucket))
       val tmp = target.resolveSibling(target.getFileName.toString + ".compact")
       writeSingleRun(tmp, merged)

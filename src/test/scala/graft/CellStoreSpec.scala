@@ -267,6 +267,50 @@ class CellStoreSpec extends AnyFunSuite {
     } finally CellStore.dropTable(dir)
   }
 
+  test("counter.merge: increments sum across segments; compaction preserves sums") {
+    val dir = java.nio.file.Files.createTempDirectory("countermerge").toString
+    try {
+      CellStore.writeMeta(dir, CellStore.Meta(
+        "row_key STRING, column_name STRING, value BIGINT", ":key,:column,:value",
+        Map("counter.merge" -> "true")))
+      def inc(k: String, col: String, v: Long, ts: Long) =
+        Cell(k.getBytes, col.getBytes, null,
+          java.nio.ByteBuffer.allocate(8).putLong(v).array(), ts, tombstone = false)
+      def tomb(k: String, col: String, ts: Long) =
+        Cell(k.getBytes, col.getBytes, null, Array.emptyByteArray, ts, tombstone = true)
+      def totals(): Map[(String, String), Long] = {
+        val it = new CellStore.BucketMergeIterator(dir, 0, counterMerge = true)
+        try it.map(c => ((new String(c.key), new String(c.col)),
+          java.nio.ByteBuffer.wrap(c.value).getLong)).toMap
+        finally it.close()
+      }
+      // two segments, multiple runs, duplicate addresses incl. same-ts dups
+      // (two increments in one write job share the job timestamp — both count)
+      seg(dir, "b0-a.bin", Seq(inc("k1", "hits", 5, 1), inc("k1", "hits", 7, 1)),
+        Seq(inc("k2", "hits", 1, 1)))
+      seg(dir, "b0-b.bin", Seq(inc("k1", "hits", 3, 2), inc("k2", "hits", 4, 2)))
+      assert(totals() == Map(("k1", "hits") -> 15L, ("k2", "hits") -> 5L))
+      // tombstone resets: increments at/below the delete ts are gone, newer sum
+      seg(dir, "b0-c.bin", Seq(tomb("k1", "hits", 3), inc("k1", "hits", 10, 4)))
+      assert(totals() == Map(("k1", "hits") -> 10L, ("k2", "hits") -> 5L))
+      // segment-scope compaction must NOT collapse counter runs (LWW would
+      // eat increments; a partial collapse can't keep the tombstone honest)
+      val segA = CellStore.segmentFiles(dir, 0).find(_.getFileName.toString == "b0-a.bin").get
+      CellStore.compactSegment(segA)
+      assert(CellStore.runOffsets(segA).size == 2, "counter segment was collapsed")
+      // full-bucket compaction collapses exactly: one segment, sums intact
+      CellStore.compactBucket(dir, 0)
+      assert(CellStore.segmentFiles(dir, 0).size == 1)
+      assert(totals() == Map(("k1", "hits") -> 10L, ("k2", "hits") -> 5L))
+      // post-compaction the store holds ONE cell per live address
+      val cells = CellStore.readSegment(CellStore.segmentFiles(dir, 0).head)
+      assert(cells.size == 2 && cells.forall(!_.tombstone))
+      // appends after compaction keep summing
+      seg(dir, "b0-d.bin", Seq(inc("k2", "hits", 100, 5)))
+      assert(totals() == Map(("k1", "hits") -> 10L, ("k2", "hits") -> 105L))
+    } finally CellStore.dropTable(dir)
+  }
+
   test("compaction rewrites the indexed run format: runInfos/rangeRun/sampleKeys round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("cellidx").toString
     try {

@@ -511,6 +511,34 @@ class ConnectorSpec extends SparkSpec {
     spark.sql("DROP TABLE laycat.ks.t")
   }
 
+  test("auto-compaction keeps segment counts bounded under repeated appends") {
+    import org.apache.spark.sql.functions._
+    val sp = spark; import sp.implicits._
+    val base = Tables.load(spark, sfDir, "customer")
+      .select($"c_custkey", $"c_acctbal")
+    val store = graft.sources.cassandralike.Seed.table(spark, sfDir,
+      "auto_compact_spec", base,
+      props = Map(graft.sources.cassandralike.Options.CompactSegmentsMax -> "2"))
+    (2 to 7).foreach { e =>
+      graft.sources.cassandralike.Seed.append(
+        base.withColumn("c_acctbal", $"c_acctbal" + e),
+        store, Map(graft.sources.cassandralike.Options.WriteTimestamp -> e.toString))
+    }
+    // 7 write epochs, threshold 2: without auto-compaction every bucket
+    // would hold 7 segments; with it, counts must stay <= the threshold
+    // after each commit's compaction pass
+    val counts = (0 until graft.sources.cassandralike.Options.DefaultBuckets)
+      .map(b => graft.sources.cassandralike.CellStore.segmentFiles(store, b).size)
+      .filter(_ > 0)
+    assert(counts.nonEmpty && counts.forall(_ <= 2),
+      s"segment counts after 7 epochs: ${counts.mkString(",")}")
+    // and the merged view is the last epoch, exactly
+    val got = graft.sources.cassandralike.Seed.read(spark, store)
+      .agg(sum($"c_acctbal")).collect()(0).getDouble(0)
+    val want = base.agg(sum($"c_acctbal" + 7)).collect()(0).getDouble(0)
+    assert(math.abs(got - want) < 1e-6, s"got $got want $want")
+  }
+
   test("namespace (keyspace) lifecycle: create, list, drop, cascade rules") {
     val wh = java.nio.file.Files.createTempDirectory("ns").toString
     spark.conf.set("spark.sql.catalog.nscat",
