@@ -30,8 +30,18 @@ import graft.sources.cassandralike.{CassandraLikeTable, FieldRole, Options}
   * scan drops from O(cells) to O(k · keys).
   *
   * Safety conditions (all required, conservative by design):
-  *  - the window child is the relation itself or a pure-attribute Project of
-  *    it — no intervening Filter, so SQL filter-then-topk order is preserved;
+  *  - the window child is the relation, a pure-attribute Project of it, or a
+  *    Filter (optionally Project-wrapped) whose EVERY conjunct the slice can
+  *    absorb while preserving SQL filter-then-topk order:
+  *      - conjuncts referencing only the `:key` attribute are constant per
+  *        window partition, so they commute with per-key top-k (a key group
+  *        is either wholly kept or wholly dropped) and stay in place;
+  *      - `:column >= 'lit'` / `:column <= 'lit'` conjuncts on a STRING
+  *        column become `slice.start`/`slice.finish` scan options — the
+  *        reader applies the slice BOUNDS before the count cap, exactly
+  *        filter-then-topk (the Filter stays in place and re-applies,
+  *        idempotently);
+  *      - anything else (other columns, strict bounds, disjunctions) bails;
   *  - partition spec is exactly the mapping's `:key` field and order spec is
   *    exactly the `:column` field of a TRANSPOSED mapping;
   *  - the order column is STRING or BINARY, whose Spark ordering equals the
@@ -42,7 +52,7 @@ import graft.sources.cassandralike.{CassandraLikeTable, FieldRole, Options}
   *  - no slice.* option is already set on the relation or table (composing
   *    two slices is ambiguous — first slice wins, bail).
   */
-object SliceTopKPushdown extends Rule[LogicalPlan] {
+object SliceTopKPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(_, child) => rewrite(f, child).getOrElse(f)
@@ -78,12 +88,24 @@ object SliceTopKPushdown extends Rule[LogicalPlan] {
     }
     if (k <= 0 || k > Int.MaxValue) return None
 
-    val (relProject, rel) = w.child match {
-      case r: DataSourceV2Relation => (None, r)
-      case p @ Project(exprs, r: DataSourceV2Relation)
-        if exprs.forall(_.isInstanceOf[Attribute]) => (Some(p), r)
-      case _ => return None
-    }
+    // unwrap the window-to-relation chain: optional pure-attribute Project
+    // and optional Filter, in either order; `wrapRel` rebuilds the same
+    // chain over the slice-annotated relation
+    def pureAttrs(es: Seq[NamedExpression]): Boolean = es.forall(_.isInstanceOf[Attribute])
+    val (wrapRel, interCond, rel): (LogicalPlan => LogicalPlan, Option[Expression], DataSourceV2Relation) =
+      w.child match {
+        case r: DataSourceV2Relation =>
+          ((np: LogicalPlan) => np, None, r)
+        case p @ Project(es, r: DataSourceV2Relation) if pureAttrs(es) =>
+          ((np: LogicalPlan) => p.copy(child = np), None, r)
+        case fl @ Filter(c, r: DataSourceV2Relation) =>
+          ((np: LogicalPlan) => fl.copy(child = np), Some(c), r)
+        case p @ Project(es, fl @ Filter(c, r: DataSourceV2Relation)) if pureAttrs(es) =>
+          ((np: LogicalPlan) => p.copy(child = fl.copy(child = np)), Some(c), r)
+        case fl @ Filter(c, p @ Project(es, r: DataSourceV2Relation)) if pureAttrs(es) =>
+          ((np: LogicalPlan) => fl.copy(child = p.copy(child = np)), Some(c), r)
+        case _ => return None
+      }
     val table = rel.table match {
       case t: CassandraLikeTable if t.mapping.transposed => t
       case _ => return None
@@ -105,6 +127,44 @@ object SliceTopKPushdown extends Rule[LogicalPlan] {
     if (sliceKeys.exists(s => rel.options.containsKey(s) || table.tableProps.contains(s)))
       return None
 
+    // absorb the intervening filter: every conjunct must either reference
+    // only the partition key (constant per window group — commutes with
+    // per-key top-k) or be an inclusive :column bound that maps onto
+    // slice.start/slice.finish (the reader bounds the slice BEFORE the
+    // count cap, preserving filter-then-topk); otherwise bail
+    var sliceStart: Option[String] = None
+    var sliceFinish: Option[String] = None
+    interCond.foreach { cond =>
+      splitConjunctivePredicates(cond).foreach { c =>
+        if (!c.deterministic) return None
+        else if (c.references.nonEmpty &&
+          c.references.subsetOf(AttributeSet(partAttr))) () // key-only: sound in place
+        else c match {
+          case GreaterThanOrEqual(a: AttributeReference,
+              Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
+            if a.semanticEquals(ordAttr) && sliceStart.isEmpty =>
+            sliceStart = Some(s.toString)
+          case LessThanOrEqual(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType),
+              a: AttributeReference)
+            if a.semanticEquals(ordAttr) && sliceStart.isEmpty =>
+            sliceStart = Some(s.toString)
+          case LessThanOrEqual(a: AttributeReference,
+              Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
+            if a.semanticEquals(ordAttr) && sliceFinish.isEmpty =>
+            sliceFinish = Some(s.toString)
+          case GreaterThanOrEqual(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType),
+              a: AttributeReference)
+            if a.semanticEquals(ordAttr) && sliceFinish.isEmpty =>
+            sliceFinish = Some(s.toString)
+          case _ => return None
+        }
+      }
+    }
+    // column bounds ride on STRING slice options; a BINARY column's bytes
+    // don't survive the string round-trip — key-only filters are still fine
+    if ((sliceStart.nonEmpty || sliceFinish.nonEmpty) && colField.dataType != StringType)
+      return None
+
     val reversed = sortOrder.direction match {
       case Ascending => false
       case Descending => true
@@ -112,10 +172,11 @@ object SliceTopKPushdown extends Rule[LogicalPlan] {
     val newOptions = new java.util.HashMap[String, String](rel.options)
     newOptions.put(Options.SliceCount, k.toString)
     if (reversed) newOptions.put(Options.SliceReversed, "true")
+    sliceStart.foreach(newOptions.put(Options.SliceStart, _))
+    sliceFinish.foreach(newOptions.put(Options.SliceFinish, _))
     val newRel = rel.copy(options = new CaseInsensitiveStringMap(newOptions))
 
-    val newWChild = relProject.map(p => p.copy(child = newRel)).getOrElse(newRel)
-    val newW = w.copy(child = newWChild)
+    val newW = w.copy(child = wrapRel(newRel))
     val newFChild = midProject.map(p => p.copy(child = newW)).getOrElse(newW)
     Some(f.copy(child = newFChild))
   }

@@ -151,11 +151,35 @@ class ConnectorSpec extends SparkSpec {
       !desc2.contains(Options.SliceReversed), desc2)
     assert(ta.select($"column_name").distinct().as[String].collect().toSet == Set("c01", "c02"))
 
-    // guard: a filter below the window blocks the rewrite (filter-then-topk)
+    // an inclusive :column bound below the window COMPOSES: the bound maps
+    // onto slice.start and the count still pushes (the reader bounds the
+    // slice before the cap, so filter-then-topk order is preserved)
     val tb = df.filter($"column_name" >= "c18")
       .withColumn("rn", row_number().over(wa)).filter($"rn" <= 2)
-    assert(!scanOf(tb).scan.description().contains(Options.SliceCount))
+    val desc3 = scanOf(tb).scan.description()
+    assert(desc3.contains(s"${Options.SliceCount}=2") &&
+      desc3.contains(s"${Options.SliceStart}=c18"), desc3)
     assert(tb.select($"column_name").distinct().as[String].collect().toSet == Set("c18", "c19"))
+
+    // a key-only filter below the window also composes (constant per window
+    // partition: the group is wholly kept or wholly dropped)
+    val tk = df.filter($"row_key" === "k1")
+      .withColumn("rn", row_number().over(wa)).filter($"rn" <= 2)
+    val desc4 = scanOf(tk).scan.description()
+    assert(desc4.contains(s"${Options.SliceCount}=2"), desc4)
+    assert(tk.select($"row_key", $"column_name").as[(String, String)].collect().toSet ==
+      Set(("k1", "c01"), ("k1", "c02")))
+
+    // guard: a STRICT column bound is not an inclusive slice -> no rewrite
+    val ts = df.filter($"column_name" > "c18")
+      .withColumn("rn", row_number().over(wa)).filter($"rn" <= 2)
+    assert(!scanOf(ts).scan.description().contains(Options.SliceCount))
+    assert(ts.select($"column_name").distinct().as[String].collect().toSet == Set("c19", "c20"))
+
+    // guard: a VALUE predicate below the window blocks the rewrite
+    val tv = df.filter($"value" =!= "a05")
+      .withColumn("rn", row_number().over(wa)).filter($"rn" <= 2)
+    assert(!scanOf(tv).scan.description().contains(Options.SliceCount))
 
     // guard: rank() admits ties and is not a slice
     val tr = df.withColumn("rn", rank().over(wa)).filter($"rn" <= 3)

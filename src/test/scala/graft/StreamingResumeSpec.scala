@@ -52,4 +52,63 @@ class StreamingResumeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(second == batch)
   }
+
+  test("RocksDB state store: judged windowed aggregation is provider-identical") {
+    import graft.streaming.StreamOps
+    def run(): Seq[String] =
+      SparkEntry.queries("stream_window_counts")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    val default = run()
+    spark.conf.set(StreamOps.RocksDbKey, "true")
+    val rocks = try run() finally spark.conf.unset(StreamOps.RocksDbKey)
+    assert(rocks.nonEmpty && rocks == default,
+      s"RocksDB provider changed results: ${rocks.size} vs ${default.size} rows")
+    // the toggle must not leak the provider into the session (getOption
+    // surfaces the conf's built-in default, which is the HDFS provider)
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
+  test("foreachBatch store sink: mid-stream crash, restart resumes exactly-once") {
+    val sp = spark; import sp.implicits._
+    import graft.sources.cassandralike.{CellStore, Options, Seed}
+    val root = java.nio.file.Files.createTempDirectory("sinkresume").toString
+    val srcDir = s"$root/src"
+    val ckpt = s"$root/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val store = s"$root/store"
+    CellStore.writeMeta(store, CellStore.Meta("id BIGINT, v STRING", ":key,v", Map.empty))
+
+    // three files -> three micro-batches (maxFilesPerTrigger=1)
+    Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"), (4L, "d")), Seq((5L, "e")))
+      .foreach(_.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir))
+
+    def run(crashAtBatch: Option[Long]): Either[Throwable, Unit] = {
+      val stream = spark.readStream.schema("id BIGINT, v STRING")
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // the append lands BEFORE the injected crash: the restart will
+          // re-run this batch, and the store must absorb the duplicate
+          // (same address, same pinned timestamp, same value -> LWW
+          // collapses it) — exactly-once through sink idempotence
+          Seed.append(batch, store, Map(Options.WriteTimestamp -> "1"))
+          if (crashAtBatch.contains(id))
+            throw new RuntimeException("injected mid-stream crash")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); Right(()) }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Left(e) }
+    }
+
+    // first run crashes after batch 1 wrote its data but before it committed
+    assert(run(crashAtBatch = Some(1L)).isLeft, "injected crash did not surface")
+    // restart from the same checkpoint: re-runs batch 1, then batch 2
+    assert(run(crashAtBatch = None).isRight)
+    val got = Seed.read(spark, store).as[(Long, String)].collect().toSet
+    val want = spark.read.parquet(srcDir).as[(Long, String)].collect().toSet
+    assert(got == want, s"store after resume: $got")
+  }
 }
