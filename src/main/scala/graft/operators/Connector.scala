@@ -129,7 +129,8 @@ object Connector {
     Q("conn_read_asof",
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       val cust = t(s, dir, "customer")
       val store = Seed.table(s, dir, "asof", cust)
@@ -153,7 +154,8 @@ object Connector {
         |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
         |  AS DECIMAL(12,2))) AS DOUBLE) AS bal,
         |  count(*) AS n
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       val cust = t(s, dir, "customer")
       val store = Seed.table(s, dir, "lww", cust)
@@ -212,7 +214,8 @@ object Connector {
         |    CASE c_custkey % 3 WHEN 1 THEN 100 WHEN 2 THEN 200 ELSE 300 END
         |  AS DECIMAL(12,2))) AS DOUBLE) AS bal,
         |  count(*) AS n_live
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       val cust = t(s, dir, "customer")
       val store = Seed.table(s, dir, "compaction_auto", cust,
@@ -676,7 +679,8 @@ object Connector {
       """SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_segment,
         |  CAST(sum(CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal END AS DECIMAL(12,2))) AS DOUBLE) AS seg_bal
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       s.conf.set("spark.sql.catalog.cassandralike",
         classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)

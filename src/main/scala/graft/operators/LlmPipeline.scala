@@ -351,7 +351,8 @@ object LlmPipeline {
         |SELECT doc_a, doc_b, common*1.0/(s1.n + s2.n - common) AS jac
         |FROM inter JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      bench = true) { (s, dir) =>
       // gram postings feed two passes inside the prefix stage (df counts,
       // prefix ranking) — persist once; verification re-derives grams for
       // candidate docs only, so the corpus-wide table never feeds verify
