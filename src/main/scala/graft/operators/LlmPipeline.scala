@@ -99,7 +99,9 @@ object LlmPipeline {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
       .filter(col("rk") <= col("n") - expr("(9*n + 9) div 10") + 1)
-      .select("doc_id", "gram")
+      // n and rk ride along for the PPJoin-side filters: length-ratio and
+      // positional overlap upper bound (see llm_dedup_ngram)
+      .select("doc_id", "gram", "n", "rk")
   }
 
   /** Rows per block in the blocked all-pairs enumeration below. Sized so a
@@ -354,19 +356,52 @@ object LlmPipeline {
         |ORDER BY doc_a, doc_b""".stripMargin,
       bench = true) { (s, dir) =>
       // gram postings feed two passes inside the prefix stage (df counts,
-      // prefix ranking) — persist once; verification re-derives grams for
-      // candidate docs only, so the corpus-wide table never feeds verify
+      // prefix ranking) — persist once; prefix feeds both sides of its
+      // self-join — persist once (the rank window must not run twice)
       val grams = charGrams(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       grams.count() // pin before the df/size/rank branches race the cache
       val prefix = gramPrefixes(grams)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      prefix.count()
+      // candidate join with the two PPJoin pruning bounds, both exact in
+      // integer arithmetic so no float rounding can drop a true pair:
+      //  - length ratio: J >= 0.9 forces 0.9·max(na,nb) <= min(na,nb),
+      //    i.e. 9·max <= 10·min;
+      //  - positional upper bound at a prefix match (rank rk within the
+      //    doc's df-ordered grams): overlap <= 1 + min(na-rka, nb-rkb);
+      //    J >= 0.9 needs overlap >= ceil(9(na+nb)/19), so a match row can
+      //    only seed a candidate when 19·(1+min(...)) >= 9·(na+nb). A true
+      //    pair's FIRST common prefix gram always satisfies the bound, so
+      //    recall stays exact (the spec checks equality with the naive
+      //    join). On this corpus the two bounds cut candidates ~10x.
       val cand = prefix.as("a")
         .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) * 9 <= least(col("a.n"), col("b.n")) * 10 &&
+          (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 19 >=
+            (col("a.n") + col("b.n")) * 9)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccardDocs(cand, docs(s, dir),
-        df => charGrams(df).withColumnRenamed("gram", "shingle"), 0.9)
+      // Array-based verification, O(candidates): each doc's distinct grams
+      // collect into one array row; candidate pairs join to the two arrays
+      // (broadcast at test scale, shuffle-by-doc at 100 TB) and intersect
+      // in place. The gram-postings SELF-join the generic verify path uses
+      // would touch every gram-sharing pair of the corpus — on this corpus
+      // that is ~half of all N^2/2 pairs, two orders past the candidates.
+      val docGrams = grams.groupBy("doc_id")
+        .agg(collect_list(col("gram")).as("gs"))
+      cand
+        .join(docGrams.select(col("doc_id").as("doc_a"),
+          col("gs").as("ga")), "doc_a")
+        .join(docGrams.select(col("doc_id").as("doc_b"),
+          col("gs").as("gb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ga"), col("gb"))).cast("long").as("common"),
+          size(col("ga")).cast("long").as("na"), size(col("gb")).cast("long").as("nb"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+        .filter(col("jac") >= 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
