@@ -2,14 +2,20 @@
 """Local correctness harness mimicking the driver's DuckDB oracle compare.
 
 Usage:
-  python3 tools/check.py [sf_dir] [out_dir] [--run]   # --run = invoke sbt Verify first
+  python3 tools/check.py [sf_dir] [out_dir] [--run] [--timeout=SECONDS]
+  # --run = invoke sbt Verify first
+  # --timeout — per-ORACLE wall-clock cap; an oracle that exceeds it records
+  #   SKIP, not FAIL. Used for large scaled datasets (tools/scale.py) where
+  #   a handful of DuckDB oracles are intrinsically quadratic (exact
+  #   all-pairs similarity) even though the engine-side plan is sub-
+  #   quadratic; those queries stay fully verified at the smaller SFs.
 
 Reads each <out_dir>/<name> parquet (Spark result), runs the matching SQL from
 <out_dir>/oracle_sql.json in DuckDB over views of the sf_dir parquet tables,
 and compares: column names (sorted), row count, and exact values (rows sorted).
 Dev tooling only — the shipped Scala library does not depend on this.
 """
-import json, math, subprocess, sys
+import json, math, subprocess, sys, threading
 from pathlib import Path
 
 import duckdb
@@ -52,12 +58,17 @@ def main():
             if "[verify]" in line:
                 print(line)
 
+    timeout = None
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout="):
+            timeout = float(a.split("=", 1)[1])
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         pq = Path(out_dir) / name
         if not pq.exists():
@@ -66,10 +77,20 @@ def main():
             got = frame_key(con, con.sql(f"SELECT * FROM '{pq}/*.parquet'"))
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}"); n_fail += 1; continue
+        timer = threading.Timer(timeout, con.interrupt) if timeout else None
         try:
+            if timer:
+                timer.start()
             exp = frame_key(con, con.sql(sql))
+        except KeyboardInterrupt:
+            print(f"SKIP {name}: oracle exceeded {timeout}s"); n_skip += 1; continue
+        except duckdb.InterruptException:
+            print(f"SKIP {name}: oracle exceeded {timeout}s"); n_skip += 1; continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        finally:
+            if timer:
+                timer.cancel()
         if got[0] != exp[0]:
             print(f"FAIL {name}: columns {got[0]} != {exp[0]}"); n_fail += 1; continue
         if got[1] != exp[1]:
@@ -81,7 +102,8 @@ def main():
             print(f"  duckdb: {exp[2][bad]}")
             n_fail += 1; continue
         print(f"PASS {name} ({got[1]} rows)"); n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    skip = f", {n_skip} skipped (oracle timeout)" if n_skip else ""
+    print(f"\n{n_pass} passed, {n_fail} failed{skip}")
     sys.exit(1 if n_fail else 0)
 
 

@@ -59,15 +59,25 @@ def main():
             if c in keycols:
                 sel.append(f"{c} + r * {off} AS {c}")
             elif t == "documents" and c == "text":
-                sel.append("CASE WHEN r = 0 THEN text "
-                           "ELSE text || ' r' || r END AS text")
+                # replica texts must be DISTINCT documents, not near-dups of
+                # the original: suffixing every word breaks shingle overlap
+                # across replicas, so the dup/near-dup pair structure scales
+                # LINEARLY (each replica reproduces the original's clusters
+                # at its own ids). A whole-text suffix would instead make
+                # every doc a 10-clone near-dup cluster — quadratic pair
+                # blowup in both engines.
+                sel.append(r"CASE WHEN r = 0 THEN text "
+                           r"ELSE regexp_replace(text, '(\S+)', '\1' || r, 'g') "
+                           r"END AS text")
             elif t == "documents" and c == "n_chars":
-                sel.append("n_chars + CASE WHEN r = 0 THEN 0 "
-                           "ELSE length(' r' || r) END AS n_chars")
+                # recomputed below once text is final (n_chars == length(text))
+                sel.append("n_chars")
             else:
                 sel.append(c)
         q = (f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', "
              f"range({factor}) s(r) ORDER BY r, {keycols[0]}")
+        if t == "documents":  # keep the n_chars == length(text) invariant
+            q = f"SELECT * REPLACE (length(text) AS n_chars) FROM ({q})"
         con.execute(f"COPY ({q}) TO '{dst}/{t}.parquet'")
         # cast back to the SOURCE physical schema: DuckDB normalizes
         # timestamps to micros, but readers key on the original types
