@@ -303,16 +303,19 @@ object LlmPipeline {
     },
 
     // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit
-    // bands with 1-BIT MULTI-PROBE for candidates, Hamming<=12 prefilter,
+    // bands with 1-BIT MULTI-PROBE for candidates, Hamming<=15 prefilter,
     // exact verification. Plain banding has a recall tail: a true pair at
     // Hamming 12 can differ in every band (~19% chance per such pair — one
     // real miss surfaced at sf0.1). Probing each band key and its 8
     // single-bit flips on ONE join side makes banding recall DETERMINISTIC
     // for everything the prefilter admits: by pigeonhole, missing all 8
-    // probed bands needs >= 2 diffs per band = Hamming >= 16 > 12. Costs a
-    // 9x wider build side on the equi-join, nothing downstream — the
-    // bit_count prefilter still prunes before the expensive exact
-    // verification. ----
+    // probed bands needs >= 2 diffs per band = Hamming >= 16, so the
+    // prefilter cutoff sits at exactly 15 — the full guaranteed-detection
+    // range. (It sat at 12 before; the sf1 gate found 13 true pairs at
+    // distance 13-14 that banding DID catch and the filter then discarded.)
+    // Random pairs at Hamming<=15 are a 4-sigma tail (~2e-5), so the
+    // wider cutoff adds negligible verification load. Costs a 9x wider
+    // build side on the equi-join, nothing downstream. ----
     Q("llm_dedup_simhash", jaccardOracle) { (s, dir) =>
       val d = docs(s, dir)
       // map-only signature: per-bit ±1 voting over the doc's distinct word
@@ -328,7 +331,7 @@ object LlmPipeline {
           .as("bh"))
       val cand = probed.as("x").join(bands.as("y"), Seq("band", "bh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .filter(expr("bit_count(x.sig ^ y.sig) <= 12"))
+        .filter(expr("bit_count(x.sig ^ y.sig) <= 15"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
       verifyJaccardDocs(cand, d, shingles, 0.8).orderBy(col("doc_a"), col("doc_b"))
@@ -537,45 +540,53 @@ object LlmPipeline {
         .orderBy(col("qid"), col("rk"))
     },
 
-    // ---- IVF scale path: coarse quantizer = per-label centroids (exact
-    // decimal means, deterministic), probe the top-3 cells, search only
-    // those partitions (~30% of the data). The fixture embeddings are
-    // quasi-random (max pairwise cos 0.51, no cluster structure), so a
-    // recall contract is unattainable by ANY sublinear method; the oracle
-    // asserts the standard ANN APPROXIMATION-RATIO contract instead:
-    // avg-cos(IVF top-5) / avg-cos(exact top-5) >= 0.6 per query (measured
-    // 0.65-0.97 across both SFs), like rel_approx_distinct's error bound. ----
+    // ---- IVF scale path with a GEOMETRIC coarse quantizer: K=25 seed
+    // vectors drawn deterministically from the corpus act as centroids,
+    // every vector assigns to its nearest seed by cosine (map-only N×K dot
+    // products against a broadcast seed table), and a query probes the
+    // top-3 cells by the same measure — so a vector close to the query
+    // (an exact duplicate, a near-neighbor) lives in a cell the query
+    // probes. The previous build partitioned by the fixture's LABEL column
+    // — random groupings whose centroids are near-zero vectors, making
+    // centroid probing noise; the sf1 gate exposed it (exact top-5 was all
+    // planted clones, the 3-of-25 effectively-random probed cells missed
+    // them). The fixture embeddings are quasi-random (no cluster
+    // structure), so a recall contract is unattainable by ANY sublinear
+    // method; the oracle asserts the standard ANN APPROXIMATION-RATIO
+    // contract instead: avg-cos(IVF top-5) / avg-cos(exact top-5) >= 0.6
+    // per query, like rel_approx_distinct's error bound. ----
     Q("llm_ann_ivf",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id AS qid, TRUE AS ratio_ok FROM e WHERE vec_id < 10
         |ORDER BY qid""".stripMargin) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .withColumn("norm", sqrt(expr("aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
-      // deterministic centroids from a 25% training sample (vec_id % 4 == 0):
-      // quantizer training must not scan the full corpus at scale, and the
-      // approximation-ratio contract holds with margin on the sampled build
-      // (measured min ratio 0.72-0.82 across SFs vs the 0.6 bound; exact
-      // build measures 0.65-0.84). Exact decimal means keep the centroids
-      // byte-deterministic across partitionings.
-      val dims = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-        .select(col("label"), posexplode(col("v")).as(Seq("d", "x")))
-      val centroids = dims.groupBy("label", "d")
-        .agg((sum(col("x").cast("decimal(28,15)")) / count(lit(1)))
-          .cast("double").as("cx"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("d"), col("cx")))).as("cs"))
-        .select(col("label").as("clabel"), expr("transform(cs, s -> s.cx)").as("cv"))
+      def dotCos(a: String, an: String, b: String, bn: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)") /
+          (col(an) * col(bn))
+      // K deterministic seed centroids: the 25 smallest vec_ids (any fixed
+      // deterministic sample works; seeds are literal corpus vectors, so
+      // the build is byte-deterministic with no averaging arithmetic)
+      val seeds = e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))
+      // assignment: nearest seed per vector; partial-agg-friendly argmax
+      // (ties break to the smallest cell id), then join the cell back to
+      // the vector payload — no corpus-wide window
+      val assigned = e.join(broadcast(seeds))
+        .withColumn("ccos", dotCos("v", "norm", "cv", "cnorm"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+        .join(e, "vec_id")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
-      // probe: top-3 centroids per query by dot product
-      val probed = q.join(broadcast(centroids))
-        .withColumn("ccos", expr(
-          "aggregate(zip_with(qv, cv, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)"))
+      // probe: top-3 cells per query by centroid cosine
+      val probed = q.join(broadcast(seeds))
+        .withColumn("ccos", dotCos("qv", "qnorm", "cv", "cnorm"))
         .withColumn("crk", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("clabel"))))
+          Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))))
         .filter(col("crk") <= 3)
-        .select(col("qid"), col("qv"), col("qnorm"), col("clabel"))
+        .select(col("qid"), col("qv"), col("qnorm"), col("cell"))
       // average cosine of the top-5 result set
       def avgTop5(scored: DataFrame): DataFrame = {
         val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
@@ -583,16 +594,11 @@ object LlmPipeline {
           .filter(col("rk") <= 5)
           .groupBy("qid").agg(avg(col("cos")).as("avg_cos"))
       }
-      val ivfScored = probed.join(
-          e.withColumnRenamed("label", "vlabel"),
-          col("clabel") === col("vlabel") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(
-          "aggregate(zip_with(qv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
-          / (col("qnorm") * col("norm")))
+      val ivfScored = probed.join(assigned,
+          probed("cell") === assigned("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
       val exactScored = q.join(e, col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(
-          "aggregate(zip_with(qv, v, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)")
-          / (col("qnorm") * col("norm")))
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
       avgTop5(ivfScored).withColumnRenamed("avg_cos", "ivf_avg")
         .join(avgTop5(exactScored).withColumnRenamed("avg_cos", "exact_avg"), "qid")
         .select(col("qid"), (col("ivf_avg") / col("exact_avg") >= 0.6).as("ratio_ok"))

@@ -47,8 +47,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
         |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -59,14 +59,19 @@ object Relational {
       bench = true) { (s, dir) =>
       import s.implicits._
       val disc = m($"l_extendedprice") * (lit(1) - r($"l_discount"))
+      // the scale-4/6 sums round to cents BEFORE the double cast: above
+      // ~9e15 unscaled units DuckDB's decimal->double goes through an
+      // inexact int64->double step and lands one ulp off Spark's correctly
+      // rounded BigDecimal cast — rounding keeps the unscaled value inside
+      // the exact-integer double range at any realistic SF (sf1 regression)
       t(s, dir, "lineitem")
         .filter($"l_shipdate" <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           d(sum(m($"l_quantity"))).as("sum_qty"),
           d(sum(m($"l_extendedprice"))).as("sum_base_price"),
-          d(sum(disc)).as("sum_disc_price"),
-          d(sum(disc * (lit(1) + r($"l_tax")))).as("sum_charge"),
+          d(round(sum(disc), 2)).as("sum_disc_price"),
+          d(round(sum(disc * (lit(1) + r($"l_tax"))), 2)).as("sum_charge"),
           (d(sum(m($"l_quantity"))) / count(lit(1))).as("avg_qty"),
           (d(sum(m($"l_extendedprice"))) / count(lit(1))).as("avg_price"),
           (d(sum(r($"l_discount"))) / count(lit(1))).as("avg_disc"),

@@ -682,26 +682,44 @@ object CellStore {
 /** Chunked per-key cell iteration — the wide-row paged scan (S4). The store
   * equivalent of the reference's slice paging over Thrift
   * (input/ColumnFamilyWideRowRecordReader.java:240-385): fetch `pageSize`
-  * cells from a start column, advance the slice start to the last column
-  * seen, and trim the overlapping first cell of every subsequent page
-  * (the reference drops the duplicate at :352-356); terminate when a page
-  * comes back short, with a no-progress guard (:319-322).
+  * cells from a start column, advance the slice start past the last cell
+  * seen, and trim the overlap of every subsequent page (the reference drops
+  * the duplicate first COLUMN at :352-356 — for a super CF that unit is the
+  * whole super column); terminate when a page comes back short, with a
+  * no-progress guard (:319-322).
   *
   * `fetch(startCol, count)` models the remote call: it returns up to `count`
   * cells with col >= startCol (or <= for reversed order) in comparator order.
   * `order` compares two column names in SCAN order (negated comparator when
   * reversed) so the no-progress guard works in either direction.
-  */
+  *
+  * Paging tracks the full cell ADDRESS (col, sub), not the column alone:
+  * super-column cells share a column name across sub-cells, so a page
+  * boundary can fall mid-column-group. The col-only form either replayed
+  * the group's remainder or tripped the no-progress guard and silently
+  * truncated the row at one page — invisible until a row outgrew a single
+  * page (the sf1 super-pivot regression: every 6000-cell row read exactly
+  * pageSize cells). When a single column group outgrows the page, the
+  * re-fetch widens geometrically until it clears the group — the memory
+  * bound is one column group, the same unit the reference materializes. */
 final class WideRowIterator(
     fetch: (Array[Byte], Int) => Seq[Cell],
     pageSize: Int,
     order: (Array[Byte], Array[Byte]) => Int = Codecs.compareBytes) extends Iterator[Cell] {
   require(pageSize > 1, "pageSize must exceed 1 for paging to progress")
+  private def nb(b: Array[Byte]): Array[Byte] =
+    if (b == null) Array.emptyByteArray else b
+  /** Scan-order comparison of a cell's address vs the last address seen. */
+  private def addrCmp(c: Cell, col: Array[Byte], sub: Array[Byte]): Int = {
+    val k = order(c.col, col)
+    if (k != 0) k else order(nb(c.sub), nb(sub))
+  }
   private var page: Seq[Cell] = fetch(null, pageSize)
   // a raw (untrimmed) page shorter than requested is the row's last page
   private var finalPage = page.length < pageSize
   private var idx = 0
   private var lastCol: Array[Byte] = _
+  private var lastSub: Array[Byte] = _
   private var exhausted = page.isEmpty
 
   def hasNext: Boolean = {
@@ -709,16 +727,25 @@ final class WideRowIterator(
     if (idx < page.length) return true
     if (finalPage) { exhausted = true; return false }
     // next page re-slices from the last column seen (inclusive start on the
-    // remote side) and trims the overlap
-    val np = fetch(lastCol, pageSize)
-    finalPage = np.length < pageSize
-    val trimmed =
-      if (np.nonEmpty && java.util.Arrays.equals(np.head.col, lastCol)) np.tail
-      else np
-    // no-progress guard: the page must advance strictly past the last column
-    // seen, else a misbehaving fetch would replay cells forever
+    // remote side) and trims every cell at or before the last ADDRESS —
+    // widening the fetch when a whole column group was already consumed
+    // (its cells all trim away and a same-size re-fetch could never
+    // progress past a group larger than one page)
+    var cnt = pageSize
+    var np = fetch(lastCol, cnt)
+    var fp = np.length < cnt
+    var trimmed = np.dropWhile(c => addrCmp(c, lastCol, lastSub) <= 0)
+    while (trimmed.isEmpty && !fp) {
+      cnt *= 2
+      np = fetch(lastCol, cnt)
+      fp = np.length < cnt
+      trimmed = np.dropWhile(c => addrCmp(c, lastCol, lastSub) <= 0)
+    }
+    finalPage = fp
+    // no-progress guard: the page must advance strictly past the last
+    // address seen, else a misbehaving fetch would replay cells forever
     // (reference guard: ColumnFamilyWideRowRecordReader.java:319-322)
-    if (trimmed.isEmpty || order(trimmed.head.col, lastCol) <= 0) {
+    if (trimmed.isEmpty || addrCmp(trimmed.head, lastCol, lastSub) <= 0) {
       exhausted = true; return false
     }
     page = trimmed
@@ -728,6 +755,6 @@ final class WideRowIterator(
 
   def next(): Cell = {
     if (!hasNext) throw new NoSuchElementException
-    val c = page(idx); idx += 1; lastCol = c.col; c
+    val c = page(idx); idx += 1; lastCol = c.col; lastSub = c.sub; c
   }
 }

@@ -153,6 +153,25 @@ class CellStoreSpec extends AnyFunSuite {
     assert(it.size == 100)
   }
 
+  test("pager crosses page boundaries inside super column groups losslessly") {
+    // super cells share a column name across sub-cells; with 7 subs per
+    // column and page size 10 every page boundary falls mid-group — the
+    // col-only paging form truncated the row at exactly one page (the sf1
+    // super-pivot regression)
+    def sup(c: Int, s: Int) = Cell("k".getBytes, f"c$c%03d".getBytes,
+      f"s$s%02d".getBytes, Array[Byte](1), 1L, tombstone = false)
+    val cells = for (c <- 0 until 40; s <- 0 until 7) yield sup(c, s)
+    val got = new WideRowIterator(pagedFetch(cells.toIndexedSeq), 10).toSeq
+    assert(got.size == cells.size, s"paged ${got.size} of ${cells.size} super cells")
+    assert(got.map(x => (new String(x.col), new String(x.sub))) ==
+      cells.map(x => (new String(x.col), new String(x.sub))))
+    // one column group larger than the whole page: the re-fetch widens
+    // geometrically until it clears the group instead of stalling
+    val big = (0 until 35).map(s => sup(0, s)) ++ (0 until 7).map(s => sup(1, s))
+    val got2 = new WideRowIterator(pagedFetch(big.toIndexedSeq), 10).toSeq
+    assert(got2.size == big.size, s"paged ${got2.size} of ${big.size}")
+  }
+
   // ---- store merge: LWW + tombstones ----
 
   private def seg(dir: String, name: String, runs: Seq[Cell]*): Unit = {
