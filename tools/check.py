@@ -104,6 +104,9 @@ def main():
         print(f"PASS {name} ({got[1]} rows)"); n_pass += 1
     skip = f", {n_skip} skipped (oracle timeout)" if n_skip else ""
     print(f"\n{n_pass} passed, {n_fail} failed{skip}")
+    if n_skip:
+        print("skipped oracles can be closed with tools/staged_oracle.py "
+              "(temp-table staging sidesteps DuckDB's one-statement planner)")
     sys.exit(1 if n_fail else 0)
 
 
