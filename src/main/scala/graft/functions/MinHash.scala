@@ -133,6 +133,58 @@ object MinHash {
     }
     new GenericArrayData(buf)
   }
+
+  /** Distinct char-4-gram KEYS of a document as a SORTED long array: each
+    * 4-char window packs its UTF-16 code units into one long
+    * (c0<<48 | c1<<32 | c2<<16 | c3) — an INJECTIVE encoding for any text
+    * without surrogate pairs, so unlike a hash there are no collisions and
+    * gram-key equality IS gram equality. Sorted + deduped in place: the
+    * sorted form is what [[sortedIntersectCount]] merge-scans, and the pack
+    * loop allocates no per-gram strings (the string formulation allocated
+    * ~len(text) short-lived strings per row). */
+  def gramKeys(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+    val s = text.toString
+    val n = s.length - 3
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      arr(i) = (s.charAt(i).toLong << 48) | (s.charAt(i + 1).toLong << 32) |
+        (s.charAt(i + 2).toLong << 16) | s.charAt(i + 3).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, w))
+  }
+
+  /** |A ∩ B| of two SORTED long arrays by merge scan — O(|A|+|B|) long
+    * comparisons, no per-pair hash table. The exact-verification kernel for
+    * candidate pairs (llm_dedup_ngram): intersecting two ~300-element gram
+    * key arrays costs ~600 compares vs array_intersect's per-pair hash-set
+    * build over strings. */
+  def sortedIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** Row-local 64-bit SimHash over an array of element hashes: per bit, count
@@ -332,4 +384,63 @@ case class MinHashSignature(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** `gram_keys(text)` → SORTED `array<bigint>` of distinct packed char-4-gram
+  * keys (see [[MinHash.gramKeys]] — injective packing, not a hash). */
+case class GramKeys(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_keys expects STRING, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_keys"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash.gramKeys(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.MinHash$$.MODULE$$.gramKeys($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramKeys =
+    copy(child = newChild)
+}
+
+/** `sorted_intersect_count(array<bigint>, array<bigint>)` → INT: |A ∩ B| of
+  * two sorted long arrays by merge scan (see
+  * [[MinHash.sortedIntersectCount]]). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two ARRAY<BIGINT>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MinHash$$.MODULE$$.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }

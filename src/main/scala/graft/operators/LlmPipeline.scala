@@ -78,11 +78,29 @@ object LlmPipeline {
 
   /** Distinct character 4-grams per document (docs shorter than 4 chars drop
     * out — identically in the DuckDB oracle). */
-  private[graft] def charGrams(d: DataFrame): DataFrame =
+  /** Per-doc distinct char 4-gram ARRAYS, derived row-locally from text —
+    * map-only, no shuffle. Both the prefix stage and candidate verification
+    * build on this form: re-deriving grams from the document row is free,
+    * re-grouping exploded postings by doc would cost a corpus-wide shuffle. */
+  private[graft] def docGramArrays(d: DataFrame): DataFrame =
     d.filter(length(col("text")) >= 4)
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))"))
-        .as("gram"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, length(text)-3), i -> substring(text, i, 4)))")
+        .as("gs"))
+
+  private[graft] def charGrams(d: DataFrame): DataFrame =
+    docGramArrays(d).select(col("doc_id"), explode(col("gs")).as("gram"))
+
+  /** The judged pipeline's form of [[docGramArrays]]: per-doc distinct gram
+    * KEYS (sorted `array<bigint>`, `graft.functions.GramKeys`) instead of
+    * gram strings. The packing is injective (no collisions — key equality is
+    * gram equality), the codegen'd kernel allocates no per-gram strings, the
+    * candidate equi-join shuffles 8-byte longs instead of 4-char strings,
+    * and the sorted form feeds `sorted_intersect_count`'s merge-scan
+    * verification. The string twin stays for the spec's naive baseline. */
+  private[graft] def docGramKeys(d: DataFrame): DataFrame =
+    d.filter(length(col("text")) >= 4)
+      .select(col("doc_id"), expr("gram_keys(text)").as("gs"))
 
   /** AllPairs/PPJoin prefix postings: under the global gram order (ascending
     * document frequency, gram as tie-break), a doc with n grams keeps only
@@ -92,16 +110,27 @@ object LlmPipeline {
     * |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤ t·|A∪B| — contradicting J ≥ t. The
     * ⌈t·n⌉ is computed in exact integer arithmetic ((9n+9) div 10 for t=0.9)
     * so a float rounding can never shorten a prefix below the bound. */
-  private[graft] def gramPrefixes(grams: DataFrame): DataFrame = {
-    val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    grams.join(df, "gram").join(sizes, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))))
-      .filter(col("rk") <= col("n") - expr("(9*n + 9) div 10") + 1)
+  private[graft] def gramPrefixes(docArr: DataFrame): DataFrame = {
+    val grams = docArr.select(col("doc_id"), explode(col("gs")).as("gram"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    // The df-ordered rank within a doc's gram set needs no corpus-wide
+    // window: after attaching df (an equi-join AQE turns into a broadcast
+    // whenever the gram vocabulary is small), ONE groupBy collects each
+    // doc's (df, gram) pairs and the sort + prefix slice happen row-locally
+    // inside the array — a per-row O(n log n) over a few hundred grams
+    // replaces the window's corpus-wide sort-shuffle, and only the ~0.1·n
+    // prefix entries are re-exploded into the candidate join.
+    grams.join(dfreq, "gram")
+      .groupBy("doc_id").agg(collect_list(struct(col("df"), col("gram"))).as("gf"))
+      .select(col("doc_id"),
+        expr("slice(array_sort(gf), 1, size(gf) - (9*size(gf) + 9) div 10 + 1)")
+          .as("pre"),
+        size(col("gf")).as("n"))
+      .select(col("doc_id"), col("n"), posexplode(col("pre")).as(Seq("rk0", "g")))
       // n and rk ride along for the PPJoin-side filters: length-ratio and
       // positional overlap upper bound (see llm_dedup_ngram)
-      .select("doc_id", "gram", "n", "rk")
+      .select(col("doc_id"), col("g.gram").as("gram"), col("n"),
+        (col("rk0") + lit(1)).as("rk"))
   }
 
   /** Rows per block in the blocked all-pairs enumeration below. Sized so a
@@ -358,13 +387,14 @@ object LlmPipeline {
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
       bench = true) { (s, dir) =>
-      // gram postings feed two passes inside the prefix stage (df counts,
-      // prefix ranking) — persist once; prefix feeds both sides of its
-      // self-join — persist once (the rank window must not run twice)
-      val grams = charGrams(docs(s, dir))
+      // per-doc gram-key arrays feed the df count, the prefix stage and the
+      // verification arrays — persist the map-only form once; prefix feeds
+      // both sides of its self-join — persist once (the df-attach join and
+      // prefix groupBy must not run twice)
+      val docArr = docGramKeys(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      grams.count() // pin before the df/size/rank branches race the cache
-      val prefix = gramPrefixes(grams)
+      docArr.count() // pin before the df/prefix branches race the cache
+      val prefix = gramPrefixes(docArr)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       prefix.count()
       // candidate join with the two PPJoin pruning bounds, both exact in
@@ -387,20 +417,19 @@ object LlmPipeline {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       // Array-based verification, O(candidates): each doc's distinct grams
-      // collect into one array row; candidate pairs join to the two arrays
-      // (broadcast at test scale, shuffle-by-doc at 100 TB) and intersect
-      // in place. The gram-postings SELF-join the generic verify path uses
-      // would touch every gram-sharing pair of the corpus — on this corpus
-      // that is ~half of all N^2/2 pairs, two orders past the candidates.
-      val docGrams = grams.groupBy("doc_id")
-        .agg(collect_list(col("gram")).as("gs"))
+      // are already one array row (map-only docArr — no postings regroup);
+      // candidate pairs join to the two arrays (broadcast at test scale,
+      // shuffle-by-doc at 100 TB) and intersect in place. The gram-postings
+      // SELF-join the generic verify path uses would touch every
+      // gram-sharing pair of the corpus — on this corpus that is ~half of
+      // all N^2/2 pairs, two orders past the candidates.
       cand
-        .join(docGrams.select(col("doc_id").as("doc_a"),
+        .join(docArr.select(col("doc_id").as("doc_a"),
           col("gs").as("ga")), "doc_a")
-        .join(docGrams.select(col("doc_id").as("doc_b"),
+        .join(docArr.select(col("doc_id").as("doc_b"),
           col("gs").as("gb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          size(array_intersect(col("ga"), col("gb"))).cast("long").as("common"),
+          expr("sorted_intersect_count(ga, gb)").cast("long").as("common"),
           size(col("ga")).cast("long").as("na"), size(col("gb")).cast("long").as("nb"))
         .select(col("doc_a"), col("doc_b"),
           (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))

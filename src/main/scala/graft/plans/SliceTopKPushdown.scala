@@ -248,6 +248,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashBands(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("gram_keys"),
+      new ExpressionInfo(classOf[graft.functions.GramKeys].getName, "gram_keys"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 1, "usage: gram_keys(text)")
+        graft.functions.GramKeys(exprs.head)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          "usage: sorted_intersect_count(array<bigint>, array<bigint>)")
+        graft.functions.SortedIntersectCount(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

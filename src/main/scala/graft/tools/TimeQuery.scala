@@ -2,14 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Time one judged query N times: `runMain graft.tools.TimeQuery <name> [n]`.
-  * Same session shape as Bench; prints per-run wall-clock. */
+/** Time individual judged queries outside the full Bench sweep:
+  * `runMain graft.tools.TimeQuery <sfDir> <name> [name ...]`.
+  * Same session shape as Bench (AQE on, one shuffle partition per core,
+  * warm-up + min-of-3) so numbers are comparable to BENCH_r{N}. */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val n = if (args.length > 1) args(1).toInt else 3
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = math.max(4, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
@@ -21,14 +22,17 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = graft.SparkEntry.queries(name)
-    (0 to n).foreach { i =>
-      val t0 = System.nanoTime()
-      val rows = q(spark, sfDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[time] $name run$i ($rows rows): $sec%.3f s" +
-        (if (i == 0) " (warmup)" else ""))
-      spark.catalog.clearCache()
+    names.foreach { name =>
+      val q = graft.SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc(); t
+      }
+      once() // warm-up
+      val times = Seq.fill(3)(once())
+      println(f"[time] $name min=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -46,7 +46,7 @@ class LlmPipelineSpec extends SparkSpec {
   test("ngram prefix filter shrinks the candidate join input, loses no pairs") {
     val d = Tables.load(spark, sfDir, "documents")
     val grams = operators.LlmPipeline.charGrams(d)
-    val prefix = operators.LlmPipeline.gramPrefixes(grams)
+    val prefix = operators.LlmPipeline.gramPrefixes(operators.LlmPipeline.docGramArrays(d))
     val (gTotal, pTotal) = (grams.count(), prefix.count())
     // prefix length is n - ceil(0.9n) + 1 ≈ 0.1n + 1 per doc: the candidate
     // join input must be a small fraction of the full inverted index
