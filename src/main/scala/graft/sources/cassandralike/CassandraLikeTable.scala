@@ -520,12 +520,26 @@ class CellPartitionReader(
   // the projection or a pushed predicate touches are decoded at all
   private val needed: Set[String] =
     required.fieldNames.toSet ++ filters.flatMap(_.references)
+  // Point-lookup segment pruning: pushed key-equality predicates tighten the
+  // merge range to [min(keys), succ(max(keys))) in encoded-byte order,
+  // intersected with the partition's own sub-split range. The run indexes
+  // then seek instead of streaming the bucket, so a key lookup reads
+  // O(segments × IndexEvery) cells NO MATTER how big the bucket is — without
+  // this, `WHERE key = ?` scanned every cell of the routed bucket and only
+  // dropped rows post-decode. Purely an optimization: FilterEval still
+  // applies the exact predicate to every emitted row, and LWW/tombstone
+  // reconciliation is per-address so a key-restricted merge over all
+  // segments reconciles identically to the full-bucket merge.
+  private val keyBounds: (Array[Byte], Array[Byte]) =
+    KeyLookupBounds(filters, mapping.keyField.name, mapping.keyField.dataType,
+      part.lower, part.upper)
+
   // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
   // unit the pager (S4) then chunks, matching the reference's bound where
   // the server holds the row and the client pages it.
   private val merge = new CellStore.BucketMergeIterator(
-    part.tableDir, part.bucket, part.lower, part.upper,
+    part.tableDir, part.bucket, keyBounds._1, keyBounds._2,
     asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue),
     ttl = opt(Options.Ttl).map(_.toLong).getOrElse(0L),
     now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L),
@@ -730,4 +744,57 @@ object FilterEval {
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
   }
+}
+
+/** Derives the tightest [lower, upper) encoded-key range a partition's merge
+  * must cover given its pushed filters — the point-lookup pruning companion
+  * to planning-time bucket pruning (`plannedBuckets`). Top-level key
+  * equality / IN conjuncts narrow the range; everything else leaves the
+  * partition's own sub-split bounds untouched. Sound by construction: every
+  * key satisfying ALL conjuncts lies inside every conjunct's [min, succ(max))
+  * envelope, and the envelope only ever SHRINKS the scanned range — rows are
+  * still exact-filtered post-decode. */
+object KeyLookupBounds {
+  def apply(filters: Array[Filter], keyName: String, keyType: DataType,
+      partLower: Array[Byte], partUpper: Array[Byte])
+    : (Array[Byte], Array[Byte]) = {
+    val envelopes = filters.flatMap {
+      case EqualTo(c, v) if c == keyName => Some(Seq(v))
+      case In(c, vs) if c == keyName && vs.nonEmpty => Some(vs.toSeq)
+      case _ => None
+    }.map { vs =>
+      val enc = vs.map(v =>
+        Codecs.encode(keyType, CatalystTypeConverters.convertToCatalyst(v)))
+      val lo = enc.minBy(identity)(byteOrder)
+      val hi = succ(enc.maxBy(identity)(byteOrder))
+      (lo, hi)
+    }
+    // AND of conjuncts = intersection of envelopes, then the partition range
+    val (lo, hi) = envelopes.foldLeft((partLower, partUpper)) {
+      case ((l, u), (el, eu)) => (maxLower(l, el), minUpper(u, eu))
+    }
+    // an empty intersection must yield an empty scan, not a crossed range
+    if (lo != null && hi != null && Codecs.compareBytes(lo, hi) > 0) (hi, hi)
+    else (lo, hi)
+  }
+
+  /** Immediate successor of `k` in unsigned-lexicographic byte order:
+    * k ++ 0x00 — the exclusive upper bound that admits exactly the keys
+    * equal to `k` (any longer key sharing the prefix compares greater). */
+  private def succ(k: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(k, k.length + 1)
+    out(k.length) = 0
+    out
+  }
+
+  private val byteOrder: Ordering[Array[Byte]] =
+    (a, b) => Codecs.compareBytes(a, b)
+
+  private def maxLower(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b else if (b == null) a
+    else if (Codecs.compareBytes(a, b) >= 0) a else b
+
+  private def minUpper(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b else if (b == null) a
+    else if (Codecs.compareBytes(a, b) <= 0) a else b
 }

@@ -444,4 +444,54 @@ class CellStoreSpec extends AnyFunSuite {
       assert(CellStore.readMeta(dir).contains(meta))
     } finally CellStore.dropTable(dir)
   }
+
+  // ---- KeyLookupBounds: point-lookup segment-range pruning ----
+
+  private val kb = {
+    import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan, Filter}
+    (fs: Array[Filter], lo: Array[Byte], hi: Array[Byte]) =>
+      KeyLookupBounds(fs, "userid", StringType, lo, hi)
+  }
+  private def enc(s: String): Array[Byte] =
+    Codecs.encode(StringType, UTF8String.fromString(s))
+  private def cmpB(a: Array[Byte], b: Array[Byte]) = Codecs.compareBytes(a, b)
+
+  test("key bounds: EqualTo narrows to [k, k+0x00) — exactly the key") {
+    import org.apache.spark.sql.sources.EqualTo
+    val (lo, hi) = kb(Array(EqualTo("userid", "m")), null, null)
+    assert(cmpB(lo, enc("m")) == 0)
+    assert(cmpB(hi, enc("m") :+ 0.toByte) == 0)
+    // admits k itself, rejects its neighbors and prefix-extensions
+    assert(cmpB(enc("m"), lo) >= 0 && cmpB(enc("m"), hi) < 0)
+    assert(cmpB(enc("l"), lo) < 0)
+    assert(cmpB(enc("ma"), hi) >= 0)
+  }
+
+  test("key bounds: In spans [min, succ(max)); non-key filters leave range") {
+    import org.apache.spark.sql.sources.{GreaterThan, In}
+    val (lo, hi) = kb(Array(In("userid", Array("g", "c", "t"))), null, null)
+    assert(cmpB(lo, enc("c")) == 0 && cmpB(hi, enc("t") :+ 0.toByte) == 0)
+    val (l2, h2) = kb(Array(GreaterThan("age", 3)), null, null)
+    assert(l2 == null && h2 == null)
+  }
+
+  test("key bounds: conjuncts intersect; contradictions collapse to empty") {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // EqualTo AND In -> the shared key survives as the envelope
+    val (lo, hi) = kb(Array(EqualTo("userid", "g"), In("userid", Array("a", "g"))), null, null)
+    assert(cmpB(lo, enc("g")) == 0 && cmpB(hi, enc("g") :+ 0.toByte) == 0)
+    // two different EqualTo -> empty range (lo == hi)
+    val (l2, h2) = kb(Array(EqualTo("userid", "a"), EqualTo("userid", "b")), null, null)
+    assert(cmpB(l2, h2) == 0)
+  }
+
+  test("key bounds: partition sub-split range only ever tightens") {
+    import org.apache.spark.sql.sources.EqualTo
+    // partition range sits entirely above the key -> empty after intersect
+    val (lo, hi) = kb(Array(EqualTo("userid", "b")), enc("m"), null)
+    assert(lo != null && hi != null && cmpB(lo, hi) >= 0 || cmpB(enc("b"), lo) < 0)
+    // no filters -> partition range passes through untouched
+    val (l2, h2) = kb(Array.empty, enc("a"), enc("z"))
+    assert(cmpB(l2, enc("a")) == 0 && cmpB(h2, enc("z")) == 0)
+  }
 }
