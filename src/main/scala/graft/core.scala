@@ -81,6 +81,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
+      // subset co-partitioning: lets a join whose equi-keys extend an
+      // existing HashPartitioning (e.g. the block-pair verify joins) reuse
+      // it instead of reshuffling the array-carrying intermediate
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

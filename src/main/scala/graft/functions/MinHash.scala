@@ -185,6 +185,33 @@ object MinHash {
     }
     c
   }
+
+  /** Threshold-aware variant of [[sortedIntersectCount]]: exact |A ∩ B| when
+    * it is >= m, else -1 — with EARLY EXIT the moment the bound
+    * `count-so-far + min(remaining_a, remaining_b) < m` proves the threshold
+    * unreachable. At a high similarity threshold the required overlap is
+    * ~0.95·n, so a non-matching pair fails the bound within ~2·(1-t)·n
+    * elements (tens, not hundreds) — the merge scan over verification
+    * candidates stops paying for the ~99.98% of pairs that verify false. */
+  def sortedIntersectAtLeast(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData,
+      m: Int): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      if (c + math.min(na - i, nb - j) < m) return -1
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (c >= m) c else -1
+  }
 }
 
 /** Row-local 64-bit SimHash over an array of element hashes: per bit, count
@@ -443,4 +470,40 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** `sorted_intersect_atleast(array<bigint>, array<bigint>, m)` → INT: exact
+  * |A ∩ B| when >= m, else -1, with early exit (see
+  * [[MinHash.sortedIntersectAtLeast]]). */
+case class SortedIntersectAtLeast(
+    first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        "sorted_intersect_atleast expects (ARRAY<BIGINT>, ARRAY<BIGINT>, INT), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_atleast"
+
+  override protected def nullSafeEval(a: Any, b: Any, m: Any): Any =
+    MinHash.sortedIntersectAtLeast(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      m.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) =>
+      s"${ev.value} = graft.functions.MinHash$$.MODULE$$.sortedIntersectAtLeast($a, $b, $m);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+    : SortedIntersectAtLeast =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

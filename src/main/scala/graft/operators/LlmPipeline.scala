@@ -140,6 +140,13 @@ object LlmPipeline {
     * blocked shape itself is exercised (and plan-asserted). */
   private[graft] val EmbedBlockRows = 1024L
 
+  /** Doc blocks for llm_dedup_ngram's block-pair verification. Task build
+    * memory is one block of gram-key arrays ≈ corpusDocs/B × arrayBytes —
+    * a knob to size against executor memory at scale (at the test SFs it
+    * mainly guarantees the blocked shape itself is exercised); replication
+    * cost is B array copies per doc, independent of candidate count. */
+  private[graft] val NgramVerifyBlocks = 16
+
   /** Sketch-prefiltered candidate pairs for the embedding similarity join:
     * the N²/2 enumeration streams only (vec_id, 16-long sign sketch) rows —
     * a pair survives iff its sketch Hamming distance clears the 5σ cutoff
@@ -416,24 +423,52 @@ object LlmPipeline {
             (col("a.n") + col("b.n")) * 9)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // Array-based verification, O(candidates): each doc's distinct grams
-      // are already one array row (map-only docArr — no postings regroup);
-      // candidate pairs join to the two arrays (broadcast at test scale,
-      // shuffle-by-doc at 100 TB) and intersect in place. The gram-postings
-      // SELF-join the generic verify path uses would touch every
-      // gram-sharing pair of the corpus — on this corpus that is ~half of
-      // all N^2/2 pairs, two orders past the candidates.
-      cand
-        .join(docArr.select(col("doc_id").as("doc_a"),
-          col("gs").as("ga")), "doc_a")
-        .join(docArr.select(col("doc_id").as("doc_b"),
-          col("gs").as("gb")), "doc_b")
+      // BLOCK-PAIR verification, O(candidates) pair work with pair-count-
+      // INDEPENDENT shuffle volume. Attaching both gram arrays per pair via
+      // two plain joins would reshuffle the array-carrying intermediate by
+      // doc_b — ~candidates × arrayBytes of network (≈30 GB at the sf1-
+      // equivalent, the measured verify bottleneck). Instead docs hash into
+      // NgramVerifyBlocks blocks; candidates repartition ONCE by their
+      // (block_a, block_b) pair and each side's arrays replicate B ways
+      // keyed the same — so an array crosses the wire B times TOTAL (O(N·B),
+      // corpus-bounded), never once per pair. Both attach joins are
+      // SHUFFLE_HASH (build side = one block of arrays, a bounded knob like
+      // EmbedBlockRows) over the (block_a, block_b) co-partitioning — with
+      // requireAllClusterKeysForCoPartition=false (GraftSession default) the
+      // array-carrying join output flows join-to-join WITHOUT an exchange or
+      // a sort (PlanShapeSpec asserts it).
+      //
+      // Per-pair work: sorted_intersect_atleast merge-scans the two sorted
+      // key arrays with EARLY EXIT once count+min(remaining) can't reach the
+      // required overlap — at J >= 0.9 that is ceil(9(na+nb)/19) ≈ 0.95·n,
+      // so the ~99.98% of candidates that verify false fail within tens of
+      // comparisons. The integer threshold is EXACTLY the jac >= 0.9 test
+      // (19·common >= 9·(na+nb), no float boundary), so common >= 0
+      // survivors are precisely the judged rows.
+      val b = NgramVerifyBlocks
+      val cand2 = cand
+        .withColumn("ba", pmod(hash(col("doc_a")), lit(b)))
+        .withColumn("bb", pmod(hash(col("doc_b")), lit(b)))
+        .repartition(col("ba"), col("bb"))
+      val aRep = docArr.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+          pmod(hash(col("doc_id")), lit(b)).as("ba"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("bb"))
+        .repartition(col("ba"), col("bb"))
+      val bRep = docArr.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+          pmod(hash(col("doc_id")), lit(b)).as("bb"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("ba"))
+        .repartition(col("ba"), col("bb"))
+      cand2
+        .join(aRep.hint("SHUFFLE_HASH"), Seq("doc_a", "ba", "bb"))
+        .join(bRep.hint("SHUFFLE_HASH"), Seq("doc_b", "ba", "bb"))
         .select(col("doc_a"), col("doc_b"),
-          expr("sorted_intersect_count(ga, gb)").cast("long").as("common"),
+          expr("""sorted_intersect_atleast(ga, gb,
+            cast((9*(size(ga) + size(gb)) + 18) div 19 as int))""")
+            .cast("long").as("common"),
           size(col("ga")).cast("long").as("na"), size(col("gb")).cast("long").as("nb"))
+        .filter(col("common") >= 0)
         .select(col("doc_a"), col("doc_b"),
           (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
-        .filter(col("jac") >= 0.9)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 

@@ -264,6 +264,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedIntersectCount(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_atleast"),
+      new ExpressionInfo(classOf[graft.functions.SortedIntersectAtLeast].getName,
+        "sorted_intersect_atleast"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3,
+          "usage: sorted_intersect_atleast(array<bigint>, array<bigint>, m)")
+        graft.functions.SortedIntersectAtLeast(exprs.head, exprs(1), exprs(2))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

@@ -114,4 +114,32 @@ class PlanShapeSpec extends SparkSpec {
       .count(_.isInstanceOf[ShuffleExchangeLike])
     assert(shuffles <= 14, s"llm_dedup_minhash plans $shuffles shuffles")
   }
+
+  test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    // the array-carrying output of the first attach join must flow INTO the
+    // second join in-task: an Exchange or Sort between them means the
+    // candidates x arrayBytes intermediate crosses the wire again — the
+    // exact cost the block-pair co-partitioning exists to avoid
+    val shjs = collectAll(plan("llm_dedup_ngram"))
+      .collect { case j: ShuffledHashJoinExec => j }
+    assert(shjs.size >= 2, s"expected two shuffled-hash verify joins, got ${shjs.size}")
+    val outer = shjs.head
+    val inner = shjs(1)
+    def between(p: SparkPlan): Option[Seq[SparkPlan]] =
+      if (p eq inner) Some(Seq.empty)
+      else {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case o => o.children
+        }
+        kids.view.flatMap(k => between(k).map(p +: _)).headOption
+      }
+    val mids = outer.children.view.flatMap(between).headOption
+    assert(mids.isDefined, "verify joins are not nested under one another")
+    val bad = mids.get.filter(n => n.isInstanceOf[ShuffleExchangeLike] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    assert(bad.isEmpty,
+      s"exchange/sort between the verify joins: ${bad.map(_.nodeName).mkString(", ")}")
+  }
 }
