@@ -484,8 +484,13 @@ object CellStore {
     val s = Files.list(d)
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix))
-        .toSeq.sortBy(_.getFileName.toString)
+      // committed segments are exactly `b<bucket>-<uuid>.bin`: the suffix
+      // requirement makes EVERY staging convention (tmp- prefix or any
+      // extra suffix) invisible to readers, not just the ones we know about
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(prefix) && n.endsWith(".bin")
+      }.toSeq.sortBy(_.getFileName.toString)
     } finally s.close()
   }
 
@@ -496,7 +501,7 @@ object CellStore {
   def allSegmentFiles(tableDir: String): Map[Int, Seq[Path]] = {
     val d = Paths.get(tableDir, SstDir)
     if (!Files.isDirectory(d)) return Map.empty
-    val Name = "b(\\d+)-.*".r
+    val Name = "b(\\d+)-.*\\.bin".r // same committed-name contract as segmentFiles
     val s = Files.list(d)
     try {
       import scala.jdk.CollectionConverters._
@@ -595,7 +600,13 @@ object CellStore {
       val merged = new MergeIterator(readers.flatMap(_.runs()),
         dropTombstones = true, counterMerge = counterMergeEnabled(tableDir))
       val target = Paths.get(tableDir, SstDir, newSegmentName(bucket))
-      val tmp = target.resolveSibling(target.getFileName.toString + ".compact")
+      // stage under the writer's `tmp-` convention: a `b<bucket>-…` name
+      // (even with an extra suffix) matches segmentFiles' prefix filter, so
+      // a crash between write and move would leave a truncated file every
+      // later scan opens as a real segment — the same trap the advisor
+      // caught in deleteWhere's old `.tmp` staging
+      val tmp = target.resolveSibling(
+        s"tmp-compact-${UUID.randomUUID()}-b$bucket.bin")
       writeSingleRun(tmp, merged)
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally readers.foreach(_.close())

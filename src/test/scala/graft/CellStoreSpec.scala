@@ -494,4 +494,24 @@ class CellStoreSpec extends AnyFunSuite {
     val (l2, h2) = kb(Array.empty, enc("a"), enc("z"))
     assert(cmpB(l2, enc("a")) == 0 && cmpB(h2, enc("z")) == 0)
   }
+
+  test("staging files are invisible to segment listings, whatever their shape") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-staging").toString
+    val sst = Paths.get(dir, CellStore.SstDir)
+    Files.createDirectories(sst)
+    // committed segments plus every staging convention in the codebase and
+    // the crash-leftover shapes that burned earlier rounds
+    Seq("b0-aaaa.bin", "b1-cccc.bin",             // committed
+        "b0-bbbb.bin.compact",                    // old compactBucket staging
+        "tmp-compact-xxxx-b0.bin",                // new compactBucket staging
+        "tmp-yyyy-b0.bin",                        // writer/deleteWhere staging
+        "b0-dddd.bin.tmp"                         // pre-advisor deleteWhere shape
+    ).foreach(n => Files.createFile(sst.resolve(n)))
+    assert(CellStore.segmentFiles(dir, 0).map(_.getFileName.toString) ==
+      Seq("b0-aaaa.bin"))
+    assert(CellStore.allSegmentFiles(dir).view.mapValues(
+      _.map(_.getFileName.toString)).toMap ==
+      Map(0 -> Seq("b0-aaaa.bin"), 1 -> Seq("b1-cccc.bin")))
+  }
 }
