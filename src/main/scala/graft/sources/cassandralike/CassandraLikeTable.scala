@@ -215,9 +215,12 @@ class CassandraLikeTable(
     keys.groupBy(TokenRing.bucket(_, buckets)).foreach { case (bucket, ks) =>
       val keySet = ks.map(_.toSeq).toSet
       // counter tables read the collapsed view: one tombstone per merged
-      // cell (at max ts + 1) then shadows every underlying increment
+      // cell (at max ts + 1) then shadows every underlying increment.
+      // The doomed-key set doubles as the bloom lookup set: runs that
+      // provably hold none of the keys never enter the merge.
       val merge = new CellStore.BucketMergeIterator(dir, bucket,
-        counterMerge = tableProps.get(Options.CounterMerge).exists(_.toBoolean))
+        counterMerge = tableProps.get(Options.CounterMerge).exists(_.toBoolean),
+        lookupKeys = ks)
       val doomed = try {
         merge.filter(c => keySet.contains(c.key.toSeq)).map { c =>
           Cell(c.key, c.col, c.sub, Array.emptyByteArray, c.ts, tombstone = true)
@@ -533,6 +536,11 @@ class CellPartitionReader(
   private val keyBounds: (Array[Byte], Array[Byte]) =
     KeyLookupBounds(filters, mapping.keyField.name, mapping.keyField.dataType,
       part.lower, part.upper)
+  // the finite key set (EqualTo/In pushdown) additionally lets the store
+  // consult per-run blooms and skip whole runs — null for range scans
+  private val lookupKeys: Seq[Array[Byte]] =
+    KeyLookupBounds.keySet(filters, mapping.keyField.name,
+      mapping.keyField.dataType, part.lower, part.upper)
 
   // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
@@ -543,7 +551,8 @@ class CellPartitionReader(
     asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue),
     ttl = opt(Options.Ttl).map(_.toLong).getOrElse(0L),
     now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L),
-    counterMerge = opt(Options.CounterMerge).exists(_.toBoolean))
+    counterMerge = opt(Options.CounterMerge).exists(_.toBoolean),
+    lookupKeys = lookupKeys)
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =
@@ -776,6 +785,29 @@ object KeyLookupBounds {
     // an empty intersection must yield an empty scan, not a crossed range
     if (lo != null && hi != null && Codecs.compareBytes(lo, hi) > 0) (hi, hi)
     else (lo, hi)
+  }
+
+  /** The EXACT encoded key set a point lookup needs, or null when the
+    * pushed filters don't pin the key to a finite set. Non-null asserts
+    * every row the scan must emit has its key in the set — sound because
+    * conjuncts AND together (multiple EqualTo/In intersect) and the exact
+    * predicates are re-applied row-wise downstream. This is what lets the
+    * store consult per-run blooms ([[CellStore.KeyBloom]]) and skip
+    * segments/runs that provably hold none of the keys. */
+  def keySet(filters: Array[Filter], keyName: String, keyType: DataType,
+      partLower: Array[Byte], partUpper: Array[Byte]): Seq[Array[Byte]] = {
+    val sets = filters.flatMap {
+      case EqualTo(c, v) if c == keyName => Some(Seq(v))
+      case In(c, vs) if c == keyName && vs.nonEmpty => Some(vs.toSeq)
+      case _ => None
+    }.map(_.map(v =>
+      Codecs.encode(keyType, CatalystTypeConverters.convertToCatalyst(v))))
+    if (sets.isEmpty) return null
+    val inter = sets.map(_.map(_.toSeq).toSet).reduce(_ intersect _)
+    inter.toSeq.map(_.toArray).filter { k =>
+      (partLower == null || Codecs.compareBytes(k, partLower) >= 0) &&
+        (partUpper == null || Codecs.compareBytes(k, partUpper) < 0)
+    }
   }
 
   /** Immediate successor of `k` in unsigned-lexicographic byte order:

@@ -31,6 +31,78 @@ object TokenRing {
     ((token(key) * buckets) >>> 32).toInt
 }
 
+/** Per-run key bloom filter — the SSTable bloom of Cassandra's read path
+  * (a point read consults the bloom before touching an SSTable at all).
+  * ~10 bits / 4 probes per distinct key (~1% false positives), double
+  * hashing over two murmur-derived 64-bit hashes. No false negatives: a
+  * key written into the run always probes true, so skipping a run whose
+  * bloom rejects every looked-up key is exact. At LSM scale most segments
+  * of a bucket do NOT hold a given key — blooms make `WHERE key = ?` read
+  * O(segments that match), not O(all segments). */
+final class KeyBloom(val words: Array[Long], val numKeys: Int) {
+  private val mBits = words.length.toLong * 64L
+  private def bit(i: Long): Boolean = {
+    val m = java.lang.Math.floorMod(i, mBits)
+    (words((m >>> 6).toInt) & (1L << (m & 63L))) != 0L
+  }
+  def mightContain(key: Array[Byte]): Boolean = {
+    val (h1, h2) = KeyBloom.hashes(key)
+    var i = 0
+    while (i < KeyBloom.Probes) {
+      if (!bit(h1 + i.toLong * h2)) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object KeyBloom {
+  val BitsPerKey = 10
+  val Probes = 4
+
+  /** Two independent 64-bit hashes of the key, each from two 32-bit murmur
+    * passes with distinct seeds; probe i addresses bit h1 + i*h2 (classic
+    * Kirsch–Mitzenmacher double hashing). */
+  def hashes(key: Array[Byte]): (Long, Long) = {
+    val a = MurmurHash3.bytesHash(key, 0x9747b28c).toLong
+    val b = MurmurHash3.bytesHash(key, 0x5bd1e995).toLong & 0xffffffffL
+    val c = MurmurHash3.bytesHash(key, 0xc2b2ae35).toLong
+    val d = MurmurHash3.bytesHash(key, 0x27d4eb2f).toLong & 0xffffffffL
+    ((a << 32) | b, (c << 32) | d)
+  }
+
+  /** Streaming builder: buffers the two 64-bit hashes per distinct key
+    * (16 bytes/key) so the bloom can be sized exactly once the run's key
+    * count is known — the writers stream cells and don't know it upfront.
+    * The buffer is 12.8× the final bloom (1.25 bytes/key) and bounded by
+    * the run's distinct keys, the same order as the in-memory index-entry
+    * buffer the writers already carry. */
+  final class Builder {
+    private val hs = mutable.ArrayBuffer.empty[Long]
+    def add(key: Array[Byte]): Unit = {
+      val (h1, h2) = hashes(key); hs += h1; hs += h2
+    }
+    def build(): KeyBloom = {
+      val n = hs.length / 2
+      val mBits = math.max(64L, n.toLong * BitsPerKey)
+      val words = new Array[Long](((mBits + 63L) / 64L).toInt)
+      val cap = words.length.toLong * 64L
+      var j = 0
+      while (j < hs.length) {
+        val h1 = hs(j); val h2 = hs(j + 1)
+        var i = 0
+        while (i < Probes) {
+          val m = java.lang.Math.floorMod(h1 + i.toLong * h2, cap)
+          words((m >>> 6).toInt) |= (1L << (m & 63L))
+          i += 1
+        }
+        j += 2
+      }
+      new KeyBloom(words, n)
+    }
+  }
+}
+
 /** On-disk layout of one cassandralike table:
   *
   * {{{
@@ -107,20 +179,26 @@ object CellStore {
   }
 
   /** Append one sorted run (the order invariant is enforced here), with its
-    * sparse key index. */
+    * sparse key index and per-run key bloom. */
   def writeRun(out: DataOutputStream, cells: Seq[Cell]): Unit = {
     if (cells.isEmpty) return
     val sorted = cells.sorted(addressOrdering)
     val payload = new ByteArrayOutputStream(64 * cells.length)
     val pout = new DataOutputStream(payload)
     val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+    val bloom = new KeyBloom.Builder
+    var prevKey: Array[Byte] = null
     var i = 0
     sorted.foreach { c =>
       if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key))
+      // sorted input: distinct keys are exactly the key changes
+      if (prevKey == null || !java.util.Arrays.equals(prevKey, c.key)) {
+        bloom.add(c.key); prevKey = c.key
+      }
       writeCell(pout, c)
       i += 1
     }
-    val index = serializeIndex(entries.toSeq, sorted.last.key)
+    val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build())
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -153,7 +231,8 @@ object CellStore {
       indexOffset: Long, indexByteLen: Int)
 
   final case class RunIndex(cellPos: Array[Int], offsets: Array[Long],
-      keys: Array[Array[Byte]], lastKey: Array[Byte])
+      keys: Array[Array[Byte]], lastKey: Array[Byte],
+      bloom: KeyBloom /* null on pre-bloom files */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -206,8 +285,14 @@ object CellStore {
   def runOffsets(file: Path): Seq[(Long, Int)] =
     runInfos(file).map(ri => (ri.payloadOffset, ri.cellCount))
 
+  /** Index block layout: `[int numEntries](int pos, long off, key)* lastKey`
+    * then an OPTIONAL bloom tail `[int numKeys][int numWords][long words…]`.
+    * The block is length-prefixed in the run header, so the tail is
+    * self-describing by remaining bytes: readers of pre-bloom files get
+    * `bloom = null`, and a pre-bloom reader of a new file would simply stop
+    * after lastKey — compatible both ways, no format-version bump. */
   private def serializeIndex(entries: Seq[(Int, Long, Array[Byte])],
-      lastKey: Array[Byte]): Array[Byte] = {
+      lastKey: Array[Byte], bloom: KeyBloom = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
@@ -215,6 +300,11 @@ object CellStore {
       out.writeInt(pos); out.writeLong(off); writeBytes(out, key)
     }
     writeBytes(out, lastKey)
+    if (bloom != null) {
+      out.writeInt(bloom.numKeys)
+      out.writeInt(bloom.words.length)
+      bloom.words.foreach(out.writeLong)
+    }
     bos.toByteArray
   }
 
@@ -226,7 +316,17 @@ object CellStore {
     val keys = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) { pos(i) = in.readInt(); off(i) = in.readLong(); keys(i) = readBytes(in); i += 1 }
-    RunIndex(pos, off, keys, readBytes(in))
+    val lastKey = readBytes(in)
+    val bloom =
+      if (in.available() < 8) null
+      else {
+        val numKeys = in.readInt()
+        val words = new Array[Long](in.readInt())
+        var w = 0
+        while (w < words.length) { words(w) = in.readLong(); w += 1 }
+        new KeyBloom(words, numKeys)
+      }
+    RunIndex(pos, off, keys, lastKey, bloom)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -240,6 +340,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), SegmentStats]()
   private val sampleCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[Array[Byte]]]()
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[KeyBloom]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -255,6 +357,18 @@ object CellStore {
     sampleCache.computeIfAbsent(cacheKey(file), _ => {
       val r = new SegmentReader(file)
       try runInfos(file).flatMap(ri => r.readIndex(ri).keys) finally r.close()
+    })
+
+  /** Per-run key blooms of one segment (null element = pre-bloom run);
+    * memoized per immutable file, so after the first lookup against a
+    * segment its blooms answer from memory — Cassandra's posture, where
+    * SSTable blooms are resident and a point read that misses every bloom
+    * touches no data file at all. Reads index blocks only, never cells. */
+  def runBlooms(file: Path): Array[KeyBloom] =
+    bloomCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).map(ri => r.readIndex(ri).bloom).toArray
+      finally r.close()
     })
 
   /** InputStream over positional FileChannel reads: any number of run
@@ -322,8 +436,25 @@ object CellStore {
       else from.takeWhile(c => Codecs.compareBytes(c.key, hi) < 0)
     }
 
-    def rangeRuns(lo: Array[Byte], hi: Array[Byte]): Seq[Iterator[Cell]] =
-      runInfos(file).map(rangeRun(_, lo, hi))
+    /** Range cursors over every run, bloom-pruned when the scan is a point
+      * lookup: `lookupKeys` non-null asserts the caller needs ONLY cells
+      * whose key is in the set (pushed EqualTo/In, re-checked row-exact
+      * downstream), so a run whose bloom rejects every key is skipped
+      * without reading its index or payload. Blooms have no false
+      * negatives, and LWW/tombstone reconciliation is per-address, so
+      * dropping runs that provably hold none of the keys reconciles
+      * identically for the keys that remain. */
+    def rangeRuns(lo: Array[Byte], hi: Array[Byte],
+        lookupKeys: Seq[Array[Byte]] = null): Seq[Iterator[Cell]] = {
+      val infos = runInfos(file)
+      val blooms = if (lookupKeys == null) null else runBlooms(file)
+      infos.zipWithIndex.map { case (ri, i) =>
+        if (blooms != null && blooms(i) != null &&
+            !lookupKeys.exists(blooms(i).mightContain))
+          Iterator.empty
+        else rangeRun(ri, lo, hi)
+      }
+    }
 
     def close(): Unit = ch.close()
   }
@@ -433,12 +564,13 @@ object CellStore {
       lower: Array[Byte] = null, upper: Array[Byte] = null,
       asOf: Long = Long.MaxValue,
       ttl: Long = 0L, now: Long = 0L,
-      counterMerge: Boolean = false)
+      counterMerge: Boolean = false,
+      lookupKeys: Seq[Array[Byte]] = null)
     extends Iterator[Cell] with AutoCloseable {
     private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
     private val raw =
-      if (lower == null && upper == null) segs.flatMap(_.runs())
-      else segs.flatMap(_.rangeRuns(lower, upper))
+      if (lower == null && upper == null && lookupKeys == null) segs.flatMap(_.runs())
+      else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys))
     // snapshot read: cells written after the as-of bound never enter LWW
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
@@ -641,16 +773,19 @@ object CellStore {
         java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
       val out = new DataOutputStream(counting)
       val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+      val bloom = new KeyBloom.Builder
       var count = 0
       var lastKey: Array[Byte] = null
       cells.foreach { c =>
         if (count % IndexEvery == 0) entries += ((count, counting.count, c.key))
+        if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
+          bloom.add(c.key)
         writeCell(out, c)
         count += 1
         lastKey = c.key
       }
       val payloadLen = counting.count
-      out.write(serializeIndex(entries.toSeq, lastKey))
+      out.write(serializeIndex(entries.toSeq, lastKey, bloom.build()))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

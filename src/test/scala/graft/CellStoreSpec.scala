@@ -495,6 +495,142 @@ class CellStoreSpec extends AnyFunSuite {
     assert(cmpB(l2, enc("a")) == 0 && cmpB(h2, enc("z")) == 0)
   }
 
+  // ---- per-run key blooms (SSTable bloom; Cassandra read-path parity) ----
+
+  test("key bloom: zero false negatives; false-positive rate near design point") {
+    val rnd = new scala.util.Random(7)
+    val present = (0 until 5000).map(i => s"key-$i-${rnd.nextLong()}".getBytes)
+    val b = new KeyBloom.Builder
+    present.foreach(b.add)
+    val bloom = b.build()
+    assert(bloom.numKeys == 5000)
+    present.foreach(k => assert(bloom.mightContain(k), "false negative"))
+    val absent = (0 until 5000).map(i => s"other-$i-${rnd.nextLong()}".getBytes)
+    val fp = absent.count(bloom.mightContain).toDouble / absent.size
+    // 10 bits/key, 4 probes -> ~1.2% theoretical; allow generous slack
+    assert(fp < 0.05, s"false-positive rate $fp")
+  }
+
+  test("key bloom: round-trips through writeRun and the compacted single-run format") {
+    val dir = java.nio.file.Files.createTempDirectory("cellbloom").toString
+    try {
+      def c(i: Int) = Cell(f"k$i%04d".getBytes, "c".getBytes, null,
+        s"v$i".getBytes, 1L, tombstone = false)
+      seg(dir, "b0-a.bin", (0 until 300).map(c), (300 until 600).map(c))
+      val file = CellStore.segmentFiles(dir, 0).head
+      def checkBlooms(): Unit = {
+        val blooms = CellStore.runBlooms(file)
+        assert(blooms.forall(_ != null))
+        blooms.zip(Seq(0 until 300, 300 until 600).take(blooms.length)).foreach {
+          case (bl, range) =>
+            range.foreach(i => assert(bl.mightContain(f"k$i%04d".getBytes)))
+        }
+        // a key outside every run is rejected by at least the run not holding it
+        assert(!blooms.head.mightContain("k0450".getBytes))
+      }
+      checkBlooms()
+      // compaction (writeSingleRun, the streaming writer) re-emits a bloom
+      CellStore.compactSegment(file)
+      val blooms = CellStore.runBlooms(file)
+      assert(blooms.length == 1 && blooms.head != null)
+      assert(blooms.head.numKeys == 600)
+      (0 until 600).foreach(i => assert(blooms.head.mightContain(f"k$i%04d".getBytes)))
+      // any single absent key can be a ~1% false positive; assert the rate
+      val fps = (0 until 200).count(i => blooms.head.mightContain(s"missing-$i".getBytes))
+      assert(fps < 10, s"$fps/200 false positives")
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("key bloom: pre-bloom index blocks (no tail) parse with bloom = null and still scan") {
+    // hand-rolled segment in the PRE-bloom layout: run header + payload +
+    // index WITHOUT the optional bloom tail — the back-compat contract is
+    // that such files keep working, just without run skipping
+    val dir = java.nio.file.Files.createTempDirectory("cellprebloom").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      java.nio.file.Files.createDirectories(sst)
+      val cells = (0 until 10).map(i => Cell(f"k$i%02d".getBytes, "c".getBytes,
+        null, s"v$i".getBytes, 1L, tombstone = false))
+      val payload = new java.io.ByteArrayOutputStream()
+      val pout = new java.io.DataOutputStream(payload)
+      cells.foreach(CellStore.writeCell(pout, _))
+      val index = new java.io.ByteArrayOutputStream()
+      val iout = new java.io.DataOutputStream(index)
+      iout.writeInt(1)                       // one sparse entry: cell 0
+      iout.writeInt(0); iout.writeLong(0L)
+      iout.writeInt(3); iout.write("k00".getBytes)
+      iout.writeInt(3); iout.write("k09".getBytes) // lastKey — then NO tail
+      val out = CellStore.newSegmentStream(sst.resolve("b0-old.bin"))
+      out.writeInt(cells.length)
+      out.writeLong(payload.size().toLong)
+      out.writeInt(index.size())
+      payload.writeTo(out); index.writeTo(out)
+      out.close()
+      assert(CellStore.runBlooms(CellStore.segmentFiles(dir, 0).head).toSeq == Seq(null))
+      // point lookup over a bloom-less run falls back to the range scan
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        "k03".getBytes, "k03 ".getBytes, lookupKeys = Seq("k03".getBytes))
+      try assert(it.map(c => new String(c.value)).toSeq == Seq("v3"))
+      finally it.close()
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("key bloom: point lookups skip runs that provably lack the key, exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("cellbloomskip").toString
+    try {
+      def c(k: String, v: String, ts: Long, dead: Boolean = false) =
+        Cell(k.getBytes, "c".getBytes, null, if (dead) null else v.getBytes, ts, dead)
+      // three segments; "kmid" sits INSIDE every run's [first, last] key
+      // range, so the sparse index alone cannot prune — only the bloom can
+      seg(dir, "b0-a.bin", Seq(c("kaaa", "a1", 1), c("kzzz", "z1", 1)))
+      seg(dir, "b0-b.bin", Seq(c("kaaa", "a2", 2), c("kmid", "m1", 2), c("kzzz", "z2", 2)))
+      seg(dir, "b0-c.bin", Seq(c("kmid", "", 3, dead = true), c("kzzz", "z3", 3)))
+      val key = "kmid".getBytes
+      val files = CellStore.segmentFiles(dir, 0)
+      val holds = files.map(f => CellStore.runBlooms(f).exists(_.mightContain(key)))
+      assert(holds == Seq(false, true, true), "bloom must separate the segments")
+      // bloom-pruned lookup reconciles identically: the seg-c tombstone
+      // (ts 3) must still shadow seg-b's live cell (ts 2). Mirror the real
+      // reader: KeyLookupBounds always pairs the key set with its
+      // [min, succ(max)) envelope.
+      def lookup(keys: Seq[Array[Byte]]) = {
+        val sorted = keys.sortWith(Codecs.compareBytes(_, _) < 0)
+        val it = new CellStore.BucketMergeIterator(dir, 0,
+          sorted.head, sorted.last :+ 0.toByte, lookupKeys = keys)
+        try it.map(x => (new String(x.key), new String(x.value))).toSeq
+        finally it.close()
+      }
+      assert(lookup(Seq(key)).isEmpty, "tombstone must survive bloom pruning")
+      assert(lookup(Seq("kaaa".getBytes)) == Seq(("kaaa", "a2")))
+      // multi-key (IN) lookup: the envelope spans kmid, whose tombstone
+      // must still win under pruning; the two live keys come back exact
+      assert(lookup(Seq("kaaa".getBytes, "kzzz".getBytes)) ==
+        Seq(("kaaa", "a2"), ("kzzz", "z3")))
+      // absent key: every run rejected, nothing scanned, nothing returned
+      assert(lookup(Seq("nope".getBytes)).isEmpty)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("keySet: finite pushed key sets intersect; ranges yield null") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    def ks(fs: Array[org.apache.spark.sql.sources.Filter],
+        lo: Array[Byte] = null, hi: Array[Byte] = null) =
+      Option(KeyLookupBounds.keySet(fs, "userid", StringType, lo, hi))
+        .map(_.map(new String(_)).sorted)
+    assert(ks(Array(EqualTo("userid", "m"))).contains(Seq("m")))
+    assert(ks(Array(In("userid", Array("c", "g", "t")))).contains(Seq("c", "g", "t")))
+    // conjuncts intersect (AND semantics)
+    assert(ks(Array(EqualTo("userid", "g"), In("userid", Array("a", "g"))))
+      .contains(Seq("g")))
+    assert(ks(Array(EqualTo("userid", "a"), EqualTo("userid", "b"))).contains(Nil))
+    // partition sub-range drops keys outside it
+    assert(ks(Array(In("userid", Array("a", "m", "z"))), lo = enc("b"), hi = enc("n"))
+      .contains(Seq("m")))
+    // no finite key conjunct -> null (range scans must not bloom-prune)
+    assert(ks(Array(GreaterThan("userid", "a"))).isEmpty)
+    assert(ks(Array.empty).isEmpty)
+  }
+
   test("staging files are invisible to segment listings, whatever their shape") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft-staging").toString
