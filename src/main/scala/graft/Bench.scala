@@ -23,7 +23,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Every run (warm-up and timed) releases cached blocks afterwards so a
-    // query's persist() calls never leak into the next measurement.
+    // query's persist() calls never leak into the next measurement. The
+    // unpersist must BLOCK: catalog.clearCache() tears blocks down
+    // asynchronously, and the next run's materialization racing that
+    // teardown shows up as blockDoesNotExistError task retries — measured
+    // 2-4x swings on an unchanged query until the drain was made
+    // synchronous.
+    def dropCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
     def runOnce(q: Q): Double =
       try {
         val t0 = System.nanoTime()
@@ -33,7 +43,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: $e")
           -1.0
-      } finally spark.catalog.clearCache()
+      } finally dropCaches()
     // Warm-up: JIT + parquet footer caches, so measured numbers reflect
     // steady-state execution (what a long-lived cluster would see).
     SparkEntry.benchQueries.foreach(runOnce)

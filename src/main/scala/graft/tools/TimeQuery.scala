@@ -32,6 +32,10 @@ object TimeQuery {
         val t0 = System.nanoTime()
         q(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9
+        // blocking drain — async clearCache teardown racing the next run's
+        // materialization causes blockDoesNotExistError retries (see Bench)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache(); System.gc(); t
       }
       once() // warm-up
