@@ -338,6 +338,54 @@ object LlmPipeline {
         .orderBy(col("canonical_doc"))
     },
 
+    // ---- INCREMENTAL near-dup: dedup a new document batch against an
+    // already-indexed corpus WITHOUT recomputing corpus-wide signatures —
+    // the shape batch dedup takes at 100 TB, where each day's delta joins
+    // a persisted LSH index instead of re-banding the whole corpus. The
+    // band index lives in the cell store as wide rows (one LSH bucket =
+    // one row key, one member doc = one cell), so "index the base corpus"
+    // is a DSv2 write and "probe with the delta" is a band equi-join
+    // against the DSv2 scan. The incremental step costs O(|delta| bands +
+    // collided buckets): delta bands are recomputed map-only (the same
+    // codegen'd minhash_bands kernel as llm_dedup_minhash), appended to
+    // the index (LSM append — no index rebuild), and probed; exact
+    // Jaccard verification then touches candidate docs only
+    // (verifyJaccardDocs). Recall contract = llm_dedup_minhash's (same
+    // 32x4 banding, same threshold); the oracle recomputes TRUE pairs
+    // restricted to delta-involving ones, so a recall miss is a row-count
+    // mismatch. ----
+    Q("llm_dedup_incremental", {
+      val o = jaccardOracle.replace("\nORDER BY doc_a, doc_b",
+        "\n  AND (doc_a % 8 = 0 OR doc_b % 8 = 0)\nORDER BY doc_a, doc_b")
+      require(o != jaccardOracle, "oracle restriction failed to apply")
+      o
+    }) { (s, dir) =>
+      val d = docs(s, dir)
+      val isDelta = col("doc_id") % 8 === 0
+      def bandRows(df: DataFrame): DataFrame = df.select(col("doc_id"),
+          posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+        .select(concat_ws("#", col("band"), col("bh")).as("row_key"),
+          lpad(col("doc_id").cast("string"), 12, "0").as("column_name"),
+          lit("1").as("value"))
+      // base corpus indexed once (store rebuild here only so reruns are
+      // deterministic; in steady state the index persists across batches)
+      val store = graft.sources.cassandralike.Seed.table(
+        s, dir, "minhash_band_index", bandRows(d.filter(!isDelta)))
+      // the incremental step: upsert the delta's bands, then probe
+      graft.sources.cassandralike.Seed.append(bandRows(d.filter(isDelta)), store)
+      val probe = d.filter(isDelta).select(col("doc_id"),
+          posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+        .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
+      val index = graft.sources.cassandralike.Seed.read(s, store)
+        .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+      val cand = probe.join(index, Seq("row_key"))
+        .filter(col("doc_id") =!= col("doc_ix"))
+        .select(least(col("doc_id"), col("doc_ix")).as("doc_a"),
+          greatest(col("doc_id"), col("doc_ix")).as("doc_b"))
+        .distinct()
+      verifyJaccardDocs(cand, d, shingles, 0.8).orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // ---- SimHash near-dup: 64-bit signature over distinct words, 8x8-bit
     // bands with 1-BIT MULTI-PROBE for candidates, Hamming<=15 prefilter,
     // exact verification. Plain banding has a recall tail: a true pair at

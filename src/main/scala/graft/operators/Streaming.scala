@@ -297,6 +297,40 @@ object Streaming {
       StreamOps.runToMemory(s, enriched, "append")
         .select($"event_id", $"user_id", $"event_type", $"nation")
         .orderBy($"event_id")
+    },
+
+    // ---- the store as a STREAMING SOURCE: `readStream` over a
+    // cassandralike table is a change feed — each micro-batch reads exactly
+    // the segments committed since the last offset (offset = consumed
+    // segment set; see CellChangeFeedStream), assembled into table rows by
+    // the same reader as the batch scan. Here three append epochs land in
+    // the store (each epoch = committed segments), the feed drains them
+    // under Trigger.AvailableNow, and a complete-mode aggregation over the
+    // emitted upsert stream must equal the batch aggregation over the whole
+    // table — every stored row emitted exactly once, none twice (disjoint
+    // appends; the overwrite/tombstone re-emission contract is
+    // ChangeFeedSpec's). Closes the loop opposite stream_sink_cassandralike:
+    // that query streams INTO the store, this one streams OUT of it. ----
+    Q("stream_store_changefeed",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.sources.cassandralike.Seed
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      // three disjoint write epochs — the feed's unit of incremental work
+      val store = Seed.table(s, dir, "changefeed", ev.filter(col("event_id") % 3 === 0))
+      Seed.append(ev.filter(col("event_id") % 3 === 1), store,
+        Map("write.timestamp" -> "2"))
+      Seed.append(ev.filter(col("event_id") % 3 === 2), store,
+        Map("write.timestamp" -> "3"))
+      val feed = s.readStream.format("cassandralike").option("path", store).load()
+      val agg = feed.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          d(sum(col("value").cast("decimal(12,2)"))).as("total"))
+      StreamOps.runToMemory(s, agg, "complete")
+        .select(col("event_type"), col("n"), col("total"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -174,7 +174,7 @@ class CassandraLikeTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   /** SQL `DELETE FROM t WHERE <key predicate>` — Cassandra-style targeted
     * deletes: tombstone every live cell of the matching keys, written as a
@@ -309,6 +309,48 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     new CellScan(table, required, pushed, options, limit)
 }
 
+/** Per-bucket split planning shared by the batch scan and the change feed:
+  * a bucket (or a change-feed batch's delta segments within it) bigger than
+  * `targetCells` plans multiple key-range partitions, boundaries drawn from
+  * the run indexes' sparse key samples. `restrictFiles = true` pins the
+  * partitions to exactly `files` (the feed's batch determinism contract);
+  * false leaves readers on the open-time committed set (the batch scan's
+  * existing behavior). */
+private[cassandralike] object SplitPlanner {
+  def forBucket(
+      dir: String,
+      bucket: Int,
+      files: Seq[java.nio.file.Path],
+      hosts: Array[String],
+      targetCells: Long,
+      restrictFiles: Boolean): Seq[CellInputPartition] = {
+    val names = if (restrictFiles) files.map(_.getFileName.toString) else null
+    val cells = files.iterator.map(CellStore.segmentStats(_).cells).sum
+    val nSplits = math.max(1L, (cells + targetCells - 1) / targetCells).toInt
+    if (nSplits <= 1) Seq(CellInputPartition(dir, bucket, hosts, files = names))
+    else {
+      // merged sparse key sample (~1 key per IndexEvery cells, index-only
+      // reads, memoized per immutable file) -> cell-count quantiles
+      val sample = files.flatMap(CellStore.sampleKeys)
+        .sortWith((a, c) => Codecs.compareBytes(a, c) < 0)
+      val raw = (1 until nSplits)
+        .map(i => sample(((i.toLong * sample.size) / nSplits).toInt))
+      // adjacent-equal boundaries collapse (single hot key can't split)
+      val bounds = raw.foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
+        if (acc.nonEmpty && java.util.Arrays.equals(acc.last, k)) acc else acc :+ k
+      }
+      if (bounds.isEmpty) Seq(CellInputPartition(dir, bucket, hosts, files = names))
+      else {
+        val lowers = (null: Array[Byte]) +: bounds
+        val uppers = bounds :+ (null: Array[Byte])
+        lowers.lazyZip(uppers).map { (lo, hi) =>
+          CellInputPartition(dir, bucket, hosts, lo, hi, files = names)
+        }
+      }
+    }
+  }
+}
+
 /** One scan split: a token-range bucket, optionally restricted to the key
   * range `[lower, upper)` (null = unbounded) when the bucket is big enough
   * to sub-split — the run index seeks each range near its share of the
@@ -318,7 +360,11 @@ final case class CellInputPartition(
     bucket: Int,
     hosts: Array[String],
     lower: Array[Byte] = null,
-    upper: Array[Byte] = null) extends InputPartition {
+    upper: Array[Byte] = null,
+    // change-feed batches restrict the merge to the micro-batch's NEW
+    // committed segment names (relative to the sst dir); null = the batch
+    // scan's view, every committed segment at reader-open time
+    files: Seq[String] = null) extends InputPartition {
   /** S2: replica-aware placement hook (the reference's split locations,
     * input/HiveCassandraStandardSplit.java:69-71). Empty in local mode. */
   override def preferredLocations(): Array[String] = hosts
@@ -368,6 +414,13 @@ class CellScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Change feed: `spark.readStream.format("cassandralike")` — each
+    * micro-batch is the set of segments committed since the last offset
+    * (see [[CellChangeFeedStream]]). */
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new CellChangeFeedStream(table, required, filters, options)
   override def description(): String = {
     val f = filters.map(_.toString).mkString(", ")
     val slice = Seq(Options.SliceStart, Options.SliceFinish,
@@ -439,30 +492,8 @@ class CellScan(
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
     plannedBuckets.flatMap { b =>
-      val files = segmentsByBucket.getOrElse(b, Nil)
-      val cells = files.iterator.map(CellStore.segmentStats(_).cells).sum
-      val nSplits = math.max(1L, (cells + target - 1) / target).toInt
-      if (nSplits <= 1) Seq(CellInputPartition(table.dir, b, hostsFor(b)))
-      else {
-        // merged sparse key sample (~1 key per IndexEvery cells, index-only
-        // reads, memoized per immutable file) -> cell-count quantiles
-        val sample = files.flatMap(CellStore.sampleKeys)
-          .sortWith((a, c) => Codecs.compareBytes(a, c) < 0)
-        val raw = (1 until nSplits)
-          .map(i => sample(((i.toLong * sample.size) / nSplits).toInt))
-        // adjacent-equal boundaries collapse (single hot key can't split)
-        val bounds = raw.foldLeft(Vector.empty[Array[Byte]]) { (acc, k) =>
-          if (acc.nonEmpty && java.util.Arrays.equals(acc.last, k)) acc else acc :+ k
-        }
-        if (bounds.isEmpty) Seq(CellInputPartition(table.dir, b, hostsFor(b)))
-        else {
-          val lowers = (null: Array[Byte]) +: bounds
-          val uppers = bounds :+ (null: Array[Byte])
-          lowers.lazyZip(uppers).map { (lo, hi) =>
-            CellInputPartition(table.dir, b, hostsFor(b), lo, hi)
-          }
-        }
-      }
+      SplitPlanner.forBucket(table.dir, b, segmentsByBucket.getOrElse(b, Nil),
+        hostsFor(b), target, restrictFiles = false)
     }.toArray[InputPartition]
   }
 
@@ -552,7 +583,11 @@ class CellPartitionReader(
     ttl = opt(Options.Ttl).map(_.toLong).getOrElse(0L),
     now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L),
     counterMerge = opt(Options.CounterMerge).exists(_.toBoolean),
-    lookupKeys = lookupKeys)
+    lookupKeys = lookupKeys,
+    onlyFiles =
+      if (part.files == null) null
+      else part.files.map(n =>
+        java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n)))
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =

@@ -1,0 +1,104 @@
+package graft.sources.cassandralike
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Change-feed offset: the set of committed segment file names consumed so
+  * far. Segments are immutable and atomically renamed into visibility, so
+  * "which segments has this stream seen" is an exact, replayable progress
+  * marker — the same design as Spark's own FileStreamSource (a log of seen
+  * files), and the natural fit for an LSM store whose commit unit IS the
+  * segment. At very large segment counts the production evolution is a
+  * driver-committed manifest with monotone sequence numbers (offsets become
+  * one integer); the set form keeps replay exact without requiring the
+  * store to serialize writers through a manifest.
+  *
+  * Names match `b<bucket>-<uuid>.bin` (validated), so the JSON encoding
+  * needs no escaping. */
+final case class SegmentSetOffset(names: Set[String]) extends Offset {
+  names.foreach(n => require(SegmentSetOffset.NamePat.matches(n),
+    s"not a committed segment name: $n"))
+  override def json: String =
+    if (names.isEmpty) "[]"
+    else names.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
+}
+
+object SegmentSetOffset {
+  private[cassandralike] val NamePat = "b(\\d+)-[A-Za-z0-9._-]+\\.bin".r
+
+  def fromJson(json: String): SegmentSetOffset = {
+    val inner = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) SegmentSetOffset(Set.empty)
+    else SegmentSetOffset(inner.split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+  }
+
+  def bucketOf(name: String): Int = name match {
+    case NamePat(b) => b.toInt
+    case _ => throw new IllegalArgumentException(s"bad segment name: $name")
+  }
+}
+
+/** Micro-batch change feed over a cell store: each batch reads exactly the
+  * segments committed since the previous offset, assembled into table-shaped
+  * rows by the SAME reader as the batch scan (mapping pivot, codecs,
+  * batch-local LWW + tombstone reconciliation over the delta segments).
+  *
+  * Semantics — an UPSERT stream: a row appears in the batch whose segments
+  * carry its newest cells; an overwrite re-emits the row with its new
+  * values; a delete (tombstone segment) emits nothing (the tombstones
+  * shadow the delta's older cells, and cells already consumed are the
+  * consumer's to reconcile — standard CDC at-least-once-upsert contract).
+  * Consumers needing exact current-state semantics aggregate downstream
+  * (e.g. stateful dedup on key) or read the table in batch.
+  *
+  * Scale shape: planning lists the sst directory once per trigger (the same
+  * single-walk listing as the batch scan); a batch plans one partition per
+  * touched bucket, sub-split by key range via the run indexes when the
+  * delta exceeds `split.target.cells` — catch-up from an empty offset over
+  * a huge table parallelizes exactly like the batch scan instead of one
+  * task per bucket.
+  *
+  * Maintenance compaction rewrites committed segments into new ones, which
+  * a feed would re-emit (a full-bucket re-upsert — harmless under upsert
+  * semantics but wasteful); run compaction on feed-consumed tables between
+  * streams, or not at all (task-commit compaction happens BEFORE a segment
+  * becomes visible and is therefore invisible to the feed). */
+final class CellChangeFeedStream(
+    table: CassandraLikeTable,
+    required: StructType,
+    filters: Array[Filter],
+    options: Map[String, String]) extends MicroBatchStream {
+
+  private def listCommitted(): Set[String] =
+    CellStore.allSegmentFiles(table.dir).values.flatten
+      .map(_.getFileName.toString).toSet
+
+  override def initialOffset(): Offset = SegmentSetOffset(Set.empty)
+  override def latestOffset(): Offset = SegmentSetOffset(listCommitted())
+  override def deserializeOffset(json: String): Offset =
+    SegmentSetOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val fresh = end.asInstanceOf[SegmentSetOffset].names --
+      start.asInstanceOf[SegmentSetOffset].names
+    val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
+    val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
+      .getOrElse(Options.DefaultSplitTargetCells)
+    fresh.groupBy(SegmentSetOffset.bucketOf).toSeq.sortBy(_._1)
+      .flatMap { case (bucket, names) =>
+        SplitPlanner.forBucket(table.dir, bucket,
+          names.toSeq.sorted.map(sst.resolve), Array.empty, target,
+          restrictFiles = true)
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CellReaderFactory(table.tableSchema, table.mapping.fields, required,
+      filters, options, table.tableProps)
+}

@@ -565,9 +565,16 @@ object CellStore {
       asOf: Long = Long.MaxValue,
       ttl: Long = 0L, now: Long = 0L,
       counterMerge: Boolean = false,
-      lookupKeys: Seq[Array[Byte]] = null)
+      lookupKeys: Seq[Array[Byte]] = null,
+      onlyFiles: Seq[Path] = null)
     extends Iterator[Cell] with AutoCloseable {
-    private val segs = segmentFiles(tableDir, bucket).map(new SegmentReader(_))
+    // onlyFiles: the change-feed restriction — merge ONLY these committed
+    // segments (one micro-batch's delta) instead of the whole bucket; LWW
+    // and tombstone reconciliation then apply within the restricted set,
+    // which is exactly the batch-local view a change feed emits.
+    private val segs =
+      (if (onlyFiles != null) onlyFiles else segmentFiles(tableDir, bucket))
+        .map(new SegmentReader(_))
     private val raw =
       if (lower == null && upper == null && lookupKeys == null) segs.flatMap(_.runs())
       else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys))

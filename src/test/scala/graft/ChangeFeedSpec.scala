@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The cell store as a streaming SOURCE (CellChangeFeedStream): offsets are
+  * consumed-segment sets, each micro-batch emits exactly the delta segments'
+  * rows (batch-local LWW + tombstone reconciliation), resume from a
+  * checkpoint processes only segments committed while the stream was down,
+  * and a from-scratch catch-up equals the batch scan. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def freshStore(name: String): String = {
+    val dir = s"${Seed.storeRoot(sfDir)}/$name"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("id BIGINT,v STRING", ":key,v", Map.empty))
+    dir
+  }
+
+  private def append(dir: String, ts: Long, rows: Seq[(Long, String)]): Unit = {
+    val sp = spark; import sp.implicits._
+    Seed.append(rows.toDF("id", "v"), dir, Map(Options.WriteTimestamp -> ts.toString))
+  }
+
+  /** One AvailableNow drain of the feed, resuming from `ckpt`; returns the
+    * emitted (id, v) rows of THIS run only. foreachBatch, not the memory
+    * sink — memory doesn't support checkpoint recovery in append mode. */
+  private def drain(dir: String, ckpt: String, name: String): Seq[(Long, String)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("cassandralike").option(Options.Path, dir).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        buf.synchronized { buf ++= rows }; ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.synchronized(buf.toSeq)
+  }
+
+  test("offset json roundtrip, empty and populated; bad names rejected") {
+    assert(SegmentSetOffset(Set.empty).json == "[]")
+    assert(SegmentSetOffset.fromJson("[]") == SegmentSetOffset(Set.empty))
+    val o = SegmentSetOffset(Set("b3-abc.bin", "b11-def.bin"))
+    assert(SegmentSetOffset.fromJson(o.json) == o)
+    assert(SegmentSetOffset.bucketOf("b11-def.bin") == 11)
+    intercept[IllegalArgumentException](SegmentSetOffset(Set("tmp-x-b1.bin")))
+  }
+
+  test("resume emits only the delta; overwrites re-emit; deletes emit nothing") {
+    val dir = freshStore("spec_changefeed")
+    val root = java.nio.file.Files.createTempDirectory("cfeed").toString
+    val ckpt = s"$root/ckpt"
+
+    append(dir, ts = 1, (1L to 10L).map(i => i -> s"a$i"))
+    val first = drain(dir, ckpt, "cfeed_run1")
+    assert(first.toSet == (1L to 10L).map(i => i -> s"a$i").toSet, s"first: $first")
+
+    // while the stream is down: 5 new rows + an overwrite of id 1
+    append(dir, ts = 2, (11L to 15L).map(i => i -> s"b$i") :+ (1L -> "B1"))
+    val second = drain(dir, ckpt, "cfeed_run2")
+    assert(second.toSet ==
+      ((11L to 15L).map(i => i -> s"b$i").toSet + (1L -> "B1")),
+      s"delta run must emit exactly the new segments' rows: $second")
+
+    // a tombstone delete: the delta batch emits nothing for the doomed key
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    val third = drain(dir, ckpt, "cfeed_run3")
+    assert(third.isEmpty, s"tombstone-only delta must emit nothing: $third")
+
+    // from-scratch catch-up (fresh checkpoint) = the batch scan's view:
+    // one batch over every committed segment, full LWW (id 1 -> B1) and
+    // tombstone (id 2 gone) reconciliation
+    val catchUp = drain(dir, s"$root/ckpt2", "cfeed_catchup")
+    val batch = Seed.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(catchUp.toSet == batch)
+    assert(!batch.exists(_._1 == 2L) && batch.contains(1L -> "B1"))
+  }
+
+  test("catch-up batches sub-split by key range like the batch scan") {
+    val dir = freshStore("spec_changefeed_split")
+    append(dir, ts = 1, (1L to 4000L).map(i => i -> s"v$i"))
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+    val stream = new CellChangeFeedStream(table, table.schema(), Array.empty,
+      Map(Options.SplitTargetCells -> "32"))
+    val parts = stream.planInputPartitions(
+      stream.initialOffset(), stream.latestOffset())
+    val buckets = parts.map(_.asInstanceOf[CellInputPartition].bucket).distinct
+    assert(parts.length > buckets.length,
+      s"expected key-range sub-splits: ${parts.length} parts over ${buckets.length} buckets")
+    assert(parts.forall(_.asInstanceOf[CellInputPartition].files != null),
+      "feed partitions must pin their delta file set")
+  }
+}

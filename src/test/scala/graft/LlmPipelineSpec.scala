@@ -37,6 +37,22 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("incremental dedup = full recompute restricted to delta-involving pairs") {
+    val got = q("llm_dedup_incremental").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exactPairs(0.8).filter(p => p._1 % 8 == 0 || p._2 % 8 == 0)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should contain delta-involving near-dups")
+    // the band index persisted in the store now covers base AND delta —
+    // the next batch probes it without touching this one again
+    val idx = sources.cassandralike.Seed.read(spark,
+      s"${sources.cassandralike.Seed.storeRoot(sfDir)}/minhash_band_index")
+    val docsIndexed = idx.select(col("column_name").cast("long")).distinct().count()
+    val bandedDocs = Tables.load(spark, sfDir, "documents")
+      .filter(expr("size(minhash_bands(shingle_hashes(text))) > 0")).count()
+    assert(docsIndexed == bandedDocs)
+  }
+
   test("simhash banding finds exactly the true Jaccard>=0.8 pairs") {
     val got = q("llm_dedup_simhash").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
