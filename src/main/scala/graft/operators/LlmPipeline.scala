@@ -359,7 +359,7 @@ object LlmPipeline {
         "\n  AND (doc_a % 8 = 0 OR doc_b % 8 = 0)\nORDER BY doc_a, doc_b")
       require(o != jaccardOracle, "oracle restriction failed to apply")
       o
-    }) { (s, dir) =>
+    }, bench = true) { (s, dir) =>
       val d = docs(s, dir)
       val isDelta = col("doc_id") % 8 === 0
       def bandRows(df: DataFrame): DataFrame = df.select(col("doc_id"),

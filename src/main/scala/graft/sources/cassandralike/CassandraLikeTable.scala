@@ -66,6 +66,11 @@ object Options {
     * its commit is quiesced by construction. */
   val CompactSegmentsMax = "compact.segments.max"
 
+  /** Change-feed admission control: max committed segments admitted per
+    * micro-batch (the feed's maxFilesPerTrigger analogue — see
+    * [[CellChangeFeedStream]]). Unset = drain all available per trigger. */
+  val StreamMaxSegmentsPerBatch = "stream.max.segments.per.batch"
+
   /** Counter tables (`counter.merge=true`): same-address cells are 8-byte
     * long INCREMENTS that reconcile by summation instead of last-write-wins
     * — at read time, and at full-bucket compaction (which collapses the

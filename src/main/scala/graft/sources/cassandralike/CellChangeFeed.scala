@@ -1,7 +1,9 @@
 package graft.sources.cassandralike
 
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
+  ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -70,14 +72,55 @@ final class CellChangeFeedStream(
     table: CassandraLikeTable,
     required: StructType,
     filters: Array[Filter],
-    options: Map[String, String]) extends MicroBatchStream {
+    options: Map[String, String]) extends MicroBatchStream
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def listCommitted(): Set[String] =
     CellStore.allSegmentFiles(table.dir).values.flatten
       .map(_.getFileName.toString).toSet
 
+  /** Admission control: at most this many segments admitted per micro-batch
+    * (`stream.max.segments.per.batch`). The segment is the store's commit
+    * unit, so this bounds batch size the way maxFilesPerTrigger does for
+    * file sources — a 100-TB catch-up becomes a sequence of bounded batches
+    * (each further key-range sub-split for parallelism) instead of one
+    * giant batch whose shuffle must fit the cluster at once. Unset = drain
+    * everything available each trigger. */
+  private val maxSegmentsPerBatch: Int =
+    table.opt(options, Options.StreamMaxSegmentsPerBatch)
+      .map(_.toInt).getOrElse(Int.MaxValue)
+
+  /** Trigger.AvailableNow: the drain target is pinned at query start, so
+    * the query processes exactly the data committed before it started —
+    * in rate-limited steps — and stops, even while writers keep appending. */
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listCommitted())
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxSegmentsPerBatch == Int.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxSegmentsPerBatch)
+
   override def initialOffset(): Offset = SegmentSetOffset(Set.empty)
-  override def latestOffset(): Offset = SegmentSetOffset(listCommitted())
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[SegmentSetOffset].names
+    val visible = availableNowTarget.getOrElse(listCommitted())
+    val fresh = (visible -- seen).toSeq.sorted
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _: ReadAllAvailable => Int.MaxValue
+      case _ => maxSegmentsPerBatch // composite/unknown: honor the option
+    }
+    SegmentSetOffset(seen ++ fresh.take(math.min(cap, maxSegmentsPerBatch)))
+  }
+
+  override def reportLatestOffset(): Offset = SegmentSetOffset(listCommitted())
+
   override def deserializeOffset(json: String): Offset =
     SegmentSetOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()

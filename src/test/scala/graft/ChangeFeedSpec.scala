@@ -87,6 +87,40 @@ class ChangeFeedSpec extends SparkSpec {
     assert(!batch.exists(_._1 == 2L) && batch.contains(1L -> "B1"))
   }
 
+  test("admission control drains a backlog in bounded multi-batch steps") {
+    // single-bucket store so one append epoch == exactly one segment
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_changefeed_rate"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("id BIGINT,v STRING", ":key,v",
+      Map(Options.Buckets -> "1")))
+    append(dir, ts = 1, (1L to 5L).map(i => i -> s"a$i"))
+    append(dir, ts = 2, (6L to 10L).map(i => i -> s"b$i"))
+    append(dir, ts = 3, (11L to 15L).map(i => i -> s"c$i"))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[(Long, String)]]
+    val q = spark.readStream.format("cassandralike")
+      .option(Options.Path, dir)
+      .option(Options.StreamMaxSegmentsPerBatch, "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        batches.synchronized { batches += rows }; ()
+      }
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = batches.synchronized(batches.toVector)
+    // 3 segments at 1 per batch -> exactly 3 non-empty batches, one epoch
+    // each, in commit order within the lexicographic segment-name order
+    assert(got.count(_.nonEmpty) == 3, s"expected 3 rate-limited batches: $got")
+    assert(got.flatten.toSet == ((1L to 5L).map(i => i -> s"a$i") ++
+      (6L to 10L).map(i => i -> s"b$i") ++ (11L to 15L).map(i => i -> s"c$i")).toSet)
+    assert(got.filter(_.nonEmpty).forall(_.size == 5),
+      "each batch must carry exactly one epoch's rows")
+  }
+
   test("catch-up batches sub-split by key range like the batch scan") {
     val dir = freshStore("spec_changefeed_split")
     append(dir, ts = 1, (1L to 4000L).map(i => i -> s"v$i"))
@@ -95,8 +129,9 @@ class ChangeFeedSpec extends SparkSpec {
       StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
     val stream = new CellChangeFeedStream(table, table.schema(), Array.empty,
       Map(Options.SplitTargetCells -> "32"))
-    val parts = stream.planInputPartitions(
-      stream.initialOffset(), stream.latestOffset())
+    val parts = stream.planInputPartitions(stream.initialOffset(),
+      stream.latestOffset(stream.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
     val buckets = parts.map(_.asInstanceOf[CellInputPartition].bucket).distinct
     assert(parts.length > buckets.length,
       s"expected key-range sub-splits: ${parts.length} parts over ${buckets.length} buckets")
