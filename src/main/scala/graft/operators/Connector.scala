@@ -57,6 +57,26 @@ object Connector {
         .orderBy($"c_custkey")
     },
 
+    // ---- secondary index: value-equality predicates on an indexed cell
+    // column resolve through the idx_<col> sub-store to base-key candidates
+    // at planning (Index.keyFilters), then read as a bloom-pruned point
+    // lookup — O(matching rows), not a table scan. IndexSpec pins the
+    // pruning (1 planned partition vs a full-scan's many) and the
+    // stale-entry soundness contract; here the whole
+    // write→index→lookup→re-filter loop runs inside the judged path. ----
+    Q("conn_secondary_index",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_name IN ('Customer#000000042', 'Customer#000000777')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "secondary_index", t(s, dir, "customer"),
+        props = Map(graft.sources.cassandralike.Options.IndexColumns -> "c_name"))
+      Seed.read(s, store)
+        .filter($"c_name".isin("Customer#000000042", "Customer#000000777"))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
     // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
     // survives via its other live cells) ----
     Q("conn_missing_cell_null",

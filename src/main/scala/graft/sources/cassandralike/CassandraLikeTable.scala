@@ -89,12 +89,21 @@ object Options {
     * a logical clock via `write.timestamp`); wall-clock when unset. */
   val DropTimestamp = "drop.timestamp"
 
+  /** Secondary indexes: comma list of schema cell columns to index
+    * (value → row key sub-stores; see [[Index]]). A layout property — the
+    * index is only complete if every write was indexed, so it must be
+    * declared before the first segment. */
+  val IndexColumns = "index.columns"
+
   /** Properties baked into committed segment bytes — token routing
-    * (buckets), cell naming/shape (mapping), value marshal (encoding).
-    * ALTER TABLE SET/UNSET rejects these once segments exist: existing data
-    * was laid out under the old value, so a change silently misroutes
-    * deletes and unmaps high buckets instead of failing loudly. */
-  val LayoutProperties: Set[String] = Set("buckets", "mapping", "encoding")
+    * (buckets), cell naming/shape (mapping), value marshal (encoding),
+    * index completeness (index.columns). ALTER TABLE SET/UNSET rejects
+    * these once segments exist: existing data was laid out under the old
+    * value, so a change silently misroutes deletes, unmaps high buckets,
+    * or leaves an index that misses pre-existing rows, instead of failing
+    * loudly. */
+  val LayoutProperties: Set[String] =
+    Set("buckets", "mapping", "encoding", IndexColumns)
 
   val DefaultBuckets = 32
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
@@ -304,7 +313,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => false
     }
     val (accepted, rejected) = filters.partition(pushable)
-    pushed = accepted
+    // Secondary index: equality predicates on indexed cell columns ALSO
+    // reach the scan — they resolve to key candidates at planning
+    // (Index.keyFilters) — while staying in the returned residual set, so
+    // Spark re-applies them exactly above the scan and index staleness can
+    // only cost IO, never correctness.
+    val idxCols = Index.columns(m,
+      k => Options.effective(options, table.tableProps, k))
+    val speculative = rejected.filter {
+      case EqualTo(c, _) => idxCols(c)
+      case In(c, vs) => idxCols(c) && vs.nonEmpty
+      case _ => false
+    }
+    pushed = accepted ++ speculative
     rejected
   }
 
@@ -408,7 +429,16 @@ class CellScan(
     }
   }
 
-  private def effectiveFilters: Array[Filter] = filters ++ runtimeFilters
+  /** Secondary-index candidates, resolved ONCE per scan at planning: pushed
+    * equality predicates on indexed columns become an In(key, candidates)
+    * filter (driver-side bloom-pruned point reads, [[Index.keyFilters]])
+    * that then drives bucket pruning, run-index seeks and per-run blooms
+    * exactly like a user-written key lookup. */
+  private lazy val indexKeyFilters: Array[Filter] =
+    Index.keyFilters(table, options, filters)
+
+  private def effectiveFilters: Array[Filter] =
+    filters ++ runtimeFilters ++ indexKeyFilters
 
   /** ONE directory listing per scan, shared by stats, bucket pruning and
     * partition planning — at O(100k segments) the repeated listing itself is

@@ -64,7 +64,11 @@ class CellWriteBuilder(table: CassandraLikeTable, info: LogicalWriteInfo)
   }
 }
 
-final case class CellWriterCommit(files: Seq[(Int, String)]) extends WriterCommitMessage
+final case class CellWriterCommit(
+    files: Seq[(Int, String)],
+    // secondary-index staged segments: (column, bucket, tmp name) under
+    // idx_<column>/sst — renamed BEFORE the base files (see commit)
+    idxFiles: Seq[(String, Int, String)] = Nil) extends WriterCommitMessage
 
 class CellBatchWrite(
     table: CassandraLikeTable,
@@ -88,10 +92,30 @@ class CellBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) CellStore.truncate(table.dir)
+    if (truncate) {
+      CellStore.truncate(table.dir)
+      // an overwrite's index must restart with its base: stale entries are
+      // sound (superset + exact re-filter) but would accumulate forever
+      Index.columns(table.mapping,
+        k => Options.effective(options, table.tableProps, k))
+        .foreach(c => CellStore.truncate(Index.dir(table.dir, c)))
+    }
     val files = messages.flatMap {
-      case CellWriterCommit(fs) => fs
+      case CellWriterCommit(fs, _) => fs
       case _ => Nil
+    }
+    val idxFiles = messages.flatMap {
+      case CellWriterCommit(_, ifs) => ifs
+      case _ => Nil
+    }
+    // index segments become visible BEFORE their base segments: a crash
+    // between the two leaves orphan index entries (superset — sound),
+    // never a committed base cell the index misses (false negative)
+    idxFiles.foreach { case (col, bucket, tmp) =>
+      val sst = Paths.get(Index.dir(table.dir, col), CellStore.SstDir)
+      Files.move(sst.resolve(tmp),
+        sst.resolve(CellStore.newSegmentName(bucket)),
+        StandardCopyOption.ATOMIC_MOVE)
     }
     files.foreach { case (bucket, tmp) =>
       Files.move(Paths.get(table.dir, CellStore.SstDir, tmp),
@@ -116,14 +140,27 @@ class CellBatchWrite(
                 .foreach(b => CellStore.compactBucket(dir, b))
             case None => over.foreach(CellStore.compactBucket(dir, _))
           }
+        // index sub-stores bound their read amplification under the same
+        // policy (duplicate (value, key) entries from re-writes collapse
+        // by LWW; stale postings stay — they are the superset contract)
+        idxFiles.map { case (c, b, _) => (c, b) }.distinct
+          .filter { case (c, b) =>
+            CellStore.segmentFiles(Index.dir(dir, c), b).size > k }
+          .foreach { case (c, b) =>
+            CellStore.compactBucket(Index.dir(dir, c), b) }
       }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case CellWriterCommit(files) => files.foreach { case (_, tmp) =>
-        Files.deleteIfExists(Paths.get(table.dir, CellStore.SstDir, tmp))
-      }
+      case CellWriterCommit(files, idxFiles) =>
+        files.foreach { case (_, tmp) =>
+          Files.deleteIfExists(Paths.get(table.dir, CellStore.SstDir, tmp))
+        }
+        idxFiles.foreach { case (col, _, tmp) =>
+          Files.deleteIfExists(
+            Paths.get(Index.dir(table.dir, col), CellStore.SstDir, tmp))
+        }
       case _ => ()
     }
 }
@@ -179,6 +216,53 @@ class CellDataWriter(
   private val keyIdx = mapping.fields.indexWhere(_.role == FieldRole.Key)
   private val keyType = mapping.keyField.dataType
 
+  /** Secondary indexes (Index.scala): per indexed column, a parallel run
+    * writer into `idx_<col>/sst` whose cells are (value bytes → base key).
+    * Same memtable discipline (spill largest bucket past the write buffer),
+    * same staging convention; its temp files ride the task's commit message
+    * so the job commit renames them index-first and an abort removes them. */
+  private val idxCols: Set[String] = Index.columns(mapping, opt)
+  private final class IndexWriter(colName: String) {
+    private val idxSst = Paths.get(Index.dir(dir, colName), CellStore.SstDir)
+    private val pending = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Cell]]
+    private var total = 0
+    private val streams = mutable.HashMap.empty[Int, (String, DataOutputStream)]
+    def add(c: Cell): Unit = {
+      pending.getOrElseUpdate(TokenRing.bucket(c.key, buckets),
+        mutable.ArrayBuffer.empty[Cell]) += c
+      total += 1
+      while (total > writeBufferCells) {
+        val (b, cells) = pending.maxBy(_._2.length)
+        spill(b, cells.toSeq); total -= cells.length; pending.remove(b)
+      }
+    }
+    private def spill(b: Int, cells: Seq[Cell]): Unit = {
+      val (_, out) = streams.getOrElseUpdate(b, {
+        val tmp = s"tmp-${UUID.randomUUID()}-b$b.bin"
+        Files.createDirectories(idxSst)
+        (tmp, CellStore.newSegmentStream(idxSst.resolve(tmp)))
+      })
+      CellStore.writeRun(out, cells)
+    }
+    def commitFiles(): Seq[(String, Int, String)] = {
+      pending.foreach { case (b, cells) => spill(b, cells.toSeq) }
+      pending.clear(); total = 0
+      streams.values.foreach(_._2.close())
+      streams.values.foreach { case (tmp, _) =>
+        CellStore.compactSegment(idxSst.resolve(tmp))
+      }
+      streams.map { case (b, (tmp, _)) => (colName, b, tmp) }.toSeq
+    }
+    def abort(): Unit = {
+      streams.values.foreach(_._2.close())
+      streams.values.foreach { case (tmp, _) =>
+        Files.deleteIfExists(idxSst.resolve(tmp))
+      }
+    }
+  }
+  private val idxWriters: Map[String, IndexWriter] =
+    idxCols.iterator.map(c => c -> new IndexWriter(c)).toMap
+
   private def encodeValue(dt: DataType, v: Any): Array[Byte] =
     if (textEncoding) Codecs.encodeText(dt, v) else Codecs.encode(dt, v)
 
@@ -213,7 +297,14 @@ class CellDataWriter(
             val col = cellName.getBytes(UTF_8)
             if (v == null) {
               if (nullsAsTombstones) add(Cell(key, col, null, null, ts, tombstone = true))
-            } else add(Cell(key, col, null, encodeValue(f.dataType, v), ts, tombstone = false))
+            } else {
+              add(Cell(key, col, null, encodeValue(f.dataType, v), ts, tombstone = false))
+              // index entry: value bytes -> base key (append-only superset;
+              // overwrites leave stale entries the read path re-filters)
+              if (idxCols(f.name))
+                idxWriters(f.name).add(Cell(encodeValue(f.dataType, v), key,
+                  null, Array.emptyByteArray, ts, tombstone = false))
+            }
           case FieldRole.FamilyMap =>
             // cf: map expansion — one cell per entry
             // (serde/RegularTableMapping.java:54-91)
@@ -281,7 +372,8 @@ class CellDataWriter(
     streams.values.foreach { case (tmp, _) =>
       CellStore.compactSegment(Paths.get(dir, CellStore.SstDir, tmp))
     }
-    CellWriterCommit(streams.map { case (b, (tmp, _)) => (b, tmp) }.toSeq)
+    CellWriterCommit(streams.map { case (b, (tmp, _)) => (b, tmp) }.toSeq,
+      idxWriters.values.flatMap(_.commitFiles()).toSeq)
   }
 
   override def abort(): Unit = {
@@ -289,6 +381,7 @@ class CellDataWriter(
     streams.values.foreach { case (tmp, _) =>
       Files.deleteIfExists(Paths.get(dir, CellStore.SstDir, tmp))
     }
+    idxWriters.values.foreach(_.abort())
   }
 
   override def close(): Unit = ()
