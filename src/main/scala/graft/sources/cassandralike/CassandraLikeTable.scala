@@ -796,11 +796,12 @@ object FilterEval {
   }
 
   /** Hash-equality form mirroring [[cmp]]'s numeric widening: integrals
-    * compare as Long, fractionals as Double, so the In-set probe agrees with
-    * the ordered comparisons. */
+    * compare as Long, fractionals as Double (with +0.0 added — SQL equality
+    * makes -0.0 = 0.0, java.lang.Double distinguishes them), so the In-set
+    * probe agrees with the ordered comparisons. */
   private def norm(v: Any): Any = v match {
     case n: Number if integral(n) => java.lang.Long.valueOf(n.longValue)
-    case n: Number => java.lang.Double.valueOf(n.doubleValue)
+    case n: Number => java.lang.Double.valueOf(n.doubleValue + 0.0d)
     case x => x
   }
 
@@ -818,7 +819,8 @@ object FilterEval {
     case (null, _) | (_, null) => None
     case (x: Number, y: Number) =>
       if (integral(x) && integral(y)) Some(java.lang.Long.compare(x.longValue, y.longValue))
-      else Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      // +0.0 normalizes the signed zero (SQL: -0.0 = 0.0; NaN unaffected)
+      else Some(java.lang.Double.compare(x.doubleValue + 0.0d, y.doubleValue + 0.0d))
     case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None

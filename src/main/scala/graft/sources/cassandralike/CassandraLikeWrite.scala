@@ -300,10 +300,12 @@ class CellDataWriter(
             } else {
               add(Cell(key, col, null, encodeValue(f.dataType, v), ts, tombstone = false))
               // index entry: value bytes -> base key (append-only superset;
-              // overwrites leave stale entries the read path re-filters)
+              // overwrites leave stale entries the read path re-filters);
+              // Index.encodeKey normalizes -0.0/NaN so lookups can't miss
               if (idxCols(f.name))
-                idxWriters(f.name).add(Cell(encodeValue(f.dataType, v), key,
-                  null, Array.emptyByteArray, ts, tombstone = false))
+                idxWriters(f.name).add(
+                  Cell(Index.encodeKey(f.dataType, v, textEncoding), key,
+                    null, Array.emptyByteArray, ts, tombstone = false))
             }
           case FieldRole.FamilyMap =>
             // cf: map expansion — one cell per entry

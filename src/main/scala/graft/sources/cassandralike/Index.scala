@@ -34,6 +34,25 @@ object Index {
   /** The sub-store holding one column's index. */
   def dir(tableDir: String, colName: String): String = s"$tableDir/idx_$colName"
 
+  /** Index-key encoding: the cell-value codec plus float/double
+    * normalization, applied identically on write and lookup. SQL equality
+    * makes -0.0 = 0.0 true and Spark treats NaN as self-equal, but raw IEEE
+    * bits differ — un-normalized, a -0.0 probe would MISS +0.0 postings (a
+    * false negative, the one failure the index must never produce). */
+  def encodeKey(dt: org.apache.spark.sql.types.DataType, cat: Any,
+      textEncoding: Boolean): Array[Byte] = {
+    val n = cat match {
+      case d: java.lang.Double =>
+        if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+        else if (d == 0.0d) java.lang.Double.valueOf(0.0d) else d
+      case f: java.lang.Float =>
+        if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+        else if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
+      case other => other
+    }
+    if (textEncoding) Codecs.encodeText(dt, n) else Codecs.encode(dt, n)
+  }
+
   /** Validated indexed column set from `index.columns` (comma list of
     * schema column names; regular mappings only, named cells only). */
   def columns(mapping: ColumnMapping, opt: String => Option[String]): Set[String] = {
@@ -75,10 +94,7 @@ object Index {
       vs.flatMap { v =>
         val cat = CatalystTypeConverters.convertToCatalyst(v)
         if (cat == null) Nil
-        else {
-          val ek = if (textEnc) Codecs.encodeText(dt, cat) else Codecs.encode(dt, cat)
-          lookupOne(dir(table.dir, c), ek, buckets)
-        }
+        else lookupOne(dir(table.dir, c), encodeKey(dt, cat, textEnc), buckets)
       }.map(_.toSeq).toSet
     }
     val cands = candSets.reduce(_ intersect _)

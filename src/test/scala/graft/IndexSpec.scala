@@ -94,6 +94,20 @@ class IndexSpec extends SparkSpec {
     assert(idxSegs >= 1, "overwrite must rebuild, not just truncate, the index")
   }
 
+  test("double index keys: -0.0 probes find +0.0 postings and vice versa") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_zero",
+      Seq((1L, 0.0d), (2L, -0.0d), (3L, 1.5d)).toDF("id", "bal"),
+      props = Map(Options.IndexColumns -> "bal"))
+    def lookup(v: Double): Set[Long] =
+      Seed.read(spark, dir).filter(col("bal") === v).collect()
+        .map(_.getLong(0)).toSet
+    // SQL equality: -0.0 = 0.0 — both probes must return both rows
+    assert(lookup(0.0d) == Set(1L, 2L), "+0.0 probe")
+    assert(lookup(-0.0d) == Set(1L, 2L), "-0.0 probe")
+    assert(lookup(1.5d) == Set(3L))
+  }
+
   test("index.columns is locked once segments exist; transposed rejected") {
     intercept[IllegalArgumentException] {
       Index.columns(ColumnMapping.parse(":key,:column,:value",

@@ -30,6 +30,21 @@ class PlanShapeSpec extends SparkSpec {
       p.subqueries.flatMap(collectAll)
   }
 
+  /** [[collectAll]] plus descent into cached relations: a persist() hides
+    * its subplan behind InMemoryTableScanExec, but the cached plan's scans
+    * and shuffles are real work at materialization time — assertions about
+    * "does this query read X" must see through the cache boundary. */
+  private def collectThroughCache(p: SparkPlan): Seq[SparkPlan] =
+    collectAll(p).flatMap {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        i +: collectThroughCache(i.relation.cachedPlan)
+      // AQE materializes cached plans through query-stage wrappers, which
+      // are leaves whose real subtree hangs off .plan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectThroughCache(q.plan)
+      case other => Seq(other)
+    }
+
   private val batchQueries: Seq[String] =
     SparkEntry.benchQueries.map(_.name).filterNot(_.startsWith("stream_"))
 
@@ -113,6 +128,27 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = collectAll(plan("llm_dedup_minhash"))
       .count(_.isInstanceOf[ShuffleExchangeLike])
     assert(shuffles <= 14, s"llm_dedup_minhash plans $shuffles shuffles")
+  }
+
+  test("incremental dedup probes the stored band index, map-only on the delta") {
+    // the incremental contract: the corpus side of the candidate join is the
+    // PERSISTED index (a cassandralike scan), not a re-banding of the whole
+    // documents table; the delta side is the same map-only kernel as
+    // llm_dedup_minhash, so the shuffle budget stays in the minhash class —
+    // a corpus-wide signature rebuild would blow it immediately
+    val shallow = collectAll(plan("llm_dedup_incremental"))
+    // the candidate pipeline (and the index scan inside it) sits behind a
+    // persist() boundary — only the cache-descending traversal can see it
+    val storeScan = collectThroughCache(shallow.head).exists {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description().contains("cassandralike")
+      case _ => false
+    }
+    assert(storeScan, "expected the band probe to read the cassandralike index store")
+    // shuffle budget on the shallow tree, same basis as llm_dedup_minhash's
+    // (the deep tree re-counts one cached subtree per referencing branch)
+    val shuffles = shallow.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 14, s"llm_dedup_incremental plans $shuffles shuffles")
   }
 
   test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
