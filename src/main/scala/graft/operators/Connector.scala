@@ -77,6 +77,30 @@ object Connector {
         .orderBy($"c_custkey")
     },
 
+    // ---- secondary index, RANGE form: pushed comparisons on an indexed
+    // column seek the [lo, hi) postings slice per index bucket through the
+    // run index (order-preserving key encoding: sign-bit flip for longs,
+    // monotone IEEE map for doubles — IndexSpec pins the sign-boundary and
+    // negative-range cases), then read base rows as point lookups. The two
+    // disjoint branches exercise both transform regions: an open-ended
+    // positive range and a bounded negative range. ----
+    Q("conn_secondary_range",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal >= 9900.0
+        |   OR (c_acctbal > -950.0 AND c_acctbal <= -900.0)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "secondary_range", t(s, dir, "customer"),
+        props = Map(graft.sources.cassandralike.Options.IndexColumns -> "c_acctbal"))
+      def part(p: org.apache.spark.sql.Column) = Seed.read(s, store)
+        .filter(p).select($"c_custkey", $"c_name", $"c_acctbal")
+      // disjoint ranges as separate scans (each pushes a pure conjunction
+      // the index can resolve; an OR would reach the scan unindexed)
+      part($"c_acctbal" >= 9900.0)
+        .union(part($"c_acctbal" > -950.0 && $"c_acctbal" <= -900.0))
+        .orderBy($"c_custkey")
+    },
+
     // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
     // survives via its other live cells) ----
     Q("conn_missing_cell_null",

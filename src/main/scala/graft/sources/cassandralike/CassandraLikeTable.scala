@@ -95,6 +95,13 @@ object Options {
     * declared before the first segment. */
   val IndexColumns = "index.columns"
 
+  /** Driver-side cap on the candidate-key list an index lookup may
+    * materialize at planning (equality and range paths alike). A lookup
+    * that exceeds it abandons the index for that predicate — the scan
+    * falls back to the full distributed read, which returns the same rows.
+    * Read-time only, NOT a layout property. */
+  val IndexMaxCandidates = "index.max.candidates"
+
   /** Properties baked into committed segment bytes — token routing
     * (buckets), cell naming/shape (mapping), value marshal (encoding),
     * index completeness (index.columns). ALTER TABLE SET/UNSET rejects
@@ -106,6 +113,7 @@ object Options {
     Set("buckets", "mapping", "encoding", IndexColumns)
 
   val DefaultBuckets = 32
+  val DefaultIndexMaxCandidates = 64 * 1024
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
     * key-range partitions, so scan parallelism grows with data instead of
     * being capped by the write-time bucket knob (the reference scales splits
@@ -313,9 +321,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => false
     }
     val (accepted, rejected) = filters.partition(pushable)
-    // Secondary index: equality predicates on indexed cell columns ALSO
-    // reach the scan — they resolve to key candidates at planning
-    // (Index.keyFilters) — while staying in the returned residual set, so
+    // Secondary index: equality AND comparison predicates on indexed cell
+    // columns ALSO reach the scan — they resolve to key candidates at
+    // planning (Index.keyFilters: point lookups for =/IN, run-index range
+    // seeks for >/>=/</<=) — while staying in the returned residual set, so
     // Spark re-applies them exactly above the scan and index staleness can
     // only cost IO, never correctness.
     val idxCols = Index.columns(m,
@@ -323,6 +332,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val speculative = rejected.filter {
       case EqualTo(c, _) => idxCols(c)
       case In(c, vs) => idxCols(c) && vs.nonEmpty
+      case GreaterThan(c, v) => idxCols(c) && v != null
+      case GreaterThanOrEqual(c, v) => idxCols(c) && v != null
+      case LessThan(c, v) => idxCols(c) && v != null
+      case LessThanOrEqual(c, v) => idxCols(c) && v != null
       case _ => false
     }
     pushed = accepted ++ speculative
@@ -430,8 +443,9 @@ class CellScan(
   }
 
   /** Secondary-index candidates, resolved ONCE per scan at planning: pushed
-    * equality predicates on indexed columns become an In(key, candidates)
-    * filter (driver-side bloom-pruned point reads, [[Index.keyFilters]])
+    * equality predicates on indexed columns become point lookups, pushed
+    * comparisons become run-index range seeks over the postings
+    * ([[Index.keyFilters]]), and both produce an In(key, candidates) filter
     * that then drives bucket pruning, run-index seeks and per-run blooms
     * exactly like a user-written key lookup. */
   private lazy val indexKeyFilters: Array[Filter] =

@@ -1,7 +1,9 @@
 package graft.sources.cassandralike
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
 
 /** Secondary (value → row key) indexes over regular-mapping cell columns —
   * the store-level answer to "find the rows where c = v" without scanning
@@ -22,25 +24,38 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   * The same two invariants are why Cassandra's 2i read path re-validates
   * hits against the base row instead of trusting the index.
   *
-  * Scale shape: a lookup routes to ONE index bucket (token of the value
-  * bytes), seeks it through the run index and per-run blooms like any point
-  * read, then plans the base scan restricted to the candidate keys — cost
-  * is O(matching rows), independent of table size. `index.columns` is a
-  * layout property: it must be declared before the first write (a
-  * later-added index would silently miss existing rows — rejected the same
-  * way bucket-count changes are). */
+  * Scale shape: an equality lookup routes to ONE index bucket (token of the
+  * value bytes) and seeks it through the run index and per-run blooms like
+  * any point read; a RANGE lookup visits every index bucket (values hash
+  * across them) but SEEKS each one to the `[lo, hi)` slice of its postings
+  * via the run index — made possible by the order-preserving key encoding
+  * below — so cost is O(buckets · log + matching postings), never a
+  * postings scan. Both paths then plan the base scan restricted to the
+  * candidate keys: O(matching rows), independent of table size. A
+  * `index.max.candidates` budget bounds the driver-side key list; a lookup
+  * that exceeds it abandons the index (full scan — same rows, no wrong
+  * result, no unbounded driver memory). `index.columns` is a layout
+  * property: it must be declared before the first write (a later-added
+  * index would silently miss existing rows — rejected the same way
+  * bucket-count changes are). */
 object Index {
 
   /** The sub-store holding one column's index. */
   def dir(tableDir: String, colName: String): String = s"$tableDir/idx_$colName"
 
   /** Index-key encoding: the cell-value codec plus float/double
-    * normalization, applied identically on write and lookup. SQL equality
-    * makes -0.0 = 0.0 true and Spark treats NaN as self-equal, but raw IEEE
-    * bits differ — un-normalized, a -0.0 probe would MISS +0.0 postings (a
-    * false negative, the one failure the index must never produce). */
-  def encodeKey(dt: org.apache.spark.sql.types.DataType, cat: Any,
-      textEncoding: Boolean): Array[Byte] = {
+    * normalization and an order-preserving byte transform, applied
+    * identically on write and lookup.
+    *
+    * Normalization: SQL equality makes -0.0 = 0.0 true and Spark treats NaN
+    * as self-equal, but raw IEEE bits differ — un-normalized, a -0.0 probe
+    * would MISS +0.0 postings (a false negative, the one failure the index
+    * must never produce).
+    *
+    * Order preservation (binary encoding): unsigned-byte order over the
+    * transformed bytes equals SQL value order, so range probes can seek
+    * instead of scan — see [[orderPreserving]]. */
+  def encodeKey(dt: DataType, cat: Any, textEncoding: Boolean): Array[Byte] = {
     val n = cat match {
       case d: java.lang.Double =>
         if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
@@ -50,8 +65,40 @@ object Index {
         else if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
       case other => other
     }
-    if (textEncoding) Codecs.encodeText(dt, n) else Codecs.encode(dt, n)
+    if (textEncoding) Codecs.encodeText(dt, n)
+    else orderPreserving(dt, Codecs.encode(dt, n))
   }
+
+  /** Monotone byte transform over the fixed-width big-endian encodings:
+    * integrals flip the sign bit (two's complement negatives then sort
+    * below positives in unsigned order); floats use the classic IEEE total
+    * order map (negative → flip all bits, reversing the backwards negative
+    * range; non-negative → set the sign bit), which also places NaN above
+    * +Inf — matching Spark's NaN-greatest comparison semantics. Strings,
+    * binary, and booleans are order-preserving as encoded. */
+  private def orderPreserving(dt: DataType, b: Array[Byte]): Array[Byte] =
+    dt match {
+      case IntegerType | LongType | TimestampType =>
+        val c = b.clone(); c(0) = (c(0) ^ 0x80).toByte; c
+      case FloatType | DoubleType =>
+        val c = b.clone()
+        if ((c(0) & 0x80) != 0) {
+          var i = 0; while (i < c.length) { c(i) = (~c(i)).toByte; i += 1 }
+        } else c(0) = (c(0) ^ 0x80).toByte
+        c
+      case _ => b
+    }
+
+  /** Whether unsigned-byte order over encoded index keys equals SQL value
+    * order — the precondition for seeking a value range through the run
+    * index. Binary encodings all qualify via [[orderPreserving]]; text
+    * renders numerics as decimal strings ("10" < "9"), leaving only the
+    * identity-rendered types ("false" < "true" happens to hold). */
+  private def seekable(dt: DataType, textEncoding: Boolean): Boolean =
+    !textEncoding || (dt match {
+      case StringType | BinaryType | BooleanType => true
+      case _ => false
+    })
 
   /** Validated indexed column set from `index.columns` (comma list of
     * schema column names; regular mappings only, named cells only). */
@@ -70,10 +117,12 @@ object Index {
   }
 
   /** Planning-time candidate resolution: every pushed EqualTo/In on an
-    * indexed column becomes a point lookup into that column's index store;
+    * indexed column becomes a point lookup into that column's index store,
+    * and every pushed comparison (>, >=, <, <=) becomes a range lookup;
     * conjuncts intersect. Returns one In(key, candidates) filter (possibly
     * with an empty value list — a provably-empty scan), or nothing when no
-    * indexed predicate is pushed. */
+    * indexed predicate is pushed or every lookup blew the candidate budget
+    * (full-scan fallback). */
   def keyFilters(
       table: CassandraLikeTable,
       options: Map[String, String],
@@ -81,23 +130,39 @@ object Index {
     val opt = (k: String) => table.opt(options, k)
     val idxCols = columns(table.mapping, opt)
     if (idxCols.isEmpty) return Array.empty
-    val preds: Seq[(String, Seq[Any])] = filters.toSeq.collect {
+    val eqPreds: Seq[(String, Seq[Any])] = filters.toSeq.collect {
       case EqualTo(c, v) if idxCols(c) => c -> Seq(v)
       case In(c, vs) if idxCols(c) && vs.nonEmpty => c -> vs.toSeq
     }
-    if (preds.isEmpty) return Array.empty
+    val rangePreds: Seq[(String, Seq[Filter])] = filters.toSeq.collect {
+      case f @ GreaterThan(c, v) if idxCols(c) && v != null => c -> (f: Filter)
+      case f @ GreaterThanOrEqual(c, v) if idxCols(c) && v != null => c -> (f: Filter)
+      case f @ LessThan(c, v) if idxCols(c) && v != null => c -> (f: Filter)
+      case f @ LessThanOrEqual(c, v) if idxCols(c) && v != null => c -> (f: Filter)
+    }.groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }.toSeq
+    if (eqPreds.isEmpty && rangePreds.isEmpty) return Array.empty
     val textEnc = opt(Options.Encoding).contains("text")
     val buckets = opt(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    val candSets: Seq[Set[Seq[Byte]]] = preds.map { case (c, vs) =>
-      val dt = table.mapping.fields.find(_.name == c).get.dataType
-      vs.flatMap { v =>
+    val budget = opt(Options.IndexMaxCandidates).map(_.toInt)
+      .getOrElse(Options.DefaultIndexMaxCandidates)
+    def dtOf(c: String): DataType =
+      table.mapping.fields.find(_.name == c).get.dataType
+    val eqSets: Seq[Option[Set[Seq[Byte]]]] = eqPreds.map { case (c, vs) =>
+      val dt = dtOf(c)
+      val keys = vs.flatMap { v =>
         val cat = CatalystTypeConverters.convertToCatalyst(v)
         if (cat == null) Nil
         else lookupOne(dir(table.dir, c), encodeKey(dt, cat, textEnc), buckets)
       }.map(_.toSeq).toSet
+      if (keys.size > budget) None else Some(keys)
     }
-    val cands = candSets.reduce(_ intersect _)
+    val rangeSets: Seq[Option[Set[Seq[Byte]]]] = rangePreds.map { case (c, fs) =>
+      rangeLookup(dir(table.dir, c), dtOf(c), textEnc, c, fs, buckets, budget)
+    }
+    val sets = (eqSets ++ rangeSets).flatten
+    if (sets.isEmpty) return Array.empty // every lookup over budget
+    val cands = sets.reduce(_ intersect _)
     val keyType = table.mapping.keyField.dataType
     val ext = cands.toSeq.map(kb =>
       CatalystTypeConverters.convertToScala(Codecs.decode(keyType, kb.toArray), keyType))
@@ -114,5 +179,63 @@ object Index {
       lookupKeys = Seq(ek))
     try it.filter(c => java.util.Arrays.equals(c.key, ek)).map(_.col).toVector
     finally it.close()
+  }
+
+  /** Postings whose value satisfies every bound in `bounds` (a conjunction
+    * over one column). Values hash across index buckets, so all buckets are
+    * visited; when the key encoding is order-preserving each visit SEEKS
+    * the `[lo, hi)` slice through the run index (cost = matching postings),
+    * otherwise it scans the bucket's narrow postings and re-checks the
+    * decoded value through the exact FilterEval comparators. None = the
+    * candidate list exceeded the budget — the caller falls back to a full
+    * base scan instead of materializing an unbounded key list on the
+    * driver. */
+  private def rangeLookup(idxDir: String, dt: DataType, textEnc: Boolean,
+      colName: String, bounds: Seq[Filter], buckets: Int,
+      budget: Int): Option[Set[Seq[Byte]]] = {
+    def enc(v: Any): Array[Byte] =
+      encodeKey(dt, CatalystTypeConverters.convertToCatalyst(v), textEnc)
+    def succ(b: Array[Byte]): Array[Byte] =
+      java.util.Arrays.copyOf(b, b.length + 1)
+    val seek = seekable(dt, textEnc)
+    // tightest seek window under byte order (= value order when seekable):
+    // highest lower bound, lowest upper bound; hi is exclusive, so
+    // inclusive uppers (and exclusive lowers) take the key's successor
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    if (seek) bounds.foreach {
+      case GreaterThan(_, v) =>
+        val b = succ(enc(v)); if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+      case GreaterThanOrEqual(_, v) =>
+        val b = enc(v); if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+      case LessThan(_, v) =>
+        val b = enc(v); if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+      case LessThanOrEqual(_, v) =>
+        val b = succ(enc(v)); if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+      case _ =>
+    }
+    // non-seekable: the decoded re-check carries the whole predicate (the
+    // stored bytes are the untransformed text rendering, so Codecs.decode
+    // round-trips them; FilterEval supplies the SQL comparison semantics)
+    val checks: Seq[Map[String, Any] => Boolean] =
+      if (seek) Nil else bounds.map(FilterEval.compile)
+    val out = collection.mutable.Set.empty[Seq[Byte]]
+    var b = 0
+    while (b < buckets) {
+      val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi)
+      try {
+        while (it.hasNext) {
+          val c = it.next()
+          val ok = checks.isEmpty ||
+            checks.forall(_(Map(colName -> Codecs.decode(dt, c.key))))
+          if (ok) {
+            out += c.col.toSeq
+            if (out.size > budget) return None
+          }
+        }
+      } finally it.close()
+      b += 1
+    }
+    Some(out.toSet)
   }
 }

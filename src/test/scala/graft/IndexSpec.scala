@@ -108,6 +108,102 @@ class IndexSpec extends SparkSpec {
     assert(lookup(1.5d) == Set(3L))
   }
 
+  test("range probe over longs crosses the sign boundary correctly") {
+    val sp = spark; import sp.implicits._
+    // raw two's-complement big-endian bytes sort negatives ABOVE positives
+    // in unsigned order — the sign-bit flip in Index.encodeKey is what makes
+    // this seek return the value-order range
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangelong",
+      (-10L to 10L).map(v => (v + 100L, v)).toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v"))
+    val got = Seed.read(spark, dir)
+      .filter(col("v") > -5L && col("v") <= 3L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq == (-4L to 3L).toSeq)
+    // pruning: the 8 candidate keys plan at most 8 buckets, vs a full scan
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val full = partitions(dir, Array.empty)
+    val ranged = partitions(dir,
+      Array(GreaterThan("v", -5L), LessThanOrEqual("v", 3L)))
+    assert(ranged <= 8 && ranged < full,
+      s"range lookup should prune ($ranged planned, full scan $full)")
+  }
+
+  test("range probe over doubles handles negatives, zero and open ends") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangedbl",
+      Seq((1L, -2.5d), (2L, -0.5d), (3L, -0.0d), (4L, 1.5d), (5L, 3.25d))
+        .toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v"))
+    def ids(p: org.apache.spark.sql.Column): Seq[Long] =
+      Seed.read(spark, dir).filter(p).collect().map(_.getLong(0)).sorted.toSeq
+    // IEEE bits order negatives backwards; the monotone transform fixes it
+    assert(ids(col("v") >= -1.0d && col("v") < 2.0d) == Seq(2L, 3L, 4L))
+    assert(ids(col("v") < -0.5d) == Seq(1L))
+    assert(ids(col("v") > 0.0d) == Seq(4L, 5L)) // -0.0 is NOT > 0.0
+    assert(ids(col("v") >= 0.0d) == Seq(3L, 4L, 5L)) // but it IS >= 0.0
+  }
+
+  test("range probe over strings and mixed eq+range conjuncts intersect") {
+    val dir = seed("spec_idx_rangestr", "name",
+      (1L to 26L).map(i => (i, ('a' + i.toInt - 1).toChar.toString * 3, i * 1.0)))
+    val got = Seed.read(spark, dir)
+      .filter(col("name") >= "ggg" && col("name") < "jjj")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(7L, 8L, 9L)) // ggg, hhh, iii
+    // eq on the same indexed column ANDed with the range: intersection
+    val one = Seed.read(spark, dir)
+      .filter(col("name") === "hhh" && col("name") >= "ggg")
+      .collect().map(_.getLong(0))
+    assert(one.toSeq == Seq(8L))
+  }
+
+  test("text-encoded numeric ranges re-check decoded values (non-seekable)") {
+    val sp = spark; import sp.implicits._
+    // decimal strings are not byte-ordered ("10" < "9"), so this path must
+    // scan the postings and compare decoded values — seek would be wrong
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangetext",
+      (1L to 30L).map(v => (v + 100L, v)).toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v", Options.Encoding -> "text"))
+    val got = Seed.read(spark, dir)
+      .filter(col("v") >= 8L && col("v") < 12L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq == Seq(8L, 9L, 10L, 11L))
+  }
+
+  test("range candidates over budget fall back to the full scan, same rows") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangebudget",
+      (1L to 100L).map(v => (v, v * 1.0d)).toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v",
+        Options.IndexMaxCandidates -> "5"))
+    // 50 matches > budget 5: no In(key) filter is planned (full partitions)
+    import org.apache.spark.sql.sources.GreaterThan
+    val full = partitions(dir, Array.empty)
+    val over = partitions(dir, Array(GreaterThan("v", 50.0d)))
+    assert(over == full, s"over-budget lookup must not prune ($over vs $full)")
+    assert(Seed.read(spark, dir).filter(col("v") > 50.0d).count() == 50L)
+    // under budget the same table still prunes
+    val under = partitions(dir, Array(GreaterThan("v", 97.0d)))
+    assert(under < full, s"under-budget lookup should prune ($under vs $full)")
+  }
+
+  test("stale range postings re-filter after an overwrite moves the value") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangestale",
+      Seq((1L, 10.0d), (2L, 20.0d), (3L, 30.0d)).toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v"))
+    // move id 2 out of [15, 25): its old 20.0 posting is now stale
+    Seed.append(Seq((2L, 99.0d)).toDF("id", "v"), dir,
+      Map(Options.WriteTimestamp -> "2"))
+    val got = Seed.read(spark, dir)
+      .filter(col("v") >= 15.0d && col("v") < 25.0d).collect()
+    assert(got.isEmpty, "stale in-range posting must re-filter to nothing")
+    val moved = Seed.read(spark, dir).filter(col("v") > 90.0d)
+      .collect().map(_.getLong(0))
+    assert(moved.toSeq == Seq(2L))
+  }
+
   test("index.columns is locked once segments exist; transposed rejected") {
     intercept[IllegalArgumentException] {
       Index.columns(ColumnMapping.parse(":key,:column,:value",
