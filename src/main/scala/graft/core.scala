@@ -33,18 +33,33 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read a test table. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
-    * reads only as a long (spark.sql.legacy.parquet.nanosAsLong, set in every
-    * session builder here); convert it to a micros-truncated TimestampType so
-    * queries see a real timestamp — DuckDB's nanos→timestamp cast truncates
-    * identically. */
+  /** Read a test table, normalizing `events.ts` to TimestampType whatever
+    * physical form the parquet carries. The driver has shipped three forms
+    * across regenerations, and the reference's type bridge dual-decodes
+    * every layout it might meet (SURVEY §1.3) — so this loader does too:
+    *   - TIMESTAMP(NANOS) → Long under spark.sql.legacy.parquet.nanosAsLong
+    *     (set in every session builder): truncate to micros;
+    *   - timestamp[us] without UTC adjustment → TIMESTAMP_NTZ: the session
+    *     is pinned UTC, so cast(TimestampType) relabels the same instant
+    *     exactly (and the DuckDB oracle is timezone-naive, unaffected);
+    *   - TimestampType: already the target form.
+    * `withWatermark` rejects NTZ event time, so the streaming loader
+    * (StreamOps.eventsStream) applies the same normalization. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** ts → TimestampType across all three physical forms (see load). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so spark.sql(...) queries work. */

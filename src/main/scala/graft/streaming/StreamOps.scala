@@ -1,9 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming surface over the `events` fixture: file-source
   * streams, event-time watermarks, tumbling/sliding/session windows — the
@@ -19,8 +18,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
 object StreamOps {
 
   /** events as a STREAM: file parquet source with the batch-read schema.
-    * `ts` arrives as TIMESTAMP(NANOS) = Long under nanosAsLong; convert to a
-    * micros-truncated TimestampType exactly like the batch loader. */
+    * `ts` is normalized to TimestampType across every physical form the
+    * fixture has shipped (nanos-as-Long, TIMESTAMP_NTZ, TimestampType) by
+    * the same bridge as the batch loader — `withWatermark` rejects NTZ
+    * event time, so this must happen before any watermark. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
     // the file stream source requires a DIRECTORY; stage a per-dataset dir
@@ -33,10 +34,8 @@ object StreamOps {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(path).toAbsolutePath)
     val schema: StructType = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-    else raw
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
