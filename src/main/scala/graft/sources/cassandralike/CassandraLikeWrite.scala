@@ -110,7 +110,11 @@ class CellBatchWrite(
     }
     // index segments become visible BEFORE their base segments: a crash
     // between the two leaves orphan index entries (superset — sound),
-    // never a committed base cell the index misses (false negative)
+    // never a committed base cell the index misses (false negative).
+    // The key-format marker is stamped (or validated) first, so no visible
+    // index segment ever lacks its encoding version.
+    idxFiles.map(_._1).distinct.foreach(c =>
+      Index.stampFormat(Index.dir(table.dir, c)))
     idxFiles.foreach { case (col, bucket, tmp) =>
       val sst = Paths.get(Index.dir(table.dir, col), CellStore.SstDir)
       Files.move(sst.resolve(tmp),

@@ -63,11 +63,16 @@ object SegmentSetOffset {
   * a huge table parallelizes exactly like the batch scan instead of one
   * task per bucket.
   *
-  * Maintenance compaction rewrites committed segments into new ones, which
-  * a feed would re-emit (a full-bucket re-upsert — harmless under upsert
-  * semantics but wasteful); run compaction on feed-consumed tables between
-  * streams, or not at all (task-commit compaction happens BEFORE a segment
-  * becomes visible and is therefore invisible to the feed). */
+  * FEED-AWARE COMPACTION: maintenance compaction records its input segment
+  * names in a provenance sidecar ([[CellStore.provFile]]) before the output
+  * becomes visible. A compacted segment carries no information beyond its
+  * inputs (merge only shadows and drops cells), so when every input is in
+  * the feed's consumed offset the output is marked consumed WITHOUT
+  * planning any read — compacting mid-stream costs nothing instead of a
+  * full-bucket re-upsert. An output whose inputs were only PARTIALLY
+  * consumed is read normally (re-emitting some rows — the at-least-once
+  * upsert contract); task-commit compaction happens BEFORE a segment
+  * becomes visible and was always invisible to the feed. */
 final class CellChangeFeedStream(
     table: CassandraLikeTable,
     required: StructType,
@@ -128,8 +133,14 @@ final class CellChangeFeedStream(
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val fresh = end.asInstanceOf[SegmentSetOffset].names --
-      start.asInstanceOf[SegmentSetOffset].names
+    val seen = start.asInstanceOf[SegmentSetOffset].names
+    val fresh = (end.asInstanceOf[SegmentSetOffset].names -- seen)
+      // feed-aware compaction skip: a compaction output whose recorded
+      // inputs are ALL in the consumed offset holds only already-emitted
+      // cells — consume it (it is in `end`) but read nothing. Deterministic
+      // on replay: the sidecar is immutable and outlives the segment's
+      // membership in any un-committed batch.
+      .filterNot(n => CellStore.provenance(table.dir, n).exists(_.subsetOf(seen)))
     val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)

@@ -342,6 +342,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[Array[Byte]]]()
   private val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[KeyBloom]]()
+  private val boundsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (Array[Byte], Array[Byte])]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -357,6 +359,31 @@ object CellStore {
     sampleCache.computeIfAbsent(cacheKey(file), _ => {
       val r = new SegmentReader(file)
       try runInfos(file).flatMap(ri => r.readIndex(ri).keys) finally r.close()
+    })
+
+  /** (min, max) key of one segment — min over each run's first indexed key,
+    * max over each run's lastKey, from the run indexes only (no cell data
+    * read); memoized per immutable file. (null, null) = empty segment. The
+    * planning-time bucket-skip check for index range probes: a bucket none
+    * of whose segments intersect `[lo, hi)` is provably posting-free and is
+    * never opened. */
+  def keyBounds(file: Path): (Array[Byte], Array[Byte]) =
+    boundsCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try {
+        var lo: Array[Byte] = null
+        var hi: Array[Byte] = null
+        runInfos(file).foreach { ri =>
+          if (ri.cellCount > 0) {
+            val idx = r.readIndex(ri)
+            if (lo == null || Codecs.compareBytes(idx.keys(0), lo) < 0)
+              lo = idx.keys(0)
+            if (hi == null || Codecs.compareBytes(idx.lastKey, hi) > 0)
+              hi = idx.lastKey
+          }
+        }
+        (lo, hi)
+      } finally r.close()
     })
 
   /** Per-run key blooms of one segment (null element = pre-bloom run);
@@ -747,9 +774,39 @@ object CellStore {
       val tmp = target.resolveSibling(
         s"tmp-compact-${UUID.randomUUID()}-b$bucket.bin")
       writeSingleRun(tmp, merged)
+      // provenance sidecar BEFORE the segment becomes visible: a compacted
+      // segment carries no information beyond its inputs (merge only
+      // shadows and drops), so a change feed that has consumed every input
+      // can mark the output consumed WITHOUT re-emitting the bucket — the
+      // feed-aware compaction contract (see CellChangeFeedStream). A crash
+      // between the two writes leaves an orphan sidecar, which nothing
+      // reads (readers key off the segment name).
+      Files.write(provFile(target),
+        files.map(_.getFileName.toString).sorted.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally readers.foreach(_.close())
-    files.foreach(Files.deleteIfExists(_))
+    files.foreach { f =>
+      Files.deleteIfExists(f)
+      Files.deleteIfExists(provFile(f)) // an input may itself be a compaction output
+    }
+  }
+
+  /** Compaction-provenance sidecar of a committed segment: the input
+    * segment names its merge consumed, one per line. Not a `.bin`, so
+    * invisible to every segment listing. */
+  def provFile(segment: Path): Path =
+    segment.resolveSibling(segment.getFileName.toString + ".prov")
+
+  /** Input names recorded for a compacted segment; None = not a compaction
+    * output (or written before provenance existed — treated as fresh data,
+    * the safe direction). */
+  def provenance(tableDir: String, segmentName: String): Option[Set[String]] = {
+    val p = Paths.get(tableDir, SstDir, segmentName + ".prov")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.trim).filter(_.nonEmpty).toSet)
   }
 
   /** Long-counting wrapper: DataOutputStream.size() is an Int, which

@@ -43,6 +43,50 @@ object Index {
   /** The sub-store holding one column's index. */
   def dir(tableDir: String, colName: String): String = s"$tableDir/idx_$colName"
 
+  /** Index KEY-ENCODING version, stamped into `idx_<col>/FORMAT` at commit.
+    * The encoded value bytes determine both token-bucket routing and the
+    * order the run indexes seek by, so an index written under a different
+    * encoding silently returns FALSE NEGATIVES — the one failure the index
+    * must never produce. v2 = order-preserving binary transform
+    * ([[orderPreserving]]). Writers REJECT a mismatched store (rebuild it:
+    * truncate + rewrite, or re-create the table); readers ABANDON it (full
+    * base scan — same rows, slower), so a stale store can never drop rows. */
+  val KeyFormatVersion = 2
+  private val FormatFile = "FORMAT"
+
+  /** Stamp the key-format marker (first commit creates it); a store carrying
+    * a DIFFERENT version is rejected — appending segments under a new
+    * encoding to an old store would split postings for one value across two
+    * byte forms, and every probe under either form would miss half. */
+  def stampFormat(idxDir: String): Unit = {
+    val p = java.nio.file.Paths.get(idxDir, FormatFile)
+    if (java.nio.file.Files.exists(p)) {
+      val v = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      require(v == KeyFormatVersion.toString,
+        s"index store $idxDir has key-format $v, this writer emits " +
+          s"$KeyFormatVersion — rebuild the index (truncate + rewrite)")
+    } else {
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, KeyFormatVersion.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Whether the store's stamped key-format matches this reader. False
+    * (missing or mismatched) = the lookup abandons the index — never trusts
+    * bytes encoded under a different transform. */
+  private def formatOk(idxDir: String): Boolean = {
+    val p = java.nio.file.Paths.get(idxDir, FormatFile)
+    java.nio.file.Files.exists(p) &&
+      new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim == KeyFormatVersion.toString
+  }
+
+  /** Planning-probe instrumentation (tests): buckets whose cell data was
+    * actually opened by the last range lookup — the skip proof. */
+  private[graft] val bucketsOpened = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Index-key encoding: the cell-value codec plus float/double
     * normalization and an order-preserving byte transform, applied
     * identically on write and lookup.
@@ -148,19 +192,43 @@ object Index {
       .getOrElse(Options.DefaultIndexMaxCandidates)
     def dtOf(c: String): DataType =
       table.mapping.fields.find(_.name == c).get.dataType
+    // EQUALITY sets first — each is one bucket-routed point seek, far
+    // cheaper than a range's all-bucket walk — and intersect as they
+    // resolve: once the running intersection is provably empty, the range
+    // lookups are skipped outright (their only possible effect is shrinking
+    // an already-empty set).
     val eqSets: Seq[Option[Set[Seq[Byte]]]] = eqPreds.map { case (c, vs) =>
-      val dt = dtOf(c)
-      val keys = vs.flatMap { v =>
-        val cat = CatalystTypeConverters.convertToCatalyst(v)
-        if (cat == null) Nil
-        else lookupOne(dir(table.dir, c), encodeKey(dt, cat, textEnc), buckets)
-      }.map(_.toSeq).toSet
-      if (keys.size > budget) None else Some(keys)
+      val idxDir = dir(table.dir, c)
+      if (!formatOk(idxDir)) None
+      else {
+        val dt = dtOf(c)
+        val acc = collection.mutable.Set.empty[Seq[Byte]]
+        var over = false
+        val it = vs.iterator
+        while (it.hasNext && !over) {
+          val cat = CatalystTypeConverters.convertToCatalyst(it.next())
+          if (cat != null)
+            lookupOne(idxDir, encodeKey(dt, cat, textEnc), buckets, budget) match {
+              case None => over = true
+              case Some(ps) =>
+                ps.foreach(p => acc += p.toSeq)
+                if (acc.size > budget) over = true
+            }
+        }
+        if (over) None else Some(acc.toSet)
+      }
     }
-    val rangeSets: Seq[Option[Set[Seq[Byte]]]] = rangePreds.map { case (c, fs) =>
-      rangeLookup(dir(table.dir, c), dtOf(c), textEnc, c, fs, buckets, budget)
-    }
-    val sets = (eqSets ++ rangeSets).flatten
+    val eqResolved = eqSets.flatten
+    val eqIntersection =
+      if (eqResolved.isEmpty) None else Some(eqResolved.reduce(_ intersect _))
+    val rangeSets: Seq[Option[Set[Seq[Byte]]]] =
+      if (eqIntersection.exists(_.isEmpty)) Nil // provably empty already
+      else rangePreds.map { case (c, fs) =>
+        val idxDir = dir(table.dir, c)
+        if (!formatOk(idxDir)) None
+        else rangeLookup(idxDir, dtOf(c), textEnc, c, fs, buckets, budget)
+      }
+    val sets = eqIntersection.toSeq ++ rangeSets.flatten
     if (sets.isEmpty) return Array.empty // every lookup over budget
     val cands = sets.reduce(_ intersect _)
     val keyType = table.mapping.keyField.dataType
@@ -170,15 +238,29 @@ object Index {
   }
 
   /** One value's base-key postings: bloom-and-run-index-pruned point read
-    * of the index bucket the value routes to. */
-  private def lookupOne(
-      idxDir: String, ek: Array[Byte], buckets: Int): Seq[Array[Byte]] = {
+    * of the index bucket the value routes to. None = the postings exceeded
+    * the candidate budget — checked DURING iteration, so a pathologically
+    * hot value never materializes an unbounded driver-side list before the
+    * budget is consulted. */
+  private def lookupOne(idxDir: String, ek: Array[Byte], buckets: Int,
+      budget: Int): Option[Vector[Array[Byte]]] = {
     val b = TokenRing.bucket(ek, buckets)
     val hi = java.util.Arrays.copyOf(ek, ek.length + 1) // succ: ek ++ 0x00
     val it = new CellStore.BucketMergeIterator(idxDir, b, ek, hi,
       lookupKeys = Seq(ek))
-    try it.filter(c => java.util.Arrays.equals(c.key, ek)).map(_.col).toVector
-    finally it.close()
+    try {
+      val out = Vector.newBuilder[Array[Byte]]
+      var n = 0
+      while (it.hasNext) {
+        val c = it.next()
+        if (java.util.Arrays.equals(c.key, ek)) {
+          n += 1
+          if (n > budget) return None
+          out += c.col
+        }
+      }
+      Some(out.result())
+    } finally it.close()
   }
 
   /** Postings whose value satisfies every bound in `bounds` (a conjunction
@@ -219,23 +301,58 @@ object Index {
     // round-trips them; FilterEval supplies the SQL comparison semantics)
     val checks: Seq[Map[String, Any] => Boolean] =
       if (seek) Nil else bounds.map(FilterEval.compile)
-    val out = collection.mutable.Set.empty[Seq[Byte]]
-    var b = 0
-    while (b < buckets) {
-      val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi)
-      try {
-        while (it.hasNext) {
-          val c = it.next()
-          val ok = checks.isEmpty ||
-            checks.forall(_(Map(colName -> Codecs.decode(dt, c.key))))
-          if (ok) {
-            out += c.col.toSeq
-            if (out.size > budget) return None
-          }
+    // One directory listing for the whole store; buckets are then pruned
+    // and visited INDEPENDENTLY:
+    //   - skip: a bucket none of whose segments' run-index key bounds
+    //     intersect [lo, hi) is provably posting-free and is never opened
+    //     (bounds come from the memoized index blocks — no cell data read).
+    //     Sound only under byte order = value order, i.e. `seek`.
+    //   - parallel: the surviving seeks fan out over a task-per-bucket
+    //     Future pool instead of a serial driver loop — the r6 soft spot —
+    //     so planning latency is the SLOWEST bucket, not the sum.
+    // The budget counts SCANNED postings, not just matching ones (shared
+    // atomically across buckets): a lookup that iterates more than `budget`
+    // postings has stopped being cheaper than the distributed full scan it
+    // is trying to avoid, so it aborts to the fallback — bounding
+    // planning-time IO and driver memory alike (on the seekable path every
+    // scanned posting matches, so this is the old check; on the text path
+    // it caps the decode-and-reject sweep a huge index could stall on).
+    val bucketFiles = CellStore.allSegmentFiles(idxDir)
+    val toVisit = (0 until buckets).flatMap(b => bucketFiles.get(b).map(b -> _))
+      .filter { case (_, files) =>
+        !seek || files.exists { f =>
+          val (mn, mx) = CellStore.keyBounds(f)
+          mn != null &&
+            (hi == null || Codecs.compareBytes(mn, hi) < 0) &&
+            (lo == null || Codecs.compareBytes(mx, lo) >= 0)
         }
-      } finally it.close()
-      b += 1
-    }
-    Some(out.toSet)
+      }
+    val scanned = new java.util.concurrent.atomic.AtomicInteger(0)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val perBucket: Seq[Option[Vector[Seq[Byte]]]] =
+      Await.result(Future.sequence(toVisit.map { case (b, files) => Future {
+        if (scanned.get() > budget) None // another bucket already aborted
+        else {
+          bucketsOpened.incrementAndGet()
+          val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi,
+            onlyFiles = files)
+          try {
+            val out = Vector.newBuilder[Vector[Byte]]
+            var ok = true
+            while (ok && it.hasNext) {
+              val c = it.next()
+              if (scanned.incrementAndGet() > budget) ok = false
+              else if (checks.isEmpty ||
+                  checks.forall(_(Map(colName -> Codecs.decode(dt, c.key)))))
+                out += c.col.toVector
+            }
+            if (ok) Some(out.result().map(v => v: Seq[Byte])) else None
+          } finally it.close()
+        }
+      } }), Duration.Inf)
+    if (perBucket.exists(_.isEmpty)) None
+    else Some(perBucket.flatMap(_.get).toSet)
   }
 }

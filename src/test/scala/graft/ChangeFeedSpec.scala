@@ -121,6 +121,49 @@ class ChangeFeedSpec extends SparkSpec {
       "each batch must carry exactly one epoch's rows")
   }
 
+  test("feed-aware compaction: fully-consumed outputs skip, partial ones re-emit") {
+    // single-bucket store so segments and epochs line up one-to-one
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_changefeed_compact"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("id BIGINT,v STRING", ":key,v",
+      Map(Options.Buckets -> "1")))
+    val root = java.nio.file.Files.createTempDirectory("cfeedc").toString
+    val ckpt = s"$root/ckpt"
+
+    append(dir, ts = 1, (1L to 5L).map(i => i -> s"a$i"))
+    append(dir, ts = 2, (6L to 10L).map(i => i -> s"b$i"))
+    val first = drain(dir, ckpt, "cfeedc_run1")
+    assert(first.size == 10, s"baseline drain: $first")
+
+    // compact mid-stream: both inputs are in the consumed offset, so the
+    // output segment carries nothing the feed hasn't emitted — the next
+    // drain must emit NOTHING (no full-bucket re-upsert) and lose nothing
+    CellStore.compactBucket(dir, 0)
+    val afterCompact = drain(dir, ckpt, "cfeedc_run2")
+    assert(afterCompact.isEmpty,
+      s"fully-consumed compaction output must not re-emit: $afterCompact")
+
+    // new data after the compaction still flows
+    append(dir, ts = 3, (11L to 12L).map(i => i -> s"c$i"))
+    val delta = drain(dir, ckpt, "cfeedc_run3")
+    assert(delta.toSet == Set(11L -> "c11", 12L -> "c12"), s"delta: $delta")
+
+    // PARTIAL consumption: compact while an unconsumed segment exists —
+    // the output must be read (re-emitting consumed rows is the
+    // at-least-once contract; dropping the unconsumed ones would be loss)
+    append(dir, ts = 4, Seq(13L -> "d13"))
+    CellStore.compactBucket(dir, 0) // inputs include the unconsumed ts=4 segment
+    val partial = drain(dir, ckpt, "cfeedc_run4")
+    assert(partial.exists(_._1 == 13L),
+      s"unconsumed cells inside a compaction output must still be emitted: $partial")
+
+    // and the final catch-up state equals the batch scan
+    val catchUp = drain(dir, s"$root/ckpt2", "cfeedc_catchup")
+    val batch = Seed.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(catchUp.toSet == batch && batch.size == 13)
+  }
+
   test("catch-up batches sub-split by key range like the batch scan") {
     val dir = freshStore("spec_changefeed_split")
     append(dir, ts = 1, (1L to 4000L).map(i => i -> s"v$i"))

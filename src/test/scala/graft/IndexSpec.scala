@@ -204,6 +204,103 @@ class IndexSpec extends SparkSpec {
     assert(moved.toSeq == Seq(2L))
   }
 
+  test("range probe opens only buckets whose run-index bounds intersect") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_bucketskip",
+      (1L to 200L).map(v => (v, v)).toDF("id", "v"),
+      props = Map(Options.IndexColumns -> "v"))
+    val idxDir = Index.dir(dir, "v")
+    import org.apache.spark.sql.types.LongType
+    def enc(v: Long): Array[Byte] =
+      Index.encodeKey(LongType, v, textEncoding = false)
+    // the skip predicate, recomputed independently from the store layout
+    def intersecting(lo: Array[Byte], hi: Array[Byte]): Int =
+      CellStore.allSegmentFiles(idxDir).count { case (_, files) =>
+        files.exists { f =>
+          val (mn, mx) = CellStore.keyBounds(f)
+          mn != null && (hi == null || Codecs.compareBytes(mn, hi) < 0) &&
+            (lo == null || Codecs.compareBytes(mx, lo) >= 0)
+        }
+      }
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan}
+    val totalBuckets = CellStore.allSegmentFiles(idxDir).size
+    // narrow in-domain window: only the buckets whose segment bounds
+    // intersect [enc(10), enc(12)) may be opened — and some must be skipped
+    Index.bucketsOpened.set(0)
+    val got = Seed.read(spark, dir)
+      .filter(col("v") >= 10L && col("v") < 12L)
+      .collect().map(_.getLong(1)).sorted
+    assert(got.toSeq == Seq(10L, 11L))
+    val expected = intersecting(enc(10L), enc(12L))
+    assert(Index.bucketsOpened.get() == expected,
+      s"opened ${Index.bucketsOpened.get()} buckets, bounds intersect $expected")
+    assert(expected < totalBuckets,
+      s"a narrow window should skip some of the $totalBuckets buckets")
+    // beyond-domain probe: provably posting-free, NO bucket is opened
+    Index.bucketsOpened.set(0)
+    assert(partitions(dir, Array(GreaterThan("v", 1000L))) == 0)
+    assert(Index.bucketsOpened.get() == 0,
+      "a probe above every stored value must open no bucket")
+  }
+
+  test("provably-empty equality short-circuits the range walk entirely") {
+    val dir = seed("spec_idx_eqshort", "name",
+      (1L to 40L).map(i => (i, s"n$i", i * 1.0)))
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    Index.bucketsOpened.set(0)
+    // eq resolves to {} -> the conjunction is empty; the range lookup on the
+    // same column must never run its bucket walk
+    val p = partitions(dir,
+      Array(EqualTo("name", "absent"), GreaterThanOrEqual("name", "a")))
+    assert(p == 0, s"empty eq conjunct must plan zero partitions, got $p")
+    assert(Index.bucketsOpened.get() == 0,
+      "range walk must be skipped once the eq intersection is empty")
+  }
+
+  test("a hot value whose postings exceed the budget falls back, same rows") {
+    val sp = spark; import sp.implicits._
+    val dir = Seed.table(spark, sfDir, "spec_idx_hotvalue",
+      ((1L to 50L).map(i => (i, "hot")) ++ (51L to 60L).map(i => (i, s"c$i")))
+        .toDF("id", "name"),
+      props = Map(Options.IndexColumns -> "name",
+        Options.IndexMaxCandidates -> "5"))
+    val full = partitions(dir, Array.empty)
+    // 50 postings > budget 5: the lookup bails DURING iteration and the
+    // scan falls back to full partitions — never a truncated candidate list
+    assert(partitions(dir, Array(EqualTo("name", "hot"))) == full)
+    assert(Seed.read(spark, dir).filter(col("name") === "hot").count() == 50L)
+    // a cold value on the same table still prunes through the index
+    assert(partitions(dir, Array(EqualTo("name", "c55"))) < full)
+  }
+
+  test("key-format marker: mismatched store is abandoned by reads, rejected by writes") {
+    val sp = spark; import sp.implicits._
+    val dir = seed("spec_idx_format", "name",
+      (1L to 30L).map(i => (i, s"n$i", 0.0)))
+    val marker = java.nio.file.Paths.get(Index.dir(dir, "name"), "FORMAT")
+    assert(java.nio.file.Files.exists(marker), "commit must stamp the marker")
+    val pruned = partitions(dir, Array(EqualTo("name", "n7")))
+    // forge an older key-format: the encoded bytes can no longer be trusted
+    java.nio.file.Files.write(marker, "1".getBytes)
+    val full = partitions(dir, Array.empty)
+    assert(partitions(dir, Array(EqualTo("name", "n7"))) == full,
+      s"mismatched format must abandon the index (pruned was $pruned)")
+    assert(Seed.read(spark, dir).filter(col("name") === "n7")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L),
+      "fallback returns the same rows")
+    // and a writer must not append new-encoding segments to the old store
+    val thrown = intercept[Throwable] {
+      Seed.append(Seq((99L, "fresh", 1.0)).toDF("id", "name", "bal"), dir,
+        Map(Options.WriteTimestamp -> "2"))
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(thrown).exists(_.getMessage != null) &&
+      chain(thrown).exists(t => t.getMessage != null &&
+        t.getMessage.contains("key-format")),
+      s"write to a mismatched index store must be rejected: $thrown")
+  }
+
   test("index.columns is locked once segments exist; transposed rejected") {
     intercept[IllegalArgumentException] {
       Index.columns(ColumnMapping.parse(":key,:column,:value",
