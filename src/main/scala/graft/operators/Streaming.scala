@@ -314,7 +314,8 @@ object Streaming {
     Q("stream_store_changefeed",
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      bench = true) { (s, dir) =>
       import graft.sources.cassandralike.Seed
       val ev = graft.Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
