@@ -717,6 +717,123 @@ object LlmPipeline {
         .orderBy(col("qid"))
     },
 
+    // ---- INCREMENTAL ANN: the IVF index PERSISTED in the cell store and
+    // maintained by delta append — the vector analogue of
+    // llm_dedup_incremental, and the shape embedding search takes at 100 TB
+    // (index once, append each day's delta, serve probes as point reads;
+    // never rebuild). Three scale properties, each load-bearing:
+    //   1. ASSIGNMENT IS MAP-ONLY: centroids are a driver-bounded literal
+    //      (K vectors, a constant independent of corpus size), and each
+    //      vector's cell is a row-local argmax over them (codegen'd
+    //      higher-order functions — no explode, no join, NO SHUFFLE), so
+    //      indexing a delta costs one pass over the delta plus an LSM
+    //      append.
+    //   2. PAYLOAD LIVES IN THE CELL: the posting's value carries the
+    //      vector (Double.toString is shortest-round-trip, so the
+    //      store-and-parse cycle is bit-exact), so probing never joins back
+    //      to the corpus table — candidates arrive scored-ready from the
+    //      index alone.
+    //   3. PROBES ARE POINT READS: a query batch touches nprobe cells each
+    //      — a driver-bounded key set — so the index scan plans In(row_key)
+    //      bucket-pruned point lookups, O(probed postings) IO independent
+    //      of index size (PlanShapeSpec asserts the pruning).
+    // The result contract is EXACT, not a ratio: assignment and probing are
+    // deterministic arithmetic, and appending the delta yields byte-the-same
+    // index the full rebuild would, so the oracle recomputes the identical
+    // IVF top-5 from scratch — any drift (a float divergence, a lost
+    // posting, a wrong probe) is a hash mismatch. ----
+    Q("llm_ann_incremental",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+        |seeds AS (SELECT vec_id AS cell, v AS cv, norm AS cnorm FROM n WHERE vec_id < 25),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, s.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY list_dot_product(n.v, s.cv)/(n.norm*s.cnorm) DESC, s.cell) AS rk
+        |    FROM n CROSS JOIN seeds s) WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id < 10),
+        |probe AS (SELECT qid, cell FROM (
+        |    SELECT q.qid, s.cell,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_dot_product(q.qv, s.cv)/(q.qnorm*s.cnorm) DESC, s.cell) AS crk
+        |    FROM q CROSS JOIN seeds s) WHERE crk <= 3),
+        |scored AS (SELECT p.qid, a.vec_id,
+        |    list_dot_product(q.qv, n.v)/(q.qnorm*n.norm) AS cos
+        |  FROM probe p JOIN assign a ON a.cell = p.cell
+        |  JOIN n ON n.vec_id = a.vec_id
+        |  JOIN q ON q.qid = p.qid WHERE a.vec_id <> p.qid),
+        |ranked AS (SELECT qid, vec_id, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor, round(cos, 3) AS cos
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+      import graft.sources.cassandralike.Seed
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr(
+          "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      def dotCos(a: String, an: String, b: String, bn: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)") /
+          (col(an) * col(bn))
+      // K centroids collected ONCE as a literal — bounded by the constant K,
+      // never by corpus size (the same bound llm_ann_ivf's broadcast uses)
+      val seedRows: Seq[(Long, Seq[Double], Double)] =
+        e.filter(col("vec_id") < 25).orderBy(col("vec_id"))
+          .collect().map(r =>
+            (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double], r.getDouble(2))).toSeq
+      val seedLit = typedLit(seedRows)
+      // row-local argmax cell: struct(ccos, -cell) max == highest cosine,
+      // ties to the smallest cell — identical to the oracle's row_number
+      def cellOf(v: Column, norm: Column): Column =
+        (-array_max(transform(seedLit, sd => struct(
+          (aggregate(zip_with(v, sd.getField("_2"), (x, y) => x * y),
+            lit(0.0d), (acc, x) => acc + x) / (norm * sd.getField("_3"))).as("c"),
+          (-sd.getField("_1")).as("nc")))).getField("nc")).cast("long")
+      def postingRows(df: DataFrame): DataFrame = df.select(
+        lpad(cellOf(col("v"), col("norm")).cast("string"), 4, "0").as("row_key"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("column_name"),
+        concat_ws(",", col("v").cast("array<string>")).as("value"))
+      // base corpus indexed once (store rebuild here only so reruns are
+      // deterministic), then the incremental step: one map-only pass over
+      // the delta, LSM-appended — no rebuild, nothing else touched
+      val isDelta = col("vec_id") % 7 === 0 && col("vec_id") >= 25
+      val store = Seed.table(s, dir, "ivf_index", postingRows(e.filter(!isDelta)))
+      Seed.append(postingRows(e.filter(isDelta)), store)
+      // probe plan: nprobe cells per query — a driver-bounded key set
+      // (queries × nprobe), so the index read is an In(row_key) point scan
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val probePairs: Seq[(Long, Long)] = q.join(broadcast(e.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))))
+        .withColumn("ccos", dotCos("qv", "qnorm", "cv", "cnorm"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("crk") <= 3)
+        .select(col("qid"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cellKeys = probePairs.map(_._2).distinct.sorted.map(c => f"$c%04d")
+      val postings = Seed.read(s, store)
+        .filter(col("row_key").isin(cellKeys: _*))
+        .select(col("row_key"), col("column_name").cast("long").as("vec_id"),
+          split(col("value"), ",").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr(
+          "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+      val sp = s; import sp.implicits._
+      val probeDf = probePairs.toDF("qid", "cell")
+        .select(col("qid"), lpad(col("cell").cast("string"), 4, "0").as("row_key"))
+      val scored = postings.join(broadcast(probeDf), "row_key")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(q), "qid")
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      scored.select(col("qid"), col("vec_id"), col("cos"),
+          row_number().over(w).cast("bigint").as("rk"))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+          round(col("cos"), 3).as("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+
     // ---- token counting: whitespace, alnum-regex, and BPE-ish estimate ----
     Q("llm_text_tokens",
       """SELECT doc_id,

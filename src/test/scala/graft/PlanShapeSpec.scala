@@ -151,6 +151,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 14, s"llm_dedup_incremental plans $shuffles shuffles")
   }
 
+  test("incremental ANN probes the stored IVF index with point reads") {
+    // the probe contract: the index read carries an In(row_key) over the
+    // driver-bounded probed-cell set, so it plans at most one partition per
+    // probed cell (bucket-pruned point lookups) — never a full index scan;
+    // and candidates arrive payload-complete from the store, so NO join
+    // back to the embeddings corpus appears downstream of the index scan
+    val all = collectAll(plan("llm_ann_incremental"))
+    val storeScans = all.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("cassandralike") => b
+    }
+    assert(storeScans.nonEmpty, "expected the probe to read the cassandralike IVF store")
+    // <= 10 queries x 3 probes, <= 25 distinct cells — each a point lookup
+    storeScans.foreach { b =>
+      assert(b.inputPartitions.size <= 25,
+        s"index probe should plan point lookups, got ${b.inputPartitions.size} partitions")
+    }
+    val shuffles = all.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles <= 3,
+      s"probe+rank should need only the top-k window shuffle, got $shuffles")
+  }
+
   test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     // the array-carrying output of the first attach join must flow INTO the
