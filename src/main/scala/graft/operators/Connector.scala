@@ -645,6 +645,42 @@ object Connector {
         .orderBy($"n_name")
     },
 
+    // ---- CREATE INDEX on EXISTING data: `ALTER TABLE SET
+    // ('index.columns'=...)` on an occupied table rebuilds the added
+    // column's index from the data (Index.rebuild — a distributed DSv2
+    // scan -> encode -> DSv2 write job, Cassandra's CREATE INDEX +
+    // rebuild_index) BEFORE the index goes live, so the completeness
+    // invariant holds without having indexed every write. The subsequent
+    // equality filter then plans index-pruned point lookups; the predicate
+    // stays residual, so staleness can only cost IO, never rows. ----
+    Q("conn_create_index",
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.cust_by_seg")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.cust_by_seg
+          |  (c_custkey BIGINT, c_mktsegment STRING, c_nationkey BIGINT)
+          |USING cassandralike TBLPROPERTIES ('buckets' = '8')""".stripMargin)
+      // data lands FIRST — the table is occupied before any index exists
+      s.sql(
+        """INSERT INTO cassandralike.ks.cust_by_seg
+          |SELECT c_custkey, c_mktsegment, c_nationkey FROM customer""".stripMargin)
+      s.sql("ALTER TABLE cassandralike.ks.cust_by_seg " +
+        "SET TBLPROPERTIES ('index.columns' = 'c_mktsegment')")
+      s.table("cassandralike.ks.cust_by_seg")
+        .filter($"c_mktsegment" === "BUILDING" && $"c_custkey" % 10 === 3)
+        .select($"c_custkey", $"c_nationkey")
+        .orderBy($"c_custkey")
+    },
+
     // ---- INSERT OVERWRITE (SupportsTruncate): the rewrite path — truncate
     // drops every segment, then the batch writes fresh ones; the readback
     // must show ONLY the overwrite's rows, none of the original epoch. ----

@@ -126,7 +126,36 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
       require(!(Options.LayoutProperties.contains(property) && occupied),
         s"cannot alter physical-layout property '$property' once the table " +
           "has committed segments (rewrite the table instead)")
+    // parsed comma-list view of an index.columns value
+    def idxSet(v: Option[String]): Set[String] =
+      v.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     changes.foreach {
+      // `index.columns` on an OCCUPIED table is the one layout property
+      // with a sound migration: ADDED columns get their index REBUILT from
+      // the existing data first (Cassandra's CREATE INDEX + rebuild), so
+      // the completeness invariant holds before the index goes live — a
+      // crash mid-rebuild leaves an unreferenced sub-store, never a live
+      // index missing rows; REMOVED columns just lose their sub-store.
+      // Requires an active SparkSession (the rebuild is a distributed job)
+      // and the store's single-maintainer discipline, like compaction.
+      case s: TableChange.SetProperty
+          if s.property == Options.IndexColumns && occupied =>
+        val newCols = idxSet(Some(s.value))
+        val oldCols = idxSet(props.get(Options.IndexColumns))
+        val m = ColumnMapping.parse(tokens.mkString(","), schema)
+        Index.columns(m, k =>
+          if (k == Options.IndexColumns) Some(s.value) else props.get(k))
+        val spark = org.apache.spark.sql.SparkSession.active
+        (newCols -- oldCols).toSeq.sorted.foreach(c =>
+          Index.rebuild(spark, dir.toString, m, props, c))
+        (oldCols -- newCols).toSeq.sorted.foreach(c =>
+          CellStore.dropTable(Index.dir(dir.toString, c)))
+        props += (s.property -> s.value)
+      case r: TableChange.RemoveProperty
+          if r.property == Options.IndexColumns && occupied =>
+        idxSet(props.get(Options.IndexColumns)).toSeq.sorted.foreach(c =>
+          CellStore.dropTable(Index.dir(dir.toString, c)))
+        props -= r.property
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "cassandralike supports only top-level columns")

@@ -87,6 +87,68 @@ object Index {
     * actually opened by the last range lookup — the skip proof. */
   private[graft] val bucketsOpened = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Build (or REBUILD) one column's index from the table's existing data —
+    * what lets `ALTER TABLE SET ('index.columns'=...)` add an index to an
+    * OCCUPIED table (Cassandra's CREATE INDEX + rebuild_index), where the
+    * completeness invariant ("every committed base cell has its entry") is
+    * established by scanning the base instead of by having indexed every
+    * write.
+    *
+    * Runs as a DISTRIBUTED job: the base table is read through the DSv2
+    * scan (token-range partitions, key-range sub-splits), postings map
+    * row-locally to (encoded value → key bytes) — the exact bytes the
+    * organic write path stages, byte-compatible with every probe — and
+    * land through the DSv2 writer into the sub-store (same bucket count,
+    * so token routing agrees with [[lookupOne]]). The sub-store is written
+    * as a transposed binary table, which IS the index's cell shape.
+    *
+    * Crash safety: the index only becomes LIVE when the caller commits the
+    * meta change adding it to `index.columns` — a crash mid-rebuild leaves
+    * an unreferenced sub-store, never a live index missing rows. Runs
+    * under the store's single-maintainer discipline (no concurrent base
+    * writers), like compaction. */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      mapping: ColumnMapping, tableProps: Map[String, String],
+      colName: String): Unit = {
+    import org.apache.spark.sql.functions.{col => c}
+    val idxDir = dir(tableDir, colName)
+    val textEnc = tableProps.get(Options.Encoding).contains("text")
+    val buckets = tableProps.get(Options.Buckets).map(_.toInt)
+      .getOrElse(Options.DefaultBuckets)
+    val f = mapping.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no such column to index: $colName"))
+    val dt = f.dataType
+    val keyName = mapping.keyField.name
+    val keyDt = mapping.keyField.dataType
+    CellStore.dropTable(idxDir)
+    CellStore.writeMeta(idxDir, CellStore.Meta(
+      "row_key BINARY,column_name BINARY,value BINARY", ":key,:column,:value",
+      Map(Options.Buckets -> buckets.toString)))
+    stampFormat(idxDir)
+    val base = spark.read.format("cassandralike")
+      .option(Options.Path, tableDir).load()
+      .select(c(keyName), c(colName))
+      .filter(c(colName).isNotNull)
+    val enc3 = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.BINARY,
+      org.apache.spark.sql.Encoders.BINARY)
+    base.map { r =>
+      val kCat = CatalystTypeConverters.convertToCatalyst(r.get(0))
+      val vCat = CatalystTypeConverters.convertToCatalyst(r.get(1))
+      // column_name = the base key under the TABLE's encoding — the exact
+      // bytes the organic write path stages (CassandraLikeWrite encodeValue)
+      val keyBytes =
+        if (textEnc) Codecs.encodeText(keyDt, kCat) else Codecs.encode(keyDt, kCat)
+      (encodeKey(dt, vCat, textEnc), keyBytes, Array.emptyByteArray)
+    }(enc3).toDF("row_key", "column_name", "value")
+      .write.format("cassandralike")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .option(Options.Path, idxDir)
+      .option(Options.WriteTimestamp, "1")
+      .save()
+  }
+
   /** Index-key encoding: the cell-value codec plus float/double
     * normalization and an order-preserving byte transform, applied
     * identically on write and lookup.

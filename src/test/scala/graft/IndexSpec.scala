@@ -301,6 +301,41 @@ class IndexSpec extends SparkSpec {
       s"write to a mismatched index store must be rejected: $thrown")
   }
 
+  test("ALTER TABLE adds an index to an occupied table via rebuild; removal drops it") {
+    val sp = spark; import sp.implicits._
+    // store WITHOUT any index, occupied before the index exists
+    val dir = Seed.table(spark, sfDir, "spec_idx_rebuild",
+      (1L to 500L).map(i => (i, s"g${i % 7}", i * 1.0)).toDF("id", "name", "bal"))
+    val meta0 = CellStore.readMeta(dir).get
+    assert(!meta0.properties.contains(Options.IndexColumns))
+    // rebuild through the same entry point the catalog's ALTER uses
+    val m = ColumnMapping.parse(meta0.mapping,
+      org.apache.spark.sql.types.StructType.fromDDL(meta0.schemaDdl))
+    Index.rebuild(spark, dir, m, meta0.properties, "name")
+    CellStore.writeMeta(dir, meta0.copy(properties =
+      meta0.properties + (Options.IndexColumns -> "name")))
+    // the rebuilt index prunes like an organically-built one...
+    val full = partitions(dir, Array.empty)
+    val pruned = partitions(dir, Array(EqualTo("name", "g3")))
+    assert(pruned < full, s"rebuilt index must prune ($pruned vs $full)")
+    // ...returns exactly the right rows...
+    val got = Seed.read(spark, dir).filter(col("name") === "g3")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (1L to 500L).filter(_ % 7 == 3).sorted)
+    // ...and stays complete under writes AFTER the rebuild (organic path)
+    Seed.append(Seq((501L, "g3", 0.0)).toDF("id", "name", "bal"), dir,
+      Map(Options.WriteTimestamp -> "2"))
+    val got2 = Seed.read(spark, dir).filter(col("name") === "g3")
+      .collect().map(_.getLong(0))
+    assert(got2.contains(501L), "post-rebuild writes must keep indexing")
+    // removal drops the sub-store and reads fall back to the full scan
+    CellStore.writeMeta(dir, meta0.copy(properties = meta0.properties))
+    CellStore.dropTable(Index.dir(dir, "name"))
+    assert(partitions(dir, Array(EqualTo("name", "g3"))) == full)
+    assert(Seed.read(spark, dir).filter(col("name") === "g3")
+      .collect().map(_.getLong(0)).toSeq.sorted.containsSlice(Seq(3L, 10L)))
+  }
+
   test("index.columns is locked once segments exist; transposed rejected") {
     intercept[IllegalArgumentException] {
       Index.columns(ColumnMapping.parse(":key,:column,:value",
