@@ -656,7 +656,8 @@ object Connector {
     Q("conn_create_index",
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 3
-        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+        |ORDER BY c_custkey""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       s.conf.set("spark.sql.catalog.cassandralike",
         classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)

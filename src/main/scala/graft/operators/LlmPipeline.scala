@@ -766,7 +766,8 @@ object LlmPipeline {
         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
         |  FROM scored)
         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id AS neighbor, round(cos, 3) AS cos
-        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+        |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+      bench = true) { (s, dir) =>
       import graft.sources.cassandralike.Seed
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -336,6 +336,45 @@ class IndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq.sorted.containsSlice(Seq(3L, 10L)))
   }
 
+  test("order-preserving encoding: byte order equals SQL order (property sweep)") {
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(20260813L)
+    def enc(dt: DataType, v: Any): Array[Byte] =
+      Index.encodeKey(dt, v, textEncoding = false)
+    def sgn(i: Int): Int = Integer.signum(i)
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (rnd.nextLong(), rnd.nextLong())
+      assert(sgn(Codecs.compareBytes(enc(LongType, a), enc(LongType, b))) ==
+        sgn(java.lang.Long.compare(a, b)), s"long order $a vs $b")
+      val (ai, bi) = (rnd.nextInt(), rnd.nextInt())
+      assert(sgn(Codecs.compareBytes(enc(IntegerType, ai), enc(IntegerType, bi))) ==
+        sgn(Integer.compare(ai, bi)), s"int order $ai vs $bi")
+    }
+    // doubles: every IEEE special crossed with a wide random sweep; SQL
+    // comparison semantics (NaN greatest, -0.0 == 0.0) via zero-normalized
+    // Double.compare
+    def cmpD(a: Double, b: Double): Int = java.lang.Double.compare(
+      if (a == 0.0d) 0.0d else a, if (b == 0.0d) 0.0d else b)
+    val ds = Seq(Double.NegativeInfinity, -1.5e300, -1.0, -Double.MinPositiveValue,
+      -0.0d, 0.0d, Double.MinPositiveValue, 1.0, 1.5e300,
+      Double.PositiveInfinity, Double.NaN) ++
+      (1 to 300).map(_ => (rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(600) - 300))
+    val encD = ds.map(d => d -> enc(DoubleType, d))
+    for ((a, ea) <- encD; (b, eb) <- encD)
+      assert(sgn(Codecs.compareBytes(ea, eb)) == sgn(cmpD(a, b)),
+        s"double order $a vs $b")
+    // strings: SQL order IS UTF-8 binary order — identity encoding suffices
+    val ss = (1 to 300).map(_ => rnd.alphanumeric.take(rnd.nextInt(12)).mkString)
+    val encS = ss.map(s => s ->
+      enc(StringType, org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    for ((a, ea) <- encS; (b, eb) <- encS)
+      assert(sgn(Codecs.compareBytes(ea, eb)) ==
+        sgn(org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))),
+        s"string order '$a' vs '$b'")
+  }
+
   test("index.columns is locked once segments exist; transposed rejected") {
     intercept[IllegalArgumentException] {
       Index.columns(ColumnMapping.parse(":key,:column,:value",
