@@ -299,6 +299,38 @@ object Streaming {
         .orderBy($"event_id")
     },
 
+    // ---- the change feed as an EVENT-TIME source: rows stream OUT of the
+    // cell store and straight into a watermark + tumbling-window
+    // aggregation — the feed composes with event-time semantics exactly
+    // like a file source (same emission contract as stream_window_counts:
+    // append mode, windows closed by the final watermark max(ts) − 2h).
+    // The store is written as ONE epoch, so the feed's first micro-batch
+    // carries every row and no event can arrive behind the watermark —
+    // the multi-epoch late-arrival story is the consumer's watermark
+    // policy, not the source's. ----
+    Q("stream_changefeed_window",
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n,
+        |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |      FROM events GROUP BY 1, 2)
+        |SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS win_start, event_type, n, total
+        |FROM w WHERE win + INTERVAL 1 HOUR <= (SELECT mt - INTERVAL 2 HOUR FROM mx)
+        |ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      import graft.sources.cassandralike.Seed
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val store = Seed.table(s, dir, "changefeed_events", ev)
+      val feed = s.readStream.format("cassandralike").option("path", store).load()
+      val agg = feed
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), d(sum(col("value").cast("decimal(12,2)"))).as("total"))
+      StreamOps.runToMemory(s, agg, "append")
+        .select(ymdHms(col("window.start")).as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+
     // ---- the store as a STREAMING SOURCE: `readStream` over a
     // cassandralike table is a change feed — each micro-batch reads exactly
     // the segments committed since the last offset (offset = consumed
