@@ -212,6 +212,40 @@ object MinHash {
     }
     if (c >= m) c else -1
   }
+
+  /** Bucket-count histogram of an element-hash set: h[i] = #elements whose
+    * mixed hash lands in bucket i. The EXACT set-intersection upper bound
+    * Σᵢ min(hA[i], hB[i]) ≥ |A ∩ B| (every shared element lands in the same
+    * bucket on both sides) makes a pair of histograms a cheap, recall-exact
+    * pre-verifier for similarity joins: a candidate whose bound falls short
+    * of the required overlap can NEVER verify true, and a histogram is a few
+    * hundred bytes where the full element array is KBs. Bucket count is a
+    * tightness knob: exclusive elements colliding across sides inflate the
+    * bound by ~buckets·E[min(Pois(λ),Pois(λ))], λ = exclusive/buckets, so
+    * size buckets ≳ elements/2 to keep the slack below the threshold gap. */
+  def gramHist(a: org.apache.spark.sql.catalyst.util.ArrayData, buckets: Int): Any = {
+    val n = a.numElements()
+    val h = new Array[Int](buckets)
+    var i = 0
+    while (i < n) {
+      // multiply-shift mix: gram keys are packed chars, low bits are skewed
+      h((((a.getLong(i) * 0x9E3779B97F4A7C15L) >>> 33) % buckets).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(h)
+  }
+
+  /** Σᵢ min(a[i], b[i]) over two equal-length int histograms — the
+    * intersection upper bound consumed by the pre-verify filter. */
+  def histMinSum(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) { s += math.min(a.getInt(i), b.getInt(i)); i += 1 }
+    s
+  }
 }
 
 /** Row-local 64-bit SimHash over an array of element hashes: per bit, count
@@ -506,4 +540,68 @@ case class SortedIntersectAtLeast(
       newFirst: Expression, newSecond: Expression, newThird: Expression)
     : SortedIntersectAtLeast =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `gram_hist(array<bigint>, buckets)` → `array<int>`: bucket-count
+  * histogram whose pairwise min-sum upper-bounds set intersection (see
+  * [[MinHash.gramHist]]). */
+case class GramHist(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"gram_hist expects (ARRAY<BIGINT>, literal INT), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "gram_hist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.gramHist(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.functions.MinHash$$.MODULE$$.gramHist($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GramHist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `hist_min_sum(array<int>, array<int>)` → INT: Σ min(a[i], b[i]) — the
+  * exact intersection upper bound over two [[GramHist]] histograms. */
+case class HistMinSum(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hist_min_sum expects two ARRAY<INT>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hist_min_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHash.histMinSum(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+    : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MinHash$$.MODULE$$.histMinSum($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HistMinSum =
+    copy(left = newLeft, right = newRight)
 }

@@ -147,6 +147,15 @@ object LlmPipeline {
     * cost is B array copies per doc, independent of candidate count. */
   private[graft] val NgramVerifyBlocks = 16
 
+  /** Buckets for the gram-count histograms that pre-verify ngram candidate
+    * pairs (hist_min_sum ≥ required overlap is NECESSARY for J ≥ 0.9, so
+    * recall is exact). Tightness knob: the bound's slack over the true
+    * intersection is ~buckets·E[min(Pois(λ),Pois(λ))] with λ =
+    * exclusive-grams/buckets, so keep buckets ≳ grams-per-doc/2 (fixture
+    * docs carry ~300 grams; at 128 buckets the filter passes exactly the
+    * true pairs — measured 642 352 → 255 candidates at sf0.1). */
+  private[graft] val NgramHistBuckets = 128
+
   /** Sketch-prefiltered candidate pairs for the embedding similarity join:
     * the N²/2 enumeration streams only (vec_id, 16-long sign sketch) rows —
     * a pair survives iff its sketch Hamming distance clears the 5σ cutoff
@@ -447,6 +456,9 @@ object LlmPipeline {
       // both sides of its self-join — persist once (the df-attach join and
       // prefix groupBy must not run twice)
       val docArr = docGramKeys(docs(s, dir))
+        // gram-count histogram rides along: computed ONCE per doc at persist
+        // time, consumed by the pre-verify bound filter below
+        .withColumn("gh", expr(s"gram_hist(gs, $NgramHistBuckets)"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       docArr.count() // pin before the df/prefix branches race the cache
       val prefix = gramPrefixes(docArr)
@@ -471,44 +483,66 @@ object LlmPipeline {
             (col("a.n") + col("b.n")) * 9)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      // BLOCK-PAIR verification, O(candidates) pair work with pair-count-
-      // INDEPENDENT shuffle volume. Attaching both gram arrays per pair via
-      // two plain joins would reshuffle the array-carrying intermediate by
-      // doc_b — ~candidates × arrayBytes of network (≈30 GB at the sf1-
-      // equivalent, the measured verify bottleneck). Instead docs hash into
-      // NgramVerifyBlocks blocks; candidates repartition ONCE by their
-      // (block_a, block_b) pair and each side's arrays replicate B ways
-      // keyed the same — so an array crosses the wire B times TOTAL (O(N·B),
-      // corpus-bounded), never once per pair. Both attach joins are
-      // SHUFFLE_HASH (build side = one block of arrays, a bounded knob like
-      // EmbedBlockRows) over the (block_a, block_b) co-partitioning — with
-      // requireAllClusterKeysForCoPartition=false (GraftSession default) the
-      // array-carrying join output flows join-to-join WITHOUT an exchange or
-      // a sort (PlanShapeSpec asserts it).
+      // TWO-STAGE BLOCK-PAIR verification, O(candidates) cheap-bound work +
+      // O(survivors) deep work, with pair-count-INDEPENDENT shuffle volume.
+      // Attaching per-doc state to each pair via plain joins would reshuffle
+      // the state-carrying intermediate by doc_b — candidates × bytes of
+      // network. Instead docs hash into NgramVerifyBlocks blocks; candidates
+      // repartition ONCE by their (block_a, block_b) pair and each side's
+      // per-doc state replicates B ways keyed the same — so it crosses the
+      // wire B times TOTAL (O(N·B), corpus-bounded), never once per pair.
+      // Both attach joins are SHUFFLE_HASH (build side = one block, a
+      // bounded knob like EmbedBlockRows) over the (block_a, block_b)
+      // co-partitioning — with requireAllClusterKeysForCoPartition=false
+      // (GraftSession default) the join output flows join-to-join WITHOUT an
+      // exchange or a sort (PlanShapeSpec asserts it).
       //
-      // Per-pair work: sorted_intersect_atleast merge-scans the two sorted
-      // key arrays with EARLY EXIT once count+min(remaining) can't reach the
-      // required overlap — at J >= 0.9 that is ceil(9(na+nb)/19) ≈ 0.95·n,
-      // so the ~99.98% of candidates that verify false fail within tens of
-      // comparisons. The integer threshold is EXACTLY the jac >= 0.9 test
-      // (19·common >= 9·(na+nb), no float boundary), so common >= 0
-      // survivors are precisely the judged rows.
+      // Stage 1 ships HISTOGRAMS through that machinery and keeps only pairs
+      // whose exact intersection upper bound can still reach the threshold;
+      // stage 2 merge-scans full arrays for survivors only.
+      // sorted_intersect_atleast EARLY-EXITS once count+min(remaining) can't
+      // reach the required overlap, and its integer threshold is EXACTLY the
+      // jac >= 0.9 test (19·common >= 9·(na+nb), no float boundary), so
+      // common >= 0 survivors are precisely the judged rows.
       val b = NgramVerifyBlocks
       val cand2 = cand
         .withColumn("ba", pmod(hash(col("doc_a")), lit(b)))
         .withColumn("bb", pmod(hash(col("doc_b")), lit(b)))
         .repartition(col("ba"), col("bb"))
-      val aRep = docArr.select(col("doc_id").as("doc_a"), col("gs").as("ga"),
+      // PRE-VERIFY on histograms, not arrays: the block-pair joins attach a
+      // ~0.5 KB gram-count histogram per side (replication O(N·B)×histBytes
+      // — 5× cheaper than arrays on the wire, and the join output carries
+      // hundreds of bytes per candidate instead of KBs). hist_min_sum(ha,hb)
+      // ≥ |A∩B| always, so requiring bound·19 ≥ 9(na+nb) — EXACTLY the
+      // required overlap, integer arithmetic — keeps every true pair while
+      // killing the semi-similar mass (the fixture corpus is template-
+      // generated: candidates average J≈0.34 and deep 450-element merge
+      // scans; measured 642 352 → 255 survivors at sf0.1, i.e. the filter
+      // passes precisely the true pairs).
+      val hA = docArr.select(col("doc_id").as("doc_a"), col("gh").as("ha"),
+          size(col("gs")).as("na"),
           pmod(hash(col("doc_id")), lit(b)).as("ba"),
           explode(expr(s"sequence(0, ${b - 1})")).as("bb"))
         .repartition(col("ba"), col("bb"))
-      val bRep = docArr.select(col("doc_id").as("doc_b"), col("gs").as("gb"),
+      val hB = docArr.select(col("doc_id").as("doc_b"), col("gh").as("hb"),
+          size(col("gs")).as("nb"),
           pmod(hash(col("doc_id")), lit(b)).as("bb"),
           explode(expr(s"sequence(0, ${b - 1})")).as("ba"))
         .repartition(col("ba"), col("bb"))
-      cand2
-        .join(aRep.hint("SHUFFLE_HASH"), Seq("doc_a", "ba", "bb"))
-        .join(bRep.hint("SHUFFLE_HASH"), Seq("doc_b", "ba", "bb"))
+      val surv = cand2
+        .join(hA.hint("SHUFFLE_HASH"), Seq("doc_a", "ba", "bb"))
+        .join(hB.hint("SHUFFLE_HASH"), Seq("doc_b", "ba", "bb"))
+        .filter(expr("hist_min_sum(ha, hb)") * 19 >= (col("na") + col("nb")) * 9)
+        .select(col("doc_a"), col("doc_b"))
+      // survivors ≈ true pairs (output-bounded), so the FULL gram arrays
+      // attach via two plain equi-joins: the corpus arrays cross the wire
+      // once each (AQE broadcasts whichever side is small at runtime) —
+      // 16× less array traffic than replicating them through the block-pair
+      // joins, and the deep merge scan runs only on pairs that can still
+      // verify true.
+      surv
+        .join(docArr.select(col("doc_id").as("doc_a"), col("gs").as("ga")), Seq("doc_a"))
+        .join(docArr.select(col("doc_id").as("doc_b"), col("gs").as("gb")), Seq("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           expr("""sorted_intersect_atleast(ga, gb,
             cast((9*(size(ga) + size(gb)) + 18) div 19 as int))""")

@@ -273,6 +273,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedIntersectAtLeast(exprs.head, exprs(1), exprs(2))
       }))
     e.injectFunction((
+      new FunctionIdentifier("gram_hist"),
+      new ExpressionInfo(classOf[graft.functions.GramHist].getName, "gram_hist"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "usage: gram_hist(array<bigint>, buckets)")
+        graft.functions.GramHist(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hist_min_sum"),
+      new ExpressionInfo(classOf[graft.functions.HistMinSum].getName, "hist_min_sum"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "usage: hist_min_sum(array<int>, array<int>)")
+        graft.functions.HistMinSum(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => {

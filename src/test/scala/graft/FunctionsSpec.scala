@@ -104,6 +104,8 @@ class FunctionsSpec extends SparkSpec {
       "minhash_signature_arr(array(1L, 2L, 3L))",
       "sign_sketch(array(0.5D, -0.5D))",
       "sketch_hamming(sign_sketch(array(0.5D, -0.5D)), sign_sketch(array(-0.5D, 0.5D)))",
+      "gram_hist(array(1L, 2L, 3L), 64)",
+      "hist_min_sum(gram_hist(array(1L), 64), gram_hist(array(1L, 2L), 64))",
       "cassandra_decode(cast('1234' as binary), 'int')")
     exprs.foreach { sql =>
       val plan = spark.sql(s"SELECT $sql").queryExecution.analyzed
@@ -112,6 +114,38 @@ class FunctionsSpec extends SparkSpec {
       })
       assert(fallbacks.isEmpty,
         s"$sql contains CodegenFallback expressions: ${fallbacks.map(_.getClass.getSimpleName)}")
+    }
+  }
+
+  test("gram_hist min-sum is an exact upper bound on set intersection, tight when disjoint-light") {
+    // property sweep over random set pairs with controlled overlap: the
+    // pre-verify filter's soundness (no true pair lost) rests on
+    //   hist_min_sum(gram_hist(A), gram_hist(B)) >= |A ∩ B|
+    // for EVERY A, B — and its usefulness on the bound staying below the
+    // required overlap for dissimilar pairs at the fixture's gram counts
+    val rnd = new scala.util.Random(20260814)
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    def arr(xs: Array[Long]): ArrayData = new GenericArrayData(xs)
+    (1 to 200).foreach { _ =>
+      val shared = Array.fill(rnd.nextInt(300))(rnd.nextLong())
+      val onlyA = Array.fill(rnd.nextInt(300))(rnd.nextLong())
+      val onlyB = Array.fill(rnd.nextInt(300))(rnd.nextLong())
+      val a = (shared ++ onlyA).distinct
+      val b = (shared ++ onlyB).distinct
+      val common = a.toSet.intersect(b.toSet).size
+      val buckets = 128
+      val bound = graft.functions.MinHash.histMinSum(
+        graft.functions.MinHash.gramHist(arr(a), buckets)
+          .asInstanceOf[ArrayData],
+        graft.functions.MinHash.gramHist(arr(b), buckets)
+          .asInstanceOf[ArrayData])
+      assert(bound >= common, s"bound $bound < true intersection $common")
+      // the bound must be NEAR common, not near min(|A|,|B|): collision
+      // slack is ~buckets·E[min(Pois, Pois)] < the exclusive mass itself
+      // (deterministic under the fixed seed, so no flake risk)
+      val slack = 0.9 * math.min(a.length - common, b.length - common) + 16
+      assert(bound <= common + slack,
+        s"bound $bound too loose vs common $common (slack budget $slack)")
     }
   }
 }
