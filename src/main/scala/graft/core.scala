@@ -100,6 +100,12 @@ object GraftSession {
       // existing HashPartitioning (e.g. the block-pair verify joins) reuse
       // it instead of reshuffling the array-carrying intermediate
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // storage-partitioned joins over cassandralike stores that report
+      // their token-bucket layout (Options.ReportPartitioning): same-bucket
+      // stores join with no exchange on either side; pushPartValues lets a
+      // bucket empty on one side still zip against its peer
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -163,6 +163,63 @@ object Connector {
         .orderBy($"n_name")
     },
 
+    // ---- STORAGE-PARTITIONED JOIN: two stores written with the same
+    // token-bucket layout ('buckets' + 'partitioning.report') join on their
+    // row keys with NO exchange on either side. The scans report
+    // KeyGroupedPartitioning(bucket(n, key)); Catalyst binds the transform
+    // through the catalog's FunctionCatalog and proves the sides
+    // co-partitioned — Cassandra's same-partitioner co-location argument as
+    // a plan property. At 100 TB this is THE fact-fact join shape: neither
+    // side is broadcastable and neither should shuffle; at test SF the
+    // MERGE hint stands in for the size that would suppress broadcast
+    // (PlanShapeSpec asserts the exchange-free plan). ----
+    Q("conn_join_copartitioned",
+      """WITH rev AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  max(revenue) AS max_rev
+        |FROM orders JOIN rev USING (o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.orders_by_key")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.orders_by_key
+          |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+          |USING cassandralike
+          |TBLPROPERTIES ('buckets' = '16', 'partitioning.report' = 'true')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.orders_by_key
+          |SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders""".stripMargin)
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.orderrev_by_key")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.orderrev_by_key
+          |  (o_orderkey BIGINT, revenue DOUBLE)
+          |USING cassandralike
+          |TBLPROPERTIES ('buckets' = '16', 'partitioning.report' = 'true')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.orderrev_by_key
+          |SELECT l_orderkey,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          |FROM lineitem GROUP BY l_orderkey""".stripMargin)
+      s.table("cassandralike.ks.orders_by_key")
+        .hint("MERGE") // the no-broadcast reality of a 100 TB fact join
+        .join(s.table("cassandralike.ks.orderrev_by_key"), Seq("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), d(sum(m($"o_totalprice"))).as("total"),
+          max($"revenue").as("max_rev"))
+        .orderBy($"o_orderpriority")
+    },
+
     // ---- snapshot (as-of) read: cells carry write timestamps, so reading
     // with read.asof=T replays LWW over only the cells written at or before
     // T — Cassandra-style historical reads from the same immutable

@@ -751,6 +751,78 @@ object LlmPipeline {
         .orderBy(col("qid"))
     },
 
+    // ---- PRODUCT-QUANTIZED ANN (the IVF-PQ compression half): each vector
+    // is M=16 one-byte codeword ids — 16 bytes scanned per row instead of
+    // 64 doubles (32×). Scoring is ADC: the query precomputes an M×K table
+    // of exact subspace inner products (pq_lut), every corpus code scores
+    // with M table lookups (pq_adc, codegen'd — the scan loop does no
+    // vector arithmetic at all), the top-64 candidates re-rank by EXACT
+    // cosine on the raw vectors. At 100 TB this is the memory-resident ANN
+    // shape: the code table fits in RAM at 16 B/vector where raw vectors
+    // (512 B) cannot, the full-precision corpus stays on disk and only
+    // candidate rows are fetched. The codebook is a driver-bounded literal
+    // (M·K·(d/M) = 1024 doubles — subvectors of the K lowest-id corpus
+    // vectors, deterministic, no training iterations); same
+    // approximation-ratio contract as llm_ann_ivf. ----
+    Q("llm_ann_pq",
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+        |SELECT vec_id AS qid, TRUE AS ratio_ok FROM e ORDER BY qid""".stripMargin,
+      bench = true) { (s, dir) =>
+      val M = 16
+      val K = 16
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr(
+          "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def dotCos(a: String, an: String, b: String, bn: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)") /
+          (col(an) * col(bn))
+      val seedVecs: Array[Array[Double]] = e.filter(col("vec_id") < K)
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      val d = seedVecs.head.length
+      val sub = d / M
+      val cbLit = typedLit(for {
+        j <- 0 until M; c <- 0 until K; i <- 0 until sub
+      } yield seedVecs(c)(j * sub + i))
+      // encode: ONE map-only pass over the corpus (no shuffle); at scale
+      // this tiny projection is what a serving tier caches in RAM
+      val enc = e.select(col("vec_id"), col("norm"),
+        call_function("pq_encode", col("v"), cbLit, lit(M), lit(K)).as("codes"))
+      val qLut = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+          call_function("pq_lut", col("v"), cbLit, lit(M), lit(K)).as("lut"))
+      // candidate generation: broadcast the query LUTs, score every code by
+      // M lookups, keep top-64 per query (partition-parallel partial top-k
+      // under the rank window's partition-by-qid)
+      val wCand = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+      val cands = enc.join(broadcast(qLut), col("vec_id") =!= col("qid"))
+        .withColumn("adc",
+          call_function("pq_adc", col("codes"), col("lut"), lit(K)) /
+            (col("qnorm") * col("norm")))
+        .withColumn("rk", row_number().over(wCand))
+        .filter(col("rk") <= 64)
+        .select(col("qid"), col("qv"), col("qnorm"), col("vec_id"))
+      // exact re-rank of the candidate short list only
+      val reranked = cands.join(e, "vec_id")
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
+      def avgTop5(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        scored.select(col("qid"), col("cos"), row_number().over(w).as("rk"))
+          .filter(col("rk") <= 5)
+          .groupBy("qid").agg(avg(col("cos")).as("avg_cos"))
+      }
+      val exactScored = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+        .join(e, col("vec_id") =!= col("qid"))
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
+      avgTop5(reranked).withColumnRenamed("avg_cos", "pq_avg")
+        .join(avgTop5(exactScored).withColumnRenamed("avg_cos", "exact_avg"), "qid")
+        .select(col("qid"), (col("pq_avg") / col("exact_avg") >= 0.6).as("ratio_ok"))
+        .orderBy(col("qid"))
+    },
+
     // ---- INCREMENTAL ANN: the IVF index PERSISTED in the cell store and
     // maintained by delta append — the vector analogue of
     // llm_dedup_incremental, and the shape embedding search takes at 100 TB

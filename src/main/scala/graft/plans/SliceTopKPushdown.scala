@@ -273,6 +273,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedIntersectAtLeast(exprs.head, exprs(1), exprs(2))
       }))
     e.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4, "usage: pq_encode(v, codebook, m, k)")
+        graft.functions.PqEncode(exprs.head, exprs(1), exprs(2), exprs(3))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[graft.functions.PqLut].getName, "pq_lut"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 4, "usage: pq_lut(q, codebook, m, k)")
+        graft.functions.PqLut(exprs.head, exprs(1), exprs(2), exprs(3))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "usage: pq_adc(codes, lut, k)")
+        graft.functions.PqAdc(exprs.head, exprs(1), exprs(2))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("gram_hist"),
       new ExpressionInfo(classOf[graft.functions.GramHist].getName, "gram_hist"),
       (exprs: Seq[Expression]) => {

@@ -1,0 +1,60 @@
+package graft.sources.cassandralike
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** The token-ring bucket as a Spark V2 catalog function — the piece that
+  * lets Catalyst PROVE two cell stores are co-partitioned and plan a
+  * storage-partitioned join (no exchange on either side).
+  *
+  * The scan reports `KeyGroupedPartitioning(bucket(n, key))`; Spark resolves
+  * the `bucket` transform through the owning catalog's FunctionCatalog and
+  * compares both sides by `canonicalName` + bucket count. Two stores written
+  * with the same `buckets` property therefore join shuffle-free on their row
+  * keys — Cassandra's "same partitioner, same token ranges" co-location
+  * argument, carried into Catalyst as a provable plan property instead of a
+  * scheduling hint (the reference could only offer per-split locality,
+  * input/HiveCassandraStandardSplit.java:69-71).
+  *
+  * `produceResult` evaluates the real assignment (encode key bytes →
+  * murmur token → range), so plans that must shuffle ONE side to match a
+  * store's layout (spark.sql.sources.v2.bucketing.shuffle.enabled) compute
+  * the identical bucket the writer used. */
+object BucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): token-ring bucket the store's writer assigns to `key`"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets INT, key), got ${inputType.catalogString}")
+    require(inputType(0).dataType == IntegerType,
+      s"bucket's first argument must be INT, got ${inputType(0).dataType.catalogString}")
+    val keyType = inputType(1).dataType
+    keyType match { // the types the store can key (Codecs.encode)
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           StringType | BinaryType | TimestampType => ()
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported key type ${other.catalogString}")
+    }
+    BoundBucket(keyType)
+  }
+}
+
+final case class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  // the store's key->bucket map depends on the key's byte encoding, so the
+  // identity Spark uses for co-partition compatibility must carry the type
+  override def canonicalName(): String =
+    s"cassandralike.bucket(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val key = input.get(1, keyType)
+    TokenRing.bucket(Codecs.encode(keyType, key), n)
+  }
+}

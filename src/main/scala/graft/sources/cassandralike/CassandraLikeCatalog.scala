@@ -32,7 +32,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.conf.set("spark.sql.catalog.cassandralike.warehouse", dir)
   * }}}
   */
-class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces {
+class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
+  with FunctionCatalog {
+
+  // ---- FunctionCatalog: the `bucket` transform the scans' reported
+  // KeyGroupedPartitioning resolves through (storage-partitioned joins) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, BucketFunction.name()))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase(BucketFunction.name())) BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _

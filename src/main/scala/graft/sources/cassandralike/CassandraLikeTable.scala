@@ -37,6 +37,16 @@ object Options {
   val SliceReversed = "slice.reversed"
   val SliceCount = "slice.count"
   val Hosts = "locality.hosts" // S2: comma list mapped bucket->host round-robin
+
+  /** Opt-in: report the store's token-bucket layout to Catalyst as a
+    * KeyGroupedPartitioning so same-bucketed stores join WITHOUT shuffling
+    * either side (storage-partitioned join; needs
+    * spark.sql.sources.v2.bucketing.enabled and a catalog-resolved read so
+    * the `bucket` transform can bind through FunctionCatalog). Opt-in
+    * because a reported grouping makes Spark coalesce a bucket's key-range
+    * sub-splits into ONE task — the right trade for a co-located join, the
+    * wrong default for plain scans of a large store. */
+  val ReportPartitioning = "partitioning.report"
   val SplitTargetCells = "split.target.cells" // S1: cells per scan split
   /** Snapshot read: only cells (incl. tombstones) with ts <= this logical
     * timestamp participate in LWW reconciliation — the historical-read
@@ -194,6 +204,17 @@ class CassandraLikeTable(
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** The store's layout, declared: every row lands in
+    * `bucket(buckets, key)` (TokenRing). Informational here; the scan
+    * reports the matching KeyGroupedPartitioning when
+    * [[Options.ReportPartitioning]] asks for storage-partitioned joins. */
+  override def partitioning(): Array[Transform] = {
+    val buckets = tableProps.get(Options.Buckets).map(_.toInt)
+      .getOrElse(Options.DefaultBuckets)
+    Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      buckets, mapping.keyField.name))
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
@@ -403,10 +424,19 @@ final case class CellInputPartition(
     // change-feed batches restrict the merge to the micro-batch's NEW
     // committed segment names (relative to the sst dir); null = the batch
     // scan's view, every committed segment at reader-open time
-    files: Seq[String] = null) extends InputPartition {
+    files: Seq[String] = null) extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** S2: replica-aware placement hook (the reference's split locations,
     * input/HiveCassandraStandardSplit.java:69-71). Empty in local mode. */
   override def preferredLocations(): Array[String] = hosts
+
+  /** Storage-partitioned joins: the split's bucket is its partition-key
+    * value under the scan's reported `bucket(n, key)` clustering; Spark
+    * groups same-bucket sub-splits into one task when a join wants the
+    * co-partitioning. */
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
 }
 
 class CellScan(
@@ -415,7 +445,31 @@ class CellScan(
     filters: Array[Filter],
     options: Map[String, String],
     limit: Option[Int] = None)
-  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Storage-partitioned join hook: report the token-bucket layout as a
+    * KeyGroupedPartitioning over `bucket(buckets, key)` when the table
+    * opts in ([[Options.ReportPartitioning]]) and the projection kept the
+    * key column (the clustering expression must resolve against the scan
+    * output). Catalyst then proves two same-bucketed stores co-partitioned
+    * — their equi-join on row keys plans with NO exchange on either side —
+    * by binding the transform through the catalog's [[BucketFunction]] and
+    * matching `canonicalName` + bucket count across the sides. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val keyName = table.mapping.keyField.name
+    val optedIn = table.opt(options, Options.ReportPartitioning)
+      .exists(_.toBoolean)
+    if (optedIn && required.fieldNames.contains(keyName)) {
+      val buckets = table.opt(options, Options.Buckets)
+        .map(_.toInt).getOrElse(Options.DefaultBuckets)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(buckets, keyName)), plannedBuckets.size)
+    } else {
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
 
   /** Runtime (join-produced) key filters — the DSv2 dynamic-partition-pruning
     * hook. Spark calls `filter` after executing the build side of a selective

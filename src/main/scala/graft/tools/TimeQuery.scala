@@ -21,6 +21,8 @@ object TimeQuery {
       // existing HashPartitioning (e.g. the block-pair verify joins) reuse
       // it instead of reshuffling the array-carrying intermediate
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -106,6 +106,9 @@ class FunctionsSpec extends SparkSpec {
       "sketch_hamming(sign_sketch(array(0.5D, -0.5D)), sign_sketch(array(-0.5D, 0.5D)))",
       "gram_hist(array(1L, 2L, 3L), 64)",
       "hist_min_sum(gram_hist(array(1L), 64), gram_hist(array(1L, 2L), 64))",
+      "pq_encode(array(1.0D, 2.0D), array(0.0D, 0.0D, 1.0D, 2.0D), 2, 2)",
+      "pq_adc(pq_encode(array(1.0D, 2.0D), array(0.0D, 0.0D, 1.0D, 2.0D), 2, 2), " +
+        "pq_lut(array(1.0D, 2.0D), array(0.0D, 0.0D, 1.0D, 2.0D), 2, 2), 2)",
       "cassandra_decode(cast('1234' as binary), 'int')")
     exprs.foreach { sql =>
       val plan = spark.sql(s"SELECT $sql").queryExecution.analyzed
@@ -114,6 +117,36 @@ class FunctionsSpec extends SparkSpec {
       })
       assert(fallbacks.isEmpty,
         s"$sql contains CodegenFallback expressions: ${fallbacks.map(_.getClass.getSimpleName)}")
+    }
+  }
+
+  test("pq kernels: encode is per-subspace argmin-L2, adc equals the codeword inner product") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rnd = new scala.util.Random(20260814)
+    val (m, k, d) = (8, 16, 64)
+    val sub = d / m
+    (1 to 50).foreach { _ =>
+      val cb = Array.fill(m * k * sub)(rnd.nextGaussian())
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val q = Array.fill(d)(rnd.nextGaussian())
+      def ad(a: Array[Double]): ArrayData = new GenericArrayData(a)
+      val codes = graft.functions.Pq.encode(ad(v), ad(cb), m, k)
+      // argmin: no codeword beats the chosen one in its subspace
+      (0 until m).foreach { j =>
+        def dist(c: Int): Double = (0 until sub).map { i =>
+          val diff = v(j * sub + i) - cb((j * k + c) * sub + i); diff * diff
+        }.sum
+        val chosen = dist(codes(j) & 0xff)
+        (0 until k).foreach(c => assert(chosen <= dist(c) + 1e-12))
+      }
+      // adc = sum over subspaces of <q_j, codeword chosen for v_j>
+      val lut = graft.functions.Pq.lut(ad(q), ad(cb), m, k)
+      val got = graft.functions.Pq.adc(codes, lut.asInstanceOf[ArrayData], k)
+      val want = (0 until m).map { j =>
+        val c = codes(j) & 0xff
+        (0 until sub).map(i => q(j * sub + i) * cb((j * k + c) * sub + i)).sum
+      }.sum
+      assert(math.abs(got - want) < 1e-9, s"adc $got != explicit $want")
     }
   }
 

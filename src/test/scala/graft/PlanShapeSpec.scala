@@ -173,6 +173,47 @@ class PlanShapeSpec extends SparkSpec {
       s"probe+rank should need only the top-k window shuffle, got $shuffles")
   }
 
+  test("co-partitioned store join plans storage-partitioned: no exchange on either side") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val all = collectAll(plan("conn_join_copartitioned"))
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join over the two stores")
+    val under = smjs.flatMap(_.children.flatMap(collectAll))
+    val shuffles = under.filter(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles.isEmpty,
+      s"storage-partitioned join must not shuffle its inputs: ${shuffles.map(_.nodeName).mkString(", ")}")
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join with the same rows") {
+    // the co-partition proof must FAIL soundly: different layouts -> Spark
+    // inserts exchanges and the join still answers correctly
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${graft.sources.cassandralike.Seed.storeRoot(sfDir)}/warehouse")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    Seq("spj_a16" -> 16, "spj_b8" -> 8).foreach { case (name, buckets) =>
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$name")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$name (o_orderkey BIGINT, v DOUBLE)
+           |USING cassandralike
+           |TBLPROPERTIES ('buckets' = '$buckets', 'partitioning.report' = 'true')""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO cassandralike.ks.$name
+           |SELECT o_orderkey, o_totalprice FROM orders""".stripMargin)
+    }
+    val joined = spark.table("cassandralike.ks.spj_a16").hint("MERGE")
+      .join(spark.table("cassandralike.ks.spj_b8"), Seq("o_orderkey"))
+    val n = joined.count()
+    val expected = Tables.load(spark, sfDir, "orders").count()
+    assert(n == expected, s"fallback join returned $n rows, want $expected")
+    val shuffles = collectAll(joined.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles >= 2,
+      s"mismatched layouts must shuffle both sides, saw $shuffles exchanges")
+  }
+
   test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     // the array-carrying output of the first attach join must flow INTO the
