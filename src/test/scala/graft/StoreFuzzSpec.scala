@@ -1,0 +1,170 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.cassandralike._
+
+/** Model-based randomized end-to-end fuzz of the cell store: a fixed-seed
+  * random interleaving of DSv2 appends, tombstone appends, key DELETEs and
+  * bucket compactions runs against the REAL write → LSM → scan loop, with a
+  * tiny in-memory LWW model (the store's documented reconciliation rule:
+  * highest ts wins, tombstone wins ties, value bytes break the rest)
+  * replayed alongside. After every op the full table read must equal the
+  * model; as-of reads must equal the model's historical snapshots (until a
+  * compaction collapses history, which is the documented as-of boundary).
+  *
+  * The targeted specs pin each mechanism in isolation; this one exercises
+  * the INTERLEAVINGS — delete-then-rewrite under one epoch, compaction
+  * between tombstone and shadowed cell, partial-column upserts across
+  * epochs — where LSM stores traditionally break. */
+class StoreFuzzSpec extends SparkSpec {
+
+  private val Buckets = 4
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("a", DoubleType),
+    StructField("b", StringType)))
+
+  /** One model cell: (ts, tombstone, encoded value bytes). */
+  private case class MCell(ts: Long, tomb: Boolean, bytes: Array[Byte])
+
+  private def newer(a: MCell, b: MCell): Boolean =
+    if (a.ts != b.ts) a.ts > b.ts
+    else if (a.tomb != b.tomb) a.tomb
+    else Codecs.compareBytes(
+      if (a.bytes == null) Array.emptyByteArray else a.bytes,
+      if (b.bytes == null) Array.emptyByteArray else b.bytes) > 0
+
+  /** key -> col -> all cells ever written (the model's "segments"); reads
+    * reconcile lazily so as-of snapshots need no copies. */
+  private type Model = mutable.Map[Long, mutable.Map[String, mutable.ArrayBuffer[MCell]]]
+
+  private def upsert(m: Model, k: Long, col: String, c: MCell): Unit =
+    m.getOrElseUpdate(k, mutable.Map.empty)
+      .getOrElseUpdate(col, mutable.ArrayBuffer.empty) += c
+
+  /** LWW winner among cells with ts <= asOf (None = no cell yet). */
+  private def winner(cs: Seq[MCell], asOf: Long): Option[MCell] =
+    cs.filter(_.ts <= asOf) match {
+      case Seq() => None
+      case live => Some(live.reduce((a, b) => if (newer(a, b)) a else b))
+    }
+
+  /** The rows the scan must produce at snapshot `asOf`. */
+  private def expected(m: Model, asOf: Long): Set[(Long, Option[Double], Option[String])] =
+    m.iterator.flatMap { case (k, cols) =>
+      val a = winner(cols.getOrElse("a", Nil).toSeq, asOf).filter(!_.tomb)
+        .map(c => java.nio.ByteBuffer.wrap(c.bytes).getDouble)
+      val b = winner(cols.getOrElse("b", Nil).toSeq, asOf).filter(!_.tomb)
+        .map(c => new String(c.bytes, java.nio.charset.StandardCharsets.UTF_8))
+      if (a.isEmpty && b.isEmpty) None else Some((k, a, b))
+    }.toSet
+
+  private def readBack(dir: String, asOf: Option[Long] = None): Set[(Long, Option[Double], Option[String])] =
+    Seed.read(spark, dir,
+        asOf.map(t => Map(Options.ReadAsOf -> t.toString)).getOrElse(Map.empty))
+      .collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2)))
+    }.toSet
+
+  test("random append/tombstone/delete/compact interleavings match the LWW model exactly") {
+    val rnd = new Random(20260814)
+    (1 to 3).foreach { trial =>
+      val dir = s"/tmp/graft_cellstore_fuzz/t$trial"
+      CellStore.dropTable(dir)
+      CellStore.writeMeta(dir, CellStore.Meta(schema.toDDL,
+        ColumnMapping.auto(schema), Map(Options.Buckets -> Buckets.toString)))
+      val model: Model = mutable.Map.empty
+      var ts = 0L
+      // snapshots recorded since the last compaction (compaction collapses
+      // history, the documented as-of boundary)
+      val snapshots = mutable.ArrayBuffer.empty[Long]
+
+      def appendRows(tombstoneNulls: Boolean): Unit = {
+        ts += 1
+        val rows = Seq.fill(1 + rnd.nextInt(30)) {
+          val k = rnd.nextInt(50).toLong
+          val a = if (rnd.nextInt(4) == 0) null
+            else java.lang.Double.valueOf(math.round(rnd.nextDouble() * 1e4) / 100.0)
+          val b = if (rnd.nextInt(4) == 0) null else s"v${rnd.nextInt(1000)}"
+          Row(k, a, b)
+        }
+        // distinct keys per batch: two cells for one address in one epoch
+        // share ts and resolve by value bytes — the writer emits both, the
+        // model mirrors both, so duplicates are allowed; keep them.
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), schema)
+        val opts = Map(Options.WriteTimestamp -> ts.toString) ++
+          (if (tombstoneNulls) Map(Options.NullsAsTombstones -> "true") else Map.empty)
+        Seed.append(df, dir, opts)
+        rows.foreach { r =>
+          val k = r.getLong(0)
+          Seq("a", "b").zipWithIndex.foreach { case (col, i) =>
+            val v = r.get(i + 1)
+            if (v == null) {
+              if (tombstoneNulls) upsert(model, k, col, MCell(ts, tomb = true, null))
+            } else {
+              val bytes = v match {
+                case d: java.lang.Double => java.nio.ByteBuffer.allocate(8)
+                  .putDouble(d).array()
+                case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              }
+              upsert(model, k, col, MCell(ts, tomb = false, bytes))
+            }
+          }
+        }
+      }
+
+      def deleteKeys(): Unit = {
+        val keys = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(60).toLong).distinct
+        val tbl = new CassandraLikeTable(dir, dir, schema, None,
+          Map(Options.Buckets -> Buckets.toString))
+        tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("k", keys.map(Long.box).toArray[Any])))
+        // mirror: per token bucket, doomed = the LIVE reconciled cells of
+        // the matching keys; their tombstones land at max(doomed ts) + 1
+        keys.groupBy(k => TokenRing.bucket(Codecs.encode(LongType, k), Buckets))
+          .foreach { case (_, ks) =>
+            val doomed = ks.flatMap { k =>
+              model.get(k).toSeq.flatMap(_.toSeq.flatMap { case (col, cs) =>
+                winner(cs.toSeq, Long.MaxValue).filter(!_.tomb).map(c => (k, col, c))
+              })
+            }
+            if (doomed.nonEmpty) {
+              val dts = doomed.map(_._3.ts).max + 1
+              doomed.foreach { case (k, col, _) =>
+                upsert(model, k, col, MCell(dts, tomb = true, null))
+              }
+              ts = math.max(ts, dts)
+            }
+          }
+      }
+
+      (1 to 18).foreach { _ =>
+        rnd.nextInt(10) match {
+          case n if n <= 4 => appendRows(tombstoneNulls = false)
+          case 5 | 6 => appendRows(tombstoneNulls = true)
+          case 7 | 8 => deleteKeys()
+          case 9 =>
+            (0 until Buckets).foreach(b => CellStore.compactBucket(dir, b))
+            snapshots.clear() // compaction collapses history (documented)
+        }
+        assert(readBack(dir) == expected(model, Long.MaxValue),
+          s"trial $trial: live read diverged from model after ts=$ts")
+        if (rnd.nextInt(3) == 0) snapshots += ts
+        // as-of replay of every surviving snapshot
+        snapshots.foreach { t =>
+          assert(readBack(dir, asOf = Some(t)) == expected(model, t),
+            s"trial $trial: as-of $t read diverged from model")
+        }
+      }
+      CellStore.dropTable(dir)
+    }
+  }
+}
