@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.CoBucketedWrite.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Every run (warm-up and timed) releases cached blocks afterwards so a
     // query's persist() calls never leak into the next measurement. The

@@ -113,6 +113,7 @@ object GraftSession {
   }
   def get(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
+    graft.plans.CoBucketedWrite.install(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -220,6 +220,47 @@ object Connector {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- SHUFFLE-FREE CO-BUCKETED WRITE: the write side of the
+    // co-location story. A cassandralike write declares clustered(key), so
+    // Spark plants a full repartition over the write set — but when the
+    // input is a scan of a SAME-LAYOUT store (equal buckets, same key
+    // type, key fed by the source key attribute), every scan split is a
+    // key-range slice of one source bucket whose rows land in the same
+    // target bucket, so the CoBucketedWrite rule elides the repartition:
+    // derived-table / re-index / CDC-materialization pipelines between
+    // same-layout stores run MAP-ONLY. At 100 TB the elided shuffle is the
+    // job's entire network bill (PlanShapeSpec asserts the exchange-free
+    // INSERT and the mismatched-layout fallback). ----
+    Q("conn_write_copartitioned",
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      Seq("cbw_src", "cbw_dst").foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+        s.sql(
+          s"""CREATE TABLE cassandralike.ks.$n
+             |  (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+             |USING cassandralike TBLPROPERTIES ('buckets' = '16')""".stripMargin)
+      }
+      s.sql(
+        """INSERT INTO cassandralike.ks.cbw_src
+          |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin)
+      // the map-only hop: same layout on both ends, no exchange planned
+      s.sql("INSERT INTO cassandralike.ks.cbw_dst SELECT * FROM cassandralike.ks.cbw_src")
+      s.table("cassandralike.ks.cbw_dst")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), d(sum(m($"o_totalprice"))).as("total"))
+        .orderBy($"o_orderstatus")
+    },
+
     // ---- snapshot (as-of) read: cells carry write timestamps, so reading
     // with read.asof=T replays LWW over only the cells written at or before
     // T — Cassandra-style historical reads from the same immutable

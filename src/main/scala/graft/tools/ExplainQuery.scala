@@ -20,6 +20,7 @@ object ExplainQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.CoBucketedWrite.install(spark)
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       println(s"\n===== $name =====")

@@ -27,6 +27,7 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.plans.CoBucketedWrite.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val q = graft.SparkEntry.queries(name)

@@ -214,6 +214,44 @@ class PlanShapeSpec extends SparkSpec {
       s"mismatched layouts must shuffle both sides, saw $shuffles exchanges")
   }
 
+  test("co-bucketed store-to-store INSERT plans map-only; mismatched layout keeps the shuffle") {
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${graft.sources.cassandralike.Seed.storeRoot(sfDir)}/warehouse")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    Seq("cbwp_src" -> 16, "cbwp_same" -> 16, "cbwp_diff" -> 8).foreach { case (n, b) =>
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$n (o_orderkey BIGINT, v DOUBLE)
+           |USING cassandralike TBLPROPERTIES ('buckets' = '$b')""".stripMargin)
+    }
+    spark.sql(
+      "INSERT INTO cassandralike.ks.cbwp_src SELECT o_orderkey, o_totalprice FROM orders")
+    def physicalPlan(sql: String): String =
+      spark.sql(s"EXPLAIN FORMATTED $sql").collect().map(_.getString(0)).mkString("\n")
+    val same = physicalPlan(
+      "INSERT INTO cassandralike.ks.cbwp_same SELECT * FROM cassandralike.ks.cbwp_src")
+    assert(!same.contains("Exchange"),
+      s"same-layout INSERT must elide the write repartition:\n$same")
+    assert(same.contains("Sort"), "the write's local sort must survive the elision")
+    val diff = physicalPlan(
+      "INSERT INTO cassandralike.ks.cbwp_diff SELECT * FROM cassandralike.ks.cbwp_src")
+    assert(diff.contains("Exchange"),
+      s"mismatched bucket counts must keep the clustering shuffle:\n$diff")
+    // a non-key-preserving write (key fed by an expression) must also shuffle
+    val keyed = physicalPlan(
+      "INSERT INTO cassandralike.ks.cbwp_same SELECT o_orderkey + 1, v FROM cassandralike.ks.cbwp_src")
+    assert(keyed.contains("Exchange"),
+      s"computed target key must keep the clustering shuffle:\n$keyed")
+    // and the elided write lands the same rows
+    spark.sql("INSERT INTO cassandralike.ks.cbwp_same SELECT * FROM cassandralike.ks.cbwp_src")
+    val n = spark.table("cassandralike.ks.cbwp_same").count()
+    val want = Tables.load(spark, sfDir, "orders").count()
+    assert(n == want, s"map-only write landed $n rows, want $want")
+  }
+
   test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     // the array-carrying output of the first attach join must flow INTO the

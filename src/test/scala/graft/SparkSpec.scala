@@ -11,6 +11,7 @@ object SparkSpec {
     val s = GraftSession.builder("graft-test").master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .getOrCreate()
+    graft.plans.CoBucketedWrite.install(s)
     s.sparkContext.setLogLevel("ERROR")
     s
   }
