@@ -184,6 +184,35 @@ class PlanShapeSpec extends SparkSpec {
       s"storage-partitioned join must not shuffle its inputs: ${shuffles.map(_.nodeName).mkString(", ")}")
   }
 
+  test("group-by on the row key of a layout-reporting store plans without an exchange") {
+    // same mechanism as the storage-partitioned join: KeyGroupedPartitioning
+    // over bucket(n, key) satisfies ClusteredDistribution(key), so the final
+    // aggregate runs where the data already sits — at 100 TB a per-key
+    // rollup of a store becomes a map-only job
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${graft.sources.cassandralike.Seed.storeRoot(sfDir)}/warehouse")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    spark.sql("DROP TABLE IF EXISTS cassandralike.ks.spj_agg")
+    spark.sql(
+      """CREATE TABLE cassandralike.ks.spj_agg (o_orderkey BIGINT, v DOUBLE)
+        |USING cassandralike
+        |TBLPROPERTIES ('buckets' = '8', 'partitioning.report' = 'true')""".stripMargin)
+    spark.sql(
+      "INSERT INTO cassandralike.ks.spj_agg SELECT o_orderkey, o_totalprice FROM orders")
+    import org.apache.spark.sql.functions.{col, sum}
+    val agg = spark.table("cassandralike.ks.spj_agg")
+      .groupBy(col("o_orderkey")).agg(sum(col("v")).as("s"))
+    val shuffles = collectAll(agg.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles == 0,
+      s"key-grouped store aggregation must not shuffle, saw $shuffles exchanges")
+    assert(agg.count() == Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey").distinct().count())
+  }
+
   test("mismatched bucket counts fall back to a shuffled join with the same rows") {
     // the co-partition proof must FAIL soundly: different layouts -> Spark
     // inserts exchanges and the join still answers correctly

@@ -167,4 +167,94 @@ class StoreFuzzSpec extends SparkSpec {
       CellStore.dropTable(dir)
     }
   }
+
+  private val tSchema = StructType(Seq(
+    StructField("row_key", StringType),
+    StructField("column_name", StringType),
+    StructField("value", StringType)))
+
+  test("transposed mapping: random wide-row interleavings match the LWW model exactly") {
+    // same machinery over the TRANSPOSED (wide-row) mapping, where the
+    // pager, comparator ordering and per-(key, column) cell addressing do
+    // the work: model is (row_key, column_name) -> cells
+    val rnd = new Random(20260815)
+    (1 to 2).foreach { trial =>
+      val dir = s"/tmp/graft_cellstore_fuzz/w$trial"
+      CellStore.dropTable(dir)
+      CellStore.writeMeta(dir, CellStore.Meta(tSchema.toDDL,
+        ":key,:column,:value", Map(Options.Buckets -> Buckets.toString)))
+      val model = mutable.Map.empty[(String, String), mutable.ArrayBuffer[MCell]]
+      var ts = 0L
+
+      def expectedT(asOf: Long): Set[(String, String, String)] =
+        model.iterator.flatMap { case ((k, c), cs) =>
+          winner(cs.toSeq, asOf).filter(!_.tomb).map(m =>
+            (k, c, new String(m.bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        }.toSet
+
+      def readBackT(asOf: Option[Long] = None): Set[(String, String, String)] =
+        Seed.read(spark, dir,
+            asOf.map(t => Map(Options.ReadAsOf -> t.toString)).getOrElse(Map.empty))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+      def appendCells(tombstoneNulls: Boolean): Unit = {
+        ts += 1
+        val rows = Seq.fill(1 + rnd.nextInt(40)) {
+          val k = s"k${rnd.nextInt(12)}"
+          val c = f"c${rnd.nextInt(20)}%03d"
+          val v = if (tombstoneNulls && rnd.nextInt(3) == 0) null
+            else s"v${rnd.nextInt(1000)}"
+          Row(k, c, v)
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), tSchema)
+        Seed.append(df, dir, Map(Options.WriteTimestamp -> ts.toString) ++
+          (if (tombstoneNulls) Map(Options.NullsAsTombstones -> "true") else Map.empty))
+        rows.foreach { r =>
+          val addr = (r.getString(0), r.getString(1))
+          val v = r.getString(2)
+          val cell =
+            if (v == null) MCell(ts, tomb = true, null)
+            else MCell(ts, tomb = false,
+              v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (v != null || tombstoneNulls)
+            model.getOrElseUpdate(addr, mutable.ArrayBuffer.empty) += cell
+        }
+      }
+
+      def deleteRowKeys(): Unit = {
+        val keys = Seq.fill(1 + rnd.nextInt(3))(s"k${rnd.nextInt(14)}").distinct
+        val tbl = new CassandraLikeTable(dir, dir, tSchema, Some(":key,:column,:value"),
+          Map(Options.Buckets -> Buckets.toString))
+        tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("row_key", keys.toArray[Any])))
+        keys.groupBy(k => TokenRing.bucket(Codecs.encode(StringType,
+            org.apache.spark.unsafe.types.UTF8String.fromString(k)), Buckets))
+          .foreach { case (_, ks) =>
+            val doomed = model.keys.filter(a => ks.contains(a._1)).toSeq
+              .flatMap(a => winner(model(a).toSeq, Long.MaxValue)
+                .filter(!_.tomb).map(c => (a, c)))
+            if (doomed.nonEmpty) {
+              val dts = doomed.map(_._2.ts).max + 1
+              doomed.foreach { case (a, _) =>
+                model(a) += MCell(dts, tomb = true, null)
+              }
+              ts = math.max(ts, dts)
+            }
+          }
+      }
+
+      (1 to 16).foreach { _ =>
+        rnd.nextInt(10) match {
+          case n if n <= 4 => appendCells(tombstoneNulls = false)
+          case 5 | 6 => appendCells(tombstoneNulls = true)
+          case 7 | 8 => deleteRowKeys()
+          case 9 => (0 until Buckets).foreach(b => CellStore.compactBucket(dir, b))
+        }
+        assert(readBackT() == expectedT(Long.MaxValue),
+          s"trial $trial: transposed live read diverged from model after ts=$ts")
+      }
+      CellStore.dropTable(dir)
+    }
+  }
 }
