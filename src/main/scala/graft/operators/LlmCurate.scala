@@ -134,6 +134,46 @@ object LlmCurate {
         .orderBy("doc_id")
     },
 
+    // ---- PII redaction: the scrub pass every externally-sourced corpus
+    // takes before training — emails, IPv4 addresses and long digit runs
+    // are replaced by typed placeholder tokens, with a per-doc count of
+    // redactions. Patterns are chosen inside the Java-regex ∩ RE2 common
+    // subset so the DuckDB twin is literally the same expressions; the
+    // fixture text carries no PII, so deterministic synthetic PII is
+    // appended per doc (both sides identically) to make the oracle bite.
+    // Row-local codegen'd regex work — map-only at any corpus size. ----
+    Q("llm_text_redact",
+      """WITH a AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 acct 123456789' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{9,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(aug, '\d{9,}')) AS BIGINT) AS n_pii
+        |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val digits = "\\d{9,}"
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7 acct 123456789"))
+      docs(s, dir).select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            email, "<EMAIL>"), ipv4, "<IP>"), digits, "<NUM>").as("redacted"),
+          (size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+            + size(regexp_extract_all(col("aug"), lit(ipv4), lit(0)))
+            + size(regexp_extract_all(col("aug"), lit(digits), lit(0))))
+            .cast("bigint").as("n_pii"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus selection: the composed curation step every training
     // pipeline ends with — quality gate (length + lexical diversity), then
     // exact-dedup keep-first (min doc_id per identical content), reported
