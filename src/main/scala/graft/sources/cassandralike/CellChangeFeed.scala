@@ -115,7 +115,21 @@ final class CellChangeFeedStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[SegmentSetOffset].names
     val visible = availableNowTarget.getOrElse(listCommitted())
-    val fresh = (visible -- seen).toSeq.sorted
+    // Admission follows COMMIT order (mtime survives the writer's atomic
+    // temp-rename; the store's single-maintainer discipline makes it
+    // commit-monotone across epochs), name as the deterministic tie-break.
+    // Segment names embed a random UUID, so name order is unrelated to
+    // commit order — admitting by name under a batch-size cap could hand a
+    // NEWER epoch's upsert to an EARLIER micro-batch than the older value
+    // it supersedes, and a fold-the-batches consumer would end stale.
+    // Within one batch the emit is LWW-reconciled by cell timestamp; this
+    // makes the ACROSS-batch order sound too (ChangeFeedSpec fuzz drives
+    // it with stream.max.segments.per.batch=1).
+    val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
+    def commitMillis(n: String): Long =
+      try java.nio.file.Files.getLastModifiedTime(sst.resolve(n)).toMillis
+      catch { case _: java.io.IOException => 0L }
+    val fresh = (visible -- seen).toSeq.sortBy(n => (commitMillis(n), n))
     val cap = limit match {
       case m: ReadMaxFiles => m.maxFiles()
       case _: ReadAllAvailable => Int.MaxValue

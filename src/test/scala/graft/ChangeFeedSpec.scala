@@ -27,9 +27,12 @@ class ChangeFeedSpec extends SparkSpec {
   /** One AvailableNow drain of the feed, resuming from `ckpt`; returns the
     * emitted (id, v) rows of THIS run only. foreachBatch, not the memory
     * sink — memory doesn't support checkpoint recovery in append mode. */
-  private def drain(dir: String, ckpt: String, name: String): Seq[(Long, String)] = {
+  private def drain(dir: String, ckpt: String, name: String,
+      readOptions: Map[String, String] = Map.empty): Seq[(Long, String)] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
-    val q = spark.readStream.format("cassandralike").option(Options.Path, dir).load()
+    var reader = spark.readStream.format("cassandralike").option(Options.Path, dir)
+    readOptions.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
       .writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
@@ -162,6 +165,65 @@ class ChangeFeedSpec extends SparkSpec {
     val batch = Seed.read(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(catchUp.toSet == batch && batch.size == 13)
+  }
+
+  test("fuzz: random append/overwrite/delete/compact interleavings never lose an upsert") {
+    // the at-least-once upsert contract, randomized: a consumer that folds
+    // every drained batch (later batch wins per key) must agree with the
+    // store's live read on EVERY live key after EVERY drain — whatever
+    // interleaving of appends, overwrites, deletes and compactions happened
+    // between drains. Deletes don't propagate through the feed (documented
+    // upsert semantics), so consumer entries for dead keys are allowed;
+    // a missing or stale live key is a bug.
+    val rnd = new scala.util.Random(20260817)
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_changefeed_fuzz"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("id BIGINT,v STRING", ":key,v",
+      Map(Options.Buckets -> "2")))
+    val root = java.nio.file.Files.createTempDirectory("cfeedz").toString
+    val ckpt = s"$root/ckpt"
+    val consumer = scala.collection.mutable.Map.empty[Long, String]
+    var ts = 0L
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+
+    (1 to 10).foreach { round =>
+      // 1-3 random mutations between drains
+      (1 to 1 + rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(6) match {
+          case n if n <= 3 =>
+            ts += 1
+            // distinct keys per epoch (same-epoch duplicate resolution is
+            // the value-byte tie rule, deliberately not an ordering fact);
+            // mtime-spaced so cross-epoch commit order is observable at
+            // millisecond resolution
+            append(dir, ts, Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(30).toLong)
+              .distinct.map(k => k -> s"v$ts-${rnd.nextInt(100)}"))
+            Thread.sleep(3)
+          case 4 =>
+            val doomed = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(35).toLong)
+              .distinct.map(Long.box).toArray[Any]
+            table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("id", doomed)))
+          case _ =>
+            (0 until 2).foreach(b => CellStore.compactBucket(dir, b))
+        }
+      }
+      // drain the feed and fold: later batches win; within a batch a key
+      // appears once (batch-local LWW)
+      // ONE segment per micro-batch: the admission-order contract is the
+      // thing under test — a name-ordered admission would fold stale
+      drain(dir, ckpt, s"cfeedz_$round",
+          Map(Options.StreamMaxSegmentsPerBatch -> "1"))
+        .foreach { case (k, v) => consumer(k) = v }
+      val live = Seed.read(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      live.foreach { case (k, v) =>
+        assert(consumer.get(k).contains(v),
+          s"round $round: live key $k=$v but consumer saw ${consumer.get(k)}")
+      }
+    }
   }
 
   test("catch-up batches sub-split by key range like the batch scan") {

@@ -257,4 +257,85 @@ class StoreFuzzSpec extends SparkSpec {
       CellStore.dropTable(dir)
     }
   }
+
+  private val cSchema = StructType(Seq(
+    StructField("k", StringType),
+    StructField("cnt", LongType)))
+
+  test("counter mapping: random increment/reset/compact interleavings match the summing model") {
+    // counter reconciliation is SUM-over-live-increments with
+    // tombstone-as-reset (increments at or below the newest tombstone ts
+    // are discarded); compaction collapses increment history to one summed
+    // cell. The model mirrors exactly that — timestamps are strictly
+    // increasing, the regime the reset rule is defined for.
+    val rnd = new Random(20260816)
+    (1 to 2).foreach { trial =>
+      val dir = s"/tmp/graft_cellstore_fuzz/c$trial"
+      CellStore.dropTable(dir)
+      CellStore.writeMeta(dir, CellStore.Meta(cSchema.toDDL,
+        ColumnMapping.auto(cSchema),
+        Map(Options.Buckets -> Buckets.toString, Options.CounterMerge -> "true")))
+      val incs = mutable.Map.empty[String, mutable.ArrayBuffer[(Long, Long)]] // k -> (ts, inc)
+      val tombTs = mutable.Map.empty[String, Long].withDefaultValue(Long.MinValue)
+      var ts = 0L
+
+      def liveSum(k: String): Option[Long] = {
+        val live = incs.getOrElse(k, Nil).filter(_._1 > tombTs(k))
+        if (live.isEmpty) None else Some(live.map(_._2).sum)
+      }
+      def expectedC: Set[(String, Long)] =
+        incs.keysIterator.flatMap(k => liveSum(k).map(k -> _)).toSet
+      def readBackC: Set[(String, Long)] =
+        Seed.read(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+
+      def increment(): Unit = {
+        ts += 1
+        val rows = Seq.fill(1 + rnd.nextInt(20)) {
+          val k = s"ctr${rnd.nextInt(10)}"
+          val inc = (rnd.nextInt(21) - 10).toLong // negative increments too
+          Row(k, inc)
+        }
+        Seed.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2), cSchema), dir,
+          Map(Options.WriteTimestamp -> ts.toString))
+        rows.foreach(r => incs.getOrElseUpdate(r.getString(0),
+          mutable.ArrayBuffer.empty) += (ts -> r.getLong(1)))
+      }
+
+      def reset(): Unit = {
+        val keys = Seq.fill(1 + rnd.nextInt(3))(s"ctr${rnd.nextInt(12)}").distinct
+        val tbl = new CassandraLikeTable(dir, dir, cSchema, None,
+          Map(Options.Buckets -> Buckets.toString, Options.CounterMerge -> "true"))
+        tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.In("k", keys.toArray[Any])))
+        // per bucket: the merged cell's ts is the newest live increment's;
+        // the reset tombstone lands at max(merged ts) + 1 for the bucket
+        keys.groupBy(k => TokenRing.bucket(Codecs.encode(StringType,
+            org.apache.spark.unsafe.types.UTF8String.fromString(k)), Buckets))
+          .foreach { case (_, ks) =>
+            val liveTs = ks.flatMap { k =>
+              val live = incs.getOrElse(k, Nil).filter(_._1 > tombTs(k))
+              if (live.isEmpty) None else Some(k -> live.map(_._1).max)
+            }
+            if (liveTs.nonEmpty) {
+              val dts = liveTs.map(_._2).max + 1
+              liveTs.foreach { case (k, _) => tombTs(k) = dts }
+              ts = math.max(ts, dts)
+            }
+          }
+      }
+
+      (1 to 16).foreach { _ =>
+        rnd.nextInt(10) match {
+          case n if n <= 5 => increment()
+          case 6 | 7 => reset()
+          case _ => (0 until Buckets).foreach(b => CellStore.compactBucket(dir, b))
+        }
+        assert(readBackC == expectedC,
+          s"trial $trial: counter read diverged from model after ts=$ts")
+      }
+      CellStore.dropTable(dir)
+    }
+  }
 }
