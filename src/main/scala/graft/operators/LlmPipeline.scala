@@ -32,7 +32,7 @@ object LlmPipeline {
 
   /** Distinct 5-word shingles per doc (docs with <5 words drop out —
     * identically in the DuckDB oracles). */
-  private def shingles(d: DataFrame): DataFrame =
+  private[operators] def shingles(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), explode(expr(
@@ -47,7 +47,7 @@ object LlmPipeline {
     * size. The candidate set itself persists because three branches reference
     * it (both sides of the doc-id union and the final pair semi-join) — the
     * expensive sketch pipeline must run once, not three times. */
-  private def verifyJaccardDocs(cand0: DataFrame, d: DataFrame,
+  private[operators] def verifyJaccardDocs(cand0: DataFrame, d: DataFrame,
       grams: DataFrame => DataFrame, threshold: Double): DataFrame = {
     val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Pin the cache NOW: the broadcast branch and the final pair semi-join
@@ -274,7 +274,7 @@ object LlmPipeline {
   }
 
   /** The shared exact-pair oracle (DuckDB recomputes true Jaccard >= 0.8). */
-  private val jaccardOracle: String =
+  private[operators] val jaccardOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |         unnest(list_distinct([list_aggregate(w[i:i+4], 'string_agg', ' ')

@@ -364,6 +364,78 @@ object Streaming {
       StreamOps.runToMemory(s, agg, "complete")
         .select(col("event_type"), col("n"), col("total"))
         .orderBy(col("event_type"))
+    },
+
+    // ---- CONTINUOUS DEDUP: the change feed driving the store-persisted
+    // LSH band index — the composed shape a 100-TB corpus pipeline runs
+    // forever. Documents commit to a cell store in epochs; the feed drains
+    // them in commit-ordered bounded batches; each batch (a) appends its
+    // minhash bands to the persisted index (LSM append, no rebuild),
+    // (b) probes the index for candidate near-dups, (c) verifies exact
+    // Jaccard on candidate docs only, and (d) upserts confirmed pairs into
+    // a result store. Per-batch cost is O(batch bands + collided buckets +
+    // candidates) — independent of corpus history except through true
+    // collisions. A pair is emitted exactly once (when its later member's
+    // batch probes: the earlier member is already indexed, and a doc is in
+    // exactly one batch), so the accumulated result equals the FULL-corpus
+    // LSH dedup whatever the batch granularity — the oracle recomputes all
+    // true Jaccard>=0.8 pairs from scratch. ----
+    Q("stream_dedup_continuous", LlmPipeline.jaccardOracle) { (s, dir) =>
+      import graft.sources.cassandralike.{CellStore, Options => CLOpt, Seed}
+      val d = graft.Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val store = Seed.table(s, dir, "continuous_docs",
+        d.filter(col("doc_id") % 3 === 0), props = Map(CLOpt.Buckets -> "8"))
+      Seed.append(d.filter(col("doc_id") % 3 === 1), store,
+        Map(CLOpt.WriteTimestamp -> "2"))
+      Seed.append(d.filter(col("doc_id") % 3 === 2), store,
+        Map(CLOpt.WriteTimestamp -> "3"))
+      val idx = s"${Seed.storeRoot(dir)}/continuous_band_index"
+      CellStore.dropTable(idx)
+      CellStore.writeMeta(idx, CellStore.Meta(
+        "row_key STRING,column_name STRING,value STRING",
+        ":key,:column,:value", Map.empty))
+      val res = s"${Seed.storeRoot(dir)}/continuous_pairs"
+      CellStore.dropTable(res)
+      CellStore.writeMeta(res, CellStore.Meta(
+        "pair STRING,doc_a BIGINT,doc_b BIGINT,jac DOUBLE",
+        ":key,doc_a,doc_b,jac", Map.empty))
+      def bandRows(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+        .select(concat_ws("#", col("band"), col("bh")).as("row_key"),
+          lpad(col("doc_id").cast("string"), 12, "0").as("column_name"),
+          lit("1").as("value"))
+      val feed = s.readStream.format("cassandralike")
+        .option(CLOpt.Path, store)
+        .option(CLOpt.StreamMaxSegmentsPerBatch, "8")
+        .load()
+      StreamOps.runForeachBatch(feed, "append") { (batch0, _) =>
+        val batch = batch0.select(col("doc_id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (batch.count() > 0) {
+          // index first, then probe against the WHOLE index: prior-batch
+          // pairs and batch-internal pairs fall out of one join
+          Seed.append(bandRows(batch), idx)
+          val probe = batch.select(col("doc_id"),
+              posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+            .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
+          val index = Seed.read(s, idx)
+            .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+          val cand = probe.join(index, Seq("row_key"))
+            .filter(col("doc_id") =!= col("doc_ix"))
+            .select(least(col("doc_id"), col("doc_ix")).as("doc_a"),
+              greatest(col("doc_id"), col("doc_ix")).as("doc_b"))
+            .distinct()
+          val pairs = LlmPipeline.verifyJaccardDocs(cand, d, LlmPipeline.shingles, 0.8)
+          Seed.append(pairs.select(
+            concat_ws("#", lpad(col("doc_a").cast("string"), 12, "0"),
+              lpad(col("doc_b").cast("string"), 12, "0")).as("pair"),
+            col("doc_a"), col("doc_b"), col("jac")), res)
+        }
+        batch.unpersist()
+        ()
+      }
+      Seed.read(s, res).select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 }
