@@ -347,6 +347,47 @@ object LlmPipeline {
         .orderBy(col("canonical_doc"))
     },
 
+    // ---- the dedup TERMINAL op: rewrite the corpus keeping ONE
+    // representative (the min doc_id) per near-dup cluster. The dropped
+    // set is cluster members minus canonicals — bounded by true
+    // duplication, tiny relative to the corpus — so the rewrite is a
+    // BROADCAST anti-join over the full corpus scan: map-only at 100 TB,
+    // never a corpus-wide shuffle. This is the op whose output actually
+    // feeds training after all the pair-finding machinery. ----
+    Q("llm_dedup_rewrite",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([list_aggregate(w[i:i+4], 'string_agg', ' ')
+        |                               for i in range(1, len(w)-3)])) AS shingle
+        |       FROM w WHERE len(w) >= 5),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM inter
+        |          JOIN sizes s1 ON s1.doc_id = doc_a JOIN sizes s2 ON s2.doc_id = doc_b
+        |          WHERE common*1.0/(s1.n + s2.n - common) >= 0.8),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (SELECT u AS n, u AS m FROM edges
+        |          UNION SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u),
+        |comps AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n)
+        |SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id <> comp)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = minhashPairs(d)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val dropped = connectedComponents(pairs)
+        .filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"))
+      d.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- INCREMENTAL near-dup: dedup a new document batch against an
     // already-indexed corpus WITHOUT recomputing corpus-wide signatures —
     // the shape batch dedup takes at 100 TB, where each day's delta joins

@@ -281,6 +281,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(n == want, s"map-only write landed $n rows, want $want")
   }
 
+  test("dedup rewrite: the corpus anti-join broadcasts the dropped set") {
+    // the rewrite must be map-only over the corpus: the dropped doc-id set
+    // (bounded by true duplication) broadcasts; a shuffled anti-join here
+    // would re-shuffle the whole corpus at 100 TB
+    val all = collectAll(plan("llm_dedup_rewrite"))
+    val anti = all.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty, "expected a broadcast LEFT ANTI join for the rewrite")
+  }
+
   test("ngram verify: block-pair joins chain without reshuffling the intermediate") {
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     // the array-carrying output of the first attach join must flow INTO the

@@ -258,6 +258,33 @@ class StoreFuzzSpec extends SparkSpec {
     }
   }
 
+  test("concurrent append jobs both land: uuid segments + atomic rename need no writer lock") {
+    // two Spark write jobs appending disjoint key ranges at the same time:
+    // every segment name is a fresh uuid and visibility is one atomic
+    // rename, so concurrent appends (auto-compaction off) cannot clobber
+    // each other — the read afterwards is the exact union
+    val dir = "/tmp/graft_cellstore_fuzz/conc"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta(schema.toDDL,
+      ColumnMapping.auto(schema), Map(Options.Buckets -> Buckets.toString)))
+    def half(lo: Long): Seq[Row] =
+      (lo until lo + 500L).map(k => Row(k, k / 100.0, s"v$k"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = Seq(0L, 1000L).map { lo => Future {
+      Seed.append(spark.createDataFrame(
+        spark.sparkContext.parallelize(half(lo), 4), schema), dir,
+        Map(Options.WriteTimestamp -> "1"))
+    } }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val got = Seed.read(spark, dir).collect().map(_.getLong(0)).toSet
+    val want = ((0L until 500L) ++ (1000L until 1500L)).toSet
+    assert(got == want,
+      s"concurrent appends lost rows: missing ${(want -- got).take(5)}, extra ${(got -- want).take(5)}")
+    CellStore.dropTable(dir)
+  }
+
   private val cSchema = StructType(Seq(
     StructField("k", StringType),
     StructField("cnt", LongType)))
