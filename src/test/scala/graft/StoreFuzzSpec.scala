@@ -258,6 +258,78 @@ class StoreFuzzSpec extends SparkSpec {
     }
   }
 
+  private val sSchema = StructType(Seq(
+    StructField("row_key", StringType),
+    StructField("column_name", StringType),
+    StructField("sub_column_name", StringType),
+    StructField("value", StringType)))
+
+  test("super-column mapping: random 4-level interleavings match the LWW model exactly") {
+    // the deepest addressing level (key -> super column -> sub column ->
+    // value) under the same random-op model; exercises the super-group
+    // pivot and the pager's group-boundary handling under interleavings
+    val rnd = new Random(20260818)
+    val dir = "/tmp/graft_cellstore_fuzz/s1"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta(sSchema.toDDL,
+      ":key,:column,:subcolumn,:value", Map(Options.Buckets -> Buckets.toString)))
+    val model = mutable.Map.empty[(String, String, String), mutable.ArrayBuffer[MCell]]
+    var ts = 0L
+
+    def expectedS: Set[(String, String, String, String)] =
+      model.iterator.flatMap { case ((k, c, sub), cs) =>
+        winner(cs.toSeq, Long.MaxValue).filter(!_.tomb).map(m =>
+          (k, c, sub, new String(m.bytes, java.nio.charset.StandardCharsets.UTF_8)))
+      }.toSet
+    def readBackS: Set[(String, String, String, String)] =
+      Seed.read(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(10) match {
+        case n if n <= 6 =>
+          ts += 1
+          val rows = Seq.fill(1 + rnd.nextInt(30)) {
+            Row(s"k${rnd.nextInt(8)}", f"c${rnd.nextInt(6)}%02d",
+              f"s${rnd.nextInt(5)}%02d", s"v${rnd.nextInt(1000)}")
+          }
+          Seed.append(spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 2), sSchema), dir,
+            Map(Options.WriteTimestamp -> ts.toString))
+          rows.foreach { r =>
+            model.getOrElseUpdate((r.getString(0), r.getString(1), r.getString(2)),
+              mutable.ArrayBuffer.empty) += MCell(ts, tomb = false,
+              r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        case 7 | 8 =>
+          val keys = Seq.fill(1 + rnd.nextInt(2))(s"k${rnd.nextInt(10)}").distinct
+          val tbl = new CassandraLikeTable(dir, dir, sSchema,
+            Some(":key,:column,:subcolumn,:value"),
+            Map(Options.Buckets -> Buckets.toString))
+          tbl.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.In("row_key", keys.toArray[Any])))
+          keys.groupBy(k => TokenRing.bucket(Codecs.encode(StringType,
+              org.apache.spark.unsafe.types.UTF8String.fromString(k)), Buckets))
+            .foreach { case (_, ks) =>
+              val doomed = model.keys.filter(a => ks.contains(a._1)).toSeq
+                .flatMap(a => winner(model(a).toSeq, Long.MaxValue)
+                  .filter(!_.tomb).map(c => (a, c)))
+              if (doomed.nonEmpty) {
+                val dts = doomed.map(_._2.ts).max + 1
+                doomed.foreach { case (a, _) =>
+                  model(a) += MCell(dts, tomb = true, null)
+                }
+                ts = math.max(ts, dts)
+              }
+            }
+        case _ => (0 until Buckets).foreach(b => CellStore.compactBucket(dir, b))
+      }
+      assert(readBackS == expectedS,
+        s"super fuzz diverged from model after ts=$ts")
+    }
+    CellStore.dropTable(dir)
+  }
+
   test("concurrent append jobs both land: uuid segments + atomic rename need no writer lock") {
     // two Spark write jobs appending disjoint key ranges at the same time:
     // every segment name is a fresh uuid and visibility is one atomic
