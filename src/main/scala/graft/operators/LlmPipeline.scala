@@ -982,6 +982,108 @@ object LlmPipeline {
         .orderBy(col("qid"), col("rk"))
     },
 
+    // ---- IVF-PQ: the production serving composition — IVF partitions the
+    // corpus into cells persisted in the store, each posting carries the
+    // vector's 16-byte PQ CODE (not the 512-byte vector), probes are
+    // In(row_key) bucket-pruned point reads of nprobe cells, candidates
+    // score by ADC table lookups, and only the ADC top-32 fetch their full
+    // vectors for exact re-rank. At 100 TB this is the index a serving
+    // tier holds: postings shrink 32×, probe IO is O(probed postings),
+    // re-rank IO is candidate-bounded — corpus vectors are touched only
+    // for the short list. Same approximation-ratio contract as
+    // llm_ann_ivf / llm_ann_pq. ----
+    Q("llm_ann_ivfpq",
+      """WITH e AS (SELECT vec_id FROM embeddings WHERE vec_id < 10)
+        |SELECT vec_id AS qid, TRUE AS ratio_ok FROM e ORDER BY qid""".stripMargin,
+      bench = true) { (s, dir) =>
+      import graft.sources.cassandralike.Seed
+      val M = 16
+      val K = 16
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(expr(
+          "aggregate(v, cast(0.0 as double), (acc, x) -> acc + x*x)")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def dotCos(a: String, an: String, b: String, bn: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x*y), cast(0.0 as double), (acc, x) -> acc + x)") /
+          (col(an) * col(bn))
+      // centroid literal (IVF cells) and PQ codebook literal — both
+      // driver-bounded constants, exactly as in llm_ann_incremental / _pq
+      val seedRows: Seq[(Long, Seq[Double], Double)] =
+        e.filter(col("vec_id") < 25).orderBy(col("vec_id"))
+          .collect().map(r =>
+            (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double], r.getDouble(2))).toSeq
+      val seedLit = typedLit(seedRows)
+      def cellOf(v: Column, norm: Column): Column =
+        (-array_max(transform(seedLit, sd => struct(
+          (aggregate(zip_with(v, sd.getField("_2"), (x, y) => x * y),
+            lit(0.0d), (acc, x) => acc + x) / (norm * sd.getField("_3"))).as("c"),
+          (-sd.getField("_1")).as("nc")))).getField("nc")).cast("long")
+      val pqSeeds: Array[Array[Double]] = seedRows.take(K).map(_._2.toArray).toArray
+      val d = pqSeeds.head.length
+      val sub = d / M
+      val cbLit = typedLit(for {
+        j <- 0 until M; c <- 0 until K; i <- 0 until sub
+      } yield pqSeeds(c)(j * sub + i))
+      // postings: cell -> (vec_id, hex(PQ codes) # norm) — 16 code bytes
+      // per vector in the index instead of the vector itself
+      val postingRows = e.select(
+        lpad(cellOf(col("v"), col("norm")).cast("string"), 4, "0").as("row_key"),
+        lpad(col("vec_id").cast("string"), 12, "0").as("column_name"),
+        concat_ws("#",
+          hex(call_function("pq_encode", col("v"), cbLit, lit(M), lit(K))),
+          col("norm").cast("string")).as("value"))
+      val store = Seed.table(s, dir, "ivfpq_index", postingRows)
+      // probe: top-3 cells per query by centroid cosine — driver-bounded
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"),
+          call_function("pq_lut", col("v"), cbLit, lit(M), lit(K)).as("lut"))
+      val probePairs: Seq[(Long, Long)] = q.join(broadcast(e.filter(col("vec_id") < 25)
+          .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cnorm"))))
+        .withColumn("ccos", dotCos("qv", "qnorm", "cv", "cnorm"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("crk") <= 3)
+        .select(col("qid"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val cellKeys = probePairs.map(_._2).distinct.sorted.map(c => f"$c%04d")
+      val postings = Seed.read(s, store)
+        .filter(col("row_key").isin(cellKeys: _*))
+        .select(col("row_key"), col("column_name").cast("long").as("vec_id"),
+          unhex(split(col("value"), "#").getItem(0)).as("codes"),
+          split(col("value"), "#").getItem(1).cast("double").as("norm"))
+      val sp = s; import sp.implicits._
+      val probeDf = probePairs.toDF("qid", "cell")
+        .select(col("qid"), lpad(col("cell").cast("string"), 4, "0").as("row_key"))
+      // ADC candidate scoring over code bytes only; top-32 fetch vectors
+      val adcScored = postings.join(broadcast(probeDf), "row_key")
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(q), "qid")
+        .withColumn("adc",
+          call_function("pq_adc", col("codes"), col("lut"), lit(K)) /
+            (col("qnorm") * col("norm")))
+      val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("vec_id"))
+      val shortList = adcScored
+        .withColumn("rk", row_number().over(wAdc)).filter(col("rk") <= 32)
+        .select(col("qid"), col("qv"), col("qnorm"), col("vec_id"))
+      val reranked = shortList.join(e, "vec_id")
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
+      def avgTop5(scored: DataFrame): DataFrame = {
+        val w5 = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+        scored.select(col("qid"), col("cos"), row_number().over(w5).as("rk"))
+          .filter(col("rk") <= 5)
+          .groupBy("qid").agg(avg(col("cos")).as("avg_cos"))
+      }
+      val exact = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+        .join(e, col("vec_id") =!= col("qid"))
+        .withColumn("cos", dotCos("qv", "qnorm", "v", "norm"))
+      avgTop5(reranked).withColumnRenamed("avg_cos", "ivfpq_avg")
+        .join(avgTop5(exact).withColumnRenamed("avg_cos", "exact_avg"), "qid")
+        .select(col("qid"), (col("ivfpq_avg") / col("exact_avg") >= 0.6).as("ratio_ok"))
+        .orderBy(col("qid"))
+    },
+
     // ---- token counting: whitespace, alnum-regex, and BPE-ish estimate ----
     Q("llm_text_tokens",
       """SELECT doc_id,
