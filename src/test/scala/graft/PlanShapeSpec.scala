@@ -173,6 +173,23 @@ class PlanShapeSpec extends SparkSpec {
       s"probe+rank should need only the top-k window shuffle, got $shuffles")
   }
 
+  test("ivfpq probe: point-read partitions, ADC before any vector fetch") {
+    // same probe contract as llm_ann_incremental — the code-carrying index
+    // reads as <= nprobe x queries point lookups — plus the PQ property:
+    // the only reads of the full embeddings table are the corpus/query
+    // loads, never a per-candidate scan (re-rank joins the top-32 back)
+    val all = collectAll(plan("llm_ann_ivfpq"))
+    val storeScans = all.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("cassandralike") => b
+    }
+    assert(storeScans.nonEmpty, "expected the probe to read the cassandralike IVF-PQ store")
+    storeScans.foreach { b =>
+      assert(b.inputPartitions.size <= 25,
+        s"index probe should plan point lookups, got ${b.inputPartitions.size} partitions")
+    }
+  }
+
   test("co-partitioned store join plans storage-partitioned: no exchange on either side") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val all = collectAll(plan("conn_join_copartitioned"))

@@ -163,6 +163,31 @@ class StoreFuzzSpec extends SparkSpec {
           assert(readBack(dir, asOf = Some(t)) == expected(model, t),
             s"trial $trial: as-of $t read diverged from model")
         }
+        // TTL view: a live cell expires at read.now >= ts + ttl; tombstones
+        // never do. Expiry is ts-monotone under a constant ttl, so the
+        // expected view is simply "LWW winner, live, unexpired".
+        if (rnd.nextInt(2) == 0) {
+          val ttl = 1L + rnd.nextInt(ts.toInt + 2)
+          val now = rnd.nextInt(ts.toInt + ttl.toInt + 2).toLong
+          val ttlView = Seed.read(spark, dir, Map(
+              Options.Ttl -> ttl.toString, Options.ReadNow -> now.toString))
+            .collect().map { r =>
+              (r.getLong(0),
+                if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+                if (r.isNullAt(2)) None else Some(r.getString(2)))
+            }.toSet
+          val want = model.iterator.flatMap { case (k, cols) =>
+            def live(col: String) =
+              winner(cols.getOrElse(col, Nil).toSeq, Long.MaxValue)
+                .filter(c => !c.tomb && now < c.ts + ttl)
+            val a = live("a").map(c => java.nio.ByteBuffer.wrap(c.bytes).getDouble)
+            val b = live("b").map(c =>
+              new String(c.bytes, java.nio.charset.StandardCharsets.UTF_8))
+            if (a.isEmpty && b.isEmpty) None else Some((k, a, b))
+          }.toSet
+          assert(ttlView == want,
+            s"trial $trial: ttl=$ttl now=$now read diverged from model after ts=$ts")
+        }
       }
       CellStore.dropTable(dir)
     }
@@ -192,10 +217,23 @@ class StoreFuzzSpec extends SparkSpec {
             (k, c, new String(m.bytes, java.nio.charset.StandardCharsets.UTF_8)))
         }.toSet
 
-      def readBackT(asOf: Option[Long] = None): Set[(String, String, String)] =
-        Seed.read(spark, dir,
-            asOf.map(t => Map(Options.ReadAsOf -> t.toString)).getOrElse(Map.empty))
+      def readBackT(opts: Map[String, String] = Map.empty): Set[(String, String, String)] =
+        Seed.read(spark, dir, opts)
           .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+      // the slice contract under fuzz: [start, finish] inclusive in
+      // comparator order, optionally reversed, count = per-KEY cap in that
+      // order — exactly conn_slice_range's semantics
+      def expectedSlice(start: Option[String], finish: Option[String],
+          reversed: Boolean, count: Option[Int]): Set[(String, String, String)] = {
+        val live = expectedT(Long.MaxValue).toSeq
+          .filter { case (_, c, _) => start.forall(c >= _) && finish.forall(c <= _) }
+        live.groupBy(_._1).valuesIterator.flatMap { rows =>
+          val ordered = rows.sortBy(_._2)
+          val dir0 = if (reversed) ordered.reverse else ordered
+          count.fold(dir0)(n => dir0.take(n))
+        }.toSet
+      }
 
       def appendCells(tombstoneNulls: Boolean): Unit = {
         ts += 1
@@ -253,6 +291,22 @@ class StoreFuzzSpec extends SparkSpec {
         }
         assert(readBackT() == expectedT(Long.MaxValue),
           s"trial $trial: transposed live read diverged from model after ts=$ts")
+        // random server-side slice over the same state
+        val start = if (rnd.nextBoolean()) Some(f"c${rnd.nextInt(20)}%03d") else None
+        val finish0 = if (rnd.nextBoolean()) Some(f"c${rnd.nextInt(20)}%03d") else None
+        val finish = (start, finish0) match { // keep start <= finish when both set
+          case (Some(a), Some(b)) if b < a => Some(a)
+          case _ => finish0
+        }
+        val reversed = rnd.nextBoolean()
+        val count = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(4)) else None
+        val opts = Map(Options.SliceReversed -> reversed.toString) ++
+          start.map(Options.SliceStart -> _) ++
+          finish.map(Options.SliceFinish -> _) ++
+          count.map(n => Options.SliceCount -> n.toString)
+        assert(readBackT(opts) == expectedSlice(start, finish, reversed, count),
+          s"trial $trial: slice read (start=$start finish=$finish rev=$reversed " +
+            s"count=$count) diverged from model after ts=$ts")
       }
       CellStore.dropTable(dir)
     }
