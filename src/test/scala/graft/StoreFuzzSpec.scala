@@ -384,6 +384,105 @@ class StoreFuzzSpec extends SparkSpec {
     CellStore.dropTable(dir)
   }
 
+  test("schema evolution under fuzz: random ADD/DROP COLUMN interleaved with writes and deletes") {
+    // metadata-only evolution composed with everything else: the model
+    // tracks the ACTIVE column set alongside the cells. Semantics under
+    // test (pinned by the targeted ALTER specs, here under interleavings):
+    // a row survives as long as ANY of its cells is live — even cells of a
+    // dropped column — but only active columns project values; dropped
+    // column data never resurfaces (fresh names only here; the re-add path
+    // has its own drop.timestamp spec).
+    val rnd = new Random(20260819)
+    val wh = java.nio.file.Files.createTempDirectory("evofuzz").toString
+    spark.conf.set("spark.sql.catalog.evofuzz",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evofuzz.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS evofuzz.ks")
+    spark.sql("DROP TABLE IF EXISTS evofuzz.ks.t")
+    spark.sql("CREATE TABLE evofuzz.ks.t (k BIGINT, c0 STRING) USING cassandralike " +
+      "TBLPROPERTIES('buckets'='4','write.timestamp'='1')")
+    val dir = s"$wh/ks/t"
+    var active = Vector("c0") // data columns, in schema order
+    var nextCol = 1
+    var ts = 1L
+    val cells = mutable.Map.empty[(Long, String), mutable.ArrayBuffer[MCell]]
+
+    def bumpTs(): Unit = {
+      ts += 1
+      spark.sql(s"ALTER TABLE evofuzz.ks.t SET TBLPROPERTIES('write.timestamp'='$ts')")
+    }
+
+    (1 to 24).foreach { step =>
+      // steps 2/5 force one ADD and one DROP so evolution is always
+      // exercised regardless of the random mix
+      (if (step == 2) 5 else if (step == 5) 6 else rnd.nextInt(10)) match {
+        case n if n <= 3 => // INSERT a batch under the CURRENT schema
+          bumpTs()
+          val rows = Seq.fill(1 + rnd.nextInt(8))(rnd.nextInt(20).toLong)
+            .distinct.map { k =>
+              k -> active.map(c =>
+                if (rnd.nextInt(4) == 0) null else s"$c-v${rnd.nextInt(100)}")
+            }
+          val values = rows.map { case (k, vs) =>
+            (k.toString +: vs.map(v => if (v == null) "NULL" else s"'$v'"))
+              .mkString("(", ",", ")")
+          }.mkString(",")
+          spark.sql(s"INSERT INTO evofuzz.ks.t VALUES $values")
+          rows.foreach { case (k, vs) =>
+            active.zip(vs).foreach { case (c, v) =>
+              if (v != null)
+                cells.getOrElseUpdate((k, c), mutable.ArrayBuffer.empty) +=
+                  MCell(ts, tomb = false, v.getBytes("UTF-8"))
+            }
+          }
+        case 4 | 5 => // ADD a fresh column
+          val c = s"c$nextCol"; nextCol += 1
+          spark.sql(s"ALTER TABLE evofuzz.ks.t ADD COLUMN $c STRING")
+          active :+= c
+        case 6 if active.size > 1 => // DROP a non-key column (keep one)
+          val c = active(rnd.nextInt(active.size))
+          spark.sql(s"ALTER TABLE evofuzz.ks.t DROP COLUMN $c")
+          active = active.filterNot(_ == c)
+        case 7 | 8 => // DELETE a few keys
+          val keys = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(25).toLong).distinct
+          spark.sql(s"DELETE FROM evofuzz.ks.t WHERE k IN (${keys.mkString(",")})")
+          keys.groupBy(k => TokenRing.bucket(Codecs.encode(LongType, k), 4))
+            .foreach { case (_, ks) =>
+              val doomed = cells.keys.filter(a => ks.contains(a._1)).toSeq
+                .flatMap(a => winner(cells(a).toSeq, Long.MaxValue)
+                  .filter(!_.tomb).map(c => (a, c)))
+              if (doomed.nonEmpty) {
+                val dts = doomed.map(_._2.ts).max + 1
+                doomed.foreach { case (a, _) =>
+                  cells(a) += MCell(dts, tomb = true, null)
+                }
+                ts = math.max(ts, dts)
+              }
+            }
+        case _ =>
+          (0 until 4).foreach(b => CellStore.compactBucket(dir, b))
+      }
+      // full read vs model: rows with any live cell; active columns project
+      val got = spark.table("evofuzz.ks.t").collect().map { r =>
+        r.getLong(0) -> active.indices.map(i =>
+          if (r.isNullAt(i + 1)) null else r.getString(i + 1)).toVector
+      }.toSet
+      val liveKeys = cells.keys.map(_._1).filter { k =>
+        cells.keys.filter(_._1 == k).exists(a =>
+          winner(cells(a).toSeq, Long.MaxValue).exists(!_.tomb))
+      }.toSet
+      val want = liveKeys.map { k =>
+        k -> active.map { c =>
+          winner(cells.getOrElse((k, c), Nil).toSeq, Long.MaxValue)
+            .filter(!_.tomb).map(m => new String(m.bytes, "UTF-8")).orNull
+        }.toVector
+      }
+      assert(got == want,
+        s"evolution fuzz diverged at step $step (active=$active, ts=$ts)")
+    }
+    spark.sql("DROP TABLE evofuzz.ks.t")
+  }
+
   test("concurrent append jobs both land: uuid segments + atomic rename need no writer lock") {
     // two Spark write jobs appending disjoint key ranges at the same time:
     // every segment name is a fresh uuid and visibility is one atomic
