@@ -279,9 +279,8 @@ class CassandraLikeTable(
         val out = CellStore.newSegmentStream(tmp)
         try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)))
         finally out.close()
-        java.nio.file.Files.move(tmp,
-          sst.resolve(CellStore.newSegmentName(bucket)),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        CellStore.commitSegments(dir,
+          Seq(tmp -> CellStore.newSegmentName(bucket)))
       }
     }
   }

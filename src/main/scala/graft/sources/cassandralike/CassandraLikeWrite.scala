@@ -115,17 +115,17 @@ class CellBatchWrite(
     // index segment ever lacks its encoding version.
     idxFiles.map(_._1).distinct.foreach(c =>
       Index.stampFormat(Index.dir(table.dir, c)))
-    idxFiles.foreach { case (col, bucket, tmp) =>
-      val sst = Paths.get(Index.dir(table.dir, col), CellStore.SstDir)
-      Files.move(sst.resolve(tmp),
-        sst.resolve(CellStore.newSegmentName(bucket)),
-        StandardCopyOption.ATOMIC_MOVE)
+    idxFiles.groupBy(_._1).foreach { case (col, fs) =>
+      val idxDir = Index.dir(table.dir, col)
+      val sst = Paths.get(idxDir, CellStore.SstDir)
+      CellStore.commitSegments(idxDir, fs.toSeq.map { case (_, bucket, tmp) =>
+        sst.resolve(tmp) -> CellStore.newSegmentName(bucket)
+      })
     }
-    files.foreach { case (bucket, tmp) =>
-      Files.move(Paths.get(table.dir, CellStore.SstDir, tmp),
-        Paths.get(table.dir, CellStore.SstDir, CellStore.newSegmentName(bucket)),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    CellStore.commitSegments(table.dir, files.toSeq.map { case (bucket, tmp) =>
+      Paths.get(table.dir, CellStore.SstDir, tmp) ->
+        CellStore.newSegmentName(bucket)
+    })
     // size-tiered auto-compaction: any touched bucket now holding more than
     // `compact.segments.max` committed segments is full-compacted before the
     // commit returns — read amplification stays bounded under arbitrarily

@@ -115,9 +115,11 @@ final class CellChangeFeedStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = start.asInstanceOf[SegmentSetOffset].names
     val visible = availableNowTarget.getOrElse(listCommitted())
-    // Admission follows COMMIT order (mtime survives the writer's atomic
-    // temp-rename; the store's single-maintainer discipline makes it
-    // commit-monotone across epochs), name as the deterministic tie-break.
+    // Admission follows COMMIT order: every commit path stamps a MONOTONE
+    // mtime onto its segments before the atomic rename
+    // (CellStore.commitSegments), so cross-epoch order is exact even for
+    // sub-millisecond commit successions; name is the deterministic
+    // tie-break within one commit (one epoch — order there is meaningless).
     // Segment names embed a random UUID, so name order is unrelated to
     // commit order — admitting by name under a batch-size cap could hand a
     // NEWER epoch's upsert to an EARLIER micro-batch than the older value

@@ -643,6 +643,33 @@ object CellStore {
     Files.move(tmp, file, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Make staged segments visible with a MONOTONE commit stamp: every new
+    * segment's mtime is strictly above every already-visible segment's
+    * (and at least the wall clock), then the atomic rename publishes it.
+    * The mtime is the change feed's admission-order authority — stamping
+    * makes cross-epoch commit order exact even when two commits land
+    * within one clock millisecond, where raw rename times would tie and
+    * fall back to (order-meaningless) name comparison. Files of ONE commit
+    * share one stamp (one epoch — intra-commit order is meaningless by
+    * construction). Single-maintainer discipline means no racing
+    * committers per table; a reader's (path, size, mtime) cache keys see
+    * only the final stamped value because the stamp lands BEFORE the
+    * rename. */
+  def commitSegments(tableDir: String, staged: Seq[(Path, String)]): Unit = {
+    if (staged.isEmpty) return
+    val sst = Paths.get(tableDir, SstDir)
+    val floor = allSegmentFiles(tableDir).values.flatten.foldLeft(0L) { (m, p) =>
+      math.max(m, try Files.getLastModifiedTime(p).toMillis
+        catch { case _: java.io.IOException => 0L })
+    }
+    val stamp = java.nio.file.attribute.FileTime.fromMillis(
+      math.max(System.currentTimeMillis(), floor + 1))
+    staged.foreach { case (tmp, _) => Files.setLastModifiedTime(tmp, stamp) }
+    staged.foreach { case (tmp, name) =>
+      Files.move(tmp, sst.resolve(name), java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   def segmentFiles(tableDir: String, bucket: Int): Seq[Path] = {
     val d = Paths.get(tableDir, SstDir)
     if (!Files.isDirectory(d)) return Nil
@@ -784,7 +811,7 @@ object CellStore {
       Files.write(provFile(target),
         files.map(_.getFileName.toString).sorted.mkString("\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      commitSegments(tableDir, Seq(tmp -> target.getFileName.toString))
     } finally readers.foreach(_.close())
     files.foreach { f =>
       Files.deleteIfExists(f)

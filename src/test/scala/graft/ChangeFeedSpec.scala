@@ -196,11 +196,10 @@ class ChangeFeedSpec extends SparkSpec {
             ts += 1
             // distinct keys per epoch (same-epoch duplicate resolution is
             // the value-byte tie rule, deliberately not an ordering fact);
-            // mtime-spaced so cross-epoch commit order is observable at
-            // millisecond resolution
+            // commit order is exact at any speed — commitSegments stamps
+            // monotone commit times, so no inter-append spacing is needed
             append(dir, ts, Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(30).toLong)
               .distinct.map(k => k -> s"v$ts-${rnd.nextInt(100)}"))
-            Thread.sleep(3)
           case 4 =>
             val doomed = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(35).toLong)
               .distinct.map(Long.box).toArray[Any]
