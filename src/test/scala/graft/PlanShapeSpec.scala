@@ -230,6 +230,50 @@ class PlanShapeSpec extends SparkSpec {
       .select("o_orderkey").distinct().count())
   }
 
+  test("storage-partitioned join under partially-clustered distribution stays correct") {
+    // Spark's SPJ skew handling (partially-clustered distribution
+    // replicates the smaller side's partitions instead of one task per
+    // key group) must compose with our reported layout: same rows, still
+    // no shuffle of either store
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${graft.sources.cassandralike.Seed.storeRoot(sfDir)}/warehouse")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    Seq("spjpc_a", "spjpc_b").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$n (o_orderkey BIGINT, v DOUBLE)
+           |USING cassandralike
+           |TBLPROPERTIES ('buckets' = '8', 'partitioning.report' = 'true')""".stripMargin)
+    }
+    spark.sql(
+      "INSERT INTO cassandralike.ks.spjpc_a SELECT o_orderkey, o_totalprice FROM orders")
+    // skewed small side: an eighth of the keys
+    spark.sql(
+      """INSERT INTO cassandralike.ks.spjpc_b
+        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 8 = 0""".stripMargin)
+    val key = "spark.sql.sources.v2.bucketing.partiallyClustered.distribution.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val joined = spark.table("cassandralike.ks.spjpc_a").hint("MERGE")
+        .join(spark.table("cassandralike.ks.spjpc_b"), Seq("o_orderkey"))
+      val n = joined.count()
+      val want = Tables.load(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey") % 8 === 0).count()
+      assert(n == want, s"partially-clustered SPJ returned $n rows, want $want")
+      val shuffles = collectAll(joined.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles == 0,
+        s"partially-clustered SPJ must not shuffle the stores, saw $shuffles")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("mismatched bucket counts fall back to a shuffled join with the same rows") {
     // the co-partition proof must FAIL soundly: different layouts -> Spark
     // inserts exchanges and the join still answers correctly
