@@ -19,6 +19,26 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry integrity: unique names, oracles reference known tables only") {
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    // a duplicate would silently shadow its twin in SparkEntry.queries
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    // every oracle runs over the driver's fixed view set; a typo'd table
+    // name would only surface as a driver-side DuckDB error next round
+    val known = Tables.names.toSet
+    val tablePat = "(?i)\\b(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // strip CTE names defined in the statement itself
+      val ctes = "(?i)(?:WITH\\s+RECURSIVE\\s+|WITH\\s+|,\\s*)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        .findAllMatchIn(sql).map(_.group(1)).toSet
+      tablePat.findAllMatchIn(sql).map(_.group(1)).foreach { t =>
+        assert(known(t) || ctes(t) || t == "unnest",
+          s"$name oracle references unknown table '$t'")
+      }
+    }
+  }
+
   test("cross join cardinality = |region| * |nation|") {
     val df = SparkEntry.queries("rel_join_cross")(spark, sfDir)
     assert(df.count() == 5L * 25L)
