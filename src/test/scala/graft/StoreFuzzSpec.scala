@@ -54,11 +54,18 @@ class StoreFuzzSpec extends SparkSpec {
       case live => Some(live.reduce((a, b) => if (newer(a, b)) a else b))
     }
 
+  /** Decode a model double cell: binary on exact width, text otherwise —
+    * the store's own dual-decode rule (the fuzz's text forms are <= 5
+    * bytes, so the width check is unambiguous). */
+  private def decodeD(c: MCell): Double =
+    if (c.bytes.length == 8) java.nio.ByteBuffer.wrap(c.bytes).getDouble
+    else new String(c.bytes, java.nio.charset.StandardCharsets.UTF_8).toDouble
+
   /** The rows the scan must produce at snapshot `asOf`. */
   private def expected(m: Model, asOf: Long): Set[(Long, Option[Double], Option[String])] =
     m.iterator.flatMap { case (k, cols) =>
       val a = winner(cols.getOrElse("a", Nil).toSeq, asOf).filter(!_.tomb)
-        .map(c => java.nio.ByteBuffer.wrap(c.bytes).getDouble)
+        .map(decodeD)
       val b = winner(cols.getOrElse("b", Nil).toSeq, asOf).filter(!_.tomb)
         .map(c => new String(c.bytes, java.nio.charset.StandardCharsets.UTF_8))
       if (a.isEmpty && b.isEmpty) None else Some((k, a, b))
@@ -76,10 +83,16 @@ class StoreFuzzSpec extends SparkSpec {
   test("random append/tombstone/delete/compact interleavings match the LWW model exactly") {
     val rnd = new Random(20260814)
     (1 to 3).foreach { trial =>
+      // trial 3 exercises the TEXT cell encoding (T1's dual-decode read
+      // path): values are ASCII forms on disk, keys stay canonical binary,
+      // and LWW value-byte tie-breaks compare the text bytes — the model
+      // mirrors by encoding the same way
+      val textEnc = trial == 3
       val dir = s"/tmp/graft_cellstore_fuzz/t$trial"
       CellStore.dropTable(dir)
       CellStore.writeMeta(dir, CellStore.Meta(schema.toDDL,
-        ColumnMapping.auto(schema), Map(Options.Buckets -> Buckets.toString)))
+        ColumnMapping.auto(schema), Map(Options.Buckets -> Buckets.toString) ++
+          (if (textEnc) Map(Options.Encoding -> "text") else Map.empty)))
       val model: Model = mutable.Map.empty
       var ts = 0L
       // snapshots recorded since the last compaction (compaction collapses
@@ -111,8 +124,9 @@ class StoreFuzzSpec extends SparkSpec {
               if (tombstoneNulls) upsert(model, k, col, MCell(ts, tomb = true, null))
             } else {
               val bytes = v match {
-                case d: java.lang.Double => java.nio.ByteBuffer.allocate(8)
-                  .putDouble(d).array()
+                case d: java.lang.Double =>
+                  if (textEnc) d.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  else java.nio.ByteBuffer.allocate(8).putDouble(d).array()
                 case s: String => s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               }
               upsert(model, k, col, MCell(ts, tomb = false, bytes))
@@ -180,7 +194,7 @@ class StoreFuzzSpec extends SparkSpec {
             def live(col: String) =
               winner(cols.getOrElse(col, Nil).toSeq, Long.MaxValue)
                 .filter(c => !c.tomb && now < c.ts + ttl)
-            val a = live("a").map(c => java.nio.ByteBuffer.wrap(c.bytes).getDouble)
+            val a = live("a").map(decodeD)
             val b = live("b").map(c =>
               new String(c.bytes, java.nio.charset.StandardCharsets.UTF_8))
             if (a.isEmpty && b.isEmpty) None else Some((k, a, b))
