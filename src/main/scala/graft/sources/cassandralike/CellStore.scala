@@ -513,8 +513,10 @@ object CellStore {
   final class MergeIterator(runSeq: Seq[Iterator[Cell]], dropTombstones: Boolean,
       counterMerge: Boolean = false)
     extends Iterator[Cell] {
-    private val heap = new mutable.PriorityQueue[BufferedIterator[Cell]]()(
-      Ordering.by[BufferedIterator[Cell], Cell](_.head)(addressOrdering.reverse))
+    private val heap =
+      new mutable.PriorityQueue[scala.collection.BufferedIterator[Cell]]()(
+        Ordering.by[scala.collection.BufferedIterator[Cell], Cell](_.head)(
+          addressOrdering.reverse))
     runSeq.foreach { r => val b = r.buffered; if (b.hasNext) heap.enqueue(b) }
 
     private var nextCell: Cell = advance()

@@ -200,7 +200,7 @@ class ConnectorSpec extends SparkSpec {
     val df = Seed.read(spark, store, Map(Options.SplitTargetCells -> "500"))
     val parts = df.rdd.getNumPartitions
     assert(df.count() == n, s"hot-key readback lost cells (planned $parts partitions)")
-    assert(df.select(sum($"value".cast("long"))).head.getLong(0) ==
+    assert(df.select(sum($"value".cast("long"))).head().getLong(0) ==
       n.toLong * (n + 1) / 2)
   }
 
