@@ -133,6 +133,116 @@ object LlmPipeline {
         (col("rk0") + lit(1)).as("rk"))
   }
 
+  /** The llm_dedup_ngram pipeline with its two physical knobs exposed:
+    * `verifyBlocks` (block-pair task sizing) and `histBuckets`
+    * (pre-verify bound tightness). The judged result must be IDENTICAL
+    * at any knob setting — they size tasks and filters, never
+    * semantics — and LlmPipelineSpec sweeps them to prove it. */
+  private[graft] def ngramDedup(s: SparkSession, dir: String,
+      verifyBlocks: Int, histBuckets: Int): DataFrame = {
+    // per-doc gram-key arrays feed the df count, the prefix stage and the
+    // verification arrays — persist the map-only form once; prefix feeds
+    // both sides of its self-join — persist once (the df-attach join and
+    // prefix groupBy must not run twice)
+    val docArr = docGramKeys(docs(s, dir))
+      // gram-count histogram rides along: computed ONCE per doc at persist
+      // time, consumed by the pre-verify bound filter below
+      .withColumn("gh", expr(s"gram_hist(gs, $histBuckets)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docArr.count() // pin before the df/prefix branches race the cache
+    val prefix = gramPrefixes(docArr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefix.count()
+    // candidate join with the two PPJoin pruning bounds, both exact in
+    // integer arithmetic so no float rounding can drop a true pair:
+    //  - length ratio: J >= 0.9 forces 0.9·max(na,nb) <= min(na,nb),
+    //    i.e. 9·max <= 10·min;
+    //  - positional upper bound at a prefix match (rank rk within the
+    //    doc's df-ordered grams): overlap <= 1 + min(na-rka, nb-rkb);
+    //    J >= 0.9 needs overlap >= ceil(9(na+nb)/19), so a match row can
+    //    only seed a candidate when 19·(1+min(...)) >= 9·(na+nb). A true
+    //    pair's FIRST common prefix gram always satisfies the bound, so
+    //    recall stays exact (the spec checks equality with the naive
+    //    join). On this corpus the two bounds cut candidates ~10x.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.n"), col("b.n")) * 9 <= least(col("a.n"), col("b.n")) * 10 &&
+        (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 19 >=
+          (col("a.n") + col("b.n")) * 9)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // TWO-STAGE BLOCK-PAIR verification, O(candidates) cheap-bound work +
+    // O(survivors) deep work, with pair-count-INDEPENDENT shuffle volume.
+    // Attaching per-doc state to each pair via plain joins would reshuffle
+    // the state-carrying intermediate by doc_b — candidates × bytes of
+    // network. Instead docs hash into NgramVerifyBlocks blocks; candidates
+    // repartition ONCE by their (block_a, block_b) pair and each side's
+    // per-doc state replicates B ways keyed the same — so it crosses the
+    // wire B times TOTAL (O(N·B), corpus-bounded), never once per pair.
+    // Both attach joins are SHUFFLE_HASH (build side = one block, a
+    // bounded knob like EmbedBlockRows) over the (block_a, block_b)
+    // co-partitioning — with requireAllClusterKeysForCoPartition=false
+    // (GraftSession default) the join output flows join-to-join WITHOUT an
+    // exchange or a sort (PlanShapeSpec asserts it).
+    //
+    // Stage 1 ships HISTOGRAMS through that machinery and keeps only pairs
+    // whose exact intersection upper bound can still reach the threshold;
+    // stage 2 merge-scans full arrays for survivors only.
+    // sorted_intersect_atleast EARLY-EXITS once count+min(remaining) can't
+    // reach the required overlap, and its integer threshold is EXACTLY the
+    // jac >= 0.9 test (19·common >= 9·(na+nb), no float boundary), so
+    // common >= 0 survivors are precisely the judged rows.
+    val b = verifyBlocks
+    val cand2 = cand
+      .withColumn("ba", pmod(hash(col("doc_a")), lit(b)))
+      .withColumn("bb", pmod(hash(col("doc_b")), lit(b)))
+      .repartition(col("ba"), col("bb"))
+    // PRE-VERIFY on histograms, not arrays: the block-pair joins attach a
+    // ~0.5 KB gram-count histogram per side (replication O(N·B)×histBytes
+    // — 5× cheaper than arrays on the wire, and the join output carries
+    // hundreds of bytes per candidate instead of KBs). hist_min_sum(ha,hb)
+    // ≥ |A∩B| always, so requiring bound·19 ≥ 9(na+nb) — EXACTLY the
+    // required overlap, integer arithmetic — keeps every true pair while
+    // killing the semi-similar mass (the fixture corpus is template-
+    // generated: candidates average J≈0.34 and deep 450-element merge
+    // scans; measured 642 352 → 255 survivors at sf0.1, i.e. the filter
+    // passes precisely the true pairs).
+    val hA = docArr.select(col("doc_id").as("doc_a"), col("gh").as("ha"),
+        size(col("gs")).as("na"),
+        pmod(hash(col("doc_id")), lit(b)).as("ba"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("bb"))
+      .repartition(col("ba"), col("bb"))
+    val hB = docArr.select(col("doc_id").as("doc_b"), col("gh").as("hb"),
+        size(col("gs")).as("nb"),
+        pmod(hash(col("doc_id")), lit(b)).as("bb"),
+        explode(expr(s"sequence(0, ${b - 1})")).as("ba"))
+      .repartition(col("ba"), col("bb"))
+    val surv = cand2
+      .join(hA.hint("SHUFFLE_HASH"), Seq("doc_a", "ba", "bb"))
+      .join(hB.hint("SHUFFLE_HASH"), Seq("doc_b", "ba", "bb"))
+      .filter(expr("hist_min_sum(ha, hb)") * 19 >= (col("na") + col("nb")) * 9)
+      .select(col("doc_a"), col("doc_b"))
+    // survivors ≈ true pairs (output-bounded), so the FULL gram arrays
+    // attach via two plain equi-joins: the corpus arrays cross the wire
+    // once each (AQE broadcasts whichever side is small at runtime) —
+    // 16× less array traffic than replicating them through the block-pair
+    // joins, and the deep merge scan runs only on pairs that can still
+    // verify true.
+    surv
+      .join(docArr.select(col("doc_id").as("doc_a"), col("gs").as("ga")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("gs").as("gb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("""sorted_intersect_atleast(ga, gb,
+          cast((9*(size(ga) + size(gb)) + 18) div 19 as int))""")
+          .cast("long").as("common"),
+        size(col("ga")).cast("long").as("na"), size(col("gb")).cast("long").as("nb"))
+      .filter(col("common") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Rows per block in the blocked all-pairs enumeration below. Sized so a
     * task's working set (two blocks of 24-byte sketch rows, plus join
     * machinery) stays in the low MBs regardless of corpus size; small
@@ -492,107 +602,7 @@ object LlmPipeline {
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
       bench = true) { (s, dir) =>
-      // per-doc gram-key arrays feed the df count, the prefix stage and the
-      // verification arrays — persist the map-only form once; prefix feeds
-      // both sides of its self-join — persist once (the df-attach join and
-      // prefix groupBy must not run twice)
-      val docArr = docGramKeys(docs(s, dir))
-        // gram-count histogram rides along: computed ONCE per doc at persist
-        // time, consumed by the pre-verify bound filter below
-        .withColumn("gh", expr(s"gram_hist(gs, $NgramHistBuckets)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      docArr.count() // pin before the df/prefix branches race the cache
-      val prefix = gramPrefixes(docArr)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      prefix.count()
-      // candidate join with the two PPJoin pruning bounds, both exact in
-      // integer arithmetic so no float rounding can drop a true pair:
-      //  - length ratio: J >= 0.9 forces 0.9·max(na,nb) <= min(na,nb),
-      //    i.e. 9·max <= 10·min;
-      //  - positional upper bound at a prefix match (rank rk within the
-      //    doc's df-ordered grams): overlap <= 1 + min(na-rka, nb-rkb);
-      //    J >= 0.9 needs overlap >= ceil(9(na+nb)/19), so a match row can
-      //    only seed a candidate when 19·(1+min(...)) >= 9·(na+nb). A true
-      //    pair's FIRST common prefix gram always satisfies the bound, so
-      //    recall stays exact (the spec checks equality with the naive
-      //    join). On this corpus the two bounds cut candidates ~10x.
-      val cand = prefix.as("a")
-        .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          greatest(col("a.n"), col("b.n")) * 9 <= least(col("a.n"), col("b.n")) * 10 &&
-          (least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) + 1) * 19 >=
-            (col("a.n") + col("b.n")) * 9)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // TWO-STAGE BLOCK-PAIR verification, O(candidates) cheap-bound work +
-      // O(survivors) deep work, with pair-count-INDEPENDENT shuffle volume.
-      // Attaching per-doc state to each pair via plain joins would reshuffle
-      // the state-carrying intermediate by doc_b — candidates × bytes of
-      // network. Instead docs hash into NgramVerifyBlocks blocks; candidates
-      // repartition ONCE by their (block_a, block_b) pair and each side's
-      // per-doc state replicates B ways keyed the same — so it crosses the
-      // wire B times TOTAL (O(N·B), corpus-bounded), never once per pair.
-      // Both attach joins are SHUFFLE_HASH (build side = one block, a
-      // bounded knob like EmbedBlockRows) over the (block_a, block_b)
-      // co-partitioning — with requireAllClusterKeysForCoPartition=false
-      // (GraftSession default) the join output flows join-to-join WITHOUT an
-      // exchange or a sort (PlanShapeSpec asserts it).
-      //
-      // Stage 1 ships HISTOGRAMS through that machinery and keeps only pairs
-      // whose exact intersection upper bound can still reach the threshold;
-      // stage 2 merge-scans full arrays for survivors only.
-      // sorted_intersect_atleast EARLY-EXITS once count+min(remaining) can't
-      // reach the required overlap, and its integer threshold is EXACTLY the
-      // jac >= 0.9 test (19·common >= 9·(na+nb), no float boundary), so
-      // common >= 0 survivors are precisely the judged rows.
-      val b = NgramVerifyBlocks
-      val cand2 = cand
-        .withColumn("ba", pmod(hash(col("doc_a")), lit(b)))
-        .withColumn("bb", pmod(hash(col("doc_b")), lit(b)))
-        .repartition(col("ba"), col("bb"))
-      // PRE-VERIFY on histograms, not arrays: the block-pair joins attach a
-      // ~0.5 KB gram-count histogram per side (replication O(N·B)×histBytes
-      // — 5× cheaper than arrays on the wire, and the join output carries
-      // hundreds of bytes per candidate instead of KBs). hist_min_sum(ha,hb)
-      // ≥ |A∩B| always, so requiring bound·19 ≥ 9(na+nb) — EXACTLY the
-      // required overlap, integer arithmetic — keeps every true pair while
-      // killing the semi-similar mass (the fixture corpus is template-
-      // generated: candidates average J≈0.34 and deep 450-element merge
-      // scans; measured 642 352 → 255 survivors at sf0.1, i.e. the filter
-      // passes precisely the true pairs).
-      val hA = docArr.select(col("doc_id").as("doc_a"), col("gh").as("ha"),
-          size(col("gs")).as("na"),
-          pmod(hash(col("doc_id")), lit(b)).as("ba"),
-          explode(expr(s"sequence(0, ${b - 1})")).as("bb"))
-        .repartition(col("ba"), col("bb"))
-      val hB = docArr.select(col("doc_id").as("doc_b"), col("gh").as("hb"),
-          size(col("gs")).as("nb"),
-          pmod(hash(col("doc_id")), lit(b)).as("bb"),
-          explode(expr(s"sequence(0, ${b - 1})")).as("ba"))
-        .repartition(col("ba"), col("bb"))
-      val surv = cand2
-        .join(hA.hint("SHUFFLE_HASH"), Seq("doc_a", "ba", "bb"))
-        .join(hB.hint("SHUFFLE_HASH"), Seq("doc_b", "ba", "bb"))
-        .filter(expr("hist_min_sum(ha, hb)") * 19 >= (col("na") + col("nb")) * 9)
-        .select(col("doc_a"), col("doc_b"))
-      // survivors ≈ true pairs (output-bounded), so the FULL gram arrays
-      // attach via two plain equi-joins: the corpus arrays cross the wire
-      // once each (AQE broadcasts whichever side is small at runtime) —
-      // 16× less array traffic than replicating them through the block-pair
-      // joins, and the deep merge scan runs only on pairs that can still
-      // verify true.
-      surv
-        .join(docArr.select(col("doc_id").as("doc_a"), col("gs").as("ga")), Seq("doc_a"))
-        .join(docArr.select(col("doc_id").as("doc_b"), col("gs").as("gb")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("""sorted_intersect_atleast(ga, gb,
-            cast((9*(size(ga) + size(gb)) + 18) div 19 as int))""")
-            .cast("long").as("common"),
-          size(col("ga")).cast("long").as("na"), size(col("gb")).cast("long").as("nb"))
-        .filter(col("common") >= 0)
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      ngramDedup(s, dir, NgramVerifyBlocks, NgramHistBuckets)
     },
 
     // ---- embedding-cosine similarity join at threshold 0.45, exact, via a

@@ -83,6 +83,23 @@ class LlmPipelineSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("ngram knobs size tasks, never semantics: result identical across sweeps") {
+    // NgramVerifyBlocks partitions the verify into block pairs and
+    // NgramHistBuckets sets the pre-verify bound's tightness; both are
+    // physical sizing knobs — the judged pairs must be byte-identical at
+    // ANY setting (a histogram too coarse may verify MORE candidates, a
+    // block count of 1 collapses the pairing — neither may change rows)
+    def run(blocks: Int, buckets: Int): Seq[(Long, Long, Double)] =
+      operators.LlmPipeline.ngramDedup(spark, sfDir, blocks, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = run(operators.LlmPipeline.NgramVerifyBlocks,
+      operators.LlmPipeline.NgramHistBuckets)
+    assert(base.nonEmpty, "fixture should contain near-dup pairs")
+    Seq((1, 128), (3, 128), (16, 16), (5, 512)).foreach { case (b, h) =>
+      assert(run(b, h) == base, s"knobs (blocks=$b, histBuckets=$h) changed the result")
+    }
+  }
+
   test("embedding sketch prefilter: few candidates, zero recall loss") {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
