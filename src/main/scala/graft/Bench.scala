@@ -58,7 +58,13 @@ object Bench {
     // 2-4x; isolated reruns confirm the fast number reproduces). A failed
     // run records -1, never a bogus wall-clock. GC between queries keeps
     // one query's garbage from billing the next one's first run.
-    val results = SparkEntry.benchQueries.map { q =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the set for iterating
+    // on one query; the driver never sets it, so judged runs are unaffected
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val picked = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = picked.map { q =>
       runOnce(q) // warm-up: JIT + parquet footers for THIS query
       val times = Seq.fill(3) {
         val t = runOnce(q); System.gc(); t

@@ -301,6 +301,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.GramHist(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("df_attach_sorted"),
+      new ExpressionInfo(classOf[graft.functions.DfAttachSorted].getName,
+        "df_attach_sorted"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3,
+          "usage: df_attach_sorted(array<bigint>, keysLiteral, valsLiteral)")
+        // the vocabulary children must be literals: they are unpacked ONCE
+        // here (analysis time) into primitive arrays the kernel binary-
+        // searches — never evaluated per row
+        def longs(e2: Expression, what: String): Array[Long] = {
+          require(e2.foldable, s"df_attach_sorted: $what must be a literal")
+          e2.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray()
+        }
+        graft.functions.DfAttachSorted(exprs.head,
+          longs(exprs(1), "vocabulary keys"), longs(exprs(2), "vocabulary dfs"))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("hist_min_sum"),
       new ExpressionInfo(classOf[graft.functions.HistMinSum].getName, "hist_min_sum"),
       (exprs: Seq[Expression]) => {

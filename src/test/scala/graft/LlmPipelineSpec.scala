@@ -100,6 +100,20 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("prefix stage: broadcast-map and join-regroup paths emit identical postings") {
+    // NgramBroadcastVocabMax only picks the physical shape of the df attach;
+    // vocabMax=0 forces the join + groupBy fallback, the default takes the
+    // broadcast-map path — postings must match exactly
+    val d = Tables.load(spark, sfDir, "documents")
+    val docArr = operators.LlmPipeline.docGramKeys(d)
+    def rows(vocabMax: Long): Set[(Long, Long, Int, Int)] =
+      operators.LlmPipeline.gramPrefixes(docArr, vocabMax).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val broadcastPath = rows(operators.LlmPipeline.NgramBroadcastVocabMax)
+    assert(broadcastPath.nonEmpty)
+    assert(rows(0L) == broadcastPath, "fallback path diverged from broadcast path")
+  }
+
   test("embedding sketch prefilter: few candidates, zero recall loss") {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
