@@ -379,16 +379,20 @@ object Streaming {
     // batch probes: the earlier member is already indexed, and a doc is in
     // exactly one batch), so the accumulated result equals the FULL-corpus
     // LSH dedup whatever the batch granularity — the oracle recomputes all
-    // true Jaccard>=0.8 pairs from scratch. ----
+    // true Jaccard>=0.8 pairs from scratch.
+    //
+    // The judged run is a genuine STOP/RESUME cycle: the query drains epoch
+    // 1 and terminates; epochs 2 and 3 then land in the store; a NEW query
+    // against the SAME checkpoint recovers the committed segment-set offset
+    // and processes only the new epochs. Exactly-once across the restart is
+    // what makes the accumulated pairs equal the oracle — a replayed batch
+    // is absorbed by the pair-keyed upsert, a skipped one would lose
+    // pairs. ----
     Q("stream_dedup_continuous", LlmPipeline.jaccardOracle) { (s, dir) =>
       import graft.sources.cassandralike.{CellStore, Options => CLOpt, Seed}
       val d = graft.Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
       val store = Seed.table(s, dir, "continuous_docs",
         d.filter(col("doc_id") % 3 === 0), props = Map(CLOpt.Buckets -> "8"))
-      Seed.append(d.filter(col("doc_id") % 3 === 1), store,
-        Map(CLOpt.WriteTimestamp -> "2"))
-      Seed.append(d.filter(col("doc_id") % 3 === 2), store,
-        Map(CLOpt.WriteTimestamp -> "3"))
       val idx = s"${Seed.storeRoot(dir)}/continuous_band_index"
       CellStore.dropTable(idx)
       CellStore.writeMeta(idx, CellStore.Meta(
@@ -404,11 +408,11 @@ object Streaming {
         .select(concat_ws("#", col("band"), col("bh")).as("row_key"),
           lpad(col("doc_id").cast("string"), 12, "0").as("column_name"),
           lit("1").as("value"))
-      val feed = s.readStream.format("cassandralike")
+      def feed() = s.readStream.format("cassandralike")
         .option(CLOpt.Path, store)
         .option(CLOpt.StreamMaxSegmentsPerBatch, "8")
         .load()
-      StreamOps.runForeachBatch(feed, "append") { (batch0, _) =>
+      def processBatch(batch0: org.apache.spark.sql.DataFrame, id: Long): Unit = {
         val batch = batch0.select(col("doc_id"), col("text"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (batch.count() > 0) {
@@ -433,6 +437,18 @@ object Streaming {
         }
         batch.unpersist()
         ()
+      }
+      StreamOps.withRunCheckpoint { ckpt =>
+        // round 1: drain epoch 1, then the query STOPS
+        StreamOps.runForeachBatchResumable(feed(), "append", ckpt)(processBatch)
+        // two more epochs land while no query is running
+        Seed.append(d.filter(col("doc_id") % 3 === 1), store,
+          Map(CLOpt.WriteTimestamp -> "2"))
+        Seed.append(d.filter(col("doc_id") % 3 === 2), store,
+          Map(CLOpt.WriteTimestamp -> "3"))
+        // round 2: a NEW query on the SAME checkpoint resumes at the
+        // committed segment-set offset and sees only the new epochs
+        StreamOps.runForeachBatchResumable(feed(), "append", ckpt)(processBatch)
       }
       Seed.read(s, res).select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))

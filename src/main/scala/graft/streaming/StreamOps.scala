@@ -80,6 +80,38 @@ object StreamOps {
       } }
     }
 
+  /** [[runForeachBatch]] with a caller-held checkpoint: the query can be
+    * drained, STOPPED, and later re-started against the same checkpoint —
+    * the restart recovers the committed offsets and processes only source
+    * data that arrived since (the production stop/deploy/resume cycle).
+    * The caller owns the checkpoint's lifetime via [[withRunCheckpoint]]. */
+  def runForeachBatchResumable(stream: DataFrame, mode: String, checkpoint: String)(
+      f: (DataFrame, Long) => Unit): Unit =
+    withStatePartitions(stream.sparkSession) {
+      withStateStore(stream.sparkSession) {
+        val q = stream.writeStream
+          .foreachBatch(f)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", checkpoint)
+          .start()
+        q.awaitTermination()
+      }
+    }
+
+  /** A checkpoint directory whose lifetime spans MULTIPLE query runs (for
+    * drain → append → resume shapes): created under tmpfs when available,
+    * deleted when `run` returns. */
+  def withRunCheckpoint[T](run: String => T): T = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        "/dev/shm/graft_ckpt/"
+      else "/tmp/graft_ckpt/"
+    val ckpt = root + java.util.UUID.randomUUID().toString.replace("-", "")
+    try run(ckpt) finally deleteRecursively(ckpt)
+  }
+
   /** Opt-in RocksDB state store (`spark.graft.streaming.rocksdb=true` on the
     * session): swaps the provider for the duration of one run, restoring the
     * previous value after. The default HDFS-backed provider keeps every
@@ -140,15 +172,17 @@ object StreamOps {
         Some("/dev/shm/graft_ckpt/" + java.util.UUID.randomUUID().toString.replace("-", ""))
       else None
     try run(ckpt)
-    finally ckpt.foreach { c =>
-      val root = java.nio.file.Paths.get(c)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
+    finally ckpt.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(c: String): Unit = {
+    val root = java.nio.file.Paths.get(c)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
   }
 }

@@ -69,6 +69,20 @@ class StreamingResumeSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("continuous dedup stop/append/resume equals the full-corpus LSH dedup") {
+    // the judged query now drains one epoch, STOPS, lands two more epochs,
+    // and resumes from the same checkpoint — its accumulated pairs must
+    // still equal the minhash full-corpus dedup, proving the resumed query
+    // picked up exactly the post-stop epochs (a missed epoch loses pairs,
+    // a replayed one is absorbed by the pair-keyed upsert)
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sfDir).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val continuous = pairs("stream_dedup_continuous")
+    assert(continuous.nonEmpty)
+    assert(continuous == pairs("llm_dedup_minhash"))
+  }
+
   test("foreachBatch store sink: mid-stream crash, restart resumes exactly-once") {
     val sp = spark; import sp.implicits._
     import graft.sources.cassandralike.{CellStore, Options, Seed}
