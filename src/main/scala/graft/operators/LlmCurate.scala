@@ -348,5 +348,55 @@ object LlmCurate {
           col("tf").cast("bigint").as("tf"), col("df").cast("bigint").as("df"))
         .orderBy("doc_id", "rk")
     },
+
+    // ---- SEGMENT-LEVEL dedup (CCNet-style boilerplate strip): fixed
+    // 10-word segments appearing in >= 3 DISTINCT docs are cut from every
+    // doc, which is the line/paragraph dedup pass web corpora take before
+    // doc-level dedup (headers, navigation, license blurbs). Scale shape:
+    //   1. segmentation is a row-local array expression;
+    //   2. hot-segment discovery aggregates 8-byte xxhash64 keys (never
+    //      segment strings) — the only corpus-sized shuffle, at 16 B/row;
+    //   3. candidate segments (hot hashes only) re-verify the >= 3-doc
+    //      threshold on the STRING, so a 64-bit collision can promote a
+    //      candidate but never a result — exactness at string level;
+    //   4. the rewrite is map-side: the verified boilerplate vocabulary
+    //      (small by nature — segments shared across many docs) folds into
+    //      one broadcast array row and each doc filters its own segments
+    //      row-locally, preserving order. No reassembly shuffle: the corpus
+    //      text never moves.
+    // A doc that is ALL boilerplate stays, with cleaned = ''. ----
+    Q("llm_dedup_segments",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |seg AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS s
+        |  FROM w, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(len(ws) / 10.0) AS INT) - 1)) AS i) t(i)),
+        |bp AS (SELECT s FROM seg GROUP BY s HAVING count(DISTINCT doc_id) >= 3)
+        |SELECT seg.doc_id,
+        |  CAST(count(*) FILTER (WHERE bp.s IS NOT NULL) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(seg.s, ' ' ORDER BY seg.pos)
+        |    FILTER (WHERE bp.s IS NULL), '') AS cleaned
+        |FROM seg LEFT JOIN bp ON seg.s = bp.s
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("segs", expr(
+          "transform(sequence(0, (size(ws) + 9) div 10 - 1)," +
+            " i -> concat_ws(' ', slice(ws, i*10+1, 10)))"))
+      val seg = d.select(col("doc_id"), explode(col("segs")).as("s"))
+      val hot = seg.groupBy(xxhash64(col("s")).as("h"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select("h")
+      val bp = seg.join(broadcast(hot), xxhash64(col("s")) === col("h"), "left_semi")
+        .groupBy("s").agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select("s")
+      val bpRow = bp.agg(collect_list(col("s")).as("bps"))
+      d.crossJoin(broadcast(bpRow))
+        .withColumn("kept", expr("filter(segs, x -> NOT array_contains(bps, x))"))
+        .select(col("doc_id"),
+          (size(col("segs")) - size(col("kept"))).cast("bigint").as("n_dropped"),
+          concat_ws(" ", col("kept")).as("cleaned"))
+        .orderBy("doc_id")
+    },
   )
 }

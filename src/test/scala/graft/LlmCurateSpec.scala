@@ -13,6 +13,30 @@ class LlmCurateSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("segment dedup: drops exactly the >=3-doc segments, preserves order") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def segsOf(t: String): Seq[String] =
+      t.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    val counts = d.toSeq.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val bp = counts.filter(_._2 >= 3).keySet
+    assert(bp.nonEmpty, "fixture should contain cross-doc boilerplate segments")
+    val got = q("llm_dedup_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.length == d.size)
+    got.foreach { case (id, nDropped, cleaned) =>
+      val segs = segsOf(d(id))
+      val (drop, keep) = segs.partition(bp.contains)
+      assert(nDropped == drop.size, s"doc $id drop count")
+      assert(cleaned == keep.mkString(" "), s"doc $id reassembly/order")
+    }
+    assert(got.exists(_._2 > 0), "some doc should lose a segment")
+    assert(got.exists(g => g._2 == 0 && g._3 == d(g._1)),
+      "untouched docs must round-trip verbatim")
+  }
+
   test("pack_sequences: two-level prefix-sum == single-window reference at any block size") {
     // the reference is the global cumulative sum that would NOT scale (one
     // window partition over the whole corpus) but is trivially correct; the
