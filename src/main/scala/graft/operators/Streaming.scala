@@ -202,14 +202,15 @@ object Streaming {
         .orderBy($"user_id", $"event_type")
     },
 
-    // ---- streaming sink INTO the cassandralike store: the windowed
-    // aggregation's append-mode emission set flows through foreachBatch into
-    // the connector's DSv2 write path (wide-row layout: one storage row per
-    // window, one column per event type), then reads back through the DSv2
-    // scan. Each micro-batch is one incremental batch write — segments
-    // accumulate per epoch exactly like any other append job, and the
-    // LWW/compaction machinery applies unchanged. This is the operator that
-    // closes the loop between the streaming surface and the store. ----
+    // ---- streaming sink INTO the cassandralike store — NATIVE: the
+    // windowed aggregation's append-mode emission set flows through
+    // `writeStream.format("cassandralike")`, i.e. the store's own DSv2
+    // StreamingWrite (wide-row layout: one storage row per window, one
+    // column per event type), then reads back through the DSv2 scan. Each
+    // micro-batch stages segments exactly like a batch append and commits
+    // them with a per-epoch marker (replay-idempotent — StreamingSinkSpec);
+    // the LWW/compaction machinery applies unchanged. This is the operator
+    // that closes the loop between the streaming surface and the store. ----
     Q("stream_sink_cassandralike",
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |w AS (SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n
@@ -228,9 +229,11 @@ object Streaming {
       CellStore.writeMeta(store, CellStore.Meta(
         "win_start STRING,event_type STRING,n BIGINT",
         ":key,:column,:value", Map.empty))
-      StreamOps.runForeachBatch(agg, "append") { (batch, _) =>
-        Seed.append(batch, store)
-      }
+      // the NATIVE streaming sink: no foreachBatch — the store's
+      // StreamingWrite commits each micro-batch's segments with epoch
+      // markers (replay-idempotent); write.timestamp pinned as Seed does
+      StreamOps.runToStoreSink(agg, store, "append",
+        Map(graft.sources.cassandralike.Options.WriteTimestamp -> "1"))
       Seed.read(s, store)
         .select(col("win_start"), col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))

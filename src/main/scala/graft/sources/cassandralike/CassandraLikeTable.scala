@@ -217,7 +217,8 @@ class CassandraLikeTable(
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** SQL `DELETE FROM t WHERE <key predicate>` — Cassandra-style targeted
     * deletes: tombstone every live cell of the matching keys, written as a

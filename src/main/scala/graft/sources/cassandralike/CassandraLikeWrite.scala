@@ -61,6 +61,18 @@ class CellWriteBuilder(table: CassandraLikeTable, info: LogicalWriteInfo)
         info.options().asCaseSensitiveMap().asScala.toMap)
       new CellBatchWrite(table, merged.asJava, doTruncate)
     }
+
+    /** `writeStream.format("cassandralike")` — the store as a NATIVE
+      * streaming sink (the inverse of CellChangeFeedStream). Same required
+      * distribution/ordering, same writer tasks, same commit machinery as
+      * the batch path; per-epoch idempotence comes from commit markers
+      * (see [[CellStreamingWrite]]). */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      import scala.jdk.CollectionConverters._
+      val merged = table.withConfOverrides(
+        info.options().asCaseSensitiveMap().asScala.toMap)
+      new CellStreamingWrite(table, merged, doTruncate, info.queryId())
+    }
   }
 }
 
@@ -70,17 +82,15 @@ final case class CellWriterCommit(
     // idx_<column>/sst — renamed BEFORE the base files (see commit)
     idxFiles: Seq[(String, Int, String)] = Nil) extends WriterCommitMessage
 
-class CellBatchWrite(
-    table: CassandraLikeTable,
-    optionsJ: java.util.Map[String, String],
-    truncate: Boolean) extends BatchWrite {
+/** Commit/abort machinery shared by the batch and streaming writes: one
+  * epoch's staged temp segments (base + index sub-stores) become visible
+  * through the SAME sequence whichever path produced them. */
+private[graft] object CellCommit {
 
-  import scala.jdk.CollectionConverters._
-  private val options = optionsJ.asScala.toMap
-
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // W4: consistency validated here; invalid values coerce to ONE
-    // (serde2/CassandraAbstractPut.java:39-50)
+  /** W4: consistency validated on the driver; invalid values coerce to ONE
+    * (serde2/CassandraAbstractPut.java:39-50). */
+  def writerFactory(table: CassandraLikeTable,
+      options: Map[String, String]): CellWriterFactory = {
     val consistency = Options.effective(options, table.tableProps, Options.Consistency)
       .map(_.toUpperCase) match {
       case Some(c) if Set("ONE", "TWO", "THREE", "QUORUM", "ALL", "ANY",
@@ -91,7 +101,8 @@ class CellBatchWrite(
       options, table.tableProps, consistency)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  def commitEpoch(table: CassandraLikeTable, options: Map[String, String],
+      truncate: Boolean, messages: Array[WriterCommitMessage]): Unit = {
     if (truncate) {
       CellStore.truncate(table.dir)
       // an overwrite's index must restart with its base: stale entries are
@@ -155,7 +166,8 @@ class CellBatchWrite(
       }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  def abortEpoch(table: CassandraLikeTable,
+      messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case CellWriterCommit(files, idxFiles) =>
         files.foreach { case (_, tmp) =>
@@ -167,6 +179,78 @@ class CellBatchWrite(
         }
       case _ => ()
     }
+}
+
+class CellBatchWrite(
+    table: CassandraLikeTable,
+    optionsJ: java.util.Map[String, String],
+    truncate: Boolean) extends BatchWrite {
+
+  import scala.jdk.CollectionConverters._
+  private val options = optionsJ.asScala.toMap
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    CellCommit.writerFactory(table, options)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    CellCommit.commitEpoch(table, options, truncate, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    CellCommit.abortEpoch(table, messages)
+}
+
+/** The store as a native streaming sink. Each micro-batch commits through
+  * the shared [[CellCommit]] path; a per-(query, epoch) marker file under
+  * `_stream_commits/` makes the commit idempotent: when Spark replays an
+  * epoch after a crash between sink commit and checkpoint commit, the
+  * replayed attempt finds the marker, drops its staged files, and commits
+  * nothing — exactly-once at the visible-segment level, not just value-LWW
+  * absorption. The marker lands AFTER the segments rename: a crash between
+  * the two re-commits identical cells (same pinned timestamps, same
+  * values), which LWW collapses — duplicate segments, never divergent
+  * state. In complete output mode each epoch truncates first, so the store
+  * always holds exactly the latest result set. */
+class CellStreamingWrite(
+    table: CassandraLikeTable,
+    options: Map[String, String],
+    truncate: Boolean,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def marker(epochId: Long) =
+    Paths.get(table.dir, CellStreamingWrite.CommitsDir, s"$queryId-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    CellStreamingWriterFactory(CellCommit.writerFactory(table, options))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    if (Files.exists(marker(epochId))) {
+      // replayed epoch: this attempt's staged files are redundant — drop
+      // them; the original commit's segments are already visible
+      CellCommit.abortEpoch(table, messages)
+    } else {
+      CellCommit.commitEpoch(table, options, truncate, messages)
+      Files.createDirectories(marker(epochId).getParent)
+      Files.createFile(marker(epochId))
+    }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    CellCommit.abortEpoch(table, messages)
+}
+
+object CellStreamingWrite {
+  /** Epoch-commit markers live beside (not inside) `sst/`, so truncate and
+    * compaction never touch them; dropTable removes them with the table. */
+  val CommitsDir = "_stream_commits"
+}
+
+final case class CellStreamingWriterFactory(factory: CellWriterFactory)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    factory.createWriter(partitionId, taskId)
 }
 
 final case class CellWriterFactory(

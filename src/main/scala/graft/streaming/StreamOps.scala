@@ -80,6 +80,26 @@ object StreamOps {
       } }
     }
 
+  /** Run a streaming DataFrame into a cassandralike store through the
+    * NATIVE DSv2 streaming sink (`writeStream.format("cassandralike")`) —
+    * no foreachBatch: the store's StreamingWrite stages per-epoch segments
+    * and commits them with epoch markers for replay idempotence. */
+  def runToStoreSink(stream: DataFrame, storeDir: String, mode: String,
+      options: Map[String, String] = Map.empty): Unit =
+    withStatePartitions(stream.sparkSession) {
+      withStateStore(stream.sparkSession) { withTmpfsCheckpoint { ckpt =>
+        var w = stream.writeStream
+          .format("cassandralike")
+          .option(graft.sources.cassandralike.Options.Path, storeDir)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+        options.foreach { case (k, v) => w = w.option(k, v) }
+        ckpt.foreach(c => w = w.option("checkpointLocation", c))
+        val q = w.start()
+        q.awaitTermination()
+      } }
+    }
+
   /** [[runForeachBatch]] with a caller-held checkpoint: the query can be
     * drained, STOPPED, and later re-started against the same checkpoint —
     * the restart recovers the committed offsets and processes only source

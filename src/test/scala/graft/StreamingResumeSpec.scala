@@ -83,6 +83,56 @@ class StreamingResumeSpec extends SparkSpec {
     assert(continuous == pairs("llm_dedup_minhash"))
   }
 
+  test("native streaming sink: replayed epoch drops its staged files, commits nothing") {
+    import graft.sources.cassandralike._
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_native_sink"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta("id BIGINT,v STRING", ":key,v", Map.empty))
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+    val opts = Map(Options.WriteTimestamp -> "1")
+    val sw = new CellStreamingWrite(table, opts, truncate = false, "qtest")
+
+    def stage(rows: Seq[(Long, String)]): Array[WriterCommitMessage] = {
+      val w = CellCommit.writerFactory(table, opts).createWriter(0, 0L)
+      rows.foreach { case (id, v) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(id, UTF8String.fromString(v)))
+      }
+      Array(w.commit())
+    }
+    def segments: Set[String] =
+      (0 until Options.DefaultBuckets).flatMap(b =>
+        CellStore.segmentFiles(dir, b).map(_.getFileName.toString)).toSet
+    def readBack: Set[(Long, String)] = Seed.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    sw.commit(5L, stage(Seq(1L -> "a", 2L -> "b")))
+    val afterFirst = segments
+    assert(afterFirst.nonEmpty && readBack == Set(1L -> "a", 2L -> "b"))
+
+    // Spark replays epoch 5 (crash between sink commit and checkpoint
+    // commit): the tasks re-stage identical data, but the marker makes the
+    // second commit a cleanup no-op — same segments, same rows, no stray
+    // tmp- staging files
+    sw.commit(5L, stage(Seq(1L -> "a", 2L -> "b")))
+    assert(segments == afterFirst, "replayed epoch must not add segments")
+    assert(readBack == Set(1L -> "a", 2L -> "b"))
+    val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(sst)
+    val stray = try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("tmp-")).toList finally s.close()
+    assert(stray.isEmpty, s"replay left staged files: $stray")
+
+    // the next epoch commits normally
+    sw.commit(6L, stage(Seq(3L -> "c")))
+    assert(readBack == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("foreachBatch store sink: mid-stream crash, restart resumes exactly-once") {
     val sp = spark; import sp.implicits._
     import graft.sources.cassandralike.{CellStore, Options, Seed}
