@@ -44,6 +44,31 @@ object Connector {
         .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
     },
 
+    // ---- partial aggregate pushdown: ungrouped COUNT(*)/COUNT(col)/MIN/
+    // MAX fold inside each partition's reader (one partial row per
+    // partition, Spark combines) — the scan decodes only the aggregated
+    // columns and materializes no table rows. COUNT(col) is made to differ
+    // from COUNT(*) by withholding the c_name cell for every 7th key at
+    // write time (missing cell, not a stored NULL), so the pushed count
+    // exercises the store's absent-cell semantics. PlanShapeSpec asserts
+    // the PushedAggregates plan shape. ----
+    Q("conn_agg_pushdown",
+      """SELECT count(*) AS n,
+        |  count(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS n_named,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  min(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS min_name,
+        |  max(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS max_name
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "customer").withColumn("c_name",
+        when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_name"))
+      val store = Seed.table(s, dir, "agg_pushdown", src)
+      Seed.read(s, store)
+        .agg(count(lit(1)).as("n"), count($"c_name").as("n_named"),
+          min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"),
+          min($"c_name").as("min_name"), max($"c_name").as("max_name"))
+    },
+
     // ---- S1 token-range splits + key-equality partition pruning ----
     Q("conn_key_lookup",
       """SELECT c_custkey, c_name, c_acctbal FROM customer

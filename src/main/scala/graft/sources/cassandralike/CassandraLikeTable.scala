@@ -312,11 +312,13 @@ class CassandraLikeTable(
   * token-range partitions). */
 class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var aggs: Seq[PushedAgg] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -326,6 +328,49 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * reader, so every emitted row is a real result row). Returning false
     * keeps Spark's global Limit on top. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  /** PARTIAL aggregate pushdown: ungrouped COUNT(*) / COUNT(col) / MIN /
+    * MAX fold inside each partition's reader — the scan emits ONE partial
+    * row per partition instead of materializing (and decoding) every table
+    * row, and Spark's final aggregate combines the partials. Exact by
+    * construction: the reader folds exactly the rows the normal scan would
+    * emit (same LWW/tombstone reconciliation, same pushed-filter
+    * evaluation). Complete pushdown is declined (default false): partial
+    * keeps the per-partition parallelism and lets Spark own the final
+    * combine, which is the scalable shape at any partition count. Spark
+    * only attempts this when no residual filter sits above the scan, so
+    * the speculative index predicates (which must be re-applied) can never
+    * meet a pushed aggregate. */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (aggregation.groupByExpressions().nonEmpty || limit.isDefined) return false
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 &&
+            table.tableSchema.fieldNames.contains(nr.fieldNames.head) =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def orderable(c: String): Boolean = table.tableSchema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct => col(c.column).map(PushedAgg.Count.apply)
+        case m: Min => col(m.column).filter(orderable).map(PushedAgg.Min.apply)
+        case m: Max => col(m.column).filter(orderable).map(PushedAgg.Max.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) false
+    else { aggs = translated.flatten; true }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val m = table.mapping
@@ -366,7 +411,22 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CellScan(table, required, pushed, options, limit)
+    new CellScan(table, required, pushed, options, limit, aggs)
+}
+
+/** A pushed aggregate, in the serializable form the readers fold. */
+sealed trait PushedAgg extends Serializable
+object PushedAgg {
+  case object CountStar extends PushedAgg
+  final case class Count(col: String) extends PushedAgg
+  final case class Min(col: String) extends PushedAgg
+  final case class Max(col: String) extends PushedAgg
+  def references(a: PushedAgg): Seq[String] = a match {
+    case CountStar => Nil
+    case Count(c) => Seq(c)
+    case Min(c) => Seq(c)
+    case Max(c) => Seq(c)
+  }
 }
 
 /** Per-bucket split planning shared by the batch scan and the change feed:
@@ -444,9 +504,34 @@ class CellScan(
     required: StructType,
     filters: Array[Filter],
     options: Map[String, String],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    aggs: Seq[PushedAgg] = Nil)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** With aggregates pushed, the readers fold over this BASE projection
+    * (the aggregated columns, or just the key for a bare COUNT(*)) and the
+    * scan's output is one partial row per partition in [[aggSchema]]. */
+  private lazy val aggBaseSchema: StructType = {
+    val cols = aggs.flatMap(PushedAgg.references).distinct
+    val names = if (cols.isEmpty) Seq(table.mapping.keyField.name) else cols
+    StructType(names.map(n => table.tableSchema(n)))
+  }
+
+  private lazy val aggSchema: StructType = StructType(aggs.zipWithIndex.map {
+    case (PushedAgg.CountStar, i) =>
+      org.apache.spark.sql.types.StructField(s"agg_${i}_count_star",
+        org.apache.spark.sql.types.LongType, nullable = false)
+    case (PushedAgg.Count(c), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_${i}_count_$c",
+        org.apache.spark.sql.types.LongType, nullable = false)
+    case (PushedAgg.Min(c), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_${i}_min_$c",
+        table.tableSchema(c).dataType, nullable = true)
+    case (PushedAgg.Max(c), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_${i}_max_$c",
+        table.tableSchema(c).dataType, nullable = true)
+  })
 
   /** Storage-partitioned join hook: report the token-bucket layout as a
     * KeyGroupedPartitioning over `bucket(buckets, key)` when the table
@@ -461,7 +546,7 @@ class CellScan(
     val keyName = table.mapping.keyField.name
     val optedIn = table.opt(options, Options.ReportPartitioning)
       .exists(_.toBoolean)
-    if (optedIn && required.fieldNames.contains(keyName)) {
+    if (optedIn && aggs.isEmpty && required.fieldNames.contains(keyName)) {
       val buckets = table.opt(options, Options.Buckets)
         .map(_.toInt).getOrElse(Options.DefaultBuckets)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -483,7 +568,9 @@ class CellScan(
     * key-pruned projection would make every join over this scan fail
     * analysis (surfaced by the store-to-store join spec). */
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains(table.mapping.keyField.name))
+    // with aggregates pushed the scan output is partial-agg rows, so a
+    // runtime key filter could not resolve against it — don't advertise
+    if (aggs.isEmpty && required.fieldNames.contains(table.mapping.keyField.name))
       Array(Expressions.column(table.mapping.keyField.name))
     else Array.empty
 
@@ -515,7 +602,8 @@ class CellScan(
   private lazy val segmentsByBucket: Map[Int, Seq[java.nio.file.Path]] =
     CellStore.allSegmentFiles(table.dir)
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (aggs.nonEmpty) aggSchema else required
   override def toBatch: Batch = this
 
   /** Change feed: `spark.readStream.format("cassandralike")` — each
@@ -531,7 +619,8 @@ class CellScan(
       .flatMap(k => table.opt(options, k).map(v => s"$k=$v")).mkString(", ")
     s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} " +
       s"PushedFilters: [$f] Slice: [$slice]" +
-      limit.map(n => s" Limit: $n").getOrElse("")
+      limit.map(n => s" Limit: $n").getOrElse("") +
+      (if (aggs.nonEmpty) s" PushedAggregates: [${aggs.mkString(", ")}]" else "")
   }
 
   /** Store statistics from the pruned buckets' segment files: byte size plus
@@ -594,15 +683,23 @@ class CellScan(
       if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
-    plannedBuckets.flatMap { b =>
+    val parts = plannedBuckets.flatMap { b =>
       SplitPlanner.forBucket(table.dir, b, segmentsByBucket.getOrElse(b, Nil),
         hostsFor(b), target, restrictFiles = false)
-    }.toArray[InputPartition]
+    }
+    // With aggregates pushed, Spark's final combine is SUM/MIN/MAX over the
+    // partial rows — over an EMPTY table that must still see one partial
+    // (count = 0), or sum() of nothing would turn COUNT(*) = 0 into NULL.
+    // One partition pinned to zero segments provides it.
+    if (aggs.nonEmpty && parts.isEmpty)
+      Array[InputPartition](CellInputPartition(table.dir, 0, Array.empty, files = Nil))
+    else parts.toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellReaderFactory(table.tableSchema, table.mapping.fields, required,
-      effectiveFilters, options, table.tableProps, limit)
+    CellReaderFactory(table.tableSchema, table.mapping.fields,
+      if (aggs.nonEmpty) aggBaseSchema else required,
+      effectiveFilters, options, table.tableProps, limit, aggs)
 }
 
 final case class CellReaderFactory(
@@ -612,7 +709,8 @@ final case class CellReaderFactory(
     filters: Array[Filter],
     options: Map[String, String],
     tableProps: Map[String, String],
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    aggs: Seq[PushedAgg] = Nil) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
     // dropped-column history: cellName -> drop ts (cells at/below are hidden)
@@ -620,9 +718,80 @@ final case class CellReaderFactory(
       case (k, v) if k.startsWith(Options.DroppedPrefix) =>
         k.stripPrefix(Options.DroppedPrefix) -> v.toLong
     }
-    new CellPartitionReader(cp, ColumnMapping(mappedFields), required, filters,
-      (k: String) => Options.effective(options, tableProps, k), limit, dropped)
+    val base = new CellPartitionReader(cp, ColumnMapping(mappedFields), required,
+      filters, (k: String) => Options.effective(options, tableProps, k), limit, dropped)
+    if (aggs.isEmpty) base
+    else new AggregatePartitionReader(base, required, aggs)
   }
+}
+
+/** Folds a partition's scan rows into ONE partial-aggregate row (see
+  * [[CellScanBuilder.pushAggregation]]). Emits exactly one row even over an
+  * empty partition (count = 0, min/max NULL) so the final combine is never
+  * starved of a neutral element. */
+class AggregatePartitionReader(
+    inner: PartitionReader[InternalRow],
+    base: StructType,
+    aggs: Seq[PushedAgg]) extends PartitionReader[InternalRow] {
+
+  private var emitted = false
+  private var result: InternalRow = _
+
+  // (base ordinal or -1 for COUNT(*), ordering for min/max)
+  private val plans: Array[(PushedAgg, Int, Ordering[Any])] = aggs.map { a =>
+    PushedAgg.references(a) match {
+      case Seq(c) =>
+        val ord = base.fieldIndex(c)
+        (a, ord, org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(base(ord).dataType))
+      case _ => (a, -1, null)
+    }
+  }.toArray
+
+  override def next(): Boolean = {
+    if (emitted) return false
+    val counts = new Array[Long](plans.length)
+    val vals = new Array[Any](plans.length)
+    while (inner.next()) {
+      val r = inner.get()
+      var i = 0
+      while (i < plans.length) {
+        val (agg, ord, ordering) = plans(i)
+        agg match {
+          case PushedAgg.CountStar => counts(i) += 1
+          case PushedAgg.Count(_) => if (!r.isNullAt(ord)) counts(i) += 1
+          case PushedAgg.Min(_) =>
+            val v = extract(r, ord)
+            if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) < 0))
+              vals(i) = v
+          case PushedAgg.Max(_) =>
+            val v = extract(r, ord)
+            if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) > 0))
+              vals(i) = v
+        }
+        i += 1
+      }
+    }
+    result = InternalRow.fromSeq(plans.toSeq.zipWithIndex.map {
+      case ((PushedAgg.CountStar, _, _), i) => counts(i)
+      case ((PushedAgg.Count(_), _, _), i) => counts(i)
+      case ((_, _, _), i) => vals(i)
+    })
+    emitted = true
+    true
+  }
+
+  /** Copy values that may live in a reused/shared buffer. */
+  private def extract(r: InternalRow, ord: Int): Any =
+    if (r.isNullAt(ord)) null
+    else r.get(ord, base(ord).dataType) match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+      case b: Array[Byte] => java.util.Arrays.copyOf(b, b.length)
+      case other => other
+    }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = inner.close()
 }
 
 /** The scan itself: merges the bucket's segments (LWW, tombstone-skipping),

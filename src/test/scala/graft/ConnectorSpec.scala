@@ -25,6 +25,37 @@ class ConnectorSpec extends SparkSpec {
     assert(back.exceptAll(cust).isEmpty && cust.exceptAll(back).isEmpty)
   }
 
+  test("aggregate pushdown: empty store, key-filtered count, transposed cells") {
+    // empty store: the dummy partition still yields count(*) = 0, not NULL
+    val empty = s"${Seed.storeRoot(sfDir)}/spec_agg_empty"
+    CellStore.dropTable(empty)
+    CellStore.writeMeta(empty, CellStore.Meta("id BIGINT,v STRING", ":key,v", Map.empty))
+    val r0 = Seed.read(spark, empty)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn")).collect()(0)
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1), s"empty-store agg: $r0")
+
+    // a fully-pushed key filter composes with the pushed aggregate: the
+    // partial counts fold only rows the filter admits
+    val store = Seed.table(spark, sfDir, "spec_agg_filtered",
+      Tables.load(spark, sfDir, "customer"))
+    val filtered = Seed.read(spark, store)
+      .filter(col("c_custkey").isin(1L, 2L, 3L, 999999L))
+      .agg(count(lit(1)).as("n"))
+    val desc = scanOf(filtered).scan.description()
+    assert(desc.contains("PushedAggregates") && desc.contains("In(c_custkey"),
+      s"filter + aggregate must both reach the scan: $desc")
+    assert(filtered.collect()(0).getLong(0) == 3L)
+
+    // transposed mapping: count(*) counts CELL rows (one per column)
+    val sp = spark; import sp.implicits._
+    val tstore = Seed.table(spark, sfDir, "spec_agg_transposed",
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L)).toDF("k", "c", "v"),
+      mapping = Some(":key,:column,:value"))
+    val tc = Seed.read(spark, tstore).agg(count(lit(1)).as("n"))
+    assert(scanOf(tc).scan.description().contains("PushedAggregates"))
+    assert(tc.collect()(0).getLong(0) == 3L)
+  }
+
   test("P1: projection pushdown prunes the scan schema") {
     val store = Seed.table(spark, sfDir, "spec_prune",
       Tables.load(spark, sfDir, "customer"))

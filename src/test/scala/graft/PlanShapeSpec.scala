@@ -62,6 +62,21 @@ class PlanShapeSpec extends SparkSpec {
       "expected a BroadcastHashJoin in rel_join_broadcast")
   }
 
+  test("conn_agg_pushdown: the scan carries the aggregates, output is partial rows") {
+    val scans = collectAll(plan("conn_agg_pushdown")).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("cassandralike") => b
+    }
+    assert(scans.nonEmpty, "no cassandralike scan found")
+    val desc = scans.head.scan.description()
+    assert(desc.contains("PushedAggregates"), s"aggregates not pushed: $desc")
+    assert(desc.contains("CountStar") && desc.contains("Min(c_acctbal)"),
+      s"unexpected pushed set: $desc")
+    // scan output = one partial-agg column set, never table rows
+    assert(scans.head.output.forall(_.name.startsWith("agg_")),
+      s"scan output should be partial aggregates: ${scans.head.output}")
+  }
+
   test("rel_q1 filter is pushed down to the parquet scan") {
     val scans = collectAll(plan("rel_q1_pricing_summary"))
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
