@@ -58,7 +58,7 @@ object Connector {
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  min(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS min_name,
         |  max(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS max_name
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin, bench = true) { (s, dir) =>
       import s.implicits._
       val src = t(s, dir, "customer").withColumn("c_name",
         when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_name"))

@@ -377,7 +377,7 @@ object LlmCurate {
         |  coalesce(string_agg(seg.s, ' ' ORDER BY seg.pos)
         |    FILTER (WHERE bp.s IS NULL), '') AS cleaned
         |FROM seg LEFT JOIN bp ON seg.s = bp.s
-        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin) { (s, dir) =>
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin, bench = true) { (s, dir) =>
       val d = docs(s, dir)
         .withColumn("ws", split(col("text"), " "))
         .withColumn("segs", expr(

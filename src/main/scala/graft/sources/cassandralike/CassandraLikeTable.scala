@@ -345,6 +345,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    // an EMPTY aggregate list occurs in optimized shapes (e.g. a count()
+    // over an already-aggregated subquery); accepting it vacuously would
+    // promise a zero-column scan — decline so the normal row scan serves it
+    if (aggregation.aggregateExpressions().isEmpty) return false
     if (aggregation.groupByExpressions().nonEmpty || limit.isDefined) return false
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {

@@ -46,6 +46,13 @@ class ConnectorSpec extends SparkSpec {
       s"filter + aggregate must both reach the scan: $desc")
     assert(filtered.collect()(0).getLong(0) == 3L)
 
+    // count() over an already-aggregated store read makes the optimizer
+    // offer an EMPTY aggregation to the scan — it must be declined, not
+    // accepted vacuously as a zero-column scan (regression: INTERNAL_ERROR
+    // "unexpected number of columns" on every agg-shaped judged query)
+    assert(Seed.read(spark, store)
+      .agg(sum(col("c_acctbal")).as("s")).count() == 1L)
+
     // transposed mapping: count(*) counts CELL rows (one per column)
     val sp = spark; import sp.implicits._
     val tstore = Seed.table(spark, sfDir, "spec_agg_transposed",
