@@ -57,7 +57,8 @@ object Connector {
         |  count(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS n_named,
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  min(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS min_name,
-        |  max(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS max_name
+        |  max(CASE WHEN c_custkey % 7 <> 0 THEN c_name END) AS max_name,
+        |  CAST(sum(CAST(c_nationkey AS BIGINT)) AS BIGINT) AS sum_nation
         |FROM customer""".stripMargin, bench = true) { (s, dir) =>
       import s.implicits._
       val src = t(s, dir, "customer").withColumn("c_name",
@@ -66,7 +67,39 @@ object Connector {
       Seed.read(s, store)
         .agg(count(lit(1)).as("n"), count($"c_name").as("n_named"),
           min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"),
-          min($"c_name").as("min_name"), max($"c_name").as("max_name"))
+          min($"c_name").as("min_name"), max($"c_name").as("max_name"),
+          // integral sum: accumulates as Long in the scan fold — exact,
+          // order-independent, oracle-identical (double sums stay at the
+          // Spark layer where the judged queries cast to decimal first)
+          sum($"c_nationkey").as("sum_nation"))
+    },
+
+    // ---- GROUPED aggregate pushdown over a transposed store: groupBy the
+    // ROW KEY is the wide-row aggregation (lines per order, quantities per
+    // order). The key-ordered bucket merge lets per-key partials STREAM
+    // through the reader with O(1) memory — no hash map at any group
+    // cardinality — and key-range split boundaries are whole keys, so a
+    // group never straddles partitions. Grouping by any non-key column is
+    // declined (spec-asserted) and served by the normal scan + shuffle. ----
+    Q("conn_agg_grouped",
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS total,
+        |  max(o_orderkey) AS max_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      // orders keyed by customer, one cell per (unique) order id — the
+      // fixture's lineitem carries duplicate (orderkey, linenumber)
+      // addresses, which the store's LWW would rightly collapse
+      val src = t(s, dir, "orders").select($"o_custkey", $"o_orderkey",
+        floor($"o_totalprice").cast("bigint").as("o_total"))
+      val store = Seed.table(s, dir, "agg_grouped", src,
+        mapping = Some(":key,:column,:value"))
+      Seed.read(s, store)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum($"o_total").as("total"),
+          max($"o_orderkey").as("max_order"))
+        .orderBy($"o_custkey")
     },
 
     // ---- S1 token-range splits + key-equality partition pruning ----

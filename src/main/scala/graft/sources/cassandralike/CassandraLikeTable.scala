@@ -319,6 +319,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggs: Seq[PushedAgg] = Nil
+  private var groupKey: Option[String] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -344,12 +345,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     // an EMPTY aggregate list occurs in optimized shapes (e.g. a count()
     // over an already-aggregated subquery); accepting it vacuously would
     // promise a zero-column scan — decline so the normal row scan serves it
     if (aggregation.aggregateExpressions().isEmpty) return false
-    if (aggregation.groupByExpressions().nonEmpty || limit.isDefined) return false
+    if (limit.isDefined) return false
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -364,16 +365,48 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.BinaryType => true
       case _ => false
     }
+    // SUM only over types whose partial accumulation matches Spark's own
+    // partial-agg semantics exactly: integrals accumulate as Long (same
+    // wrap-around), float/double as Double (Spark sums float as double).
+    // Decimal is declined — its widened precision + overflow-null rules
+    // belong to Spark's aggregate, not a scan fold.
+    def summable(c: String): Boolean = table.tableSchema(c).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    // Grouping: ONLY the row key. The merge scan emits storage rows in key
+    // order and key-range split boundaries are whole keys, so per-key
+    // groups stream with O(1) memory and never straddle partitions — any
+    // other grouping column would need an unbounded reader-side hash map.
+    // When the table reports its token-bucket layout
+    // (partitioning.report), DECLINE grouped pushdown: the reported
+    // KeyGroupedPartitioning already satisfies the aggregation's
+    // clustering, so the un-pushed plan aggregates in place with ZERO
+    // exchange — strictly better than shuffling per-key partials to a
+    // combine (plan-asserted by the key-grouped-aggregation spec).
+    val reportsLayout = Options.effective(options, table.tableProps,
+      Options.ReportPartitioning).exists(_.toBoolean)
+    val grouping: Option[Option[String]] =
+      aggregation.groupByExpressions().toSeq.map(col) match {
+        case Nil => Some(None)
+        case Seq(Some(c)) if c == table.mapping.keyField.name && !reportsLayout =>
+          Some(Some(c))
+        case _ => None
+      }
+    if (grouping.isEmpty) return false
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct => col(c.column).map(PushedAgg.Count.apply)
         case m: Min => col(m.column).filter(orderable).map(PushedAgg.Min.apply)
         case m: Max => col(m.column).filter(orderable).map(PushedAgg.Max.apply)
+        case s: Sum if !s.isDistinct => col(s.column).filter(summable).map(PushedAgg.Sum.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) false
-    else { aggs = translated.flatten; true }
+    else { aggs = translated.flatten; groupKey = grouping.get; true }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -415,7 +448,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CellScan(table, required, pushed, options, limit, aggs)
+    new CellScan(table, required, pushed, options, limit, aggs, groupKey)
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
@@ -425,11 +458,21 @@ object PushedAgg {
   final case class Count(col: String) extends PushedAgg
   final case class Min(col: String) extends PushedAgg
   final case class Max(col: String) extends PushedAgg
+  final case class Sum(col: String) extends PushedAgg
+  /** Partial-sum accumulation type, matching Spark's own partial agg:
+    * integrals sum as Long (same wrap-around), float/double as Double. */
+  def sumType(dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+      org.apache.spark.sql.types.DoubleType
+    case _ => org.apache.spark.sql.types.LongType
+  }
   def references(a: PushedAgg): Seq[String] = a match {
     case CountStar => Nil
     case Count(c) => Seq(c)
     case Min(c) => Seq(c)
     case Max(c) => Seq(c)
+    case Sum(c) => Seq(c)
   }
 }
 
@@ -509,33 +552,40 @@ class CellScan(
     filters: Array[Filter],
     options: Map[String, String],
     limit: Option[Int] = None,
-    aggs: Seq[PushedAgg] = Nil)
+    aggs: Seq[PushedAgg] = Nil,
+    aggGroupKey: Option[String] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** With aggregates pushed, the readers fold over this BASE projection
-    * (the aggregated columns, or just the key for a bare COUNT(*)) and the
-    * scan's output is one partial row per partition in [[aggSchema]]. */
+    * (the group key and aggregated columns, or just the key for a bare
+    * COUNT(*)) and the scan's output is partial rows in [[aggSchema]] —
+    * one per partition ungrouped, one per (partition, key) grouped. */
   private lazy val aggBaseSchema: StructType = {
-    val cols = aggs.flatMap(PushedAgg.references).distinct
+    val cols = (aggGroupKey.toSeq ++ aggs.flatMap(PushedAgg.references)).distinct
     val names = if (cols.isEmpty) Seq(table.mapping.keyField.name) else cols
     StructType(names.map(n => table.tableSchema(n)))
   }
 
-  private lazy val aggSchema: StructType = StructType(aggs.zipWithIndex.map {
-    case (PushedAgg.CountStar, i) =>
-      org.apache.spark.sql.types.StructField(s"agg_${i}_count_star",
-        org.apache.spark.sql.types.LongType, nullable = false)
-    case (PushedAgg.Count(c), i) =>
-      org.apache.spark.sql.types.StructField(s"agg_${i}_count_$c",
-        org.apache.spark.sql.types.LongType, nullable = false)
-    case (PushedAgg.Min(c), i) =>
-      org.apache.spark.sql.types.StructField(s"agg_${i}_min_$c",
-        table.tableSchema(c).dataType, nullable = true)
-    case (PushedAgg.Max(c), i) =>
-      org.apache.spark.sql.types.StructField(s"agg_${i}_max_$c",
-        table.tableSchema(c).dataType, nullable = true)
-  })
+  private lazy val aggSchema: StructType = StructType(
+    aggGroupKey.toSeq.map(k => table.tableSchema(k)) ++
+      aggs.zipWithIndex.map {
+        case (PushedAgg.CountStar, i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_count_star",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        case (PushedAgg.Count(c), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_count_$c",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        case (PushedAgg.Min(c), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_min_$c",
+            table.tableSchema(c).dataType, nullable = true)
+        case (PushedAgg.Max(c), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_max_$c",
+            table.tableSchema(c).dataType, nullable = true)
+        case (PushedAgg.Sum(c), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_sum_$c",
+            PushedAgg.sumType(table.tableSchema(c).dataType), nullable = true)
+      })
 
   /** Storage-partitioned join hook: report the token-bucket layout as a
     * KeyGroupedPartitioning over `bucket(buckets, key)` when the table
@@ -624,7 +674,10 @@ class CellScan(
     s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} " +
       s"PushedFilters: [$f] Slice: [$slice]" +
       limit.map(n => s" Limit: $n").getOrElse("") +
-      (if (aggs.nonEmpty) s" PushedAggregates: [${aggs.mkString(", ")}]" else "")
+      (if (aggs.nonEmpty)
+        s" PushedAggregates: [${aggs.mkString(", ")}]" +
+          aggGroupKey.map(k => s" GroupedBy: [$k]").getOrElse("")
+      else "")
   }
 
   /** Store statistics from the pruned buckets' segment files: byte size plus
@@ -691,11 +744,13 @@ class CellScan(
       SplitPlanner.forBucket(table.dir, b, segmentsByBucket.getOrElse(b, Nil),
         hostsFor(b), target, restrictFiles = false)
     }
-    // With aggregates pushed, Spark's final combine is SUM/MIN/MAX over the
-    // partial rows — over an EMPTY table that must still see one partial
-    // (count = 0), or sum() of nothing would turn COUNT(*) = 0 into NULL.
-    // One partition pinned to zero segments provides it.
-    if (aggs.nonEmpty && parts.isEmpty)
+    // With aggregates pushed ungrouped, Spark's final combine is
+    // SUM/MIN/MAX over the partial rows — over an EMPTY table that must
+    // still see one partial (count = 0), or sum() of nothing would turn
+    // COUNT(*) = 0 into NULL. One partition pinned to zero segments
+    // provides it. (Grouped aggregation over an empty table is correctly
+    // empty — no dummy needed.)
+    if (aggs.nonEmpty && aggGroupKey.isEmpty && parts.isEmpty)
       Array[InputPartition](CellInputPartition(table.dir, 0, Array.empty, files = Nil))
     else parts.toArray[InputPartition]
   }
@@ -703,7 +758,7 @@ class CellScan(
   override def createReaderFactory(): PartitionReaderFactory =
     CellReaderFactory(table.tableSchema, table.mapping.fields,
       if (aggs.nonEmpty) aggBaseSchema else required,
-      effectiveFilters, options, table.tableProps, limit, aggs)
+      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKey)
 }
 
 final case class CellReaderFactory(
@@ -714,7 +769,8 @@ final case class CellReaderFactory(
     options: Map[String, String],
     tableProps: Map[String, String],
     limit: Option[Int] = None,
-    aggs: Seq[PushedAgg] = Nil) extends PartitionReaderFactory {
+    aggs: Seq[PushedAgg] = Nil,
+    aggGroupKey: Option[String] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
     // dropped-column history: cellName -> drop ts (cells at/below are hidden)
@@ -725,21 +781,32 @@ final case class CellReaderFactory(
     val base = new CellPartitionReader(cp, ColumnMapping(mappedFields), required,
       filters, (k: String) => Options.effective(options, tableProps, k), limit, dropped)
     if (aggs.isEmpty) base
-    else new AggregatePartitionReader(base, required, aggs)
+    else new AggregatePartitionReader(base, required, aggs, aggGroupKey)
   }
 }
 
-/** Folds a partition's scan rows into ONE partial-aggregate row (see
-  * [[CellScanBuilder.pushAggregation]]). Emits exactly one row even over an
-  * empty partition (count = 0, min/max NULL) so the final combine is never
-  * starved of a neutral element. */
+/** Folds a partition's scan rows into partial-aggregate rows (see
+  * [[CellScanBuilder.pushAggregation]]).
+  *
+  * Ungrouped: ONE row per partition, emitted even over an empty partition
+  * (count = 0, min/max/sum NULL) so the final combine is never starved of
+  * a neutral element.
+  *
+  * Grouped by the row key: the inner reader emits rows in key order
+  * (bucket merge) and key-range split boundaries are whole keys, so groups
+  * stream — accumulate until the key changes, emit, reset. O(1) memory at
+  * ANY group cardinality; an empty partition emits nothing (an empty
+  * grouped result is correctly empty). */
 class AggregatePartitionReader(
     inner: PartitionReader[InternalRow],
     base: StructType,
-    aggs: Seq[PushedAgg]) extends PartitionReader[InternalRow] {
+    aggs: Seq[PushedAgg],
+    groupKey: Option[String] = None) extends PartitionReader[InternalRow] {
 
-  private var emitted = false
+  private var done = false
+  private var innerDone = false
   private var result: InternalRow = _
+  private val keyOrd: Int = groupKey.map(base.fieldIndex).getOrElse(-1)
 
   // (base ordinal or -1 for COUNT(*), ordering for min/max)
   private val plans: Array[(PushedAgg, Int, Ordering[Any])] = aggs.map { a =>
@@ -751,39 +818,118 @@ class AggregatePartitionReader(
       case _ => (a, -1, null)
     }
   }.toArray
+  private val sumIsDouble: Array[Boolean] = plans.map {
+    case (PushedAgg.Sum(_), ord, _) =>
+      PushedAgg.sumType(base(ord).dataType) ==
+        org.apache.spark.sql.types.DoubleType
+    case _ => false
+  }
 
-  override def next(): Boolean = {
-    if (emitted) return false
-    val counts = new Array[Long](plans.length)
-    val vals = new Array[Any](plans.length)
-    while (inner.next()) {
-      val r = inner.get()
-      var i = 0
-      while (i < plans.length) {
-        val (agg, ord, ordering) = plans(i)
-        agg match {
-          case PushedAgg.CountStar => counts(i) += 1
-          case PushedAgg.Count(_) => if (!r.isNullAt(ord)) counts(i) += 1
-          case PushedAgg.Min(_) =>
-            val v = extract(r, ord)
-            if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) < 0))
-              vals(i) = v
-          case PushedAgg.Max(_) =>
-            val v = extract(r, ord)
-            if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) > 0))
-              vals(i) = v
-        }
-        i += 1
+  private var counts = new Array[Long](plans.length)
+  private var vals = new Array[Any](plans.length)
+  private var sawRow = false
+  private var curKey: Any = null
+  // one-row lookahead: the row that ended the previous group
+  private var pendingRow: InternalRow = _
+
+  private def resetAccums(): Unit = {
+    counts = new Array[Long](plans.length)
+    vals = new Array[Any](plans.length)
+  }
+
+  private def fold(r: InternalRow): Unit = {
+    var i = 0
+    while (i < plans.length) {
+      val (agg, ord, ordering) = plans(i)
+      agg match {
+        case PushedAgg.CountStar => counts(i) += 1
+        case PushedAgg.Count(_) => if (!r.isNullAt(ord)) counts(i) += 1
+        case PushedAgg.Min(_) =>
+          val v = extract(r, ord)
+          if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) < 0))
+            vals(i) = v
+        case PushedAgg.Max(_) =>
+          val v = extract(r, ord)
+          if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) > 0))
+            vals(i) = v
+        case PushedAgg.Sum(_) =>
+          if (!r.isNullAt(ord)) {
+            val v = r.get(ord, base(ord).dataType)
+            if (sumIsDouble(i)) {
+              val d = v match {
+                case f: java.lang.Float => f.doubleValue()
+                case d0: java.lang.Double => d0.doubleValue()
+              }
+              vals(i) = if (vals(i) == null) d
+              else vals(i).asInstanceOf[Double] + d
+            } else {
+              val l = v match {
+                case n: java.lang.Number => n.longValue()
+              }
+              vals(i) = if (vals(i) == null) l
+              else vals(i).asInstanceOf[Long] + l
+            }
+          }
       }
+      i += 1
     }
-    result = InternalRow.fromSeq(plans.toSeq.zipWithIndex.map {
+  }
+
+  private def buildRow(key: Any): InternalRow = {
+    val aggVals = plans.toSeq.zipWithIndex.map {
       case ((PushedAgg.CountStar, _, _), i) => counts(i)
       case ((PushedAgg.Count(_), _, _), i) => counts(i)
       case ((_, _, _), i) => vals(i)
-    })
-    emitted = true
-    true
+    }
+    InternalRow.fromSeq(groupKey.map(_ => key).toSeq ++ aggVals)
   }
+
+  override def next(): Boolean = {
+    if (done) return false
+    groupKey match {
+      case None =>
+        while (inner.next()) fold(inner.get())
+        result = buildRow(null)
+        done = true
+        true
+      case Some(_) =>
+        if (innerDone) { done = true; return false }
+        resetAccums(); sawRow = false
+        if (pendingRow != null) {
+          curKey = extract(pendingRow, keyOrd)
+          fold(pendingRow); sawRow = true; pendingRow = null
+        }
+        var groupClosed = false
+        while (!groupClosed && inner.next()) {
+          val r = inner.get()
+          val k = extract(r, keyOrd)
+          if (!sawRow) { curKey = k; fold(r); sawRow = true }
+          else if (sameKey(k, curKey)) fold(r)
+          else {
+            // r opens the NEXT group: emit the current one, stash r
+            result = buildRow(curKey)
+            pendingRow = copyRow(r)
+            groupClosed = true
+          }
+        }
+        if (groupClosed) true
+        else {
+          innerDone = true
+          if (sawRow) { result = buildRow(curKey); true }
+          else { done = true; false }
+        }
+    }
+  }
+
+  private def sameKey(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+    case _ => a == b
+  }
+
+  /** The inner reader may reuse row buffers across next() calls; the
+    * lookahead row must be detached. */
+  private def copyRow(r: InternalRow): InternalRow =
+    InternalRow.fromSeq(base.indices.map(extract(r, _)))
 
   /** Copy values that may live in a reused/shared buffer. */
   private def extract(r: InternalRow, ord: Int): Any =

@@ -63,6 +63,42 @@ class ConnectorSpec extends SparkSpec {
     assert(tc.collect()(0).getLong(0) == 3L)
   }
 
+  test("aggregate pushdown: integral SUM and row-key grouping fold in the scan") {
+    val sp = spark; import sp.implicits._
+    // SUM over an integral column accumulates as Long — exact, so pushed
+    // and unpushed answers are identical at any partitioning
+    val store = Seed.table(spark, sfDir, "spec_agg_sum",
+      Tables.load(spark, sfDir, "customer"))
+    val s1 = Seed.read(spark, store)
+      .agg(sum(col("c_nationkey")).as("sn"), count(lit(1)).as("n"))
+    assert(scanOf(s1).scan.description().contains("Sum(c_nationkey)"))
+    val exact = Tables.load(spark, sfDir, "customer")
+      .agg(sum(col("c_nationkey")), count(lit(1))).collect()(0)
+    val got = s1.collect()(0)
+    assert(got.getLong(0) == exact.getLong(0) && got.getLong(1) == exact.getLong(1))
+
+    // groupBy the ROW KEY over a transposed store: the wide-row
+    // aggregation — per-key partials stream through the key-ordered merge
+    val tstore = Seed.table(spark, sfDir, "spec_agg_grouped",
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (2L, "b", 5L), (3L, "z", 7L))
+        .toDF("k", "c", "v"),
+      mapping = Some(":key,:column,:value"))
+    val g = Seed.read(spark, tstore).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), max(col("c")).as("mc"))
+      .orderBy(col("k"))
+    val desc = scanOf(g).scan.description()
+    assert(desc.contains("PushedAggregates") && desc.contains("GroupedBy: [k]"),
+      s"grouped aggregate not pushed: $desc")
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 30L, "b"), (2L, 2L, 35L, "b"), (3L, 1L, 7L, "z")))
+
+    // grouping by a NON-key column must NOT push (unbounded reader memory)
+    val ng = Seed.read(spark, tstore).groupBy(col("c")).agg(count(lit(1)).as("n"))
+    assert(!scanOf(ng).scan.description().contains("PushedAggregates"))
+    assert(ng.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 2L), ("b", 2L), ("z", 1L)))
+  }
+
   test("P1: projection pushdown prunes the scan schema") {
     val store = Seed.table(spark, sfDir, "spec_prune",
       Tables.load(spark, sfDir, "customer"))
