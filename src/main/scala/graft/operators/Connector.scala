@@ -348,6 +348,32 @@ object Connector {
         .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
     },
 
+    // ---- snapshot EXPORT + RESTORE (backup / data-lake-export loop): the
+    // store's as-of=1 image exports to parquet with a layout manifest while
+    // a LATER overwrite epoch already sits in the store (the pinned view is
+    // consistent under concurrent writes); the restore recreates the same
+    // physical layout in a fresh store; the judged read comes from the
+    // RESTORED store and must equal the original pre-overwrite data.
+    // Both legs are distributed DSv2 jobs — nothing driver-side. ----
+    Q("conn_snapshot_restore",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.cassandralike.Snapshot
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "snap_src", cust)
+      // post-snapshot history the export must NOT see
+      Seed.append(cust.withColumn("c_acctbal", $"c_acctbal" + 777), store,
+        Map(Options.WriteTimestamp -> "2"))
+      val parquetDir = s"${Seed.storeRoot(dir)}/snap_export"
+      val restored = s"${Seed.storeRoot(dir)}/snap_restored"
+      Snapshot.export(s, store, asOf = 1L, parquetDir)
+      Snapshot.restore(s, parquetDir, restored)
+      Seed.read(s, restored)
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
     // ---- last-write-wins reconciliation across two write epochs ----
     Q("conn_lww_overwrite",
       """SELECT CAST(sum(CAST(
