@@ -56,6 +56,11 @@ object Options {
     * compaction preserves it per segment because LWW reconciliation inside
     * one write epoch is ts-stable). */
   val ReadAsOf = "read.asof"
+  /** Columnar batch reads for the batch scan (default on): rows batch into
+    * on-heap column vectors so whole-stage codegen consumes the scan
+    * vectorized. `false` restores the row-wise reader; results are
+    * identical either way. */
+  val ReadColumnar = "read.columnar"
   /** Table-level TTL (Cassandra's default_time_to_live): a live cell
     * expires once `read.now >= ts + ttl` — evaluated at read time from the
     * cell's write timestamp, no storage change. `read.now` defaults to
@@ -758,7 +763,8 @@ class CellScan(
   override def createReaderFactory(): PartitionReaderFactory =
     CellReaderFactory(table.tableSchema, table.mapping.fields,
       if (aggs.nonEmpty) aggBaseSchema else required,
-      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKey)
+      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKey,
+      columnar = true)
 }
 
 final case class CellReaderFactory(
@@ -770,7 +776,29 @@ final case class CellReaderFactory(
     tableProps: Map[String, String],
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
-    aggGroupKey: Option[String] = None) extends PartitionReaderFactory {
+    aggGroupKey: Option[String] = None,
+    columnar: Boolean = false) extends PartitionReaderFactory {
+
+  /** COLUMNAR scan path: rows batch into on-heap column vectors and
+    * whole-stage codegen consumes the scan vectorized (ColumnarToRow is
+    * codegen'd — no per-row iterator virtual calls or row-object churn at
+    * the scan boundary). Batch scans only (the change feed stays row-wise),
+    * all-atomic projections only (`cf:` map columns fall back to rows),
+    * and never under an aggregate fold (which already emits O(partitions)
+    * rows). `read.columnar=false` restores the row path — the two paths
+    * are result-identical (spec-asserted). */
+  private def columnarEligible: Boolean =
+    columnar && aggs.isEmpty &&
+      required.fields.forall(f => ColumnarCellReader.supported(f.dataType)) &&
+      Options.effective(options, tableProps, Options.ReadColumnar)
+        .forall(_.toBoolean)
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnarEligible
+
+  override def createColumnarReader(p: InputPartition)
+    : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ColumnarCellReader(createReader(p), required)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
     // dropped-column history: cellName -> drop ts (cells at/below are hidden)
@@ -942,6 +970,80 @@ class AggregatePartitionReader(
 
   override def get(): InternalRow = result
   override def close(): Unit = inner.close()
+}
+
+/** Batches the row reader's output into on-heap column vectors (4096 rows
+  * per [[org.apache.spark.sql.vectorized.ColumnarBatch]]). Downstream
+  * whole-stage codegen consumes the vectors directly through the codegen'd
+  * ColumnarToRow, eliminating the per-row iterator virtual calls and row
+  * objects at the scan boundary. Vectors are reused across batches
+  * (reset + refill). */
+object ColumnarCellReader {
+  val BatchRows = 4096
+  def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+      FloatType | DoubleType | StringType | BinaryType | DateType |
+      TimestampType => true
+    case _ => false
+  }
+}
+
+class ColumnarCellReader(
+    inner: PartitionReader[InternalRow],
+    schema: StructType)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import ColumnarCellReader.BatchRows
+
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(BatchRows, schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  // one writer per column, bound to the column's type once (no per-cell
+  // dataType dispatch in the fill loop)
+  private val writers: Array[(WritableColumnVector, InternalRow, Int, Int) => Unit] =
+    schema.fields.map(_.dataType).map[
+      (WritableColumnVector, InternalRow, Int, Int) => Unit] {
+      case BooleanType => (v, r, c, i) => v.putBoolean(i, r.getBoolean(c))
+      case ByteType => (v, r, c, i) => v.putByte(i, r.getByte(c))
+      case ShortType => (v, r, c, i) => v.putShort(i, r.getShort(c))
+      case IntegerType | DateType => (v, r, c, i) => v.putInt(i, r.getInt(c))
+      case LongType | TimestampType => (v, r, c, i) => v.putLong(i, r.getLong(c))
+      case FloatType => (v, r, c, i) => v.putFloat(i, r.getFloat(c))
+      case DoubleType => (v, r, c, i) => v.putDouble(i, r.getDouble(c))
+      case StringType => (v, r, c, i) => {
+        val b = r.getUTF8String(c).getBytes
+        v.putByteArray(i, b, 0, b.length); ()
+      }
+      case BinaryType => (v, r, c, i) => {
+        val b = r.getBinary(c)
+        v.putByteArray(i, b, 0, b.length); ()
+      }
+      case dt => throw new IllegalStateException(
+        s"unsupported columnar type ${dt.catalogString}") // gated by supported()
+    }
+
+  override def next(): Boolean = {
+    var c = 0
+    while (c < vectors.length) { vectors(c).reset(); c += 1 }
+    var n = 0
+    while (n < BatchRows && inner.next()) {
+      val r = inner.get()
+      var i = 0
+      while (i < vectors.length) {
+        if (r.isNullAt(i)) vectors(i).putNull(n)
+        else writers(i)(vectors(i), r, i, n)
+        i += 1
+      }
+      n += 1
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+  override def close(): Unit = { batch.close(); inner.close() }
 }
 
 /** The scan itself: merges the bucket's segments (LWW, tombstone-skipping),

@@ -63,6 +63,32 @@ class ConnectorSpec extends SparkSpec {
     assert(tc.collect()(0).getLong(0) == 3L)
   }
 
+  test("columnar scan: vectorized plan, identical rows, map columns fall back") {
+    val cust = Tables.load(spark, sfDir, "customer")
+    val store = Seed.table(spark, sfDir, "spec_columnar", cust)
+    val proj = Seq(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val colDf = Seed.read(spark, store).select(proj: _*)
+    assert(colDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "batch scan should be vectorized")
+    val rowDf = Seed.read(spark, store,
+      Map(Options.ReadColumnar -> "false")).select(proj: _*)
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val a = colDf.collect().map(_.toString).sorted
+    val b = rowDf.collect().map(_.toString).sorted
+    assert(a.length == 150 && a.sameElements(b))
+
+    // a cf: map projection is not vector-typed — the scan must fall back
+    // to the row reader, not fail
+    val sp = spark; import sp.implicits._
+    val mstore = Seed.table(spark, sfDir, "spec_columnar_map",
+      Seq((1L, Map("a" -> "x", "b" -> "y")), (2L, Map("c" -> "z")))
+        .toDF("k", "fam"),
+      mapping = Some(":key,cf:"))
+    val mdf = Seed.read(spark, mstore)
+    assert(!mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(mdf.count() == 2)
+  }
+
   test("snapshot export/restore: layout preserved, current-state image takes LWW") {
     val sp = spark; import sp.implicits._
     val cust = Tables.load(spark, sfDir, "customer")
