@@ -665,6 +665,13 @@ class CellScan(
     if (aggs.nonEmpty) aggSchema else required
   override def toBatch: Batch = this
 
+  /** Scan observability (Spark UI, per scan node): segment/run IO, bloom
+    * pruning wins, post-LWW cell volume and tombstone suppression — the
+    * numbers that explain a slow 100-TB scan without re-running it. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    ScanMetrics.supported
+
   /** Change feed: `spark.readStream.format("cassandralike")` — each
     * micro-batch is the set of segments committed since the last offset
     * (see [[CellChangeFeedStream]]). */
@@ -970,6 +977,9 @@ class AggregatePartitionReader(
 
   override def get(): InternalRow = result
   override def close(): Unit = inner.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** Batches the row reader's output into on-heap column vectors (4096 rows
@@ -1044,6 +1054,9 @@ class ColumnarCellReader(
 
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
   override def close(): Unit = { batch.close(); inner.close() }
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues()
 }
 
 /** The scan itself: merges the bucket's segments (LWW, tombstone-skipping),
@@ -1101,6 +1114,9 @@ class CellPartitionReader(
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
   // unit the pager (S4) then chunks, matching the reference's bound where
   // the server holds the row and the client pages it.
+  /** Task-local scan counters, surfaced via [[currentMetricsValues]]. */
+  private[cassandralike] val counters = new ScanCounters
+
   private val merge = new CellStore.BucketMergeIterator(
     part.tableDir, part.bucket, keyBounds._1, keyBounds._2,
     asOf = opt(Options.ReadAsOf).map(_.toLong).getOrElse(Long.MaxValue),
@@ -1111,7 +1127,8 @@ class CellPartitionReader(
     onlyFiles =
       if (part.files == null) null
       else part.files.map(n =>
-        java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n)))
+        java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n)),
+    counters = counters)
   private val rows: Iterator[InternalRow] = {
     val byKey = groupAdjacentByKey(merge)
     val all =
@@ -1128,6 +1145,9 @@ class CellPartitionReader(
   }
   override def get(): InternalRow = current
   override def close(): Unit = merge.close()
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ScanMetrics.values(counters)
 
   /** Cells arrive in (key, col, sub) order; group runs of equal key without
     * materializing anything beyond the current row. */

@@ -472,14 +472,19 @@ object CellStore {
       * dropping runs that provably hold none of the keys reconciles
       * identically for the keys that remain. */
     def rangeRuns(lo: Array[Byte], hi: Array[Byte],
-        lookupKeys: Seq[Array[Byte]] = null): Seq[Iterator[Cell]] = {
+        lookupKeys: Seq[Array[Byte]] = null,
+        counters: ScanCounters = null): Seq[Iterator[Cell]] = {
       val infos = runInfos(file)
       val blooms = if (lookupKeys == null) null else runBlooms(file)
       infos.zipWithIndex.map { case (ri, i) =>
         if (blooms != null && blooms(i) != null &&
-            !lookupKeys.exists(blooms(i).mightContain))
+            !lookupKeys.exists(blooms(i).mightContain)) {
+          if (counters != null) counters.runsBloomSkipped += 1
           Iterator.empty
-        else rangeRun(ri, lo, hi)
+        } else {
+          if (counters != null) counters.runsRead += 1
+          rangeRun(ri, lo, hi)
+        }
       }
     }
 
@@ -511,7 +516,7 @@ object CellStore {
     * above the delete's; compaction collapses increment history. Memory is
     * O(one address's cells) — the same bound as one wide row. */
   final class MergeIterator(runSeq: Seq[Iterator[Cell]], dropTombstones: Boolean,
-      counterMerge: Boolean = false)
+      counterMerge: Boolean = false, counters: ScanCounters = null)
     extends Iterator[Cell] {
     private val heap =
       new mutable.PriorityQueue[scala.collection.BufferedIterator[Cell]]()(
@@ -543,7 +548,12 @@ object CellStore {
           more = heap.nonEmpty && addrEq(heap.head.head, addr)
         }
         val out = if (counterMerge) reconcileCounter(group.toSeq) else winner
-        if (!(dropTombstones && out.tombstone)) return out
+        if (dropTombstones && out.tombstone) {
+          if (counters != null) counters.tombstonesDropped += 1
+        } else {
+          if (counters != null) counters.cellsMerged += 1
+          return out
+        }
       }
       null
     }
@@ -595,7 +605,8 @@ object CellStore {
       ttl: Long = 0L, now: Long = 0L,
       counterMerge: Boolean = false,
       lookupKeys: Seq[Array[Byte]] = null,
-      onlyFiles: Seq[Path] = null)
+      onlyFiles: Seq[Path] = null,
+      counters: ScanCounters = null)
     extends Iterator[Cell] with AutoCloseable {
     // onlyFiles: the change-feed restriction — merge ONLY these committed
     // segments (one micro-batch's delta) instead of the whole bucket; LWW
@@ -604,9 +615,13 @@ object CellStore {
     private val segs =
       (if (onlyFiles != null) onlyFiles else segmentFiles(tableDir, bucket))
         .map(new SegmentReader(_))
+    if (counters != null) counters.segmentsRead += segs.size
     private val raw =
-      if (lower == null && upper == null && lookupKeys == null) segs.flatMap(_.runs())
-      else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys))
+      if (lower == null && upper == null && lookupKeys == null) {
+        val rs = segs.flatMap(_.runs())
+        if (counters != null) counters.runsRead += rs.size
+        rs
+      } else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys, counters))
     // snapshot read: cells written after the as-of bound never enter LWW
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
@@ -617,7 +632,7 @@ object CellStore {
       else a.filter(c => c.tombstone || now < c.ts + ttl)
     }
     private val inner = new MergeIterator(raw.map(prune), dropTombstones = true,
-      counterMerge = counterMerge)
+      counterMerge = counterMerge, counters = counters)
     def hasNext: Boolean = inner.hasNext
     def next(): Cell = inner.next()
     def close(): Unit = segs.foreach(_.close())

@@ -1,0 +1,64 @@
+package graft.sources.cassandralike
+
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
+
+/** Task-local counters for one partition's store scan. Each partition
+  * reader owns one instance (single task thread — plain vars), the merge
+  * machinery increments it as it works, and the DSv2 metric hooks
+  * ([[CellScan.supportedCustomMetrics]] /
+  * `PartitionReader.currentMetricsValues`) surface the totals in the Spark
+  * UI per scan node. At 100-TB scale these are the numbers that explain a
+  * slow scan without re-running it: how many segments/runs were opened,
+  * how much pruning the blooms bought, how many addresses LWW actually
+  * reconciled, and how many were tombstone-suppressed.
+  *
+  * The reference's Hive stack exposes none of this (its progress reporting
+  * is the bare Hadoop counter in input/CassandraHiveRecordReader.java);
+  * Spark's metric plumbing makes it nearly free. */
+final class ScanCounters {
+  /** Segment files opened by the partition's merge. */
+  var segmentsRead: Long = 0L
+  /** Run cursors actually read (post bloom/range pruning). */
+  var runsRead: Long = 0L
+  /** Runs skipped whole because their key bloom rejected every lookup key. */
+  var runsBloomSkipped: Long = 0L
+  /** Live cells emitted by LWW reconciliation (the scan's input volume). */
+  var cellsMerged: Long = 0L
+  /** Addresses suppressed because a tombstone won reconciliation (S3's
+    * tombstone skip, input/CassandraHiveRecordReader.java:205-207). */
+  var tombstonesDropped: Long = 0L
+}
+
+object ScanMetrics {
+  val SegmentsRead = "segmentsRead"
+  val RunsRead = "runsRead"
+  val RunsBloomSkipped = "runsBloomSkipped"
+  val CellsMerged = "cellsMerged"
+  val TombstonesDropped = "tombstonesDropped"
+
+  private final class Sum(n: String, d: String) extends CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+
+  /** Driver-side metric declarations; names must match the task values. */
+  def supported: Array[CustomMetric] = Array(
+    new Sum(SegmentsRead, "store segments opened"),
+    new Sum(RunsRead, "runs read (post pruning)"),
+    new Sum(RunsBloomSkipped, "runs skipped by key bloom"),
+    new Sum(CellsMerged, "live cells merged (post-LWW)"),
+    new Sum(TombstonesDropped, "addresses dropped by tombstones"))
+
+  private final case class Task(n: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = n
+    override def value(): Long = v
+  }
+
+  /** Snapshot of one partition's counters in the DSv2 task-metric form. */
+  def values(c: ScanCounters): Array[CustomTaskMetric] = Array(
+    Task(SegmentsRead, c.segmentsRead),
+    Task(RunsRead, c.runsRead),
+    Task(RunsBloomSkipped, c.runsBloomSkipped),
+    Task(CellsMerged, c.cellsMerged),
+    Task(TombstonesDropped, c.tombstonesDropped))
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.functions._
+
+/** DSv2 custom scan metrics: the store scan reports segment/run IO, bloom
+  * pruning and LWW/tombstone reconciliation volume per task, and the scan
+  * declares the matching driver-side metrics for the Spark UI to aggregate. */
+class ScanMetricsSpec extends SparkSpec {
+
+  private def seg(dir: String, name: String, runs: Seq[Cell]*): Unit = {
+    val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+    java.nio.file.Files.createDirectories(sst)
+    val out = CellStore.newSegmentStream(sst.resolve(name))
+    runs.foreach(CellStore.writeRun(out, _))
+    out.close()
+  }
+
+  private def cell(k: String, col: String, v: String, ts: Long): Cell =
+    Cell(k.getBytes, col.getBytes, null, v.getBytes, ts, tombstone = false)
+  private def tomb(k: String, col: String, ts: Long): Cell =
+    Cell(k.getBytes, col.getBytes, null, Array.emptyByteArray, ts, tombstone = true)
+
+  test("merge counters: segments, runs, live cells, tombstone drops") {
+    val dir = java.nio.file.Files.createTempDirectory("scanmetrics").toString
+    try {
+      seg(dir, "b0-a.bin",
+        Seq(cell("k1", "c1", "old", 1L), cell("k2", "c1", "live", 1L)),
+        Seq(cell("k3", "c1", "dead", 1L)))
+      seg(dir, "b0-b.bin",
+        Seq(cell("k1", "c1", "new", 2L), tomb("k3", "c1", 2L)))
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0, counters = c)
+      try {
+        val live = it.toVector
+        assert(live.map(x => new String(x.key) -> new String(x.value)) ==
+          Vector("k1" -> "new", "k2" -> "live"))
+      } finally it.close()
+      assert(c.segmentsRead == 2, s"segmentsRead=${c.segmentsRead}")
+      assert(c.runsRead == 3, s"runsRead=${c.runsRead}")
+      assert(c.runsBloomSkipped == 0)
+      assert(c.cellsMerged == 2, s"cellsMerged=${c.cellsMerged}")
+      assert(c.tombstonesDropped == 1, s"tombstonesDropped=${c.tombstonesDropped}")
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("point lookup counts bloom-skipped runs") {
+    val dir = java.nio.file.Files.createTempDirectory("scanmetricsbloom").toString
+    try {
+      // two segments with disjoint key sets: a lookup for a key held only
+      // by segment b must bloom-skip segment a's run entirely
+      seg(dir, "b0-a.bin", Seq(cell("only_in_a", "c1", "va", 1L)))
+      seg(dir, "b0-b.bin", Seq(cell("only_in_b", "c1", "vb", 1L)))
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        lookupKeys = Seq("only_in_b".getBytes), counters = c)
+      try assert(it.toVector.map(x => new String(x.key)) == Vector("only_in_b"))
+      finally it.close()
+      assert(c.runsBloomSkipped == 1, s"runsBloomSkipped=${c.runsBloomSkipped}")
+      assert(c.runsRead == 1, s"runsRead=${c.runsRead}")
+      assert(c.cellsMerged == 1)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("scan declares the metrics; readers report matching task values") {
+    val store = Seed.table(spark, sfDir, "spec_scan_metrics",
+      Tables.load(spark, sfDir, "nation"))
+    val df = Seed.read(spark, store).filter(col("n_nationkey") === 3L)
+    // driver side: the scan node declares the metric set
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec"))
+    val declared = scan.supportedCustomMetrics().map(m => m.name()).toSet
+    assert(declared == Set("segmentsRead", "runsRead", "runsBloomSkipped",
+      "cellsMerged", "tombstonesDropped"))
+    // task side: drain the partition readers directly and check the
+    // reported values carry the SAME names (the UI joins on name) and that
+    // the lookup actually counted work
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    val factory = batch.createReaderFactory()
+    val totals = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try { while (r.next()) r.get() } finally {
+        r.currentMetricsValues().foreach(m => totals(m.name()) += m.value())
+        r.close()
+      }
+    }
+    assert(totals.keySet == declared)
+    assert(totals("cellsMerged") >= 1L, s"totals=$totals")
+    assert(totals("segmentsRead") >= 1L)
+    // columnar path reports through the same counters
+    val colParts = batch.planInputPartitions()
+    if (factory.supportColumnarReads(colParts.head)) {
+      val cr = factory.createColumnarReader(colParts.head)
+      try { while (cr.next()) cr.get() } finally {
+        assert(cr.currentMetricsValues().map(m => m.name()).toSet == declared)
+        cr.close()
+      }
+    }
+  }
+}
