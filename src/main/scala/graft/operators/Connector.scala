@@ -374,6 +374,47 @@ object Connector {
         .orderBy($"c_custkey")
     },
 
+    // ---- snapshot DIFF (CDC between two as-of images): three write epochs
+    // — seed, then updates + inserts, then tombstone deletes — and the diff
+    // of the epoch-1 vs epoch-3 images classifies every changed key as
+    // insert / update / delete. Both sides of Snapshot.diff's full-outer
+    // join are as-of scans of the SAME store reporting their bucket layout,
+    // so the join is storage-partitioned: per-bucket, zero exchange
+    // (plan-asserted in PlanShapeSpec) — diffing a 100-TB store moves no
+    // rows over the network. ----
+    Q("conn_snapshot_diff",
+      """SELECT key, change FROM (
+        |  SELECT c_custkey AS key, 'delete' AS change FROM customer
+        |  WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey AS key, 'update' AS change FROM customer
+        |  WHERE c_custkey % 4 = 0 AND c_custkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key, 'insert' AS change FROM customer
+        |  WHERE c_custkey % 7 = 0
+        |) ORDER BY key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.cassandralike.Snapshot
+      val cust = t(s, dir, "customer")
+      val store = Seed.table(s, dir, "snap_diff", cust) // epoch 1
+      Seed.append(cust.filter($"c_custkey" % 4 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 999), store,
+        Map(Options.WriteTimestamp -> "2"))
+      Seed.append(cust.filter($"c_custkey" % 7 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 1000000), store,
+        Map(Options.WriteTimestamp -> "2"))
+      val dead = cust.filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey", lit(null).cast("string").as("c_name"),
+          lit(null).cast("int").as("c_nationkey"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      Seed.append(dead, store, Map(
+        Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+      Snapshot.diff(s, store, asOfOld = 1L, asOfNew = 3L)
+        .select($"c_custkey".as("key"), $"change")
+        .orderBy($"key")
+    },
+
     // ---- last-write-wins reconciliation across two write epochs ----
     Q("conn_lww_overwrite",
       """SELECT CAST(sum(CAST(

@@ -36,18 +36,10 @@ object ScanMetrics {
   val CellsMerged = "cellsMerged"
   val TombstonesDropped = "tombstonesDropped"
 
-  private final class Sum(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
-  }
-
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
-    new Sum(SegmentsRead, "store segments opened"),
-    new Sum(RunsRead, "runs read (post pruning)"),
-    new Sum(RunsBloomSkipped, "runs skipped by key bloom"),
-    new Sum(CellsMerged, "live cells merged (post-LWW)"),
-    new Sum(TombstonesDropped, "addresses dropped by tombstones"))
+    new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
+    new CellsMergedMetric, new TombstonesDroppedMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -61,4 +53,29 @@ object ScanMetrics {
     Task(RunsBloomSkipped, c.runsBloomSkipped),
     Task(CellsMerged, c.cellsMerged),
     Task(TombstonesDropped, c.tombstonesDropped))
+}
+
+// Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
+// declared metric classes reflectively when aggregating task values into
+// the UI, and a constructor with arguments fails that lookup at runtime
+// (logged per task completion, metrics silently dropped).
+final class SegmentsReadMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.SegmentsRead
+  override def description(): String = "store segments opened"
+}
+final class RunsReadMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.RunsRead
+  override def description(): String = "runs read (post pruning)"
+}
+final class RunsBloomSkippedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.RunsBloomSkipped
+  override def description(): String = "runs skipped by key bloom"
+}
+final class CellsMergedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.CellsMerged
+  override def description(): String = "live cells merged (post-LWW)"
+}
+final class TombstonesDroppedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.TombstonesDropped
+  override def description(): String = "addresses dropped by tombstones"
 }

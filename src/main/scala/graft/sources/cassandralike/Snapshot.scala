@@ -1,6 +1,6 @@
 package graft.sources.cassandralike
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Consistent snapshot EXPORT to parquet and RESTORE into a fresh store —
@@ -51,5 +51,59 @@ object Snapshot {
     Seed.append(
       spark.read.schema(StructType.fromDDL(meta.schemaDdl)).parquet(parquetDir),
       newStoreDir)
+  }
+
+  /** CDC between two snapshots: every row whose reconciled state differs
+    * between `asOfOld` and `asOfNew`, classified `insert` / `update` /
+    * `delete`, with the non-key columns surfaced as `old_*` / `new_*`.
+    *
+    * Shape at scale: BOTH sides are as-of scans of the SAME store reporting
+    * their token-bucket layout, so the full-outer key join is a
+    * storage-partitioned join — per-bucket, ZERO exchange on either side
+    * (plan-asserted). Diffing a 100-TB store moves no rows across the
+    * network; each bucket's task reads its own two images and joins
+    * locally. Presence markers (not value-nullness) drive classification,
+    * so a live row whose cells are all NULL still diffs correctly. */
+  def diff(spark: SparkSession, storeDir: String,
+      asOfOld: Long, asOfNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = CellStore.readMeta(storeDir).getOrElse(
+      throw new IllegalArgumentException(s"no cassandralike table at $storeDir"))
+    val schema = StructType.fromDDL(meta.schemaDdl)
+    val keyName = ColumnMapping.parse(meta.mapping, schema).keyField.name
+    val valueCols = schema.fieldNames.filterNot(_ == keyName).toSeq
+    // The as-of scans must resolve through a catalog: the reported
+    // KeyGroupedPartitioning's bucket transform binds via the catalog's
+    // FunctionCatalog, and a bare path read (format().load()) has none —
+    // Spark then degrades both sides to UnknownPartitioning and plants two
+    // full-image hash exchanges. One catalog per parent directory (name
+    // derived from the path — catalog instances are cached by name, so a
+    // fixed name would pin the FIRST warehouse it ever saw).
+    val path = java.nio.file.Paths.get(storeDir).toAbsolutePath.normalize()
+    val parent = path.getParent.toString
+    val cat = "cassandralike_diff_" +
+      java.lang.Integer.toHexString(parent.hashCode).replace('-', 'n')
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", parent)
+    def side(asOf: Long, pre: String, marker: String) =
+      spark.read
+        .option(Options.ReadAsOf, asOf.toString)
+        .option(Options.ReportPartitioning, "true")
+        .table(s"$cat.`${path.getFileName.toString}`")
+        .select(col(keyName) +: valueCols.map(c => col(c).as(s"$pre$c")): _*)
+        .withColumn(marker, lit(true))
+    val o = side(asOfOld, "old_", "_old_p")
+    val n = side(asOfNew, "new_", "_new_p")
+    val changed =
+      if (valueCols.isEmpty) lit(false)
+      else valueCols.map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, Seq(keyName), "full_outer")
+      .withColumn("change",
+        when(col("_old_p").isNull, lit("insert"))
+          .when(col("_new_p").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .drop("_old_p", "_new_p")
   }
 }

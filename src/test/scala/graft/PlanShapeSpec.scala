@@ -216,6 +216,20 @@ class PlanShapeSpec extends SparkSpec {
       s"storage-partitioned join must not shuffle its inputs: ${shuffles.map(_.nodeName).mkString(", ")}")
   }
 
+  test("snapshot diff joins its two as-of images storage-partitioned: no exchange") {
+    // both sides of Snapshot.diff are as-of scans of the SAME store
+    // reporting the bucket layout — the full-outer key join must zip the
+    // buckets in place, never reshuffle either 100-TB image
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val all = collectAll(plan("conn_snapshot_diff"))
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join of the two as-of images")
+    val under = smjs.flatMap(_.children.flatMap(collectAll))
+    val shuffles = under.filter(_.isInstanceOf[ShuffleExchangeLike])
+    assert(shuffles.isEmpty,
+      s"snapshot diff must not shuffle its as-of scans: ${shuffles.map(_.nodeName).mkString(", ")}")
+  }
+
   test("group-by on the row key of a layout-reporting store plans without an exchange") {
     // same mechanism as the storage-partitioned join: KeyGroupedPartitioning
     // over bucket(n, key) satisfies ClusteredDistribution(key), so the final

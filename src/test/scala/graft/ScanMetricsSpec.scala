@@ -62,6 +62,16 @@ class ScanMetricsSpec extends SparkSpec {
     } finally CellStore.dropTable(dir)
   }
 
+  test("metric classes construct reflectively (Spark's UI aggregation path)") {
+    // Spark re-instantiates declared CustomMetric classes by reflection
+    // when folding task values into the UI; a constructor with arguments
+    // fails that lookup at runtime and the metrics silently vanish
+    ScanMetrics.supported.foreach { m =>
+      val fresh = m.getClass.getDeclaredConstructor().newInstance()
+      assert(fresh.name() == m.name() && fresh.description() == m.description())
+    }
+  }
+
   test("scan declares the metrics; readers report matching task values") {
     val store = Seed.table(spark, sfDir, "spec_scan_metrics",
       Tables.load(spark, sfDir, "nation"))
