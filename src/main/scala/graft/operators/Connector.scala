@@ -613,6 +613,38 @@ object Connector {
         .orderBy($"row_key", $"column_name")
     },
 
+    // ---- multi-point slice: IN on the clustering column pushes into the
+    // scan (a hash-set probe per cell in the reader), so non-matching cells
+    // of a wide row are dropped before they ever become rows — the
+    // multi-column form of the reference's slice predicate, which only
+    // expressed contiguous ranges. ----
+    Q("conn_slice_in",
+      """SELECT row_key, column_name, value FROM (
+        |  SELECT row_key, column_name, max(value) AS value
+        |  FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |               lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                 lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |               CAST(l_quantity AS VARCHAR) AS value
+        |        FROM lineitem) cc
+        |  GROUP BY row_key, column_name) c
+        |WHERE column_name IN
+        |  ('0000000001-0001', '0000000001-0003', '0000000003-0002',
+        |   '0000000032-0004', '0000000999-0001')
+        |ORDER BY row_key, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        concat(lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+        $"l_quantity".cast("string").as("value"))
+      val store = Seed.table(s, dir, "slice_in", src)
+      Seed.read(s, store)
+        .filter($"column_name".isin("0000000001-0001", "0000000001-0003",
+          "0000000003-0002", "0000000032-0004", "0000000999-0001"))
+        .select($"row_key", $"column_name", $"value")
+        .orderBy($"row_key", $"column_name")
+    },
+
     // ---- P2 native form: the SliceTopKPushdown Catalyst rule rewrites this
     // per-key top-k window into slice.count/slice.reversed scan options, so
     // the source stops materializing more than 3 cells per key (SURVEY §4's

@@ -421,7 +421,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
     def pushable(f: Filter): Boolean = f match {
       case EqualTo(c, _) => c == keyName || sliceName.contains(c)
-      case In(c, _) => c == keyName
+      // IN on the clustering column: a multi-point slice — FilterEval
+      // applies it exactly in the reader (hash-set probe per cell), so
+      // non-matching cells of a wide row are dropped before they become
+      // rows and Spark plants no re-filter above the scan
+      case In(c, _) => c == keyName || sliceName.contains(c)
       case GreaterThan(c, _) => sliceName.contains(c)
       case GreaterThanOrEqual(c, _) => sliceName.contains(c)
       case LessThan(c, _) => sliceName.contains(c)

@@ -78,7 +78,8 @@ final class CellChangeFeedStream(
     required: StructType,
     filters: Array[Filter],
     options: Map[String, String]) extends MicroBatchStream
-  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow
+  with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
   private def listCommitted(): Set[String] =
     CellStore.allSegmentFiles(table.dir).values.flatten
@@ -142,6 +143,32 @@ final class CellChangeFeedStream(
 
   override def reportLatestOffset(): Offset = SegmentSetOffset(listCommitted())
 
+  // last planned batch's admission stats, surfaced through [[metrics]]
+  @volatile private var lastBatchAdmitted = 0L
+  @volatile private var lastBatchCompactionSkipped = 0L
+
+  /** Per-batch source metrics in `StreamingQueryProgress.sources[].metrics`:
+    * consumed vs committed segment counts (their difference is the feed's
+    * backlog — the lag signal an operator alarms on), plus the last batch's
+    * admission split (segments read vs consumed-for-free because their
+    * compaction inputs were already in the offset). */
+  override def metrics(latestConsumed: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed =
+      if (!latestConsumed.isPresent) 0
+      else latestConsumed.get match {
+        case s: SegmentSetOffset => s.names.size
+        case o => SegmentSetOffset.fromJson(o.json).names.size
+      }
+    val committed = listCommitted().size
+    java.util.Map.of(
+      "segmentsConsumed", consumed.toString,
+      "segmentsCommitted", committed.toString,
+      "segmentsPending", math.max(0, committed - consumed).toString,
+      "batchSegmentsAdmitted", lastBatchAdmitted.toString,
+      "batchSegmentsCompactionSkipped", lastBatchCompactionSkipped.toString)
+  }
+
   override def deserializeOffset(json: String): Offset =
     SegmentSetOffset.fromJson(json)
   override def commit(end: Offset): Unit = ()
@@ -150,13 +177,16 @@ final class CellChangeFeedStream(
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[SegmentSetOffset].names
-    val fresh = (end.asInstanceOf[SegmentSetOffset].names -- seen)
+    val admitted = end.asInstanceOf[SegmentSetOffset].names -- seen
+    val fresh = admitted
       // feed-aware compaction skip: a compaction output whose recorded
       // inputs are ALL in the consumed offset holds only already-emitted
       // cells — consume it (it is in `end`) but read nothing. Deterministic
       // on replay: the sidecar is immutable and outlives the segment's
       // membership in any un-committed batch.
       .filterNot(n => CellStore.provenance(table.dir, n).exists(_.subsetOf(seen)))
+    lastBatchAdmitted = admitted.size
+    lastBatchCompactionSkipped = admitted.size - fresh.size
     val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)

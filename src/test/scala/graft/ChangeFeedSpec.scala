@@ -55,6 +55,33 @@ class ChangeFeedSpec extends SparkSpec {
     intercept[IllegalArgumentException](SegmentSetOffset(Set("tmp-x-b1.bin")))
   }
 
+  test("source metrics: consumed/committed/pending surface in query progress") {
+    val dir = freshStore("spec_feed_metrics")
+    append(dir, ts = 1, (1L to 5L).map(i => i -> s"a$i"))
+    append(dir, ts = 2, (6L to 9L).map(i => i -> s"b$i"))
+    val root = java.nio.file.Files.createTempDirectory("cfeedm").toString
+    val q = spark.readStream.format("cassandralike").option(Options.Path, dir)
+      .load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val metricMaps = q.recentProgress.toSeq
+      .flatMap(p => Option(p.sources).toSeq.flatten)
+      .flatMap(s => Option(s.metrics))
+      .filter(_.containsKey("segmentsConsumed"))
+    assert(metricMaps.nonEmpty, "feed metrics missing from query progress")
+    val m = metricMaps.last
+    // the drain consumed everything committed: no pending backlog
+    assert(m.get("segmentsConsumed").toLong >= 2) // one+ segment per append
+    assert(m.get("segmentsCommitted").toLong == m.get("segmentsConsumed").toLong)
+    assert(m.get("segmentsPending").toLong == 0)
+    assert(metricMaps.exists(_.get("batchSegmentsAdmitted").toLong >= 1))
+  }
+
   test("resume emits only the delta; overwrites re-emit; deletes emit nothing") {
     val dir = freshStore("spec_changefeed")
     val root = java.nio.file.Files.createTempDirectory("cfeed").toString

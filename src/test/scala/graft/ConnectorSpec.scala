@@ -172,6 +172,27 @@ class ConnectorSpec extends SparkSpec {
       s"pushed filter missing from: ${scan.scan.description()}")
   }
 
+  test("P2: IN on the clustering column pushes and matches the unpushed result") {
+    import org.apache.spark.sql.functions.{concat, lit, lpad}
+    val src = Tables.load(spark, sfDir, "lineitem").select(
+      lpad(col("l_suppkey").cast("string"), 8, "0").as("row_key"),
+      concat(lpad(col("l_orderkey").cast("string"), 10, "0"), lit("-"),
+        lpad(col("l_linenumber").cast("string"), 4, "0")).as("column_name"),
+      col("l_quantity").cast("string").as("value"))
+    val store = Seed.table(spark, sfDir, "spec_slice_in", src)
+    val wanted = Seq("0000000001-0001", "0000000001-0003", "0000000003-0002")
+    val pushed = Seed.read(spark, store)
+      .filter(col("column_name").isin(wanted: _*))
+    val desc = scanOf(pushed).scan.description()
+    assert(desc.contains("In(column_name"),
+      s"IN on the clustering column must reach the scan: $desc")
+    val viaScan = pushed.collect().map(_.toSeq).toSet
+    // same rows as filtering AFTER a full read (exact reader-side eval)
+    val viaSpark = Seed.read(spark, store).collect()
+      .filter(r => wanted.contains(r.getString(1))).map(_.toSeq).toSet
+    assert(viaScan == viaSpark && viaScan.nonEmpty)
+  }
+
   test("S1: key-equality predicates prune token-range partitions") {
     val store = Seed.table(spark, sfDir, "spec_bucketprune",
       Tables.load(spark, sfDir, "customer"))
