@@ -102,6 +102,38 @@ object Connector {
         .orderBy($"o_custkey")
     },
 
+    // ---- GROUPED pushdown by (row key, clustering column) on a
+    // super-column store: per-(key, column) aggregation over subcolumn
+    // cells — the lines-per-(supplier, order) rollup. Cells stream in
+    // (key, col, sub) order through the merge, so pair groups are adjacent
+    // and fold with the same O(1) memory as the key grouping; any other
+    // column pair is declined (spec-asserted). ----
+    Q("conn_agg_grouped_pair",
+      """SELECT row_key, column_name, count(*) AS n_lines,
+        |  CAST(sum(value) AS BIGINT) AS qty, max(sub_column_name) AS max_line
+        |FROM (SELECT row_key, column_name, sub_column_name, max(value) AS value
+        |      FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                   lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS column_name,
+        |                   lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS sub_column_name,
+        |                   CAST(floor(l_quantity) AS BIGINT) AS value
+        |            FROM lineitem) c
+        |      GROUP BY row_key, column_name, sub_column_name) x
+        |GROUP BY row_key, column_name
+        |ORDER BY row_key, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "agg_grouped_pair", src)
+      Seed.read(s, store)
+        .groupBy($"row_key", $"column_name")
+        .agg(count(lit(1)).as("n_lines"), sum($"value").as("qty"),
+          max($"sub_column_name").as("max_line"))
+        .orderBy($"row_key", $"column_name")
+    },
+
     // ---- S1 token-range splits + key-equality partition pruning ----
     Q("conn_key_lookup",
       """SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -324,7 +324,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var aggs: Seq[PushedAgg] = Nil
-  private var groupKey: Option[String] = None
+  private var groupKeys: Seq[String] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -381,23 +381,33 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
       case _ => false
     }
-    // Grouping: ONLY the row key. The merge scan emits storage rows in key
-    // order and key-range split boundaries are whole keys, so per-key
-    // groups stream with O(1) memory and never straddle partitions — any
-    // other grouping column would need an unbounded reader-side hash map.
+    // Grouping: the ROW KEY, or — on a transposed table — the (row key,
+    // clustering column) pair. The merge scan emits cells in (key, col,
+    // sub) order and key-range split boundaries are whole keys, so both
+    // group shapes stream with O(1) memory and never straddle partitions
+    // (equal (key, col) cells are adjacent within a key's run) — any other
+    // grouping column would need an unbounded reader-side hash map.
     // When the table reports its token-bucket layout
     // (partitioning.report), DECLINE grouped pushdown: the reported
     // KeyGroupedPartitioning already satisfies the aggregation's
-    // clustering, so the un-pushed plan aggregates in place with ZERO
-    // exchange — strictly better than shuffling per-key partials to a
-    // combine (plan-asserted by the key-grouped-aggregation spec).
+    // clustering (a key subset clusters the pair too), so the un-pushed
+    // plan aggregates in place with ZERO exchange — strictly better than
+    // shuffling per-key partials to a combine (plan-asserted by the
+    // key-grouped-aggregation spec).
     val reportsLayout = Options.effective(options, table.tableProps,
       Options.ReportPartitioning).exists(_.toBoolean)
-    val grouping: Option[Option[String]] =
+    val keyName = table.mapping.keyField.name
+    val clusterName =
+      if (table.mapping.transposed)
+        Some(table.mapping.field(FieldRole.TransColumn).name)
+      else None
+    val grouping: Option[Seq[String]] =
       aggregation.groupByExpressions().toSeq.map(col) match {
-        case Nil => Some(None)
-        case Seq(Some(c)) if c == table.mapping.keyField.name && !reportsLayout =>
-          Some(Some(c))
+        case Nil => Some(Nil)
+        case Seq(Some(c)) if c == keyName && !reportsLayout => Some(Seq(c))
+        case Seq(Some(k), Some(c))
+          if k == keyName && clusterName.contains(c) && !reportsLayout =>
+          Some(Seq(k, c))
         case _ => None
       }
     if (grouping.isEmpty) return false
@@ -411,7 +421,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case _ => None
       }
     if (translated.exists(_.isEmpty)) false
-    else { aggs = translated.flatten; groupKey = grouping.get; true }
+    else { aggs = translated.flatten; groupKeys = grouping.get; true }
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -457,7 +467,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CellScan(table, required, pushed, options, limit, aggs, groupKey)
+    new CellScan(table, required, pushed, options, limit, aggs, groupKeys)
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
@@ -562,7 +572,7 @@ class CellScan(
     options: Map[String, String],
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
-    aggGroupKey: Option[String] = None)
+    aggGroupKeys: Seq[String] = Nil)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -571,13 +581,13 @@ class CellScan(
     * COUNT(*)) and the scan's output is partial rows in [[aggSchema]] —
     * one per partition ungrouped, one per (partition, key) grouped. */
   private lazy val aggBaseSchema: StructType = {
-    val cols = (aggGroupKey.toSeq ++ aggs.flatMap(PushedAgg.references)).distinct
+    val cols = (aggGroupKeys ++ aggs.flatMap(PushedAgg.references)).distinct
     val names = if (cols.isEmpty) Seq(table.mapping.keyField.name) else cols
     StructType(names.map(n => table.tableSchema(n)))
   }
 
   private lazy val aggSchema: StructType = StructType(
-    aggGroupKey.toSeq.map(k => table.tableSchema(k)) ++
+    aggGroupKeys.map(k => table.tableSchema(k)) ++
       aggs.zipWithIndex.map {
         case (PushedAgg.CountStar, i) =>
           org.apache.spark.sql.types.StructField(s"agg_${i}_count_star",
@@ -692,7 +702,8 @@ class CellScan(
       limit.map(n => s" Limit: $n").getOrElse("") +
       (if (aggs.nonEmpty)
         s" PushedAggregates: [${aggs.mkString(", ")}]" +
-          aggGroupKey.map(k => s" GroupedBy: [$k]").getOrElse("")
+          (if (aggGroupKeys.nonEmpty)
+            s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "")
       else "")
   }
 
@@ -766,7 +777,7 @@ class CellScan(
     // COUNT(*) = 0 into NULL. One partition pinned to zero segments
     // provides it. (Grouped aggregation over an empty table is correctly
     // empty — no dummy needed.)
-    if (aggs.nonEmpty && aggGroupKey.isEmpty && parts.isEmpty)
+    if (aggs.nonEmpty && aggGroupKeys.isEmpty && parts.isEmpty)
       Array[InputPartition](CellInputPartition(table.dir, 0, Array.empty, files = Nil))
     else parts.toArray[InputPartition]
   }
@@ -774,7 +785,7 @@ class CellScan(
   override def createReaderFactory(): PartitionReaderFactory =
     CellReaderFactory(table.tableSchema, table.mapping.fields,
       if (aggs.nonEmpty) aggBaseSchema else required,
-      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKey,
+      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKeys,
       columnar = true)
 }
 
@@ -787,7 +798,7 @@ final case class CellReaderFactory(
     tableProps: Map[String, String],
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
-    aggGroupKey: Option[String] = None,
+    aggGroupKeys: Seq[String] = Nil,
     columnar: Boolean = false) extends PartitionReaderFactory {
 
   /** COLUMNAR scan path: rows batch into on-heap column vectors and
@@ -820,7 +831,7 @@ final case class CellReaderFactory(
     val base = new CellPartitionReader(cp, ColumnMapping(mappedFields), required,
       filters, (k: String) => Options.effective(options, tableProps, k), limit, dropped)
     if (aggs.isEmpty) base
-    else new AggregatePartitionReader(base, required, aggs, aggGroupKey)
+    else new AggregatePartitionReader(base, required, aggs, aggGroupKeys)
   }
 }
 
@@ -831,21 +842,22 @@ final case class CellReaderFactory(
   * (count = 0, min/max/sum NULL) so the final combine is never starved of
   * a neutral element.
   *
-  * Grouped by the row key: the inner reader emits rows in key order
-  * (bucket merge) and key-range split boundaries are whole keys, so groups
-  * stream — accumulate until the key changes, emit, reset. O(1) memory at
-  * ANY group cardinality; an empty partition emits nothing (an empty
-  * grouped result is correctly empty). */
+  * Grouped by the row key (or, transposed, by (row key, clustering
+  * column)): the inner reader emits rows in (key, col, sub) order (bucket
+  * merge) and key-range split boundaries are whole keys, so groups
+  * stream — accumulate until the group tuple changes, emit, reset. O(1)
+  * memory at ANY group cardinality; an empty partition emits nothing (an
+  * empty grouped result is correctly empty). */
 class AggregatePartitionReader(
     inner: PartitionReader[InternalRow],
     base: StructType,
     aggs: Seq[PushedAgg],
-    groupKey: Option[String] = None) extends PartitionReader[InternalRow] {
+    groupKeys: Seq[String] = Nil) extends PartitionReader[InternalRow] {
 
   private var done = false
   private var innerDone = false
   private var result: InternalRow = _
-  private val keyOrd: Int = groupKey.map(base.fieldIndex).getOrElse(-1)
+  private val keyOrds: Array[Int] = groupKeys.map(base.fieldIndex).toArray
 
   // (base ordinal or -1 for COUNT(*), ordering for min/max)
   private val plans: Array[(PushedAgg, Int, Ordering[Any])] = aggs.map { a =>
@@ -867,7 +879,7 @@ class AggregatePartitionReader(
   private var counts = new Array[Long](plans.length)
   private var vals = new Array[Any](plans.length)
   private var sawRow = false
-  private var curKey: Any = null
+  private var curKey: Seq[Any] = null
   // one-row lookahead: the row that ended the previous group
   private var pendingRow: InternalRow = _
 
@@ -914,56 +926,59 @@ class AggregatePartitionReader(
     }
   }
 
-  private def buildRow(key: Any): InternalRow = {
+  private def buildRow(key: Seq[Any]): InternalRow = {
     val aggVals = plans.toSeq.zipWithIndex.map {
       case ((PushedAgg.CountStar, _, _), i) => counts(i)
       case ((PushedAgg.Count(_), _, _), i) => counts(i)
       case ((_, _, _), i) => vals(i)
     }
-    InternalRow.fromSeq(groupKey.map(_ => key).toSeq ++ aggVals)
+    InternalRow.fromSeq((if (key == null) Nil else key) ++ aggVals)
   }
+
+  private def extractKeys(r: InternalRow): Seq[Any] =
+    keyOrds.toSeq.map(extract(r, _))
 
   override def next(): Boolean = {
     if (done) return false
-    groupKey match {
-      case None =>
-        while (inner.next()) fold(inner.get())
-        result = buildRow(null)
-        done = true
-        true
-      case Some(_) =>
-        if (innerDone) { done = true; return false }
-        resetAccums(); sawRow = false
-        if (pendingRow != null) {
-          curKey = extract(pendingRow, keyOrd)
-          fold(pendingRow); sawRow = true; pendingRow = null
-        }
-        var groupClosed = false
-        while (!groupClosed && inner.next()) {
-          val r = inner.get()
-          val k = extract(r, keyOrd)
-          if (!sawRow) { curKey = k; fold(r); sawRow = true }
-          else if (sameKey(k, curKey)) fold(r)
-          else {
-            // r opens the NEXT group: emit the current one, stash r
-            result = buildRow(curKey)
-            pendingRow = copyRow(r)
-            groupClosed = true
-          }
-        }
-        if (groupClosed) true
+    if (groupKeys.isEmpty) {
+      while (inner.next()) fold(inner.get())
+      result = buildRow(null)
+      done = true
+      true
+    } else {
+      if (innerDone) { done = true; return false }
+      resetAccums(); sawRow = false
+      if (pendingRow != null) {
+        curKey = extractKeys(pendingRow)
+        fold(pendingRow); sawRow = true; pendingRow = null
+      }
+      var groupClosed = false
+      while (!groupClosed && inner.next()) {
+        val r = inner.get()
+        val k = extractKeys(r)
+        if (!sawRow) { curKey = k; fold(r); sawRow = true }
+        else if (sameKey(k, curKey)) fold(r)
         else {
-          innerDone = true
-          if (sawRow) { result = buildRow(curKey); true }
-          else { done = true; false }
+          // r opens the NEXT group: emit the current one, stash r
+          result = buildRow(curKey)
+          pendingRow = copyRow(r)
+          groupClosed = true
         }
+      }
+      if (groupClosed) true
+      else {
+        innerDone = true
+        if (sawRow) { result = buildRow(curKey); true }
+        else { done = true; false }
+      }
     }
   }
 
-  private def sameKey(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
-    case _ => a == b
-  }
+  private def sameKey(as: Seq[Any], bs: Seq[Any]): Boolean =
+    as.lazyZip(bs).forall {
+      case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+      case (a, b) => a == b
+    }
 
   /** The inner reader may reuse row buffers across next() calls; the
     * lookahead row must be detached. */

@@ -155,6 +155,35 @@ class ConnectorSpec extends SparkSpec {
       Set(("a", 2L), ("b", 2L), ("z", 1L)))
   }
 
+  test("grouped pushdown by (key, clustering column) on a super store") {
+    val sp = spark; import sp.implicits._
+    val sstore = Seed.table(spark, sfDir, "spec_agg_grouped_pair",
+      Seq((1L, "x", "s1", 10L), (1L, "x", "s2", 20L), (1L, "y", "s1", 5L),
+        (2L, "x", "s1", 7L), (2L, "x", "s2", 1L))
+        .toDF("k", "c", "sc", "v"),
+      mapping = Some(":key,:column,:subcolumn,:value"))
+    val g = Seed.read(spark, sstore).groupBy(col("k"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .orderBy(col("k"), col("c"))
+    val desc = scanOf(g).scan.description()
+    assert(desc.contains("GroupedBy: [k, c]"),
+      s"pair grouping not pushed: $desc")
+    assert(g.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, "x", 2L, 30L), (1L, "y", 1L, 5L), (2L, "x", 2L, 8L)))
+    // (clustering, key) order and (key, subcolumn) must NOT push: the
+    // scan's partial-row schema follows the query's group order, and only
+    // the (key, clustering) prefix of the cell address streams adjacently
+    val rev = Seed.read(spark, sstore).groupBy(col("c"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(rev).scan.description().contains("PushedAggregates"))
+    val sub = Seed.read(spark, sstore).groupBy(col("k"), col("sc"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(sub).scan.description().contains("PushedAggregates"))
+    assert(rev.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("x", 1L, 2L), ("y", 1L, 1L), ("x", 2L, 2L)))
+  }
+
   test("P1: projection pushdown prunes the scan schema") {
     val store = Seed.table(spark, sfDir, "spec_prune",
       Tables.load(spark, sfDir, "customer"))
