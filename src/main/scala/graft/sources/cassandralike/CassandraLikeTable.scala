@@ -372,13 +372,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     }
     // SUM only over types whose partial accumulation matches Spark's own
     // partial-agg semantics exactly: integrals accumulate as Long (same
-    // wrap-around), float/double as Double (Spark sums float as double).
-    // Decimal is declined — its widened precision + overflow-null rules
-    // belong to Spark's aggregate, not a scan fold.
+    // wrap-around), float/double as Double (Spark sums float as double),
+    // and decimal as the widened DecimalType(min(38, p+10), s) — the fold
+    // sums exactly (JVM BigDecimal) and emits NULL when a partition's sum
+    // can't fit the widened type, the same partial-overflow surface
+    // Spark's own map-side buffer (also bounded at p+10) has.
     def summable(c: String): Boolean = table.tableSchema(c).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+        _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
     // Grouping: the ROW KEY, or — on a transposed table — the (row key,
@@ -479,11 +482,15 @@ object PushedAgg {
   final case class Max(col: String) extends PushedAgg
   final case class Sum(col: String) extends PushedAgg
   /** Partial-sum accumulation type, matching Spark's own partial agg:
-    * integrals sum as Long (same wrap-around), float/double as Double. */
+    * integrals sum as Long (same wrap-around), float/double as Double,
+    * decimal as Sum's widened result type (DecimalType.bounded(p+10, s)). */
   def sumType(dt: org.apache.spark.sql.types.DataType)
     : org.apache.spark.sql.types.DataType = dt match {
     case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
       org.apache.spark.sql.types.DoubleType
+    case d: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.DecimalType(
+        math.min(38, d.precision + 10), d.scale)
     case _ => org.apache.spark.sql.types.LongType
   }
   def references(a: PushedAgg): Seq[String] = a match {
@@ -691,7 +698,8 @@ class CellScan(
     * (see [[CellChangeFeedStream]]). */
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new CellChangeFeedStream(table, required, filters, options)
+    new CellChangeFeedStream(table, required, filters, options,
+      checkpointLocation)
   override def description(): String = {
     val f = filters.map(_.toString).mkString(", ")
     val slice = Seq(Options.SliceStart, Options.SliceFinish,
@@ -869,11 +877,15 @@ class AggregatePartitionReader(
       case _ => (a, -1, null)
     }
   }.toArray
-  private val sumIsDouble: Array[Boolean] = plans.map {
+  // 0 = long accumulation, 1 = double, 2 = decimal (JVM BigDecimal, exact)
+  private val sumKind: Array[Int] = plans.map {
     case (PushedAgg.Sum(_), ord, _) =>
-      PushedAgg.sumType(base(ord).dataType) ==
-        org.apache.spark.sql.types.DoubleType
-    case _ => false
+      PushedAgg.sumType(base(ord).dataType) match {
+        case org.apache.spark.sql.types.DoubleType => 1
+        case _: org.apache.spark.sql.types.DecimalType => 2
+        case _ => 0
+      }
+    case _ => 0
   }
 
   private var counts = new Array[Long](plans.length)
@@ -906,19 +918,25 @@ class AggregatePartitionReader(
         case PushedAgg.Sum(_) =>
           if (!r.isNullAt(ord)) {
             val v = r.get(ord, base(ord).dataType)
-            if (sumIsDouble(i)) {
-              val d = v match {
-                case f: java.lang.Float => f.doubleValue()
-                case d0: java.lang.Double => d0.doubleValue()
-              }
-              vals(i) = if (vals(i) == null) d
-              else vals(i).asInstanceOf[Double] + d
-            } else {
-              val l = v match {
-                case n: java.lang.Number => n.longValue()
-              }
-              vals(i) = if (vals(i) == null) l
-              else vals(i).asInstanceOf[Long] + l
+            sumKind(i) match {
+              case 1 =>
+                val d = v match {
+                  case f: java.lang.Float => f.doubleValue()
+                  case d0: java.lang.Double => d0.doubleValue()
+                }
+                vals(i) = if (vals(i) == null) d
+                else vals(i).asInstanceOf[Double] + d
+              case 2 =>
+                val b = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+                  .toJavaBigDecimal
+                vals(i) = if (vals(i) == null) b
+                else vals(i).asInstanceOf[java.math.BigDecimal].add(b)
+              case _ =>
+                val l = v match {
+                  case n: java.lang.Number => n.longValue()
+                }
+                vals(i) = if (vals(i) == null) l
+                else vals(i).asInstanceOf[Long] + l
             }
           }
       }
@@ -930,6 +948,18 @@ class AggregatePartitionReader(
     val aggVals = plans.toSeq.zipWithIndex.map {
       case ((PushedAgg.CountStar, _, _), i) => counts(i)
       case ((PushedAgg.Count(_), _, _), i) => counts(i)
+      case ((PushedAgg.Sum(_), ord, _), i) if sumKind(i) == 2 =>
+        vals(i) match {
+          case null => null
+          case jbd: java.math.BigDecimal =>
+            // exact partition sum → the widened partial type; a sum that
+            // can't fit emits NULL (Spark's own p+10-bounded map-side
+            // buffer overflows into null at the same point)
+            val wt = PushedAgg.sumType(base(ord).dataType)
+              .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+            val dec = org.apache.spark.sql.types.Decimal(jbd)
+            if (dec.changePrecision(wt.precision, wt.scale)) dec else null
+        }
       case ((_, _, _), i) => vals(i)
     }
     InternalRow.fromSeq((if (key == null) Nil else key) ++ aggVals)
@@ -1129,6 +1159,39 @@ class CellPartitionReader(
     KeyLookupBounds.keySet(filters, mapping.keyField.name,
       mapping.keyField.dataType, part.lower, part.upper)
 
+  // multi-point slice SEEK: pushed EqualTo/In on the transposed clustering
+  // column becomes a cell-level byte filter INSIDE the merge — the listed
+  // columns' byte forms are sought through every run and non-matching
+  // cells of a wide row never reach reconciliation or decode (see
+  // BucketMergeIterator.colLookup). The exact predicate is still
+  // re-applied per row by FilterEval (belt and braces — the byte encode is
+  // injective per type, so both layers agree).
+  private val colLookup: Seq[Array[Byte]] =
+    if (!mapping.transposed) null
+    else {
+      val colF = mapping.field(FieldRole.TransColumn)
+      // byte equality must IMPLY SQL equality and vice versa, or the seek
+      // would drop rows the exact filter admits: float/double diverge
+      // (-0.0 = 0.0 in SQL, different IEEE bytes), so they stay on the
+      // exact-filter-only path
+      val injective = colF.dataType match {
+        case StringType | BinaryType | BooleanType | DateType |
+          TimestampType | LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      if (!injective) null else {
+      val sets = filters.flatMap {
+        case EqualTo(c, v) if c == colF.name && v != null => Some(Seq(v))
+        case In(c, vs) if c == colF.name && vs.nonEmpty =>
+          Some(vs.toSeq.filter(_ != null))
+        case _ => None
+      }.map(_.map(v => Codecs.encode(colF.dataType,
+        CatalystTypeConverters.convertToCatalyst(v)).toSeq).toSet)
+      if (sets.isEmpty) null
+      else sets.reduce(_ intersect _).toSeq.map(_.toArray)
+      }
+    }
+
   // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
   // unit the pager (S4) then chunks, matching the reference's bound where
@@ -1143,6 +1206,7 @@ class CellPartitionReader(
     now = opt(Options.ReadNow).map(_.toLong).getOrElse(0L),
     counterMerge = opt(Options.CounterMerge).exists(_.toBoolean),
     lookupKeys = lookupKeys,
+    colLookup = colLookup,
     onlyFiles =
       if (part.files == null) null
       else part.files.map(n =>
@@ -1345,6 +1409,8 @@ object FilterEval {
     * a null comparison never satisfies a pushed predicate). */
   def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
+    case (x: org.apache.spark.sql.types.Decimal,
+          y: org.apache.spark.sql.types.Decimal) => Some(x.compare(y))
     case (x: Number, y: Number) =>
       if (integral(x) && integral(y)) Some(java.lang.Long.compare(x.longValue, y.longValue))
       // +0.0 normalizes the signed zero (SQL: -0.0 = 0.0; NaN unaffected)

@@ -1,5 +1,9 @@
 package graft.sources.cassandralike
 
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.collection.mutable
+
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
   ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl,
@@ -7,18 +11,23 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset,
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
-/** Change-feed offset: the set of committed segment file names consumed so
-  * far. Segments are immutable and atomically renamed into visibility, so
-  * "which segments has this stream seen" is an exact, replayable progress
-  * marker — the same design as Spark's own FileStreamSource (a log of seen
-  * files), and the natural fit for an LSM store whose commit unit IS the
-  * segment. At very large segment counts the production evolution is a
-  * driver-committed manifest with monotone sequence numbers (offsets become
-  * one integer); the set form keeps replay exact without requiring the
-  * store to serialize writers through a manifest.
-  *
-  * Names match `b<bucket>-<uuid>.bin` (validated), so the JSON encoding
-  * needs no escaping. */
+/** Change-feed offset: ONE monotone sequence number — the count of manifest
+  * entries consumed so far. The stream's manifest (see [[SegmentManifest]])
+  * assigns every committed segment a permanent sequence number in commit
+  * order the first time the stream sees it, so "how far has this stream
+  * read" is a single integer whatever the table's lifetime segment count.
+  * This is the production evolution of the earlier consumed-segment-SET
+  * offset, whose JSON grew with every segment ever committed and was
+  * re-serialized into the checkpoint each trigger. */
+final case class SegmentSeqOffset(seq: Long) extends Offset {
+  require(seq >= 0, s"negative manifest position: $seq")
+  override def json: String = seq.toString
+}
+
+/** LEGACY offset form (pre-manifest checkpoints): the set of consumed
+  * segment names. Still deserialized so an existing checkpoint resumes
+  * exactly — the first manifest assignment marks every name in the set
+  * consumed-for-free and the stream continues on integer offsets. */
 final case class SegmentSetOffset(names: Set[String]) extends Offset {
   names.foreach(n => require(SegmentSetOffset.NamePat.matches(n),
     s"not a committed segment name: $n"))
@@ -43,6 +52,71 @@ object SegmentSetOffset {
   }
 }
 
+/** The stream's durable segment → sequence-number log, owned by ONE stream
+  * (it lives inside the query's checkpoint source directory, which Spark
+  * locks to a single active query). Append-only: each assignment batch is
+  * one atomically-renamed file named by its first sequence number, so a
+  * restart reloads the exact order and a torn write is invisible. Entries
+  * are `r <name>` (to read) or `f <name>` (consumed-for-free: its cells are
+  * already covered — a fully-consumed compaction output, or a name from a
+  * migrated legacy set offset). Flags are decided once, at assignment, and
+  * are immutable — that is what makes batch replay after a failure exact.
+  *
+  * Driver memory is O(segments ever assigned) (name + flag), the same order
+  * as Spark's own FileStreamSource seen-files log; the CHECKPOINTED offset
+  * is one integer. */
+private[cassandralike] final class SegmentManifest(dir: Path) {
+  private val names = mutable.ArrayBuffer.empty[String]
+  private val free = mutable.ArrayBuffer.empty[Boolean]
+  private val seqByName = mutable.HashMap.empty[String, Long]
+
+  // load existing batches in sequence order
+  Files.createDirectories(dir)
+  locally {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    val batches = try s.iterator().asScala
+      .filter(_.getFileName.toString.matches("m\\d{19}\\.log"))
+      .toSeq.sortBy(_.getFileName.toString)
+    finally s.close()
+    batches.foreach { f =>
+      new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val isFree = line.startsWith("f ")
+          val name = line.substring(2)
+          seqByName(name) = names.length + 1L
+          names += name
+          free += isFree
+        }
+    }
+  }
+
+  def size: Long = names.length.toLong
+  def seqOf(name: String): Option[Long] = seqByName.get(name)
+  def nameAt(seq: Long): String = names((seq - 1).toInt)
+  def isFree(seq: Long): Boolean = free((seq - 1).toInt)
+  def namesThrough(seq: Long): Set[String] =
+    names.view.take(math.min(seq, size).toInt).toSet
+
+  /** Append `(name, consumedForFree)` entries; returns the new size. */
+  def append(entries: Seq[(String, Boolean)]): Long = {
+    if (entries.isEmpty) return size
+    val start = size + 1
+    val tmp = dir.resolve(f"m$start%019d.log.tmp")
+    val body = entries.map { case (n, f) => (if (f) "f " else "r ") + n }
+      .mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(f"m$start%019d.log"),
+      StandardCopyOption.ATOMIC_MOVE)
+    entries.foreach { case (n, f) =>
+      seqByName(n) = names.length + 1L
+      names += n
+      free += f
+    }
+    size
+  }
+}
+
 /** Micro-batch change feed over a cell store: each batch reads exactly the
   * segments committed since the previous offset, assembled into table-shaped
   * rows by the SAME reader as the batch scan (mapping pivot, codecs,
@@ -61,29 +135,55 @@ object SegmentSetOffset {
   * touched bucket, sub-split by key range via the run indexes when the
   * delta exceeds `split.target.cells` — catch-up from an empty offset over
   * a huge table parallelizes exactly like the batch scan instead of one
-  * task per bucket.
+  * task per bucket. Offsets are ONE integer ([[SegmentSeqOffset]]): the
+  * per-checkpoint [[SegmentManifest]] freezes commit order into sequence
+  * numbers, so a months-lived stream checkpoints O(1) bytes per trigger.
   *
   * FEED-AWARE COMPACTION: maintenance compaction records its input segment
   * names in a provenance sidecar ([[CellStore.provFile]]) before the output
   * becomes visible. A compacted segment carries no information beyond its
-  * inputs (merge only shadows and drops cells), so when every input is in
-  * the feed's consumed offset the output is marked consumed WITHOUT
-  * planning any read — compacting mid-stream costs nothing instead of a
-  * full-bucket re-upsert. An output whose inputs were only PARTIALLY
-  * consumed is read normally (re-emitting some rows — the at-least-once
-  * upsert contract); task-commit compaction happens BEFORE a segment
-  * becomes visible and was always invisible to the feed. */
+  * inputs (merge only shadows and drops cells), so when every input was
+  * already COMMITTED-consumed at the moment the output enters the manifest
+  * it is flagged consumed-for-free and never read — compacting mid-stream
+  * costs nothing instead of a full-bucket re-upsert. An output whose inputs
+  * were only partially consumed is read normally (re-emitting some rows —
+  * the at-least-once upsert contract). If an admitted segment's file has
+  * vanished (compacted away before its batch ran, or during a post-failure
+  * replay), the batch reads its covering compaction output instead — or,
+  * when the cover chain is broken, the whole bucket — so replay can
+  * over-emit but never lose cells. */
 final class CellChangeFeedStream(
     table: CassandraLikeTable,
     required: StructType,
     filters: Array[Filter],
-    options: Map[String, String]) extends MicroBatchStream
+    options: Map[String, String],
+    checkpointLocation: String) extends MicroBatchStream
   with SupportsAdmissionControl with SupportsTriggerAvailableNow
   with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
 
-  private def listCommitted(): Set[String] =
-    CellStore.allSegmentFiles(table.dir).values.flatten
+  private lazy val manifest = new SegmentManifest(
+    CellChangeFeedStream.manifestDir(checkpointLocation))
+
+  private def listCommitted(): Set[String] = {
+    val listing = CellStore.allSegmentFiles(table.dir).values.flatten
       .map(_.getFileName.toString).toSet
+    lastListing = listing
+    listing
+  }
+
+  /** Most recent committed-set listing (latestOffset / prepare / plan), so
+    * [[metrics]] reports from cached state instead of re-walking the
+    * segment directory on every progress tick. */
+  @volatile private var lastListing: Set[String] = null
+
+  /** Highest manifest position known COMMITTED (batch completed + offset
+    * durably logged). Flags are only marked consumed-for-free against this
+    * bound: a merely-planned batch can still be replayed after a failure,
+    * and a free flag minted against it could skip cells the replay never
+    * re-reads. Seeded from the start offset Spark hands latestOffset
+    * (micro-batches are serial: the previous batch has completed by then)
+    * and advanced by [[commit]]. */
+  @volatile private var committedSeq: Long = 0L
 
   /** Admission control: at most this many segments admitted per micro-batch
     * (`stream.max.segments.per.batch`). The segment is the store's commit
@@ -98,7 +198,9 @@ final class CellChangeFeedStream(
 
   /** Trigger.AvailableNow: the drain target is pinned at query start, so
     * the query processes exactly the data committed before it started —
-    * in rate-limited steps — and stops, even while writers keep appending. */
+    * in rate-limited steps — and stops, even while writers keep appending.
+    * Pinned as a name set (assignment needs the start offset, which only
+    * latestOffset sees — a legacy set offset marks its names free there). */
   @volatile private var availableNowTarget: Option[Set[String]] = None
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(listCommitted())
@@ -107,93 +209,179 @@ final class CellChangeFeedStream(
     if (maxSegmentsPerBatch == Int.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxFiles(maxSegmentsPerBatch)
 
-  override def initialOffset(): Offset = SegmentSetOffset(Set.empty)
+  override def initialOffset(): Offset = SegmentSeqOffset(0L)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is the admission-controlled entry point")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = start.asInstanceOf[SegmentSetOffset].names
-    val visible = availableNowTarget.getOrElse(listCommitted())
-    // Admission follows COMMIT order: every commit path stamps a MONOTONE
-    // mtime onto its segments before the atomic rename
-    // (CellStore.commitSegments), so cross-epoch order is exact even for
-    // sub-millisecond commit successions; name is the deterministic
-    // tie-break within one commit (one epoch — order there is meaningless).
-    // Segment names embed a random UUID, so name order is unrelated to
-    // commit order — admitting by name under a batch-size cap could hand a
-    // NEWER epoch's upsert to an EARLIER micro-batch than the older value
-    // it supersedes, and a fold-the-batches consumer would end stale.
-    // Within one batch the emit is LWW-reconciled by cell timestamp; this
-    // makes the ACROSS-batch order sound too (ChangeFeedSpec fuzz drives
-    // it with stream.max.segments.per.batch=1).
-    val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
+  /** (manifest position, legacy consumed-name set) view of a start offset. */
+  private def startState(start: Offset): (Long, Set[String]) = start match {
+    case SegmentSeqOffset(s) => (s, Set.empty)
+    case s: SegmentSetOffset => (0L, s.names)
+    case o => (0L, SegmentSetOffset.fromJson(o.json).names)
+  }
+
+  /** Assign manifest entries to every not-yet-assigned visible segment, in
+    * COMMIT order: every commit path stamps a MONOTONE mtime onto its
+    * segments before the atomic rename (CellStore.commitSegments), so
+    * cross-epoch order is exact even for sub-millisecond commit
+    * successions; name is the deterministic tie-break within one commit
+    * (one epoch — order there is meaningless). Segment names embed a random
+    * UUID, so name order is unrelated to commit order — admitting by name
+    * under a batch-size cap could hand a NEWER epoch's upsert to an EARLIER
+    * micro-batch than the older value it supersedes, and a fold-the-batches
+    * consumer would end stale. The manifest freezes this order permanently
+    * at first sight (ChangeFeedSpec fuzz drives it with
+    * stream.max.segments.per.batch=1).
+    *
+    * Flag decision (immutable once written): consumed-for-free when the
+    * name is in a migrated legacy set offset, or when it is a compaction
+    * output whose recorded inputs were ALL consumed at or below the
+    * COMMITTED position (or in the legacy set) — its cells carry nothing
+    * the stream hasn't durably emitted. Everything else reads. */
+  private def assignNew(visible: Set[String], legacySeen: Set[String]): Unit = {
+    val fresh = visible.filter(manifest.seqOf(_).isEmpty)
+    if (fresh.isEmpty) return
+    val sst = Paths.get(table.dir, CellStore.SstDir)
     def commitMillis(n: String): Long =
-      try java.nio.file.Files.getLastModifiedTime(sst.resolve(n)).toMillis
+      try Files.getLastModifiedTime(sst.resolve(n)).toMillis
       catch { case _: java.io.IOException => 0L }
-    val fresh = (visible -- seen).toSeq.sortBy(n => (commitMillis(n), n))
+    val ordered = fresh.toSeq.sortBy(n => (commitMillis(n), n))
+    def consumedAlready(p: String): Boolean =
+      legacySeen.contains(p) || manifest.seqOf(p).exists(_ <= committedSeq)
+    manifest.append(ordered.map { n =>
+      val freeFlag =
+        legacySeen.contains(n) ||
+          CellStore.provenance(table.dir, n)
+            .exists(ins => ins.nonEmpty && ins.forall(consumedAlready))
+      n -> freeFlag
+    })
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val (s, legacySeen) = startState(start)
+    // micro-batches are serial: the start offset's batch has completed, so
+    // its position is a safe committed floor even before commit() is called
+    committedSeq = math.max(committedSeq, s)
+    val pinned = availableNowTarget
+    assignNew(pinned.getOrElse(listCommitted()), legacySeen)
+    // AvailableNow: stop at the end of the pinned names' assignments (later
+    // appends get later sequence numbers and fall outside the pin)
+    val target = pinned match {
+      case Some(names) =>
+        names.flatMap(manifest.seqOf).foldLeft(0L)(math.max)
+      case None => manifest.size
+    }
     val cap = limit match {
       case m: ReadMaxFiles => m.maxFiles()
       case _: ReadAllAvailable => Int.MaxValue
       case _ => maxSegmentsPerBatch // composite/unknown: honor the option
     }
-    SegmentSetOffset(seen ++ fresh.take(math.min(cap, maxSegmentsPerBatch)))
+    // admit up to `cap` to-read entries; free entries ride along positionally
+    var e = s
+    var admitted = 0
+    var halt = false
+    while (!halt && e < target) {
+      if (manifest.isFree(e + 1)) e += 1
+      else if (admitted < cap) { admitted += 1; e += 1 }
+      else halt = true
+    }
+    SegmentSeqOffset(e)
   }
 
-  override def reportLatestOffset(): Offset = SegmentSetOffset(listCommitted())
+  override def reportLatestOffset(): Offset = SegmentSeqOffset(manifest.size)
 
   // last planned batch's admission stats, surfaced through [[metrics]]
   @volatile private var lastBatchAdmitted = 0L
   @volatile private var lastBatchCompactionSkipped = 0L
 
   /** Per-batch source metrics in `StreamingQueryProgress.sources[].metrics`:
-    * consumed vs committed segment counts (their difference is the feed's
-    * backlog — the lag signal an operator alarms on), plus the last batch's
+    * consumed vs committed segment counts and their difference — the feed's
+    * backlog, the lag signal an operator alarms on — plus the last batch's
     * admission split (segments read vs consumed-for-free because their
-    * compaction inputs were already in the offset). */
+    * compaction inputs were already in the offset). Pending is a SET
+    * difference against the cached committed listing: compaction deletes
+    * consumed inputs, so a count subtraction would report zero backlog
+    * while an unconsumed output sat pending; a committed-but-unconsumed
+    * output whose inputs were all consumed is excluded (it would be
+    * consumed for free). Consumed/committed are reported from the same
+    * listing so the three numbers always reconcile. */
   override def metrics(latestConsumed: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
-    val consumed =
-      if (!latestConsumed.isPresent) 0
+    val consumedNames: Set[String] =
+      if (!latestConsumed.isPresent) Set.empty
       else latestConsumed.get match {
-        case s: SegmentSetOffset => s.names.size
-        case o => SegmentSetOffset.fromJson(o.json).names.size
+        case SegmentSeqOffset(s) => manifest.namesThrough(s)
+        case s: SegmentSetOffset => s.names
+        case o => startState(o) match {
+          case (s, legacy) => if (s > 0) manifest.namesThrough(s) else legacy
+        }
       }
-    val committed = listCommitted().size
+    val committed = Option(lastListing).getOrElse(listCommitted())
+    val pending = committed.count { n =>
+      !consumedNames.contains(n) &&
+        !CellStore.provenance(table.dir, n)
+          .exists(ins => ins.nonEmpty && ins.forall(consumedNames.contains))
+    }
     java.util.Map.of(
-      "segmentsConsumed", consumed.toString,
-      "segmentsCommitted", committed.toString,
-      "segmentsPending", math.max(0, committed - consumed).toString,
+      "segmentsConsumed", (committed.size - pending).toString,
+      "segmentsCommitted", committed.size.toString,
+      "segmentsPending", pending.toString,
       "batchSegmentsAdmitted", lastBatchAdmitted.toString,
       "batchSegmentsCompactionSkipped", lastBatchCompactionSkipped.toString)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    SegmentSetOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val t = json.trim
+    if (t.startsWith("[")) SegmentSetOffset.fromJson(t)
+    else SegmentSeqOffset(t.toLong)
+  }
+
+  override def commit(end: Offset): Unit = end match {
+    case SegmentSeqOffset(s) => committedSeq = math.max(committedSeq, s)
+    case _ => ()
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[SegmentSetOffset].names
-    val admitted = end.asInstanceOf[SegmentSetOffset].names -- seen
-    val fresh = admitted
-      // feed-aware compaction skip: a compaction output whose recorded
-      // inputs are ALL in the consumed offset holds only already-emitted
-      // cells — consume it (it is in `end`) but read nothing. Deterministic
-      // on replay: the sidecar is immutable and outlives the segment's
-      // membership in any un-committed batch.
-      .filterNot(n => CellStore.provenance(table.dir, n).exists(_.subsetOf(seen)))
-    lastBatchAdmitted = admitted.size
-    lastBatchCompactionSkipped = admitted.size - fresh.size
-    val sst = java.nio.file.Paths.get(table.dir, CellStore.SstDir)
+    val (s, legacySeen) = startState(start)
+    val e = end match {
+      case SegmentSeqOffset(x) => x
+      case o => startState(o)._1
+    }
+    val range = (s + 1) to math.min(e, manifest.size)
+    val admitted = range.filterNot(manifest.isFree).map(manifest.nameAt)
+      .filterNot(legacySeen.contains)
+    lastBatchAdmitted = range.size.toLong
+    lastBatchCompactionSkipped = range.size.toLong - admitted.size
+    val sst = Paths.get(table.dir, CellStore.SstDir)
+    val (present, missing) = admitted.partition(n => Files.exists(sst.resolve(n)))
+    // a to-read segment compacted away before its batch ran (or during a
+    // post-failure replay): read its covering compaction output instead —
+    // its merge holds every cell the input held — or, if the cover chain
+    // has itself been compacted (the sidecar went with it), the whole
+    // bucket: over-emission is the at-least-once contract, loss is not.
+    val covers: Seq[String] =
+      if (missing.isEmpty) Nil
+      else {
+        val byBucket = CellStore.allSegmentFiles(table.dir)
+        lastListing = byBucket.values.flatten.map(_.getFileName.toString).toSet
+        missing.flatMap { m =>
+          val vis = byBucket.getOrElse(SegmentSetOffset.bucketOf(m), Nil)
+            .map(_.getFileName.toString)
+          vis.find(v => CellStore.provenance(table.dir, v).exists(_.contains(m)))
+            .map(Seq(_)).getOrElse(vis)
+        }
+      }
+    val fresh = (present ++ covers).distinct
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
     fresh.groupBy(SegmentSetOffset.bucketOf).toSeq.sortBy(_._1)
       .flatMap { case (bucket, names) =>
         SplitPlanner.forBucket(table.dir, bucket,
-          names.toSeq.sorted.map(sst.resolve), Array.empty, target,
+          names.sorted.map(sst.resolve), Array.empty, target,
           restrictFiles = true)
       }.toArray[InputPartition]
   }
@@ -201,4 +389,17 @@ final class CellChangeFeedStream(
   override def createReaderFactory(): PartitionReaderFactory =
     CellReaderFactory(table.tableSchema, table.mapping.fields, required,
       filters, options, table.tableProps)
+}
+
+object CellChangeFeedStream {
+  /** The stream's manifest lives inside its checkpoint source directory —
+    * progress metadata owned by exactly this query (Spark locks a
+    * checkpoint to one active query), surviving restarts with it. */
+  private[graft] def manifestDir(checkpointLocation: String): Path = {
+    val p =
+      if (checkpointLocation.startsWith("file:"))
+        Paths.get(java.net.URI.create(checkpointLocation))
+      else Paths.get(checkpointLocation)
+    p.resolve("graft_segment_manifest")
+  }
 }

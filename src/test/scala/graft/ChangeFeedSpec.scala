@@ -6,10 +6,11 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
 /** The cell store as a streaming SOURCE (CellChangeFeedStream): offsets are
-  * consumed-segment sets, each micro-batch emits exactly the delta segments'
-  * rows (batch-local LWW + tombstone reconciliation), resume from a
-  * checkpoint processes only segments committed while the stream was down,
-  * and a from-scratch catch-up equals the batch scan. */
+  * single manifest sequence numbers (O(1) bytes however long the stream
+  * lives), each micro-batch emits exactly the delta segments' rows
+  * (batch-local LWW + tombstone reconciliation), resume from a checkpoint
+  * processes only segments committed while the stream was down, and a
+  * from-scratch catch-up equals the batch scan. */
 class ChangeFeedSpec extends SparkSpec {
 
   private def freshStore(name: String): String = {
@@ -53,6 +54,60 @@ class ChangeFeedSpec extends SparkSpec {
     assert(SegmentSetOffset.fromJson(o.json) == o)
     assert(SegmentSetOffset.bucketOf("b11-def.bin") == 11)
     intercept[IllegalArgumentException](SegmentSetOffset(Set("tmp-x-b1.bin")))
+  }
+
+  test("checkpointed offset stays O(1) bytes across many epochs") {
+    val dir = freshStore("spec_feed_o1")
+    val root = java.nio.file.Files.createTempDirectory("cfeedo1").toString
+    val ckpt = s"$root/ckpt"
+    (1L to 4L).foreach(ts => append(dir, ts, (1L to 3L).map(i => ts * 10 + i -> s"e$ts-$i")))
+    drain(dir, ckpt, "o1_run1")
+    // more epochs while down; the resumed offset must stay one integer
+    (5L to 8L).foreach(ts => append(dir, ts, (1L to 3L).map(i => ts * 10 + i -> s"e$ts-$i")))
+    drain(dir, ckpt, "o1_run2")
+    val offsets = java.nio.file.Paths.get(ckpt, "offsets")
+    import scala.jdk.CollectionConverters._
+    val latest = java.nio.file.Files.list(offsets).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    val sourceOffsetLine = new String(java.nio.file.Files.readAllBytes(latest))
+      .split("\n").last.trim
+    assert(sourceOffsetLine.matches("\\d+"),
+      s"offset must be one integer, got: $sourceOffsetLine")
+    assert(sourceOffsetLine.length <= 19,
+      s"offset must be O(1) bytes: $sourceOffsetLine")
+    // the manifest assigned every committed segment exactly once
+    val manifestDir = CellChangeFeedStream.manifestDir(s"$ckpt/sources/0")
+    assert(java.nio.file.Files.isDirectory(manifestDir),
+      s"manifest missing at $manifestDir")
+  }
+
+  test("legacy consumed-set offset migrates to integer offsets, no re-emit") {
+    val dir = freshStore("spec_feed_legacy")
+    append(dir, ts = 1, (1L to 5L).map(i => i -> s"a$i"))
+    val epoch1 = CellStore.allSegmentFiles(dir).values.flatten
+      .map(_.getFileName.toString).toSet
+    append(dir, ts = 2, (6L to 9L).map(i => i -> s"b$i"))
+    val all = CellStore.allSegmentFiles(dir).values.flatten
+      .map(_.getFileName.toString).toSet
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+    val stream = new CellChangeFeedStream(table, table.schema(), Array.empty,
+      Map.empty, java.nio.file.Files.createTempDirectory("cfeedl").toString)
+    val startSet = SegmentSetOffset(epoch1) // a pre-manifest checkpoint's offset
+    val end = stream.latestOffset(startSet,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[SegmentSeqOffset]
+    assert(end.seq == all.size, s"migration must assign every segment: $end")
+    val parts = stream.planInputPartitions(startSet, end)
+    val planned = parts.flatMap(_.asInstanceOf[CellInputPartition].files).toSet
+    assert(planned == (all -- epoch1),
+      s"migrated batch must read exactly the unseen segments: $planned")
+    // steady state from the integer offset: nothing further to admit
+    val end2 = stream.latestOffset(end,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(end2 == end, s"no new data must hold position: $end2")
   }
 
   test("source metrics: consumed/committed/pending surface in query progress") {
@@ -259,7 +314,8 @@ class ChangeFeedSpec extends SparkSpec {
     val table = new CassandraLikeTable(dir, dir,
       StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
     val stream = new CellChangeFeedStream(table, table.schema(), Array.empty,
-      Map(Options.SplitTargetCells -> "32"))
+      Map(Options.SplitTargetCells -> "32"),
+      java.nio.file.Files.createTempDirectory("cfeeds").toString)
     val parts = stream.planInputPartitions(stream.initialOffset(),
       stream.latestOffset(stream.initialOffset(),
         org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()))
