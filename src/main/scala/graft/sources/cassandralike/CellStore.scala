@@ -606,7 +606,8 @@ object CellStore {
       counterMerge: Boolean = false,
       lookupKeys: Seq[Array[Byte]] = null,
       onlyFiles: Seq[Path] = null,
-      counters: ScanCounters = null)
+      counters: ScanCounters = null,
+      colLookup: Seq[Array[Byte]] = null)
     extends Iterator[Cell] with AutoCloseable {
     // onlyFiles: the change-feed restriction — merge ONLY these committed
     // segments (one micro-batch's delta) instead of the whole bucket; LWW
@@ -626,8 +627,35 @@ object CellStore {
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
     // now >= ts + ttl; tombstones never expire (they must keep shadowing).
+    // colLookup: the MULTI-POINT SLICE seek (pushed EqualTo/In on the
+    // clustering column) — only cells whose column name is one of the
+    // listed byte forms enter the merge at all, so a wide row's
+    // non-matching cells are never merged, reconciled, buffered, or
+    // decoded (reader memory drops from O(row width) to O(matches); the
+    // cellsMerged metric counts matches, not the row width). Sound for
+    // LWW/tombstone reconciliation because it is per-ADDRESS: every cell
+    // of a matching (key, col) address is kept, every cell of a
+    // non-matching one dropped — the kept addresses reconcile exactly as
+    // in the full merge, and a tombstone for a matching column shares its
+    // column bytes, so it is kept and keeps shadowing.
+    private val colSorted: Array[Array[Byte]] =
+      if (colLookup == null) null
+      else colLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
+    private def colMatch(col: Array[Byte]): Boolean = {
+      var lo = 0
+      var hi = colSorted.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = Codecs.compareBytes(colSorted(mid), col)
+        if (c == 0) return true
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      false
+    }
     private def prune(it: Iterator[Cell]): Iterator[Cell] = {
-      val a = if (asOf == Long.MaxValue) it else it.filter(_.ts <= asOf)
+      val a0 = if (colSorted == null) it else it.filter(c => colMatch(c.col))
+      val a = if (asOf == Long.MaxValue) a0 else a0.filter(_.ts <= asOf)
       if (ttl <= 0L || now <= 0L) a
       else a.filter(c => c.tombstone || now < c.ts + ttl)
     }

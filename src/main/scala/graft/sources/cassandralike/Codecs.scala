@@ -39,6 +39,12 @@ object Codecs {
     case BinaryType => v.asInstanceOf[Array[Byte]]
     case TimestampType => // Catalyst micros -> epoch millis, 8-byte BE
       ByteBuffer.allocate(8).putLong(Math.floorDiv(v.asInstanceOf[Long], 1000L)).array()
+    case dt: DecimalType =>
+      // Cassandra DecimalType marshal: 4-byte BE scale + unscaled
+      // two's-complement big-endian bytes (db.marshal.DecimalType)
+      val jbd = v.asInstanceOf[Decimal].toJavaBigDecimal.setScale(dt.scale)
+      val unscaled = jbd.unscaledValue.toByteArray
+      ByteBuffer.allocate(4 + unscaled.length).putInt(jbd.scale).put(unscaled).array()
     case other => throw new IllegalArgumentException(s"unsupported cell type $other")
   }
 
@@ -52,6 +58,8 @@ object Codecs {
       case DoubleType => v.asInstanceOf[Double].toString
       case StringType => v.asInstanceOf[UTF8String].toString
       case TimestampType => Math.floorDiv(v.asInstanceOf[Long], 1000L).toString
+      case dt: DecimalType =>
+        v.asInstanceOf[Decimal].toJavaBigDecimal.setScale(dt.scale).toPlainString
       case BinaryType => return v.asInstanceOf[Array[Byte]]
       case other => throw new IllegalArgumentException(s"unsupported cell type $other")
     }
@@ -87,6 +95,28 @@ object Codecs {
       case TimestampType =>
         if (bytes.length == 8) ByteBuffer.wrap(bytes).getLong * 1000L // millis -> micros
         else text(bytes).flatMap(_.toLongOption).map(ms => Long.box(ms * 1000L)).orNull
+      case dt: DecimalType =>
+        def fit(b: java.math.BigDecimal): Any = {
+          val dec = Decimal(b)
+          if (dec.changePrecision(dt.precision, dt.scale)) dec else null
+        }
+        def asText: Any = text(bytes).flatMap { s =>
+          try Some(fit(new java.math.BigDecimal(s.trim)))
+          catch { case _: NumberFormatException => None }
+        }.orNull
+        // binary form is scale+unscaled (variable width, so the usual
+        // fixed-width sniff doesn't apply): a plausible binary scale is
+        // tiny, while 4 leading ASCII digit/sign/dot bytes read as a huge
+        // int — the two forms can't collide in practice
+        if (bytes.length >= 5) {
+          val buf = ByteBuffer.wrap(bytes)
+          val scale = buf.getInt
+          if (scale >= 0 && scale <= DecimalType.MAX_SCALE) {
+            val unscaled = new Array[Byte](bytes.length - 4)
+            buf.get(unscaled)
+            fit(new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale))
+          } else asText
+        } else asText
       case other => throw new IllegalArgumentException(s"unsupported cell type $other")
     }
   }

@@ -119,6 +119,33 @@ class ConnectorSpec extends SparkSpec {
     assert(hit.length == 1)
   }
 
+  test("decimal SUM pushes with Spark-identical widened-precision partials") {
+    val sp = spark; import sp.implicits._
+    val src = Tables.load(spark, sfDir, "customer").select(col("c_custkey"),
+      col("c_acctbal").cast("decimal(12,2)").as("bal"))
+    val store = Seed.table(spark, sfDir, "spec_agg_decimal", src)
+    val pushed = Seed.read(spark, store)
+      .agg(sum(col("bal")).as("sb"), min(col("bal")).as("mn"),
+        max(col("bal")).as("mx"), count(lit(1)).as("n"))
+    val desc = scanOf(pushed).scan.description()
+    assert(desc.contains("Sum(bal)"), s"decimal SUM not pushed: $desc")
+    val got = pushed.collect()(0)
+    val exact = src.agg(sum(col("bal")), min(col("bal")), max(col("bal")),
+      count(lit(1))).collect()(0)
+    assert(got.getDecimal(0) == exact.getDecimal(0) &&
+      got.getDecimal(1) == exact.getDecimal(1) &&
+      got.getDecimal(2) == exact.getDecimal(2) && got.getLong(3) == exact.getLong(3),
+      s"pushed $got vs exact $exact")
+    // the partial type is Spark's own widened Sum type: decimal(22,2)
+    assert(pushed.schema("sb").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 2))
+    // dual decode: the text storage form round-trips through the same scan
+    val tstore = Seed.table(spark, sfDir, "spec_agg_decimal_text", src,
+      props = Map(Options.Encoding -> "text"))
+    val tgot = Seed.read(spark, tstore).agg(sum(col("bal"))).collect()(0)
+    assert(tgot.getDecimal(0) == exact.getDecimal(0), s"text-form decimal: $tgot")
+  }
+
   test("aggregate pushdown: integral SUM and row-key grouping fold in the scan") {
     val sp = spark; import sp.implicits._
     // SUM over an integral column accumulates as Long — exact, so pushed

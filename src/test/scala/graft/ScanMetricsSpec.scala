@@ -62,6 +62,35 @@ class ScanMetricsSpec extends SparkSpec {
     } finally CellStore.dropTable(dir)
   }
 
+  test("multi-point slice seek merges ~matches, not the row width") {
+    // one wide row of 4000 columns; a pushed IN of 3 columns must keep the
+    // merge (and everything after it) at O(matches) — the non-matching
+    // cells never reconcile, never buffer, never decode
+    val dir = java.nio.file.Files.createTempDirectory("scanmetricsseek").toString
+    try {
+      val wide = (0 until 4000).map(i => cell("hotkey", f"c$i%05d", s"v$i", 1L))
+      seg(dir, "b0-a.bin", wide)
+      val wanted = Seq("c00007", "c01234", "c03999").map(_.getBytes.asInstanceOf[Array[Byte]])
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c, colLookup = wanted)
+      try {
+        val got = it.toVector.map(x => new String(x.col)).sorted
+        assert(got == Seq("c00007", "c01234", "c03999"), s"got $got")
+      } finally it.close()
+      assert(c.cellsMerged == 3, s"cellsMerged=${c.cellsMerged} (want 3, not 4000)")
+      // a tombstone on a matching column still shadows through the seek
+      seg(dir, "b0-b.bin", Seq(tomb("hotkey", "c01234", 2L)))
+      val c2 = new ScanCounters
+      val it2 = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c2, colLookup = wanted)
+      try assert(it2.toVector.map(x => new String(x.col)).sorted ==
+        Seq("c00007", "c03999"))
+      finally it2.close()
+      assert(c2.tombstonesDropped == 1)
+    } finally CellStore.dropTable(dir)
+  }
+
   test("metric classes construct reflectively (Spark's UI aggregation path)") {
     // Spark re-instantiates declared CustomMetric classes by reflection
     // when folding task values into the UI; a constructor with arguments
