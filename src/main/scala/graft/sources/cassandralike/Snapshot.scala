@@ -77,12 +77,21 @@ object Snapshot {
     // FunctionCatalog, and a bare path read (format().load()) has none —
     // Spark then degrades both sides to UnknownPartitioning and plants two
     // full-image hash exchanges. One catalog per parent directory (name
-    // derived from the path — catalog instances are cached by name, so a
-    // fixed name would pin the FIRST warehouse it ever saw).
+    // derived from a SHA-256 prefix of the normalized path — catalog
+    // instances are cached by name, so a fixed name would pin the FIRST
+    // warehouse it ever saw, and a weak 32-bit hash could collide two
+    // different warehouses onto one cached catalog, silently diffing the
+    // wrong store). NOTE: the registration is session-global state — the
+    // two conf keys stay set after diff returns (the returned DataFrame's
+    // scans keep resolving through them lazily); names are deterministic
+    // per path, so repeated diffs of the same store reuse one registration
+    // rather than accumulating.
     val path = java.nio.file.Paths.get(storeDir).toAbsolutePath.normalize()
     val parent = path.getParent.toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(parent.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val cat = "cassandralike_diff_" +
-      java.lang.Integer.toHexString(parent.hashCode).replace('-', 'n')
+      digest.take(8).map(b => f"$b%02x").mkString
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[CassandraLikeCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", parent)

@@ -205,6 +205,56 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dim-filtered store join runtime-filters the fact scan and reads fewer segments") {
+    // the 100-TB shape: a selective dim filter joins a huge fact store on
+    // its row key. The scan implements SupportsRuntimeFiltering, so
+    // Catalyst's PartitionPruning plants a DynamicPruningSubquery reusing
+    // the dim broadcast; at execution the fact scan receives the join keys
+    // as an In(key) runtime filter, re-prunes its token-range buckets, and
+    // bloom-skips runs — reading O(matching keys), not every fact bucket.
+    val sp = spark; import sp.implicits._
+    val factDf = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    val fact = graft.sources.cassandralike.Seed.table(spark, sfDir,
+      "spec_dpp_fact", factDf,
+      props = Map(graft.sources.cassandralike.Options.Buckets -> "16"))
+    val dimDf = (1L to 24L).map(i => (i * 7, if (i % 8 == 0) "x" else "y"))
+      .toDF("o_orderkey", "tag")
+    val dim = graft.sources.cassandralike.Seed.table(spark, sfDir,
+      "spec_dpp_dim", dimDf)
+
+    def run(dpp: Boolean): (Long, Long) = {
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        dpp.toString)
+      try {
+        val joined = graft.sources.cassandralike.Seed.read(spark, fact)
+          .join(graft.sources.cassandralike.Seed.read(spark, dim)
+            .filter($"tag" === "x"), Seq("o_orderkey"))
+        // collect() executes THIS dataset's QueryExecution (count() would
+        // build and run a separate one, leaving these metrics untouched)
+        val n = joined.collect().length.toLong
+        val factScans = collectThroughCache(joined.queryExecution.executedPlan)
+          .collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.scan.description().contains("spec_dpp_fact") => b
+          }
+        assert(factScans.nonEmpty, "no fact-store scan in the plan")
+        if (dpp) assert(factScans.exists(_.runtimeFilters.nonEmpty),
+          "expected a runtime (dynamic pruning) filter on the fact scan")
+        val segs = factScans.flatMap(_.metrics.get("segmentsRead"))
+          .map(_.value).sum
+        (n, segs)
+      } finally spark.conf
+        .unset("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    }
+
+    val (nDpp, segsDpp) = run(dpp = true)
+    val (nFull, segsFull) = run(dpp = false)
+    assert(nDpp == nFull && nDpp >= 1, s"rows must match: $nDpp vs $nFull")
+    assert(segsDpp < segsFull,
+      s"runtime filter must open fewer segments: $segsDpp vs $segsFull")
+  }
+
   test("co-partitioned store join plans storage-partitioned: no exchange on either side") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val all = collectAll(plan("conn_join_copartitioned"))
