@@ -37,6 +37,16 @@ final case class SampledFrames(
 
 final case class MediaEmbedding(doc_id: Long, hv: Array[Double])
 
+/** Decoded-image statistics through the REAL codec path (javax.imageio):
+  * dimensions as decoded, exact pixel sum, and the pixel sum of a 16×16
+  * nearest-neighbor resize of the decoded raster. */
+final case class ImageStats(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    px_sum: Long,
+    resized_sum: Long)
+
 object Multimodal {
 
   /** Bytes per synthetic "frame" (a decoded chunk unit — stands in for an
@@ -61,13 +71,126 @@ object Multimodal {
 
   /** Decode one payload into per-frame "pixel" batches.
     *
-    * STUB — the real implementation would JPEG/PNG/PCM-decode here; this
-    * container ships no media libraries, so the decode is a deterministic
-    * fake: the payload bytes ARE the "samples". The batching shape (one call
-    * per item, frames chunked at [[FrameBytes]]) is what a real codec would
-    * see. */
+    * STUB — used for opaque non-image payloads (audio/video fixtures,
+    * plain bytes): the payload bytes ARE the "samples". The batching shape
+    * (one call per item, frames chunked at [[FrameBytes]]) is what a real
+    * codec sees. Real PNG/JPEG payloads take [[decodeImage]] instead
+    * (sniffed by magic bytes in [[decodeFrames]]). */
   def decodeFramesStub(payload: Array[Byte]): Iterator[Array[Byte]] =
     payload.grouped(FrameBytes)
+
+  /** PNG (\x89PNG) / JPEG (\xFF\xD8) magic sniff — the dispatch between
+    * the real javax.imageio codec and the opaque-payload stub. */
+  def isImagePayload(payload: Array[Byte]): Boolean =
+    payload.length >= 4 &&
+      (((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G') ||
+        ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8))
+
+  /** REAL image decode via javax.imageio (JDK-shipped PNG/JPEG codecs) —
+    * runs inside executor tasks; the in-memory stream avoids ImageIO's
+    * temp-file cache. Returns None for payloads no registered reader
+    * accepts. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+  }
+
+  /** Codec dispatch: a PNG/JPEG payload decodes through javax.imageio and
+    * yields one frame per pixel ROW (the raster scanline — the natural
+    * frame unit of an image); anything else chunks through the stub. The
+    * partition-parallel plumbing above this call is identical either way. */
+  def decodeFrames(payload: Array[Byte]): Iterator[Array[Byte]] =
+    if (!isImagePayload(payload)) decodeFramesStub(payload)
+    else decodeImage(payload) match {
+      case None => decodeFramesStub(payload)
+      case Some(img) =>
+        val raster = img.getRaster
+        val w = img.getWidth
+        (0 until img.getHeight).iterator.map { y =>
+          val row = new Array[Byte](w)
+          var x = 0
+          while (x < w) { row(x) = raster.getSample(x, y, 0).toByte; x += 1 }
+          row
+        }
+    }
+
+  /** Deterministic grayscale test pattern: pixel (x, y) of document `id`.
+    * Closed-form, so the DuckDB oracle recomputes decoded-pixel sums
+    * arithmetically while Spark round-trips them through REAL PNG
+    * encode/decode (lossless for 8-bit grayscale). */
+  def pixel(docId: Long, x: Int, y: Int): Int =
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Synthesize REAL PNG payloads (javax.imageio encode, executor-side):
+    * one 8-bit grayscale image per document, dimensions from n_chars, the
+    * deterministic [[pixel]] pattern as content. This is the fixture
+    * generator for the real-codec path — everything downstream of it
+    * treats the payload as an opaque image file. */
+  def synthesizeImages(docs: DataFrame): Dataset[MediaItem] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, nChars) =>
+          val w = (16 + nChars % 13).toInt
+          val h = (16 + nChars % 11).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          MediaItem(id, "image", w, h, baos.toByteArray)
+        }
+      }
+  }
+
+  /** Decode every payload through the REAL codec and fold pixel stats:
+    * dimensions as decoded, exact pixel sum, and the pixel sum of a 16×16
+    * nearest-neighbor resize of the DECODED raster (out(i,j) =
+    * in(i·w/16, j·h/16)). One sequential pass per item, partition-parallel,
+    * no shuffle — the same plumbing shape as the stub ops, with
+    * javax.imageio doing genuine PNG/JPEG work in the middle. */
+  def imageStats(items: Dataset[MediaItem]): Dataset[ImageStats] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { item =>
+        val img = decodeImage(item.payload).getOrElse(
+          throw new IllegalStateException(
+            s"doc ${item.doc_id}: payload is not a decodable image"))
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        var rs = 0L
+        var j = 0
+        while (j < 16) {
+          var i = 0
+          while (i < 16) {
+            rs += raster.getSample(i * w / 16, j * h / 16, 0)
+            i += 1
+          }
+          j += 1
+        }
+        ImageStats(item.doc_id, w, h, s, rs)
+      }
+    }
+  }
 
   /** Resize target: every payload downsamples to this many "pixels". */
   val ResizeTo = 256
@@ -165,9 +288,10 @@ object Multimodal {
 
   /** Partition-parallel batched feature extraction: the multimodal
     * equivalent of a vectorized decode UDF. Each partition iterates its
-    * items once, decodes frame batches through the stub codec, and emits a
-    * fixed feature schema. No shuffle, no driver collection; partitioning is
-    * whatever the upstream table had. */
+    * items once, decodes frame batches through the codec dispatch (real
+    * javax.imageio for PNG/JPEG payloads, the stub for opaque ones), and
+    * emits a fixed feature schema. No shuffle, no driver collection;
+    * partitioning is whatever the upstream table had. */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     val spark = items.sparkSession
     import spark.implicits._
@@ -177,7 +301,7 @@ object Multimodal {
         var sum = 0L
         var fp = 0L
         var frames = 0L
-        decodeFramesStub(item.payload).foreach { frame =>
+        decodeFrames(item.payload).foreach { frame =>
           frames += 1
           var i = 0
           while (i < frame.length) {

@@ -1274,6 +1274,46 @@ object LlmPipeline {
         .orderBy(col("doc_id"))
     },
 
+    // ---- REAL image codec end to end: one PNG per document is ENCODED
+    // executor-side through javax.imageio (8-bit grayscale, dimensions from
+    // n_chars, a closed-form deterministic pixel pattern), then a separate
+    // partition-parallel stage DECODES every payload through the same real
+    // codec and folds pixel stats — decoded dimensions, exact pixel sum,
+    // and the pixel sum of a 16×16 nearest-neighbor resize of the decoded
+    // raster. PNG is lossless for 8-bit grayscale, so the oracle recomputes
+    // both sums arithmetically from the pixel formula — if the codec path
+    // corrupted a single pixel, the hash-compare fails. The plumbing is the
+    // same mapPartitions shape as the stub ops; only the codec is real. ----
+    Q("llm_multimodal_image_decode",
+      """WITH px AS (SELECT x.range AS x FROM range(0, 29) x),
+        |     py AS (SELECT y.range AS y FROM range(0, 27) y),
+        |     ri AS (SELECT i.range AS i FROM range(0, 16) i),
+        |     rj AS (SELECT j.range AS j FROM range(0, 16) j),
+        |     dims AS (SELECT doc_id, 16 + (n_chars % 13) AS width,
+        |                16 + (n_chars % 11) AS height FROM documents),
+        |     full_sum AS (
+        |       SELECT d.doc_id,
+        |         SUM(CASE WHEN px.x < d.width AND py.y < d.height
+        |           THEN (d.doc_id * 31 + px.x * 7 + py.y * 13) % 256 END) AS px_sum
+        |       FROM dims d, px, py GROUP BY 1),
+        |     resized AS (
+        |       SELECT d.doc_id,
+        |         SUM((d.doc_id * 31 + ((ri.i * d.width) // 16) * 7
+        |              + ((rj.j * d.height) // 16) * 13) % 256) AS resized_sum
+        |       FROM dims d, ri, rj GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.width AS INT) AS width,
+        |  CAST(d.height AS INT) AS height,
+        |  CAST(f.px_sum AS BIGINT) AS px_sum,
+        |  CAST(r.resized_sum AS BIGINT) AS resized_sum
+        |FROM dims d JOIN full_sum f USING (doc_id) JOIN resized r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val items = graft.multimodal.Multimodal.synthesizeImages(docs(s, dir))
+      graft.multimodal.Multimodal.imageStats(items).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("px_sum"), col("resized_sum"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal resize: nearest-neighbor downsample of every payload
     // to a fixed 256-sample grid (the image-resize op over the stub codec's
     // byte-pixels; out(p) = in(p*n/256), O(out) per item, partition-parallel

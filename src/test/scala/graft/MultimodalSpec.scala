@@ -63,6 +63,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleAll(items).rdd.getNumPartitions == 5)
   }
 
+  test("real PNG codec: encode → decode round-trips every pixel exactly") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((5L, "x" * 37), (6L, "y" * 101)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val items = Multimodal.synthesizeImages(docs).collect()
+    assert(items.length == 2)
+    items.foreach { item =>
+      // a real PNG file came out of the encoder
+      assert(Multimodal.isImagePayload(item.payload), "payload lacks PNG magic")
+      val img = Multimodal.decodeImage(item.payload).get
+      assert(img.getWidth == item.width && img.getHeight == item.height)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          Multimodal.pixel(item.doc_id, x, y), s"pixel ($x,$y) of ${item.doc_id}")
+    }
+    // imageStats folds the decoded raster to the closed-form sums
+    val stats = Multimodal.imageStats(
+      Multimodal.synthesizeImages(docs)).collect().sortBy(_.doc_id)
+    stats.foreach { st =>
+      var s = 0L
+      for (y <- 0 until st.height; x <- 0 until st.width)
+        s += Multimodal.pixel(st.doc_id, x, y)
+      assert(st.px_sum == s)
+      var rs = 0L
+      for (j <- 0 until 16; i <- 0 until 16)
+        rs += Multimodal.pixel(st.doc_id, i * st.width / 16, j * st.height / 16)
+      assert(st.resized_sum == rs)
+    }
+  }
+
+  test("codec dispatch: PNG payloads take imageio, opaque ones the stub") {
+    // an image payload yields one frame per scanline through the real codec
+    val sp = spark; import sp.implicits._
+    val docs = Seq((9L, "z" * 55)).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val item = Multimodal.synthesizeImages(docs).head()
+    val frames = Multimodal.decodeFrames(item.payload).toSeq
+    assert(frames.length == item.height && frames.forall(_.length == item.width))
+    // a text payload sniffs as non-image and chunks through the stub
+    val text = "hello world".getBytes
+    assert(!Multimodal.isImagePayload(text))
+    assert(Multimodal.decodeFrames(text).toSeq.map(_.toSeq) ==
+      Multimodal.decodeFramesStub(text).toSeq.map(_.toSeq))
+  }
+
   test("features are deterministic for a fixed payload") {
     val sp = spark; import sp.implicits._
     val one = Seq(MediaItem(1L, "image", 4, 4, "abcd".getBytes)).toDS()
