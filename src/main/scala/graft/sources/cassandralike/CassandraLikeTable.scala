@@ -812,11 +812,12 @@ final case class CellReaderFactory(
   /** COLUMNAR scan path: rows batch into on-heap column vectors and
     * whole-stage codegen consumes the scan vectorized (ColumnarToRow is
     * codegen'd — no per-row iterator virtual calls or row-object churn at
-    * the scan boundary). Batch scans only (the change feed stays row-wise),
-    * all-atomic projections only (`cf:` map columns fall back to rows),
-    * and never under an aggregate fold (which already emits O(partitions)
-    * rows). `read.columnar=false` restores the row path — the two paths
-    * are result-identical (spec-asserted). */
+    * the scan boundary). Serves the batch scan AND the change feed
+    * (micro-batch scans vectorize through the same exec path); projections
+    * of atomic and `cf:` map columns are eligible, and the fold path never
+    * is (a pushed aggregate already emits O(partitions) rows).
+    * `read.columnar=false` restores the row path — the two paths are
+    * result-identical (spec-asserted). */
   private def columnarEligible: Boolean =
     columnar && aggs.isEmpty &&
       required.fields.forall(f => ColumnarCellReader.supported(f.dataType)) &&
@@ -1039,11 +1040,17 @@ class AggregatePartitionReader(
   * (reset + refill). */
 object ColumnarCellReader {
   val BatchRows = 4096
-  def supported(dt: DataType): Boolean = dt match {
+  private def atomic(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
       FloatType | DoubleType | StringType | BinaryType | DateType |
       TimestampType => true
     case _ => false
+  }
+  def supported(dt: DataType): Boolean = dt match {
+    // `cf:` family-map columns batch as ColumnarMap: keys/values land in
+    // the vector's child columns, entries addressed by (offset, length)
+    case MapType(k, v, _) => atomic(k) && atomic(v)
+    case other => atomic(other)
   }
 }
 
@@ -1058,6 +1065,30 @@ class ColumnarCellReader(
     OnHeapColumnVector.allocateColumns(BatchRows, schema)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+
+  /** Element appender into a map's child vector (append-cursor API — the
+    * parent map entry records its (offset, length) via putArray). */
+  private def childAppender(dt: DataType)
+    : (WritableColumnVector, org.apache.spark.sql.catalyst.util.ArrayData, Int) => Unit =
+    dt match {
+      case BooleanType => (cv, a, e) => { cv.appendBoolean(a.getBoolean(e)); () }
+      case ByteType => (cv, a, e) => { cv.appendByte(a.getByte(e)); () }
+      case ShortType => (cv, a, e) => { cv.appendShort(a.getShort(e)); () }
+      case IntegerType | DateType => (cv, a, e) => { cv.appendInt(a.getInt(e)); () }
+      case LongType | TimestampType => (cv, a, e) => { cv.appendLong(a.getLong(e)); () }
+      case FloatType => (cv, a, e) => { cv.appendFloat(a.getFloat(e)); () }
+      case DoubleType => (cv, a, e) => { cv.appendDouble(a.getDouble(e)); () }
+      case StringType => (cv, a, e) => {
+        val b = a.getUTF8String(e).getBytes
+        cv.appendByteArray(b, 0, b.length); ()
+      }
+      case BinaryType => (cv, a, e) => {
+        val b = a.getBinary(e)
+        cv.appendByteArray(b, 0, b.length); ()
+      }
+      case other => throw new IllegalStateException(
+        s"unsupported columnar map element type ${other.catalogString}")
+    }
 
   // one writer per column, bound to the column's type once (no per-cell
   // dataType dispatch in the fill loop)
@@ -1079,6 +1110,26 @@ class ColumnarCellReader(
         val b = r.getBinary(c)
         v.putByteArray(i, b, 0, b.length); ()
       }
+      case MapType(kt, vt, _) =>
+        val putKey = childAppender(kt)
+        val putVal = childAppender(vt)
+        (v, r, c, i) => {
+          val m = r.getMap(c)
+          val keys = m.keyArray()
+          val vals = m.valueArray()
+          val kChild = v.getChild(0).asInstanceOf[WritableColumnVector]
+          val vChild = v.getChild(1).asInstanceOf[WritableColumnVector]
+          val start = kChild.getElementsAppended
+          var e = 0
+          val n = m.numElements()
+          while (e < n) {
+            putKey(kChild, keys, e) // map keys are non-null by contract
+            if (vals.isNullAt(e)) vChild.appendNull()
+            else putVal(vChild, vals, e)
+            e += 1
+          }
+          v.putArray(i, start, n); ()
+        }
       case dt => throw new IllegalStateException(
         s"unsupported columnar type ${dt.catalogString}") // gated by supported()
     }

@@ -387,8 +387,13 @@ final class CellChangeFeedStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // columnar = true: micro-batch scans vectorize exactly like the batch
+    // scan (MicroBatchScanExec consumes ColumnarBatch through the same
+    // codegen'd ColumnarToRow); eligibility gating — atomic-or-map
+    // projection, read.columnar — lives in the factory and falls back to
+    // rows identically for both scan kinds
     CellReaderFactory(table.tableSchema, table.mapping.fields, required,
-      filters, options, table.tableProps)
+      filters, options, table.tableProps, columnar = true)
 }
 
 object CellChangeFeedStream {

@@ -307,6 +307,49 @@ class ChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("feed batches scan columnar with results identical to the row path") {
+    val dir = freshStore("spec_feed_columnar")
+    append(dir, ts = 1, (1L to 500L).map(i => i -> s"v$i"))
+    val meta = CellStore.readMeta(dir).get
+    val table = new CassandraLikeTable(dir, dir,
+      StructType.fromDDL(meta.schemaDdl), Some(meta.mapping), meta.properties)
+    def drainDirect(opts: Map[String, String]): (Boolean, Set[(Long, String)]) = {
+      val stream = new CellChangeFeedStream(table, table.schema(), Array.empty,
+        opts, java.nio.file.Files.createTempDirectory("cfeedcol").toString)
+      val end = stream.latestOffset(stream.initialOffset(),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      val parts = stream.planInputPartitions(stream.initialOffset(), end)
+      val factory = stream.createReaderFactory()
+      val columnar = parts.nonEmpty && factory.supportColumnarReads(parts.head)
+      val rows = scala.collection.mutable.Set.empty[(Long, String)]
+      parts.foreach { p =>
+        if (columnar) {
+          val r = factory.createColumnarReader(p)
+          try while (r.next()) {
+            val it = r.get().rowIterator()
+            while (it.hasNext) {
+              val row = it.next()
+              rows += ((row.getLong(0), row.getUTF8String(1).toString))
+            }
+          } finally r.close()
+        } else {
+          val r = factory.createReader(p)
+          try while (r.next()) {
+            val row = r.get()
+            rows += ((row.getLong(0), row.getUTF8String(1).toString))
+          } finally r.close()
+        }
+      }
+      (columnar, rows.toSet)
+    }
+    val (vec, got) = drainDirect(Map.empty)
+    assert(vec, "feed batches should support columnar reads")
+    val (vec2, rowGot) = drainDirect(Map(Options.ReadColumnar -> "false"))
+    assert(!vec2, "read.columnar=false must restore the row path")
+    assert(got == rowGot && got.size == 500,
+      s"columnar feed read diverged: ${got.size} vs ${rowGot.size}")
+  }
+
   test("catch-up batches sub-split by key range like the batch scan") {
     val dir = freshStore("spec_changefeed_split")
     append(dir, ts = 1, (1L to 4000L).map(i => i -> s"v$i"))

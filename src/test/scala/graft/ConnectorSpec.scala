@@ -77,16 +77,24 @@ class ConnectorSpec extends SparkSpec {
     val b = rowDf.collect().map(_.toString).sorted
     assert(a.length == 150 && a.sameElements(b))
 
-    // a cf: map projection is not vector-typed — the scan must fall back
-    // to the row reader, not fail
+    // a cf: map projection now batches too (ColumnarMap over child key /
+    // value vectors) — vectorized plan, identical rows to the row reader
     val sp = spark; import sp.implicits._
     val mstore = Seed.table(spark, sfDir, "spec_columnar_map",
-      Seq((1L, Map("a" -> "x", "b" -> "y")), (2L, Map("c" -> "z")))
+      Seq((1L, Map("a" -> "x", "b" -> "y")), (2L, Map("c" -> "z")),
+        (3L, Map.empty[String, String]))
         .toDF("k", "fam"),
       mapping = Some(":key,cf:"))
     val mdf = Seed.read(spark, mstore)
-    assert(!mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
-    assert(mdf.count() == 2)
+    assert(mdf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "map projection should be vectorized")
+    val mRows = Seed.read(spark, mstore, Map(Options.ReadColumnar -> "false"))
+    val gotMaps = mdf.collect().map(r =>
+      r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    val wantMaps = mRows.collect().map(r =>
+      r.getLong(0) -> r.getMap[String, String](1).toMap).toMap
+    assert(gotMaps == wantMaps && gotMaps(1L) == Map("a" -> "x", "b" -> "y"),
+      s"columnar map read diverged: $gotMaps vs $wantMaps")
   }
 
   test("snapshot export/restore: layout preserved, current-state image takes LWW") {
