@@ -581,7 +581,8 @@ class CellScan(
     aggs: Seq[PushedAgg] = Nil,
     aggGroupKeys: Seq[String] = Nil)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** With aggregates pushed, the readers fold over this BASE projection
     * (the group key and aggregated columns, or just the key for a bare
@@ -634,6 +635,52 @@ class CellScan(
     } else {
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
+  }
+
+  /** SORTED SCAN: every partition emits rows in (key[, clustering column])
+    * order — the bucket merge is globally (key, col, sub)-sorted and the
+    * row assembly preserves it — so the scan REPORTS that ordering and
+    * Spark elides the local sorts it would otherwise plant: a
+    * storage-partitioned join becomes a pure zipper merge (no exchange, no
+    * sort on either side), and a per-key window (`PARTITION BY key ORDER BY
+    * col`) runs directly on the scan output. Reported only when the
+    * DECODED order provably equals the stored BYTE order — String/Binary
+    * (UTF8/unsigned-lexicographic, byte-identical); numeric keys are
+    * stored big-endian two's-complement, where negatives sort after
+    * positives, so they must not claim an ordering. The clustering
+    * component drops under `slice.reversed` (per-key cell order flips).
+    * Spark itself discards the claim when it coalesces a bucket's
+    * key-range sub-splits into one task (grouped-partition guard in
+    * DataSourceV2ScanExecBase.outputOrdering), so sub-split concatenation
+    * order is never trusted implicitly. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E,
+      NullOrdering, SortDirection}
+    def byteOrdered(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    if (aggs.nonEmpty) return Array.empty
+    val keyF = table.mapping.keyField
+    if (!byteOrdered(keyF.dataType) || !required.fieldNames.contains(keyF.name))
+      return Array.empty
+    val keyOrder = E.sort(E.column(keyF.name), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)
+    val colOrder =
+      if (!table.mapping.transposed) None
+      else {
+        val colF = table.mapping.field(FieldRole.TransColumn)
+        val reversed = table.opt(options, Options.SliceReversed)
+          .exists(_.toBoolean)
+        if (byteOrdered(colF.dataType) && !reversed &&
+            required.fieldNames.contains(colF.name))
+          Some(E.sort(E.column(colF.name), SortDirection.ASCENDING,
+            NullOrdering.NULLS_FIRST))
+        else None
+      }
+    Array(keyOrder) ++ colOrder
   }
 
   /** Runtime (join-produced) key filters — the DSv2 dynamic-partition-pruning

@@ -55,39 +55,65 @@ object SegmentSetOffset {
 /** The stream's durable segment → sequence-number log, owned by ONE stream
   * (it lives inside the query's checkpoint source directory, which Spark
   * locks to a single active query). Append-only: each assignment batch is
-  * one atomically-renamed file named by its first sequence number, so a
-  * restart reloads the exact order and a torn write is invisible. Entries
+  * one atomically-renamed delta file named by its first sequence number, so
+  * a restart reloads the exact order and a torn write is invisible. Entries
   * are `r <name>` (to read) or `f <name>` (consumed-for-free: its cells are
   * already covered — a fully-consumed compaction output, or a name from a
   * migrated legacy set offset). Flags are decided once, at assignment, and
   * are immutable — that is what makes batch replay after a failure exact.
   *
+  * LOG COMPACTION (the HDFSMetadataLog pattern): every [[SegmentManifest
+  * .CompactEvery]] delta appends, the full entry list rewrites as ONE
+  * self-contained `.compact` file named by its end sequence; reload takes
+  * the newest compact and applies only deltas starting past it, so a
+  * months-lived stream restarts from O(CompactEvery) files however many
+  * triggers it has run. Subsumed files are deleted best-effort AFTER the
+  * compact is durable — a crash between the two leaves files a reload
+  * provably ignores, never a gap.
+  *
   * Driver memory is O(segments ever assigned) (name + flag), the same order
   * as Spark's own FileStreamSource seen-files log; the CHECKPOINTED offset
   * is one integer. */
-private[cassandralike] final class SegmentManifest(dir: Path) {
+private[graft] final class SegmentManifest(dir: Path) {
+  import SegmentManifest.CompactEvery
   private val names = mutable.ArrayBuffer.empty[String]
   private val free = mutable.ArrayBuffer.empty[Boolean]
   private val seqByName = mutable.HashMap.empty[String, Long]
+  private var deltasSinceCompact = 0
 
-  // load existing batches in sequence order
+  private def record(name: String, isFree: Boolean): Unit = {
+    seqByName(name) = names.length + 1L
+    names += name
+    free += isFree
+  }
+
+  private def parseInto(f: Path): Unit =
+    new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .foreach(line => record(line.substring(2), line.startsWith("f ")))
+
+  // load: newest self-contained compact (entries 1..end), then every delta
+  // that starts past it, in sequence order; deltas at or below the compact
+  // end are subsumed leftovers of an interrupted cleanup and are ignored
   Files.createDirectories(dir)
   locally {
     import scala.jdk.CollectionConverters._
     val s = Files.list(dir)
-    val batches = try s.iterator().asScala
-      .filter(_.getFileName.toString.matches("m\\d{19}\\.log"))
-      .toSeq.sortBy(_.getFileName.toString)
-    finally s.close()
-    batches.foreach { f =>
-      new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
-          val isFree = line.startsWith("f ")
-          val name = line.substring(2)
-          seqByName(name) = names.length + 1L
-          names += name
-          free += isFree
-        }
+    val (compacts, deltas) = try {
+      val all = s.iterator().asScala.map(_.getFileName.toString).toSeq
+      (all.filter(_.matches("m\\d{19}\\.compact")).sorted,
+        all.filter(_.matches("m\\d{19}\\.log")).sorted)
+    } finally s.close()
+    compacts.lastOption.foreach(c => parseInto(dir.resolve(c)))
+    deltas.foreach { d =>
+      val start = d.stripPrefix("m").stripSuffix(".log").toLong
+      if (start == names.length + 1L) {
+        parseInto(dir.resolve(d))
+        deltasSinceCompact += 1
+      } else if (start > names.length + 1L)
+        throw new java.io.IOException(
+          s"segment manifest gap: delta $d but only ${names.length} entries loaded")
+      // start <= loaded size: subsumed by the compact — ignore
     }
   }
 
@@ -98,23 +124,50 @@ private[cassandralike] final class SegmentManifest(dir: Path) {
   def namesThrough(seq: Long): Set[String] =
     names.view.take(math.min(seq, size).toInt).toSet
 
+  private def body(ns: collection.Seq[String], fs: collection.Seq[Boolean]): Array[Byte] =
+    ns.lazyZip(fs).map { case (n, f) => (if (f) "f " else "r ") + n }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** Append `(name, consumedForFree)` entries; returns the new size. */
   def append(entries: Seq[(String, Boolean)]): Long = {
     if (entries.isEmpty) return size
     val start = size + 1
     val tmp = dir.resolve(f"m$start%019d.log.tmp")
-    val body = entries.map { case (n, f) => (if (f) "f " else "r ") + n }
-      .mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(tmp, body(entries.map(_._1), entries.map(_._2)))
     Files.move(tmp, dir.resolve(f"m$start%019d.log"),
       StandardCopyOption.ATOMIC_MOVE)
-    entries.foreach { case (n, f) =>
-      seqByName(n) = names.length + 1L
-      names += n
-      free += f
-    }
+    entries.foreach { case (n, f) => record(n, f) }
+    deltasSinceCompact += 1
+    if (deltasSinceCompact >= CompactEvery) compact()
     size
   }
+
+  private def compact(): Unit = {
+    val tmp = dir.resolve(f"m$size%019d.compact.tmp")
+    Files.write(tmp, body(names, free))
+    Files.move(tmp, dir.resolve(f"m$size%019d.compact"),
+      StandardCopyOption.ATOMIC_MOVE)
+    deltasSinceCompact = 0
+    // cleanup AFTER the compact is durable; best-effort (leftovers are
+    // ignored by the load rule above)
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      val subsumedDelta = n.matches("m\\d{19}\\.log") &&
+        n.stripPrefix("m").stripSuffix(".log").toLong <= size
+      val olderCompact = n.matches("m\\d{19}\\.compact") &&
+        n.stripPrefix("m").stripSuffix(".compact").toLong < size
+      if (subsumedDelta || olderCompact)
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+    } finally s.close()
+  }
+}
+
+private[graft] object SegmentManifest {
+  /** Delta files between full-snapshot rewrites; bounds restart reload to
+    * O(CompactEvery) files at ~40 bytes/entry amortized write cost. */
+  val CompactEvery = 64
 }
 
 /** Micro-batch change feed over a cell store: each batch reads exactly the

@@ -56,6 +56,34 @@ class ChangeFeedSpec extends SparkSpec {
     intercept[IllegalArgumentException](SegmentSetOffset(Set("tmp-x-b1.bin")))
   }
 
+  test("manifest log compaction bounds file count; reload is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("manifestc")
+    val m = new SegmentManifest(dir)
+    val entries = (1 to 150).map(i => s"b${i % 4}-e$i.bin" -> (i % 5 == 0))
+    entries.foreach(e => m.append(Seq(e)))
+    assert(m.size == 150)
+    import scala.jdk.CollectionConverters._
+    def files() = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val onDisk = files()
+    assert(onDisk.count(_.endsWith(".log")) < SegmentManifest.CompactEvery,
+      s"deltas must compact away: $onDisk")
+    assert(onDisk.exists(_.endsWith(".compact")), "expected a compact snapshot")
+    // fresh reload reproduces every (seq, name, flag) exactly
+    val m2 = new SegmentManifest(dir)
+    assert(m2.size == 150)
+    entries.zipWithIndex.foreach { case ((n, f), i) =>
+      assert(m2.seqOf(n).contains(i + 1L) && m2.isFree(i + 1L) == f,
+        s"entry $n diverged on reload")
+    }
+    // an interrupted cleanup (stale subsumed delta left behind) is ignored
+    java.nio.file.Files.write(dir.resolve(f"m${5L}%019d.log"),
+      "r b0-stale.bin\n".getBytes)
+    val m3 = new SegmentManifest(dir)
+    assert(m3.size == 150 && m3.seqOf("b0-stale.bin").isEmpty,
+      "subsumed leftover delta must be ignored on reload")
+  }
+
   test("checkpointed offset stays O(1) bytes across many epochs") {
     val dir = freshStore("spec_feed_o1")
     val root = java.nio.file.Files.createTempDirectory("cfeedo1").toString

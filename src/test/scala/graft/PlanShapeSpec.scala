@@ -266,6 +266,47 @@ class PlanShapeSpec extends SparkSpec {
       s"storage-partitioned join must not shuffle its inputs: ${shuffles.map(_.nodeName).mkString(", ")}")
   }
 
+  test("sorted scan: string-keyed co-partitioned join plans no exchange AND no sort") {
+    // the scan reports its (key) ordering (SupportsReportOrdering) on top
+    // of the bucket layout (KeyGroupedPartitioning), so the SMJ of two
+    // same-layout stores is a pure zipper merge: no shuffle, no SortExec —
+    // at 100 TB the local sorts were the remaining per-task cost of the
+    // storage-partitioned join. Byte order == decoded order only holds for
+    // String/Binary keys, which is why this case uses string keys.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${graft.sources.cassandralike.Seed.storeRoot(sfDir)}/warehouse")
+    Tables.registerAll(spark, sfDir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    Seq("sorted_a", "sorted_b").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$n (ck STRING, v DOUBLE)
+           |USING cassandralike
+           |TBLPROPERTIES ('buckets' = '8', 'partitioning.report' = 'true')""".stripMargin)
+    }
+    spark.sql(
+      """INSERT INTO cassandralike.ks.sorted_a
+        |SELECT c_name, c_acctbal FROM customer""".stripMargin)
+    spark.sql(
+      """INSERT INTO cassandralike.ks.sorted_b
+        |SELECT c_name, CAST(c_nationkey AS DOUBLE) FROM customer""".stripMargin)
+    val joined = spark.table("cassandralike.ks.sorted_a").hint("MERGE")
+      .join(spark.table("cassandralike.ks.sorted_b"), Seq("ck"))
+    assert(joined.count() == 150)
+    val all = collectThroughCache(joined.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join")
+    val under = smjs.flatMap(_.children.flatMap(collectAll))
+    assert(!under.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "no exchange under the co-partitioned join")
+    assert(!under.exists(_.isInstanceOf[SortExec]),
+      s"reported scan ordering must elide the SMJ sorts: ${under.map(_.nodeName)}")
+  }
+
   test("snapshot diff joins its two as-of images storage-partitioned: no exchange") {
     // both sides of Snapshot.diff are as-of scans of the SAME store
     // reporting the bucket layout — the full-outer key join must zip the

@@ -32,8 +32,10 @@ class RelationalSpec extends SparkSpec {
       // strip CTE names defined in the statement itself
       val ctes = "(?i)(?:WITH\\s+RECURSIVE\\s+|WITH\\s+|,\\s*)([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
+      // unnest/range/generate_series are DuckDB table functions, not tables
+      val builtins = Set("unnest", "range", "generate_series")
       tablePat.findAllMatchIn(sql).map(_.group(1)).foreach { t =>
-        assert(known(t) || ctes(t) || t == "unnest",
+        assert(known(t) || ctes(t) || builtins(t),
           s"$name oracle references unknown table '$t'")
       }
     }
