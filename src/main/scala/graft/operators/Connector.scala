@@ -109,6 +109,75 @@ object Connector {
           d(min($"bal")).as("min_bal"), d(max($"bal")).as("max_bal"))
     },
 
+    // ---- ROW-LEVEL DML (UPDATE / predicate DELETE / MERGE INTO) as DELTA
+    // operations: an update is newer cells, a delete is tombstones —
+    // nothing is copied or rewritten (merge-on-read, not copy-on-write).
+    // The affected-row scan goes through the normal pushdown-capable scan
+    // and the write emits O(changed cells); updates land as delete+insert
+    // one logical tick apart so the tombstone leg can't eat its own
+    // insert. The oracle recomputes the final state relationally from the
+    // same three statements. ----
+    Q("conn_row_level_dml",
+      """WITH base AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+        |                     c_mktsegment AS seg FROM customer),
+        |upd AS (SELECT k, CASE WHEN k % 4 = 0 THEN bal + 100 ELSE bal END AS bal,
+        |               seg FROM base),
+        |del AS (SELECT * FROM upd WHERE NOT (bal < 500)),
+        |src AS (SELECT c_custkey AS sk FROM customer WHERE c_custkey % 10 = 0),
+        |matched AS (SELECT d.k,
+        |              CASE WHEN s.sk IS NOT NULL THEN 777.0 ELSE d.bal END AS bal,
+        |              d.seg
+        |            FROM del d LEFT JOIN src s ON d.k = s.sk),
+        |ins AS (SELECT sk AS k, 111.0 AS bal, CAST(NULL AS VARCHAR) AS seg
+        |        FROM src WHERE sk NOT IN (SELECT k FROM del))
+        |SELECT k, bal, seg
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM ins) u
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.dml")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.dml (k BIGINT, bal DOUBLE, seg STRING)
+          |USING cassandralike TBLPROPERTIES ('buckets' = '8')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.dml
+          |SELECT c_custkey, CAST(c_acctbal AS DOUBLE), c_mktsegment
+          |FROM customer""".stripMargin)
+      s.sql("UPDATE cassandralike.ks.dml SET bal = bal + 100 WHERE k % 4 = 0")
+      s.sql("DELETE FROM cassandralike.ks.dml WHERE bal < 500")
+      s.sql(
+        """MERGE INTO cassandralike.ks.dml t
+          |USING (SELECT c_custkey AS sk FROM customer
+          |       WHERE c_custkey % 10 = 0) s
+          |ON t.k = s.sk
+          |WHEN MATCHED THEN UPDATE SET bal = 777.0
+          |WHEN NOT MATCHED THEN INSERT (k, bal, seg) VALUES (s.sk, 111.0, NULL)
+          |""".stripMargin)
+      s.table("cassandralike.ks.dml")
+        .select($"k", $"bal", $"seg").orderBy($"k")
+    },
+
+    // ---- TOP-N pushdown on the natural key order: ORDER BY key LIMIT n
+    // matches the scan's key-sorted emit order, so each partition stops
+    // after its first n rows (a sorted prefix IS its minimal n) and
+    // Spark's global TopN merges the prefixes — first-n-by-key over a
+    // 100-TB store reads n rows per split, not the table. ----
+    Q("conn_topn_key",
+      """SELECT c_name, c_acctbal FROM customer
+        |ORDER BY c_name LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "topn_key",
+        t(s, dir, "customer").select($"c_name", $"c_acctbal"))
+      Seed.read(s, store)
+        .select($"c_name", $"c_acctbal")
+        .orderBy($"c_name").limit(20)
+    },
+
     // ---- GROUPED aggregate pushdown over a transposed store: groupBy the
     // ROW KEY is the wide-row aggregation (lines per order, quantities per
     // order). The key-ordered bucket merge lets per-key partials STREAM

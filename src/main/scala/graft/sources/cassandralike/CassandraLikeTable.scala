@@ -203,12 +203,19 @@ class CassandraLikeTable(
     val tableSchema: StructType,
     mappingStr: Option[String],
     val tableProps: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations {
 
   val mapping: ColumnMapping = ColumnMapping.forTable(tableSchema, mappingStr)
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  /** The row key is never null in the store (the writer rejects null keys,
+    * every cell carries one) — declared non-nullable so Spark plans on the
+    * honest metadata: writes get the null check up front, and row-level
+    * operations can use the key as the row id (Spark rejects nullable row
+    * id attributes). */
+  override def schema(): StructType = StructType(tableSchema.fields.map(f =>
+    if (f.name == mapping.keyField.name) f.copy(nullable = false) else f))
 
   /** The store's layout, declared: every row lands in
     * `bucket(buckets, key)` (TokenRing). Informational here; the scan
@@ -224,6 +231,27 @@ class CassandraLikeTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
+
+  /** SQL UPDATE / MERGE INTO / predicate DELETE as DELTA row-level
+    * operations (see [[CellRowLevelOperation]]): new cells and tombstones,
+    * never a rewrite. Gated to the mappings whose full writable surface is
+    * declared — a transposed table's row id is a cell address (not the
+    * key), a `cf:` family map and a counter table would need a read to
+    * know which cells exist. Key-predicate DELETE still takes the
+    * metadata fast path below (OptimizeMetadataOnlyDeleteFromTable). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!mapping.transposed,
+      s"${info.command()} is not supported on transposed mappings " +
+        "(a row is one cell; use DELETE by key or rewrite the table)")
+    require(mapping.familyMapField.isEmpty,
+      s"${info.command()} is not supported with a cf: family map column")
+    require(!tableProps.get(Options.CounterMerge).exists(_.toBoolean),
+      s"${info.command()} is not supported on counter tables " +
+        "(counters reconcile by summation; write increments instead)")
+    () => new CellRowLevelOperation(this, info)
+  }
 
   /** SQL `DELETE FROM t WHERE <key predicate>` — Cassandra-style targeted
     * deletes: tombstone every live cell of the matching keys, written as a
@@ -318,6 +346,7 @@ class CassandraLikeTable(
 class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.tableSchema
@@ -334,6 +363,50 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * reader, so every emitted row is a real result row). Returning false
     * keeps Spark's global Limit on top. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
+  /** Partial TOP-N pushdown: `ORDER BY key [, clustering] LIMIT n` where
+    * the requested order IS the scan's natural emit order (the bucket
+    * merge streams key-sorted, byte order == decoded order for
+    * String/Binary). Each partition then stops after its first n rows — a
+    * sorted prefix is exactly that partition's minimal n — and Spark's
+    * global TopN merges the per-partition prefixes. At 100 TB this turns
+    * "first n rows by key" from a full scan into n-row reads per split.
+    * Any other ordering (numeric keys: big-endian bytes sort negatives
+    * after positives; descending; reversed slices) is declined and planned
+    * as a normal sort. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (aggs.nonEmpty) return false
+    def byteOrdered(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+    def ascOn(o: org.apache.spark.sql.connector.expressions.SortOrder,
+        name: String): Boolean = o.expression match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames.head == name &&
+          o.direction == SortDirection.ASCENDING
+      case _ => false
+    }
+    val keyF = table.mapping.keyField
+    if (!byteOrdered(keyF.dataType)) return false
+    val reversed = Options.effective(options, table.tableProps,
+      Options.SliceReversed).exists(_.toBoolean)
+    val natural = orders.toSeq match {
+      case Seq(k) => ascOn(k, keyF.name)
+      case Seq(k, c) if table.mapping.transposed && !reversed =>
+        val colF = table.mapping.field(FieldRole.TransColumn)
+        ascOn(k, keyF.name) && byteOrdered(colF.dataType) && ascOn(c, colF.name)
+      case _ => false
+    }
+    if (natural) { limit = Some(n); true } else false
+  }
+
+  /** Partition prefixes, not the global answer: Spark keeps its TopN. */
+  override def isPartiallyPushed(): Boolean = true
 
   /** PARTIAL aggregate pushdown: ungrouped COUNT(*) / COUNT(col) / MIN /
     * MAX fold inside each partition's reader — the scan emits ONE partial

@@ -280,7 +280,7 @@ class CellDataWriter(
   // reference stamps serialize time, serde/RegularTableMapping.java:84,94).
   // The `write.timestamp` option pins it for deterministic tests. Equal-ts
   // collisions resolve by deterministic value comparison (CellStore merge).
-  private val baseTs = opt(Options.WriteTimestamp).map(_.toLong)
+  private[cassandralike] val baseTs = opt(Options.WriteTimestamp).map(_.toLong)
     .getOrElse(System.currentTimeMillis())
 
   private val buffer = mutable.ArrayBuffer.empty[Cell]
@@ -354,11 +354,15 @@ class CellDataWriter(
   private def encodeValue(dt: DataType, v: Any): Array[Byte] =
     if (textEncoding) Codecs.encodeText(dt, v) else Codecs.encode(dt, v)
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit = writeAt(row, baseTs)
+
+  /** One row's cells at an explicit timestamp — the delta write path lands
+    * its insert leg one tick above its delete leg (see [[CellDeltaWriter]]);
+    * the normal path always stamps [[baseTs]]. */
+  private[cassandralike] def writeAt(row: InternalRow, ts: Long): Unit = {
     val keyRaw = row.get(keyIdx, keyType)
     require(keyRaw != null, "null row key")
     val key = Codecs.encode(keyType, keyRaw) // keys are canonical binary
-    val ts = baseTs
 
     if (mapping.transposed) {
       // W2: one cell per row (serde/TransposedMapping.java:34-72)
@@ -416,6 +420,21 @@ class CellDataWriter(
       }
     }
     if (buffer.length >= batchSize) { flush(); flushes += 1 } // W3
+  }
+
+  /** Delta DELETE leg: tombstone every declared cell of one row id at
+    * [[baseTs]]. Declared cells are the row's whole writable surface on
+    * the mappings the delta path supports (no `cf:` family map), so no
+    * read is needed to know what to shadow. */
+  private[cassandralike] def writeDeleteAll(keyRaw: Any): Unit = {
+    require(keyRaw != null, "null row key")
+    val key = Codecs.encode(keyType, keyRaw)
+    mapping.fields.foreach {
+      case MappedField(_, _, FieldRole.Cell(cellName)) =>
+        add(Cell(key, cellName.getBytes(UTF_8), null, null, baseTs, tombstone = true))
+      case _ => ()
+    }
+    if (buffer.length >= batchSize) { flush(); flushes += 1 }
   }
 
   private def add(c: Cell): Unit = buffer += c

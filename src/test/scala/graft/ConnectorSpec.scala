@@ -127,6 +127,31 @@ class ConnectorSpec extends SparkSpec {
     assert(hit.length == 1)
   }
 
+  test("topN pushdown: natural key order pushes, numeric keys decline") {
+    val sp = spark; import sp.implicits._
+    val cust = Tables.load(spark, sfDir, "customer")
+    val byName = Seed.table(spark, sfDir, "spec_topn",
+      cust.select(col("c_name"), col("c_acctbal")))
+    val q = Seed.read(spark, byName).orderBy(col("c_name")).limit(7)
+    assert(scanOf(q).scan.description().contains("Limit: 7"),
+      s"topN not pushed: ${scanOf(q).scan.description()}")
+    val got = q.collect().map(_.getString(0)).toSeq
+    val want = cust.select(col("c_name")).orderBy(col("c_name"))
+      .limit(7).collect().map(_.getString(0)).toSeq
+    assert(got == want, s"topN rows diverged: $got vs $want")
+    // descending and numeric-key orders must NOT push (byte order is not
+    // the requested order) — result still exact via Spark's sort
+    val qd = Seed.read(spark, byName).orderBy(col("c_name").desc).limit(3)
+    assert(!scanOf(qd).scan.description().contains("Limit: 3"))
+    val byKey = Seed.table(spark, sfDir, "spec_topn_num",
+      cust.select(col("c_custkey"), col("c_acctbal")))
+    val qn = Seed.read(spark, byKey).orderBy(col("c_custkey")).limit(3)
+    assert(!scanOf(qn).scan.description().contains("Limit: 3"))
+    assert(qn.collect().map(_.getLong(0)).toSeq ==
+      cust.select(col("c_custkey")).orderBy(col("c_custkey")).limit(3)
+        .collect().map(_.getLong(0)).toSeq)
+  }
+
   test("decimal SUM pushes with Spark-identical widened-precision partials") {
     val sp = spark; import sp.implicits._
     val src = Tables.load(spark, sfDir, "customer").select(col("c_custkey"),
@@ -832,7 +857,7 @@ class ConnectorSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
-  test("DELETE FROM by key writes tombstones; non-key predicates are rejected") {
+  test("DELETE FROM by key takes the metadata path; non-key predicates run as delta jobs") {
     val wh = java.nio.file.Files.createTempDirectory("del").toString
     spark.conf.set("spark.sql.catalog.delcat",
       classOf[CassandraLikeCatalog].getName)
@@ -849,8 +874,10 @@ class ConnectorSpec extends SparkSpec {
     (0 until Options.DefaultBuckets).foreach(b => CellStore.compactBucket(dir, b))
     assert(spark.table("delcat.ks.t").collect().map(_.getLong(0)).toSet ==
       (1L to 20L).toSet -- Set(5L, 7L, 11L))
-    // non-key predicate: the source refuses, Spark raises an analysis error
-    assertThrows[Exception](spark.sql("DELETE FROM delcat.ks.t WHERE v = 'v3'"))
+    // non-key predicate: no metadata fast path — runs as a distributed
+    // delta delete (RowLevel.scala) instead of failing
+    spark.sql("DELETE FROM delcat.ks.t WHERE v = 'v3'")
+    assert(!spark.table("delcat.ks.t").collect().map(_.getLong(0)).contains(3L))
     // unconditional DELETE routes to truncate: table empties
     spark.sql("DELETE FROM delcat.ks.t")
     assert(spark.table("delcat.ks.t").count() == 0)

@@ -1,0 +1,101 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.functions._
+
+/** SQL UPDATE / MERGE INTO / predicate DELETE over the store as DELTA
+  * row-level operations: new cells and tombstones, never a rewrite. */
+class RowLevelSpec extends SparkSpec {
+
+  private def freshCatalogTable(name: String): Unit = {
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$name")
+    spark.sql(
+      s"""CREATE TABLE cassandralike.ks.$name
+         |  (k BIGINT, bal DOUBLE, seg STRING)
+         |USING cassandralike TBLPROPERTIES ('buckets' = '4')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO cassandralike.ks.$name VALUES
+         |  (1, 10.0, 'a'), (2, 20.0, 'b'), (3, 30.0, 'c'),
+         |  (4, 40.0, 'd'), (5, 50.0, 'e')""".stripMargin)
+  }
+
+  private def state(name: String): Map[Long, (Option[Double], Option[String])] =
+    spark.table(s"cassandralike.ks.$name").collect().map { r =>
+      r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        (if (r.isNullAt(2)) None else Some(r.getString(2))))
+    }.toMap
+
+  test("UPDATE rewrites values, clears to NULL, and leaves others untouched") {
+    freshCatalogTable("rl_update")
+    spark.sql(
+      """UPDATE cassandralike.ks.rl_update
+        |SET bal = bal + 100, seg = NULL WHERE k % 2 = 0""".stripMargin)
+    val s = state("rl_update")
+    assert(s(2L) == (Some(120.0), None) && s(4L) == (Some(140.0), None),
+      s"updated rows wrong: $s")
+    assert(s(1L) == (Some(10.0), Some("a")) && s(3L) == (Some(30.0), Some("c")),
+      s"untouched rows changed: $s")
+    assert(s.size == 5)
+  }
+
+  test("DELETE with a non-key predicate runs as a distributed delta job") {
+    freshCatalogTable("rl_delete")
+    spark.sql("DELETE FROM cassandralike.ks.rl_delete WHERE bal >= 30 AND seg <> 'e'")
+    val s = state("rl_delete")
+    assert(s.keySet == Set(1L, 2L, 5L), s"predicate delete wrong: $s")
+    // key-predicate DELETE still takes the metadata fast path and works
+    spark.sql("DELETE FROM cassandralike.ks.rl_delete WHERE k = 2")
+    assert(state("rl_delete").keySet == Set(1L, 5L))
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    freshCatalogTable("rl_merge")
+    val sp = spark; import sp.implicits._
+    Seq((2L, 999.0), (3L, -1.0), (9L, 90.0))
+      .toDF("sk", "sbal").createOrReplaceTempView("rl_src")
+    spark.sql(
+      """MERGE INTO cassandralike.ks.rl_merge t USING rl_src s ON t.k = s.sk
+        |WHEN MATCHED AND s.sbal < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET bal = s.sbal
+        |WHEN NOT MATCHED THEN INSERT (k, bal, seg) VALUES (s.sk, s.sbal, NULL)
+        |""".stripMargin)
+    val s = state("rl_merge")
+    assert(s(2L) == (Some(999.0), Some("b")), s"matched update: $s") // seg kept
+    assert(!s.contains(3L), s"matched delete: $s")
+    assert(s(9L) == (Some(90.0), None), s"not-matched insert: $s")
+    assert(s(1L) == (Some(10.0), Some("a")) && s.size == 5, s"bystanders: $s")
+  }
+
+  test("update beats an equal-epoch seed: delete leg at ts, insert leg at ts+1") {
+    // the delete+insert representation lands one logical tick apart so the
+    // tombstone can't eat its own insert; both legs beat older epochs
+    freshCatalogTable("rl_ts")
+    spark.sql("UPDATE cassandralike.ks.rl_ts SET bal = 7 WHERE k = 1")
+    spark.sql("UPDATE cassandralike.ks.rl_ts SET bal = 8 WHERE k = 1")
+    assert(state("rl_ts")(1L)._1.contains(8.0))
+  }
+
+  test("row-level ops are gated off transposed / family-map / counter tables") {
+    val t = Seed.table(spark, sfDir, "rl_gate_t",
+      { val sp = spark; import sp.implicits._
+        Seq((1L, "c", 2L)).toDF("k", "c", "v") },
+      mapping = Some(":key,:column,:value"))
+    val meta = CellStore.readMeta(t).get
+    val table = new CassandraLikeTable(t, t,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+    val info = new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+      override def command() =
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE
+      override def options() =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    intercept[IllegalArgumentException](table.newRowLevelOperationBuilder(info))
+  }
+}
