@@ -162,6 +162,60 @@ object Connector {
         .select($"k", $"bal", $"seg").orderBy($"k")
     },
 
+    // ---- ROW-LEVEL DML on a TRANSPOSED (wide-row) store: a SQL row is one
+    // cell, so the delta row id is the full cell address (key, column) and
+    // an UPDATE/DELETE touches exactly the addressed cells — Cassandra's
+    // native single-cell mutation shape, now reachable from SQL. The
+    // update's key-equality predicate prunes the affected-row scan to one
+    // bucket; the delete tombstones one cell per matching address. ----
+    Q("conn_row_level_widerow",
+      """WITH base AS (
+        |  SELECT row_key, column_name, max(value) AS value
+        |  FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |               lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                 lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |               CAST(floor(l_quantity) AS BIGINT) AS value
+        |        FROM lineitem) cc
+        |  GROUP BY row_key, column_name),
+        |upd AS (SELECT row_key, column_name,
+        |          CASE WHEN row_key = '00000012' THEN value + 1000
+        |               ELSE value END AS value
+        |        FROM base),
+        |del AS (SELECT * FROM upd WHERE NOT (value < 10))
+        |SELECT row_key, count(*) AS n,
+        |  CAST(sum(value) AS BIGINT) AS qty
+        |FROM del GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.dml_wide")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.dml_wide
+          |  (row_key STRING, column_name STRING, value BIGINT)
+          |USING cassandralike
+          |OPTIONS (mapping ':key,:column,:value')
+          |TBLPROPERTIES ('buckets' = '8')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.dml_wide
+          |SELECT lpad(CAST(l_suppkey AS STRING), 8, '0'),
+          |       concat(lpad(CAST(l_orderkey AS STRING), 10, '0'), '-',
+          |              lpad(CAST(l_linenumber AS STRING), 4, '0')),
+          |       CAST(floor(l_quantity) AS BIGINT)
+          |FROM lineitem""".stripMargin)
+      s.sql(
+        """UPDATE cassandralike.ks.dml_wide SET value = value + 1000
+          |WHERE row_key = '00000012'""".stripMargin)
+      s.sql("DELETE FROM cassandralike.ks.dml_wide WHERE value < 10")
+      s.table("cassandralike.ks.dml_wide")
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("long").as("qty"))
+        .orderBy($"row_key")
+    },
+
     // ---- TOP-N pushdown on the natural key order: ORDER BY key LIMIT n
     // matches the scan's key-sorted emit order, so each partition stops
     // after its first n rows (a sorted prefix IS its minimal n) and

@@ -209,13 +209,20 @@ class CassandraLikeTable(
   val mapping: ColumnMapping = ColumnMapping.forTable(tableSchema, mappingStr)
 
   override def name(): String = tableName
-  /** The row key is never null in the store (the writer rejects null keys,
-    * every cell carries one) — declared non-nullable so Spark plans on the
-    * honest metadata: writes get the null check up front, and row-level
-    * operations can use the key as the row id (Spark rejects nullable row
-    * id attributes). */
-  override def schema(): StructType = StructType(tableSchema.fields.map(f =>
-    if (f.name == mapping.keyField.name) f.copy(nullable = false) else f))
+  /** Cell-address columns are never null in the store (every cell carries
+    * a key and, on transposed mappings, a column/sub-column name; the
+    * writer rejects null addresses) — declared non-nullable so Spark
+    * plans on the honest metadata: writes get the null check up front,
+    * and row-level operations can use the address as the row id (Spark
+    * rejects nullable row id attributes). */
+  override def schema(): StructType = {
+    val addressRoles: Set[FieldRole] = Set(FieldRole.Key,
+      FieldRole.TransColumn, FieldRole.TransSubColumn)
+    val addressNames = mapping.fields
+      .filter(f => addressRoles.contains(f.role)).map(_.name).toSet
+    StructType(tableSchema.fields.map(f =>
+      if (addressNames.contains(f.name)) f.copy(nullable = false) else f))
+  }
 
   /** The store's layout, declared: every row lands in
     * `bucket(buckets, key)` (TokenRing). Informational here; the scan
@@ -234,17 +241,16 @@ class CassandraLikeTable(
 
   /** SQL UPDATE / MERGE INTO / predicate DELETE as DELTA row-level
     * operations (see [[CellRowLevelOperation]]): new cells and tombstones,
-    * never a rewrite. Gated to the mappings whose full writable surface is
-    * declared — a transposed table's row id is a cell address (not the
-    * key), a `cf:` family map and a counter table would need a read to
-    * know which cells exist. Key-predicate DELETE still takes the
-    * metadata fast path below (OptimizeMetadataOnlyDeleteFromTable). */
+    * never a rewrite. The row id is the mapping's full cell address —
+    * the key on regular mappings, (key, column[, sub]) on transposed
+    * ones, where a SQL row IS one cell and its delete leg tombstones
+    * exactly that cell. Gated off `cf:` family maps and counter tables,
+    * whose writable surface can't be known without a read. Key-predicate
+    * DELETE still takes the metadata fast path below
+    * (OptimizeMetadataOnlyDeleteFromTable). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(!mapping.transposed,
-      s"${info.command()} is not supported on transposed mappings " +
-        "(a row is one cell; use DELETE by key or rewrite the table)")
     require(mapping.familyMapField.isEmpty,
       s"${info.command()} is not supported with a cf: family map column")
     require(!tableProps.get(Options.CounterMerge).exists(_.toBoolean),

@@ -437,6 +437,21 @@ class CellDataWriter(
     if (buffer.length >= batchSize) { flush(); flushes += 1 }
   }
 
+  /** Delta DELETE leg, transposed form: tombstone exactly ONE cell address
+    * (key, column[, sub]) at [[baseTs]] — a SQL row of a transposed table
+    * IS one cell, so its delete shadows nothing else. */
+  private[cassandralike] def writeDeleteCell(
+      keyRaw: Any, colRaw: Any, subRaw: Any): Unit = {
+    require(keyRaw != null && colRaw != null, "null cell address")
+    val colF = mapping.field(FieldRole.TransColumn)
+    val sub =
+      if (subRaw == null) null
+      else Codecs.encode(mapping.field(FieldRole.TransSubColumn).dataType, subRaw)
+    add(Cell(Codecs.encode(keyType, keyRaw),
+      Codecs.encode(colF.dataType, colRaw), sub, null, baseTs, tombstone = true))
+    if (buffer.length >= batchSize) { flush(); flushes += 1 }
+  }
+
   private def add(c: Cell): Unit = buffer += c
 
   /** Each flush hands the batch to the per-bucket pending buffers, then

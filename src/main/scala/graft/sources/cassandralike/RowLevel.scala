@@ -45,9 +45,13 @@ final class CellRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     table.newScanBuilder(options)
 
-  /** The row identity is the storage row key. */
+  /** The row identity is the full cell ADDRESS: the key alone on regular
+    * mappings (one SQL row = one storage row), (key, column[, sub]) on
+    * transposed ones (one SQL row = one cell — Cassandra's native
+    * single-cell UPDATE/DELETE shape). */
   override def rowId(): Array[NamedReference] =
-    Array(Expressions.column(table.mapping.keyField.name))
+    CellRowLevelOperation.rowIdFields(table.mapping)
+      .map(f => Expressions.column(f.name)).toArray
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
@@ -61,6 +65,18 @@ final class CellRowLevelOperation(
           new CellDeltaBatchWrite(table, merged)
         }
       }
+    }
+}
+
+object CellRowLevelOperation {
+  /** Row-id columns in the order Spark projects them into id rows. */
+  def rowIdFields(mapping: ColumnMapping): Seq[MappedField] =
+    if (!mapping.transposed) Seq(mapping.keyField)
+    else {
+      val sub =
+        if (mapping.hasSubColumn) Seq(mapping.field(FieldRole.TransSubColumn))
+        else Nil
+      mapping.keyField +: mapping.field(FieldRole.TransColumn) +: sub
     }
 }
 
@@ -90,18 +106,26 @@ final case class CellDeltaWriterFactory(factory: CellWriterFactory)
 }
 
 /** Delta writer over the ordinary cell writer: inserts write cells one
-  * logical tick ABOVE the epoch timestamp, deletes tombstone every declared
-  * cell of the row id at the epoch timestamp — so a delete+insert update
-  * pair reconciles to the inserted values, while plain deletes still shadow
-  * everything older. update() is never called
+  * logical tick ABOVE the epoch timestamp, deletes tombstone the row id's
+  * cells at the epoch timestamp — every declared cell of the key on
+  * regular mappings, exactly the addressed cell on transposed ones — so a
+  * delete+insert update pair reconciles to the inserted values, while
+  * plain deletes still shadow everything older. update() is never called
   * (representUpdateAsDeleteAndInsert). */
 final class CellDeltaWriter(inner: CellDataWriter, mapping: ColumnMapping)
   extends DeltaWriter[InternalRow] {
 
+  private val idTypes =
+    CellRowLevelOperation.rowIdFields(mapping).map(_.dataType)
+
   override def insert(row: InternalRow): Unit = inner.writeAt(row, inner.baseTs + 1)
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    inner.writeDeleteAll(id.get(0, mapping.keyField.dataType))
+    if (!mapping.transposed) inner.writeDeleteAll(id.get(0, idTypes(0)))
+    else inner.writeDeleteCell(
+      id.get(0, idTypes(0)),
+      id.get(1, idTypes(1)),
+      if (idTypes.length > 2) id.get(2, idTypes(2)) else null)
 
   override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
     throw new IllegalStateException(

@@ -81,11 +81,54 @@ class RowLevelSpec extends SparkSpec {
     assert(state("rl_ts")(1L)._1.contains(8.0))
   }
 
-  test("row-level ops are gated off transposed / family-map / counter tables") {
+  test("transposed DML: a SQL row is one cell — update/delete touch only it") {
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    spark.sql("DROP TABLE IF EXISTS cassandralike.ks.rl_wide")
+    spark.sql(
+      """CREATE TABLE cassandralike.ks.rl_wide
+        |  (row_key STRING, column_name STRING, value BIGINT)
+        |USING cassandralike
+        |OPTIONS (mapping ':key,:column,:value')
+        |TBLPROPERTIES ('buckets' = '2')""".stripMargin)
+    spark.sql(
+      """INSERT INTO cassandralike.ks.rl_wide VALUES
+        |  ('a', 'c1', 1), ('a', 'c2', 2), ('a', 'c3', 3),
+        |  ('b', 'c1', 10), ('b', 'c2', 20)""".stripMargin)
+    // single-cell UPDATE: only (a, c2) changes
+    spark.sql(
+      """UPDATE cassandralike.ks.rl_wide SET value = 222
+        |WHERE row_key = 'a' AND column_name = 'c2'""".stripMargin)
+    // predicate DELETE across rows: every c1 cell goes, nothing else
+    spark.sql("DELETE FROM cassandralike.ks.rl_wide WHERE column_name = 'c1'")
+    val cells = spark.table("cassandralike.ks.rl_wide").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells == Map(("a", "c2") -> 222L, ("a", "c3") -> 3L,
+      ("b", "c2") -> 20L), s"wide-row DML wrong: $cells")
+    // MERGE on the composite address: upsert one cell, insert another
+    val sp = spark; import sp.implicits._
+    Seq(("a", "c3", 333L), ("b", "c9", 99L)).toDF("k", "c", "v")
+      .createOrReplaceTempView("rl_wide_src")
+    spark.sql(
+      """MERGE INTO cassandralike.ks.rl_wide t USING rl_wide_src s
+        |ON t.row_key = s.k AND t.column_name = s.c
+        |WHEN MATCHED THEN UPDATE SET value = s.v
+        |WHEN NOT MATCHED THEN INSERT (row_key, column_name, value)
+        |  VALUES (s.k, s.c, s.v)""".stripMargin)
+    val after = spark.table("cassandralike.ks.rl_wide").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(after == Map(("a", "c2") -> 222L, ("a", "c3") -> 333L,
+      ("b", "c2") -> 20L, ("b", "c9") -> 99L), s"wide-row merge wrong: $after")
+  }
+
+  test("row-level ops are gated off family-map and counter tables") {
+    val sp = spark; import sp.implicits._
     val t = Seed.table(spark, sfDir, "rl_gate_t",
-      { val sp = spark; import sp.implicits._
-        Seq((1L, "c", 2L)).toDF("k", "c", "v") },
-      mapping = Some(":key,:column,:value"))
+      Seq((1L, 2L)).toDF("k", "v"),
+      props = Map(Options.CounterMerge -> "true"))
     val meta = CellStore.readMeta(t).get
     val table = new CassandraLikeTable(t, t,
       org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
