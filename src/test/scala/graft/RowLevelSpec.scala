@@ -124,6 +124,54 @@ class RowLevelSpec extends SparkSpec {
       ("b", "c2") -> 20L, ("b", "c9") -> 99L), s"wide-row merge wrong: $after")
   }
 
+  test("fuzz: random UPDATE/DELETE/MERGE interleavings match an in-memory model") {
+    val rnd = new scala.util.Random(20260814)
+    freshCatalogTable("rl_fuzz")
+    // model mirrors the store: key -> (bal, seg); both start from the seed
+    val model = scala.collection.mutable.Map[Long, (Option[Double], Option[String])](
+      1L -> (Some(10.0), Some("a")), 2L -> (Some(20.0), Some("b")),
+      3L -> (Some(30.0), Some("c")), 4L -> (Some(40.0), Some("d")),
+      5L -> (Some(50.0), Some("e")))
+    val sp = spark; import sp.implicits._
+    (1 to 12).foreach { round =>
+      rnd.nextInt(3) match {
+        case 0 => // UPDATE bal for a random key-mod class
+          val m = 1 + rnd.nextInt(4)
+          val delta = rnd.nextInt(50).toDouble
+          spark.sql(s"UPDATE cassandralike.ks.rl_fuzz SET bal = bal + $delta " +
+            s"WHERE k % ${m + 1} = $m")
+          model.keys.toSeq.filter(_ % (m + 1) == m).foreach { k =>
+            val (b, s0) = model(k)
+            model(k) = (b.map(_ + delta), s0)
+          }
+        case 1 => // DELETE by a value predicate
+          val cut = 10.0 + rnd.nextInt(200)
+          spark.sql(s"DELETE FROM cassandralike.ks.rl_fuzz WHERE bal > $cut")
+          model.filterInPlace { case (_, (b, _)) => !b.exists(_ > cut) }
+        case 2 => // MERGE: update half the source keys, insert the rest
+          val srcKeys = Seq.fill(1 + rnd.nextInt(4))(1L + rnd.nextInt(12)).distinct
+          val v = rnd.nextInt(100).toDouble
+          srcKeys.map(k => (k, v)).toDF("sk", "sv")
+            .createOrReplaceTempView("rl_fuzz_src")
+          spark.sql(
+            """MERGE INTO cassandralike.ks.rl_fuzz t USING rl_fuzz_src s
+              |ON t.k = s.sk
+              |WHEN MATCHED THEN UPDATE SET bal = s.sv
+              |WHEN NOT MATCHED THEN INSERT (k, bal, seg) VALUES (s.sk, s.sv, 'ins')
+              |""".stripMargin)
+          srcKeys.foreach { k =>
+            model(k) = model.get(k) match {
+              case Some((_, s0)) => (Some(v), s0)
+              case None => (Some(v), Some("ins"))
+            }
+          }
+      }
+      val got = state("rl_fuzz")
+      assert(got == model.toMap,
+        s"round $round diverged:\n store=$got\n model=${model.toMap}")
+    }
+  }
+
   test("row-level ops are gated off family-map and counter tables") {
     val sp = spark; import sp.implicits._
     val t = Seed.table(spark, sfDir, "rl_gate_t",
