@@ -172,6 +172,36 @@ class RowLevelSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE's affected-row scan bucket-prunes on the key predicate") {
+    freshCatalogTable("rl_prune")
+    val df = spark.sql(
+      "UPDATE cassandralike.ks.rl_prune SET bal = 0 WHERE k = 3")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: walk(q.plan)
+        case c: org.apache.spark.sql.execution.CommandResultExec =>
+          c +: walk(c.commandPhysicalPlan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no store scan under the UPDATE plan")
+    scans.foreach { b =>
+      assert(b.scan.description().contains("EqualTo(k,3)"),
+        s"key predicate not pushed into the DML scan: ${b.scan.description()}")
+      assert(b.inputPartitions.size <= 1,
+        s"key-equality UPDATE must prune to one bucket, got ${b.inputPartitions.size}")
+    }
+    assert(state("rl_prune")(3L)._1.contains(0.0))
+  }
+
   test("row-level ops are gated off family-map and counter tables") {
     val sp = spark; import sp.implicits._
     val t = Seed.table(spark, sfDir, "rl_gate_t",
