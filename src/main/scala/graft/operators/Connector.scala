@@ -470,6 +470,66 @@ object Connector {
         .orderBy($"o_orderpriority")
     },
 
+    // ---- ORDERED-KEY ZIPPER JOIN: same storage-partitioned join as
+    // conn_join_copartitioned, but the stores declare
+    // key.encoding='ordered' (integral keys big-endian, sign bit flipped,
+    // so byte order == numeric order). The scans then REPORT their key
+    // ordering on top of the bucket layout and the SMJ plans with no
+    // exchange AND no sort on either side — a pure per-bucket zipper
+    // merge, the cheapest possible shape for a BIGINT-keyed fact-fact
+    // join at 100 TB (plan-asserted in OrderedKeySpec). ----
+    Q("conn_join_ordered_keys",
+      """WITH co AS (SELECT o_custkey AS k, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(n_orders) AS BIGINT) AS orders,
+        |  CAST(sum(CAST(total AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN co ON c_custkey = co.k
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      seedOnce(s"$dir#join_ordered_keys") {
+        s.sql("DROP TABLE IF EXISTS cassandralike.ks.cust_ordered")
+        s.sql(
+          """CREATE TABLE cassandralike.ks.cust_ordered
+            |  (c_custkey BIGINT, c_mktsegment STRING)
+            |USING cassandralike
+            |TBLPROPERTIES ('buckets' = '16', 'partitioning.report' = 'true',
+            |  'key.encoding' = 'ordered')""".stripMargin)
+        s.sql(
+          """INSERT INTO cassandralike.ks.cust_ordered
+            |SELECT c_custkey, c_mktsegment FROM customer""".stripMargin)
+        s.sql("DROP TABLE IF EXISTS cassandralike.ks.orders_by_cust_ordered")
+        s.sql(
+          """CREATE TABLE cassandralike.ks.orders_by_cust_ordered
+            |  (o_custkey BIGINT, n_orders BIGINT, total DOUBLE)
+            |USING cassandralike
+            |TBLPROPERTIES ('buckets' = '16', 'partitioning.report' = 'true',
+            |  'key.encoding' = 'ordered')""".stripMargin)
+        s.sql(
+          """INSERT INTO cassandralike.ks.orders_by_cust_ordered
+            |SELECT o_custkey, count(*),
+            |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+            |FROM orders GROUP BY o_custkey""".stripMargin)
+      }
+      s.table("cassandralike.ks.cust_ordered")
+        .hint("MERGE")
+        .join(s.table("cassandralike.ks.orders_by_cust_ordered"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum($"n_orders").cast("long").as("orders"),
+          d(sum(m($"total"))).as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+
     // ---- SHUFFLE-FREE CO-BUCKETED WRITE: the write side of the
     // co-location story. A cassandralike write declares clustered(key), so
     // Spark plants a full repartition over the write set — but when the

@@ -73,7 +73,10 @@ object CoBucketedWrite extends Rule[LogicalPlan] {
           case src: CassandraLikeTable =>
             attr.name == src.mapping.keyField.name &&
               src.mapping.keyField.dataType == target.mapping.keyField.dataType &&
-              buckets(src) == buckets(target)
+              buckets(src) == buckets(target) &&
+              // key byte form decides the bucket a key routes to — a
+              // mixed-encoding pipeline must keep its shuffle
+              src.keyCodec.ordered == target.keyCodec.ordered
           case _ => false
         }
       case _ => false

@@ -58,3 +58,57 @@ final case class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] 
     TokenRing.bucket(Codecs.encode(keyType, key), n)
   }
 }
+
+/** The ordered-key twin of [[BucketFunction]]: identical ring math over the
+  * ORDER-PRESERVING key bytes (`key.encoding = 'ordered'`). Two deliberate
+  * differences. (1) A separate function identity — the key→bucket map
+  * depends on the key's byte form, so an ordered store must never be
+  * "proven" co-partitioned with a bytes store: distinct canonical names
+  * make Catalyst fall back to a shuffled join across encodings (sound),
+  * while two ordered stores with equal bucket counts still zip
+  * shuffle-free. (2) The bucket count is baked into the function NAME
+  * (`ordered_bucket_<n>`), making the transform a ONE-argument function of
+  * the key: Spark's storage-partitioned-join support requires a
+  * partitioning transform to resolve to a single-reference expression
+  * (KeyGroupedPartitioning.supportsExpressions) and only the builtin
+  * `bucket` name gets the special two-arg handling. Integral keys only
+  * (the ordered encoding's domain). */
+final case class OrderedBucketFunction(buckets: Int) extends UnboundFunction {
+  override def name(): String = OrderedBucketFunction.nameFor(buckets)
+  override def description(): String =
+    s"${name()}(key): token-ring bucket over order-preserving key bytes"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"${name()} expects (key), got ${inputType.catalogString}")
+    val keyType = inputType(0).dataType
+    require(KeyCodec.integral(keyType),
+      s"${name()}: integral keys only, got ${keyType.catalogString}")
+    BoundOrderedBucket(keyType, buckets)
+  }
+}
+
+object OrderedBucketFunction {
+  def nameFor(buckets: Int): String = s"ordered_bucket_$buckets"
+  private val NamePat = "ordered_bucket_(\\d+)".r
+  /** Parse `ordered_bucket_<n>` back to its bucket count. */
+  def parse(name: String): Option[Int] = name match {
+    case NamePat(n) => Some(n.toInt)
+    case _ => None
+  }
+}
+
+final case class BoundOrderedBucket(keyType: DataType, buckets: Int)
+  extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = OrderedBucketFunction.nameFor(buckets)
+  override def canonicalName(): String =
+    s"cassandralike.${name()}(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val key = input.get(0, keyType)
+    TokenRing.bucket(Codecs.encodeKeyOrdered(keyType, key), buckets)
+  }
+}

@@ -43,7 +43,14 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadFunction(ident: Identifier): functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase(BucketFunction.name())) BucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else OrderedBucketFunction.parse(ident.name().toLowerCase) match {
+      // ordered_bucket_<n>: the ordered-key transform family (bucket count
+      // baked into the name so the transform stays single-argument — the
+      // shape storage-partitioned joins require)
+      case Some(n) => OrderedBucketFunction(n)
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _

@@ -117,15 +117,23 @@ object Options {
     * Read-time only, NOT a layout property. */
   val IndexMaxCandidates = "index.max.candidates"
 
+  /** Row-key byte form: 'bytes' (default — the canonical BytesType
+    * marshal) or 'ordered' (integral keys big-endian with the sign bit
+    * flipped, so byte order == numeric order). Ordered keys extend the
+    * sorted-scan claims (zipper joins, key-order TopN) to numeric-keyed
+    * stores. A LAYOUT property: it decides where every key's bytes route,
+    * so it is fixed before the first segment. */
+  val KeyEncoding = "key.encoding"
+
   /** Properties baked into committed segment bytes — token routing
     * (buckets), cell naming/shape (mapping), value marshal (encoding),
-    * index completeness (index.columns). ALTER TABLE SET/UNSET rejects
-    * these once segments exist: existing data was laid out under the old
-    * value, so a change silently misroutes deletes, unmaps high buckets,
-    * or leaves an index that misses pre-existing rows, instead of failing
-    * loudly. */
+    * key byte form (key.encoding), index completeness (index.columns).
+    * ALTER TABLE SET/UNSET rejects these once segments exist: existing
+    * data was laid out under the old value, so a change silently
+    * misroutes deletes, unmaps high buckets, or leaves an index that
+    * misses pre-existing rows, instead of failing loudly. */
   val LayoutProperties: Set[String] =
-    Set("buckets", "mapping", "encoding", IndexColumns)
+    Set("buckets", "mapping", "encoding", KeyEncoding, IndexColumns)
 
   val DefaultBuckets = 32
   val DefaultIndexMaxCandidates = 64 * 1024
@@ -162,6 +170,21 @@ object Options {
         case (k, v) if k.startsWith("spark.cassandralike.") =>
           k.stripPrefix("spark.cassandralike.") -> v
       }.toMap).getOrElse(Map.empty)
+}
+
+object CassandraLikeTable {
+  /** The store's bucket transform for Catalyst. Ordered-key tables report
+    * a DIFFERENT function ([[OrderedBucketFunction]]): the key→bucket map
+    * hashes the ENCODED bytes, so the same logical key routes to different
+    * buckets under the two encodings — sharing one transform name would
+    * let Catalyst "prove" an ordered store co-partitioned with a bytes
+    * store and zip mismatched buckets. Distinct names make mixed-encoding
+    * joins fall back to an ordinary shuffle instead. */
+  def bucketTransform(buckets: Int, keyName: String, ordered: Boolean)
+    : Transform =
+    if (!ordered) Expressions.bucket(buckets, keyName)
+    else Expressions.apply(OrderedBucketFunction.nameFor(buckets),
+      Expressions.column(keyName))
 }
 
 /** Path-based entry point: `spark.read.format("cassandralike").load(dir)` /
@@ -208,6 +231,11 @@ class CassandraLikeTable(
 
   val mapping: ColumnMapping = ColumnMapping.forTable(tableSchema, mappingStr)
 
+  /** Table-level key codec (key.encoding is a layout property, so options
+    * can't change it per read) — also validates the property up front. */
+  val keyCodec: KeyCodec =
+    KeyCodec.of(mapping.keyField.dataType, k => tableProps.get(k))
+
   override def name(): String = tableName
   /** Cell-address columns are never null in the store (every cell carries
     * a key and, on transposed mappings, a column/sub-column name; the
@@ -231,8 +259,8 @@ class CassandraLikeTable(
   override def partitioning(): Array[Transform] = {
     val buckets = tableProps.get(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
-      buckets, mapping.keyField.name))
+    Array(CassandraLikeTable.bucketTransform(buckets,
+      mapping.keyField.name, keyCodec.ordered))
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -286,12 +314,11 @@ class CassandraLikeTable(
       CellStore.truncate(dir) // unconditional DELETE = truncate
       return
     }
-    val keyType = mapping.keyField.dataType
     val keys: Seq[Array[Byte]] = filters.flatMap {
       case EqualTo(_, v) => Seq(v)
       case In(_, vs) => vs.toSeq
       case _ => Nil
-    }.map(v => Codecs.encode(keyType,
+    }.map(v => keyCodec.encode(
       CatalystTypeConverters.convertToCatalyst(v))).toSeq
     val buckets = tableProps.get(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
@@ -398,7 +425,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => false
     }
     val keyF = table.mapping.keyField
-    if (!byteOrdered(keyF.dataType)) return false
+    if (!byteOrdered(keyF.dataType) && !table.keyCodec.ordered) return false
     val reversed = Options.effective(options, table.tableProps,
       Options.SliceReversed).exists(_.toBoolean)
     val natural = orders.toSeq match {
@@ -710,7 +737,8 @@ class CellScan(
       val buckets = table.opt(options, Options.Buckets)
         .map(_.toInt).getOrElse(Options.DefaultBuckets)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(Expressions.bucket(buckets, keyName)), plannedBuckets.size)
+        Array(CassandraLikeTable.bucketTransform(buckets, keyName,
+          table.keyCodec.ordered)), plannedBuckets.size)
     } else {
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -743,7 +771,10 @@ class CellScan(
     }
     if (aggs.nonEmpty) return Array.empty
     val keyF = table.mapping.keyField
-    if (!byteOrdered(keyF.dataType) || !required.fieldNames.contains(keyF.name))
+    // ordered key encoding makes integral byte order == numeric order, so
+    // numeric-keyed stores claim the same ordering string/binary keys do
+    val keyOrdered = byteOrdered(keyF.dataType) || table.keyCodec.ordered
+    if (!keyOrdered || !required.fieldNames.contains(keyF.name))
       return Array.empty
     val keyOrder = E.sort(E.column(keyF.name), SortDirection.ASCENDING,
       NullOrdering.NULLS_FIRST)
@@ -865,7 +896,6 @@ class CellScan(
   private def plannedBuckets: Seq[Int] = {
     val buckets = table.opt(options, Options.Buckets)
       .map(_.toInt).getOrElse(Options.DefaultBuckets)
-    val keyType = table.mapping.keyField.dataType
     val keyName = table.mapping.keyField.name
     // bucket pruning from key-equality predicates (planning-time + runtime)
     val keyValues: Option[Seq[Any]] = {
@@ -878,7 +908,7 @@ class CellScan(
     }
     val wanted: Option[Set[Int]] = keyValues.map(_.map { v =>
       val cat = CatalystTypeConverters.convertToCatalyst(v)
-      TokenRing.bucket(Codecs.encode(keyType, cat), buckets)
+      TokenRing.bucket(table.keyCodec.encode(cat), buckets)
     }.toSet)
     (0 until buckets)
       .filter(b => wanted.forall(_.contains(b)))
@@ -1327,14 +1357,15 @@ class CellPartitionReader(
   // applies the exact predicate to every emitted row, and LWW/tombstone
   // reconciliation is per-address so a key-restricted merge over all
   // segments reconciles identically to the full-bucket merge.
+  private val keyCodec: KeyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
   private val keyBounds: (Array[Byte], Array[Byte]) =
-    KeyLookupBounds(filters, mapping.keyField.name, mapping.keyField.dataType,
+    KeyLookupBounds(filters, mapping.keyField.name, keyCodec,
       part.lower, part.upper)
   // the finite key set (EqualTo/In pushdown) additionally lets the store
   // consult per-run blooms and skip whole runs — null for range scans
   private val lookupKeys: Seq[Array[Byte]] =
     KeyLookupBounds.keySet(filters, mapping.keyField.name,
-      mapping.keyField.dataType, part.lower, part.upper)
+      keyCodec, part.lower, part.upper)
 
   // multi-point slice SEEK: pushed EqualTo/In on the transposed clustering
   // column becomes a cell-level byte filter INSIDE the merge — the listed
@@ -1466,7 +1497,7 @@ class CellPartitionReader(
     mapping.fields.foreach { f =>
       if (needed.contains(f.name)) f.role match {
         case FieldRole.Key =>
-          values(f.name) = Codecs.decode(keyType, key) // keys are canonical binary
+          values(f.name) = keyCodec.decode(key)
         case FieldRole.Cell(cellName) =>
           val vd = validators.map(_.apply(cellIdx(f.name)))
           values(f.name) = byName.get(cellName).map { c =>
@@ -1520,7 +1551,7 @@ class CellPartitionReader(
     var it: Iterator[Cell] = new WideRowIterator(fetch, math.max(2, pageSize), order)
     count.foreach(n => it = it.take(n)) // per-key count cap (P2)
 
-    val keyVal = Codecs.decode(keyType, key)
+    val keyVal = keyCodec.decode(key)
     val colField = mapping.field(FieldRole.TransColumn)
     val valField = mapping.field(FieldRole.TransValue)
     val subField = if (mapping.hasSubColumn) Some(mapping.field(FieldRole.TransSubColumn)) else None
@@ -1607,7 +1638,7 @@ object FilterEval {
   * envelope, and the envelope only ever SHRINKS the scanned range — rows are
   * still exact-filtered post-decode. */
 object KeyLookupBounds {
-  def apply(filters: Array[Filter], keyName: String, keyType: DataType,
+  def apply(filters: Array[Filter], keyName: String, codec: KeyCodec,
       partLower: Array[Byte], partUpper: Array[Byte])
     : (Array[Byte], Array[Byte]) = {
     val envelopes = filters.flatMap {
@@ -1616,7 +1647,7 @@ object KeyLookupBounds {
       case _ => None
     }.map { vs =>
       val enc = vs.map(v =>
-        Codecs.encode(keyType, CatalystTypeConverters.convertToCatalyst(v)))
+        codec.encode(CatalystTypeConverters.convertToCatalyst(v)))
       val lo = enc.minBy(identity)(byteOrder)
       val hi = succ(enc.maxBy(identity)(byteOrder))
       (lo, hi)
@@ -1637,14 +1668,14 @@ object KeyLookupBounds {
     * predicates are re-applied row-wise downstream. This is what lets the
     * store consult per-run blooms ([[CellStore.KeyBloom]]) and skip
     * segments/runs that provably hold none of the keys. */
-  def keySet(filters: Array[Filter], keyName: String, keyType: DataType,
+  def keySet(filters: Array[Filter], keyName: String, codec: KeyCodec,
       partLower: Array[Byte], partUpper: Array[Byte]): Seq[Array[Byte]] = {
     val sets = filters.flatMap {
       case EqualTo(c, v) if c == keyName => Some(Seq(v))
       case In(c, vs) if c == keyName && vs.nonEmpty => Some(vs.toSeq)
       case _ => None
     }.map(_.map(v =>
-      Codecs.encode(keyType, CatalystTypeConverters.convertToCatalyst(v))))
+      codec.encode(CatalystTypeConverters.convertToCatalyst(v))))
     if (sets.isEmpty) return null
     val inter = sets.map(_.map(_.toSeq).toSet).reduce(_ intersect _)
     inter.toSeq.map(_.toArray).filter { k =>

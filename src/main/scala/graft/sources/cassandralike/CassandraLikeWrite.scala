@@ -303,6 +303,7 @@ class CellDataWriter(
 
   private val keyIdx = mapping.fields.indexWhere(_.role == FieldRole.Key)
   private val keyType = mapping.keyField.dataType
+  private val keyCodec = KeyCodec.of(keyType, opt)
 
   /** Secondary indexes (Index.scala): per indexed column, a parallel run
     * writer into `idx_<col>/sst` whose cells are (value bytes → base key).
@@ -362,7 +363,7 @@ class CellDataWriter(
   private[cassandralike] def writeAt(row: InternalRow, ts: Long): Unit = {
     val keyRaw = row.get(keyIdx, keyType)
     require(keyRaw != null, "null row key")
-    val key = Codecs.encode(keyType, keyRaw) // keys are canonical binary
+    val key = keyCodec.encode(keyRaw)
 
     if (mapping.transposed) {
       // W2: one cell per row (serde/TransposedMapping.java:34-72)
@@ -428,7 +429,7 @@ class CellDataWriter(
     * read is needed to know what to shadow. */
   private[cassandralike] def writeDeleteAll(keyRaw: Any): Unit = {
     require(keyRaw != null, "null row key")
-    val key = Codecs.encode(keyType, keyRaw)
+    val key = keyCodec.encode(keyRaw)
     mapping.fields.foreach {
       case MappedField(_, _, FieldRole.Cell(cellName)) =>
         add(Cell(key, cellName.getBytes(UTF_8), null, null, baseTs, tombstone = true))
@@ -447,7 +448,7 @@ class CellDataWriter(
     val sub =
       if (subRaw == null) null
       else Codecs.encode(mapping.field(FieldRole.TransSubColumn).dataType, subRaw)
-    add(Cell(Codecs.encode(keyType, keyRaw),
+    add(Cell(keyCodec.encode(keyRaw),
       Codecs.encode(colF.dataType, colRaw), sub, null, baseTs, tombstone = true))
     if (buffer.length >= batchSize) { flush(); flushes += 1 }
   }

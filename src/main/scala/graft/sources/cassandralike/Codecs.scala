@@ -26,6 +26,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * Values are Catalyst-internal: strings are UTF8String, timestamps are Long
   * micros — codecs sit inside the DSv2 scan/write, so they speak InternalRow.
   */
+/** Resolved row-key codec: the canonical BytesType marshal, or the
+  * order-preserving integral form under `key.encoding = 'ordered'` (see
+  * [[Codecs.encodeKeyOrdered]]). A layout property — every key byte in a
+  * store was produced by exactly one of the two, so the codec is fixed at
+  * table level, validated before any IO. */
+final case class KeyCodec(dt: DataType, ordered: Boolean) {
+  def encode(v: Any): Array[Byte] =
+    if (ordered) Codecs.encodeKeyOrdered(dt, v) else Codecs.encode(dt, v)
+  def decode(b: Array[Byte]): Any =
+    if (ordered) Codecs.decodeKeyOrdered(dt, b) else Codecs.decode(dt, b)
+}
+
+object KeyCodec {
+  def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  /** Resolve from the effective option chain (option > conf > table
+    * property); rejects 'ordered' on non-integral keys up front. */
+  def of(keyType: DataType, opt: String => Option[String]): KeyCodec = {
+    val mode = opt("key.encoding")
+    require(mode.forall(m => m == "bytes" || m == "ordered"),
+      s"key.encoding must be 'bytes' or 'ordered', got ${mode.get}")
+    val ordered = mode.contains("ordered")
+    require(!ordered || integral(keyType),
+      s"key.encoding='ordered' supports integral keys only, got ${keyType.catalogString}")
+    KeyCodec(keyType, ordered)
+  }
+}
+
 object Codecs {
 
   /** Marshal a Catalyst value to cell bytes. Null values have no cell. */
@@ -149,6 +179,37 @@ object Codecs {
       case _ => bytes.map(b => f"$b%02x").mkString
     }
     UTF8String.fromString(s)
+  }
+
+  /** ORDER-PRESERVING integral key form (`key.encoding = 'ordered'`, a
+    * layout property): big-endian two's complement with the SIGN BIT
+    * FLIPPED, so unsigned byte order equals numeric order — negatives
+    * sort first instead of after the positives. This is what lets a
+    * numeric-keyed store claim its scan ordering (sorted-scan zipper
+    * joins, key-order TopN) and push key RANGES; the default BytesType
+    * form stays byte-faithful to the reference's marshal. Integral types
+    * only — floats have their own monotone map (Index.encodeKey) and
+    * strings/binary are already order-identical. */
+  def encodeKeyOrdered(dt: DataType, v: Any): Array[Byte] = dt match {
+    case LongType =>
+      ByteBuffer.allocate(8).putLong(v.asInstanceOf[Long] ^ Long.MinValue).array()
+    case IntegerType =>
+      ByteBuffer.allocate(4).putInt(v.asInstanceOf[Int] ^ Int.MinValue).array()
+    case ShortType =>
+      ByteBuffer.allocate(2).putShort((v.asInstanceOf[Short] ^ Short.MinValue).toShort).array()
+    case ByteType =>
+      Array[Byte]((v.asInstanceOf[Byte] ^ Byte.MinValue).toByte)
+    case other => throw new IllegalArgumentException(
+      s"key.encoding='ordered' supports integral keys only, got ${other.catalogString}")
+  }
+
+  def decodeKeyOrdered(dt: DataType, bytes: Array[Byte]): Any = dt match {
+    case LongType => ByteBuffer.wrap(bytes).getLong ^ Long.MinValue
+    case IntegerType => ByteBuffer.wrap(bytes).getInt ^ Int.MinValue
+    case ShortType => (ByteBuffer.wrap(bytes).getShort ^ Short.MinValue).toShort
+    case ByteType => (bytes(0) ^ Byte.MinValue).toByte
+    case other => throw new IllegalArgumentException(
+      s"key.encoding='ordered' supports integral keys only, got ${other.catalogString}")
   }
 
   /** Key ordering/equality wrapper: cell names sort in unsigned-byte

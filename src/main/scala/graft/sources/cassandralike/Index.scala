@@ -294,8 +294,10 @@ object Index {
     if (sets.isEmpty) return Array.empty // every lookup over budget
     val cands = sets.reduce(_ intersect _)
     val keyType = table.mapping.keyField.dataType
+    // postings carry the BASE KEY's stored bytes — decode with the table's
+    // key codec (ordered-key stores store sign-flipped integral bytes)
     val ext = cands.toSeq.map(kb =>
-      CatalystTypeConverters.convertToScala(Codecs.decode(keyType, kb.toArray), keyType))
+      CatalystTypeConverters.convertToScala(table.keyCodec.decode(kb.toArray), keyType))
     Array(In(table.mapping.keyField.name, ext.toArray))
   }
 

@@ -450,7 +450,7 @@ class CellStoreSpec extends AnyFunSuite {
   private val kb = {
     import org.apache.spark.sql.sources.{EqualTo, In, GreaterThan, Filter}
     (fs: Array[Filter], lo: Array[Byte], hi: Array[Byte]) =>
-      KeyLookupBounds(fs, "userid", StringType, lo, hi)
+      KeyLookupBounds(fs, "userid", KeyCodec(StringType, ordered = false), lo, hi)
   }
   private def enc(s: String): Array[Byte] =
     Codecs.encode(StringType, UTF8String.fromString(s))
@@ -615,7 +615,7 @@ class CellStoreSpec extends AnyFunSuite {
     import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
     def ks(fs: Array[org.apache.spark.sql.sources.Filter],
         lo: Array[Byte] = null, hi: Array[Byte] = null) =
-      Option(KeyLookupBounds.keySet(fs, "userid", StringType, lo, hi))
+      Option(KeyLookupBounds.keySet(fs, "userid", KeyCodec(StringType, ordered = false), lo, hi))
         .map(_.map(new String(_)).sorted)
     assert(ks(Array(EqualTo("userid", "m"))).contains(Seq("m")))
     assert(ks(Array(In("userid", Array("c", "g", "t")))).contains(Seq("c", "g", "t")))

@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.functions._
+
+/** `key.encoding = 'ordered'` — integral keys stored big-endian with the
+  * sign bit flipped, so byte order == numeric order: numeric-keyed stores
+  * gain the sorted-scan claims (zipper joins, key-order TopN) that
+  * string/binary keys already have, with negatives sorting first. */
+class OrderedKeySpec extends SparkSpec {
+
+  test("ordered codec: byte order equals numeric order, roundtrip exact") {
+    val vs = Seq(Long.MinValue, -1000000L, -1L, 0L, 1L, 42L, Long.MaxValue)
+    val encoded = vs.map(v =>
+      Codecs.encodeKeyOrdered(org.apache.spark.sql.types.LongType, v))
+    encoded.sliding(2).foreach { case Seq(a, b) =>
+      assert(Codecs.compareBytes(a, b) < 0, "byte order must follow numeric order")
+    }
+    vs.zip(encoded).foreach { case (v, e) =>
+      assert(Codecs.decodeKeyOrdered(
+        org.apache.spark.sql.types.LongType, e) == v)
+    }
+    // non-integral keys reject the property up front
+    intercept[IllegalArgumentException](
+      KeyCodec.of(org.apache.spark.sql.types.StringType,
+        k => if (k == "key.encoding") Some("ordered") else None))
+  }
+
+  test("ordered store: readback, key lookup, delete, TopN — negatives included") {
+    val sp = spark; import sp.implicits._
+    val src = Seq(-5L, -2L, -1L, 0L, 3L, 7L, 100L).map(k => (k, s"v$k"))
+      .toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_ordered", src,
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    val back = Seed.read(spark, store)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      src.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // key equality routes through the ordered bytes (bucket prune + blooms)
+    assert(back.filter($"k" === -2L).collect().map(_.getString(1)).toSeq == Seq("v-2"))
+    // TopN pushes for an integral ORDERED key and returns numeric minima
+    val topn = Seed.read(spark, store).orderBy($"k").limit(3)
+    val scan = topn.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(scan.description().contains("Limit: 3"),
+      s"ordered-key TopN not pushed: ${scan.description()}")
+    assert(topn.collect().map(_.getLong(0)).toSeq == Seq(-5L, -2L, -1L))
+    // DELETE by key through the ordered encode
+    val meta = CellStore.readMeta(store).get
+    val table = new CassandraLikeTable(store, store,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", -5L)))
+    assert(Seed.read(spark, store).collect().map(_.getLong(0)).toSet ==
+      Set(-2L, -1L, 0L, 3L, 7L, 100L))
+  }
+
+  test("ordered BIGINT stores zipper-join: no exchange AND no sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    Seq("ord_a", "ord_b").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$n (k BIGINT, v DOUBLE)
+           |USING cassandralike
+           |TBLPROPERTIES ('buckets' = '4', 'partitioning.report' = 'true',
+           |  'key.encoding' = 'ordered')""".stripMargin)
+    }
+    spark.sql("INSERT INTO cassandralike.ks.ord_a SELECT id - 50, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql("INSERT INTO cassandralike.ks.ord_b SELECT id - 50, CAST(id * 2 AS DOUBLE) FROM range(0, 100)")
+    val joined = spark.table("cassandralike.ks.ord_a").hint("MERGE")
+      .join(spark.table("cassandralike.ks.ord_b"), Seq("k"))
+    assert(joined.count() == 100)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val all = walk(joined.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join of the ordered stores")
+    val under = smjs.flatMap(j => j.children.flatMap(walk))
+    assert(!under.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "no exchange under the ordered co-partitioned join")
+    assert(!under.exists(_.isInstanceOf[SortExec]),
+      s"ordered keys must elide the SMJ sorts: ${under.map(_.nodeName)}")
+
+    // MIXED encodings must NOT be proven co-partitioned: distinct bucket
+    // functions force the sound shuffled fallback with identical rows
+    spark.sql("DROP TABLE IF EXISTS cassandralike.ks.ord_mixed")
+    spark.sql(
+      """CREATE TABLE cassandralike.ks.ord_mixed (k BIGINT, w DOUBLE)
+        |USING cassandralike
+        |TBLPROPERTIES ('buckets' = '4', 'partitioning.report' = 'true')""".stripMargin)
+    spark.sql("INSERT INTO cassandralike.ks.ord_mixed SELECT id - 50, CAST(id AS DOUBLE) FROM range(0, 100)")
+    val mixed = spark.table("cassandralike.ks.ord_a").hint("MERGE")
+      .join(spark.table("cassandralike.ks.ord_mixed"), Seq("k"))
+    assert(mixed.count() == 100, "mixed-encoding join must still be correct")
+    val mixedPlan = walk(mixed.queryExecution.executedPlan)
+    assert(mixedPlan.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "mixed encodings must fall back to a shuffled join, never zip buckets")
+  }
+
+  test("key.encoding is a locked layout property once segments exist") {
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    spark.sql("DROP TABLE IF EXISTS cassandralike.ks.ord_lock")
+    spark.sql(
+      """CREATE TABLE cassandralike.ks.ord_lock (k BIGINT, v STRING)
+        |USING cassandralike TBLPROPERTIES ('key.encoding' = 'ordered')""".stripMargin)
+    spark.sql("INSERT INTO cassandralike.ks.ord_lock VALUES (1, 'a')")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE cassandralike.ks.ord_lock SET TBLPROPERTIES ('key.encoding' = 'bytes')"))
+  }
+}
