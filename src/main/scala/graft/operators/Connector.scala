@@ -305,6 +305,31 @@ object Connector {
         .orderBy($"c_custkey")
     },
 
+    // ---- KEY RANGE pushdown on an ordered-encoded key: with
+    // key.encoding='ordered' byte order == numeric order, so pushed
+    // </>= on the ROW KEY tighten every partition's merge range and the
+    // run indexes seek straight to the range start instead of streaming
+    // the bucket and re-filtering post-decode (the same seek machinery
+    // key equality drives; cells-read ≈ range size is pinned in
+    // ScanMetricsSpec, and string/binary keys get the same treatment
+    // under the default bytes form — their SQL order IS byte order). ----
+    Q("conn_key_range",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "key_range",
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("double")),
+        props = Map(
+          graft.sources.cassandralike.Options.KeyEncoding -> "ordered"))
+      Seed.read(s, store)
+        .filter($"o_orderkey" >= 1000L && $"o_orderkey" < 2000L)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
     // ---- secondary index: value-equality predicates on an indexed cell
     // column resolve through the idx_<col> sub-store to base-key candidates
     // at planning (Index.keyFilters), then read as a bloom-pruned point

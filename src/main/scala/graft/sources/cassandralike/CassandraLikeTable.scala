@@ -538,6 +538,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyName = m.keyField.name
     val sliceName =
       if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
+    // Key RANGE pushdown needs encoded-byte order == SQL value order
+    // (KeyCodec.rangeOrdered: the 'ordered' integral encoding, or
+    // string/binary keys whose SQL order is byte order) — then a pushed
+    // </>= on the ROW KEY tightens the merge range and the run indexes
+    // SEEK past the excluded prefix/suffix instead of scanning the whole
+    // bucket and re-filtering post-decode (the same machinery key
+    // equality already drives, KeyLookupBounds).
+    val rangeKey = table.keyCodec.rangeOrdered
+    def keyRange(c: String, v: Any): Boolean =
+      c == keyName && rangeKey && v != null
     def pushable(f: Filter): Boolean = f match {
       case EqualTo(c, _) => c == keyName || sliceName.contains(c)
       // IN on the clustering column: a multi-point slice — FilterEval
@@ -545,10 +555,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       // non-matching cells of a wide row are dropped before they become
       // rows and Spark plants no re-filter above the scan
       case In(c, _) => c == keyName || sliceName.contains(c)
-      case GreaterThan(c, _) => sliceName.contains(c)
-      case GreaterThanOrEqual(c, _) => sliceName.contains(c)
-      case LessThan(c, _) => sliceName.contains(c)
-      case LessThanOrEqual(c, _) => sliceName.contains(c)
+      case GreaterThan(c, v) => keyRange(c, v) || sliceName.contains(c)
+      case GreaterThanOrEqual(c, v) => keyRange(c, v) || sliceName.contains(c)
+      case LessThan(c, v) => keyRange(c, v) || sliceName.contains(c)
+      case LessThanOrEqual(c, v) => keyRange(c, v) || sliceName.contains(c)
       case _ => false
     }
     val (accepted, rejected) = filters.partition(pushable)
@@ -1632,25 +1642,42 @@ object FilterEval {
 /** Derives the tightest [lower, upper) encoded-key range a partition's merge
   * must cover given its pushed filters — the point-lookup pruning companion
   * to planning-time bucket pruning (`plannedBuckets`). Top-level key
-  * equality / IN conjuncts narrow the range; everything else leaves the
-  * partition's own sub-split bounds untouched. Sound by construction: every
-  * key satisfying ALL conjuncts lies inside every conjunct's [min, succ(max))
-  * envelope, and the envelope only ever SHRINKS the scanned range — rows are
-  * still exact-filtered post-decode. */
+  * equality / IN conjuncts narrow the range, and — when the key encoding is
+  * order-preserving ([[KeyCodec.rangeOrdered]]) — so do </<=/>/>= range
+  * conjuncts; everything else leaves the partition's own sub-split bounds
+  * untouched. Sound by construction: every key satisfying ALL conjuncts lies
+  * inside every conjunct's envelope ([min, succ(max)) for point sets,
+  * half-open byte ranges for comparisons — byte order == value order is
+  * exactly what rangeOrdered asserts), and the envelope only ever SHRINKS
+  * the scanned range — rows are still exact-filtered post-decode. */
 object KeyLookupBounds {
   def apply(filters: Array[Filter], keyName: String, codec: KeyCodec,
       partLower: Array[Byte], partUpper: Array[Byte])
     : (Array[Byte], Array[Byte]) = {
-    val envelopes = filters.flatMap {
+    def enc(v: Any): Array[Byte] =
+      codec.encode(CatalystTypeConverters.convertToCatalyst(v))
+    val ranged = codec.rangeOrdered
+    val envelopes: Array[(Array[Byte], Array[Byte])] = filters.flatMap {
       case EqualTo(c, v) if c == keyName => Some(Seq(v))
       case In(c, vs) if c == keyName && vs.nonEmpty => Some(vs.toSeq)
       case _ => None
     }.map { vs =>
-      val enc = vs.map(v =>
-        codec.encode(CatalystTypeConverters.convertToCatalyst(v)))
-      val lo = enc.minBy(identity)(byteOrder)
-      val hi = succ(enc.maxBy(identity)(byteOrder))
-      (lo, hi)
+      val e = vs.map(enc)
+      (e.minBy(identity)(byteOrder), succ(e.maxBy(identity)(byteOrder)))
+    } ++ filters.flatMap {
+      // half-open envelopes from pushed key comparisons: a null bound means
+      // "unbounded on that side" (the partition's own bound prevails in the
+      // fold below). succ() turns the inclusive byte form into the matching
+      // exclusive/inclusive half-open bound.
+      case GreaterThan(c, v) if c == keyName && ranged && v != null =>
+        Some((succ(enc(v)), null: Array[Byte]))
+      case GreaterThanOrEqual(c, v) if c == keyName && ranged && v != null =>
+        Some((enc(v), null: Array[Byte]))
+      case LessThan(c, v) if c == keyName && ranged && v != null =>
+        Some((null: Array[Byte], enc(v)))
+      case LessThanOrEqual(c, v) if c == keyName && ranged && v != null =>
+        Some((null: Array[Byte], succ(enc(v))))
+      case _ => None
     }
     // AND of conjuncts = intersection of envelopes, then the partition range
     val (lo, hi) = envelopes.foldLeft((partLower, partUpper)) {

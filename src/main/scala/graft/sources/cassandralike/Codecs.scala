@@ -36,6 +36,16 @@ final case class KeyCodec(dt: DataType, ordered: Boolean) {
     if (ordered) Codecs.encodeKeyOrdered(dt, v) else Codecs.encode(dt, v)
   def decode(b: Array[Byte]): Any =
     if (ordered) Codecs.decodeKeyOrdered(dt, b) else Codecs.decode(dt, b)
+  /** Whether encoded-byte order equals SQL value order — the property that
+    * makes pushed key RANGES (> >= < <=) sound to translate into merge-range
+    * bounds and run-index seeks. True for the ordered integral form by
+    * construction, and for string/binary keys under the default bytes form
+    * because their SQL ordering IS unsigned byte order (UTF8String and
+    * BinaryType both compare bytes unsigned). The default integral forms are
+    * NOT ordered: big-endian two's complement sorts negatives after
+    * positives. */
+  def rangeOrdered: Boolean =
+    ordered || dt == StringType || dt == BinaryType
 }
 
 object KeyCodec {

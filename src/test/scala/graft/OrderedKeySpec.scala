@@ -112,6 +112,61 @@ class OrderedKeySpec extends SparkSpec {
       "mixed encodings must fall back to a shuffled join, never zip buckets")
   }
 
+  test("pushed key RANGE seeks the merge on order-preserving encodings") {
+    val sp = spark; import sp.implicits._
+    val n = 1000
+    val src = (0 until n).map(i => (i.toLong - 500L, s"v$i")).toDF("k", "v")
+    def cellsMergedFor(df: org.apache.spark.sql.DataFrame): Long = {
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.getOrElse(fail("no BatchScanExec"))
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      var cells = 0L
+      batch.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        try { while (r.next()) r.get() } finally {
+          r.currentMetricsValues().foreach(m =>
+            if (m.name() == "cellsMerged") cells += m.value())
+          r.close()
+        }
+      }
+      cells
+    }
+    // ordered integral keys: a sign-crossing range merges O(range + index
+    // granularity), not O(table) — the run indexes seek to the range start
+    val ord = Seed.table(spark, sfDir, "spec_key_range_ord", src,
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    val q = Seed.read(spark, ord).filter($"k" >= -10L && $"k" < 10L)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (-10L until 10L),
+      "sign-crossing range must be exact under the ordered encoding")
+    val cellsOrd = cellsMergedFor(q)
+    assert(cellsOrd < n / 2, s"ordered key range must seek: merged $cellsOrd of $n")
+    // default bytes form on integral keys: big-endian two's complement is
+    // NOT value-ordered (negatives sort after positives), so the range must
+    // not tighten the merge — Spark's residual filter keeps it exact
+    val bytes = Seed.table(spark, sfDir, "spec_key_range_bytes", src,
+      props = Map(Options.Buckets -> "4"))
+    val qb = Seed.read(spark, bytes).filter($"k" >= -10L && $"k" < 10L)
+    assert(qb.collect().map(_.getLong(0)).sorted.toSeq == (-10L until 10L),
+      "unpushable range must still be exact via Spark's residual filter")
+    assert(cellsMergedFor(qb) == n,
+      "bytes-encoded integral keys must not translate ranges to bounds")
+    // string keys: SQL order IS unsigned byte order, so ranges push under
+    // the default bytes form with no opt-in
+    val ssrc = (0 until n).map(i => (f"k$i%04d", i.toLong)).toDF("k", "i")
+    val str = Seed.table(spark, sfDir, "spec_key_range_str", ssrc,
+      props = Map(Options.Buckets -> "4"))
+    val qs = Seed.read(spark, str).filter($"k" >= "k0100" && $"k" < "k0120")
+    assert(qs.collect().map(_.getString(0)).sorted.toSeq ==
+      (100 until 120).map(i => f"k$i%04d"), "string range must be exact")
+    assert(cellsMergedFor(qs) < n / 2, "string key range must seek")
+    // one-sided + conjunction with equality keeps the tightest envelope
+    val one = Seed.read(spark, ord).filter($"k" >= 480L)
+    assert(one.collect().map(_.getLong(0)).sorted.toSeq == (480L to 499L))
+    assert(cellsMergedFor(one) < n / 2, "open-ended range must seek")
+  }
+
   test("key.encoding is a locked layout property once segments exist") {
     spark.conf.set("spark.sql.catalog.cassandralike",
       classOf[CassandraLikeCatalog].getName)
