@@ -330,6 +330,32 @@ object Connector {
         .orderBy($"o_orderkey")
     },
 
+    // ---- ordered DOUBLE key: the encoding extends past integrals via the
+    // IEEE total-order map (negatives flip all bits, non-negatives set the
+    // sign bit — NaN above +Inf matches Spark's NaN-greatest order, and
+    // -0.0/NaN forms normalize so SQL-equal keys share ONE cell address).
+    // Decimal/timestamp/date keys ride the same seam (OrderedKeySpec).
+    // Here a DOUBLE-keyed store answers a sign-crossing key range with
+    // run-index seeks, not a scan-and-refilter. ----
+    Q("conn_key_range_double",
+      """SELECT k, o_orderkey, o_orderstatus
+        |FROM (SELECT CAST(o_orderkey AS DOUBLE) / 4 - 300 AS k,
+        |             o_orderkey, o_orderstatus FROM orders) x
+        |WHERE k >= -50.5 AND k < 50.5
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "key_range_double",
+        t(s, dir, "orders").select(
+          ($"o_orderkey".cast("double") / 4 - 300).as("k"),
+          $"o_orderkey", $"o_orderstatus"),
+        props = Map(
+          graft.sources.cassandralike.Options.KeyEncoding -> "ordered"))
+      Seed.read(s, store)
+        .filter($"k" >= -50.5d && $"k" < 50.5d)
+        .select($"k", $"o_orderkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
+    },
+
     // ---- secondary index: value-equality predicates on an indexed cell
     // column resolve through the idx_<col> sub-store to base-key candidates
     // at planning (Index.keyFilters), then read as a bloom-pruned point

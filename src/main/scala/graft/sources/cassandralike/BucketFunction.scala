@@ -71,8 +71,9 @@ final case class BoundBucket(keyType: DataType) extends ScalarFunction[Integer] 
   * the key: Spark's storage-partitioned-join support requires a
   * partitioning transform to resolve to a single-reference expression
   * (KeyGroupedPartitioning.supportsExpressions) and only the builtin
-  * `bucket` name gets the special two-arg handling. Integral keys only
-  * (the ordered encoding's domain). */
+  * `bucket` name gets the special two-arg handling. Domain =
+  * [[KeyCodec.orderedSupported]]: integrals, float/double (normalized:
+  * -0.0 and NaN forms route as ONE key), decimal, timestamp, date. */
 final case class OrderedBucketFunction(buckets: Int) extends UnboundFunction {
   override def name(): String = OrderedBucketFunction.nameFor(buckets)
   override def description(): String =
@@ -82,8 +83,8 @@ final case class OrderedBucketFunction(buckets: Int) extends UnboundFunction {
     require(inputType.length == 1,
       s"${name()} expects (key), got ${inputType.catalogString}")
     val keyType = inputType(0).dataType
-    require(KeyCodec.integral(keyType),
-      s"${name()}: integral keys only, got ${keyType.catalogString}")
+    require(KeyCodec.orderedSupported(keyType),
+      s"${name()}: unsupported ordered key type ${keyType.catalogString}")
     BoundOrderedBucket(keyType, buckets)
   }
 }

@@ -53,15 +53,25 @@ object KeyCodec {
     case LongType | IntegerType | ShortType | ByteType => true
     case _ => false
   }
+  /** The ordered encoding's domain: every fixed-width type with a monotone
+    * byte map (Codecs.encodeKeyOrdered). Strings/binary are excluded on
+    * purpose — they are already order-identical under the default form, so
+    * 'ordered' would be a misleading no-op knob. */
+  def orderedSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | TimestampType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
   /** Resolve from the effective option chain (option > conf > table
-    * property); rejects 'ordered' on non-integral keys up front. */
+    * property); rejects 'ordered' on unsupported key types up front. */
   def of(keyType: DataType, opt: String => Option[String]): KeyCodec = {
     val mode = opt("key.encoding")
     require(mode.forall(m => m == "bytes" || m == "ordered"),
       s"key.encoding must be 'bytes' or 'ordered', got ${mode.get}")
     val ordered = mode.contains("ordered")
-    require(!ordered || integral(keyType),
-      s"key.encoding='ordered' supports integral keys only, got ${keyType.catalogString}")
+    require(!ordered || orderedSupported(keyType),
+      s"key.encoding='ordered' does not support ${keyType.catalogString} keys")
     KeyCodec(keyType, ordered)
   }
 }
@@ -191,15 +201,30 @@ object Codecs {
     UTF8String.fromString(s)
   }
 
-  /** ORDER-PRESERVING integral key form (`key.encoding = 'ordered'`, a
-    * layout property): big-endian two's complement with the SIGN BIT
-    * FLIPPED, so unsigned byte order equals numeric order — negatives
-    * sort first instead of after the positives. This is what lets a
-    * numeric-keyed store claim its scan ordering (sorted-scan zipper
-    * joins, key-order TopN) and push key RANGES; the default BytesType
-    * form stays byte-faithful to the reference's marshal. Integral types
-    * only — floats have their own monotone map (Index.encodeKey) and
-    * strings/binary are already order-identical. */
+  /** ORDER-PRESERVING key form (`key.encoding = 'ordered'`, a layout
+    * property): fixed-width big-endian bytes transformed so unsigned byte
+    * order equals SQL value order. This is what lets a numeric-keyed store
+    * claim its scan ordering (sorted-scan zipper joins, key-order TopN) and
+    * push key RANGES; the default BytesType form stays byte-faithful to the
+    * reference's marshal. Per type:
+    *
+    *  - integrals / timestamp (micros) / date (days): two's complement with
+    *    the SIGN BIT FLIPPED — negatives sort first instead of after the
+    *    positives. (Ordered timestamps keep FULL micros; the bytes form is
+    *    millis for marshal fidelity.)
+    *  - float/double: the classic IEEE total-order map — negatives flip all
+    *    bits (un-reversing the backwards negative range), non-negatives set
+    *    the sign bit; NaN lands above +Inf, matching Spark's NaN-greatest
+    *    ordering. Keys normalize first (-0.0 → +0.0, NaN → canonical) so
+    *    SQL-equal keys route to ONE cell address — the same normalization
+    *    [[Index.encodeKey]] applies, for the same false-negative reason.
+    *  - decimal: unscaled value at the declared scale as a fixed 16-byte
+    *    two's complement big-endian integer (p ≤ 38 always fits 128 bits),
+    *    sign bit flipped — fixed width makes the byte order the numeric
+    *    order at equal scale.
+    *
+    * Strings/binary need no opt-in — their SQL order is already byte
+    * order under the default form. */
   def encodeKeyOrdered(dt: DataType, v: Any): Array[Byte] = dt match {
     case LongType =>
       ByteBuffer.allocate(8).putLong(v.asInstanceOf[Long] ^ Long.MinValue).array()
@@ -209,8 +234,36 @@ object Codecs {
       ByteBuffer.allocate(2).putShort((v.asInstanceOf[Short] ^ Short.MinValue).toShort).array()
     case ByteType =>
       Array[Byte]((v.asInstanceOf[Byte] ^ Byte.MinValue).toByte)
+    case TimestampType =>
+      ByteBuffer.allocate(8).putLong(v.asInstanceOf[Long] ^ Long.MinValue).array()
+    case DateType =>
+      ByteBuffer.allocate(4).putInt(v.asInstanceOf[Int] ^ Int.MinValue).array()
+    case DoubleType =>
+      val d0 = v.asInstanceOf[Double]
+      val d = if (d0 == 0.0d) 0.0d else d0 // -0.0 -> +0.0; NaN canonical below
+      val bits = java.lang.Double.doubleToLongBits(d)
+      ByteBuffer.allocate(8)
+        .putLong(if (bits < 0) ~bits else bits ^ Long.MinValue).array()
+    case FloatType =>
+      val f0 = v.asInstanceOf[Float]
+      val f = if (f0 == 0.0f) 0.0f else f0
+      val bits = java.lang.Float.floatToIntBits(f)
+      ByteBuffer.allocate(4)
+        .putInt(if (bits < 0) ~bits else bits ^ Int.MinValue).array()
+    case dt: DecimalType =>
+      val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal
+        .setScale(dt.scale).unscaledValue
+      val min = unscaled.toByteArray // minimal two's complement, BE
+      require(min.length <= 16,
+        s"decimal unscaled value exceeds 128 bits: precision ${dt.precision}")
+      val out = new Array[Byte](16)
+      java.util.Arrays.fill(out, 0, 16 - min.length,
+        (if (unscaled.signum < 0) -1 else 0).toByte)
+      System.arraycopy(min, 0, out, 16 - min.length, min.length)
+      out(0) = (out(0) ^ 0x80).toByte
+      out
     case other => throw new IllegalArgumentException(
-      s"key.encoding='ordered' supports integral keys only, got ${other.catalogString}")
+      s"key.encoding='ordered' does not support ${other.catalogString} keys")
   }
 
   def decodeKeyOrdered(dt: DataType, bytes: Array[Byte]): Any = dt match {
@@ -218,8 +271,21 @@ object Codecs {
     case IntegerType => ByteBuffer.wrap(bytes).getInt ^ Int.MinValue
     case ShortType => (ByteBuffer.wrap(bytes).getShort ^ Short.MinValue).toShort
     case ByteType => (bytes(0) ^ Byte.MinValue).toByte
+    case TimestampType => ByteBuffer.wrap(bytes).getLong ^ Long.MinValue
+    case DateType => ByteBuffer.wrap(bytes).getInt ^ Int.MinValue
+    case DoubleType =>
+      val m = ByteBuffer.wrap(bytes).getLong
+      java.lang.Double.longBitsToDouble(if (m < 0) m ^ Long.MinValue else ~m)
+    case FloatType =>
+      val m = ByteBuffer.wrap(bytes).getInt
+      java.lang.Float.intBitsToFloat(if (m < 0) m ^ Int.MinValue else ~m)
+    case dt: DecimalType =>
+      val b = bytes.clone()
+      b(0) = (b(0) ^ 0x80).toByte
+      Decimal(new java.math.BigDecimal(
+        new java.math.BigInteger(b), dt.scale), dt.precision, dt.scale)
     case other => throw new IllegalArgumentException(
-      s"key.encoding='ordered' supports integral keys only, got ${other.catalogString}")
+      s"key.encoding='ordered' does not support ${other.catalogString} keys")
   }
 
   /** Key ordering/equality wrapper: cell names sort in unsigned-byte

@@ -26,6 +26,105 @@ class OrderedKeySpec extends SparkSpec {
         k => if (k == "key.encoding") Some("ordered") else None))
   }
 
+  test("ordered codec: double/decimal/timestamp/date byte order and roundtrip") {
+    import org.apache.spark.sql.types._
+    // double: IEEE total-order map — -Inf < negatives < -0.0==+0.0 < ... < NaN
+    val ds = Seq(Double.NegativeInfinity, -1.5e300, -2.0, -Double.MinPositiveValue,
+      0.0, Double.MinPositiveValue, 1.0, 1.5e300, Double.PositiveInfinity, Double.NaN)
+    val de = ds.map(d => Codecs.encodeKeyOrdered(DoubleType, d))
+    de.sliding(2).foreach { case Seq(a, b) =>
+      assert(Codecs.compareBytes(a, b) < 0, "double byte order must follow Spark order")
+    }
+    ds.zip(de).foreach { case (d, e) =>
+      val back = Codecs.decodeKeyOrdered(DoubleType, e).asInstanceOf[Double]
+      assert(back == d || (d.isNaN && back.isNaN))
+    }
+    // SQL-equal keys route identically: -0.0 == 0.0, every NaN is THE NaN
+    assert(java.util.Arrays.equals(
+      Codecs.encodeKeyOrdered(DoubleType, -0.0d),
+      Codecs.encodeKeyOrdered(DoubleType, 0.0d)))
+    assert(java.util.Arrays.equals(
+      Codecs.encodeKeyOrdered(DoubleType,
+        java.lang.Double.longBitsToDouble(0xfff8000000000001L)), // sign-bit NaN payload
+      Codecs.encodeKeyOrdered(DoubleType, Double.NaN)))
+    // float mirrors double
+    assert(Codecs.compareBytes(
+      Codecs.encodeKeyOrdered(FloatType, -1.5f),
+      Codecs.encodeKeyOrdered(FloatType, 0.25f)) < 0)
+    assert(Codecs.decodeKeyOrdered(FloatType,
+      Codecs.encodeKeyOrdered(FloatType, -3.25f)) == -3.25f)
+    // decimal: fixed 16-byte form, ordered across the sign, exact roundtrip
+    val dt = DecimalType(38, 2)
+    val decs = Seq("-99999999999999999999999999999999999.99", "-1.00", "-0.01",
+      "0.00", "0.01", "12345.67", "99999999999999999999999999999999999.99")
+      .map(s => org.apache.spark.sql.types.Decimal(new java.math.BigDecimal(s), 38, 2))
+    val dece = decs.map(d => Codecs.encodeKeyOrdered(dt, d))
+    dece.foreach(e => assert(e.length == 16))
+    dece.sliding(2).foreach { case Seq(a, b) =>
+      assert(Codecs.compareBytes(a, b) < 0, "decimal byte order must be numeric")
+    }
+    decs.zip(dece).foreach { case (d, e) =>
+      assert(Codecs.decodeKeyOrdered(dt, e) == d)
+    }
+    // timestamp keeps FULL micros (the bytes form is millis); date = days
+    val micros = -1234567L
+    assert(Codecs.decodeKeyOrdered(TimestampType,
+      Codecs.encodeKeyOrdered(TimestampType, micros)) == micros)
+    assert(Codecs.compareBytes(
+      Codecs.encodeKeyOrdered(TimestampType, -1L),
+      Codecs.encodeKeyOrdered(TimestampType, 1L)) < 0)
+    assert(Codecs.decodeKeyOrdered(DateType,
+      Codecs.encodeKeyOrdered(DateType, -365)) == -365)
+    // strings stay rejected — already order-identical under bytes
+    intercept[IllegalArgumentException](
+      KeyCodec.of(org.apache.spark.sql.types.StringType,
+        k => if (k == "key.encoding") Some("ordered") else None))
+  }
+
+  test("double-keyed ordered store: readback, lookup, range, TopN, zero collapse") {
+    val sp = spark; import sp.implicits._
+    val src = Seq(-100.5, -2.25, -0.0, 1.5, 3.0, 777.125)
+      .map(k => (k, s"v$k")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_ordered_double", src,
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    val back = Seed.read(spark, store)
+    // -0.0 reads back as +0.0 (normalized at the key address); all rows live
+    assert(back.collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(-100.5, -2.25, 0.0, 1.5, 3.0, 777.125))
+    // a -0.0 probe must find the +0.0 row (SQL equality) — same cell address
+    assert(back.filter($"k" === -0.0d).collect().map(_.getString(1)).toSeq ==
+      Seq("v-0.0"))
+    // sign-crossing range pushes; exact results
+    assert(back.filter($"k" >= -3.0d && $"k" < 2.0d).collect()
+      .map(_.getDouble(0)).sorted.toSeq == Seq(-2.25, 0.0, 1.5))
+    // key-order TopN returns numeric minima
+    val topn = Seed.read(spark, store).orderBy($"k").limit(2)
+    assert(topn.collect().map(_.getDouble(0)).toSeq == Seq(-100.5, -2.25))
+    // writing 0.0 now LWW-overwrites the -0.0 cell (one SQL-equal key)
+    Seed.append(Seq((0.0, "vzero")).toDF("k", "v"), store,
+      Map(Options.WriteTimestamp -> "2"))
+    val after = Seed.read(spark, store).filter($"k" === 0.0d).collect()
+    assert(after.map(_.getString(1)).toSeq == Seq("vzero"))
+  }
+
+  test("decimal-keyed ordered store: readback, range seek") {
+    val sp = spark; import sp.implicits._
+    val src = sp.sql(
+      """SELECT CAST(id - 500 AS DECIMAL(20, 2)) / 4 AS k,
+        |  CAST(id AS STRING) AS v FROM range(0, 1000)""".stripMargin)
+    val store = Seed.table(spark, sfDir, "spec_ordered_decimal", src,
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    val got = Seed.read(spark, store)
+      .filter($"k" >= java.math.BigDecimal.valueOf(-5) &&
+        $"k" < java.math.BigDecimal.valueOf(5))
+    // -5.00, -4.75, ... 4.75 = 40 rows, exact decimal compare
+    val keys = got.collect().map(_.getDecimal(0)).sortBy(_.doubleValue()).toSeq
+    assert(keys.size == 40, s"got ${keys.size} rows")
+    assert(keys.head == new java.math.BigDecimal("-5.000000") ||
+      keys.head.compareTo(new java.math.BigDecimal("-5")) == 0)
+    assert(keys.last.compareTo(new java.math.BigDecimal("4.75")) == 0)
+  }
+
   test("ordered store: readback, key lookup, delete, TopN — negatives included") {
     val sp = spark; import sp.implicits._
     val src = Seq(-5L, -2L, -1L, 0L, 3L, 7L, 100L).map(k => (k, s"v$k"))
