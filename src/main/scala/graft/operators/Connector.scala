@@ -162,6 +162,54 @@ object Connector {
         .select($"k", $"bal", $"seg").orderBy($"k")
     },
 
+    // ---- MERGE WITH SCHEMA EVOLUTION: the source carries a column the
+    // target lacks; the analyzer diffs the schemas and issues the AddColumn
+    // through the catalog's plain ALTER TABLE ADD COLUMN path
+    // (AUTOMATIC_SCHEMA_EVOLUTION capability), then the MERGE resolves
+    // against the evolved table — matched rows gain the new column's value,
+    // pre-existing unmatched rows surface NULL, inserts carry it. ----
+    Q("conn_merge_evolution",
+      """WITH base AS (SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+        |              FROM customer WHERE c_custkey <= 500),
+        |src AS (SELECT c_custkey AS sk, CAST(c_acctbal AS DOUBLE) * 2 AS nbal,
+        |               c_mktsegment AS tier
+        |        FROM customer WHERE c_custkey % 3 = 0),
+        |matched AS (SELECT b.k,
+        |              CASE WHEN s.sk IS NOT NULL THEN s.nbal ELSE b.bal END AS bal,
+        |              CASE WHEN s.sk IS NOT NULL THEN s.tier END AS tier
+        |            FROM base b LEFT JOIN src s ON b.k = s.sk),
+        |ins AS (SELECT sk AS k, nbal AS bal, tier FROM src WHERE sk > 500)
+        |SELECT k, bal, tier
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM ins) u
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.merge_evolve")
+      s.sql(
+        """CREATE TABLE cassandralike.ks.merge_evolve (k BIGINT, bal DOUBLE)
+          |USING cassandralike TBLPROPERTIES ('buckets' = '8')""".stripMargin)
+      s.sql(
+        """INSERT INTO cassandralike.ks.merge_evolve
+          |SELECT c_custkey, CAST(c_acctbal AS DOUBLE)
+          |FROM customer WHERE c_custkey <= 500""".stripMargin)
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO cassandralike.ks.merge_evolve t
+          |USING (SELECT c_custkey AS sk, CAST(c_acctbal AS DOUBLE) * 2 AS nbal,
+          |              c_mktsegment AS tier
+          |       FROM customer WHERE c_custkey % 3 = 0) s
+          |ON t.k = s.sk
+          |WHEN MATCHED THEN UPDATE SET bal = s.nbal, tier = s.tier
+          |WHEN NOT MATCHED THEN INSERT (k, bal, tier) VALUES (s.sk, s.nbal, s.tier)
+          |""".stripMargin)
+      s.table("cassandralike.ks.merge_evolve")
+        .select($"k", $"bal", $"tier").orderBy($"k")
+    },
+
     // ---- ROW-LEVEL DML on a TRANSPOSED (wide-row) store: a SQL row is one
     // cell, so the delta row id is the full cell address (key, column) and
     // an UPDATE/DELETE touches exactly the addressed cells — Cassandra's

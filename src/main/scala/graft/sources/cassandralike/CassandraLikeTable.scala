@@ -262,10 +262,19 @@ class CassandraLikeTable(
     Array(CassandraLikeTable.bucketTransform(buckets,
       mapping.keyField.name, keyCodec.ordered))
   }
+  /** AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE WITH SCHEMA EVOLUTION`:
+    * the analyzer diffs source vs target schema, issues the AddColumn
+    * TableChanges through the catalog (the same ALTER TABLE ADD COLUMN
+    * path users take by hand — new cells store under the column's own
+    * name, pre-existing rows surface NULL), and re-resolves the MERGE
+    * against the evolved table. Only MERGE consults the capability
+    * (MergeIntoTable.schemaEvolutionEnabled); batch appends still
+    * validate against the declared schema. */
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** SQL UPDATE / MERGE INTO / predicate DELETE as DELTA row-level
     * operations (see [[CellRowLevelOperation]]): new cells and tombstones,

@@ -72,6 +72,37 @@ class RowLevelSpec extends SparkSpec {
     assert(s(1L) == (Some(10.0), Some("a")) && s.size == 5, s"bystanders: $s")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: source-only columns ride ALTER ADD COLUMN") {
+    freshCatalogTable("rl_merge_evolve")
+    val sp = spark; import sp.implicits._
+    Seq((2L, 222.0, "B", "gold"), (9L, 90.0, "i", "silver"))
+      .toDF("k", "bal", "seg", "tier")
+      .createOrReplaceTempView("rl_evolve_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO cassandralike.ks.rl_merge_evolve t
+        |USING rl_evolve_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val evolved = spark.table("cassandralike.ks.rl_merge_evolve")
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "bal", "seg", "tier"),
+      "target must gain the source-only column, in declaration order")
+    val rows = evolved.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(3)) None else Some(r.getString(3)))).toMap
+    assert(rows(2L).contains("gold"), s"matched update must set the new col: $rows")
+    assert(rows(9L).contains("silver"), s"insert must carry the new col: $rows")
+    assert(rows(1L).isEmpty && rows(3L).isEmpty,
+      s"pre-evolution rows surface NULL for the new col: $rows")
+    assert(rows.size == 6)
+    // the evolution is the plain ALTER path: a second MERGE without new
+    // source columns must not disturb the schema
+    spark.sql(
+      """MERGE INTO cassandralike.ks.rl_merge_evolve t
+        |USING rl_evolve_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET bal = s.bal + 1""".stripMargin)
+    assert(spark.table("cassandralike.ks.rl_merge_evolve")
+      .schema.fieldNames.length == 4)
+  }
+
   test("update beats an equal-epoch seed: delete leg at ts, insert leg at ts+1") {
     // the delete+insert representation lands one logical tick apart so the
     // tombstone can't eat its own insert; both legs beat older epochs
