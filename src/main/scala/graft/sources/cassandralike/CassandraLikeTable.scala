@@ -950,10 +950,28 @@ class CellScan(
       if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
-    val parts = plannedBuckets.flatMap { b =>
+    val planned = plannedBuckets.flatMap { b =>
       SplitPlanner.forBucket(table.dir, b, segmentsByBucket.getOrElse(b, Nil),
         hostsFor(b), target, restrictFiles = false)
     }
+    // Planning-time SUB-SPLIT pruning from the pushed key envelope: a key
+    // equality/IN (or a range, on an order-preserving encoding) that misses
+    // a sub-split's [lower, upper) entirely drops that partition here —
+    // bucket pruning catches whole buckets, but a big bucket planned as N
+    // key-range sub-splits would otherwise still schedule N-1 empty tasks
+    // for a point lookup. Purely an optimization: the readers' own bound
+    // intersection already makes the dropped scans empty.
+    val (envLo, envHi) = KeyLookupBounds(effectiveFilters,
+      table.mapping.keyField.name, table.keyCodec, null, null)
+    val parts =
+      if (envLo != null && envHi != null &&
+          Codecs.compareBytes(envLo, envHi) >= 0) Nil // provably-empty scan
+      else planned.filter { p =>
+        (envLo == null || p.upper == null ||
+          Codecs.compareBytes(envLo, p.upper) < 0) &&
+        (envHi == null || p.lower == null ||
+          Codecs.compareBytes(p.lower, envHi) < 0)
+      }
     // With aggregates pushed ungrouped, Spark's final combine is
     // SUM/MIN/MAX over the partial rows — over an EMPTY table that must
     // still see one partial (count = 0), or sum() of nothing would turn

@@ -444,6 +444,37 @@ class ConnectorSpec extends SparkSpec {
       n.toLong * (n + 1) / 2)
   }
 
+  test("S1: pushed key envelope prunes sub-splits at planning time") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val n = 4000
+    val src = (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_split_prune", src,
+      props = Map(Options.Buckets -> "1", Options.KeyEncoding -> "ordered"))
+    val meta = CellStore.readMeta(store).get
+    val table = new CassandraLikeTable(store, store,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+    def partsFor(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val b = new CellScanBuilder(table, Map(Options.SplitTargetCells -> "500"))
+      b.pushFilters(filters)
+      b.build().asInstanceOf[CellScan].planInputPartitions().length
+    }
+    val full = partsFor(Array.empty)
+    assert(full >= 4, s"expected multiple sub-splits in one bucket, got $full")
+    // a point lookup schedules ONE task, not one per sub-split
+    assert(partsFor(Array(EqualTo("k", 1234L))) == 1)
+    // an ordered-key range keeps only intersecting sub-splits
+    val tail = partsFor(Array(GreaterThanOrEqual("k", 3800L)))
+    assert(tail < full, s"range kept $tail of $full sub-splits")
+    // contradictory equalities prove the scan empty: zero tasks
+    assert(partsFor(Array(EqualTo("k", 10L), EqualTo("k", 20L))) == 0)
+    // correctness through the full pipeline is unchanged
+    val df = Seed.read(spark, store, Map(Options.SplitTargetCells -> "500"))
+      .filter($"k" === 1234L)
+    assert(df.collect().map(_.getString(1)).toSeq == Seq("v1234"))
+  }
+
   test("S2: locality.hosts maps buckets round-robin onto preferredLocations") {
     val sp = spark; import sp.implicits._
     val src = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
