@@ -185,12 +185,12 @@ object CellStore {
     val sorted = cells.sorted(addressOrdering)
     val payload = new ByteArrayOutputStream(64 * cells.length)
     val pout = new DataOutputStream(payload)
-    val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+    val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
     val bloom = new KeyBloom.Builder
     var prevKey: Array[Byte] = null
     var i = 0
     sorted.foreach { c =>
-      if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key))
+      if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key, c.col))
       // sorted input: distinct keys are exactly the key changes
       if (prevKey == null || !java.util.Arrays.equals(prevKey, c.key)) {
         bloom.add(c.key); prevKey = c.key
@@ -232,7 +232,8 @@ object CellStore {
 
   final case class RunIndex(cellPos: Array[Int], offsets: Array[Long],
       keys: Array[Array[Byte]], lastKey: Array[Byte],
-      bloom: KeyBloom /* null on pre-bloom files */)
+      bloom: KeyBloom /* null on pre-bloom files */,
+      cols: Array[Array[Byte]] = null /* (key, col)-prefixed entries; null on pre-col files */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -286,17 +287,25 @@ object CellStore {
     runInfos(file).map(ri => (ri.payloadOffset, ri.cellCount))
 
   /** Index block layout: `[int numEntries](int pos, long off, key)* lastKey`
-    * then an OPTIONAL bloom tail `[int numKeys][int numWords][long words…]`.
-    * The block is length-prefixed in the run header, so the tail is
-    * self-describing by remaining bytes: readers of pre-bloom files get
-    * `bloom = null`, and a pre-bloom reader of a new file would simply stop
-    * after lastKey — compatible both ways, no format-version bump. */
-  private def serializeIndex(entries: Seq[(Int, Long, Array[Byte])],
+    * then an OPTIONAL bloom tail `[int numKeys][int numWords][long words…]`
+    * then an OPTIONAL column tail `[int ColsMagic](col bytes)*` — the COL
+    * of each indexed cell, making every entry a (key, col) address prefix
+    * so a point slice over a very wide row can seek past whole index spans
+    * (see [[SegmentReader.rangeRun]]'s colSet path). The block is
+    * length-prefixed in the run header, so every tail is self-describing by
+    * remaining bytes: readers of older files get `bloom = null` /
+    * `cols = null`, and an older reader of a new file simply stops after
+    * the tails it knows — compatible both ways, no format-version bump
+    * (the magic int disambiguates the col tail from any future bloom-less
+    * layout). */
+  private val ColsMagic = 0x434f4c53 // "COLS"
+
+  private def serializeIndex(entries: Seq[(Int, Long, Array[Byte], Array[Byte])],
       lastKey: Array[Byte], bloom: KeyBloom = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
-    entries.foreach { case (pos, off, key) =>
+    entries.foreach { case (pos, off, key, _) =>
       out.writeInt(pos); out.writeLong(off); writeBytes(out, key)
     }
     writeBytes(out, lastKey)
@@ -305,6 +314,8 @@ object CellStore {
       out.writeInt(bloom.words.length)
       bloom.words.foreach(out.writeLong)
     }
+    out.writeInt(ColsMagic)
+    entries.foreach { case (_, _, _, col) => writeBytes(out, col) }
     bos.toByteArray
   }
 
@@ -317,16 +328,34 @@ object CellStore {
     var i = 0
     while (i < n) { pos(i) = in.readInt(); off(i) = in.readLong(); keys(i) = readBytes(in); i += 1 }
     val lastKey = readBytes(in)
+    in.mark(8)
     val bloom =
       if (in.available() < 8) null
       else {
         val numKeys = in.readInt()
-        val words = new Array[Long](in.readInt())
-        var w = 0
-        while (w < words.length) { words(w) = in.readLong(); w += 1 }
-        new KeyBloom(words, numKeys)
+        val numWords = in.readInt()
+        if (numKeys == ColsMagic || numWords < 0 ||
+            in.available() < numWords.toLong * 8L) { in.reset(); null }
+        else {
+          val words = new Array[Long](numWords)
+          var w = 0
+          while (w < words.length) { words(w) = in.readLong(); w += 1 }
+          new KeyBloom(words, numKeys)
+        }
       }
-    RunIndex(pos, off, keys, lastKey, bloom)
+    val cols =
+      if (in.available() < 4) null
+      else {
+        in.mark(4)
+        if (in.readInt() != ColsMagic) { in.reset(); null }
+        else {
+          val cs = new Array[Array[Byte]](n)
+          var j = 0
+          while (j < n) { cs(j) = readBytes(in); j += 1 }
+          cs
+        }
+      }
+    RunIndex(pos, off, keys, lastKey, bloom, cols)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -440,8 +469,22 @@ object CellStore {
     /** Cells of one run restricted to key range [lo, hi) (null = unbounded):
       * the sparse index prunes non-overlapping runs outright and seeks the
       * cursor to the last indexed key <= lo, so a range partition reads
-      * O(range + IndexEvery) cells of the run, not the whole run. */
-    def rangeRun(ri: RunInfo, lo: Array[Byte], hi: Array[Byte]): Iterator[Cell] = {
+      * O(range + IndexEvery) cells of the run, not the whole run.
+      *
+      * `colSet` (sorted, non-null together with a col-tailed index) is the
+      * point-slice SEEK: every index entry is a (key, col) address prefix,
+      * so a span that provably lies inside ONE key and whose [col, nextCol]
+      * window contains no wanted column is never read at all — a wanted-3-
+      * columns slice of a million-cell row costs O(matches × IndexEvery)
+      * cell reads instead of the row width. Sound because a skipped span
+      * can hold no cell (live OR tombstone) of any wanted (key, col)
+      * address, and reconciliation is per-address; spans containing a key
+      * boundary are always read (their cols are not monotone across keys).
+      * The exact byte filter downstream (BucketMergeIterator colLookup)
+      * still applies to every cell that IS read. */
+    def rangeRun(ri: RunInfo, lo: Array[Byte], hi: Array[Byte],
+        colSet: Array[Array[Byte]] = null,
+        counters: ScanCounters = null): Iterator[Cell] = {
       if (ri.cellCount == 0) return Iterator.empty
       val idx = readIndex(ri)
       if (lo != null && Codecs.compareBytes(idx.lastKey, lo) < 0) return Iterator.empty
@@ -455,12 +498,63 @@ object CellStore {
         // cell but the tail — the sf0.1 widerow regression)
         while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) < 0) e += 1
       }
-      val base = runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
+      val base =
+        if (colSet == null || idx.cols == null)
+          runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
+        else seekSpans(ri, idx, e, hi, colSet, counters)
       val from =
         if (lo == null) base
         else base.dropWhile(c => Codecs.compareBytes(c.key, lo) < 0)
       if (hi == null) from
       else from.takeWhile(c => Codecs.compareBytes(c.key, hi) < 0)
+    }
+
+    /** The colSet span walk of [[rangeRun]]: group must-read index spans
+      * into contiguous cursors, count the skipped spans' cells. */
+    private def seekSpans(ri: RunInfo, idx: RunIndex, e0: Int,
+        hi: Array[Byte], colSet: Array[Array[Byte]],
+        counters: ScanCounters): Iterator[Cell] = {
+      val n = idx.cellPos.length
+      def spanCells(i: Int): Int =
+        (if (i == n - 1) ri.cellCount else idx.cellPos(i + 1)) - idx.cellPos(i)
+      // any wanted col in the inclusive window [a, b]? (sub-columns make a
+      // span's last col potentially EQUAL its end entry's col, hence b
+      // inclusive; null = unknown → must read)
+      def wantedIn(a: Array[Byte], b: Array[Byte]): Boolean = {
+        if (a == null || b == null) return true
+        var lo = 0; var h = colSet.length
+        while (lo < h) {
+          val m = (lo + h) >>> 1
+          if (Codecs.compareBytes(colSet(m), a) < 0) lo = m + 1 else h = m
+        }
+        lo < colSet.length && Codecs.compareBytes(colSet(lo), b) <= 0
+      }
+      def mustRead(i: Int): Boolean =
+        if (i == n - 1) {
+          // final span ends at lastKey with no col upper bound: readable
+          // unless it provably sits inside one key below every wanted col
+          !java.util.Arrays.equals(idx.keys(i), idx.lastKey) ||
+            idx.cols(i) == null ||
+            Codecs.compareBytes(colSet(colSet.length - 1), idx.cols(i)) >= 0
+        } else if (!java.util.Arrays.equals(idx.keys(i), idx.keys(i + 1))) true
+        else wantedIn(idx.cols(i), idx.cols(i + 1))
+      val groups = mutable.ArrayBuffer.empty[Array[Int]] // [startEntry, endEntry)
+      var i = e0
+      var stop = false
+      while (i < n && !stop) {
+        if (hi != null && Codecs.compareBytes(idx.keys(i), hi) >= 0) stop = true
+        else {
+          if (mustRead(i)) {
+            if (groups.nonEmpty && groups.last(1) == i) groups.last(1) = i + 1
+            else groups += Array(i, i + 1)
+          } else if (counters != null) counters.cellsSeekSkipped += spanCells(i)
+          i += 1
+        }
+      }
+      groups.iterator.flatMap { g =>
+        val endPos = if (g(1) >= n) ri.cellCount else idx.cellPos(g(1))
+        runIterator(ri.payloadOffset + idx.offsets(g(0)), endPos - idx.cellPos(g(0)))
+      }
     }
 
     /** Range cursors over every run, bloom-pruned when the scan is a point
@@ -473,7 +567,8 @@ object CellStore {
       * identically for the keys that remain. */
     def rangeRuns(lo: Array[Byte], hi: Array[Byte],
         lookupKeys: Seq[Array[Byte]] = null,
-        counters: ScanCounters = null): Seq[Iterator[Cell]] = {
+        counters: ScanCounters = null,
+        colSet: Array[Array[Byte]] = null): Seq[Iterator[Cell]] = {
       val infos = runInfos(file)
       val blooms = if (lookupKeys == null) null else runBlooms(file)
       infos.zipWithIndex.map { case (ri, i) =>
@@ -483,7 +578,7 @@ object CellStore {
           Iterator.empty
         } else {
           if (counters != null) counters.runsRead += 1
-          rangeRun(ri, lo, hi)
+          rangeRun(ri, lo, hi, colSet, counters)
         }
       }
     }
@@ -617,12 +712,15 @@ object CellStore {
       (if (onlyFiles != null) onlyFiles else segmentFiles(tableDir, bucket))
         .map(new SegmentReader(_))
     if (counters != null) counters.segmentsRead += segs.size
+    private val colSorted: Array[Array[Byte]] =
+      if (colLookup == null) null
+      else colLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
     private val raw =
-      if (lower == null && upper == null && lookupKeys == null) {
+      if (lower == null && upper == null && lookupKeys == null && colSorted == null) {
         val rs = segs.flatMap(_.runs())
         if (counters != null) counters.runsRead += rs.size
         rs
-      } else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys, counters))
+      } else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys, counters, colSorted))
     // snapshot read: cells written after the as-of bound never enter LWW
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
@@ -632,15 +730,14 @@ object CellStore {
     // listed byte forms enter the merge at all, so a wide row's
     // non-matching cells are never merged, reconciled, buffered, or
     // decoded (reader memory drops from O(row width) to O(matches); the
-    // cellsMerged metric counts matches, not the row width). Sound for
+    // cellsMerged metric counts matches, not the row width), and the
+    // (key, col)-prefixed run-index entries let rangeRun skip whole index
+    // spans' IO (cellsSeekSkipped counts them). Sound for
     // LWW/tombstone reconciliation because it is per-ADDRESS: every cell
     // of a matching (key, col) address is kept, every cell of a
     // non-matching one dropped — the kept addresses reconcile exactly as
     // in the full merge, and a tombstone for a matching column shares its
     // column bytes, so it is kept and keeps shadowing.
-    private val colSorted: Array[Array[Byte]] =
-      if (colLookup == null) null
-      else colLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
     private def colMatch(col: Array[Byte]): Boolean = {
       var lo = 0
       var hi = colSorted.length - 1
@@ -908,12 +1005,12 @@ object CellStore {
       val counting = new CountingOutputStream(new BufferedOutputStream(
         java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
       val out = new DataOutputStream(counting)
-      val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+      val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
       val bloom = new KeyBloom.Builder
       var count = 0
       var lastKey: Array[Byte] = null
       cells.foreach { c =>
-        if (count % IndexEvery == 0) entries += ((count, counting.count, c.key))
+        if (count % IndexEvery == 0) entries += ((count, counting.count, c.key, c.col))
         if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
           bloom.add(c.key)
         writeCell(out, c)

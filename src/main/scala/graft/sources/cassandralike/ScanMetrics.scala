@@ -27,6 +27,10 @@ final class ScanCounters {
   /** Addresses suppressed because a tombstone won reconciliation (S3's
     * tombstone skip, input/CassandraHiveRecordReader.java:205-207). */
   var tombstonesDropped: Long = 0L
+  /** Cells never READ because a point slice seeked past their whole index
+    * span ((key, col)-prefixed run-index entries): the IO the multi-point
+    * slice seek saves on very wide rows. */
+  var cellsSeekSkipped: Long = 0L
 }
 
 object ScanMetrics {
@@ -35,11 +39,13 @@ object ScanMetrics {
   val RunsBloomSkipped = "runsBloomSkipped"
   val CellsMerged = "cellsMerged"
   val TombstonesDropped = "tombstonesDropped"
+  val CellsSeekSkipped = "cellsSeekSkipped"
 
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
     new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
-    new CellsMergedMetric, new TombstonesDroppedMetric)
+    new CellsMergedMetric, new TombstonesDroppedMetric,
+    new CellsSeekSkippedMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -52,7 +58,8 @@ object ScanMetrics {
     Task(RunsRead, c.runsRead),
     Task(RunsBloomSkipped, c.runsBloomSkipped),
     Task(CellsMerged, c.cellsMerged),
-    Task(TombstonesDropped, c.tombstonesDropped))
+    Task(TombstonesDropped, c.tombstonesDropped),
+    Task(CellsSeekSkipped, c.cellsSeekSkipped))
 }
 
 // Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
@@ -78,4 +85,8 @@ final class CellsMergedMetric extends CustomSumMetric {
 final class TombstonesDroppedMetric extends CustomSumMetric {
   override def name(): String = ScanMetrics.TombstonesDropped
   override def description(): String = "addresses dropped by tombstones"
+}
+final class CellsSeekSkippedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.CellsSeekSkipped
+  override def description(): String = "cells seeked past by point slices"
 }

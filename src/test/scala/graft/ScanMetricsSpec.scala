@@ -79,6 +79,11 @@ class ScanMetricsSpec extends SparkSpec {
         assert(got == Seq("c00007", "c01234", "c03999"), s"got $got")
       } finally it.close()
       assert(c.cellsMerged == 3, s"cellsMerged=${c.cellsMerged} (want 3, not 4000)")
+      // (key, col)-prefixed index entries: spans of the wide row that hold
+      // no wanted column are never READ — 3 matches touch ≤4 of the ~31
+      // index spans, so ≥27 spans × 128 cells of IO are seeked past
+      assert(c.cellsSeekSkipped >= 3400,
+        s"cellsSeekSkipped=${c.cellsSeekSkipped} (want most of the 4000-cell row)")
       // a tombstone on a matching column still shadows through the seek
       seg(dir, "b0-b.bin", Seq(tomb("hotkey", "c01234", 2L)))
       val c2 = new ScanCounters
@@ -88,6 +93,52 @@ class ScanMetricsSpec extends SparkSpec {
         Seq("c00007", "c03999"))
       finally it2.close()
       assert(c2.tombstonesDropped == 1)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("pre-col-tail index blocks still read; colLookup seek falls back") {
+    // hand-written legacy run: entries + lastKey only (pre-bloom, pre-col
+    // layout) — parseIndex must yield bloom=null/cols=null and the
+    // colLookup path must fall back to the full-span cursor, exact results
+    import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataOutputStream}
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("scanmetricslegacy").toString
+    try {
+      val sst = Paths.get(dir, CellStore.SstDir)
+      Files.createDirectories(sst)
+      val f = sst.resolve("b0-legacy.bin")
+      val out = new DataOutputStream(new BufferedOutputStream(Files.newOutputStream(f)))
+      out.writeInt(CellStore.SegmentMagic)
+      out.writeInt(CellStore.FormatVersion)
+      val cells = (0 until 300).map(i => cell("k", f"c$i%04d", s"v$i", 1L))
+      val payload = new ByteArrayOutputStream()
+      val pout = new DataOutputStream(payload)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      cells.zipWithIndex.foreach { case (c, i) =>
+        if (i % CellStore.IndexEvery == 0) entries += ((i, payload.size().toLong))
+        CellStore.writeCell(pout, c)
+      }
+      val idx = new ByteArrayOutputStream()
+      val iout = new DataOutputStream(idx)
+      iout.writeInt(entries.length)
+      entries.foreach { case (pos, off) =>
+        iout.writeInt(pos); iout.writeLong(off)
+        iout.writeInt(1); iout.write('k')
+      }
+      iout.writeInt(1); iout.write('k') // lastKey
+      out.writeInt(cells.length)
+      out.writeLong(payload.size().toLong)
+      out.writeInt(idx.size())
+      payload.writeTo(out)
+      idx.writeTo(out)
+      out.close()
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c, colLookup = Seq("c0123".getBytes))
+      try assert(it.toVector.map(x => new String(x.value)) == Vector("v123"))
+      finally it.close()
+      assert(c.cellsSeekSkipped == 0, "legacy index has no col tail to seek by")
+      assert(c.cellsMerged == 1)
     } finally CellStore.dropTable(dir)
   }
 
@@ -111,7 +162,7 @@ class ScanMetricsSpec extends SparkSpec {
     }.getOrElse(fail("no BatchScanExec"))
     val declared = scan.supportedCustomMetrics().map(m => m.name()).toSet
     assert(declared == Set("segmentsRead", "runsRead", "runsBloomSkipped",
-      "cellsMerged", "tombstonesDropped"))
+      "cellsMerged", "tombstonesDropped", "cellsSeekSkipped"))
     // task side: drain the partition readers directly and check the
     // reported values carry the SAME names (the UI joins on name) and that
     // the lookup actually counted work
