@@ -404,6 +404,34 @@ object Connector {
         .orderBy($"o_orderkey")
     },
 
+    // ---- RANGE-PARTITIONED LAYOUT (`range.bounds`): bucket b covers the
+    // key interval [bounds(b-1), bounds(b)), so the pushed key range below
+    // prunes the scan to the covered CONTIGUOUS buckets at planning —
+    // bucket-level partition pruning for ranges, on top of the sub-split
+    // pruning and run-index seeks every scan gets (RangeLayoutSpec pins
+    // the planned-bucket set and the same-bounds zipper join; the SPJ
+    // identity is a content digest of the bounds, so mixed-bounds or
+    // mixed-encoding stores can never be proven co-partitioned). ----
+    Q("conn_range_layout",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "range_layout",
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("double")),
+        props = Map(
+          graft.sources.cassandralike.Options.KeyEncoding -> "ordered",
+          graft.sources.cassandralike.Options.RangeBounds ->
+            "1000,2000,4000,8000,16000,64000,256000",
+          graft.sources.cassandralike.Options.Buckets -> "8"))
+      Seed.read(s, store)
+        .filter($"o_orderkey" >= 2500L && $"o_orderkey" < 7500L)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+
     // ---- secondary index: value-equality predicates on an indexed cell
     // column resolve through the idx_<col> sub-store to base-key candidates
     // at planning (Index.keyFilters), then read as a bloom-pruned point

@@ -143,7 +143,9 @@ object Streaming {
     // the judged path; only the undocumented boundary zone is excluded
     // from the hash compare. ----
     Q("stream_join_left_outer",
-      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+      """WITH mx AS (SELECT least(
+        |    max(ts) FILTER (WHERE event_type = 'purchase'),
+        |    max(ts) FILTER (WHERE event_type = 'click')) AS mt FROM events),
         |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'
         |      AND ts <= (SELECT mt - INTERVAL 4 HOUR FROM mx)),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
@@ -172,9 +174,18 @@ object Streaming {
         $"user_id" === $"c_user" &&
           $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") && $"c_ts" <= $"p_ts",
         "left_outer")
-      // certain-emission bound: distributed 1-row broadcast, no driver action
+      // certain-emission bound: distributed 1-row broadcast, no driver
+      // action. The join's watermark is the MIN across both inputs'
+      // event-time maxima (each side's watermark advances off ITS OWN max
+      // ts), so the bound must use least(max purchase, max click) — using
+      // the overall max(ts) judged purchases whose state was never evicted
+      // when one side's events end early (the sf0.001 one-row miss: clicks
+      // ended 4h before purchases, leaving a purchase above the real
+      // watermark but inside the old bound).
       val bound = graft.Tables.load(s, dir, "events")
-        .agg(max($"ts").as("mt"))
+        .agg(least(
+          max(when($"event_type" === "purchase", $"ts")),
+          max(when($"event_type" === "click", $"ts"))).as("mt"))
       StreamOps.runToMemory(s, joined, "append")
         .join(broadcast(bound))
         .filter($"p_ts" <= $"mt" - expr("INTERVAL 4 HOURS"))

@@ -74,9 +74,11 @@ object CoBucketedWrite extends Rule[LogicalPlan] {
             attr.name == src.mapping.keyField.name &&
               src.mapping.keyField.dataType == target.mapping.keyField.dataType &&
               buckets(src) == buckets(target) &&
-              // key byte form decides the bucket a key routes to — a
-              // mixed-encoding pipeline must keep its shuffle
-              src.keyCodec.ordered == target.keyCodec.ordered
+              // key byte form AND range layout decide the bucket a key
+              // routes to — a mixed-encoding or mixed-bounds pipeline
+              // must keep its shuffle
+              src.keyCodec.ordered == target.keyCodec.ordered &&
+              src.rangeDigest == target.rangeDigest
           case _ => false
         }
       case _ => false

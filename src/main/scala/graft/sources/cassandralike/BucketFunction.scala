@@ -113,3 +113,76 @@ final case class BoundOrderedBucket(keyType: DataType, buckets: Int)
     TokenRing.bucket(Codecs.encodeKeyOrdered(keyType, key), buckets)
   }
 }
+
+/** The RANGE-layout transform family (`range.bounds` tables):
+  * `range_bucket_<n>_<digest>(key)` — bucket count AND a content digest of
+  * the (encoded bounds, encoding flag) pair baked into the single-argument
+  * function name, so two stores prove co-partitioned iff their key->bucket
+  * maps are byte-identical; hash-ring or ordered-ring stores can never
+  * match a range store (distinct name families), and two range stores with
+  * different bounds differ in the digest. Binding resolves the digest
+  * through a driver-side registry (populated whenever a range table parses
+  * its bounds — always before its transform can appear in a plan) and
+  * embeds the bounds in the BOUND function, so the executor-shipped
+  * instance is self-contained (no registry on executors). */
+final case class RangeBucketFunction(buckets: Int, digest: String)
+  extends UnboundFunction {
+  override def name(): String = RangeBucketFunction.nameFor(buckets, digest)
+  override def description(): String =
+    s"${name()}(key): range-layout bucket over order-preserving key bytes"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"${name()} expects (key), got ${inputType.catalogString}")
+    val keyType = inputType(0).dataType
+    val (bounds, ordered) = RangeBucketFunction.lookup(digest).getOrElse(
+      throw new IllegalStateException(
+        s"range layout digest $digest not registered in this process " +
+          "(no table with these range.bounds has been loaded)"))
+    require(KeyCodec(keyType, ordered).rangeOrdered,
+      s"${name()}: unsupported range key type ${keyType.catalogString}")
+    BoundRangeBucket(keyType, buckets, digest, bounds, ordered)
+  }
+}
+
+object RangeBucketFunction {
+  def nameFor(buckets: Int, digest: String): String =
+    s"range_bucket_${buckets}_$digest"
+  private val NamePat = "range_bucket_(\\d+)_([0-9a-f]{16})".r
+  def parse(name: String): Option[RangeBucketFunction] = name match {
+    case NamePat(n, d) => Some(RangeBucketFunction(n.toInt, d))
+    case _ => None
+  }
+
+  // digest -> (encoded bounds, ordered-encoding flag); content-addressed,
+  // so concurrent registrations of the same digest are identical by
+  // construction (SHA-256 prefix over the bounds bytes + flag)
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Byte]], Boolean)]()
+  def register(bounds: Array[Array[Byte]], ordered: Boolean): String = {
+    val d = RangeLayout.digest(bounds, ordered)
+    registry.putIfAbsent(d, (bounds, ordered))
+    d
+  }
+  def lookup(digest: String): Option[(Array[Array[Byte]], Boolean)] =
+    Option(registry.get(digest))
+}
+
+final case class BoundRangeBucket(keyType: DataType, buckets: Int,
+    digest: String, bounds: Array[Array[Byte]], ordered: Boolean)
+  extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = RangeBucketFunction.nameFor(buckets, digest)
+  override def canonicalName(): String =
+    s"cassandralike.${name()}(${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val key = input.get(0, keyType)
+    val enc =
+      if (ordered) Codecs.encodeKeyOrdered(keyType, key)
+      else Codecs.encode(keyType, key)
+    TokenRing.bucket(enc, buckets, bounds)
+  }
+}

@@ -48,8 +48,14 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
       // baked into the name so the transform stays single-argument — the
       // shape storage-partitioned joins require)
       case Some(n) => OrderedBucketFunction(n)
-      case None =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+      case None => RangeBucketFunction.parse(ident.name().toLowerCase) match {
+        // range_bucket_<n>_<digest>: the range-layout family — bind pulls
+        // the digest's bounds from the driver-side registry and embeds
+        // them in the bound function (executor-safe)
+        case Some(f) => f
+        case None =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+      }
     }
 
   private var catalogName: String = _

@@ -125,6 +125,14 @@ object Options {
     * so it is fixed before the first segment. */
   val KeyEncoding = "key.encoding"
 
+  /** RANGE layout: comma list of key literals splitting the key space into
+    * buckets = bounds + 1 contiguous intervals (Codecs.RangeLayout). A
+    * LAYOUT property like buckets/key.encoding: it decides where every
+    * key's bytes route, fixed before the first segment. Requires an
+    * order-preserving key byte form, and the `buckets` property must be
+    * set to bounds + 1 explicitly (no silent count drift). */
+  val RangeBounds = "range.bounds"
+
   /** Properties baked into committed segment bytes — token routing
     * (buckets), cell naming/shape (mapping), value marshal (encoding),
     * key byte form (key.encoding), index completeness (index.columns).
@@ -133,7 +141,7 @@ object Options {
     * misroutes deletes, unmaps high buckets, or leaves an index that
     * misses pre-existing rows, instead of failing loudly. */
   val LayoutProperties: Set[String] =
-    Set("buckets", "mapping", "encoding", KeyEncoding, IndexColumns)
+    Set("buckets", "mapping", "encoding", KeyEncoding, RangeBounds, IndexColumns)
 
   val DefaultBuckets = 32
   val DefaultIndexMaxCandidates = 64 * 1024
@@ -180,9 +188,12 @@ object CassandraLikeTable {
     * let Catalyst "prove" an ordered store co-partitioned with a bytes
     * store and zip mismatched buckets. Distinct names make mixed-encoding
     * joins fall back to an ordinary shuffle instead. */
-  def bucketTransform(buckets: Int, keyName: String, ordered: Boolean)
-    : Transform =
-    if (!ordered) Expressions.bucket(buckets, keyName)
+  def bucketTransform(buckets: Int, keyName: String, ordered: Boolean,
+      rangeDigest: String = null): Transform =
+    if (rangeDigest != null)
+      Expressions.apply(RangeBucketFunction.nameFor(buckets, rangeDigest),
+        Expressions.column(keyName))
+    else if (!ordered) Expressions.bucket(buckets, keyName)
     else Expressions.apply(OrderedBucketFunction.nameFor(buckets),
       Expressions.column(keyName))
 }
@@ -236,6 +247,23 @@ class CassandraLikeTable(
   val keyCodec: KeyCodec =
     KeyCodec.of(mapping.keyField.dataType, k => tableProps.get(k))
 
+  /** Parsed + registered range layout (null = hash ring). Validated up
+    * front: bounds parse against the key type, must ascend strictly, and
+    * the buckets property must equal bounds + 1 so every routing site and
+    * the split planner agree on the ring size. */
+  val rangeBounds: Array[Array[Byte]] =
+    tableProps.get(Options.RangeBounds).map { prop =>
+      val b = RangeLayout.parse(prop, mapping.keyField.dataType, keyCodec)
+      require(tableProps.get(Options.Buckets).exists(_.toInt == b.length + 1),
+        s"range.bounds defines ${b.length + 1} buckets; set buckets=${b.length + 1}")
+      RangeBucketFunction.register(b, keyCodec.ordered)
+      b
+    }.orNull
+  /** The SPJ identity of the range layout (content digest), if any. */
+  val rangeDigest: String =
+    if (rangeBounds == null) null
+    else RangeLayout.digest(rangeBounds, keyCodec.ordered)
+
   override def name(): String = tableName
   /** Cell-address columns are never null in the store (every cell carries
     * a key and, on transposed mappings, a column/sub-column name; the
@@ -260,7 +288,7 @@ class CassandraLikeTable(
     val buckets = tableProps.get(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
     Array(CassandraLikeTable.bucketTransform(buckets,
-      mapping.keyField.name, keyCodec.ordered))
+      mapping.keyField.name, keyCodec.ordered, rangeDigest))
   }
   /** AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE WITH SCHEMA EVOLUTION`:
     * the analyzer diffs source vs target schema, issues the AddColumn
@@ -331,7 +359,7 @@ class CassandraLikeTable(
       CatalystTypeConverters.convertToCatalyst(v))).toSeq
     val buckets = tableProps.get(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    keys.groupBy(TokenRing.bucket(_, buckets)).foreach { case (bucket, ks) =>
+    keys.groupBy(TokenRing.bucket(_, buckets, rangeBounds)).foreach { case (bucket, ks) =>
       val keySet = ks.map(_.toSeq).toSet
       // counter tables read the collapsed view: one tombstone per merged
       // cell (at max ts + 1) then shadows every underlying increment.
@@ -757,7 +785,7 @@ class CellScan(
         .map(_.toInt).getOrElse(Options.DefaultBuckets)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(CassandraLikeTable.bucketTransform(buckets, keyName,
-          table.keyCodec.ordered)), plannedBuckets.size)
+          table.keyCodec.ordered, table.rangeDigest)), plannedBuckets.size)
     } else {
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -927,10 +955,27 @@ class CellScan(
     }
     val wanted: Option[Set[Int]] = keyValues.map(_.map { v =>
       val cat = CatalystTypeConverters.convertToCatalyst(v)
-      TokenRing.bucket(table.keyCodec.encode(cat), buckets)
+      TokenRing.bucket(table.keyCodec.encode(cat), buckets, table.rangeBounds)
     }.toSet)
+    // RANGE layout: the pushed key envelope (equality/IN always; ranges on
+    // an order-preserving encoding) prunes to the covered CONTIGUOUS
+    // buckets — bucket b spans [bounds(b-1), bounds(b)), so a key range at
+    // 100 TB touches O(covered buckets) of the ring, not all of it
+    val rb = table.rangeBounds
+    val (envLo, envHi) =
+      if (rb == null) (null: Array[Byte], null: Array[Byte])
+      else KeyLookupBounds(effectiveFilters, keyName, table.keyCodec, null, null)
+    val envEmpty = envLo != null && envHi != null &&
+      Codecs.compareBytes(envLo, envHi) >= 0
+    def rangeKeeps(b: Int): Boolean =
+      rb == null || (!envEmpty &&
+        (envLo == null || b == rb.length ||
+          Codecs.compareBytes(envLo, rb(b)) < 0) &&
+        (envHi == null || b == 0 ||
+          Codecs.compareBytes(rb(b - 1), envHi) < 0))
     (0 until buckets)
       .filter(b => wanted.forall(_.contains(b)))
+      .filter(rangeKeeps)
       .filter(b => segmentsByBucket.get(b).exists(_.nonEmpty))
   }
 

@@ -304,6 +304,10 @@ class CellDataWriter(
   private val keyIdx = mapping.fields.indexWhere(_.role == FieldRole.Key)
   private val keyType = mapping.keyField.dataType
   private val keyCodec = KeyCodec.of(keyType, opt)
+  // range layout (null = hash ring): cells route to the bucket covering
+  // their encoded key, the same map every read-side site uses
+  private val rangeBounds: Array[Array[Byte]] =
+    opt(Options.RangeBounds).map(RangeLayout.parse(_, keyType, keyCodec)).orNull
 
   /** Secondary indexes (Index.scala): per indexed column, a parallel run
     * writer into `idx_<col>/sst` whose cells are (value bytes → base key).
@@ -461,7 +465,7 @@ class CellDataWriter(
     * the IO it organizes. */
   private def flush(): Unit = {
     buffer.foreach { c =>
-      pending.getOrElseUpdate(TokenRing.bucket(c.key, buckets),
+      pending.getOrElseUpdate(TokenRing.bucket(c.key, buckets, rangeBounds),
         mutable.ArrayBuffer.empty[Cell]) += c
     }
     totalPending += buffer.length

@@ -29,6 +29,23 @@ object TokenRing {
     MurmurHash3.bytesHash(key, 9001).toLong & 0xffffffffL
   def bucket(key: Array[Byte], buckets: Int): Int =
     ((token(key) * buckets) >>> 32).toInt
+  /** Routing with an optional RANGE layout (`range.bounds`): bucket =
+    * number of bounds <= the encoded key (bounds sorted ascending in the
+    * table's key byte form, so with an order-preserving encoding bucket b
+    * covers the key interval [bounds(b-1), bounds(b)) — what lets a pushed
+    * key range prune to O(covered buckets) instead of touching the whole
+    * ring). `bounds = null` is the default hash ring. */
+  def bucket(key: Array[Byte], buckets: Int, bounds: Array[Array[Byte]]): Int =
+    if (bounds == null) bucket(key, buckets)
+    else {
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (Codecs.compareBytes(bounds(m), key) <= 0) lo = m + 1 else hi = m
+      }
+      lo
+    }
 }
 
 /** Per-run key bloom filter — the SSTable bloom of Cassandra's read path

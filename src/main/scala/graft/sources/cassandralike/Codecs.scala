@@ -76,6 +76,65 @@ object KeyCodec {
   }
 }
 
+/** RANGE-PARTITIONED layout (`range.bounds`, a locked layout property):
+  * a comma-separated list of key literals in the key type's plain text
+  * form (longs/ints as decimal, doubles as decimal text, strings verbatim,
+  * decimals as plain decimal text, timestamps as epoch MICROS, dates as
+  * epoch DAYS). Parsed against the table's key type, encoded through its
+  * KeyCodec, and required strictly ascending; bucket b then covers the key
+  * interval [bounds(b-1), bounds(b)) with buckets = bounds + 1. Requires an
+  * order-preserving key byte form ([[KeyCodec.rangeOrdered]]) so byte
+  * routing IS value routing — that is what makes pushed key ranges prune
+  * to O(covered buckets). Trade-off vs the hash ring: ranges prune, but
+  * balance is the operator's responsibility (pick bounds from key
+  * quantiles; sub-splits still split an oversized bucket). */
+object RangeLayout {
+  def parse(prop: String, dt: DataType, codec: KeyCodec): Array[Array[Byte]] = {
+    require(codec.rangeOrdered,
+      "range.bounds requires an order-preserving key byte form: " +
+        "key.encoding='ordered' or a string/binary key")
+    val parts = prop.split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "range.bounds must list at least one bound")
+    val enc = parts.map { s =>
+      val cat: Any = dt match {
+        case LongType => java.lang.Long.valueOf(s.toLong)
+        case IntegerType => Integer.valueOf(s.toInt)
+        case ShortType => java.lang.Short.valueOf(s.toShort)
+        case ByteType => java.lang.Byte.valueOf(s.toByte)
+        case DoubleType => java.lang.Double.valueOf(s.toDouble)
+        case FloatType => java.lang.Float.valueOf(s.toFloat)
+        case StringType => UTF8String.fromString(s)
+        case TimestampType => java.lang.Long.valueOf(s.toLong) // epoch micros
+        case DateType => Integer.valueOf(s.toInt) // epoch days
+        case d: DecimalType =>
+          Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+        case other => throw new IllegalArgumentException(
+          s"range.bounds does not support ${other.catalogString} keys")
+      }
+      codec.encode(cat)
+    }
+    enc.sliding(2).foreach {
+      case Array(a, b) => require(Codecs.compareBytes(a, b) < 0,
+        s"range.bounds must be strictly ascending, got '$prop'")
+      case _ => ()
+    }
+    enc
+  }
+
+  /** Content digest of a parsed bounds list + encoding flag — the identity
+    * two stores must share for their range transforms to be provably the
+    * same key->bucket map (the SPJ compatibility token). */
+  def digest(bounds: Array[Array[Byte]], ordered: Boolean): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(if (ordered) 1.toByte else 0.toByte)
+    bounds.foreach { b =>
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    md.digest().take(8).map(x => f"$x%02x").mkString
+  }
+}
+
 object Codecs {
 
   /** Marshal a Catalyst value to cell bytes. Null values have no cell. */

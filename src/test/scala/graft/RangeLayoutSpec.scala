@@ -1,0 +1,159 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.functions._
+
+/** `range.bounds` — the RANGE-partitioned layout: bucket b covers the key
+  * interval [bounds(b-1), bounds(b)), so a pushed key range prunes to the
+  * covered contiguous buckets instead of touching the whole ring. Locked
+  * layout property; requires an order-preserving key byte form. */
+class RangeLayoutSpec extends SparkSpec {
+
+  private def rangeProps(bounds: String, buckets: Int) = Map(
+    Options.KeyEncoding -> "ordered",
+    Options.RangeBounds -> bounds,
+    Options.Buckets -> buckets.toString)
+
+  test("routing: readback, lookup, delete — negatives and bound keys included") {
+    val sp = spark; import sp.implicits._
+    val src = Seq(-500L, -100L, -99L, -1L, 0L, 1L, 99L, 100L, 450L)
+      .map(k => (k, s"v$k")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_range_route", src,
+      props = rangeProps("-100,0,100", 4))
+    val back = Seed.read(spark, store)
+    assert(back.collect().map(_.getLong(0)).toSet == src.collect().map(_.getLong(0)).toSet)
+    // a bound key belongs to the bucket it OPENS (bounds(b-1) inclusive)
+    assert(back.filter($"k" === -100L).count() == 1)
+    assert(back.filter($"k" === 100L).count() == 1)
+    // point lookup + delete route through the same map
+    assert(back.filter($"k" === 0L).collect().map(_.getString(1)).toSeq == Seq("v0"))
+    val meta = CellStore.readMeta(store).get
+    val table = new CassandraLikeTable(store, store,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("k", -500L)))
+    assert(Seed.read(spark, store).filter($"k" === -500L).count() == 0)
+    assert(Seed.read(spark, store).count() == 8)
+  }
+
+  test("a pushed key range prunes to the covered buckets at planning") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+    val src = (0 until 1000).map(i => (i.toLong - 500L, s"v$i")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_range_prune", src,
+      props = rangeProps("-100,0,100", 4))
+    val meta = CellStore.readMeta(store).get
+    val table = new CassandraLikeTable(store, store,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+    def partsFor(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Seq[CellInputPartition] = {
+      val b = new CellScanBuilder(table, Map.empty)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[CellScan].planInputPartitions()
+        .map(_.asInstanceOf[CellInputPartition]).toSeq
+    }
+    assert(partsFor(Array.empty).map(_.bucket).distinct.sorted == Seq(0, 1, 2, 3))
+    // a range covering only [150, 400) touches bucket 3 alone
+    assert(partsFor(Array(GreaterThanOrEqual("k", 150L), LessThan("k", 400L)))
+      .map(_.bucket).distinct == Seq(3))
+    // a sign-crossing range touches exactly the two middle buckets
+    assert(partsFor(Array(GreaterThanOrEqual("k", -50L), LessThan("k", 50L)))
+      .map(_.bucket).distinct.sorted == Seq(1, 2))
+    // equality routes to one bucket
+    assert(partsFor(Array(EqualTo("k", -200L))).map(_.bucket).distinct == Seq(0))
+    // results stay exact through the full pipeline
+    val got = Seed.read(spark, store).filter($"k" >= -50L && $"k" < 50L)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == (-50L until 50L))
+  }
+
+  test("two same-bounds range stores zipper-join; mixed bounds shuffle") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    def mk(n: String, bounds: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS cassandralike.ks.$n")
+      spark.sql(
+        s"""CREATE TABLE cassandralike.ks.$n (k BIGINT, v DOUBLE)
+           |USING cassandralike
+           |TBLPROPERTIES ('buckets' = '4', 'partitioning.report' = 'true',
+           |  'key.encoding' = 'ordered', 'range.bounds' = '$bounds')""".stripMargin)
+      spark.sql(s"INSERT INTO cassandralike.ks.$n SELECT id - 50, CAST(id AS DOUBLE) FROM range(0, 100)")
+    }
+    mk("range_a", "-25,0,25")
+    mk("range_b", "-25,0,25")
+    mk("range_c", "-30,0,30")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+        case other => Seq(other)
+      }
+      self ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    }
+    val joined = spark.table("cassandralike.ks.range_a").hint("MERGE")
+      .join(spark.table("cassandralike.ks.range_b"), Seq("k"))
+    assert(joined.count() == 100)
+    val smjs = walk(joined.queryExecution.executedPlan)
+      .collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "expected a sort-merge join of the range stores")
+    val under = smjs.flatMap(j => j.children.flatMap(walk))
+    assert(!under.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "no exchange under the same-bounds range join")
+    assert(!under.exists(_.isInstanceOf[SortExec]),
+      "ordered range keys must elide the SMJ sorts")
+    // different bounds = different digest = never proven co-partitioned
+    val mixed = spark.table("cassandralike.ks.range_a").hint("MERGE")
+      .join(spark.table("cassandralike.ks.range_c"), Seq("k"))
+    assert(mixed.count() == 100, "mixed-bounds join must still be correct")
+    assert(walk(mixed.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "mixed bounds must fall back to a shuffled join, never zip buckets")
+  }
+
+  test("layout validation: count drift, disorder, unordered encodings reject") {
+    val sp = spark; import sp.implicits._
+    val src = Seq((1L, "a")).toDF("k", "v")
+    // buckets must equal bounds + 1
+    intercept[Exception](Seed.table(spark, sfDir, "spec_range_bad1", src,
+      props = Map(Options.KeyEncoding -> "ordered",
+        Options.RangeBounds -> "0,10", Options.Buckets -> "4")))
+    // bounds must strictly ascend
+    intercept[Exception](Seed.table(spark, sfDir, "spec_range_bad2", src,
+      props = rangeProps("10,0", 3)))
+    // big-endian two's-complement longs are not value-ordered
+    intercept[Exception](Seed.table(spark, sfDir, "spec_range_bad3", src,
+      props = Map(Options.RangeBounds -> "0,10", Options.Buckets -> "3")))
+    // string keys qualify with no opt-in (SQL order IS byte order)
+    val sstore = Seed.table(spark, sfDir, "spec_range_str",
+      Seq(("a", 1L), ("m", 2L), ("z", 3L)).toDF("k", "n"),
+      props = Map(Options.RangeBounds -> "g,t", Options.Buckets -> "3"))
+    assert(Seed.read(spark, sstore).count() == 3)
+    assert(Seed.read(spark, sstore).filter($"k" >= "u").collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+  }
+
+  test("range.bounds is a locked layout property once segments exist") {
+    spark.conf.set("spark.sql.catalog.cassandralike",
+      classOf[CassandraLikeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(sfDir)}/warehouse")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+    spark.sql("DROP TABLE IF EXISTS cassandralike.ks.range_lock")
+    spark.sql(
+      """CREATE TABLE cassandralike.ks.range_lock (k BIGINT, v STRING)
+        |USING cassandralike
+        |TBLPROPERTIES ('buckets' = '3', 'key.encoding' = 'ordered',
+        |  'range.bounds' = '0,100')""".stripMargin)
+    spark.sql("INSERT INTO cassandralike.ks.range_lock VALUES (1, 'a')")
+    intercept[Exception](spark.sql(
+      "ALTER TABLE cassandralike.ks.range_lock SET TBLPROPERTIES ('range.bounds' = '0,50')"))
+  }
+}
