@@ -1482,6 +1482,56 @@ class CellPartitionReader(
       }
     }
 
+  // SLICE-RANGE window: pushed </<=/>/>= on the clustering column (and the
+  // static slice.start/finish options) fold into one inclusive byte window
+  // [lo, hi] the merge uses to skip whole runs (min/max clustering) and
+  // whole index spans — IO-level pruning for `WHERE col BETWEEN …` over
+  // wide rows. Sound only when byte order == SQL order, so gated to
+  // string/binary clustering columns (integral cell bytes are big-endian
+  // two's complement — negatives order wrong); the window is an
+  // over-approximation (inclusive both ends) and the exact predicates are
+  // re-applied downstream (FilterEval / the pager).
+  private val colWindow: (Array[Byte], Array[Byte]) =
+    if (!mapping.transposed) null
+    else {
+      val colF = mapping.field(FieldRole.TransColumn)
+      val byteOrdered = colF.dataType match {
+        case StringType | BinaryType => true
+        case _ => false
+      }
+      if (!byteOrdered) null else {
+        def enc(v: Any): Array[Byte] =
+          Codecs.encode(colF.dataType, CatalystTypeConverters.convertToCatalyst(v))
+        var lo: Array[Byte] = null
+        var hi: Array[Byte] = null
+        def tightenLo(b: Array[Byte]): Unit =
+          if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+        def tightenHi(b: Array[Byte]): Unit =
+          if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+        filters.foreach {
+          case GreaterThan(c, v) if c == colF.name && v != null => tightenLo(enc(v))
+          case GreaterThanOrEqual(c, v) if c == colF.name && v != null => tightenLo(enc(v))
+          case LessThan(c, v) if c == colF.name && v != null => tightenHi(enc(v))
+          case LessThanOrEqual(c, v) if c == colF.name && v != null => tightenHi(enc(v))
+          case _ => ()
+        }
+        // static slice knobs (P2): UTF-8 rendered, i.e. the string col's
+        // exact byte form. start is ALWAYS the lower bound and finish the
+        // upper — slice.reversed flips iteration ORDER only, never the
+        // bound roles (transposedRows applies the same filter; the fuzz
+        // model pins it)
+        if (colF.dataType == StringType) {
+          opt(Options.SliceStart)
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .foreach(tightenLo)
+          opt(Options.SliceFinish)
+            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .foreach(tightenHi)
+        }
+        if (lo == null && hi == null) null else (lo, hi)
+      }
+    }
+
   // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
   // unit the pager (S4) then chunks, matching the reference's bound where
@@ -1497,6 +1547,7 @@ class CellPartitionReader(
     counterMerge = opt(Options.CounterMerge).exists(_.toBoolean),
     lookupKeys = lookupKeys,
     colLookup = colLookup,
+    colWindow = colWindow,
     onlyFiles =
       if (part.files == null) null
       else part.files.map(n =>

@@ -205,6 +205,8 @@ object CellStore {
     val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
     val bloom = new KeyBloom.Builder
     var prevKey: Array[Byte] = null
+    var colMin: Array[Byte] = null
+    var colMax: Array[Byte] = null
     var i = 0
     sorted.foreach { c =>
       if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key, c.col))
@@ -212,10 +214,15 @@ object CellStore {
       if (prevKey == null || !java.util.Arrays.equals(prevKey, c.key)) {
         bloom.add(c.key); prevKey = c.key
       }
+      if (c.col != null) {
+        if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
+        if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
+      }
       writeCell(pout, c)
       i += 1
     }
-    val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build())
+    val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
+      colMin, colMax)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -250,7 +257,9 @@ object CellStore {
   final case class RunIndex(cellPos: Array[Int], offsets: Array[Long],
       keys: Array[Array[Byte]], lastKey: Array[Byte],
       bloom: KeyBloom /* null on pre-bloom files */,
-      cols: Array[Array[Byte]] = null /* (key, col)-prefixed entries; null on pre-col files */)
+      cols: Array[Array[Byte]] = null /* (key, col)-prefixed entries; null on pre-col files */,
+      colMin: Array[Byte] = null /* run-wide min/max column (Cassandra's */,
+      colMax: Array[Byte] = null /* sstable min/max clustering); null = legacy */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -316,9 +325,11 @@ object CellStore {
     * (the magic int disambiguates the col tail from any future bloom-less
     * layout). */
   private val ColsMagic = 0x434f4c53 // "COLS"
+  private val ColRangeMagic = 0x43524e47 // "CRNG"
 
   private def serializeIndex(entries: Seq[(Int, Long, Array[Byte], Array[Byte])],
-      lastKey: Array[Byte], bloom: KeyBloom = null): Array[Byte] = {
+      lastKey: Array[Byte], bloom: KeyBloom = null,
+      colMin: Array[Byte] = null, colMax: Array[Byte] = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
@@ -333,6 +344,14 @@ object CellStore {
     }
     out.writeInt(ColsMagic)
     entries.foreach { case (_, _, _, col) => writeBytes(out, col) }
+    // run-wide min/max column — Cassandra's sstable min/max clustering:
+    // a slice lookup skips the whole run when no wanted column can fall
+    // inside [colMin, colMax] (null when the run held no non-null col)
+    if (colMin != null && colMax != null) {
+      out.writeInt(ColRangeMagic)
+      writeBytes(out, colMin)
+      writeBytes(out, colMax)
+    }
     bos.toByteArray
   }
 
@@ -372,7 +391,14 @@ object CellStore {
           cs
         }
       }
-    RunIndex(pos, off, keys, lastKey, bloom, cols)
+    val (cMin, cMax) =
+      if (in.available() < 4) (null, null)
+      else {
+        in.mark(4)
+        if (in.readInt() != ColRangeMagic) { in.reset(); (null, null) }
+        else (readBytes(in), readBytes(in))
+      }
+    RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -390,6 +416,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[KeyBloom]]()
   private val boundsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (Array[Byte], Array[Byte])]()
+  private val colRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -443,6 +471,33 @@ object CellStore {
       try runInfos(file).map(ri => r.readIndex(ri).bloom).toArray
       finally r.close()
     })
+
+  /** Per-run [colMin, colMax] windows (null element = legacy run or no
+    * non-null cols) — Cassandra's sstable min/max clustering, memoized per
+    * immutable file. A slice lookup skips a run whose window provably holds
+    * no wanted column, without touching its payload. */
+  def runColRanges(file: Path): Array[(Array[Byte], Array[Byte])] =
+    colRangeCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).map { ri =>
+        val idx = r.readIndex(ri)
+        if (idx.colMin == null || idx.colMax == null) null
+        else (idx.colMin, idx.colMax)
+      }.toArray
+      finally r.close()
+    })
+
+  /** Any member of the SORTED col set inside the inclusive window [a, b]? */
+  def anyColIn(colSet: Array[Array[Byte]], a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (a == null || b == null) return true // unknown window -> must read
+    var lo = 0
+    var hi = colSet.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (Codecs.compareBytes(colSet(m), a) < 0) lo = m + 1 else hi = m
+    }
+    lo < colSet.length && Codecs.compareBytes(colSet(lo), b) <= 0
+  }
 
   /** InputStream over positional FileChannel reads: any number of run
     * cursors share ONE os file handle per segment, so reader fd usage is
@@ -501,7 +556,8 @@ object CellStore {
       * still applies to every cell that IS read. */
     def rangeRun(ri: RunInfo, lo: Array[Byte], hi: Array[Byte],
         colSet: Array[Array[Byte]] = null,
-        counters: ScanCounters = null): Iterator[Cell] = {
+        counters: ScanCounters = null,
+        colWindow: (Array[Byte], Array[Byte]) = null): Iterator[Cell] = {
       if (ri.cellCount == 0) return Iterator.empty
       val idx = readIndex(ri)
       if (lo != null && Codecs.compareBytes(idx.lastKey, lo) < 0) return Iterator.empty
@@ -516,9 +572,9 @@ object CellStore {
         while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) < 0) e += 1
       }
       val base =
-        if (colSet == null || idx.cols == null)
+        if ((colSet == null && colWindow == null) || idx.cols == null)
           runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
-        else seekSpans(ri, idx, e, hi, colSet, counters)
+        else seekSpans(ri, idx, e, hi, colSet, colWindow, counters)
       val from =
         if (lo == null) base
         else base.dropWhile(c => Codecs.compareBytes(c.key, lo) < 0)
@@ -530,29 +586,34 @@ object CellStore {
       * into contiguous cursors, count the skipped spans' cells. */
     private def seekSpans(ri: RunInfo, idx: RunIndex, e0: Int,
         hi: Array[Byte], colSet: Array[Array[Byte]],
+        colWindow: (Array[Byte], Array[Byte]),
         counters: ScanCounters): Iterator[Cell] = {
       val n = idx.cellPos.length
       def spanCells(i: Int): Int =
         (if (i == n - 1) ri.cellCount else idx.cellPos(i + 1)) - idx.cellPos(i)
-      // any wanted col in the inclusive window [a, b]? (sub-columns make a
-      // span's last col potentially EQUAL its end entry's col, hence b
-      // inclusive; null = unknown → must read)
+      // any wanted col in the inclusive span window [a, b]? Wanted = a
+      // member of the pushed point set AND/OR the pushed range window
+      // (both over-approximations re-checked exactly downstream;
+      // sub-columns make a span's last col potentially EQUAL its end
+      // entry's col, hence b inclusive; null = unknown → must read)
       def wantedIn(a: Array[Byte], b: Array[Byte]): Boolean = {
         if (a == null || b == null) return true
-        var lo = 0; var h = colSet.length
-        while (lo < h) {
-          val m = (lo + h) >>> 1
-          if (Codecs.compareBytes(colSet(m), a) < 0) lo = m + 1 else h = m
-        }
-        lo < colSet.length && Codecs.compareBytes(colSet(lo), b) <= 0
+        (colSet == null || anyColIn(colSet, a, b)) &&
+          (colWindow == null ||
+            ((colWindow._1 == null || Codecs.compareBytes(colWindow._1, b) <= 0) &&
+             (colWindow._2 == null || Codecs.compareBytes(a, colWindow._2) <= 0)))
       }
       def mustRead(i: Int): Boolean =
         if (i == n - 1) {
           // final span ends at lastKey with no col upper bound: readable
-          // unless it provably sits inside one key below every wanted col
+          // unless it provably sits inside one key with every wanted col
+          // below its first col
           !java.util.Arrays.equals(idx.keys(i), idx.lastKey) ||
             idx.cols(i) == null ||
-            Codecs.compareBytes(colSet(colSet.length - 1), idx.cols(i)) >= 0
+            ((colSet == null ||
+              Codecs.compareBytes(colSet(colSet.length - 1), idx.cols(i)) >= 0) &&
+             (colWindow == null || colWindow._2 == null ||
+              Codecs.compareBytes(idx.cols(i), colWindow._2) <= 0))
         } else if (!java.util.Arrays.equals(idx.keys(i), idx.keys(i + 1))) true
         else wantedIn(idx.cols(i), idx.cols(i + 1))
       val groups = mutable.ArrayBuffer.empty[Array[Int]] // [startEntry, endEntry)
@@ -585,17 +646,31 @@ object CellStore {
     def rangeRuns(lo: Array[Byte], hi: Array[Byte],
         lookupKeys: Seq[Array[Byte]] = null,
         counters: ScanCounters = null,
-        colSet: Array[Array[Byte]] = null): Seq[Iterator[Cell]] = {
+        colSet: Array[Array[Byte]] = null,
+        colWindow: (Array[Byte], Array[Byte]) = null): Seq[Iterator[Cell]] = {
       val infos = runInfos(file)
       val blooms = if (lookupKeys == null) null else runBlooms(file)
+      val colRanges =
+        if (colSet == null && colWindow == null) null else runColRanges(file)
+      def colExcluded(r: (Array[Byte], Array[Byte])): Boolean =
+        (colSet != null && !anyColIn(colSet, r._1, r._2)) ||
+          (colWindow != null &&
+            ((colWindow._1 != null && Codecs.compareBytes(colWindow._1, r._2) > 0) ||
+             (colWindow._2 != null && Codecs.compareBytes(colWindow._2, r._1) < 0)))
       infos.zipWithIndex.map { case (ri, i) =>
         if (blooms != null && blooms(i) != null &&
             !lookupKeys.exists(blooms(i).mightContain)) {
           if (counters != null) counters.runsBloomSkipped += 1
           Iterator.empty
+        } else if (colRanges != null && colRanges(i) != null &&
+            colExcluded(colRanges(i))) {
+          // run-wide min/max clustering: no wanted column can be in this
+          // run, so neither can a tombstone for one — skip it whole
+          if (counters != null) counters.runsColSkipped += 1
+          Iterator.empty
         } else {
           if (counters != null) counters.runsRead += 1
-          rangeRun(ri, lo, hi, colSet, counters)
+          rangeRun(ri, lo, hi, colSet, counters, colWindow)
         }
       }
     }
@@ -719,7 +794,8 @@ object CellStore {
       lookupKeys: Seq[Array[Byte]] = null,
       onlyFiles: Seq[Path] = null,
       counters: ScanCounters = null,
-      colLookup: Seq[Array[Byte]] = null)
+      colLookup: Seq[Array[Byte]] = null,
+      colWindow: (Array[Byte], Array[Byte]) = null)
     extends Iterator[Cell] with AutoCloseable {
     // onlyFiles: the change-feed restriction — merge ONLY these committed
     // segments (one micro-batch's delta) instead of the whole bucket; LWW
@@ -733,11 +809,13 @@ object CellStore {
       if (colLookup == null) null
       else colLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
     private val raw =
-      if (lower == null && upper == null && lookupKeys == null && colSorted == null) {
+      if (lower == null && upper == null && lookupKeys == null &&
+          colSorted == null && colWindow == null) {
         val rs = segs.flatMap(_.runs())
         if (counters != null) counters.runsRead += rs.size
         rs
-      } else segs.flatMap(_.rangeRuns(lower, upper, lookupKeys, counters, colSorted))
+      } else segs.flatMap(
+        _.rangeRuns(lower, upper, lookupKeys, counters, colSorted, colWindow))
     // snapshot read: cells written after the as-of bound never enter LWW
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
@@ -767,8 +845,13 @@ object CellStore {
       }
       false
     }
+    private def inWindow(col: Array[Byte]): Boolean =
+      col != null &&
+        (colWindow._1 == null || Codecs.compareBytes(colWindow._1, col) <= 0) &&
+        (colWindow._2 == null || Codecs.compareBytes(col, colWindow._2) <= 0)
     private def prune(it: Iterator[Cell]): Iterator[Cell] = {
-      val a0 = if (colSorted == null) it else it.filter(c => colMatch(c.col))
+      val w0 = if (colWindow == null) it else it.filter(c => inWindow(c.col))
+      val a0 = if (colSorted == null) w0 else w0.filter(c => colMatch(c.col))
       val a = if (asOf == Long.MaxValue) a0 else a0.filter(_.ts <= asOf)
       if (ttl <= 0L || now <= 0L) a
       else a.filter(c => c.tombstone || now < c.ts + ttl)
@@ -1026,16 +1109,23 @@ object CellStore {
       val bloom = new KeyBloom.Builder
       var count = 0
       var lastKey: Array[Byte] = null
+      var colMin: Array[Byte] = null
+      var colMax: Array[Byte] = null
       cells.foreach { c =>
         if (count % IndexEvery == 0) entries += ((count, counting.count, c.key, c.col))
         if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
           bloom.add(c.key)
+        if (c.col != null) {
+          if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
+          if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
+        }
         writeCell(out, c)
         count += 1
         lastKey = c.key
       }
       val payloadLen = counting.count
-      out.write(serializeIndex(entries.toSeq, lastKey, bloom.build()))
+      out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
+        colMin, colMax))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

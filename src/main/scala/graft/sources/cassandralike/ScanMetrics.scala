@@ -31,6 +31,9 @@ final class ScanCounters {
     * span ((key, col)-prefixed run-index entries): the IO the multi-point
     * slice seek saves on very wide rows. */
   var cellsSeekSkipped: Long = 0L
+  /** Runs skipped whole because their [colMin, colMax] window (Cassandra's
+    * sstable min/max clustering) holds no wanted slice column. */
+  var runsColSkipped: Long = 0L
 }
 
 object ScanMetrics {
@@ -40,12 +43,13 @@ object ScanMetrics {
   val CellsMerged = "cellsMerged"
   val TombstonesDropped = "tombstonesDropped"
   val CellsSeekSkipped = "cellsSeekSkipped"
+  val RunsColSkipped = "runsColSkipped"
 
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
     new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
     new CellsMergedMetric, new TombstonesDroppedMetric,
-    new CellsSeekSkippedMetric)
+    new CellsSeekSkippedMetric, new RunsColSkippedMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -59,7 +63,8 @@ object ScanMetrics {
     Task(RunsBloomSkipped, c.runsBloomSkipped),
     Task(CellsMerged, c.cellsMerged),
     Task(TombstonesDropped, c.tombstonesDropped),
-    Task(CellsSeekSkipped, c.cellsSeekSkipped))
+    Task(CellsSeekSkipped, c.cellsSeekSkipped),
+    Task(RunsColSkipped, c.runsColSkipped))
 }
 
 // Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
@@ -89,4 +94,8 @@ final class TombstonesDroppedMetric extends CustomSumMetric {
 final class CellsSeekSkippedMetric extends CustomSumMetric {
   override def name(): String = ScanMetrics.CellsSeekSkipped
   override def description(): String = "cells seeked past by point slices"
+}
+final class RunsColSkippedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.RunsColSkipped
+  override def description(): String = "runs skipped by min/max clustering"
 }

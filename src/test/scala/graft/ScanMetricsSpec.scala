@@ -96,6 +96,55 @@ class ScanMetricsSpec extends SparkSpec {
     } finally CellStore.dropTable(dir)
   }
 
+  test("min/max clustering skips whole runs for a disjoint slice lookup") {
+    // two segments over the SAME key with disjoint column windows — the
+    // Cassandra time-series shape where newer sstables hold newer
+    // clustering values; a slice of old columns must skip the new run
+    // without reading its payload
+    val dir = java.nio.file.Files.createTempDirectory("scanmetricscolrange").toString
+    try {
+      seg(dir, "b0-old.bin", (0 until 500).map(i => cell("k", f"t$i%05d", s"v$i", 1L)))
+      seg(dir, "b0-new.bin", (500 until 1000).map(i => cell("k", f"t$i%05d", s"v$i", 2L)))
+      val wanted = Seq("t00042".getBytes.asInstanceOf[Array[Byte]])
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c, colLookup = wanted)
+      try assert(it.toVector.map(x => new String(x.value)) == Vector("v42"))
+      finally it.close()
+      assert(c.runsColSkipped == 1, s"runsColSkipped=${c.runsColSkipped}")
+      assert(c.runsRead == 1, s"runsRead=${c.runsRead}")
+      // a tombstone in the NEW window still shadows through the pruning
+      seg(dir, "b0-del.bin", Seq(tomb("k", "t00700", 3L)))
+      val c2 = new ScanCounters
+      val it2 = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c2, colLookup = Seq("t00700".getBytes))
+      try assert(it2.toVector.isEmpty)
+      finally it2.close()
+      assert(c2.runsColSkipped == 1, "only the old run's window excludes t00700")
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("slice-range window seeks spans and skips disjoint runs") {
+    val dir = java.nio.file.Files.createTempDirectory("scanmetricswindow").toString
+    try {
+      // one wide row of 4000 cells in one run + a second run whose col
+      // window is disjoint from the queried range
+      seg(dir, "b0-a.bin", (0 until 4000).map(i => cell("hot", f"c$i%05d", s"v$i", 1L)))
+      seg(dir, "b0-b.bin", (4000 until 4200).map(i => cell("hot", f"c$i%05d", s"v$i", 1L)))
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c, colWindow = ("c00100".getBytes, "c00149".getBytes))
+      try {
+        val got = it.toVector.map(x => new String(x.col))
+        assert(got == (100 until 150).map(i => f"c$i%05d"), s"got ${got.take(5)}…")
+      } finally it.close()
+      assert(c.runsColSkipped == 1, s"disjoint run must skip: ${c.runsColSkipped}")
+      assert(c.cellsSeekSkipped >= 3300,
+        s"window must seek past most spans: ${c.cellsSeekSkipped}")
+      assert(c.cellsMerged == 50)
+    } finally CellStore.dropTable(dir)
+  }
+
   test("pre-col-tail index blocks still read; colLookup seek falls back") {
     // hand-written legacy run: entries + lastKey only (pre-bloom, pre-col
     // layout) — parseIndex must yield bloom=null/cols=null and the
@@ -162,7 +211,8 @@ class ScanMetricsSpec extends SparkSpec {
     }.getOrElse(fail("no BatchScanExec"))
     val declared = scan.supportedCustomMetrics().map(m => m.name()).toSet
     assert(declared == Set("segmentsRead", "runsRead", "runsBloomSkipped",
-      "cellsMerged", "tombstonesDropped", "cellsSeekSkipped"))
+      "cellsMerged", "tombstonesDropped", "cellsSeekSkipped",
+      "runsColSkipped"))
     // task side: drain the partition readers directly and check the
     // reported values carry the SAME names (the UI joins on name) and that
     // the lookup actually counted work
