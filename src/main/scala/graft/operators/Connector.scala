@@ -476,6 +476,39 @@ object Connector {
         .orderBy($"c_custkey")
     },
 
+    // ---- ORDERED CLUSTERING COLUMNS (`column.encoding='ordered'`): the
+    // transposed :column bytes store through the same monotone maps as
+    // ordered keys, so a BIGINT clustering column (the time-series shape)
+    // gains what string columns already had — per-key ordering claims,
+    // slice TopN, and the slice-window run/span seeks: the pushed BETWEEN
+    // below reads O(range) cells of each wide row and skips whole runs
+    // whose [colMin, colMax] window is disjoint (ColEncodingSpec pins the
+    // negatives, the run skip, TopN and the DML composition). ----
+    Q("conn_slice_window_numeric",
+      """WITH c AS (SELECT l_suppkey AS row_key,
+        |             l_orderkey * 10 + l_linenumber AS column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, max(value) AS value
+        |          FROM c GROUP BY row_key, column_name)
+        |SELECT row_key, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
+        |FROM dedup WHERE column_name >= 10000 AND column_name < 60000
+        |GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        $"l_suppkey".as("row_key"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("bigint").as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "slice_window_numeric", src,
+        mapping = Some(":key,:column,:value"),
+        props = Map(
+          graft.sources.cassandralike.Options.ColumnEncoding -> "ordered"))
+      Seed.read(s, store)
+        .filter($"column_name" >= 10000L && $"column_name" < 60000L)
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
+        .orderBy($"row_key")
+    },
+
     // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
     // survives via its other live cells) ----
     Q("conn_missing_cell_null",

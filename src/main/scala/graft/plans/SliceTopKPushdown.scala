@@ -116,9 +116,12 @@ object SliceTopKPushdown extends Rule[LogicalPlan] with PredicateHelper {
     def isRelAttr(a: AttributeReference, name: String): Boolean =
       a.name == name && rel.output.exists(_.semanticEquals(a))
     if (!isRelAttr(partAttr, keyName) || !isRelAttr(ordAttr, colField.name)) return None
-    // Spark ordering must equal the store's unsigned-byte comparator
+    // Spark ordering must equal the store's unsigned-byte comparator —
+    // string/binary natively, any ordered-supported type under the
+    // ordered column encoding
     colField.dataType match {
       case StringType | BinaryType => ()
+      case _ if table.colCodec != null && table.colCodec.ordered => ()
       case _ => return None
     }
     // refuse to compose with an existing slice

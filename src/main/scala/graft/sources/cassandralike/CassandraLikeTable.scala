@@ -133,6 +133,14 @@ object Options {
     * set to bounds + 1 explicitly (no silent count drift). */
   val RangeBounds = "range.bounds"
 
+  /** Clustering-column byte form: 'bytes' (default) or 'ordered' — the
+    * column.encoding twin of key.encoding, for TRANSPOSED mappings only.
+    * Ordered column bytes extend the sorted-scan claims (per-key column
+    * ordering, slice TopN) and the slice-window run/span seeks to
+    * numeric/timestamp clustering columns. A LAYOUT property: it decides
+    * every cell's column bytes, fixed before the first segment. */
+  val ColumnEncoding = "column.encoding"
+
   /** Properties baked into committed segment bytes — token routing
     * (buckets), cell naming/shape (mapping), value marshal (encoding),
     * key byte form (key.encoding), index completeness (index.columns).
@@ -141,7 +149,8 @@ object Options {
     * misroutes deletes, unmaps high buckets, or leaves an index that
     * misses pre-existing rows, instead of failing loudly. */
   val LayoutProperties: Set[String] =
-    Set("buckets", "mapping", "encoding", KeyEncoding, RangeBounds, IndexColumns)
+    Set("buckets", "mapping", "encoding", KeyEncoding, ColumnEncoding,
+      RangeBounds, IndexColumns)
 
   val DefaultBuckets = 32
   val DefaultIndexMaxCandidates = 64 * 1024
@@ -263,6 +272,18 @@ class CassandraLikeTable(
   val rangeDigest: String =
     if (rangeBounds == null) null
     else RangeLayout.digest(rangeBounds, keyCodec.ordered)
+
+  /** Clustering-column codec (transposed mappings; null otherwise).
+    * column.encoding is a layout property, validated up front. */
+  val colCodec: KeyCodec =
+    if (mapping.transposed)
+      KeyCodec.ofColumn(mapping.field(FieldRole.TransColumn).dataType,
+        k => tableProps.get(k))
+    else {
+      require(!tableProps.contains(Options.ColumnEncoding),
+        "column.encoding requires a transposed (:key,:column,:value) mapping")
+      null
+    }
 
   override def name(): String = tableName
   /** Cell-address columns are never null in the store (every cell carries
@@ -469,7 +490,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case Seq(k) => ascOn(k, keyF.name)
       case Seq(k, c) if table.mapping.transposed && !reversed =>
         val colF = table.mapping.field(FieldRole.TransColumn)
-        ascOn(k, keyF.name) && byteOrdered(colF.dataType) && ascOn(c, colF.name)
+        ascOn(k, keyF.name) &&
+          (byteOrdered(colF.dataType) || table.colCodec.ordered) &&
+          ascOn(c, colF.name)
       case _ => false
     }
     if (natural) { limit = Some(n); true } else false
@@ -831,7 +854,7 @@ class CellScan(
         val colF = table.mapping.field(FieldRole.TransColumn)
         val reversed = table.opt(options, Options.SliceReversed)
           .exists(_.toBoolean)
-        if (byteOrdered(colF.dataType) && !reversed &&
+        if ((byteOrdered(colF.dataType) || table.colCodec.ordered) && !reversed &&
             required.fieldNames.contains(colF.name))
           Some(E.sort(E.column(colF.name), SortDirection.ASCENDING,
             NullOrdering.NULLS_FIRST))
@@ -1440,6 +1463,9 @@ class CellPartitionReader(
   // reconciliation is per-address so a key-restricted merge over all
   // segments reconciles identically to the full-bucket merge.
   private val keyCodec: KeyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
+  private val colCodec: KeyCodec =
+    if (!mapping.transposed) null
+    else KeyCodec.ofColumn(mapping.field(FieldRole.TransColumn).dataType, opt)
   private val keyBounds: (Array[Byte], Array[Byte]) =
     KeyLookupBounds(filters, mapping.keyField.name, keyCodec,
       part.lower, part.upper)
@@ -1462,20 +1488,22 @@ class CellPartitionReader(
       val colF = mapping.field(FieldRole.TransColumn)
       // byte equality must IMPLY SQL equality and vice versa, or the seek
       // would drop rows the exact filter admits: float/double diverge
-      // (-0.0 = 0.0 in SQL, different IEEE bytes), so they stay on the
-      // exact-filter-only path
-      val injective = colF.dataType match {
+      // under the plain bytes form (-0.0 = 0.0 in SQL, different IEEE
+      // bits), so they stay exact-filter-only there — the ORDERED column
+      // encoding normalizes them (one byte form per SQL-equal value), so
+      // every ordered-supported type qualifies under column.encoding
+      val injective = colCodec.ordered || (colF.dataType match {
         case StringType | BinaryType | BooleanType | DateType |
           TimestampType | LongType | IntegerType | ShortType | ByteType => true
         case _ => false
-      }
+      })
       if (!injective) null else {
       val sets = filters.flatMap {
         case EqualTo(c, v) if c == colF.name && v != null => Some(Seq(v))
         case In(c, vs) if c == colF.name && vs.nonEmpty =>
           Some(vs.toSeq.filter(_ != null))
         case _ => None
-      }.map(_.map(v => Codecs.encode(colF.dataType,
+      }.map(_.map(v => colCodec.encode(
         CatalystTypeConverters.convertToCatalyst(v)).toSeq).toSet)
       if (sets.isEmpty) null
       else sets.reduce(_ intersect _).toSeq.map(_.toArray)
@@ -1495,13 +1523,13 @@ class CellPartitionReader(
     if (!mapping.transposed) null
     else {
       val colF = mapping.field(FieldRole.TransColumn)
-      val byteOrdered = colF.dataType match {
+      val byteOrdered = colCodec.ordered || (colF.dataType match {
         case StringType | BinaryType => true
         case _ => false
-      }
+      })
       if (!byteOrdered) null else {
         def enc(v: Any): Array[Byte] =
-          Codecs.encode(colF.dataType, CatalystTypeConverters.convertToCatalyst(v))
+          colCodec.encode(CatalystTypeConverters.convertToCatalyst(v))
         var lo: Array[Byte] = null
         var hi: Array[Byte] = null
         def tightenLo(b: Array[Byte]): Unit =
@@ -1692,7 +1720,7 @@ class CellPartitionReader(
     it.flatMap { c =>
       val values = mutable.HashMap[String, Any](
         mapping.keyField.name -> keyVal,
-        colField.name -> Codecs.decode(colField.dataType, c.col),
+        colField.name -> colCodec.decode(c.col),
         valField.name -> decodeValue(valField.dataType, c.value))
       subField.foreach(sf => values(sf.name) = Codecs.decode(sf.dataType, c.sub))
       project(values.toMap)

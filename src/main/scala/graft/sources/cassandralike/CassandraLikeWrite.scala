@@ -308,6 +308,11 @@ class CellDataWriter(
   // their encoded key, the same map every read-side site uses
   private val rangeBounds: Array[Array[Byte]] =
     opt(Options.RangeBounds).map(RangeLayout.parse(_, keyType, keyCodec)).orNull
+  // clustering-column codec (column.encoding; transposed mappings only)
+  private val colCodec: KeyCodec =
+    if (!mapping.transposed) null
+    else KeyCodec.ofColumn(
+      mapping.field(FieldRole.TransColumn).dataType, opt)
 
   /** Secondary indexes (Index.scala): per indexed column, a parallel run
     * writer into `idx_<col>/sst` whose cells are (value bytes → base key).
@@ -373,7 +378,7 @@ class CellDataWriter(
       // W2: one cell per row (serde/TransposedMapping.java:34-72)
       val colF = mapping.field(FieldRole.TransColumn)
       val valF = mapping.field(FieldRole.TransValue)
-      val col = Codecs.encode(colF.dataType,
+      val col = colCodec.encode(
         row.get(mapping.fields.indexWhere(_.role == FieldRole.TransColumn), colF.dataType))
       val sub = if (mapping.hasSubColumn) {
         val sf = mapping.field(FieldRole.TransSubColumn)
@@ -448,12 +453,11 @@ class CellDataWriter(
   private[cassandralike] def writeDeleteCell(
       keyRaw: Any, colRaw: Any, subRaw: Any): Unit = {
     require(keyRaw != null && colRaw != null, "null cell address")
-    val colF = mapping.field(FieldRole.TransColumn)
     val sub =
       if (subRaw == null) null
       else Codecs.encode(mapping.field(FieldRole.TransSubColumn).dataType, subRaw)
     add(Cell(keyCodec.encode(keyRaw),
-      Codecs.encode(colF.dataType, colRaw), sub, null, baseTs, tombstone = true))
+      colCodec.encode(colRaw), sub, null, baseTs, tombstone = true))
     if (buffer.length >= batchSize) { flush(); flushes += 1 }
   }
 

@@ -65,14 +65,25 @@ object KeyCodec {
   }
   /** Resolve from the effective option chain (option > conf > table
     * property); rejects 'ordered' on unsupported key types up front. */
-  def of(keyType: DataType, opt: String => Option[String]): KeyCodec = {
-    val mode = opt("key.encoding")
+  def of(keyType: DataType, opt: String => Option[String]): KeyCodec =
+    resolve("key.encoding", keyType, opt)
+
+  /** The CLUSTERING-COLUMN twin (`column.encoding`): same monotone byte
+    * maps over the transposed :column field, so integral/timestamp/etc.
+    * clustering columns gain the ordering claims and slice-window seeks
+    * string columns already have. */
+  def ofColumn(colType: DataType, opt: String => Option[String]): KeyCodec =
+    resolve("column.encoding", colType, opt)
+
+  private def resolve(prop: String, dt: DataType,
+      opt: String => Option[String]): KeyCodec = {
+    val mode = opt(prop)
     require(mode.forall(m => m == "bytes" || m == "ordered"),
-      s"key.encoding must be 'bytes' or 'ordered', got ${mode.get}")
+      s"$prop must be 'bytes' or 'ordered', got ${mode.get}")
     val ordered = mode.contains("ordered")
-    require(!ordered || orderedSupported(keyType),
-      s"key.encoding='ordered' does not support ${keyType.catalogString} keys")
-    KeyCodec(keyType, ordered)
+    require(!ordered || orderedSupported(dt),
+      s"$prop='ordered' does not support ${dt.catalogString} values")
+    KeyCodec(dt, ordered)
   }
 }
 
