@@ -132,6 +132,47 @@ object RangeLayout {
     enc
   }
 
+  /** Derive a balanced `range.bounds` property value from a DataFrame's
+    * key distribution: sample (bounded, deterministic), sort through
+    * Spark's own ordering, pick the buckets-1 quantile keys, render in the
+    * text form [[parse]] accepts. The CREATE-time answer to "range
+    * layouts prune but balance is the operator's burden" — pick bounds
+    * from the data, not by hand. Duplicated quantiles collapse (heavy
+    * single keys can't split), so the result may define fewer buckets
+    * than asked; callers read the returned bound count. String keys must
+    * not contain ',' (the property's separator). */
+  def suggestBounds(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      buckets: Int, sampleCap: Long = 100000L): Seq[String] = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    import org.apache.spark.sql.functions.col
+    val keyed = df.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val n = keyed.count()
+    if (n == 0) return Nil
+    val sampled =
+      if (n <= sampleCap) keyed
+      else keyed.sample(withReplacement = false, sampleCap.toDouble / n, seed = 42L)
+    val sorted = sampled.orderBy(col(keyCol)).collect().map(_.get(0))
+    if (sorted.isEmpty) return Nil
+    val picks = (1 until buckets)
+      .map(i => sorted(((i.toLong * sorted.length) / buckets).toInt))
+    val rendered = picks.map(render).distinct
+    rendered.foreach(r => require(!r.contains(","),
+      s"key literal '$r' contains the bounds separator ','"))
+    rendered
+  }
+
+  private def render(v: Any): String = v match {
+    case s: String => s
+    case t: java.sql.Timestamp => // epoch micros, the parse() form
+      (Math.multiplyExact(t.getTime, 1000L) + (t.getNanos / 1000) % 1000).toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case i: java.time.Instant =>
+      (Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000).toString
+    case b: java.math.BigDecimal => b.toPlainString
+    case other => other.toString // integral and IEEE types round-trip via toString
+  }
+
   /** Content digest of a parsed bounds list + encoding flag — the identity
     * two stores must share for their range transforms to be provably the
     * same key->bucket map (the SPJ compatibility token). */

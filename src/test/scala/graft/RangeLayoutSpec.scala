@@ -140,6 +140,36 @@ class RangeLayoutSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("z"))
   }
 
+  test("suggestBounds derives balanced bounds from the key distribution") {
+    val sp = spark; import sp.implicits._
+    // skewed longs: half the mass below 100, a long tail to 100k
+    val src = ((0 until 5000).map(i => i.toLong % 100L) ++
+      (0 until 5000).map(i => (i * 20 + 100).toLong)).toDF("k")
+    val bounds = RangeLayout.suggestBounds(src, "k", 4)
+    assert(bounds.size == 3, s"got $bounds")
+    assert(bounds == bounds.map(_.toLong).sorted.map(_.toString),
+      s"bounds must ascend: $bounds")
+    // the derived property round-trips through parse + a real store
+    val store = Seed.table(spark, sfDir, "spec_range_suggest",
+      src.withColumn("v", $"k" * 2).dropDuplicates("k"),
+      props = Map(Options.KeyEncoding -> "ordered",
+        Options.RangeBounds -> bounds.mkString(","),
+        Options.Buckets -> (bounds.size + 1).toString))
+    assert(Seed.read(spark, store).count() ==
+      src.dropDuplicates("k").count())
+    // balance: the skewed low half does not all land in one bucket
+    assert(bounds.head.toLong < 100L,
+      s"half the mass is below 100; first bound must split it: $bounds")
+    // a single hot key collapses duplicate quantiles instead of failing
+    val hot = (0 until 1000).map(_ => 7L).toDF("k")
+    val hb = RangeLayout.suggestBounds(hot, "k", 4)
+    assert(hb == Seq("7"), s"got $hb")
+    // string keys render verbatim
+    val sb = RangeLayout.suggestBounds(
+      ('a' to 'z').map(_.toString).toDF("k"), "k", 3)
+    assert(sb.size == 2 && sb.forall(_.length == 1), s"got $sb")
+  }
+
   test("range.bounds is a locked layout property once segments exist") {
     spark.conf.set("spark.sql.catalog.cassandralike",
       classOf[CassandraLikeCatalog].getName)
