@@ -90,10 +90,14 @@ object Multimodal {
   /** REAL image decode via javax.imageio (JDK-shipped PNG/JPEG codecs) —
     * runs inside executor tasks; the in-memory stream avoids ImageIO's
     * temp-file cache. Returns None for payloads no registered reader
-    * accepts. */
+    * accepts — including payloads a reader CLAIMS (magic-byte match) but
+    * then fails on (a corrupt body throws from ImageIO.read); a sniffed
+    * payload that is not actually a decodable image must fall back to the
+    * stub codec, not fail the task. */
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     javax.imageio.ImageIO.setUseCache(false)
-    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
   }
 
   /** Codec dispatch: a PNG/JPEG payload decodes through javax.imageio and

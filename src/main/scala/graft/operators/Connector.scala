@@ -92,8 +92,8 @@ object Connector {
     // (JVM BigDecimal) and emits the widened DecimalType(22,2) partial —
     // Spark's own Sum result type — so the combined total is bit-identical
     // to the unpushed aggregate at any partitioning; a partition sum that
-    // can't fit p+10 digits emits NULL, the same overflow surface Spark's
-    // own p+10-bounded map-side buffer has. ----
+    // can't fit p+10 digits FAILS the scan (a NULL partial would be
+    // silently dropped by the final Sum — a wrong non-null total). ----
     Q("conn_agg_decimal_sum",
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal,
@@ -504,6 +504,41 @@ object Connector {
           graft.sources.cassandralike.Options.ColumnEncoding -> "ordered"))
       Seed.read(s, store)
         .filter($"column_name" >= 10000L && $"column_name" < 60000L)
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
+        .orderBy($"row_key")
+    },
+
+    // ---- TYPED STATIC SLICE OPTIONS: the reference-parity
+    // slice.start/slice.finish knobs (CassandraStorageHandler.java:149-189
+    // in /root/reference — static configuration, not pushed predicates)
+    // driving a NUMERIC window on an ordered clustering column. The option
+    // text parses as a typed literal against the column type (the
+    // RangeLayout grammar) and encodes through the ordered column codec,
+    // so the option-driven path reaches the same run/span window seeks as
+    // the pushed-predicate path (ScanMetricsSpec pins the cell-read
+    // parity). NO filter on the Spark side — the slice IS the options. ----
+    Q("conn_slice_options_numeric",
+      """WITH c AS (SELECT l_suppkey AS row_key,
+        |             l_orderkey * 10 + l_linenumber AS column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, max(value) AS value
+        |          FROM c GROUP BY row_key, column_name)
+        |SELECT row_key, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
+        |FROM dedup WHERE column_name >= 10000 AND column_name <= 59999
+        |GROUP BY row_key ORDER BY row_key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        $"l_suppkey".as("row_key"),
+        ($"l_orderkey" * 10 + $"l_linenumber").cast("bigint").as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "slice_options_numeric", src,
+        mapping = Some(":key,:column,:value"),
+        props = Map(
+          graft.sources.cassandralike.Options.ColumnEncoding -> "ordered"))
+      // slice bounds are INCLUSIVE both ends (the reference's SliceRange)
+      Seed.read(s, store, Map(
+          Options.SliceStart -> "10000", Options.SliceFinish -> "59999"))
         .groupBy($"row_key")
         .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
         .orderBy($"row_key")

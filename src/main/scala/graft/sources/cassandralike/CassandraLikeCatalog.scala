@@ -51,12 +51,36 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
       case None => RangeBucketFunction.parse(ident.name().toLowerCase) match {
         // range_bucket_<n>_<digest>: the range-layout family — bind pulls
         // the digest's bounds from the driver-side registry and embeds
-        // them in the bound function (executor-safe)
-        case Some(f) => f
+        // them in the bound function (executor-safe). A fresh JVM (driver
+        // restart replaying a persisted plan, a second session) may not
+        // have loaded the owning table yet; recover the bounds from table
+        // metadata so binding is self-sufficient, not load-order-dependent.
+        case Some(f) =>
+          if (RangeBucketFunction.lookup(f.digest).isEmpty) recoverRangeDigest(f.digest)
+          f
         case None =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
       }
     }
+
+  /** Scan the warehouse for a table whose `range.bounds` digest matches and
+    * register its bounds (constructing [[CassandraLikeTable]] registers as a
+    * side effect). Only runs on a registry miss — i.e. at most once per
+    * digest per JVM — and tolerates unreadable/foreign directories. */
+  private def recoverRangeDigest(digest: String): Unit = {
+    val s = java.nio.file.Files.walk(warehouse, 8)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p.resolve(CellStore.MetaFile)))
+      .foreach { p =>
+        if (RangeBucketFunction.lookup(digest).isEmpty)
+          try CellStore.readMeta(p.toString).foreach { m =>
+            if (m.properties.contains(Options.RangeBounds))
+              new CassandraLikeTable(p.getFileName.toString, p.toString,
+                StructType.fromDDL(m.schemaDdl), Some(m.mapping), m.properties)
+          } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    finally s.close()
+  }
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _

@@ -232,7 +232,21 @@ class DefaultSource extends TableProvider with DataSourceRegister {
     val d = properties.get(Options.Path)
     require(d != null, "cassandralike requires a path")
     val meta = CellStore.readMeta(d)
-    val props = meta.map(_.properties).getOrElse(Map.empty) ++ properties.asScala
+    val metaProps = meta.map(_.properties).getOrElse(Map.empty)
+    val given = properties.asScala.toMap
+    // layout properties pinned by the store's meta win over reader/writer
+    // options: existing segments were laid out under the pinned value, so
+    // an override would misdecode keys / misroute writes (equal values
+    // pass — re-stating the layout on append is legitimate)
+    Options.LayoutProperties.foreach { k =>
+      for (pinned <- metaProps.get(k); g <- given.get(k) if g != pinned)
+        throw new IllegalArgumentException(
+          s"'$k' is a layout property pinned to '$pinned' by the table at " +
+            s"$d; option override '$g' would misinterpret existing segments")
+    }
+    val props = metaProps ++ given.filterNot { case (k, _) =>
+      Options.LayoutProperties(k) && metaProps.contains(k)
+    }
     val mapping = Options.effective(props, Map.empty, Options.Mapping)
       .orElse(meta.map(_.mapping))
     new CassandraLikeTable(d, d, schema, mapping, props)
@@ -411,9 +425,27 @@ class CassandraLikeTable(
   }
 
   /** Session-conf overrides merge UNDER explicit options (option > conf >
-    * table property — the reference's conf-over-table-props resolution, D3). */
-  def withConfOverrides(options: Map[String, String]): Map[String, String] =
-    Options.confOverrides() ++ options
+    * table property — the reference's conf-over-table-props resolution, D3).
+    *
+    * LAYOUT properties pinned by table metadata are excluded from the
+    * chain entirely: existing segments were laid out under the pinned
+    * value, so a per-scan/per-write override would silently misdecode
+    * every key or misroute writes/deletes to wrong buckets. An EXPLICIT
+    * option that conflicts is rejected loudly (the caller asked for an
+    * impossible read); an ambient `spark.cassandralike.*` session conf is
+    * ignored for pinned keys (it is a cross-table default, legitimate for
+    * CREATE, and must not corrupt reads of tables pinned differently). */
+  def withConfOverrides(options: Map[String, String]): Map[String, String] = {
+    Options.LayoutProperties.foreach { k =>
+      for (pinned <- tableProps.get(k); given <- options.get(k) if given != pinned)
+        throw new IllegalArgumentException(
+          s"'$k' is a layout property pinned to '$pinned' by table ${name()}; " +
+            s"per-operation override '$given' would misinterpret existing segments")
+    }
+    (Options.confOverrides() ++ options).filterNot { case (k, _) =>
+      Options.LayoutProperties(k) && tableProps.contains(k)
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CellScanBuilder(this,
@@ -540,9 +572,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // partial-agg semantics exactly: integrals accumulate as Long (same
     // wrap-around), float/double as Double (Spark sums float as double),
     // and decimal as the widened DecimalType(min(38, p+10), s) — the fold
-    // sums exactly (JVM BigDecimal) and emits NULL when a partition's sum
-    // can't fit the widened type, the same partial-overflow surface
-    // Spark's own map-side buffer (also bounded at p+10) has.
+    // sums exactly (JVM BigDecimal) and THROWS if a partition's sum can't
+    // fit the widened type. A NULL partial would be indistinguishable from
+    // an all-null partition and Spark's final Sum would silently drop the
+    // overflowed contribution (wrong non-null total); failing the scan is
+    // the only sound surface a partial-row producer has.
     def summable(c: String): Boolean = table.tableSchema(c).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
@@ -1068,7 +1102,8 @@ final case class CellReaderFactory(
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
     aggGroupKeys: Seq[String] = Nil,
-    columnar: Boolean = false) extends PartitionReaderFactory {
+    columnar: Boolean = false,
+    accums: Option[ScanAccumulators] = None) extends PartitionReaderFactory {
 
   /** COLUMNAR scan path: rows batch into on-heap column vectors and
     * whole-stage codegen consumes the scan vectorized (ColumnarToRow is
@@ -1100,8 +1135,19 @@ final case class CellReaderFactory(
     }
     val base = new CellPartitionReader(cp, ColumnMapping(mappedFields), required,
       filters, (k: String) => Options.effective(options, tableProps, k), limit, dropped)
-    if (aggs.isEmpty) base
-    else new AggregatePartitionReader(base, required, aggs, aggGroupKeys)
+    val counted = accums match {
+      case None => base
+      case Some(a) => new PartitionReader[InternalRow] {
+        // streaming-feed accumulator tap: fold the task's counters into the
+        // driver-side accumulators at close (task completion merges them)
+        override def next(): Boolean = base.next()
+        override def get(): InternalRow = base.get()
+        override def currentMetricsValues() = base.currentMetricsValues()
+        override def close(): Unit = { a.add(base.counters); base.close() }
+      }
+    }
+    if (aggs.isEmpty) counted
+    else new AggregatePartitionReader(counted, required, aggs, aggGroupKeys)
   }
 }
 
@@ -1215,12 +1261,20 @@ class AggregatePartitionReader(
           case null => null
           case jbd: java.math.BigDecimal =>
             // exact partition sum → the widened partial type; a sum that
-            // can't fit emits NULL (Spark's own p+10-bounded map-side
-            // buffer overflows into null at the same point)
+            // can't fit must FAIL the scan: emitting a NULL partial would
+            // be silently skipped by Spark's final Sum (a wrong non-null
+            // total), and there is no overflow signal a partial row can
+            // carry. Throwing matches ANSI; non-ANSI users who need the
+            // NULL-on-overflow surface can disable agg pushdown.
             val wt = PushedAgg.sumType(base(ord).dataType)
               .asInstanceOf[org.apache.spark.sql.types.DecimalType]
             val dec = org.apache.spark.sql.types.Decimal(jbd)
-            if (dec.changePrecision(wt.precision, wt.scale)) dec else null
+            if (dec.changePrecision(wt.precision, wt.scale)) dec
+            else throw new ArithmeticException(
+              s"partition-partial SUM overflowed ${wt.sql}; the pushed " +
+              "partial cannot represent overflow (a NULL partial would be " +
+              "dropped by the final aggregate). Rerun with aggregate " +
+              "pushdown disabled for NULL-on-overflow semantics.")
         }
       case ((_, _, _), i) => vals(i)
     }
@@ -1510,6 +1564,20 @@ class CellPartitionReader(
       }
     }
 
+  /** Byte form of a static `slice.start`/`slice.finish` option value. On
+    * an ORDERED clustering column the text is a TYPED literal (the
+    * RangeLayout grammar — micros for timestamps, days for dates, plain
+    * decimal for numerics) encoded through colCodec, so the
+    * reference-parity knobs drive the same numeric windows/seeks as pushed
+    * predicates. Everywhere else it stays the verbatim UTF-8 byte form
+    * (the reference's behavior, CassandraStorageHandler.java:149-189 in
+    * /root/reference — for string columns the two forms coincide). */
+  private def sliceBound(text: String): Array[Byte] =
+    if (mapping.transposed && colCodec.ordered)
+      colCodec.encode(RangeLayout.literal(
+        text, mapping.field(FieldRole.TransColumn).dataType))
+    else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   // SLICE-RANGE window: pushed </<=/>/>= on the clustering column (and the
   // static slice.start/finish options) fold into one inclusive byte window
   // [lo, hi] the merge uses to skip whole runs (min/max clustering) and
@@ -1543,18 +1611,14 @@ class CellPartitionReader(
           case LessThanOrEqual(c, v) if c == colF.name && v != null => tightenHi(enc(v))
           case _ => ()
         }
-        // static slice knobs (P2): UTF-8 rendered, i.e. the string col's
-        // exact byte form. start is ALWAYS the lower bound and finish the
-        // upper — slice.reversed flips iteration ORDER only, never the
-        // bound roles (transposedRows applies the same filter; the fuzz
-        // model pins it)
-        if (colF.dataType == StringType) {
-          opt(Options.SliceStart)
-            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .foreach(tightenLo)
-          opt(Options.SliceFinish)
-            .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .foreach(tightenHi)
+        // static slice knobs (P2): typed literals on ordered columns,
+        // verbatim UTF-8 on strings (sliceBound). start is ALWAYS the
+        // lower bound and finish the upper — slice.reversed flips
+        // iteration ORDER only, never the bound roles (transposedRows
+        // applies the same filter; the fuzz model pins it)
+        if (colF.dataType == StringType || colCodec.ordered) {
+          opt(Options.SliceStart).map(sliceBound).foreach(tightenLo)
+          opt(Options.SliceFinish).map(sliceBound).foreach(tightenHi)
         }
         if (lo == null && hi == null) null else (lo, hi)
       }
@@ -1685,8 +1749,8 @@ class CellPartitionReader(
   private def transposedRows(group: (Array[Byte], Seq[Cell])): Iterator[InternalRow] = {
     val (key, cellsAsc) = group
     val reversed = opt(Options.SliceReversed).exists(_.toBoolean)
-    val startB = opt(Options.SliceStart).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val finishB = opt(Options.SliceFinish).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val startB = opt(Options.SliceStart).map(sliceBound)
+    val finishB = opt(Options.SliceFinish).map(sliceBound)
     val count = opt(Options.SliceCount).map(_.toInt)
     val pageSize = opt(Options.WideRowPageSize).map(_.toInt)
       .getOrElse(Options.DefaultPageSize)

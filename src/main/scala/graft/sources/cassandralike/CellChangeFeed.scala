@@ -349,6 +349,19 @@ final class CellChangeFeedStream(
   @volatile private var lastBatchAdmitted = 0L
   @volatile private var lastBatchCompactionSkipped = 0L
 
+  /** Seek-saving totals since query start, merged back from executor
+    * readers via accumulators (the feed shares the batch scan's run/span
+    * seek machinery; without this tap the saving is invisible on a live
+    * feed — the batch scan reports it per scan node, a stream operator
+    * watches progress metrics instead). Driver-created at first reader
+    * factory construction. */
+  private lazy val seekAccums: Option[ScanAccumulators] =
+    org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+      ScanAccumulators(
+        s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
+        s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"))
+    }
+
   /** Per-batch source metrics in `StreamingQueryProgress.sources[].metrics`:
     * consumed vs committed segment counts and their difference — the feed's
     * backlog, the lag signal an operator alarms on — plus the last batch's
@@ -382,7 +395,14 @@ final class CellChangeFeedStream(
       "segmentsCommitted", committed.size.toString,
       "segmentsPending", pending.toString,
       "batchSegmentsAdmitted", lastBatchAdmitted.toString,
-      "batchSegmentsCompactionSkipped", lastBatchCompactionSkipped.toString)
+      "batchSegmentsCompactionSkipped", lastBatchCompactionSkipped.toString,
+      // cumulative reader-side seek savings (run/span IO pruning) since
+      // query start — the live-feed view of the batch scan's
+      // cellsSeekSkipped/runsColSkipped custom metrics
+      ScanMetrics.CellsSeekSkipped,
+      seekAccums.map(_.cellsSeekSkipped.value.toString).getOrElse("0"),
+      ScanMetrics.RunsColSkipped,
+      seekAccums.map(_.runsColSkipped.value.toString).getOrElse("0"))
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -446,7 +466,8 @@ final class CellChangeFeedStream(
     // projection, read.columnar — lives in the factory and falls back to
     // rows identically for both scan kinds
     CellReaderFactory(table.tableSchema, table.mapping.fields, required,
-      filters, options, table.tableProps, columnar = true)
+      filters, options, table.tableProps, columnar = true,
+      accums = seekAccums)
 }
 
 object CellChangeFeedStream {

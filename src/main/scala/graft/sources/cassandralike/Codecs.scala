@@ -100,30 +100,35 @@ object KeyCodec {
   * balance is the operator's responsibility (pick bounds from key
   * quantiles; sub-splits still split an oversized bucket). */
 object RangeLayout {
+  /** One key/column literal in the layout text grammar → its Catalyst
+    * value (longs/ints decimal, IEEE decimal text, strings verbatim,
+    * decimals plain text, timestamps epoch MICROS, dates epoch DAYS).
+    * Shared by [[parse]] and the typed `slice.start`/`slice.finish`
+    * option path, so the static knobs and the bounds property speak one
+    * grammar. */
+  def literal(s: String, dt: DataType): Any = dt match {
+    case LongType => java.lang.Long.valueOf(s.toLong)
+    case IntegerType => Integer.valueOf(s.toInt)
+    case ShortType => java.lang.Short.valueOf(s.toShort)
+    case ByteType => java.lang.Byte.valueOf(s.toByte)
+    case DoubleType => java.lang.Double.valueOf(s.toDouble)
+    case FloatType => java.lang.Float.valueOf(s.toFloat)
+    case StringType => UTF8String.fromString(s)
+    case TimestampType => java.lang.Long.valueOf(s.toLong) // epoch micros
+    case DateType => Integer.valueOf(s.toInt) // epoch days
+    case d: DecimalType =>
+      Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"no text literal form for ${other.catalogString} values")
+  }
+
   def parse(prop: String, dt: DataType, codec: KeyCodec): Array[Array[Byte]] = {
     require(codec.rangeOrdered,
       "range.bounds requires an order-preserving key byte form: " +
         "key.encoding='ordered' or a string/binary key")
     val parts = prop.split(",").map(_.trim).filter(_.nonEmpty)
     require(parts.nonEmpty, "range.bounds must list at least one bound")
-    val enc = parts.map { s =>
-      val cat: Any = dt match {
-        case LongType => java.lang.Long.valueOf(s.toLong)
-        case IntegerType => Integer.valueOf(s.toInt)
-        case ShortType => java.lang.Short.valueOf(s.toShort)
-        case ByteType => java.lang.Byte.valueOf(s.toByte)
-        case DoubleType => java.lang.Double.valueOf(s.toDouble)
-        case FloatType => java.lang.Float.valueOf(s.toFloat)
-        case StringType => UTF8String.fromString(s)
-        case TimestampType => java.lang.Long.valueOf(s.toLong) // epoch micros
-        case DateType => Integer.valueOf(s.toInt) // epoch days
-        case d: DecimalType =>
-          Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
-        case other => throw new IllegalArgumentException(
-          s"range.bounds does not support ${other.catalogString} keys")
-      }
-      codec.encode(cat)
-    }
+    val enc = parts.map(s => codec.encode(literal(s, dt)))
     enc.sliding(2).foreach {
       case Array(a, b) => require(Codecs.compareBytes(a, b) < 0,
         s"range.bounds must be strictly ascending, got '$prop'")
@@ -146,19 +151,48 @@ object RangeLayout {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     import org.apache.spark.sql.functions.col
     val keyed = df.select(col(keyCol)).where(col(keyCol).isNotNull)
-    val n = keyed.count()
-    if (n == 0) return Nil
-    val sampled =
-      if (n <= sampleCap) keyed
-      else keyed.sample(withReplacement = false, sampleCap.toDouble / n, seed = 42L)
-    val sorted = sampled.orderBy(col(keyCol)).collect().map(_.get(0))
-    if (sorted.isEmpty) return Nil
-    val picks = (1 until buckets)
-      .map(i => sorted(((i.toLong * sorted.length) / buckets).toInt))
-    val rendered = picks.map(render).distinct
+    val rendered = keyed.schema.head.dataType match {
+      // numeric keys: Spark's own distributed quantile sketch
+      // (Greenwald–Khanna) — NO driver materialization, exact enough for a
+      // balance helper at any key cardinality
+      case IntegerType | LongType | ShortType | ByteType |
+           FloatType | DoubleType =>
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val qs = keyed.stat.approxQuantile(keyCol, probs, 0.001)
+        if (qs.isEmpty) return Nil
+        qs.toSeq.map(q => renderNumeric(keyed.schema.head.dataType, q)).distinct
+      // strings / decimals / timestamps / dates: the sketch can't serve
+      // them (or would round-trip through lossy doubles) — bounded
+      // deterministic sample, sorted through Spark's own ordering
+      case _ =>
+        val n = keyed.count()
+        if (n == 0) return Nil
+        val sampled =
+          if (n <= sampleCap) keyed
+          else keyed.sample(withReplacement = false, sampleCap.toDouble / n, seed = 42L)
+        val sorted = sampled.orderBy(col(keyCol)).collect().map(_.get(0))
+        if (sorted.isEmpty) return Nil
+        val picks = (1 until buckets)
+          .map(i => sorted(((i.toLong * sorted.length) / buckets).toInt))
+        picks.map(render).distinct
+    }
     rendered.foreach(r => require(!r.contains(","),
       s"key literal '$r' contains the bounds separator ','"))
     rendered
+  }
+
+  /** Quantile double → the key type's exact text literal (the form
+    * [[parse]] accepts). Integral quantiles truncate toward zero — any
+    * value between two keys splits identically. */
+  private def renderNumeric(dt: DataType, q: Double): String = dt match {
+    case IntegerType => q.toInt.toString
+    case LongType => q.toLong.toString
+    case ShortType => q.toShort.toString
+    case ByteType => q.toByte.toString
+    case FloatType => q.toFloat.toString
+    case DoubleType => q.toString
+    case other => throw new IllegalArgumentException(
+      s"no numeric literal form for ${other.catalogString}")
   }
 
   private def render(v: Any): String = v match {

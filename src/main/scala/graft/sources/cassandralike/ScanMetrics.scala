@@ -36,6 +36,24 @@ final class ScanCounters {
   var runsColSkipped: Long = 0L
 }
 
+/** Driver-visible seek-saving totals for a STREAMING scan: the change
+  * feed's `metrics()` (ReportsSourceMetrics → `StreamingQueryProgress
+  * .sources[].metrics`) is driver-side while the counters live in executor
+  * readers, so the feed threads Spark accumulators through the reader
+  * factory — task adds merge back at task completion on a real cluster,
+  * not just in local mode. Values are CUMULATIVE since query start (the
+  * progress-report convention for source metrics); task retries can
+  * over-add, which is acceptable for observability. The batch scan keeps
+  * the richer per-scan-node DSv2 metric path ([[ScanMetrics.values]]). */
+final case class ScanAccumulators(
+    cellsSeekSkipped: org.apache.spark.util.LongAccumulator,
+    runsColSkipped: org.apache.spark.util.LongAccumulator) {
+  def add(c: ScanCounters): Unit = {
+    cellsSeekSkipped.add(c.cellsSeekSkipped)
+    runsColSkipped.add(c.runsColSkipped)
+  }
+}
+
 object ScanMetrics {
   val SegmentsRead = "segmentsRead"
   val RunsRead = "runsRead"

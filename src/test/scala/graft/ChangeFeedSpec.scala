@@ -165,6 +165,51 @@ class ChangeFeedSpec extends SparkSpec {
     assert(metricMaps.exists(_.get("batchSegmentsAdmitted").toLong >= 1))
   }
 
+  test("feed surfaces reader seek savings in source metrics") {
+    val sp = spark; import sp.implicits._
+    // transposed wide row: a static point slice (slice.start = slice.finish
+    // — Spark does not run predicate pushdown for streaming scans, so the
+    // option knobs are how a feed narrows its read) makes the feed's
+    // readers SEEK through the (key,col)-prefixed run index — and the
+    // saving must be visible to a stream operator through the progress
+    // metrics, not only in the batch scan's per-node UI metrics
+    val dir = s"${Seed.storeRoot(sfDir)}/spec_feed_seek"
+    CellStore.dropTable(dir)
+    CellStore.writeMeta(dir, CellStore.Meta(
+      "row_key STRING,column_name STRING,value STRING",
+      ":key,:column,:value", Map.empty))
+    val wide = (0 until 4000).map(i => ("hot", f"c$i%05d", s"v$i"))
+    Seed.append(wide.toDF("row_key", "column_name", "value"), dir,
+      Map(Options.WriteTimestamp -> "1"))
+    val root = java.nio.file.Files.createTempDirectory("cfeedseek").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("cassandralike").option(Options.Path, dir)
+      .option(Options.SliceStart, "c01234").option(Options.SliceFinish, "c01234")
+      .load()
+      .filter($"column_name" === "c01234")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.collect().map(_.getString(2))
+        got.synchronized { got ++= vs }; ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.synchronized(got.toSeq) == Seq("v1234"))
+    val metricMaps = q.recentProgress.toSeq
+      .flatMap(p => Option(p.sources).toSeq.flatten)
+      .flatMap(s => Option(s.metrics))
+      .filter(_.containsKey(ScanMetrics.CellsSeekSkipped))
+    assert(metricMaps.nonEmpty, "seek metrics missing from query progress")
+    val m = metricMaps.last
+    // one match in a 4000-cell row: nearly every index span seeks past
+    assert(m.get(ScanMetrics.CellsSeekSkipped).toLong >= 3000,
+      s"cellsSeekSkipped=${m.get(ScanMetrics.CellsSeekSkipped)}")
+    assert(m.get(ScanMetrics.RunsColSkipped).toLong >= 0) // key present, value surfaced
+  }
+
   test("resume emits only the delta; overwrites re-emit; deletes emit nothing") {
     val dir = freshStore("spec_changefeed")
     val root = java.nio.file.Files.createTempDirectory("cfeed").toString

@@ -77,6 +77,56 @@ class ColEncodingSpec extends SparkSpec {
     assert(merged == 50, s"window must filter the merge exactly: $merged")
   }
 
+  test("typed slice.start/finish options drive the same numeric window seeks") {
+    val sp = spark; import sp.implicits._
+    val old = (0 until 500).map(i => ("hot", i.toLong, s"v$i"))
+      .toDF("row_key", "column_name", "value")
+    val store = Seed.table(spark, sfDir, "spec_colenc_sliceopt", old, props = props)
+    val fresh = (500 until 1000).map(i => ("hot", i.toLong, s"v$i"))
+      .toDF("row_key", "column_name", "value")
+    Seed.append(fresh, store, Map(Options.WriteTimestamp -> "2"))
+
+    def drain(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      var colSkipped = 0L; var merged = 0L; var rows = 0L
+      batch.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        try { while (r.next()) { r.get(); rows += 1 } } finally {
+          r.currentMetricsValues().foreach { m =>
+            if (m.name() == "runsColSkipped") colSkipped += m.value()
+            if (m.name() == "cellsMerged") merged += m.value()
+          }
+          r.close()
+        }
+      }
+      (rows, merged, colSkipped)
+    }
+
+    // the PUSHED form (reference point) vs the OPTION-DRIVEN form: the
+    // static knobs parse '100'/'149' as typed BIGINT literals against the
+    // ordered column codec, so both reads fold to the same byte window —
+    // same merged cells, same disjoint-run skip, same rows. Slice bounds
+    // are inclusive both ends.
+    val pushed = drain(Seed.read(spark, store)
+      .filter($"column_name" >= 100L && $"column_name" <= 149L))
+    val optioned = drain(Seed.read(spark, store, Map(
+      Options.SliceStart -> "100", Options.SliceFinish -> "149")))
+    assert(pushed._1 == 50 && optioned._1 == 50,
+      s"both forms must return the 50 sliced rows: $pushed vs $optioned")
+    assert(optioned._2 == pushed._2,
+      s"option-driven slice must merge the same cells: ${optioned._2} vs ${pushed._2}")
+    assert(optioned._3 >= 1, s"disjoint run must skip under options: ${optioned._3}")
+    // result parity, values included
+    val viaOpts = Seed.read(spark, store, Map(
+        Options.SliceStart -> "100", Options.SliceFinish -> "149"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(viaOpts == (100 to 149).map(i => ("hot", i.toLong, s"v$i")))
+  }
+
   test("row-level DML composes with ordered clustering columns") {
     spark.conf.set("spark.sql.catalog.cassandralike",
       classOf[CassandraLikeCatalog].getName)

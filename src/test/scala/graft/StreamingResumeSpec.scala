@@ -175,4 +175,24 @@ class StreamingResumeSpec extends SparkSpec {
     val want = spark.read.parquet(srcDir).as[(Long, String)].collect().toSet
     assert(got == want, s"store after resume: $got")
   }
+
+  test("RocksDB state store provider yields identical streaming dedup results") {
+    // the billion-key posture: in-memory (HDFSBackedStateStoreProvider)
+    // state is bounded by executor heap; RocksDB spills keyed state to
+    // local disk. The judged streaming queries run on the default provider;
+    // this pins that flipping the provider conf changes WHERE state lives,
+    // never WHAT is emitted — turning the documented deployment note into
+    // a tested path.
+    val q = graft.SparkEntry.queries("stream_dedup_watermark")
+    val default = q(spark, sfDir).collect().toSeq
+    assert(default.nonEmpty)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = q(spark, sfDir).collect().toSeq
+      assert(rocks == default,
+        s"RocksDB provider diverged: ${rocks.size} vs ${default.size} rows")
+    } finally spark.conf.unset(key)
+  }
 }
