@@ -544,6 +544,42 @@ object Connector {
         .orderBy($"row_key")
     },
 
+    // ---- ORDERED SUB-COLUMNS (`sub.encoding='ordered'`): the :subcolumn
+    // twin of column.encoding — a super-mapping time-series keyed
+    // (supplier, order, line#) stores its SIGNED BIGINT sub bytes through
+    // the monotone maps, so cells stream (key, col, sub)-sorted in SQL
+    // order and the three-key ORDER BY ... LIMIT pushes as a partition
+    // TopN prefix (SubEncodingSpec pins the plan shape, negatives, and
+    // the locked-layout property). The sub range below crosses zero:
+    // under plain big-endian bytes the negative subs would sort AFTER
+    // the positives. ----
+    Q("conn_sub_slice_numeric",
+      """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |             lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS column_name,
+        |             CAST(l_linenumber - 3 AS BIGINT) AS sub_column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value
+        |           FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, sub_column_name,
+        |                 max(value) AS value
+        |          FROM c GROUP BY 1, 2, 3)
+        |SELECT row_key, column_name, sub_column_name, value FROM dedup
+        |WHERE sub_column_name >= -2 AND sub_column_name < 2
+        |ORDER BY row_key, column_name, sub_column_name LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+        ($"l_linenumber" - 3).cast("bigint").as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "sub_slice_numeric", src,
+        mapping = Some(":key,:column,:subcolumn,:value"),
+        props = Map(graft.sources.cassandralike.Options.SubEncoding -> "ordered"))
+      Seed.read(s, store)
+        .filter($"sub_column_name" >= -2L && $"sub_column_name" < 2L)
+        .orderBy($"row_key", $"column_name", $"sub_column_name")
+        .limit(50)
+    },
+
     // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
     // survives via its other live cells) ----
     Q("conn_missing_cell_null",

@@ -205,8 +205,22 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
           CellStore.dropTable(Index.dir(dir.toString, c)))
         props -= r.property
       case a: TableChange.AddColumn =>
+        // the store's cell model is FLAT (one cell per column; the dual
+        // binary/text bridge covers atomic types, SURVEY §1.3) — nested
+        // additions have no cell to land in. This is the declared
+        // capability boundary for MERGE WITH SCHEMA EVOLUTION too: a
+        // source whose new data is nested must ship it through the JSON
+        // bridge (a STRING column via to_json, decoded with from_json on
+        // read — the conn_nested_json shape), which evolves fine as a
+        // top-level atomic column.
         require(a.fieldNames().length == 1,
-          "cassandralike supports only top-level columns")
+          "cassandralike's cell model is flat: cannot add the nested field " +
+            s"'${a.fieldNames().mkString(".")}' — store nested data as a " +
+            "JSON string column (to_json/from_json) instead")
+        require(Codecs.atomicCellType(a.dataType()),
+          s"cassandralike cells hold atomic values; cannot add a " +
+            s"${a.dataType().catalogString} column — store nested data as " +
+            "a JSON string column (to_json/from_json) instead")
         val n = a.fieldNames()(0)
         require(!schema.fieldNames.contains(n), s"column $n already exists")
         schema = schema.add(n, a.dataType(), a.isNullable)

@@ -141,6 +141,15 @@ object Options {
     * every cell's column bytes, fixed before the first segment. */
   val ColumnEncoding = "column.encoding"
 
+  /** SUB-column byte form: 'bytes' (default) or 'ordered' — the
+    * `:subcolumn` twin of column.encoding, for transposed SUPER mappings
+    * only. Ordered sub bytes extend the per-key (column, sub) ordering
+    * claim to numeric/timestamp sub-columns, so a super-mapping
+    * time-series gets sub-level ordered reads (TopN over
+    * (key, col, sub)). A LAYOUT property: it decides every cell's sub
+    * bytes, fixed before the first segment. */
+  val SubEncoding = "sub.encoding"
+
   /** Properties baked into committed segment bytes — token routing
     * (buckets), cell naming/shape (mapping), value marshal (encoding),
     * key byte form (key.encoding), index completeness (index.columns).
@@ -150,7 +159,7 @@ object Options {
     * misses pre-existing rows, instead of failing loudly. */
   val LayoutProperties: Set[String] =
     Set("buckets", "mapping", "encoding", KeyEncoding, ColumnEncoding,
-      RangeBounds, IndexColumns)
+      SubEncoding, RangeBounds, IndexColumns)
 
   val DefaultBuckets = 32
   val DefaultIndexMaxCandidates = 64 * 1024
@@ -296,6 +305,18 @@ class CassandraLikeTable(
     else {
       require(!tableProps.contains(Options.ColumnEncoding),
         "column.encoding requires a transposed (:key,:column,:value) mapping")
+      null
+    }
+
+  /** Sub-column codec (super mappings; null otherwise). sub.encoding is a
+    * layout property, validated up front. */
+  val subCodec: KeyCodec =
+    if (mapping.hasSubColumn)
+      KeyCodec.ofSub(mapping.field(FieldRole.TransSubColumn).dataType,
+        k => tableProps.get(k))
+    else {
+      require(!tableProps.contains(Options.SubEncoding),
+        "sub.encoding requires a super (:key,:column,:subcolumn,:value) mapping")
       null
     }
 
@@ -518,13 +539,21 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (!byteOrdered(keyF.dataType) && !table.keyCodec.ordered) return false
     val reversed = Options.effective(options, table.tableProps,
       Options.SliceReversed).exists(_.toBoolean)
+    def colNatural(c: org.apache.spark.sql.connector.expressions.SortOrder): Boolean = {
+      val colF = table.mapping.field(FieldRole.TransColumn)
+      (byteOrdered(colF.dataType) || table.colCodec.ordered) && ascOn(c, colF.name)
+    }
     val natural = orders.toSeq match {
       case Seq(k) => ascOn(k, keyF.name)
       case Seq(k, c) if table.mapping.transposed && !reversed =>
-        val colF = table.mapping.field(FieldRole.TransColumn)
-        ascOn(k, keyF.name) &&
-          (byteOrdered(colF.dataType) || table.colCodec.ordered) &&
-          ascOn(c, colF.name)
+        ascOn(k, keyF.name) && colNatural(c)
+      case Seq(k, c, s) if table.mapping.hasSubColumn && !reversed =>
+        // super mapping: cells stream (key, col, sub)-sorted, so the
+        // three-key prefix is natural when every level is byte-ordered
+        val subF = table.mapping.field(FieldRole.TransSubColumn)
+        ascOn(k, keyF.name) && colNatural(c) &&
+          (byteOrdered(subF.dataType) || table.subCodec.ordered) &&
+          ascOn(s, subF.name)
       case _ => false
     }
     if (natural) { limit = Some(n); true } else false
@@ -894,7 +923,19 @@ class CellScan(
             NullOrdering.NULLS_FIRST))
         else None
       }
-    Array(keyOrder) ++ colOrder
+    // sub-level ordering claim: only meaningful (and only sound) under a
+    // claimed column ordering — cells stream (key, col, sub)-sorted
+    val subOrder =
+      if (colOrder.isEmpty || !table.mapping.hasSubColumn) None
+      else {
+        val subF = table.mapping.field(FieldRole.TransSubColumn)
+        if ((byteOrdered(subF.dataType) || table.subCodec.ordered) &&
+            required.fieldNames.contains(subF.name))
+          Some(E.sort(E.column(subF.name), SortDirection.ASCENDING,
+            NullOrdering.NULLS_FIRST))
+        else None
+      }
+    Array(keyOrder) ++ colOrder ++ subOrder
   }
 
   /** Runtime (join-produced) key filters — the DSv2 dynamic-partition-pruning
@@ -1520,6 +1561,9 @@ class CellPartitionReader(
   private val colCodec: KeyCodec =
     if (!mapping.transposed) null
     else KeyCodec.ofColumn(mapping.field(FieldRole.TransColumn).dataType, opt)
+  private val subCodec: KeyCodec =
+    if (!mapping.hasSubColumn) null
+    else KeyCodec.ofSub(mapping.field(FieldRole.TransSubColumn).dataType, opt)
   private val keyBounds: (Array[Byte], Array[Byte]) =
     KeyLookupBounds(filters, mapping.keyField.name, keyCodec,
       part.lower, part.upper)
@@ -1786,7 +1830,7 @@ class CellPartitionReader(
         mapping.keyField.name -> keyVal,
         colField.name -> colCodec.decode(c.col),
         valField.name -> decodeValue(valField.dataType, c.value))
-      subField.foreach(sf => values(sf.name) = Codecs.decode(sf.dataType, c.sub))
+      subField.foreach(sf => values(sf.name) = subCodec.decode(c.sub))
       project(values.toMap)
     }
   }

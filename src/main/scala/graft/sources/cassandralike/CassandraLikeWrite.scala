@@ -313,6 +313,11 @@ class CellDataWriter(
     if (!mapping.transposed) null
     else KeyCodec.ofColumn(
       mapping.field(FieldRole.TransColumn).dataType, opt)
+  // sub-column codec (sub.encoding; super mappings only)
+  private val subCodec: KeyCodec =
+    if (!mapping.hasSubColumn) null
+    else KeyCodec.ofSub(
+      mapping.field(FieldRole.TransSubColumn).dataType, opt)
 
   /** Secondary indexes (Index.scala): per indexed column, a parallel run
     * writer into `idx_<col>/sst` whose cells are (value bytes → base key).
@@ -382,7 +387,7 @@ class CellDataWriter(
         row.get(mapping.fields.indexWhere(_.role == FieldRole.TransColumn), colF.dataType))
       val sub = if (mapping.hasSubColumn) {
         val sf = mapping.field(FieldRole.TransSubColumn)
-        Codecs.encode(sf.dataType,
+        subCodec.encode(
           row.get(mapping.fields.indexWhere(_.role == FieldRole.TransSubColumn), sf.dataType))
       } else null
       val vIdx = mapping.fields.indexWhere(_.role == FieldRole.TransValue)
@@ -453,9 +458,7 @@ class CellDataWriter(
   private[cassandralike] def writeDeleteCell(
       keyRaw: Any, colRaw: Any, subRaw: Any): Unit = {
     require(keyRaw != null && colRaw != null, "null cell address")
-    val sub =
-      if (subRaw == null) null
-      else Codecs.encode(mapping.field(FieldRole.TransSubColumn).dataType, subRaw)
+    val sub = if (subRaw == null) null else subCodec.encode(subRaw)
     add(Cell(keyCodec.encode(keyRaw),
       colCodec.encode(colRaw), sub, null, baseTs, tombstone = true))
     if (buffer.length >= batchSize) { flush(); flushes += 1 }

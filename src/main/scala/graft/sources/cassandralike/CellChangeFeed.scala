@@ -359,7 +359,8 @@ final class CellChangeFeedStream(
     org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
       ScanAccumulators(
         s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
-        s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"))
+        s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
+        s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"))
     }
 
   /** Per-batch source metrics in `StreamingQueryProgress.sources[].metrics`:
@@ -402,7 +403,9 @@ final class CellChangeFeedStream(
       ScanMetrics.CellsSeekSkipped,
       seekAccums.map(_.cellsSeekSkipped.value.toString).getOrElse("0"),
       ScanMetrics.RunsColSkipped,
-      seekAccums.map(_.runsColSkipped.value.toString).getOrElse("0"))
+      seekAccums.map(_.runsColSkipped.value.toString).getOrElse("0"),
+      ScanMetrics.RunsColBloomSkipped,
+      seekAccums.map(_.runsColBloomSkipped.value.toString).getOrElse("0"))
   }
 
   override def deserializeOffset(json: String): Offset = {

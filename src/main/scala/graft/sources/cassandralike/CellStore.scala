@@ -204,6 +204,7 @@ object CellStore {
     val pout = new DataOutputStream(payload)
     val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
     val bloom = new KeyBloom.Builder
+    val colBloom = new ColBloomBuilder
     var prevKey: Array[Byte] = null
     var colMin: Array[Byte] = null
     var colMax: Array[Byte] = null
@@ -217,12 +218,13 @@ object CellStore {
       if (c.col != null) {
         if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
         if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
+        colBloom.add(c.col)
       }
       writeCell(pout, c)
       i += 1
     }
     val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
-      colMin, colMax)
+      colMin, colMax, colBloom.build())
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -259,7 +261,8 @@ object CellStore {
       bloom: KeyBloom /* null on pre-bloom files */,
       cols: Array[Array[Byte]] = null /* (key, col)-prefixed entries; null on pre-col files */,
       colMin: Array[Byte] = null /* run-wide min/max column (Cassandra's */,
-      colMax: Array[Byte] = null /* sstable min/max clustering); null = legacy */)
+      colMax: Array[Byte] = null /* sstable min/max clustering); null = legacy */,
+      colBloom: KeyBloom = null /* run-wide DISTINCT-column bloom; null = legacy */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -326,10 +329,38 @@ object CellStore {
     * layout). */
   private val ColsMagic = 0x434f4c53 // "COLS"
   private val ColRangeMagic = 0x43524e47 // "CRNG"
+  private val ColBloomMagic = 0x43424c4d // "CBLM"
+
+  /** Distinct-column set accumulator for a run's column BLOOM tail. The
+    * min/max window kills DISJOINT slices; the bloom kills the false-window
+    * case — a point slice whose wanted column falls INSIDE [colMin, colMax]
+    * but is simply absent (interleaved-column wide rows). Exact distinct
+    * set (cols recur per key, so adjacent dedup alone would inflate the
+    * bloom by the key count); memory-capped — a run with more distinct
+    * columns than [[ColBloomBuilder.MaxDistinct]] writes no bloom tail
+    * (point slices against such runs get less benefit per byte anyway, and
+    * the cap keeps compaction's giant merged runs out of trouble). */
+  final class ColBloomBuilder {
+    private var set = mutable.HashSet.empty[java.nio.ByteBuffer]
+    def add(col: Array[Byte]): Unit =
+      if (set != null && col != null) {
+        set += java.nio.ByteBuffer.wrap(col)
+        if (set.size > ColBloomBuilder.MaxDistinct) set = null
+      }
+    def build(): KeyBloom =
+      if (set == null || set.isEmpty) null
+      else {
+        val b = new KeyBloom.Builder
+        set.foreach(bb => b.add(bb.array()))
+        b.build()
+      }
+  }
+  object ColBloomBuilder { val MaxDistinct = 1 << 20 }
 
   private def serializeIndex(entries: Seq[(Int, Long, Array[Byte], Array[Byte])],
       lastKey: Array[Byte], bloom: KeyBloom = null,
-      colMin: Array[Byte] = null, colMax: Array[Byte] = null): Array[Byte] = {
+      colMin: Array[Byte] = null, colMax: Array[Byte] = null,
+      colBloom: KeyBloom = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
@@ -351,6 +382,14 @@ object CellStore {
       out.writeInt(ColRangeMagic)
       writeBytes(out, colMin)
       writeBytes(out, colMax)
+    }
+    // distinct-column bloom — the third self-describing tail (see
+    // [[ColBloomBuilder]]); only behind a CRNG tail, so parse order is fixed
+    if (colMin != null && colMax != null && colBloom != null) {
+      out.writeInt(ColBloomMagic)
+      out.writeInt(colBloom.numKeys)
+      out.writeInt(colBloom.words.length)
+      colBloom.words.foreach(out.writeLong)
     }
     bos.toByteArray
   }
@@ -398,7 +437,24 @@ object CellStore {
         if (in.readInt() != ColRangeMagic) { in.reset(); (null, null) }
         else (readBytes(in), readBytes(in))
       }
-    RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax)
+    val colBloom =
+      if (cMin == null || in.available() < 12) null
+      else {
+        in.mark(12)
+        if (in.readInt() != ColBloomMagic) { in.reset(); null }
+        else {
+          val numKeys = in.readInt()
+          val numWords = in.readInt()
+          if (numWords < 0 || in.available() < numWords.toLong * 8L) { in.reset(); null }
+          else {
+            val words = new Array[Long](numWords)
+            var w = 0
+            while (w < words.length) { words(w) = in.readLong(); w += 1 }
+            new KeyBloom(words, numKeys)
+          }
+        }
+      }
+    RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax, colBloom)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -418,6 +474,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), (Array[Byte], Array[Byte])]()
   private val colRangeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
+  private val colBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[KeyBloom]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -484,6 +542,21 @@ object CellStore {
         if (idx.colMin == null || idx.colMax == null) null
         else (idx.colMin, idx.colMax)
       }.toArray
+      finally r.close()
+    })
+
+  /** Per-run DISTINCT-column blooms (null element = legacy run or a run
+    * past [[ColBloomBuilder.MaxDistinct]]); memoized per immutable file. A
+    * point slice skips a run whose bloom rejects every wanted column — the
+    * false-window case min/max windows can't prune (wanted column INSIDE
+    * [colMin, colMax] but absent — interleaved-column wide rows). No false
+    * negatives, and the bloom saw tombstone cells' columns too, so a
+    * skipped run provably holds no cell (live or tombstone) of any wanted
+    * address. */
+  def runColBlooms(file: Path): Array[KeyBloom] =
+    colBloomCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).map(ri => r.readIndex(ri).colBloom).toArray
       finally r.close()
     })
 
@@ -652,6 +725,7 @@ object CellStore {
       val blooms = if (lookupKeys == null) null else runBlooms(file)
       val colRanges =
         if (colSet == null && colWindow == null) null else runColRanges(file)
+      val colBlooms = if (colSet == null) null else runColBlooms(file)
       def colExcluded(r: (Array[Byte], Array[Byte])): Boolean =
         (colSet != null && !anyColIn(colSet, r._1, r._2)) ||
           (colWindow != null &&
@@ -667,6 +741,15 @@ object CellStore {
           // run-wide min/max clustering: no wanted column can be in this
           // run, so neither can a tombstone for one — skip it whole
           if (counters != null) counters.runsColSkipped += 1
+          Iterator.empty
+        } else if (colBlooms != null && colBlooms(i) != null &&
+            !colSet.exists(colBlooms(i).mightContain)) {
+          // distinct-column bloom: the wanted columns fall INSIDE the
+          // run's [colMin, colMax] window (or the window check would have
+          // fired) but none is present — the false-window IO the min/max
+          // check can't prune. No false negatives; tombstone cells'
+          // columns were added too, so reconciliation is unaffected.
+          if (counters != null) counters.runsColBloomSkipped += 1
           Iterator.empty
         } else {
           if (counters != null) counters.runsRead += 1
@@ -1107,6 +1190,7 @@ object CellStore {
       val out = new DataOutputStream(counting)
       val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
       val bloom = new KeyBloom.Builder
+      val colBloom = new ColBloomBuilder
       var count = 0
       var lastKey: Array[Byte] = null
       var colMin: Array[Byte] = null
@@ -1118,6 +1202,7 @@ object CellStore {
         if (c.col != null) {
           if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
           if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
+          colBloom.add(c.col)
         }
         writeCell(out, c)
         count += 1
@@ -1125,7 +1210,7 @@ object CellStore {
       }
       val payloadLen = counting.count
       out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
-        colMin, colMax))
+        colMin, colMax, colBloom.build()))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

@@ -75,6 +75,12 @@ object KeyCodec {
   def ofColumn(colType: DataType, opt: String => Option[String]): KeyCodec =
     resolve("column.encoding", colType, opt)
 
+  /** The SUB-column twin (`sub.encoding`): the same monotone maps over the
+    * super-mapping :subcolumn field, so numeric/timestamp sub-columns gain
+    * the per-key (column, sub) ordering claim. */
+  def ofSub(subType: DataType, opt: String => Option[String]): KeyCodec =
+    resolve("sub.encoding", subType, opt)
+
   private def resolve(prop: String, dt: DataType,
       opt: String => Option[String]): KeyCodec = {
     val mode = opt(prop)
@@ -222,6 +228,17 @@ object RangeLayout {
 }
 
 object Codecs {
+
+  /** Whether a type can live in ONE cell (the flat cell model's atomic
+    * domain — what [[encode]]/[[decode]] marshal). Nested types are not
+    * cells: they ride the JSON bridge (a STRING column via
+    * to_json/from_json — T4, `conn_nested_json`). */
+  def atomicCellType(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+         StringType | BinaryType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
 
   /** Marshal a Catalyst value to cell bytes. Null values have no cell. */
   def encode(dt: DataType, v: Any): Array[Byte] = dt match {

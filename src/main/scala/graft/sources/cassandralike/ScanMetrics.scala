@@ -34,6 +34,10 @@ final class ScanCounters {
   /** Runs skipped whole because their [colMin, colMax] window (Cassandra's
     * sstable min/max clustering) holds no wanted slice column. */
   var runsColSkipped: Long = 0L
+  /** Runs skipped whole because their distinct-column BLOOM rejected every
+    * wanted point-slice column — the false-window case (wanted column
+    * inside the min/max window but absent) min/max can't prune. */
+  var runsColBloomSkipped: Long = 0L
 }
 
 /** Driver-visible seek-saving totals for a STREAMING scan: the change
@@ -47,10 +51,12 @@ final class ScanCounters {
   * the richer per-scan-node DSv2 metric path ([[ScanMetrics.values]]). */
 final case class ScanAccumulators(
     cellsSeekSkipped: org.apache.spark.util.LongAccumulator,
-    runsColSkipped: org.apache.spark.util.LongAccumulator) {
+    runsColSkipped: org.apache.spark.util.LongAccumulator,
+    runsColBloomSkipped: org.apache.spark.util.LongAccumulator) {
   def add(c: ScanCounters): Unit = {
     cellsSeekSkipped.add(c.cellsSeekSkipped)
     runsColSkipped.add(c.runsColSkipped)
+    runsColBloomSkipped.add(c.runsColBloomSkipped)
   }
 }
 
@@ -62,12 +68,14 @@ object ScanMetrics {
   val TombstonesDropped = "tombstonesDropped"
   val CellsSeekSkipped = "cellsSeekSkipped"
   val RunsColSkipped = "runsColSkipped"
+  val RunsColBloomSkipped = "runsColBloomSkipped"
 
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
     new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
     new CellsMergedMetric, new TombstonesDroppedMetric,
-    new CellsSeekSkippedMetric, new RunsColSkippedMetric)
+    new CellsSeekSkippedMetric, new RunsColSkippedMetric,
+    new RunsColBloomSkippedMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -82,7 +90,8 @@ object ScanMetrics {
     Task(CellsMerged, c.cellsMerged),
     Task(TombstonesDropped, c.tombstonesDropped),
     Task(CellsSeekSkipped, c.cellsSeekSkipped),
-    Task(RunsColSkipped, c.runsColSkipped))
+    Task(RunsColSkipped, c.runsColSkipped),
+    Task(RunsColBloomSkipped, c.runsColBloomSkipped))
 }
 
 // Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
@@ -116,4 +125,8 @@ final class CellsSeekSkippedMetric extends CustomSumMetric {
 final class RunsColSkippedMetric extends CustomSumMetric {
   override def name(): String = ScanMetrics.RunsColSkipped
   override def description(): String = "runs skipped by min/max clustering"
+}
+final class RunsColBloomSkippedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.RunsColBloomSkipped
+  override def description(): String = "runs skipped by column bloom"
 }

@@ -42,8 +42,12 @@ object TimeQuery {
         spark.catalog.clearCache(); System.gc(); t
       }
       once() // warm-up
-      val times = Seq.fill(3)(once())
-      println(f"[time] $name min=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      // SPARK_GRAFT_TIME_RUNS overrides the default min-of-3 (e.g. an
+      // isolated min-of-5 with spread, for pinning a query's jitter band)
+      val n = sys.env.get("SPARK_GRAFT_TIME_RUNS").map(_.toInt).getOrElse(3)
+      val times = Seq.fill(n)(once())
+      println(f"[time] $name min=${times.min}%.2f max=${times.max}%.2f " +
+        s"runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

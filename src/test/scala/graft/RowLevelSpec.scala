@@ -103,6 +103,44 @@ class RowLevelSpec extends SparkSpec {
       .schema.fieldNames.length == 4)
   }
 
+  test("MERGE evolution rejects nested additions with the JSON-bridge pointer") {
+    // the cell model is flat: a source carrying a STRUCT column cannot
+    // evolve the target — the declared capability boundary is a loud
+    // rejection that points at the JSON bridge (to_json/from_json, the
+    // conn_nested_json shape), never a half-written schema
+    freshCatalogTable("rl_merge_nested")
+    val sp = spark; import sp.implicits._
+    Seq((2L, 222.0, "B", ("gold", 1)))
+      .toDF("k", "bal", "seg", "tier")
+      .createOrReplaceTempView("rl_nested_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO cassandralike.ks.rl_merge_nested t
+        |USING rl_nested_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("to_json")),
+      s"rejection must point at the JSON bridge: ${chain(e)}")
+    // the failed evolution left the schema untouched
+    assert(spark.table("cassandralike.ks.rl_merge_nested")
+      .schema.fieldNames.toSeq == Seq("k", "bal", "seg"))
+    // the supported path: the same nested data shipped through the bridge
+    Seq((2L, 222.0, "B", """{"name":"gold","rank":1}"""))
+      .toDF("k", "bal", "seg", "tier_json")
+      .createOrReplaceTempView("rl_nested_json_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO cassandralike.ks.rl_merge_nested t
+        |USING rl_nested_json_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      """SELECT from_json(tier_json, 'name STRING, rank INT').name
+        |FROM cassandralike.ks.rl_merge_nested WHERE k = 2""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("gold"), s"JSON-bridge evolution failed: $got")
+  }
+
   test("update beats an equal-epoch seed: delete leg at ts, insert leg at ts+1") {
     // the delete+insert representation lands one logical tick apart so the
     // tombstone can't eat its own insert; both legs beat older epochs

@@ -145,6 +145,46 @@ class ScanMetricsSpec extends SparkSpec {
     } finally CellStore.dropTable(dir)
   }
 
+  test("column bloom skips false-window runs min/max clustering cannot prune") {
+    // interleaved columns: the run holds c00000, c00002, c00004, … — a point
+    // slice for an ODD column falls INSIDE the run's [colMin, colMax]
+    // window (so the min/max check must NOT fire) yet the column is absent,
+    // so only the distinct-column bloom can prove the run read-free
+    val dir = java.nio.file.Files.createTempDirectory("scanmetricscolbloom").toString
+    try {
+      val even = (0 until 4000 by 2).map(i => cell("hot", f"c$i%05d", s"v$i", 1L))
+      seg(dir, "b0-even.bin", even)
+      val wantedOdd = Seq("c00777".getBytes.asInstanceOf[Array[Byte]])
+      val c = new ScanCounters
+      val it = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c, colLookup = wantedOdd)
+      try assert(it.toVector.isEmpty)
+      finally it.close()
+      assert(c.runsColSkipped == 0,
+        "c00777 is inside [c00000, c03998]: min/max must not prune")
+      assert(c.runsColBloomSkipped == 1,
+        s"column bloom must skip the false-window run: ${c.runsColBloomSkipped}")
+      assert(c.cellsMerged == 0 && c.runsRead == 0,
+        s"no payload IO: merged=${c.cellsMerged} runsRead=${c.runsRead}")
+      // a PRESENT even column still reads (bloom has no false negatives)
+      val c2 = new ScanCounters
+      val it2 = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c2, colLookup = Seq("c00776".getBytes))
+      try assert(it2.toVector.map(x => new String(x.value)) == Vector("v776"))
+      finally it2.close()
+      assert(c2.runsColBloomSkipped == 0)
+      // a tombstone for a wanted column shadows through the bloom path —
+      // its run contains the column, so it is never skipped
+      seg(dir, "b0-del.bin", Seq(tomb("hot", "c00776", 2L)))
+      val c3 = new ScanCounters
+      val it3 = new CellStore.BucketMergeIterator(dir, 0,
+        counters = c3, colLookup = Seq("c00776".getBytes))
+      try assert(it3.toVector.isEmpty)
+      finally it3.close()
+      assert(c3.tombstonesDropped == 1)
+    } finally CellStore.dropTable(dir)
+  }
+
   test("pre-col-tail index blocks still read; colLookup seek falls back") {
     // hand-written legacy run: entries + lastKey only (pre-bloom, pre-col
     // layout) — parseIndex must yield bloom=null/cols=null and the
@@ -212,7 +252,7 @@ class ScanMetricsSpec extends SparkSpec {
     val declared = scan.supportedCustomMetrics().map(m => m.name()).toSet
     assert(declared == Set("segmentsRead", "runsRead", "runsBloomSkipped",
       "cellsMerged", "tombstonesDropped", "cellsSeekSkipped",
-      "runsColSkipped"))
+      "runsColSkipped", "runsColBloomSkipped"))
     // task side: drain the partition readers directly and check the
     // reported values carry the SAME names (the UI joins on name) and that
     // the lookup actually counted work
