@@ -580,6 +580,114 @@ object Connector {
         .limit(50)
     },
 
+    // ---- SUB-LEVEL IO PRUNING: the conn_sub_slice_numeric shape WITHOUT
+    // the LIMIT — the plain `WHERE sub BETWEEN …` aggregate a user writes.
+    // The pushed sign-crossing sub range now reaches the store as byte
+    // pruning: whole runs skip on the run-wide [subMin, subMax] index tail
+    // and index spans inside one (key, col) group seek past by their
+    // entry-sub windows, so the scan reads O(range) cells per super row
+    // instead of decoding the full (key, col) span and filtering above
+    // (SubEncodingSpec / ScanMetricsSpec pin the skip counters). ----
+    Q("conn_sub_slice_window",
+      """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |             lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS column_name,
+        |             CAST(l_linenumber - 3 AS BIGINT) AS sub_column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value
+        |           FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, sub_column_name,
+        |                 max(value) AS value
+        |          FROM c GROUP BY 1, 2, 3)
+        |SELECT sub_column_name, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
+        |FROM dedup WHERE sub_column_name >= -2 AND sub_column_name < 2
+        |GROUP BY sub_column_name ORDER BY sub_column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+        ($"l_linenumber" - 3).cast("bigint").as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "sub_slice_window", src,
+        mapping = Some(":key,:column,:subcolumn,:value"),
+        props = Map(graft.sources.cassandralike.Options.SubEncoding -> "ordered"))
+      Seed.read(s, store)
+        .filter($"sub_column_name" >= -2L && $"sub_column_name" < 2L)
+        .groupBy($"sub_column_name")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
+        .orderBy($"sub_column_name")
+    },
+
+    // ---- STATIC SUB-SLICE OPTIONS (`slice.sub.start`/`slice.sub.finish`):
+    // the :subcolumn twins of the reference-parity slice knobs — typed
+    // BIGINT literals through the ordered sub codec, folding to the same
+    // inclusive byte window the pushed form drives (SubEncodingSpec pins
+    // cell-read parity). NO filter on the Spark side — the sub slice IS
+    // the options; closes the last option/pushdown asymmetry. ----
+    Q("conn_sub_slice_options",
+      """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |             lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS column_name,
+        |             CAST(l_linenumber - 3 AS BIGINT) AS sub_column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value
+        |           FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, sub_column_name,
+        |                 max(value) AS value
+        |          FROM c GROUP BY 1, 2, 3)
+        |SELECT sub_column_name, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
+        |FROM dedup WHERE sub_column_name >= -2 AND sub_column_name <= 1
+        |GROUP BY sub_column_name ORDER BY sub_column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+        ($"l_linenumber" - 3).cast("bigint").as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "sub_slice_options", src,
+        mapping = Some(":key,:column,:subcolumn,:value"),
+        props = Map(graft.sources.cassandralike.Options.SubEncoding -> "ordered"))
+      // sub-slice bounds are INCLUSIVE both ends (the reference's SliceRange)
+      Seed.read(s, store, Map(
+          Options.SliceSubStart -> "-2", Options.SliceSubFinish -> "1"))
+        .groupBy($"sub_column_name")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
+        .orderBy($"sub_column_name")
+    },
+
+    // ---- COLUMN-BLOOM FALSE-WINDOW SKIP, end-to-end through the gate:
+    // EVEN column ids seed the store and ODD ids land in a second write's
+    // runs, so a multi-point slice for odd columns falls INSIDE every
+    // even run's [colMin, colMax] window yet is provably absent there —
+    // only the per-run distinct-column blooms (the chunked third index
+    // tail) prove those runs read-free (runsColBloomSkipped;
+    // ScanMetricsSpec pins the counter on the same fixture shape). ----
+    Q("conn_col_bloom_skip",
+      """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |             lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 11, '0')
+        |               AS column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, max(value) AS value
+        |          FROM c GROUP BY 1, 2)
+        |SELECT row_key, column_name, value FROM dedup
+        |WHERE column_name IN ('00000000011', '00000000021', '00000000031',
+        |  '00000000041', '00000000051', '00000000061', '00000000071')
+        |ORDER BY row_key, column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad(($"l_orderkey" * 10 + $"l_linenumber").cast("string"), 11, "0")
+          .as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"),
+        (($"l_orderkey" * 10 + $"l_linenumber") % 2).as("par"))
+      val even = src.filter($"par" === 0).drop("par")
+      val odd = src.filter($"par" === 1).drop("par")
+      val store = Seed.table(s, dir, "col_bloom_skip", even,
+        mapping = Some(":key,:column,:value"))
+      Seed.append(odd, store, Map(Options.WriteTimestamp -> "2"))
+      val wanted = (1 to 7).map(k => f"${k * 10 + 1}%011d")
+      Seed.read(s, store)
+        .filter($"column_name".isin(wanted: _*))
+        .select($"row_key", $"column_name", $"value")
+        .orderBy($"row_key", $"column_name")
+    },
+
     // ---- P4 missing cell -> SQL NULL (null values store no cell; the row
     // survives via its other live cells) ----
     Q("conn_missing_cell_null",

@@ -32,6 +32,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.conf.set("spark.sql.catalog.cassandralike.warehouse", dir)
   * }}}
   */
+object CassandraLikeCatalog {
+  /** Digests the warehouse walk failed to resolve — never re-walk for
+    * them (a table created later resolves via its sidecar, which is
+    * consulted before this cache). Per-JVM, like the digest registry. */
+  private[cassandralike] val unresolvedDigests =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
 class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
   with FunctionCatalog {
 
@@ -63,24 +71,66 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
-  /** Scan the warehouse for a table whose `range.bounds` digest matches and
-    * register its bounds (constructing [[CassandraLikeTable]] registers as a
-    * side effect). Only runs on a registry miss — i.e. at most once per
-    * digest per JVM — and tolerates unreadable/foreign directories. */
+  /** Resolve a range-layout digest from warehouse metadata and register
+    * its bounds (constructing [[CassandraLikeTable]] registers as a side
+    * effect). Resolution order:
+    *
+    *  1. the `_range_digests/<digest>` SIDECAR written at CREATE/ALTER (and
+    *     self-healed at loadTable) — O(1), the path for any warehouse
+    *     touched by this or a newer build;
+    *  2. a bounded warehouse WALK (pre-sidecar warehouses) — O(all files),
+    *     so unresolved digests are NEGATIVE-CACHED and never re-walk; a
+    *     table created later still resolves via its sidecar (checked
+    *     before the cache), so the cache can't mask new tables.
+    *
+    * Both steps tolerate unreadable/foreign directories: `Files.walk`'s
+    * iterator throws UncheckedIOException LAZILY on an unreadable
+    * subdirectory, so the iteration itself sits inside the catch. */
   private def recoverRangeDigest(digest: String): Unit = {
-    val s = java.nio.file.Files.walk(warehouse, 8)
-    try s.iterator().asScala
-      .filter(p => java.nio.file.Files.isRegularFile(p.resolve(CellStore.MetaFile)))
-      .foreach { p =>
-        if (RangeBucketFunction.lookup(digest).isEmpty)
-          try CellStore.readMeta(p.toString).foreach { m =>
-            if (m.properties.contains(Options.RangeBounds))
-              new CassandraLikeTable(p.getFileName.toString, p.toString,
-                StructType.fromDDL(m.schemaDdl), Some(m.mapping), m.properties)
-          } catch { case scala.util.control.NonFatal(_) => () }
+    def loadDir(p: java.nio.file.Path): Unit =
+      try CellStore.readMeta(p.toString).foreach { m =>
+        if (m.properties.contains(Options.RangeBounds))
+          new CassandraLikeTable(p.getFileName.toString, p.toString,
+            StructType.fromDDL(m.schemaDdl), Some(m.mapping), m.properties)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    val sidecar = digestSidecar(digest)
+    try {
+      if (java.nio.file.Files.isRegularFile(sidecar)) {
+        val dir = new String(java.nio.file.Files.readAllBytes(sidecar),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (dir.nonEmpty) loadDir(java.nio.file.Paths.get(dir))
       }
-    finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (RangeBucketFunction.lookup(digest).nonEmpty) return
+    if (CassandraLikeCatalog.unresolvedDigests.contains(digest)) return
+    try {
+      val s = java.nio.file.Files.walk(warehouse, 8)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p.resolve(CellStore.MetaFile)))
+        .foreach { p =>
+          if (RangeBucketFunction.lookup(digest).isEmpty) loadDir(p)
+        }
+      finally s.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (RangeBucketFunction.lookup(digest).isEmpty)
+      CassandraLikeCatalog.unresolvedDigests.add(digest)
   }
+
+  private def digestSidecar(digest: String): java.nio.file.Path =
+    warehouse.resolve("_range_digests").resolve(digest)
+
+  /** Write the digest → table-dir sidecar (idempotent; content-addressed,
+    * so a concurrent writer lands identical bytes). Called at CREATE/ALTER
+    * and self-healingly at loadTable for pre-sidecar warehouses. */
+  private def writeDigestSidecar(table: CassandraLikeTable): Unit =
+    if (table.rangeDigest != null) try {
+      val p = digestSidecar(table.rangeDigest)
+      if (!java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p,
+          table.dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory only
 
   private var catalogName: String = _
   private var warehouse: java.nio.file.Path = _
@@ -115,10 +165,12 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     CellStore.readMeta(dir.toString) match {
       case Some(m) =>
-        new CassandraLikeTable(
+        val t = new CassandraLikeTable(
           (catalogName +: ident.namespace() :+ ident.name()).mkString("."),
           dir.toString, StructType.fromDDL(m.schemaDdl), Some(m.mapping),
           m.properties)
+        writeDigestSidecar(t) // self-heal pre-sidecar warehouses (no-op once present)
+        t
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -217,10 +269,22 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
           "cassandralike's cell model is flat: cannot add the nested field " +
             s"'${a.fieldNames().mkString(".")}' — store nested data as a " +
             "JSON string column (to_json/from_json) instead")
-        require(Codecs.atomicCellType(a.dataType()),
-          s"cassandralike cells hold atomic values; cannot add a " +
-            s"${a.dataType().catalogString} column — store nested data as " +
-            "a JSON string column (to_json/from_json) instead")
+        require(Codecs.atomicCellType(a.dataType()), a.dataType() match {
+          // the JSON-bridge pointer is only honest guidance for NESTED
+          // types; an unsupported FLAT type should be widened to a
+          // supported cell type instead
+          case _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType |
+            _: org.apache.spark.sql.types.StructType =>
+            s"cassandralike cells hold atomic values; cannot add a " +
+              s"${a.dataType().catalogString} column — store nested data as " +
+              "a JSON string column (to_json/from_json) instead"
+          case _ =>
+            s"cassandralike cells do not support ${a.dataType().catalogString} " +
+              "values; widen to a supported cell type (BOOLEAN, INT, BIGINT, " +
+              "FLOAT, DOUBLE, DECIMAL, STRING, BINARY, TIMESTAMP — e.g. " +
+              "SMALLINT/TINYINT → INT, DATE → TIMESTAMP)"
+        })
         val n = a.fieldNames()(0)
         require(!schema.fieldNames.contains(n), s"column $n already exists")
         schema = schema.add(n, a.dataType(), a.isNullable)

@@ -36,6 +36,15 @@ object Options {
   val SliceFinish = "slice.finish"
   val SliceReversed = "slice.reversed"
   val SliceCount = "slice.count"
+  /** Static SUB-slice knobs (super mappings): an inclusive byte-comparator
+    * window over `:subcolumn` bytes — the sub twins of
+    * slice.start/slice.finish, applied INSIDE the merge (cells outside the
+    * window never reach reconciliation) and driving the run-level
+    * [subMin, subMax] and span-level sub seeks. On an ordered sub encoding
+    * the text parses as a TYPED literal (the RangeLayout grammar); on
+    * string subs the verbatim UTF-8 form (the two coincide). */
+  val SliceSubStart = "slice.sub.start"
+  val SliceSubFinish = "slice.sub.finish"
   val Hosts = "locality.hosts" // S2: comma list mapped bucket->host round-robin
 
   /** Opt-in: report the store's token-bucket layout to Catalyst as a
@@ -605,12 +614,17 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // fit the widened type. A NULL partial would be indistinguishable from
     // an all-null partition and Spark's final Sum would silently drop the
     // overflowed contribution (wrong non-null total); failing the scan is
-    // the only sound surface a partial-row producer has.
+    // the only sound surface a partial-row producer has — which matches
+    // the unpushed query ONLY under ANSI mode. Non-ANSI Spark returns NULL
+    // on decimal SUM overflow, so a pushed throw would make pushdown
+    // observable as a query failure: decimal SUM pushes only when ANSI is
+    // on (pushdown stays transparent either way).
     def summable(c: String): Boolean = table.tableSchema(c).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
-        _: org.apache.spark.sql.types.DecimalType => true
+        org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => true
+      case _: org.apache.spark.sql.types.DecimalType =>
+        org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
       case _ => false
     }
     // Grouping: the ROW KEY, or — on a transposed table — the (row key,
@@ -661,6 +675,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyName = m.keyField.name
     val sliceName =
       if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
+    // SUB-slice pushdown (super mappings): predicates on the :subcolumn
+    // field evaluate exactly in the reader (FilterEval, same machinery as
+    // the clustering column), and additionally drive the merge-level sub
+    // byte filters plus the run/span [subMin, subMax] seeks when the sub
+    // byte form is order-preserving/injective (gated in the reader).
+    val subName =
+      if (m.hasSubColumn) Some(m.field(FieldRole.TransSubColumn).name) else None
     // Key RANGE pushdown needs encoded-byte order == SQL value order
     // (KeyCodec.rangeOrdered: the 'ordered' integral encoding, or
     // string/binary keys whose SQL order is byte order) — then a pushed
@@ -671,17 +692,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val rangeKey = table.keyCodec.rangeOrdered
     def keyRange(c: String, v: Any): Boolean =
       c == keyName && rangeKey && v != null
+    def sliceable(c: String): Boolean =
+      sliceName.contains(c) || subName.contains(c)
     def pushable(f: Filter): Boolean = f match {
-      case EqualTo(c, _) => c == keyName || sliceName.contains(c)
-      // IN on the clustering column: a multi-point slice — FilterEval
+      case EqualTo(c, _) => c == keyName || sliceable(c)
+      // IN on the clustering/sub column: a multi-point slice — FilterEval
       // applies it exactly in the reader (hash-set probe per cell), so
       // non-matching cells of a wide row are dropped before they become
       // rows and Spark plants no re-filter above the scan
-      case In(c, _) => c == keyName || sliceName.contains(c)
-      case GreaterThan(c, v) => keyRange(c, v) || sliceName.contains(c)
-      case GreaterThanOrEqual(c, v) => keyRange(c, v) || sliceName.contains(c)
-      case LessThan(c, v) => keyRange(c, v) || sliceName.contains(c)
-      case LessThanOrEqual(c, v) => keyRange(c, v) || sliceName.contains(c)
+      case In(c, _) => c == keyName || sliceable(c)
+      case GreaterThan(c, v) => keyRange(c, v) || sliceable(c)
+      case GreaterThanOrEqual(c, v) => keyRange(c, v) || sliceable(c)
+      case LessThan(c, v) => keyRange(c, v) || sliceable(c)
+      case LessThanOrEqual(c, v) => keyRange(c, v) || sliceable(c)
       case _ => false
     }
     val (accepted, rejected) = filters.partition(pushable)
@@ -1305,8 +1328,9 @@ class AggregatePartitionReader(
             // can't fit must FAIL the scan: emitting a NULL partial would
             // be silently skipped by Spark's final Sum (a wrong non-null
             // total), and there is no overflow signal a partial row can
-            // carry. Throwing matches ANSI; non-ANSI users who need the
-            // NULL-on-overflow surface can disable agg pushdown.
+            // carry. Decimal SUM only pushes under ANSI mode (summable),
+            // where the unpushed query throws on overflow too — so the
+            // throw is never observable as a pushdown-induced divergence.
             val wt = PushedAgg.sumType(base(ord).dataType)
               .asInstanceOf[org.apache.spark.sql.types.DecimalType]
             val dec = org.apache.spark.sql.types.Decimal(jbd)
@@ -1668,6 +1692,83 @@ class CellPartitionReader(
       }
     }
 
+  // ---- SUB-column (:subcolumn) twins of colLookup/colWindow: pushed
+  // EqualTo/In and range predicates on the sub field become merge-level
+  // byte filters (non-matching cells never reach reconciliation or decode)
+  // plus run-level [subMin, subMax] skips and span-level seeks inside one
+  // (key, col) group — the IO answer to `WHERE sub_column BETWEEN …` over
+  // a wide super row, which previously decoded the full (key, col) span
+  // and filtered above. Gating mirrors the col twins exactly: point sets
+  // need an injective byte form, windows need byte order == SQL order; the
+  // exact predicates are still re-applied per row by FilterEval. ----
+  private val subLookup: Seq[Array[Byte]] =
+    if (!mapping.hasSubColumn) null
+    else {
+      val subF = mapping.field(FieldRole.TransSubColumn)
+      val injective = subCodec.ordered || (subF.dataType match {
+        case StringType | BinaryType | BooleanType | DateType |
+          TimestampType | LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+      if (!injective) null else {
+        val sets = filters.flatMap {
+          case EqualTo(c, v) if c == subF.name && v != null => Some(Seq(v))
+          case In(c, vs) if c == subF.name && vs.nonEmpty =>
+            Some(vs.toSeq.filter(_ != null))
+          case _ => None
+        }.map(_.map(v => subCodec.encode(
+          CatalystTypeConverters.convertToCatalyst(v)).toSeq).toSet)
+        if (sets.isEmpty) null
+        else sets.reduce(_ intersect _).toSeq.map(_.toArray)
+      }
+    }
+
+  /** Byte form of a static `slice.sub.start`/`slice.sub.finish` option
+    * value: a TYPED literal through the ordered sub codec when one is
+    * declared, verbatim UTF-8 otherwise (string subs coincide) — the sub
+    * twin of [[sliceBound]]. */
+  private def subSliceBound(text: String): Array[Byte] =
+    if (mapping.hasSubColumn && subCodec.ordered)
+      subCodec.encode(RangeLayout.literal(
+        text, mapping.field(FieldRole.TransSubColumn).dataType))
+    else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private val subWindow: (Array[Byte], Array[Byte]) =
+    if (!mapping.hasSubColumn) null
+    else {
+      val subF = mapping.field(FieldRole.TransSubColumn)
+      val byteOrdered = subCodec.ordered || (subF.dataType match {
+        case StringType | BinaryType => true
+        case _ => false
+      })
+      def enc(v: Any): Array[Byte] =
+        subCodec.encode(CatalystTypeConverters.convertToCatalyst(v))
+      var lo: Array[Byte] = null
+      var hi: Array[Byte] = null
+      def tightenLo(b: Array[Byte]): Unit =
+        if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+      def tightenHi(b: Array[Byte]): Unit =
+        if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+      // pushed range predicates: sound as a byte window only when byte
+      // order == SQL order (the window is an over-approximation — the
+      // inclusive bounds widen strict comparisons — re-applied exactly by
+      // FilterEval downstream)
+      if (byteOrdered) filters.foreach {
+        case GreaterThan(c, v) if c == subF.name && v != null => tightenLo(enc(v))
+        case GreaterThanOrEqual(c, v) if c == subF.name && v != null => tightenLo(enc(v))
+        case LessThan(c, v) if c == subF.name && v != null => tightenHi(enc(v))
+        case LessThanOrEqual(c, v) if c == subF.name && v != null => tightenHi(enc(v))
+        case _ => ()
+      }
+      // static sub-slice knobs: the option semantic IS the inclusive
+      // byte-comparator window (the reference's SliceRange over comparator
+      // bytes), so no byte-order gate — the merge-level filter applies it
+      // exactly; typed literals on an ordered sub encoding
+      opt(Options.SliceSubStart).map(subSliceBound).foreach(tightenLo)
+      opt(Options.SliceSubFinish).map(subSliceBound).foreach(tightenHi)
+      if (lo == null && hi == null) null else (lo, hi)
+    }
+
   // Streaming scan: k-way merge over the bucket's sorted runs, grouped by
   // adjacent key. Memory is O(runs + one row's cells) — one wide row is the
   // unit the pager (S4) then chunks, matching the reference's bound where
@@ -1684,6 +1785,8 @@ class CellPartitionReader(
     lookupKeys = lookupKeys,
     colLookup = colLookup,
     colWindow = colWindow,
+    subLookup = subLookup,
+    subWindow = subWindow,
     onlyFiles =
       if (part.files == null) null
       else part.files.map(n =>

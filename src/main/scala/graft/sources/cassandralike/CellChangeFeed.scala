@@ -353,15 +353,24 @@ final class CellChangeFeedStream(
     * readers via accumulators (the feed shares the batch scan's run/span
     * seek machinery; without this tap the saving is invisible on a live
     * feed — the batch scan reports it per scan node, a stream operator
-    * watches progress metrics instead). Driver-created at first reader
-    * factory construction. */
-  private lazy val seekAccums: Option[ScanAccumulators] =
-    org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
-      ScanAccumulators(
-        s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
-        s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
-        s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"))
-    }
+    * watches progress metrics instead). getActiveSession is thread-local,
+    * and a progress/metrics call can land on a thread with no active
+    * session before the first createReaderFactory — a `lazy val` would
+    * cache that None permanently and zero the metrics for the query's
+    * lifetime, so resolution RETRIES until a session is found and only the
+    * successful result is cached. */
+  @volatile private var seekAccumsCached: Option[ScanAccumulators] = None
+  private def seekAccums: Option[ScanAccumulators] = {
+    if (seekAccumsCached.isEmpty)
+      seekAccumsCached =
+        org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+          ScanAccumulators(
+            s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
+            s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
+            s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"))
+        }
+    seekAccumsCached
+  }
 
   /** Per-batch source metrics in `StreamingQueryProgress.sources[].metrics`:
     * consumed vs committed segment counts and their difference — the feed's

@@ -202,29 +202,36 @@ object CellStore {
     val sorted = cells.sorted(addressOrdering)
     val payload = new ByteArrayOutputStream(64 * cells.length)
     val pout = new DataOutputStream(payload)
-    val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
+    val entries = mutable.ArrayBuffer.empty[IndexEntry]
     val bloom = new KeyBloom.Builder
     val colBloom = new ColBloomBuilder
     var prevKey: Array[Byte] = null
     var colMin: Array[Byte] = null
     var colMax: Array[Byte] = null
+    var subMin: Array[Byte] = null
+    var subMax: Array[Byte] = null
     var i = 0
     sorted.foreach { c =>
-      if (i % IndexEvery == 0) entries += ((i, payload.size().toLong, c.key, c.col))
+      if (i % IndexEvery == 0)
+        entries += IndexEntry(i, payload.size().toLong, c.key, c.col, c.sub)
       // sorted input: distinct keys are exactly the key changes
       if (prevKey == null || !java.util.Arrays.equals(prevKey, c.key)) {
         bloom.add(c.key); prevKey = c.key
       }
+      colBloom.add(i, c.col)
       if (c.col != null) {
         if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
         if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
-        colBloom.add(c.col)
+      }
+      if (c.sub != null) {
+        if (subMin == null || Codecs.compareBytes(c.sub, subMin) < 0) subMin = c.sub
+        if (subMax == null || Codecs.compareBytes(c.sub, subMax) > 0) subMax = c.sub
       }
       writeCell(pout, c)
       i += 1
     }
     val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
-      colMin, colMax, colBloom.build())
+      colMin, colMax, colBloom.build(), subMin, subMax)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -256,13 +263,22 @@ object CellStore {
   final case class RunInfo(payloadOffset: Long, cellCount: Int,
       indexOffset: Long, indexByteLen: Int)
 
+  /** One sparse-index entry: the full (key, col, sub) address prefix of the
+    * cell at `cellPos` plus its payload offset. */
+  final case class IndexEntry(cellPos: Int, offset: Long,
+      key: Array[Byte], col: Array[Byte], sub: Array[Byte])
+
   final case class RunIndex(cellPos: Array[Int], offsets: Array[Long],
       keys: Array[Array[Byte]], lastKey: Array[Byte],
       bloom: KeyBloom /* null on pre-bloom files */,
       cols: Array[Array[Byte]] = null /* (key, col)-prefixed entries; null on pre-col files */,
       colMin: Array[Byte] = null /* run-wide min/max column (Cassandra's */,
       colMax: Array[Byte] = null /* sstable min/max clustering); null = legacy */,
-      colBloom: KeyBloom = null /* run-wide DISTINCT-column bloom; null = legacy */)
+      colBlooms: Array[KeyBloom] = null /* per-CHUNK distinct-column blooms (one chunk = colChunkCells cells; a single-chunk run stores the legacy run-wide CBLM form); null = legacy */,
+      colChunkCells: Int = 0 /* cells per bloom chunk; Int.MaxValue for a run-wide CBLM bloom */,
+      subs: Array[Array[Byte]] = null /* per-entry sub bytes; null = legacy or no non-null subs */,
+      subMin: Array[Byte] = null /* run-wide min/max SUB-column window */,
+      subMax: Array[Byte] = null /* (super mappings); null = legacy or none */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -329,43 +345,69 @@ object CellStore {
     * layout). */
   private val ColsMagic = 0x434f4c53 // "COLS"
   private val ColRangeMagic = 0x43524e47 // "CRNG"
-  private val ColBloomMagic = 0x43424c4d // "CBLM"
+  private val ColBloomMagic = 0x43424c4d // "CBLM" (run-wide, single chunk)
+  private val ColBlockBloomMagic = 0x43424242 // "CBBB" (per-chunk blooms)
+  private val SubRangeMagic = 0x53524e47 // "SRNG" (run-wide [subMin, subMax])
+  private val SubsMagic = 0x53554253 // "SUBS" (per-entry sub bytes)
 
-  /** Distinct-column set accumulator for a run's column BLOOM tail. The
-    * min/max window kills DISJOINT slices; the bloom kills the false-window
-    * case — a point slice whose wanted column falls INSIDE [colMin, colMax]
-    * but is simply absent (interleaved-column wide rows). Exact distinct
-    * set (cols recur per key, so adjacent dedup alone would inflate the
-    * bloom by the key count); memory-capped — a run with more distinct
-    * columns than [[ColBloomBuilder.MaxDistinct]] writes no bloom tail
-    * (point slices against such runs get less benefit per byte anyway, and
-    * the cap keeps compaction's giant merged runs out of trouble). */
+  /** CHUNKED distinct-column bloom accumulator for a run's column BLOOM
+    * tail. The min/max window kills DISJOINT slices; the blooms kill the
+    * false-window case — a point slice whose wanted column falls INSIDE
+    * [colMin, colMax] but is simply absent (interleaved-column wide rows).
+    *
+    * One bloom per CHUNK of [[ColBloomBuilder.ChunkCells]] consecutive
+    * cells (64 index spans), distinct set reset at every chunk boundary:
+    * writer memory is bounded by one chunk's cells no matter how big the
+    * run is — compaction's giant merged runs get full bloom coverage
+    * instead of the old all-or-nothing 1M-distinct opt-out, and the reader
+    * gains SPAN-level skips (a chunk whose bloom rejects every wanted
+    * column is 8192 provably-irrelevant cells, even across key
+    * boundaries). The distinct set per chunk matters (cols recur per key —
+    * adjacent dedup alone would inflate the bloom by the key count); a
+    * chunk whose cells all carry null cols emits a zero bloom that rejects
+    * everything, which is exact (no wanted byte form can be there). Chunks
+    * align with index spans (ChunkCells is a multiple of IndexEvery), so a
+    * span never straddles chunks. */
   final class ColBloomBuilder {
+    private val chunks = mutable.ArrayBuffer.empty[KeyBloom]
     private var set = mutable.HashSet.empty[java.nio.ByteBuffer]
-    def add(col: Array[Byte]): Unit =
-      if (set != null && col != null) {
-        set += java.nio.ByteBuffer.wrap(col)
-        if (set.size > ColBloomBuilder.MaxDistinct) set = null
-      }
-    def build(): KeyBloom =
-      if (set == null || set.isEmpty) null
-      else {
-        val b = new KeyBloom.Builder
-        set.foreach(bb => b.add(bb.array()))
-        b.build()
-      }
+    private var sawAny = false
+    /** Feed EVERY cell in write order (null col included) — the position
+      * drives chunk boundaries. */
+    def add(cellPos: Int, col: Array[Byte]): Unit = {
+      val chunk = cellPos / ColBloomBuilder.ChunkCells
+      while (chunks.length < chunk) flushChunk()
+      if (col != null) { set += java.nio.ByteBuffer.wrap(col); sawAny = true }
+    }
+    private def flushChunk(): Unit = {
+      val b = new KeyBloom.Builder
+      set.foreach(bb => b.add(bb.array()))
+      chunks += b.build()
+      set = mutable.HashSet.empty
+    }
+    /** Per-chunk blooms (index = cellPos / ChunkCells); null when the run
+      * held no non-null column at all (no tail written). */
+    def build(): Array[KeyBloom] = {
+      if (!sawAny) return null
+      flushChunk()
+      chunks.toArray
+    }
   }
-  object ColBloomBuilder { val MaxDistinct = 1 << 20 }
+  object ColBloomBuilder {
+    val SpansPerChunk = 64
+    val ChunkCells: Int = SpansPerChunk * IndexEvery // 8192
+  }
 
-  private def serializeIndex(entries: Seq[(Int, Long, Array[Byte], Array[Byte])],
+  private def serializeIndex(entries: Seq[IndexEntry],
       lastKey: Array[Byte], bloom: KeyBloom = null,
       colMin: Array[Byte] = null, colMax: Array[Byte] = null,
-      colBloom: KeyBloom = null): Array[Byte] = {
+      colBlooms: Array[KeyBloom] = null,
+      subMin: Array[Byte] = null, subMax: Array[Byte] = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
-    entries.foreach { case (pos, off, key, _) =>
-      out.writeInt(pos); out.writeLong(off); writeBytes(out, key)
+    entries.foreach { e =>
+      out.writeInt(e.cellPos); out.writeLong(e.offset); writeBytes(out, e.key)
     }
     writeBytes(out, lastKey)
     if (bloom != null) {
@@ -374,7 +416,7 @@ object CellStore {
       bloom.words.foreach(out.writeLong)
     }
     out.writeInt(ColsMagic)
-    entries.foreach { case (_, _, _, col) => writeBytes(out, col) }
+    entries.foreach(e => writeBytes(out, e.col))
     // run-wide min/max column — Cassandra's sstable min/max clustering:
     // a slice lookup skips the whole run when no wanted column can fall
     // inside [colMin, colMax] (null when the run held no non-null col)
@@ -383,13 +425,39 @@ object CellStore {
       writeBytes(out, colMin)
       writeBytes(out, colMax)
     }
-    // distinct-column bloom — the third self-describing tail (see
-    // [[ColBloomBuilder]]); only behind a CRNG tail, so parse order is fixed
-    if (colMin != null && colMax != null && colBloom != null) {
-      out.writeInt(ColBloomMagic)
-      out.writeInt(colBloom.numKeys)
-      out.writeInt(colBloom.words.length)
-      colBloom.words.foreach(out.writeLong)
+    // distinct-column blooms — the third self-describing tail (see
+    // [[ColBloomBuilder]]); only behind a CRNG tail, so parse order is
+    // fixed. A single-chunk run stores the legacy run-wide CBLM form (old
+    // readers keep their skip); multi-chunk runs (past ChunkCells cells —
+    // compaction's merged runs) store one bloom per chunk under CBBB, which
+    // bounds writer memory and adds span-level skips.
+    if (colMin != null && colMax != null && colBlooms != null) {
+      if (colBlooms.length == 1) {
+        out.writeInt(ColBloomMagic)
+        out.writeInt(colBlooms(0).numKeys)
+        out.writeInt(colBlooms(0).words.length)
+        colBlooms(0).words.foreach(out.writeLong)
+      } else {
+        out.writeInt(ColBlockBloomMagic)
+        out.writeInt(ColBloomBuilder.ChunkCells)
+        out.writeInt(colBlooms.length)
+        colBlooms.foreach { b =>
+          out.writeInt(b.numKeys)
+          out.writeInt(b.words.length)
+          b.words.foreach(out.writeLong)
+        }
+      }
+    }
+    // SUB-column tails (super mappings; absent when every sub was null, so
+    // regular/transposed tables pay zero bytes): run-wide [subMin, subMax]
+    // window, then the per-entry sub bytes completing each entry's
+    // (key, col, sub) address prefix — the sub twins of CRNG and COLS.
+    if (subMin != null && subMax != null) {
+      out.writeInt(SubRangeMagic)
+      writeBytes(out, subMin)
+      writeBytes(out, subMax)
+      out.writeInt(SubsMagic)
+      entries.foreach(e => writeBytes(out, e.sub))
     }
     bos.toByteArray
   }
@@ -437,24 +505,62 @@ object CellStore {
         if (in.readInt() != ColRangeMagic) { in.reset(); (null, null) }
         else (readBytes(in), readBytes(in))
       }
-    val colBloom =
-      if (cMin == null || in.available() < 12) null
+    def readBloom(): KeyBloom = {
+      val numKeys = in.readInt()
+      val numWords = in.readInt()
+      if (numWords < 0 || in.available() < numWords.toLong * 8L) return null
+      val words = new Array[Long](numWords)
+      var w = 0
+      while (w < words.length) { words(w) = in.readLong(); w += 1 }
+      new KeyBloom(words, numKeys)
+    }
+    val (colBlooms, colChunkCells) =
+      if (cMin == null || in.available() < 12) (null, 0)
       else {
         in.mark(12)
-        if (in.readInt() != ColBloomMagic) { in.reset(); null }
-        else {
-          val numKeys = in.readInt()
-          val numWords = in.readInt()
-          if (numWords < 0 || in.available() < numWords.toLong * 8L) { in.reset(); null }
-          else {
-            val words = new Array[Long](numWords)
-            var w = 0
-            while (w < words.length) { words(w) = in.readLong(); w += 1 }
-            new KeyBloom(words, numKeys)
-          }
+        in.readInt() match {
+          case ColBloomMagic => // run-wide single bloom (legacy + small runs)
+            readBloom() match {
+              case null => in.reset(); (null, 0)
+              case b => (Array(b), Int.MaxValue)
+            }
+          case ColBlockBloomMagic => // one bloom per chunk of chunkCells cells
+            val chunkCells = in.readInt()
+            val numChunks = in.readInt()
+            if (chunkCells <= 0 || numChunks <= 0) { in.reset(); (null, 0) }
+            else {
+              val bs = new Array[KeyBloom](numChunks)
+              var ci = 0
+              var bad = false
+              while (ci < numChunks && !bad) {
+                bs(ci) = readBloom(); if (bs(ci) == null) bad = true; ci += 1
+              }
+              if (bad) { in.reset(); (null, 0) } else (bs, chunkCells)
+            }
+          case _ => in.reset(); (null, 0)
         }
       }
-    RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax, colBloom)
+    val (sMin, sMax) =
+      if (in.available() < 4) (null, null)
+      else {
+        in.mark(4)
+        if (in.readInt() != SubRangeMagic) { in.reset(); (null, null) }
+        else (readBytes(in), readBytes(in))
+      }
+    val subs =
+      if (sMin == null || in.available() < 4) null
+      else {
+        in.mark(4)
+        if (in.readInt() != SubsMagic) { in.reset(); null }
+        else {
+          val ss = new Array[Array[Byte]](n)
+          var j = 0
+          while (j < n) { ss(j) = readBytes(in); j += 1 }
+          ss
+        }
+      }
+    RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
+      colBlooms, colChunkCells, subs, sMin, sMax)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -475,7 +581,9 @@ object CellStore {
   private val colRangeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
   private val colBloomCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[KeyBloom]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[Array[KeyBloom]]]()
+  private val subRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -545,18 +653,34 @@ object CellStore {
       finally r.close()
     })
 
-  /** Per-run DISTINCT-column blooms (null element = legacy run or a run
-    * past [[ColBloomBuilder.MaxDistinct]]); memoized per immutable file. A
-    * point slice skips a run whose bloom rejects every wanted column — the
-    * false-window case min/max windows can't prune (wanted column INSIDE
+  /** Per-run DISTINCT-column bloom CHUNKS (null element = legacy pre-bloom
+    * run); memoized per immutable file. A point slice skips a run when
+    * EVERY chunk's bloom rejects every wanted column — the false-window
+    * case min/max windows can't prune (wanted column INSIDE
     * [colMin, colMax] but absent — interleaved-column wide rows). No false
-    * negatives, and the bloom saw tombstone cells' columns too, so a
+    * negatives, and the blooms saw tombstone cells' columns too, so a
     * skipped run provably holds no cell (live or tombstone) of any wanted
-    * address. */
-  def runColBlooms(file: Path): Array[KeyBloom] =
+    * address. Single-chunk (CBLM) runs surface as a 1-element array. */
+  def runColBlooms(file: Path): Array[Array[KeyBloom]] =
     colBloomCache.computeIfAbsent(cacheKey(file), _ => {
       val r = new SegmentReader(file)
-      try runInfos(file).map(ri => r.readIndex(ri).colBloom).toArray
+      try runInfos(file).map(ri => r.readIndex(ri).colBlooms).toArray
+      finally r.close()
+    })
+
+  /** Per-run [subMin, subMax] windows over `:subcolumn` bytes (null
+    * element = legacy run or no non-null subs) — the sub twin of
+    * [[runColRanges]], memoized per immutable file. A sub-slice lookup
+    * skips a run whose window provably holds no wanted sub, without
+    * touching its payload. */
+  def runSubRanges(file: Path): Array[(Array[Byte], Array[Byte])] =
+    subRangeCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).map { ri =>
+        val idx = r.readIndex(ri)
+        if (idx.subMin == null || idx.subMax == null) null
+        else (idx.subMin, idx.subMax)
+      }.toArray
       finally r.close()
     })
 
@@ -630,7 +754,9 @@ object CellStore {
     def rangeRun(ri: RunInfo, lo: Array[Byte], hi: Array[Byte],
         colSet: Array[Array[Byte]] = null,
         counters: ScanCounters = null,
-        colWindow: (Array[Byte], Array[Byte]) = null): Iterator[Cell] = {
+        colWindow: (Array[Byte], Array[Byte]) = null,
+        subSet: Array[Array[Byte]] = null,
+        subWindow: (Array[Byte], Array[Byte]) = null): Iterator[Cell] = {
       if (ri.cellCount == 0) return Iterator.empty
       val idx = readIndex(ri)
       if (lo != null && Codecs.compareBytes(idx.lastKey, lo) < 0) return Iterator.empty
@@ -644,10 +770,13 @@ object CellStore {
         // cell but the tail — the sf0.1 widerow regression)
         while (e + 1 < idx.keys.length && Codecs.compareBytes(idx.keys(e + 1), lo) < 0) e += 1
       }
+      val seekable = idx.cols != null &&
+        (colSet != null || colWindow != null ||
+          ((subSet != null || subWindow != null) && idx.subs != null))
       val base =
-        if ((colSet == null && colWindow == null) || idx.cols == null)
+        if (!seekable)
           runIterator(ri.payloadOffset + idx.offsets(e), ri.cellCount - idx.cellPos(e))
-        else seekSpans(ri, idx, e, hi, colSet, colWindow, counters)
+        else seekSpans(ri, idx, e, hi, colSet, colWindow, subSet, subWindow, counters)
       val from =
         if (lo == null) base
         else base.dropWhile(c => Codecs.compareBytes(c.key, lo) < 0)
@@ -655,11 +784,13 @@ object CellStore {
       else from.takeWhile(c => Codecs.compareBytes(c.key, hi) < 0)
     }
 
-    /** The colSet span walk of [[rangeRun]]: group must-read index spans
-      * into contiguous cursors, count the skipped spans' cells. */
+    /** The colSet/subSet span walk of [[rangeRun]]: group must-read index
+      * spans into contiguous cursors, count the skipped spans' cells. */
     private def seekSpans(ri: RunInfo, idx: RunIndex, e0: Int,
         hi: Array[Byte], colSet: Array[Array[Byte]],
         colWindow: (Array[Byte], Array[Byte]),
+        subSet: Array[Array[Byte]],
+        subWindow: (Array[Byte], Array[Byte]),
         counters: ScanCounters): Iterator[Cell] = {
       val n = idx.cellPos.length
       def spanCells(i: Int): Int =
@@ -676,7 +807,38 @@ object CellStore {
             ((colWindow._1 == null || Codecs.compareBytes(colWindow._1, b) <= 0) &&
              (colWindow._2 == null || Codecs.compareBytes(a, colWindow._2) <= 0)))
       }
-      def mustRead(i: Int): Boolean =
+      // the sub twin, applied only to spans that provably sit inside ONE
+      // (key, col) group — sub bytes are monotone only at equal (key, col)
+      def subWantedIn(a: Array[Byte], b: Array[Byte]): Boolean = {
+        if (a == null || b == null) return true
+        (subSet == null || anyColIn(subSet, a, b)) &&
+          (subWindow == null ||
+            ((subWindow._1 == null || Codecs.compareBytes(subWindow._1, b) <= 0) &&
+             (subWindow._2 == null || Codecs.compareBytes(a, subWindow._2) <= 0)))
+      }
+      // chunked column blooms: span i lies entirely inside chunk
+      // cellPos/chunkCells (ChunkCells is a multiple of IndexEvery), so a
+      // chunk whose bloom rejects every wanted point column excludes the
+      // span OUTRIGHT — even across key boundaries, because the bloom saw
+      // every non-null col byte form in the chunk regardless of key. The
+      // final span may straddle chunks and must check all it touches.
+      def chunkMightContain(i: Int): Boolean = {
+        if (colSet == null || idx.colBlooms == null || idx.colChunkCells <= 0)
+          return true
+        val first = math.min(idx.colBlooms.length - 1,
+          idx.cellPos(i) / idx.colChunkCells)
+        val last =
+          if (i < n - 1) first
+          else idx.colBlooms.length - 1 // final span: through the run's end
+        var ci = first
+        while (ci <= last) {
+          if (colSet.exists(idx.colBlooms(ci).mightContain)) return true
+          ci += 1
+        }
+        false
+      }
+      def mustRead(i: Int): Boolean = {
+        if (!chunkMightContain(i)) return false
         if (i == n - 1) {
           // final span ends at lastKey with no col upper bound: readable
           // unless it provably sits inside one key with every wanted col
@@ -688,7 +850,14 @@ object CellStore {
              (colWindow == null || colWindow._2 == null ||
               Codecs.compareBytes(idx.cols(i), colWindow._2) <= 0))
         } else if (!java.util.Arrays.equals(idx.keys(i), idx.keys(i + 1))) true
-        else wantedIn(idx.cols(i), idx.cols(i + 1))
+        else if (!wantedIn(idx.cols(i), idx.cols(i + 1))) false
+        else if ((subSet != null || subWindow != null) && idx.subs != null &&
+            idx.cols(i) != null && idx.cols(i + 1) != null &&
+            java.util.Arrays.equals(idx.cols(i), idx.cols(i + 1)))
+          // one (key, col) group: the span's subs run [subs(i), subs(i+1)]
+          subWantedIn(idx.subs(i), idx.subs(i + 1))
+        else true
+      }
       val groups = mutable.ArrayBuffer.empty[Array[Int]] // [startEntry, endEntry)
       var i = e0
       var stop = false
@@ -720,17 +889,26 @@ object CellStore {
         lookupKeys: Seq[Array[Byte]] = null,
         counters: ScanCounters = null,
         colSet: Array[Array[Byte]] = null,
-        colWindow: (Array[Byte], Array[Byte]) = null): Seq[Iterator[Cell]] = {
+        colWindow: (Array[Byte], Array[Byte]) = null,
+        subSet: Array[Array[Byte]] = null,
+        subWindow: (Array[Byte], Array[Byte]) = null): Seq[Iterator[Cell]] = {
       val infos = runInfos(file)
       val blooms = if (lookupKeys == null) null else runBlooms(file)
       val colRanges =
         if (colSet == null && colWindow == null) null else runColRanges(file)
       val colBlooms = if (colSet == null) null else runColBlooms(file)
+      val subRanges =
+        if (subSet == null && subWindow == null) null else runSubRanges(file)
       def colExcluded(r: (Array[Byte], Array[Byte])): Boolean =
         (colSet != null && !anyColIn(colSet, r._1, r._2)) ||
           (colWindow != null &&
             ((colWindow._1 != null && Codecs.compareBytes(colWindow._1, r._2) > 0) ||
              (colWindow._2 != null && Codecs.compareBytes(colWindow._2, r._1) < 0)))
+      def subExcluded(r: (Array[Byte], Array[Byte])): Boolean =
+        (subSet != null && !anyColIn(subSet, r._1, r._2)) ||
+          (subWindow != null &&
+            ((subWindow._1 != null && Codecs.compareBytes(subWindow._1, r._2) > 0) ||
+             (subWindow._2 != null && Codecs.compareBytes(subWindow._2, r._1) < 0)))
       infos.zipWithIndex.map { case (ri, i) =>
         if (blooms != null && blooms(i) != null &&
             !lookupKeys.exists(blooms(i).mightContain)) {
@@ -743,17 +921,24 @@ object CellStore {
           if (counters != null) counters.runsColSkipped += 1
           Iterator.empty
         } else if (colBlooms != null && colBlooms(i) != null &&
-            !colSet.exists(colBlooms(i).mightContain)) {
-          // distinct-column bloom: the wanted columns fall INSIDE the
+            !colSet.exists(c => colBlooms(i).exists(_.mightContain(c)))) {
+          // distinct-column blooms: the wanted columns fall INSIDE the
           // run's [colMin, colMax] window (or the window check would have
-          // fired) but none is present — the false-window IO the min/max
-          // check can't prune. No false negatives; tombstone cells'
-          // columns were added too, so reconciliation is unaffected.
+          // fired) but none is present in ANY chunk — the false-window IO
+          // the min/max check can't prune. No false negatives; tombstone
+          // cells' columns were added too, so reconciliation is unaffected.
           if (counters != null) counters.runsColBloomSkipped += 1
+          Iterator.empty
+        } else if (subRanges != null && subRanges(i) != null &&
+            subExcluded(subRanges(i))) {
+          // run-wide [subMin, subMax]: no wanted SUB-column can be in this
+          // run (nor a tombstone for one — tombstones carry their sub
+          // bytes and fed the window too) — skip it whole
+          if (counters != null) counters.runsSubSkipped += 1
           Iterator.empty
         } else {
           if (counters != null) counters.runsRead += 1
-          rangeRun(ri, lo, hi, colSet, counters, colWindow)
+          rangeRun(ri, lo, hi, colSet, counters, colWindow, subSet, subWindow)
         }
       }
     }
@@ -878,7 +1063,9 @@ object CellStore {
       onlyFiles: Seq[Path] = null,
       counters: ScanCounters = null,
       colLookup: Seq[Array[Byte]] = null,
-      colWindow: (Array[Byte], Array[Byte]) = null)
+      colWindow: (Array[Byte], Array[Byte]) = null,
+      subLookup: Seq[Array[Byte]] = null,
+      subWindow: (Array[Byte], Array[Byte]) = null)
     extends Iterator[Cell] with AutoCloseable {
     // onlyFiles: the change-feed restriction — merge ONLY these committed
     // segments (one micro-batch's delta) instead of the whole bucket; LWW
@@ -891,14 +1078,19 @@ object CellStore {
     private val colSorted: Array[Array[Byte]] =
       if (colLookup == null) null
       else colLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
+    private val subSorted: Array[Array[Byte]] =
+      if (subLookup == null) null
+      else subLookup.toArray.sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
     private val raw =
       if (lower == null && upper == null && lookupKeys == null &&
-          colSorted == null && colWindow == null) {
+          colSorted == null && colWindow == null &&
+          subSorted == null && subWindow == null) {
         val rs = segs.flatMap(_.runs())
         if (counters != null) counters.runsRead += rs.size
         rs
       } else segs.flatMap(
-        _.rangeRuns(lower, upper, lookupKeys, counters, colSorted, colWindow))
+        _.rangeRuns(lower, upper, lookupKeys, counters, colSorted, colWindow,
+          subSorted, subWindow))
     // snapshot read: cells written after the as-of bound never enter LWW
     // reconciliation, so the winner per address is the latest cell <= asOf.
     // TTL (table-level default_time_to_live): a live cell expires once
@@ -916,26 +1108,35 @@ object CellStore {
     // non-matching one dropped — the kept addresses reconcile exactly as
     // in the full merge, and a tombstone for a matching column shares its
     // column bytes, so it is kept and keeps shadowing.
-    private def colMatch(col: Array[Byte]): Boolean = {
+    private def setMatch(set: Array[Array[Byte]], b: Array[Byte]): Boolean = {
+      if (b == null) return false
       var lo = 0
-      var hi = colSorted.length - 1
+      var hi = set.length - 1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        val c = Codecs.compareBytes(colSorted(mid), col)
+        val c = Codecs.compareBytes(set(mid), b)
         if (c == 0) return true
         else if (c < 0) lo = mid + 1
         else hi = mid - 1
       }
       false
     }
-    private def inWindow(col: Array[Byte]): Boolean =
-      col != null &&
-        (colWindow._1 == null || Codecs.compareBytes(colWindow._1, col) <= 0) &&
-        (colWindow._2 == null || Codecs.compareBytes(col, colWindow._2) <= 0)
+    private def inWindow(w: (Array[Byte], Array[Byte]), b: Array[Byte]): Boolean =
+      b != null &&
+        (w._1 == null || Codecs.compareBytes(w._1, b) <= 0) &&
+        (w._2 == null || Codecs.compareBytes(b, w._2) <= 0)
+    // subLookup/subWindow: the `:subcolumn` twins of colLookup/colWindow —
+    // cells whose sub bytes miss the pushed point set / byte window never
+    // enter the merge (a null sub fails both, matching SQL NULL comparison
+    // semantics downstream). Per-ADDRESS sound exactly like the col twins:
+    // a tombstone for a wanted (key, col, sub) shares its sub bytes, so it
+    // is kept and keeps shadowing.
     private def prune(it: Iterator[Cell]): Iterator[Cell] = {
-      val w0 = if (colWindow == null) it else it.filter(c => inWindow(c.col))
-      val a0 = if (colSorted == null) w0 else w0.filter(c => colMatch(c.col))
-      val a = if (asOf == Long.MaxValue) a0 else a0.filter(_.ts <= asOf)
+      val w0 = if (colWindow == null) it else it.filter(c => inWindow(colWindow, c.col))
+      val a0 = if (colSorted == null) w0 else w0.filter(c => setMatch(colSorted, c.col))
+      val s0 = if (subWindow == null) a0 else a0.filter(c => inWindow(subWindow, c.sub))
+      val s1 = if (subSorted == null) s0 else s0.filter(c => setMatch(subSorted, c.sub))
+      val a = if (asOf == Long.MaxValue) s1 else s1.filter(_.ts <= asOf)
       if (ttl <= 0L || now <= 0L) a
       else a.filter(c => c.tombstone || now < c.ts + ttl)
     }
@@ -1188,21 +1389,28 @@ object CellStore {
       val counting = new CountingOutputStream(new BufferedOutputStream(
         java.nio.channels.Channels.newOutputStream(raf.getChannel), 1 << 16))
       val out = new DataOutputStream(counting)
-      val entries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte], Array[Byte])]
+      val entries = mutable.ArrayBuffer.empty[IndexEntry]
       val bloom = new KeyBloom.Builder
       val colBloom = new ColBloomBuilder
       var count = 0
       var lastKey: Array[Byte] = null
       var colMin: Array[Byte] = null
       var colMax: Array[Byte] = null
+      var subMin: Array[Byte] = null
+      var subMax: Array[Byte] = null
       cells.foreach { c =>
-        if (count % IndexEvery == 0) entries += ((count, counting.count, c.key, c.col))
+        if (count % IndexEvery == 0)
+          entries += IndexEntry(count, counting.count, c.key, c.col, c.sub)
         if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
           bloom.add(c.key)
+        colBloom.add(count, c.col)
         if (c.col != null) {
           if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
           if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
-          colBloom.add(c.col)
+        }
+        if (c.sub != null) {
+          if (subMin == null || Codecs.compareBytes(c.sub, subMin) < 0) subMin = c.sub
+          if (subMax == null || Codecs.compareBytes(c.sub, subMax) > 0) subMax = c.sub
         }
         writeCell(out, c)
         count += 1
@@ -1210,7 +1418,7 @@ object CellStore {
       }
       val payloadLen = counting.count
       out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
-        colMin, colMax, colBloom.build()))
+        colMin, colMax, colBloom.build(), subMin, subMax))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

@@ -38,6 +38,9 @@ final class ScanCounters {
     * wanted point-slice column — the false-window case (wanted column
     * inside the min/max window but absent) min/max can't prune. */
   var runsColBloomSkipped: Long = 0L
+  /** Runs skipped whole because their [subMin, subMax] window holds no
+    * wanted SUB-column — the `:subcolumn` twin of runsColSkipped. */
+  var runsSubSkipped: Long = 0L
 }
 
 /** Driver-visible seek-saving totals for a STREAMING scan: the change
@@ -69,13 +72,14 @@ object ScanMetrics {
   val CellsSeekSkipped = "cellsSeekSkipped"
   val RunsColSkipped = "runsColSkipped"
   val RunsColBloomSkipped = "runsColBloomSkipped"
+  val RunsSubSkipped = "runsSubSkipped"
 
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
     new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
     new CellsMergedMetric, new TombstonesDroppedMetric,
     new CellsSeekSkippedMetric, new RunsColSkippedMetric,
-    new RunsColBloomSkippedMetric)
+    new RunsColBloomSkippedMetric, new RunsSubSkippedMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -91,7 +95,8 @@ object ScanMetrics {
     Task(TombstonesDropped, c.tombstonesDropped),
     Task(CellsSeekSkipped, c.cellsSeekSkipped),
     Task(RunsColSkipped, c.runsColSkipped),
-    Task(RunsColBloomSkipped, c.runsColBloomSkipped))
+    Task(RunsColBloomSkipped, c.runsColBloomSkipped),
+    Task(RunsSubSkipped, c.runsSubSkipped))
 }
 
 // Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
@@ -129,4 +134,8 @@ final class RunsColSkippedMetric extends CustomSumMetric {
 final class RunsColBloomSkippedMetric extends CustomSumMetric {
   override def name(): String = ScanMetrics.RunsColBloomSkipped
   override def description(): String = "runs skipped by column bloom"
+}
+final class RunsSubSkippedMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.RunsSubSkipped
+  override def description(): String = "runs skipped by sub-column window"
 }

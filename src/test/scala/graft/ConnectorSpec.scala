@@ -157,26 +157,44 @@ class ConnectorSpec extends SparkSpec {
     val src = Tables.load(spark, sfDir, "customer").select(col("c_custkey"),
       col("c_acctbal").cast("decimal(12,2)").as("bal"))
     val store = Seed.table(spark, sfDir, "spec_agg_decimal", src)
-    val pushed = Seed.read(spark, store)
+    def q() = Seed.read(spark, store)
       .agg(sum(col("bal")).as("sb"), min(col("bal")).as("mn"),
         max(col("bal")).as("mx"), count(lit(1)).as("n"))
-    val desc = scanOf(pushed).scan.description()
-    assert(desc.contains("Sum(bal)"), s"decimal SUM not pushed: $desc")
-    val got = pushed.collect()(0)
     val exact = src.agg(sum(col("bal")), min(col("bal")), max(col("bal")),
       count(lit(1))).collect()(0)
-    assert(got.getDecimal(0) == exact.getDecimal(0) &&
-      got.getDecimal(1) == exact.getDecimal(1) &&
-      got.getDecimal(2) == exact.getDecimal(2) && got.getLong(3) == exact.getLong(3),
-      s"pushed $got vs exact $exact")
-    // the partial type is Spark's own widened Sum type: decimal(22,2)
-    assert(pushed.schema("sb").dataType ==
-      org.apache.spark.sql.types.DecimalType(22, 2))
-    // dual decode: the text storage form round-trips through the same scan
-    val tstore = Seed.table(spark, sfDir, "spec_agg_decimal_text", src,
-      props = Map(Options.Encoding -> "text"))
-    val tgot = Seed.read(spark, tstore).agg(sum(col("bal"))).collect()(0)
-    assert(tgot.getDecimal(0) == exact.getDecimal(0), s"text-form decimal: $tgot")
+    // non-ANSI (legacy mode): decimal SUM must NOT push — the pushed
+    // partial's only overflow surface is a throw, which would diverge from
+    // non-ANSI's NULL-on-overflow; min/max/count still push
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val unpushed = q()
+      val udesc = scanOf(unpushed).scan.description()
+      assert(!udesc.contains("Sum(bal)"),
+        s"decimal SUM must not push under non-ANSI: $udesc")
+      assert(unpushed.collect()(0).getDecimal(0) == exact.getDecimal(0))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+    // ANSI (the Spark 4 default): the unpushed query throws on overflow
+    // too, so the pushed partial's throw is semantics-preserving —
+    // pushdown engages
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val pushed = q()
+      val desc = scanOf(pushed).scan.description()
+      assert(desc.contains("Sum(bal)"), s"decimal SUM not pushed: $desc")
+      val got = pushed.collect()(0)
+      assert(got.getDecimal(0) == exact.getDecimal(0) &&
+        got.getDecimal(1) == exact.getDecimal(1) &&
+        got.getDecimal(2) == exact.getDecimal(2) && got.getLong(3) == exact.getLong(3),
+        s"pushed $got vs exact $exact")
+      // the partial type is Spark's own widened Sum type: decimal(22,2)
+      assert(pushed.schema("sb").dataType ==
+        org.apache.spark.sql.types.DecimalType(22, 2))
+      // dual decode: the text storage form round-trips through the same scan
+      val tstore = Seed.table(spark, sfDir, "spec_agg_decimal_text", src,
+        props = Map(Options.Encoding -> "text"))
+      val tgot = Seed.read(spark, tstore).agg(sum(col("bal"))).collect()(0)
+      assert(tgot.getDecimal(0) == exact.getDecimal(0), s"text-form decimal: $tgot")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
 
   test("aggregate pushdown: integral SUM and row-key grouping fold in the scan") {

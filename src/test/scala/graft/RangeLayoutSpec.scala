@@ -170,6 +170,63 @@ class RangeLayoutSpec extends SparkSpec {
     assert(sb.size == 2 && sb.forall(_.length == 1), s"got $sb")
   }
 
+  test("digest sidecar: binds resolve O(1) via _range_digests; walk is the legacy fallback") {
+    import org.apache.spark.sql.types.{LongType, StructType}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = java.nio.file.Files.createTempDirectory("graftrangewh")
+    val cat = new CassandraLikeCatalog
+    cat.initialize("rl_sidecar", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh.toString)))
+    val schema = StructType.fromDDL("k BIGINT, v STRING")
+    def freshMeta(dir: String, bounds: String, buckets: Int): String = {
+      CellStore.writeMeta(dir, CellStore.Meta(schema.toDDL, ColumnMapping.auto(schema),
+        Map(Options.KeyEncoding -> "ordered", Options.RangeBounds -> bounds,
+          Options.Buckets -> buckets.toString)))
+      RangeLayout.digest(
+        RangeLayout.parse(bounds, LongType, KeyCodec(LongType, ordered = true)),
+        ordered = true)
+    }
+    // 1. SIDECAR path: a range table OUTSIDE the warehouse — the walk can
+    // never find it, so a successful bind proves the sidecar resolved it
+    // (the in-JVM proxy for a fresh process replaying a persisted plan)
+    val ext = java.nio.file.Files.createTempDirectory("graftrangeext").toString
+    val d1 = freshMeta(ext, "-777041,424987", 3)
+    assert(RangeBucketFunction.lookup(d1).isEmpty,
+      "precondition: digest must not be pre-registered in this JVM")
+    val scDir = wh.resolve("_range_digests")
+    java.nio.file.Files.createDirectories(scDir)
+    java.nio.file.Files.write(scDir.resolve(d1),
+      ext.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val f1 = cat.loadFunction(Identifier.of(Array("ns"),
+      RangeBucketFunction.nameFor(3, d1)))
+    val b1 = f1.bind(new StructType().add("k", LongType))
+    assert(b1.isInstanceOf[BoundRangeBucket] && RangeBucketFunction.lookup(d1).nonEmpty)
+    // 2. LEGACY fallback: a pre-sidecar table INSIDE the warehouse (no
+    // sidecar) resolves via the bounded walk
+    val legacyDir = wh.resolve("ks").resolve("legacy_range")
+    java.nio.file.Files.createDirectories(legacyDir)
+    val d2 = freshMeta(legacyDir.toString, "-31337,90001", 3)
+    assert(RangeBucketFunction.lookup(d2).isEmpty)
+    val f2 = cat.loadFunction(Identifier.of(Array("ks"),
+      RangeBucketFunction.nameFor(3, d2)))
+    f2.bind(new StructType().add("k", LongType))
+    assert(RangeBucketFunction.lookup(d2).nonEmpty)
+    // loadTable self-heals the sidecar for the legacy table
+    cat.loadTable(Identifier.of(Array("ks"), "legacy_range"))
+    assert(java.nio.file.Files.isRegularFile(scDir.resolve(d2)),
+      "loadTable must write the missing sidecar")
+    // 3. an unknown digest fails bind loudly (and is negative-cached so
+    // repeated binds don't re-walk the warehouse); repeatably
+    val bogus = "00112233aabbccdd"
+    (1 to 2).foreach { _ =>
+      val fb = cat.loadFunction(Identifier.of(Array("ns"),
+        RangeBucketFunction.nameFor(3, bogus)))
+      intercept[IllegalStateException](fb.bind(new StructType().add("k", LongType)))
+    }
+    CellStore.dropTable(wh.toString)
+    CellStore.dropTable(ext)
+  }
+
   test("range.bounds is a locked layout property once segments exist") {
     spark.conf.set("spark.sql.catalog.cassandralike",
       classOf[CassandraLikeCatalog].getName)

@@ -58,6 +58,58 @@ class SubEncodingSpec extends SparkSpec {
     assert(topn.collect().map(_.getLong(2)).toSeq == Seq(-5L))
   }
 
+  test("typed slice.sub options match the pushed sub-range cell-for-cell") {
+    val sp = spark; import sp.implicits._
+    // one hot (key, col) group of 1000 BIGINT subs crossing zero, split
+    // over two writes so the store holds runs with distinct sub windows
+    val old = (-500 until 0).map(s => ("hot", "c0", s.toLong, s"v$s"))
+      .toDF("row_key", "column_name", "sub", "value")
+    val store = Seed.table(spark, sfDir, "spec_subenc_sliceopt", old,
+      mapping = mapping, props = props)
+    val fresh = (0 until 500).map(s => ("hot", "c0", s.toLong, s"v$s"))
+      .toDF("row_key", "column_name", "sub", "value")
+    Seed.append(fresh, store, Map(Options.WriteTimestamp -> "2"))
+
+    def drain(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+      val batch = scan.toBatch
+      val factory = batch.createReaderFactory()
+      var subSkipped = 0L; var merged = 0L; var rows = 0L
+      batch.planInputPartitions().foreach { p =>
+        val r = factory.createReader(p)
+        try { while (r.next()) { r.get(); rows += 1 } } finally {
+          r.currentMetricsValues().foreach { m =>
+            if (m.name() == "runsSubSkipped") subSkipped += m.value()
+            if (m.name() == "cellsMerged") merged += m.value()
+          }
+          r.close()
+        }
+      }
+      (rows, merged, subSkipped)
+    }
+
+    // PUSHED sub range (sign-crossing: ordered bytes keep -25 < 24) vs the
+    // OPTION-DRIVEN static sub slice: the knobs parse '-25'/'24' as typed
+    // BIGINT literals against the ordered sub codec, folding to the same
+    // inclusive byte window — same merged cells, same disjoint-run skip
+    // (the all-negative run is skipped whole when the window is positive).
+    val pushed = drain(Seed.read(spark, store)
+      .filter($"sub" >= -25L && $"sub" <= 24L))
+    val optioned = drain(Seed.read(spark, store, Map(
+      Options.SliceSubStart -> "-25", Options.SliceSubFinish -> "24")))
+    assert(pushed._1 == 50 && optioned._1 == 50,
+      s"both forms must return the 50 sliced rows: $pushed vs $optioned")
+    assert(optioned._2 == pushed._2,
+      s"option path must merge the same cells: ${optioned._2} vs ${pushed._2}")
+    // a window entirely above zero skips the negative run outright
+    val hi = drain(Seed.read(spark, store, Map(
+      Options.SliceSubStart -> "100", Options.SliceSubFinish -> "149")))
+    assert(hi._1 == 50 && hi._3 >= 1,
+      s"positive window must run-skip the negative run: $hi")
+  }
+
   test("sub.encoding validation: super-only, typed, locked once segments exist") {
     val sp = spark; import sp.implicits._
     // non-super mapping rejects the property

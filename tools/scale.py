@@ -44,6 +44,10 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 5th arg: comma list of FACT tables to scale (dims always
+    # copied) — for single-query scale probes (e.g. sf10) where scaling the
+    # full document/embedding corpus would be pure waste
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     Path(dst).mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
@@ -52,6 +56,8 @@ def main():
         print(f"{t}: copied")
 
     for t, (off, keycols) in OFFSETS.items():
+        if only is not None and t not in only:
+            continue
         cols = [r[0] for r in
                 con.sql(f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'").fetchall()]
         sel = []
