@@ -205,6 +205,7 @@ object CellStore {
     val entries = mutable.ArrayBuffer.empty[IndexEntry]
     val bloom = new KeyBloom.Builder
     val colBloom = new ColBloomBuilder
+    val subBloom = new ColBloomBuilder
     var prevKey: Array[Byte] = null
     var colMin: Array[Byte] = null
     var colMax: Array[Byte] = null
@@ -219,6 +220,7 @@ object CellStore {
         bloom.add(c.key); prevKey = c.key
       }
       colBloom.add(i, c.col)
+      subBloom.add(i, c.sub)
       if (c.col != null) {
         if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
         if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
@@ -231,7 +233,7 @@ object CellStore {
       i += 1
     }
     val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
-      colMin, colMax, colBloom.build(), subMin, subMax)
+      colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build())
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -278,7 +280,9 @@ object CellStore {
       colChunkCells: Int = 0 /* cells per bloom chunk; Int.MaxValue for a run-wide CBLM bloom */,
       subs: Array[Array[Byte]] = null /* per-entry sub bytes; null = legacy or no non-null subs */,
       subMin: Array[Byte] = null /* run-wide min/max SUB-column window */,
-      subMax: Array[Byte] = null /* (super mappings); null = legacy or none */)
+      subMax: Array[Byte] = null /* (super mappings); null = legacy or none */,
+      subBlooms: Array[KeyBloom] = null /* per-chunk distinct-SUB blooms; null = legacy */,
+      subChunkCells: Int = 0)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -349,6 +353,7 @@ object CellStore {
   private val ColBlockBloomMagic = 0x43424242 // "CBBB" (per-chunk blooms)
   private val SubRangeMagic = 0x53524e47 // "SRNG" (run-wide [subMin, subMax])
   private val SubsMagic = 0x53554253 // "SUBS" (per-entry sub bytes)
+  private val SubBloomMagic = 0x53424c4d // "SBLM" (per-chunk distinct-sub blooms)
 
   /** CHUNKED distinct-column bloom accumulator for a run's column BLOOM
     * tail. The min/max window kills DISJOINT slices; the blooms kill the
@@ -402,7 +407,8 @@ object CellStore {
       lastKey: Array[Byte], bloom: KeyBloom = null,
       colMin: Array[Byte] = null, colMax: Array[Byte] = null,
       colBlooms: Array[KeyBloom] = null,
-      subMin: Array[Byte] = null, subMax: Array[Byte] = null): Array[Byte] = {
+      subMin: Array[Byte] = null, subMax: Array[Byte] = null,
+      subBlooms: Array[KeyBloom] = null): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
@@ -450,14 +456,26 @@ object CellStore {
     }
     // SUB-column tails (super mappings; absent when every sub was null, so
     // regular/transposed tables pay zero bytes): run-wide [subMin, subMax]
-    // window, then the per-entry sub bytes completing each entry's
-    // (key, col, sub) address prefix — the sub twins of CRNG and COLS.
+    // window, the per-entry sub bytes completing each entry's
+    // (key, col, sub) address prefix, and per-chunk distinct-sub blooms —
+    // the sub twins of CRNG, COLS and CBBB (one uniform chunked bloom
+    // format here; no single-chunk legacy variant to preserve).
     if (subMin != null && subMax != null) {
       out.writeInt(SubRangeMagic)
       writeBytes(out, subMin)
       writeBytes(out, subMax)
       out.writeInt(SubsMagic)
       entries.foreach(e => writeBytes(out, e.sub))
+      if (subBlooms != null) {
+        out.writeInt(SubBloomMagic)
+        out.writeInt(ColBloomBuilder.ChunkCells)
+        out.writeInt(subBlooms.length)
+        subBlooms.foreach { b =>
+          out.writeInt(b.numKeys)
+          out.writeInt(b.words.length)
+          b.words.foreach(out.writeLong)
+        }
+      }
     }
     bos.toByteArray
   }
@@ -559,8 +577,28 @@ object CellStore {
           ss
         }
       }
+    val (subBlooms, subChunkCells) =
+      if (subs == null || in.available() < 12) (null, 0)
+      else {
+        in.mark(12)
+        if (in.readInt() != SubBloomMagic) { in.reset(); (null, 0) }
+        else {
+          val chunkCells = in.readInt()
+          val numChunks = in.readInt()
+          if (chunkCells <= 0 || numChunks <= 0) { in.reset(); (null, 0) }
+          else {
+            val bs = new Array[KeyBloom](numChunks)
+            var ci = 0
+            var bad = false
+            while (ci < numChunks && !bad) {
+              bs(ci) = readBloom(); if (bs(ci) == null) bad = true; ci += 1
+            }
+            if (bad) { in.reset(); (null, 0) } else (bs, chunkCells)
+          }
+        }
+      }
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
-      colBlooms, colChunkCells, subs, sMin, sMax)
+      colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -584,6 +622,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[Array[KeyBloom]]]()
   private val subRangeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
+  private val subBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[Array[KeyBloom]]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -681,6 +721,17 @@ object CellStore {
         if (idx.subMin == null || idx.subMax == null) null
         else (idx.subMin, idx.subMax)
       }.toArray
+      finally r.close()
+    })
+
+  /** Per-run distinct-SUB bloom chunks (null element = legacy run); the
+    * sub twin of [[runColBlooms]], memoized per immutable file. A point
+    * sub lookup skips a run when every chunk rejects every wanted sub —
+    * the false-window case the [subMin, subMax] check can't prune. */
+  def runSubBlooms(file: Path): Array[Array[KeyBloom]] =
+    subBloomCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).map(ri => r.readIndex(ri).subBlooms).toArray
       finally r.close()
     })
 
@@ -822,21 +873,23 @@ object CellStore {
       // span OUTRIGHT — even across key boundaries, because the bloom saw
       // every non-null col byte form in the chunk regardless of key. The
       // final span may straddle chunks and must check all it touches.
-      def chunkMightContain(i: Int): Boolean = {
-        if (colSet == null || idx.colBlooms == null || idx.colChunkCells <= 0)
-          return true
-        val first = math.min(idx.colBlooms.length - 1,
-          idx.cellPos(i) / idx.colChunkCells)
+      def bloomChunkMightContain(i: Int, set: Array[Array[Byte]],
+          blooms: Array[KeyBloom], chunkCells: Int): Boolean = {
+        if (set == null || blooms == null || chunkCells <= 0) return true
+        val first = math.min(blooms.length - 1, idx.cellPos(i) / chunkCells)
         val last =
           if (i < n - 1) first
-          else idx.colBlooms.length - 1 // final span: through the run's end
+          else blooms.length - 1 // final span: through the run's end
         var ci = first
         while (ci <= last) {
-          if (colSet.exists(idx.colBlooms(ci).mightContain)) return true
+          if (set.exists(blooms(ci).mightContain)) return true
           ci += 1
         }
         false
       }
+      def chunkMightContain(i: Int): Boolean =
+        bloomChunkMightContain(i, colSet, idx.colBlooms, idx.colChunkCells) &&
+          bloomChunkMightContain(i, subSet, idx.subBlooms, idx.subChunkCells)
       def mustRead(i: Int): Boolean = {
         if (!chunkMightContain(i)) return false
         if (i == n - 1) {
@@ -899,6 +952,7 @@ object CellStore {
       val colBlooms = if (colSet == null) null else runColBlooms(file)
       val subRanges =
         if (subSet == null && subWindow == null) null else runSubRanges(file)
+      val subBlooms = if (subSet == null) null else runSubBlooms(file)
       def colExcluded(r: (Array[Byte], Array[Byte])): Boolean =
         (colSet != null && !anyColIn(colSet, r._1, r._2)) ||
           (colWindow != null &&
@@ -934,6 +988,13 @@ object CellStore {
           // run-wide [subMin, subMax]: no wanted SUB-column can be in this
           // run (nor a tombstone for one — tombstones carry their sub
           // bytes and fed the window too) — skip it whole
+          if (counters != null) counters.runsSubSkipped += 1
+          Iterator.empty
+        } else if (subBlooms != null && subBlooms(i) != null &&
+            !subSet.exists(s => subBlooms(i).exists(_.mightContain(s)))) {
+          // distinct-SUB blooms: the wanted subs fall inside the run's
+          // [subMin, subMax] window but none is present in any chunk —
+          // the sub twin of the column false-window skip
           if (counters != null) counters.runsSubSkipped += 1
           Iterator.empty
         } else {
@@ -1392,6 +1453,7 @@ object CellStore {
       val entries = mutable.ArrayBuffer.empty[IndexEntry]
       val bloom = new KeyBloom.Builder
       val colBloom = new ColBloomBuilder
+      val subBloom = new ColBloomBuilder
       var count = 0
       var lastKey: Array[Byte] = null
       var colMin: Array[Byte] = null
@@ -1404,6 +1466,7 @@ object CellStore {
         if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
           bloom.add(c.key)
         colBloom.add(count, c.col)
+        subBloom.add(count, c.sub)
         if (c.col != null) {
           if (colMin == null || Codecs.compareBytes(c.col, colMin) < 0) colMin = c.col
           if (colMax == null || Codecs.compareBytes(c.col, colMax) > 0) colMax = c.col
@@ -1418,7 +1481,7 @@ object CellStore {
       }
       val payloadLen = counting.count
       out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
-        colMin, colMax, colBloom.build(), subMin, subMax))
+        colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build()))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

@@ -216,6 +216,18 @@ class ScanMetricsSpec extends SparkSpec {
       finally it2.close()
       assert(c2.runsSubSkipped == 1 && c2.cellsSeekSkipped >= 3300,
         s"runsSubSkipped=${c2.runsSubSkipped} seek=${c2.cellsSeekSkipped}")
+      // FALSE-WINDOW sub point: "s02000x" sorts INSIDE run a's
+      // [s00000, s03999] window but is absent, so only the distinct-sub
+      // BLOOM can prove run a read-free (run b's window is disjoint and
+      // skips via min/max — both skips land in runsSubSkipped)
+      val cb = new ScanCounters
+      val itb = new CellStore.BucketMergeIterator(dir, 0, counters = cb,
+        subLookup = Seq("s02000x".getBytes))
+      try assert(itb.toVector.isEmpty)
+      finally itb.close()
+      assert(cb.runsSubSkipped == 2 && cb.runsRead == 0,
+        s"sub blooms must skip both runs without payload IO: " +
+          s"subSkipped=${cb.runsSubSkipped} runsRead=${cb.runsRead}")
       // a tombstone for a wanted sub shadows through the pruned path — its
       // sub bytes fed the window, so its run is never skipped
       seg(dir, "b0-del.bin",
