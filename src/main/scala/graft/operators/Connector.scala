@@ -599,16 +599,23 @@ object Connector {
         |          FROM c GROUP BY 1, 2, 3)
         |SELECT sub_column_name, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
         |FROM dedup WHERE sub_column_name >= -2 AND sub_column_name < 2
-        |GROUP BY sub_column_name ORDER BY sub_column_name""".stripMargin) { (s, dir) =>
+        |GROUP BY sub_column_name ORDER BY sub_column_name""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
-      val src = t(s, dir, "lineitem").select(
-        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
-        lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
-        ($"l_linenumber" - 3).cast("bigint").as("sub_column_name"),
-        floor($"l_quantity").cast("bigint").as("value"))
-      val store = Seed.table(s, dir, "sub_slice_window", src,
-        mapping = Some(":key,:column,:subcolumn,:value"),
-        props = Map(graft.sources.cassandralike.Options.SubEncoding -> "ordered"))
+      val store = s"${Seed.storeRoot(dir)}/sub_slice_window"
+      // seeding memoized out of the bench body (like the co-partitioned
+      // entries): the timed query is the pruned sub-window scan, not the
+      // one-off store write
+      seedOnce(s"$dir#sub_slice_window") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+          lpad($"l_orderkey".cast("string"), 10, "0").as("column_name"),
+          ($"l_linenumber" - 3).cast("bigint").as("sub_column_name"),
+          floor($"l_quantity").cast("bigint").as("value"))
+        Seed.table(s, dir, "sub_slice_window", src,
+          mapping = Some(":key,:column,:subcolumn,:value"),
+          props = Map(graft.sources.cassandralike.Options.SubEncoding -> "ordered"))
+      }
       Seed.read(s, store)
         .filter($"sub_column_name" >= -2L && $"sub_column_name" < 2L)
         .groupBy($"sub_column_name")

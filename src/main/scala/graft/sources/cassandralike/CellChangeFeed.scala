@@ -367,7 +367,8 @@ final class CellChangeFeedStream(
           ScanAccumulators(
             s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
             s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
-            s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"))
+            s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"),
+            s.sparkContext.longAccumulator("cassandralike.feed.runsSubSkipped"))
         }
     seekAccumsCached
   }
@@ -414,7 +415,9 @@ final class CellChangeFeedStream(
       ScanMetrics.RunsColSkipped,
       seekAccums.map(_.runsColSkipped.value.toString).getOrElse("0"),
       ScanMetrics.RunsColBloomSkipped,
-      seekAccums.map(_.runsColBloomSkipped.value.toString).getOrElse("0"))
+      seekAccums.map(_.runsColBloomSkipped.value.toString).getOrElse("0"),
+      ScanMetrics.RunsSubSkipped,
+      seekAccums.map(_.runsSubSkipped.value.toString).getOrElse("0"))
   }
 
   override def deserializeOffset(json: String): Offset = {

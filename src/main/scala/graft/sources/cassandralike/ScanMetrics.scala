@@ -55,11 +55,13 @@ final class ScanCounters {
 final case class ScanAccumulators(
     cellsSeekSkipped: org.apache.spark.util.LongAccumulator,
     runsColSkipped: org.apache.spark.util.LongAccumulator,
-    runsColBloomSkipped: org.apache.spark.util.LongAccumulator) {
+    runsColBloomSkipped: org.apache.spark.util.LongAccumulator,
+    runsSubSkipped: org.apache.spark.util.LongAccumulator) {
   def add(c: ScanCounters): Unit = {
     cellsSeekSkipped.add(c.cellsSeekSkipped)
     runsColSkipped.add(c.runsColSkipped)
     runsColBloomSkipped.add(c.runsColBloomSkipped)
+    runsSubSkipped.add(c.runsSubSkipped)
   }
 }
 
