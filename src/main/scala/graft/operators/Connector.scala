@@ -280,6 +280,24 @@ object Connector {
         .orderBy($"c_name").limit(20)
     },
 
+    // ---- DESC key-order TopN ("latest N" — the time-series tail query):
+    // the all-descending order is the reverse permutation of the scan's
+    // natural ascending emission, so each partition's top-n is its LAST n
+    // rows — kept in an n-slot ring buffer (O(n) memory, plan shows
+    // `LimitLast: n`; ConnectorSpec/SubEncodingSpec pin the plan and the
+    // mixed-direction decline). At 100 TB "the 20 newest keys" costs n
+    // decoded rows per split instead of a full decode + global sort. ----
+    Q("conn_topn_key_desc",
+      """SELECT c_name, c_acctbal FROM customer
+        |ORDER BY c_name DESC LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "topn_key_desc",
+        t(s, dir, "customer").select($"c_name", $"c_acctbal"))
+      Seed.read(s, store)
+        .select($"c_name", $"c_acctbal")
+        .orderBy($"c_name".desc).limit(20)
+    },
+
     // ---- GROUPED aggregate pushdown over a transposed store: groupBy the
     // ROW KEY is the wide-row aggregation (lines per order, quantities per
     // order). The key-ordered bucket merge lets per-key partials STREAM

@@ -505,6 +505,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private var required: StructType = table.tableSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var limitLast: Boolean = false // DESC TopN: keep the LAST n rows
   private var aggs: Seq[PushedAgg] = Nil
   private var groupKeys: Seq[String] = Nil
 
@@ -524,9 +525,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * sorted prefix is exactly that partition's minimal n — and Spark's
     * global TopN merges the per-partition prefixes. At 100 TB this turns
     * "first n rows by key" from a full scan into n-row reads per split.
-    * Any other ordering (numeric keys: big-endian bytes sort negatives
-    * after positives; descending; reversed slices) is declined and planned
-    * as a normal sort. */
+    *
+    * The ALL-DESCENDING twin pushes too ("latest N" — the time-series
+    * tail query): the full reversal of a lexicographic order is the
+    * reverse permutation, so each partition's top-n under
+    * (key DESC[, col DESC[, sub DESC]]) is exactly the LAST n rows of its
+    * natural ascending emission — kept in an n-slot ring buffer (O(n)
+    * memory, stream once). The scan IO is not suffix-seeked (the merge
+    * still streams the partition), but the decode/filter volume leaving
+    * the scan drops to n rows per split and Spark's global TopN merges
+    * ring buffers instead of sorting the world. Mixed ASC/DESC, non-
+    * byte-ordered types, and reversed slices are declined and planned as
+    * a normal sort. Address fields are non-nullable, so null ordering
+    * cannot affect either form. */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
@@ -537,35 +548,43 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         org.apache.spark.sql.types.BinaryType => true
       case _ => false
     }
-    def ascOn(o: org.apache.spark.sql.connector.expressions.SortOrder,
-        name: String): Boolean = o.expression match {
+    def dirOn(o: org.apache.spark.sql.connector.expressions.SortOrder,
+        name: String, dir: SortDirection): Boolean = o.expression match {
       case nr: NamedReference =>
         nr.fieldNames.length == 1 && nr.fieldNames.head == name &&
-          o.direction == SortDirection.ASCENDING
+          o.direction == dir
       case _ => false
     }
     val keyF = table.mapping.keyField
     if (!byteOrdered(keyF.dataType) && !table.keyCodec.ordered) return false
     val reversed = Options.effective(options, table.tableProps,
       Options.SliceReversed).exists(_.toBoolean)
-    def colNatural(c: org.apache.spark.sql.connector.expressions.SortOrder): Boolean = {
-      val colF = table.mapping.field(FieldRole.TransColumn)
-      (byteOrdered(colF.dataType) || table.colCodec.ordered) && ascOn(c, colF.name)
+    // natural(dir): every order key follows `dir` on the mapping's
+    // address-column sequence, each level byte-ordered
+    def natural(dir: SortDirection): Boolean = {
+      def colNatural(c: org.apache.spark.sql.connector.expressions.SortOrder): Boolean = {
+        val colF = table.mapping.field(FieldRole.TransColumn)
+        (byteOrdered(colF.dataType) || table.colCodec.ordered) &&
+          dirOn(c, colF.name, dir)
+      }
+      orders.toSeq match {
+        case Seq(k) => dirOn(k, keyF.name, dir)
+        case Seq(k, c) if table.mapping.transposed && !reversed =>
+          dirOn(k, keyF.name, dir) && colNatural(c)
+        case Seq(k, c, s) if table.mapping.hasSubColumn && !reversed =>
+          // super mapping: cells stream (key, col, sub)-sorted, so the
+          // three-key prefix is natural when every level is byte-ordered
+          val subF = table.mapping.field(FieldRole.TransSubColumn)
+          dirOn(k, keyF.name, dir) && colNatural(c) &&
+            (byteOrdered(subF.dataType) || table.subCodec.ordered) &&
+            dirOn(s, subF.name, dir)
+        case _ => false
+      }
     }
-    val natural = orders.toSeq match {
-      case Seq(k) => ascOn(k, keyF.name)
-      case Seq(k, c) if table.mapping.transposed && !reversed =>
-        ascOn(k, keyF.name) && colNatural(c)
-      case Seq(k, c, s) if table.mapping.hasSubColumn && !reversed =>
-        // super mapping: cells stream (key, col, sub)-sorted, so the
-        // three-key prefix is natural when every level is byte-ordered
-        val subF = table.mapping.field(FieldRole.TransSubColumn)
-        ascOn(k, keyF.name) && colNatural(c) &&
-          (byteOrdered(subF.dataType) || table.subCodec.ordered) &&
-          ascOn(s, subF.name)
-      case _ => false
-    }
-    if (natural) { limit = Some(n); true } else false
+    if (natural(SortDirection.ASCENDING)) { limit = Some(n); true }
+    else if (natural(SortDirection.DESCENDING)) {
+      limit = Some(n); limitLast = true; true
+    } else false
   }
 
   /** Partition prefixes, not the global answer: Spark keeps its TopN. */
@@ -732,7 +751,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new CellScan(table, required, pushed, options, limit, aggs, groupKeys)
+    new CellScan(table, required, pushed, options, limit, aggs, groupKeys,
+      limitLast)
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
@@ -841,7 +861,8 @@ class CellScan(
     options: Map[String, String],
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
-    aggGroupKeys: Seq[String] = Nil)
+    aggGroupKeys: Seq[String] = Nil,
+    limitLast: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1032,7 +1053,8 @@ class CellScan(
       .flatMap(k => table.opt(options, k).map(v => s"$k=$v")).mkString(", ")
     s"cassandralike ${table.dir} ReadSchema: ${required.catalogString} " +
       s"PushedFilters: [$f] Slice: [$slice]" +
-      limit.map(n => s" Limit: $n").getOrElse("") +
+      limit.map(n =>
+        if (limitLast) s" LimitLast: $n" else s" Limit: $n").getOrElse("") +
       (if (aggs.nonEmpty)
         s" PushedAggregates: [${aggs.mkString(", ")}]" +
           (if (aggGroupKeys.nonEmpty)
@@ -1153,7 +1175,7 @@ class CellScan(
     CellReaderFactory(table.tableSchema, table.mapping.fields,
       if (aggs.nonEmpty) aggBaseSchema else required,
       effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKeys,
-      columnar = true)
+      columnar = true, limitLast = limitLast)
 }
 
 final case class CellReaderFactory(
@@ -1167,7 +1189,8 @@ final case class CellReaderFactory(
     aggs: Seq[PushedAgg] = Nil,
     aggGroupKeys: Seq[String] = Nil,
     columnar: Boolean = false,
-    accums: Option[ScanAccumulators] = None) extends PartitionReaderFactory {
+    accums: Option[ScanAccumulators] = None,
+    limitLast: Boolean = false) extends PartitionReaderFactory {
 
   /** COLUMNAR scan path: rows batch into on-heap column vectors and
     * whole-stage codegen consumes the scan vectorized (ColumnarToRow is
@@ -1198,7 +1221,8 @@ final case class CellReaderFactory(
         k.stripPrefix(Options.DroppedPrefix) -> v.toLong
     }
     val base = new CellPartitionReader(cp, ColumnMapping(mappedFields), required,
-      filters, (k: String) => Options.effective(options, tableProps, k), limit, dropped)
+      filters, (k: String) => Options.effective(options, tableProps, k), limit,
+      dropped, limitLast)
     val counted = accums match {
       case None => base
       case Some(a) => new PartitionReader[InternalRow] {
@@ -1558,7 +1582,8 @@ class CellPartitionReader(
     filters: Array[Filter],
     opt: String => Option[String],
     limit: Option[Int] = None,
-    dropped: Map[String, Long] = Map.empty)
+    dropped: Map[String, Long] = Map.empty,
+    limitLast: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   // T2: positional per-cell validator list (reference's
@@ -1798,8 +1823,27 @@ class CellPartitionReader(
       if (mapping.transposed) byKey.flatMap(transposedRows)
       else byKey.flatMap(regularRow)
     // pushed (partial) limit: every emitted row already passed the pushed
-    // filters, so the partition can stop at `limit` rows
-    limit.map(all.take).getOrElse(all)
+    // filters, so the partition can stop at `limit` rows. The DESC TopN
+    // form (`limitLast`) keeps the LAST n instead: an n-slot ring buffer
+    // over the ascending stream — its contents are exactly the partition's
+    // n greatest rows under the natural order, i.e. its top-n under the
+    // all-descending order (O(n) memory; emit order irrelevant, Spark's
+    // global TopN re-sorts the per-partition candidates).
+    limit match {
+      case Some(n) if limitLast =>
+        // deferred behind flatMap: the drain must not run during reader
+        // construction (fields below, e.g. the compiled filters, are not
+        // initialized yet — Scala initializes vals in declaration order)
+        Iterator.single(()).flatMap { _ =>
+          val ring = new Array[InternalRow](n)
+          var count = 0L
+          all.foreach { r => ring((count % n).toInt) = r.copy(); count += 1 }
+          val kept = math.min(count, n.toLong).toInt
+          Iterator.tabulate(kept)(i => ring(((count - kept + i) % n).toInt))
+        }
+      case Some(n) => all.take(n)
+      case None => all
+    }
   }
   private var current: InternalRow = _
 

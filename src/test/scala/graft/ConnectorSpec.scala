@@ -139,10 +139,15 @@ class ConnectorSpec extends SparkSpec {
     val want = cust.select(col("c_name")).orderBy(col("c_name"))
       .limit(7).collect().map(_.getString(0)).toSeq
     assert(got == want, s"topN rows diverged: $got vs $want")
-    // descending and numeric-key orders must NOT push (byte order is not
-    // the requested order) — result still exact via Spark's sort
+    // ALL-DESCENDING pushes as a suffix ring buffer ("latest N"): the
+    // partition's last n natural-order rows ARE its top-n descending
     val qd = Seed.read(spark, byName).orderBy(col("c_name").desc).limit(3)
-    assert(!scanOf(qd).scan.description().contains("Limit: 3"))
+    assert(scanOf(qd).scan.description().contains("LimitLast: 3"),
+      s"DESC topN not pushed: ${scanOf(qd).scan.description()}")
+    val gotD = qd.collect().map(_.getString(0)).toSeq
+    val wantD = cust.select(col("c_name")).orderBy(col("c_name").desc)
+      .limit(3).collect().map(_.getString(0)).toSeq
+    assert(gotD == wantD, s"DESC topN rows diverged: $gotD vs $wantD")
     val byKey = Seed.table(spark, sfDir, "spec_topn_num",
       cust.select(col("c_custkey"), col("c_acctbal")))
     val qn = Seed.read(spark, byKey).orderBy(col("c_custkey")).limit(3)

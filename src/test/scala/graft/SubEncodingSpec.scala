@@ -40,6 +40,24 @@ class SubEncodingSpec extends SparkSpec {
       s"3-key TopN not pushed: ${scan.description()}")
     assert(topn.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq(("k0", "c0", -50L), ("k0", "c0", -1L), ("k0", "c0", 0L)))
+    // ALL-DESCENDING pushes as the suffix form ("latest N" tail); mixed
+    // ASC/DESC is not a prefix OR suffix of the natural order and declines
+    def scanDesc(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get.description()
+    val topnD = Seed.read(spark, store)
+      .orderBy($"row_key".desc, $"column_name".desc, $"sub".desc).limit(3)
+    assert(scanDesc(topnD).contains("LimitLast: 3"),
+      s"3-key DESC TopN not pushed: ${scanDesc(topnD)}")
+    assert(topnD.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("k1", "c1", 7L), ("k1", "c1", 0L), ("k1", "c1", -1L)))
+    val mixed = Seed.read(spark, store)
+      .orderBy($"row_key", $"column_name".desc, $"sub").limit(3)
+    assert(!scanDesc(mixed).contains("Limit"),
+      s"mixed-direction TopN must decline: ${scanDesc(mixed)}")
+    assert(mixed.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("k0", "c1", -50L), ("k0", "c1", -1L), ("k0", "c1", 0L)))
   }
 
   test("plain-bytes numeric sub declines the 3-key TopN; results still exact") {
