@@ -86,6 +86,24 @@ object Connector {
           sum($"c_nationkey").as("sum_nation"))
     },
 
+    // ---- METADATA-ONLY aggregates: an ungrouped COUNT/MIN/MAX over an
+    // unfiltered store answers from the run indexes' STAT tails — zero
+    // cell payload IO (a few KB of index per bucket). The single-task
+    // seed leaves one commit-compacted run per bucket, so every bucket
+    // qualifies (no tombstones, no overlap); MetadataAggSpec pins the
+    // per-bucket fast path and every fallback edge. At 100 TB this is
+    // `SELECT count(*)` without reading the table. ----
+    Q("conn_agg_metadata",
+      """SELECT count(*) AS n, min(c_name) AS mn, max(c_name) AS mx
+        |FROM customer""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = Seed.table(s, dir, "agg_metadata",
+        t(s, dir, "customer").select($"c_name", $"c_acctbal").repartition(1))
+      Seed.read(s, store)
+        .agg(count(lit(1)).as("n"), min($"c_name").as("mn"),
+          max($"c_name").as("mx"))
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

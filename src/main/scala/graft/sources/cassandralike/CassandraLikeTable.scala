@@ -839,7 +839,13 @@ final case class CellInputPartition(
     // change-feed batches restrict the merge to the micro-batch's NEW
     // committed segment names (relative to the sst dir); null = the batch
     // scan's view, every committed segment at reader-open time
-    files: Seq[String] = null) extends InputPartition
+    files: Seq[String] = null,
+    // metadata-only aggregate candidate (see [[MetadataAggReader]]): the
+    // planner verified the STATIC conditions and pinned `files` so every
+    // sub-split of the bucket decides the run-level conditions over the
+    // SAME set (deterministically — a torn view across sub-splits could
+    // double-count)
+    aggStats: Boolean = false) extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** S2: replica-aware placement hook (the reference's split locations,
     * input/HiveCassandraStandardSplit.java:69-71). Empty in local mode. */
@@ -896,6 +902,54 @@ class CellScan(
           org.apache.spark.sql.types.StructField(s"agg_${i}_sum_$c",
             PushedAgg.sumType(table.tableSchema(c).dataType), nullable = true)
       })
+
+  /** STATIC half of the metadata-only aggregate gate (the dynamic,
+    * run-level half lives in [[MetadataAggReader]]): an UNGROUPED pushed
+    * aggregation whose every function is answerable from the run indexes
+    * alone — COUNT(*)/COUNT(address field) (address fields never NULL),
+    * MIN/MAX of an address field whose decoded order equals byte order —
+    * over the UNSLICED, UNFILTERED, current-time view of the store (any
+    * pushed filter, slice knob, as-of bound, TTL or dropped-column
+    * history changes which cells are visible in ways the index stats
+    * can't see). When it holds, planning pins the committed file set into
+    * the partitions and the readers answer COUNT/MIN/MAX from index
+    * tails — O(runs) metadata IO instead of O(cells): at 100 TB,
+    * `SELECT count(*)` over a compacted store reads a few KB per bucket. */
+  private lazy val statsEligible: Boolean = {
+    val m = table.mapping
+    val keyN = m.keyField.name
+    val colN = if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
+    val subN = if (m.hasSubColumn) Some(m.field(FieldRole.TransSubColumn).name) else None
+    def address(c: String): Boolean =
+      c == keyN || colN.contains(c) || subN.contains(c)
+    def orderPreserving(c: String): Boolean =
+      if (c == keyN) table.keyCodec.rangeOrdered
+      else if (colN.contains(c)) table.colCodec.rangeOrdered
+      else if (subN.contains(c)) table.subCodec.rangeOrdered
+      else false
+    def answerable(a: PushedAgg): Boolean = a match {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) => address(c)
+      case PushedAgg.Min(c) => address(c) && orderPreserving(c)
+      case PushedAgg.Max(c) => address(c) && orderPreserving(c)
+      case _ => false
+    }
+    aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
+      cleanUnslicedView
+  }
+
+  /** The store view is the plain current-time one — no pushed filters, no
+    * slice knobs, no as-of bound, no TTL, no dropped-column history. Only
+    * then do the run indexes' content stats describe exactly what a scan
+    * would emit (shared gate of [[statsEligible]] and the exact-numRows
+    * branch of [[estimateStatistics]]). */
+  private lazy val cleanUnslicedView: Boolean =
+    filters.isEmpty &&
+      Seq(Options.SliceStart, Options.SliceFinish, Options.SliceReversed,
+        Options.SliceCount, Options.SliceSubStart, Options.SliceSubFinish,
+        Options.ReadAsOf, Options.Ttl)
+        .forall(k => table.opt(options, k).isEmpty) &&
+      !table.tableProps.keys.exists(_.startsWith(Options.DroppedPrefix))
 
   /** Storage-partitioned join hook: report the token-bucket layout as a
     * KeyGroupedPartitioning over `bucket(buckets, key)` when the table
@@ -1058,7 +1112,8 @@ class CellScan(
       (if (aggs.nonEmpty)
         s" PushedAggregates: [${aggs.mkString(", ")}]" +
           (if (aggGroupKeys.nonEmpty)
-            s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "")
+            s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "") +
+          (if (statsEligible) " AggStats: metadata-eligible" else "")
       else "")
   }
 
@@ -1068,18 +1123,34 @@ class CellScan(
     * join sizing so small cassandralike tables auto-broadcast — the
     * reference's Hive stack needed a manual MAPJOIN hint for this. */
   override def estimateStatistics(): Statistics = {
-    val stats = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
-      .map(CellStore.segmentStats)
+    val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
+    val stats = files.map(CellStore.segmentStats)
     val bytes = stats.map(_.bytes).sum
     val cells = stats.map(_.cells).sum
     val rowFanout =
       if (table.mapping.transposed) 1L
       else math.max(1, table.mapping.cellFields.size).toLong
+    // EXACT numRows from the STAT tails when the view is clean and every
+    // bucket's runs are stats-bearing, tombstone-free and key-disjoint
+    // (per-bucket: different buckets never share a key). Feeds Catalyst's
+    // broadcast threshold with the truth instead of the cells/fan-out
+    // estimate, which over-counts every overwritten address. Index-tail
+    // reads only, memoized per immutable file per JVM.
+    val exact: Option[Long] =
+      if (!cleanUnslicedView) None
+      else plannedBuckets.foldLeft(Option(0L)) { (acc, b) =>
+        acc.flatMap { total =>
+          val runStats = segmentsByBucket.getOrElse(b, Nil)
+            .flatMap(f => CellStore.runStats(f).toSeq)
+          MetadataAggReader.exactRows(runStats, table.mapping.transposed)
+            .map(total + _)
+        }
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(cells / rowFanout)
+        java.util.OptionalLong.of(exact.getOrElse(cells / rowFanout))
     }
   }
 
@@ -1138,9 +1209,14 @@ class CellScan(
       if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
+    // metadata-only aggregate candidates pin the planning-time file set
+    // (restrictFiles) and flag the partitions: every sub-split of a bucket
+    // must judge the run-level conditions over the SAME segments
     val planned = plannedBuckets.flatMap { b =>
-      SplitPlanner.forBucket(table.dir, b, segmentsByBucket.getOrElse(b, Nil),
-        hostsFor(b), target, restrictFiles = false)
+      val ps = SplitPlanner.forBucket(table.dir, b,
+        segmentsByBucket.getOrElse(b, Nil), hostsFor(b), target,
+        restrictFiles = statsEligible)
+      if (statsEligible) ps.map(_.copy(aggStats = true)) else ps
     }
     // Planning-time SUB-SPLIT pruning from the pushed key envelope: a key
     // equality/IN (or a range, on an order-preserving encoding) that misses
@@ -1215,6 +1291,17 @@ final case class CellReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CellInputPartition]
+    // metadata-only aggregates: a planner-flagged partition answers its
+    // COUNT/MIN/MAX from run-index stats when the run-level conditions
+    // hold (index-tail IO only); otherwise it falls through to the
+    // cell-fold scan below
+    if (cp.aggStats && aggs.nonEmpty && aggGroupKeys.isEmpty) {
+      MetadataAggReader.create(cp, ColumnMapping(mappedFields), aggs,
+        (k: String) => Options.effective(options, tableProps, k)) match {
+        case Some(r) => return r
+        case None => ()
+      }
+    }
     // dropped-column history: cellName -> drop ts (cells at/below are hidden)
     val dropped = tableProps.collect {
       case (k, v) if k.startsWith(Options.DroppedPrefix) =>
@@ -1236,6 +1323,148 @@ final case class CellReaderFactory(
     }
     if (aggs.isEmpty) counted
     else new AggregatePartitionReader(counted, required, aggs, aggGroupKeys)
+  }
+}
+
+/** Metadata-only aggregates: answers an UNGROUPED pushed COUNT/MIN/MAX
+  * from the run indexes' STAT tails and key/col/sub windows — zero cell
+  * payload IO (the per-bucket cost is a few KB of index tails). The
+  * parquet-footer-count idea applied to the LSM store: at 100 TB,
+  * `SELECT count(*)` over a compacted store touches metadata only.
+  *
+  * The STATIC conditions (aggregate shapes, no filters/slices/as-of/TTL/
+  * dropped history) were verified at planning ([[CellScan.statsEligible]]),
+  * which also PINNED the committed file set into the partitions so every
+  * sub-split of a bucket judges the DYNAMIC conditions over the same
+  * segments (a torn view across sub-splits could double-count):
+  *  - every run carries the STAT tail (legacy segments decline);
+  *  - zero tombstones anywhere (a delete invalidates counts and can hide
+  *    the extremal key/column);
+  *  - for COUNTs additionally: the runs' key ranges are pairwise DISJOINT
+  *    — no two runs can then share a cell address, so per-run distinct
+  *    counts are additive. The compacted single-run bucket qualifies
+  *    trivially; disjoint multi-run covers the time-series append pattern
+  *    (batches landing in non-overlapping key ranges). MIN/MAX need no
+  *    disjointness — overwrites never remove an address.
+  * Any failed condition returns None and the WHOLE bucket falls back to
+  * the cell-fold scan (every sub-split reaches the same verdict).
+  *
+  * Row counts: a transposed/super SQL row IS one cell address, so rows =
+  * distinct (key, col, sub) addresses; a regular row is one KEY (its
+  * cells are the schema's fields), so rows = distinct keys. Counter
+  * collapse merges per address and zero tombstones means no resets, so
+  * the same counts hold. COUNT(address field) = COUNT(*): address fields
+  * are never NULL in emitted rows.
+  *
+  * The bucket's `lower == null` sub-split emits the bucket's partial row;
+  * the other sub-splits emit the ungrouped NEUTRAL partial (count 0, null
+  * min/max) that the final combine absorbs. */
+object MetadataAggReader {
+  /** EXACT visible-row count from per-run stats, or None when not
+    * provable: every run must carry the STAT tail with zero tombstones,
+    * and (multi-run) the runs' key ranges must be pairwise disjoint so
+    * distinct counts are additive. Shared by the metadata aggregate
+    * readers (per bucket) and [[CellScan.estimateStatistics]] (whole
+    * store — exact numRows feeds Catalyst's broadcast-join threshold,
+    * where the old cells/fan-out estimate over-counted every overwritten
+    * or duplicated address). */
+  def exactRows(stats: Seq[CellStore.RunStats], transposed: Boolean)
+    : Option[Long] = {
+    if (stats.exists(_.tombstones != 0)) return None // legacy (-1) or deletes
+    if (stats.length > 1) {
+      val byFirst = stats.sortWith((a, b) =>
+        Codecs.compareBytes(a.firstKey, b.firstKey) < 0)
+      var i = 1
+      while (i < byFirst.length) {
+        if (Codecs.compareBytes(byFirst(i - 1).lastKey, byFirst(i).firstKey) >= 0)
+          return None // overlapping key ranges: counts not additive
+        i += 1
+      }
+    }
+    Some(
+      if (transposed) stats.map(_.distinctAddrs.toLong).sum
+      else stats.map(_.distinctKeys.toLong).sum)
+  }
+
+  def create(
+      part: CellInputPartition,
+      mapping: ColumnMapping,
+      aggs: Seq[PushedAgg],
+      opt: String => Option[String]): Option[PartitionReader[InternalRow]] = {
+    if (part.files == null) return None // file set not pinned: not a candidate
+    val files = part.files.map(n =>
+      java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
+    val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
+    if (stats.exists(_.tombstones < 0)) return None // legacy run, stats unknown
+    if (stats.exists(_.tombstones > 0)) return None // deletes present
+    val needCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
+    }
+    val counted = exactRows(stats, mapping.transposed)
+    if (needCount && counted.isEmpty) return None // overlapping runs
+    val keyF = mapping.keyField
+    val keyCodec = KeyCodec.of(keyF.dataType, opt)
+    val colF = if (mapping.transposed) mapping.field(FieldRole.TransColumn) else null
+    val colCodec = if (colF == null) null else KeyCodec.ofColumn(colF.dataType, opt)
+    val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
+    val subCodec = if (subF == null) null else KeyCodec.ofSub(subF.dataType, opt)
+    def lt(a: Array[Byte], b: Array[Byte]) = Codecs.compareBytes(a, b) < 0
+    // extremal byte forms per address field, or None = this field's
+    // window is incomplete in some run (shouldn't happen for cells>0 runs
+    // of the right mapping, but a defensive decline beats a wrong MIN)
+    def bytesOf(c: String, wantMin: Boolean): Option[Array[Byte]] = {
+      def reduceAll(vs: Seq[Array[Byte]]): Option[Array[Byte]] =
+        if (vs.exists(_ == null)) None
+        else Some(vs.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
+      if (c == keyF.name)
+        reduceAll(stats.map(s => if (wantMin) s.firstKey else s.lastKey))
+      else if (colF != null && c == colF.name)
+        reduceAll(stats.map(s => if (wantMin) s.colMin else s.colMax))
+      else if (subF != null && c == subF.name)
+        reduceAll(stats.map(s => if (wantMin) s.subMin else s.subMax))
+      else None
+    }
+    def decode(c: String, b: Array[Byte]): Any =
+      if (c == keyF.name) keyCodec.decode(b)
+      else if (colF != null && c == colF.name) colCodec.decode(b)
+      else subCodec.decode(b)
+    val rowCount: Long = counted.getOrElse(0L) // 0 unread: gated above
+    val emitter = part.lower == null
+    val vals = new Array[Any](aggs.length)
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case PushedAgg.CountStar | PushedAgg.Count(_) =>
+          vals(i) = if (emitter) rowCount else 0L
+        case PushedAgg.Min(c) =>
+          if (emitter && stats.nonEmpty) bytesOf(c, wantMin = true) match {
+            case Some(b) => vals(i) = decode(c, b)
+            case None => return None
+          }
+        case PushedAgg.Max(c) =>
+          if (emitter && stats.nonEmpty) bytesOf(c, wantMin = false) match {
+            case Some(b) => vals(i) = decode(c, b)
+            case None => return None
+          }
+        case _ => return None // SUM never qualifies (planner shouldn't flag it)
+      }
+      i += 1
+    }
+    val row = InternalRow.fromSeq(vals.toIndexedSeq)
+    Some(new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        val c = new ScanCounters
+        c.partitionsStatsOnly = 1L
+        ScanMetrics.values(c)
+      }
+    })
   }
 }
 

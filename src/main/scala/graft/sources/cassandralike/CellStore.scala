@@ -211,14 +211,28 @@ object CellStore {
     var colMax: Array[Byte] = null
     var subMin: Array[Byte] = null
     var subMax: Array[Byte] = null
+    // exact content stats for the STAT tail: counted on the same sorted
+    // pass (distinct = adjacency changes), zero extra comparisons beyond
+    // the (col, sub) adjacency check
+    var prevCol: Array[Byte] = null
+    var prevSub: Array[Byte] = null
+    var sawAddr = false
+    var tombs = 0
+    var dKeys = 0
+    var dAddrs = 0
     var i = 0
     sorted.foreach { c =>
       if (i % IndexEvery == 0)
         entries += IndexEntry(i, payload.size().toLong, c.key, c.col, c.sub)
       // sorted input: distinct keys are exactly the key changes
-      if (prevKey == null || !java.util.Arrays.equals(prevKey, c.key)) {
-        bloom.add(c.key); prevKey = c.key
+      val newKey = prevKey == null || !java.util.Arrays.equals(prevKey, c.key)
+      if (newKey) {
+        bloom.add(c.key); prevKey = c.key; dKeys += 1
       }
+      if (newKey || !sawAddr || !eqNullable(prevCol, c.col) ||
+          !eqNullable(prevSub, c.sub)) dAddrs += 1
+      prevCol = c.col; prevSub = c.sub; sawAddr = true
+      if (c.tombstone) tombs += 1
       colBloom.add(i, c.col)
       subBloom.add(i, c.sub)
       if (c.col != null) {
@@ -233,13 +247,18 @@ object CellStore {
       i += 1
     }
     val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
-      colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build())
+      colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
+      tombs, dKeys, dAddrs)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
     payload.writeTo(out)
     out.write(index)
   }
+
+  /** Null-safe byte-array equality (sub is null on non-super cells). */
+  private def eqNullable(a: Array[Byte], b: Array[Byte]): Boolean =
+    (a eq b) || (a != null && b != null && java.util.Arrays.equals(a, b))
 
   private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit =
     if (b == null) out.writeInt(-1)
@@ -282,7 +301,10 @@ object CellStore {
       subMin: Array[Byte] = null /* run-wide min/max SUB-column window */,
       subMax: Array[Byte] = null /* (super mappings); null = legacy or none */,
       subBlooms: Array[KeyBloom] = null /* per-chunk distinct-SUB blooms; null = legacy */,
-      subChunkCells: Int = 0)
+      subChunkCells: Int = 0,
+      statTombstones: Int = -1 /* exact per-run content stats (STAT tail); */,
+      statKeys: Int = -1 /* -1 = legacy run (stats unknown) — the */,
+      statAddrs: Int = -1 /* metadata-only aggregate path declines */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -354,6 +376,7 @@ object CellStore {
   private val SubRangeMagic = 0x53524e47 // "SRNG" (run-wide [subMin, subMax])
   private val SubsMagic = 0x53554253 // "SUBS" (per-entry sub bytes)
   private val SubBloomMagic = 0x53424c4d // "SBLM" (per-chunk distinct-sub blooms)
+  private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
 
   /** CHUNKED distinct-column bloom accumulator for a run's column BLOOM
     * tail. The min/max window kills DISJOINT slices; the blooms kill the
@@ -408,7 +431,9 @@ object CellStore {
       colMin: Array[Byte] = null, colMax: Array[Byte] = null,
       colBlooms: Array[KeyBloom] = null,
       subMin: Array[Byte] = null, subMax: Array[Byte] = null,
-      subBlooms: Array[KeyBloom] = null): Array[Byte] = {
+      subBlooms: Array[KeyBloom] = null,
+      statTombstones: Int = -1, statKeys: Int = -1, statAddrs: Int = -1)
+    : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(entries.length)
@@ -476,6 +501,20 @@ object CellStore {
           b.words.foreach(out.writeLong)
         }
       }
+    }
+    // per-run exact content STATS — the tail that lets a global
+    // COUNT/MIN/MAX answer from metadata alone (see
+    // [[CassandraLikeTable.MetadataAggReader]]): tombstone count,
+    // distinct keys and distinct (key, col, sub) addresses, all counted
+    // exactly during the single sorted write pass. Written last so every
+    // older tail keeps its position; legacy readers stop before it,
+    // legacy files parse with -1s (stats unknown → the metadata path
+    // declines and the scan folds cells as before).
+    if (statTombstones >= 0 && statKeys >= 0 && statAddrs >= 0) {
+      out.writeInt(StatsMagic)
+      out.writeInt(statTombstones)
+      out.writeInt(statKeys)
+      out.writeInt(statAddrs)
     }
     bos.toByteArray
   }
@@ -597,8 +636,16 @@ object CellStore {
           }
         }
       }
+    val (sTombs, sKeys, sAddrs) =
+      if (in.available() < 16) (-1, -1, -1)
+      else {
+        in.mark(16)
+        if (in.readInt() != StatsMagic) { in.reset(); (-1, -1, -1) }
+        else (in.readInt(), in.readInt(), in.readInt())
+      }
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
-      colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells)
+      colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
+      sTombs, sKeys, sAddrs)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -624,6 +671,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[(Array[Byte], Array[Byte])]]()
   private val subBloomCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[Array[KeyBloom]]]()
+  private val runStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[RunStats]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -664,6 +713,31 @@ object CellStore {
         }
         (lo, hi)
       } finally r.close()
+    })
+
+  /** Everything a metadata-only aggregate needs about one run, read from
+    * the run index alone (no cell payload IO): exact cell/tombstone/
+    * distinct counts from the STAT tail (-1s on legacy runs — the caller
+    * must decline), the first/last key and the run-wide column/sub
+    * windows. */
+  final case class RunStats(cells: Int,
+      firstKey: Array[Byte], lastKey: Array[Byte],
+      colMin: Array[Byte], colMax: Array[Byte],
+      subMin: Array[Byte], subMax: Array[Byte],
+      tombstones: Int, distinctKeys: Int, distinctAddrs: Int)
+
+  /** Per-run [[RunStats]] of one segment; memoized per immutable file,
+    * index-tail reads only. Empty runs are skipped. */
+  def runStats(file: Path): Array[RunStats] =
+    runStatsCache.computeIfAbsent(cacheKey(file), _ => {
+      val r = new SegmentReader(file)
+      try runInfos(file).filter(_.cellCount > 0).map { ri =>
+        val idx = r.readIndex(ri)
+        RunStats(ri.cellCount, idx.keys(0), idx.lastKey,
+          idx.colMin, idx.colMax, idx.subMin, idx.subMax,
+          idx.statTombstones, idx.statKeys, idx.statAddrs)
+      }.toArray
+      finally r.close()
     })
 
   /** Per-run key blooms of one segment (null element = pre-bloom run);
@@ -1460,11 +1534,21 @@ object CellStore {
       var colMax: Array[Byte] = null
       var subMin: Array[Byte] = null
       var subMax: Array[Byte] = null
+      var prevCol: Array[Byte] = null
+      var prevSub: Array[Byte] = null
+      var sawAddr = false
+      var tombs = 0
+      var dKeys = 0
+      var dAddrs = 0
       cells.foreach { c =>
         if (count % IndexEvery == 0)
           entries += IndexEntry(count, counting.count, c.key, c.col, c.sub)
-        if (lastKey == null || !java.util.Arrays.equals(lastKey, c.key))
-          bloom.add(c.key)
+        val newKey = lastKey == null || !java.util.Arrays.equals(lastKey, c.key)
+        if (newKey) { bloom.add(c.key); dKeys += 1 }
+        if (newKey || !sawAddr || !eqNullable(prevCol, c.col) ||
+            !eqNullable(prevSub, c.sub)) dAddrs += 1
+        prevCol = c.col; prevSub = c.sub; sawAddr = true
+        if (c.tombstone) tombs += 1
         colBloom.add(count, c.col)
         subBloom.add(count, c.sub)
         if (c.col != null) {
@@ -1481,7 +1565,8 @@ object CellStore {
       }
       val payloadLen = counting.count
       out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
-        colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build()))
+        colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
+        tombs, dKeys, dAddrs))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

@@ -41,6 +41,9 @@ final class ScanCounters {
   /** Runs skipped whole because their [subMin, subMax] window holds no
     * wanted SUB-column — the `:subcolumn` twin of runsColSkipped. */
   var runsSubSkipped: Long = 0L
+  /** Partitions whose pushed COUNT/MIN/MAX was answered from run-index
+    * metadata alone — zero cell payload IO (see MetadataAggReader). */
+  var partitionsStatsOnly: Long = 0L
 }
 
 /** Driver-visible seek-saving totals for a STREAMING scan: the change
@@ -75,13 +78,15 @@ object ScanMetrics {
   val RunsColSkipped = "runsColSkipped"
   val RunsColBloomSkipped = "runsColBloomSkipped"
   val RunsSubSkipped = "runsSubSkipped"
+  val PartitionsStatsOnly = "partitionsStatsOnly"
 
   /** Driver-side metric declarations; names must match the task values. */
   def supported: Array[CustomMetric] = Array(
     new SegmentsReadMetric, new RunsReadMetric, new RunsBloomSkippedMetric,
     new CellsMergedMetric, new TombstonesDroppedMetric,
     new CellsSeekSkippedMetric, new RunsColSkippedMetric,
-    new RunsColBloomSkippedMetric, new RunsSubSkippedMetric)
+    new RunsColBloomSkippedMetric, new RunsSubSkippedMetric,
+    new PartitionsStatsOnlyMetric)
 
   private final case class Task(n: String, v: Long) extends CustomTaskMetric {
     override def name(): String = n
@@ -98,7 +103,8 @@ object ScanMetrics {
     Task(CellsSeekSkipped, c.cellsSeekSkipped),
     Task(RunsColSkipped, c.runsColSkipped),
     Task(RunsColBloomSkipped, c.runsColBloomSkipped),
-    Task(RunsSubSkipped, c.runsSubSkipped))
+    Task(RunsSubSkipped, c.runsSubSkipped),
+    Task(PartitionsStatsOnly, c.partitionsStatsOnly))
 }
 
 // Each metric is a TOP-LEVEL zero-arg class: Spark re-instantiates the
@@ -140,4 +146,8 @@ final class RunsColBloomSkippedMetric extends CustomSumMetric {
 final class RunsSubSkippedMetric extends CustomSumMetric {
   override def name(): String = ScanMetrics.RunsSubSkipped
   override def description(): String = "runs skipped by sub-column window"
+}
+final class PartitionsStatsOnlyMetric extends CustomSumMetric {
+  override def name(): String = ScanMetrics.PartitionsStatsOnly
+  override def description(): String = "aggregates answered from metadata"
 }

@@ -1,0 +1,209 @@
+package graft
+
+import graft.sources.cassandralike._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Metadata-only aggregates: an ungrouped pushed COUNT/MIN/MAX over an
+  * unfiltered store answers from the run indexes' STAT tails (zero cell
+  * payload IO) when the run-level conditions hold, and falls back to the
+  * cell-fold scan — with identical results — when they don't. */
+class MetadataAggSpec extends SparkSpec {
+
+  private def scanOf(df: DataFrame) = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = df.queryExecution.executedPlan
+    plan.collectFirst { case b: BatchScanExec => b }
+      .orElse(plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
+      .getOrElse(fail("no BatchScanExec"))
+  }
+
+  /** Drains every partition reader by hand and returns
+    * (partitionsStatsOnly total, partition count). */
+  private def drain(df: DataFrame): (Long, Int) = {
+    val scan = scanOf(df).scan
+    val batch = scan.toBatch
+    val parts = batch.planInputPartitions()
+    val factory = batch.createReaderFactory()
+    var statsOnly = 0L
+    parts.foreach { p =>
+      val r = factory.createReader(p)
+      try { while (r.next()) r.get() } finally {
+        r.currentMetricsValues().foreach(m =>
+          if (m.name() == ScanMetrics.PartitionsStatsOnly) statsOnly += m.value())
+        r.close()
+      }
+    }
+    (statsOnly, parts.length)
+  }
+
+  test("STAT tail: exact per-run tombstone/distinct counts round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("statstail").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      java.nio.file.Files.createDirectories(sst)
+      val out = CellStore.newSegmentStream(sst.resolve("b0-a.bin"))
+      def c(k: String, col: String, ts: Long, tomb: Boolean = false) =
+        Cell(k.getBytes, col.getBytes, null,
+          if (tomb) Array.emptyByteArray else "v".getBytes, ts, tombstone = tomb)
+      // duplicates within the run (same address twice), a tombstone, and
+      // three distinct keys over five distinct addresses
+      CellStore.writeRun(out, Seq(
+        c("k1", "c1", 1L), c("k1", "c1", 2L), c("k1", "c2", 1L),
+        c("k2", "c1", 1L), c("k2", "c9", 3L, tomb = true),
+        c("k3", "c1", 1L)))
+      out.close()
+      val stats = CellStore.runStats(sst.resolve("b0-a.bin"))
+      assert(stats.length == 1)
+      val s = stats(0)
+      assert(s.cells == 6, s"cells=${s.cells}")
+      assert(s.tombstones == 1, s"tombstones=${s.tombstones}")
+      assert(s.distinctKeys == 3, s"distinctKeys=${s.distinctKeys}")
+      assert(s.distinctAddrs == 5, s"distinctAddrs=${s.distinctAddrs}")
+      assert(new String(s.firstKey) == "k1" && new String(s.lastKey) == "k3")
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("single-run store: COUNT/MIN/MAX answered from metadata, exact") {
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_name"), col("c_acctbal"))
+    // repartition(1): one writer task -> one (commit-compacted) run per bucket
+    val store = Seed.table(spark, sfDir, "spec_agg_meta", cust.repartition(1))
+    val q = Seed.read(spark, store)
+      .agg(count(lit(1)).as("n"), min("c_name").as("mn"), max("c_name").as("mx"))
+    val desc = scanOf(q).scan.description()
+    assert(desc.contains("AggStats: metadata-eligible"), s"not eligible: $desc")
+    val (statsOnly, nParts) = drain(q)
+    assert(statsOnly == nParts.toLong,
+      s"every partition should answer from metadata: $statsOnly of $nParts")
+    val got = q.collect()(0)
+    val want = cust.agg(count(lit(1)), min("c_name"), max("c_name")).collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getString(1) == want.getString(1))
+    assert(got.getString(2) == want.getString(2))
+  }
+
+  test("ordered numeric key: metadata MIN/MAX decode sign-correct extremes") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((-5L, "a"), (3L, "b"), (-1L, "c"), (7L, "d")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_ord", df.repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val q = Seed.read(spark, store)
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    assert(scanOf(q).scan.description().contains("AggStats: metadata-eligible"))
+    val (statsOnly, _) = drain(q)
+    assert(statsOnly > 0L, "ordered numeric key must take the metadata path")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == -5L && r.getLong(1) == 7L && r.getLong(2) == 4L)
+    // plain-bytes numeric key: BE two's complement byte order != numeric
+    // order, so MIN/MAX must NOT claim metadata eligibility — exact anyway
+    val plain = Seed.table(spark, sfDir, "spec_agg_meta_plain", df.repartition(1))
+    val qp = Seed.read(spark, plain).agg(min("k").as("mn"), max("k").as("mx"))
+    assert(!scanOf(qp).scan.description().contains("AggStats"),
+      "plain numeric key order is not byte order; must decline")
+    val rp = qp.collect()(0)
+    assert(rp.getLong(0) == -5L && rp.getLong(1) == 7L)
+  }
+
+  test("tombstones force the cell-scan fallback; result stays exact") {
+    val sp = spark; import sp.implicits._
+    // single bucket: the tombstone provably lands in the judged bucket
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_tomb",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    // tombstone k=2 via a null-value append
+    Seed.append(Seq((2L, null.asInstanceOf[String])).toDF("k", "v").repartition(1),
+      store, Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val q = Seed.read(spark, store).agg(count(lit(1)).as("n"), max("k").as("mx"))
+    // still statically eligible (planning can't see tombstones)…
+    assert(scanOf(q).scan.description().contains("AggStats: metadata-eligible"))
+    // …but the run-level check must decline and fold cells
+    val (statsOnly, _) = drain(q)
+    assert(statsOnly == 0L, "tombstoned bucket must fall back to the scan")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L, s"got $r")
+  }
+
+  test("multi-run: disjoint key ranges stay additive; overlap falls back") {
+    val sp = spark; import sp.implicits._
+    // single bucket: every append's keys land in the same bucket, so the
+    // disjoint/overlap verdicts are deterministic
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_multi",
+      (1L to 100L).map(i => (i, "x")).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    // second run per bucket, key range provably disjoint from the first
+    Seed.append((101L to 200L).map(i => (i, "y")).toDF("k", "v").repartition(1),
+      store, Map(Options.WriteTimestamp -> "2"))
+    val q = Seed.read(spark, store).agg(count(lit(1)).as("n"))
+    val (statsOnly, nParts) = drain(q)
+    assert(statsOnly == nParts.toLong,
+      s"disjoint runs must stay metadata-answerable: $statsOnly of $nParts")
+    assert(q.collect()(0).getLong(0) == 200L)
+    // overwrite half the keys: runs now OVERLAP, counts are not additive
+    Seed.append((51L to 150L).map(i => (i, "z")).toDF("k", "v").repartition(1),
+      store, Map(Options.WriteTimestamp -> "3"))
+    val q2 = Seed.read(spark, store).agg(count(lit(1)).as("n"))
+    val (statsOnly2, _) = drain(q2)
+    assert(statsOnly2 == 0L, "overlapping runs must fall back for COUNT")
+    assert(q2.collect()(0).getLong(0) == 200L, "overwrites must not double-count")
+    // MIN/MAX need no disjointness: overwrites never remove an address
+    val q3 = Seed.read(spark, store).agg(min("k").as("mn"), max("k").as("mx"))
+    val (statsOnly3, nParts3) = drain(q3)
+    assert(statsOnly3 == nParts3.toLong,
+      s"MIN/MAX over overlapping runs stays metadata-answerable: $statsOnly3 of $nParts3")
+    val r3 = q3.collect()(0)
+    assert(r3.getLong(0) == 1L && r3.getLong(1) == 200L)
+  }
+
+  test("transposed store: metadata COUNT counts cell addresses") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_trans",
+      Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L), (2L, "a", 30L))
+        .toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"))
+    val q = Seed.read(spark, store).agg(count(lit(1)).as("n"))
+    val (statsOnly, _) = drain(q)
+    assert(statsOnly > 0L, "transposed single-run store must answer from metadata")
+    // the duplicate (2, "a") address collapses by LWW: 3 rows, not 4
+    assert(q.collect()(0).getLong(0) == 3L)
+  }
+
+  test("estimateStatistics: exact rows on a clean store, estimate otherwise") {
+    val sp = spark; import sp.implicits._
+    // every key written twice in one run (same address, LWW collapses):
+    // the cells/fan-out estimate says 100 rows, the STAT tails say 50
+    val dup = ((1L to 50L).map(i => (i, "a")) ++ (1L to 50L).map(i => (i, "b")))
+      .toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_stats", dup.repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    def numRows(df: DataFrame): Long =
+      scanOf(df).scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().numRows().getAsLong
+    val plain = Seed.read(spark, store)
+    assert(numRows(plain) == 50L, "clean store must report EXACT rows")
+    assert(plain.count() == 50L)
+    // an as-of view can't trust the stats: falls back to the estimate
+    val asOf = Seed.read(spark, store, Map(Options.ReadAsOf -> "1"))
+    assert(numRows(asOf) == 100L, "non-clean view keeps the cell estimate")
+  }
+
+  test("filters and slices disable the static gate") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_gate", df.repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val filtered = Seed.read(spark, store).filter(col("k") > 1L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(filtered).scan.description().contains("AggStats"),
+      "a pushed filter must disable the metadata gate")
+    assert(filtered.collect()(0).getLong(0) == 1L)
+    val asOf = Seed.read(spark, store, Map(Options.ReadAsOf -> "0"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(asOf).scan.description().contains("AggStats"),
+      "an as-of bound must disable the metadata gate")
+    assert(asOf.collect()(0).getLong(0) == 0L)
+  }
+}

@@ -355,7 +355,8 @@ class ScanMetricsSpec extends SparkSpec {
     val declared = scan.supportedCustomMetrics().map(m => m.name()).toSet
     assert(declared == Set("segmentsRead", "runsRead", "runsBloomSkipped",
       "cellsMerged", "tombstonesDropped", "cellsSeekSkipped",
-      "runsColSkipped", "runsColBloomSkipped", "runsSubSkipped"))
+      "runsColSkipped", "runsColBloomSkipped", "runsSubSkipped",
+      "partitionsStatsOnly"))
     // task side: drain the partition readers directly and check the
     // reported values carry the SAME names (the UI joins on name) and that
     // the lookup actually counted work
