@@ -171,6 +171,19 @@ class StoreFuzzSpec extends SparkSpec {
         }
         assert(readBack(dir) == expected(model, Long.MaxValue),
           s"trial $trial: live read diverged from model after ts=$ts")
+        // metadata-vs-fold COUNT under every interleaving: buckets whose
+        // runs are stats-bearing, tombstone-free and key-disjoint answer
+        // from the STAT tails, the rest fold cells — the mix is random
+        // here (compaction flips buckets onto the fast path), and either
+        // way the count must equal the model's live row count
+        locally {
+          val n = Seed.read(spark, dir)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+          val want = expected(model, Long.MaxValue).size.toLong
+          assert(n == want,
+            s"trial $trial: COUNT(*) $n != model $want after ts=$ts")
+        }
         if (rnd.nextInt(3) == 0) snapshots += ts
         // as-of replay of every surviving snapshot
         snapshots.foreach { t =>
