@@ -104,6 +104,32 @@ object Connector {
           max($"c_name").as("mx"))
     },
 
+    // ---- COMPLETE metadata pushdown incl. COUNT(DISTINCT key): wide-row
+    // cardinality ("how many wide rows?") normally costs a corpus-wide
+    // distinct shuffle; here planning proves every bucket stats-bearing,
+    // tombstone-free and run-disjoint, per-run distinctKeys are additive
+    // (buckets partition keys), and the whole aggregation resolves at
+    // planning — ONE partition emits the precomputed row, zero executor
+    // IO, no final combine in the plan (MetadataAggSpec pins the plan
+    // and the overlap/tombstone declines). ----
+    Q("conn_agg_distinct",
+      // cells = distinct (key, col) addresses: the fixture lineitem holds
+      // duplicate (orderkey, linenumber) pairs and LWW collapses them
+      """SELECT count(DISTINCT (l_orderkey, l_linenumber)) AS cells,
+        |  count(DISTINCT l_orderkey) AS wide_rows
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "agg_distinct", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      Seed.read(s, store)
+        .agg(count(lit(1)).as("cells"),
+          countDistinct($"row_key").as("wide_rows"))
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

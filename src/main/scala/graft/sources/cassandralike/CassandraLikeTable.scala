@@ -208,6 +208,17 @@ object Options {
 }
 
 object CassandraLikeTable {
+  /** The store view is the plain current-time one — no slice knobs, no
+    * as-of bound, no TTL, no dropped-column history. Only then do the run
+    * indexes' content stats describe exactly what a scan would emit
+    * (pushed-filter emptiness is checked separately by each caller). */
+  private[cassandralike] def plainView(
+      opt: String => Option[String], props: Map[String, String]): Boolean =
+    Seq(Options.SliceStart, Options.SliceFinish, Options.SliceReversed,
+      Options.SliceCount, Options.SliceSubStart, Options.SliceSubFinish,
+      Options.ReadAsOf, Options.Ttl).forall(k => opt(k).isEmpty) &&
+      !props.keys.exists(_.startsWith(Options.DroppedPrefix))
+
   /** The store's bucket transform for Catalyst. Ordered-key tables report
     * a DIFFERENT function ([[OrderedBucketFunction]]): the key→bucket map
     * hashes the ENCODED bytes, so the same logical key routes to different
@@ -328,6 +339,31 @@ class CassandraLikeTable(
         "sub.encoding requires a super (:key,:column,:subcolumn,:value) mapping")
       null
     }
+
+  /** Is `c` a cell-ADDRESS field (key / clustering column / sub-column)?
+    * Address fields are never NULL in emitted rows and their byte forms
+    * are what the run indexes describe. */
+  private[cassandralike] def isAddressField(c: String): Boolean =
+    c == mapping.keyField.name ||
+      (mapping.transposed && c == mapping.field(FieldRole.TransColumn).name) ||
+      (mapping.hasSubColumn && c == mapping.field(FieldRole.TransSubColumn).name)
+
+  /** Does `c`'s decoded order equal its stored byte order? The property
+    * that lets run-index min/max bytes answer SQL MIN/MAX. */
+  private[cassandralike] def isOrderPreservingAddress(c: String): Boolean =
+    if (c == mapping.keyField.name) keyCodec.rangeOrdered
+    else if (mapping.transposed &&
+        c == mapping.field(FieldRole.TransColumn).name) colCodec.rangeOrdered
+    else if (mapping.hasSubColumn &&
+        c == mapping.field(FieldRole.TransSubColumn).name) subCodec.rangeOrdered
+    else false
+
+  /** Decode an address field's byte form to its Catalyst value. */
+  private[cassandralike] def decodeAddress(c: String, b: Array[Byte]): Any =
+    if (c == mapping.keyField.name) keyCodec.decode(b)
+    else if (mapping.transposed &&
+      c == mapping.field(FieldRole.TransColumn).name) colCodec.decode(b)
+    else subCodec.decode(b)
 
   override def name(): String = tableName
   /** Cell-address columns are never null in the store (every cell carries
@@ -602,10 +638,129 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * only attempts this when no residual filter sits above the scan, so
     * the speculative index predicates (which must be re-applied) can never
     * meet a pushed aggregate. */
+  /** COMPLETE aggregate pushdown — the planning-time metadata answer.
+    * When every aggregate is answerable from the run indexes' STAT tails
+    * (COUNT(*)/COUNT(address)/MIN/MAX of order-preserving address fields,
+    * plus COUNT(DISTINCT key) — buckets partition keys disjointly and
+    * per-bucket disjoint runs make per-run distinctKeys additive, a claim
+    * no PARTIAL pushdown can make because Spark would have to trust the
+    * partitions' key-disjointness) and the driver-side check proves every
+    * bucket stats-bearing, tombstone-free and run-disjoint, the ENTIRE
+    * aggregation resolves at planning: the scan plans one partition whose
+    * reader emits the precomputed final row — zero executor IO, no final
+    * combine in the plan. Any unprovable condition returns false and
+    * Spark retries the partial path (which has its own per-bucket
+    * metadata/fold split, [[MetadataAggReader]]). The answer is
+    * planning-time-consistent, the same single-maintainer discipline as
+    * every pinned-file scan. */
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Boolean = {
+    completeAnswer = computeMetadataAnswer(aggregation)
+    completeAnswer.isDefined
+  }
+
+  private var completeAnswer: Option[(Seq[PushedAgg], InternalRow)] = None
+
+  private def computeMetadataAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    if (aggregation.aggregateExpressions().isEmpty) return None
+    if (limit.isDefined || pushed.nonEmpty) return None
+    if (!CassandraLikeTable.plainView(
+        k => Options.effective(options, table.tableProps, k),
+        table.tableProps)) return None
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 &&
+            table.tableSchema.fieldNames.contains(nr.fieldNames.head) =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val keyN = table.mapping.keyField.name
+    def minMaxable(c: String): Boolean =
+      table.isAddressField(c) && table.isOrderPreservingAddress(c)
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct =>
+          col(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+        case c: Count if c.isDistinct =>
+          col(c.column).filter(_ == keyN).map(PushedAgg.CountDistinct.apply)
+        case m: Min => col(m.column).filter(minMaxable).map(PushedAgg.Min.apply)
+        case m: Max => col(m.column).filter(minMaxable).map(PushedAgg.Max.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return None
+    val want = translated.flatten
+    // driver-side dynamic check + fold over every bucket's run stats
+    // (index-tail reads, memoized per immutable file per JVM)
+    val buckets = Options.effective(options, table.tableProps, Options.Buckets)
+      .map(_.toInt).getOrElse(Options.DefaultBuckets)
+    var rows = 0L
+    var dKeys = 0L
+    val minB = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val maxB = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val needMinMax: Seq[String] = want.collect {
+      case PushedAgg.Min(c) => c
+      case PushedAgg.Max(c) => c
+    }.distinct
+    def windowOf(s: CellStore.RunStats, c: String, wantMin: Boolean): Array[Byte] =
+      if (c == keyN) { if (wantMin) s.firstKey else s.lastKey }
+      else if (table.mapping.transposed &&
+        c == table.mapping.field(FieldRole.TransColumn).name) {
+        if (wantMin) s.colMin else s.colMax
+      } else if (wantMin) s.subMin else s.subMax
+    var b = 0
+    while (b < buckets) {
+      val stats = CellStore.segmentFiles(table.dir, b)
+        .flatMap(f => CellStore.runStats(f).toSeq)
+      if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
+      MetadataAggReader.exactRows(stats, table.mapping.transposed) match {
+        case None => return None // overlapping runs in this bucket
+        case Some(n) => rows += n
+      }
+      dKeys += stats.map(_.distinctKeys.toLong).sum
+      needMinMax.foreach { c =>
+        stats.foreach { s =>
+          val lo = windowOf(s, c, wantMin = true)
+          val hi = windowOf(s, c, wantMin = false)
+          if (lo == null || hi == null) return None // incomplete window
+          if (!minB.contains(c) || Codecs.compareBytes(lo, minB(c)) < 0)
+            minB(c) = lo
+          if (!maxB.contains(c) || Codecs.compareBytes(hi, maxB(c)) > 0)
+            maxB(c) = hi
+        }
+      }
+      b += 1
+    }
+    val vals: Seq[Any] = want.map {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => rows
+      case PushedAgg.CountDistinct(_) => dKeys
+      case PushedAgg.Min(c) =>
+        minB.get(c).map(table.decodeAddress(c, _)).orNull
+      case PushedAgg.Max(c) =>
+        maxB.get(c).map(table.decodeAddress(c, _)).orNull
+      case _ => return None // unreachable (translation above)
+    }
+    Some((want, InternalRow.fromSeq(vals)))
+  }
+
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    // COMPLETE metadata answer already proven by supportCompletePushDown
+    // (Spark calls it first, with the same aggregation): accept as-is
+    completeAnswer match {
+      case Some((want, _)) =>
+        aggs = want; groupKeys = Nil
+        return true
+      case None => ()
+    }
     // an EMPTY aggregate list occurs in optimized shapes (e.g. a count()
     // over an already-aggregated subquery); accepting it vacuously would
     // promise a zero-column scan — decline so the normal row scan serves it
@@ -752,7 +907,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
 
   override def build(): Scan =
     new CellScan(table, required, pushed, options, limit, aggs, groupKeys,
-      limitLast)
+      limitLast,
+      // the answer row applies only if Spark actually pushed the SAME
+      // aggregate list it proved complete (a support probe without the
+      // follow-up push must not turn a plain scan into one answer row)
+      completeAnswer.collect { case (want, row) if aggs == want => row })
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
@@ -760,6 +919,11 @@ sealed trait PushedAgg extends Serializable
 object PushedAgg {
   case object CountStar extends PushedAgg
   final case class Count(col: String) extends PushedAgg
+  /** COUNT(DISTINCT key) — COMPLETE-pushdown only (planning answers it
+    * from per-run distinctKeys stats; no partial form exists, because
+    * per-partition distinct counts would need Spark to know the
+    * partitions are key-disjoint). Never reaches the fold readers. */
+  final case class CountDistinct(col: String) extends PushedAgg
   final case class Min(col: String) extends PushedAgg
   final case class Max(col: String) extends PushedAgg
   final case class Sum(col: String) extends PushedAgg
@@ -778,6 +942,7 @@ object PushedAgg {
   def references(a: PushedAgg): Seq[String] = a match {
     case CountStar => Nil
     case Count(c) => Seq(c)
+    case CountDistinct(c) => Seq(c)
     case Min(c) => Seq(c)
     case Max(c) => Seq(c)
     case Sum(c) => Seq(c)
@@ -868,7 +1033,11 @@ class CellScan(
     limit: Option[Int] = None,
     aggs: Seq[PushedAgg] = Nil,
     aggGroupKeys: Seq[String] = Nil,
-    limitLast: Boolean = false)
+    limitLast: Boolean = false,
+    // COMPLETE aggregate pushdown: the final answer row, precomputed at
+    // planning from run-index stats (see CellScanBuilder
+    // .supportCompletePushDown) — the scan plans ONE partition emitting it
+    completeRow: Option[InternalRow] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -891,6 +1060,9 @@ class CellScan(
             org.apache.spark.sql.types.LongType, nullable = false)
         case (PushedAgg.Count(c), i) =>
           org.apache.spark.sql.types.StructField(s"agg_${i}_count_$c",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        case (PushedAgg.CountDistinct(c), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_${i}_count_distinct_$c",
             org.apache.spark.sql.types.LongType, nullable = false)
         case (PushedAgg.Min(c), i) =>
           org.apache.spark.sql.types.StructField(s"agg_${i}_min_$c",
@@ -916,40 +1088,25 @@ class CellScan(
     * tails — O(runs) metadata IO instead of O(cells): at 100 TB,
     * `SELECT count(*)` over a compacted store reads a few KB per bucket. */
   private lazy val statsEligible: Boolean = {
-    val m = table.mapping
-    val keyN = m.keyField.name
-    val colN = if (m.transposed) Some(m.field(FieldRole.TransColumn).name) else None
-    val subN = if (m.hasSubColumn) Some(m.field(FieldRole.TransSubColumn).name) else None
-    def address(c: String): Boolean =
-      c == keyN || colN.contains(c) || subN.contains(c)
-    def orderPreserving(c: String): Boolean =
-      if (c == keyN) table.keyCodec.rangeOrdered
-      else if (colN.contains(c)) table.colCodec.rangeOrdered
-      else if (subN.contains(c)) table.subCodec.rangeOrdered
-      else false
     def answerable(a: PushedAgg): Boolean = a match {
       case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) => address(c)
-      case PushedAgg.Min(c) => address(c) && orderPreserving(c)
-      case PushedAgg.Max(c) => address(c) && orderPreserving(c)
+      case PushedAgg.Count(c) => table.isAddressField(c)
+      case PushedAgg.Min(c) =>
+        table.isAddressField(c) && table.isOrderPreservingAddress(c)
+      case PushedAgg.Max(c) =>
+        table.isAddressField(c) && table.isOrderPreservingAddress(c)
       case _ => false
     }
     aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
       cleanUnslicedView
   }
 
-  /** The store view is the plain current-time one — no pushed filters, no
-    * slice knobs, no as-of bound, no TTL, no dropped-column history. Only
-    * then do the run indexes' content stats describe exactly what a scan
-    * would emit (shared gate of [[statsEligible]] and the exact-numRows
-    * branch of [[estimateStatistics]]). */
+  /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
+    * of [[statsEligible]] and the exact-numRows branch of
+    * [[estimateStatistics]]. */
   private lazy val cleanUnslicedView: Boolean =
-    filters.isEmpty &&
-      Seq(Options.SliceStart, Options.SliceFinish, Options.SliceReversed,
-        Options.SliceCount, Options.SliceSubStart, Options.SliceSubFinish,
-        Options.ReadAsOf, Options.Ttl)
-        .forall(k => table.opt(options, k).isEmpty) &&
-      !table.tableProps.keys.exists(_.startsWith(Options.DroppedPrefix))
+    filters.isEmpty && CassandraLikeTable.plainView(
+      k => table.opt(options, k), table.tableProps)
 
   /** Storage-partitioned join hook: report the token-bucket layout as a
     * KeyGroupedPartitioning over `bucket(buckets, key)` when the table
@@ -1113,7 +1270,8 @@ class CellScan(
         s" PushedAggregates: [${aggs.mkString(", ")}]" +
           (if (aggGroupKeys.nonEmpty)
             s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "") +
-          (if (statsEligible) " AggStats: metadata-eligible" else "")
+          (if (completeRow.isDefined) " AggStats: complete"
+          else if (statsEligible) " AggStats: metadata-eligible" else "")
       else "")
   }
 
@@ -1123,6 +1281,13 @@ class CellScan(
     * join sizing so small cassandralike tables auto-broadcast — the
     * reference's Hive stack needed a manual MAPJOIN hint for this. */
   override def estimateStatistics(): Statistics = {
+    if (completeRow.isDefined)
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(64L)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(1L)
+      }
     val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
     val stats = files.map(CellStore.segmentStats)
     val bytes = stats.map(_.bytes).sum
@@ -1203,6 +1368,10 @@ class CellScan(
     * are whole keys, so a wide row never straddles two splits and LWW /
     * tombstone reconciliation stays exact within each range. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // complete metadata answer: one partition, zero segment IO
+    if (completeRow.isDefined)
+      return Array[InputPartition](
+        CellInputPartition(table.dir, 0, Array.empty, files = Nil))
     val hosts = table.opt(options, Options.Hosts)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty[String])
     def hostsFor(b: Int): Array[String] =
@@ -1248,10 +1417,34 @@ class CellScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CellReaderFactory(table.tableSchema, table.mapping.fields,
-      if (aggs.nonEmpty) aggBaseSchema else required,
-      effectiveFilters, options, table.tableProps, limit, aggs, aggGroupKeys,
-      columnar = true, limitLast = limitLast)
+    completeRow match {
+      case Some(row) => AnswerReaderFactory(row)
+      case None =>
+        CellReaderFactory(table.tableSchema, table.mapping.fields,
+          if (aggs.nonEmpty) aggBaseSchema else required,
+          effectiveFilters, options, table.tableProps, limit, aggs,
+          aggGroupKeys, columnar = true, limitLast = limitLast)
+    }
+}
+
+/** Emits the single planning-precomputed row of a COMPLETE metadata
+  * aggregate pushdown (see CellScanBuilder.supportCompletePushDown). */
+final case class AnswerReaderFactory(row: InternalRow)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+        val c = new ScanCounters
+        c.partitionsStatsOnly = 1L
+        ScanMetrics.values(c)
+      }
+    }
 }
 
 final case class CellReaderFactory(
@@ -1532,6 +1725,8 @@ class AggregatePartitionReader(
       agg match {
         case PushedAgg.CountStar => counts(i) += 1
         case PushedAgg.Count(_) => if (!r.isNullAt(ord)) counts(i) += 1
+        case PushedAgg.CountDistinct(_) => throw new IllegalStateException(
+          "COUNT(DISTINCT) is complete-pushdown-only; it must never reach the fold")
         case PushedAgg.Min(_) =>
           val v = extract(r, ord)
           if (v != null && (vals(i) == null || ordering.compare(v, vals(i)) < 0))

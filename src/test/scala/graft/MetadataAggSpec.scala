@@ -73,11 +73,13 @@ class MetadataAggSpec extends SparkSpec {
     val store = Seed.table(spark, sfDir, "spec_agg_meta", cust.repartition(1))
     val q = Seed.read(spark, store)
       .agg(count(lit(1)).as("n"), min("c_name").as("mn"), max("c_name").as("mx"))
+    // every bucket provable at planning -> the aggregation resolves
+    // COMPLETELY there: one partition, the precomputed answer row
     val desc = scanOf(q).scan.description()
-    assert(desc.contains("AggStats: metadata-eligible"), s"not eligible: $desc")
+    assert(desc.contains("AggStats: complete"), s"not complete: $desc")
     val (statsOnly, nParts) = drain(q)
-    assert(statsOnly == nParts.toLong,
-      s"every partition should answer from metadata: $statsOnly of $nParts")
+    assert(nParts == 1 && statsOnly == 1L,
+      s"complete pushdown plans one answer partition: $statsOnly of $nParts")
     val got = q.collect()(0)
     val want = cust.agg(count(lit(1)), min("c_name"), max("c_name")).collect()(0)
     assert(got.getLong(0) == want.getLong(0))
@@ -92,7 +94,7 @@ class MetadataAggSpec extends SparkSpec {
       props = Map(Options.KeyEncoding -> "ordered"))
     val q = Seed.read(spark, store)
       .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
-    assert(scanOf(q).scan.description().contains("AggStats: metadata-eligible"))
+    assert(scanOf(q).scan.description().contains("AggStats: complete"))
     val (statsOnly, _) = drain(q)
     assert(statsOnly > 0L, "ordered numeric key must take the metadata path")
     val r = q.collect()(0)
@@ -168,6 +170,54 @@ class MetadataAggSpec extends SparkSpec {
     assert(statsOnly > 0L, "transposed single-run store must answer from metadata")
     // the duplicate (2, "a") address collapses by LWW: 3 rows, not 4
     assert(q.collect()(0).getLong(0) == 3L)
+  }
+
+  test("COUNT(DISTINCT key): complete pushdown answers wide-row cardinality") {
+    val sp = spark; import sp.implicits._
+    // transposed store: 3 wide rows over 5 cells — count(*) counts cells,
+    // count(distinct row_key) counts rows; only the COMPLETE path can
+    // push the distinct (buckets partition keys disjointly at planning)
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_distinct",
+      Seq((1L, "a", 10L), (1L, "b", 11L), (2L, "a", 20L), (2L, "b", 21L),
+        (3L, "a", 30L)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val q = Seed.read(spark, store)
+      .agg(count(lit(1)).as("cells"), countDistinct("k").as("rows"))
+    val desc = scanOf(q).scan.description()
+    assert(desc.contains("AggStats: complete") && desc.contains("CountDistinct"),
+      s"distinct not completely pushed: $desc")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L, s"got $r")
+    // overlap (re-append the same keys): complete pushdown declines, the
+    // distinct runs as a normal Spark plan — exact either way
+    Seed.append(Seq((2L, "a", 99L)).toDF("k", "c", "v").repartition(1),
+      store, Map(Options.WriteTimestamp -> "2"))
+    val q2 = Seed.read(spark, store)
+      .agg(count(lit(1)).as("cells"), countDistinct("k").as("rows"))
+    assert(!scanOf(q2).scan.description().contains("AggStats: complete"))
+    val r2 = q2.collect()(0)
+    assert(r2.getLong(0) == 5L && r2.getLong(1) == 3L, s"got $r2")
+  }
+
+  test("mixed buckets: one tombstoned bucket folds, the rest stay metadata") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_meta_mixed",
+      (1L to 200L).map(i => (i, "x")).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    // one tombstone -> exactly one bucket loses its metadata claim:
+    // COMPLETE pushdown (all-bucket proof) declines, the PARTIAL path
+    // splits per bucket — most partitions stats-only, one folding
+    Seed.append(Seq((7L, null.asInstanceOf[String])).toDF("k", "v").repartition(1),
+      store, Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val q = Seed.read(spark, store).agg(count(lit(1)).as("n"))
+    val desc = scanOf(q).scan.description()
+    assert(desc.contains("AggStats: metadata-eligible") &&
+      !desc.contains("AggStats: complete"), s"desc: $desc")
+    val (statsOnly, nParts) = drain(q)
+    assert(statsOnly > 0L && statsOnly < nParts.toLong,
+      s"expected a metadata/fold mix: $statsOnly of $nParts")
+    assert(q.collect()(0).getLong(0) == 199L)
   }
 
   test("estimateStatistics: exact rows on a clean store, estimate otherwise") {
