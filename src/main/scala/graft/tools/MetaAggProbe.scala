@@ -68,7 +68,9 @@ object MetaAggProbe {
             case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
           }.orNull
       }.filter(_ != null).head
-      println(s"eligible=${scan.description().contains("AggStats: metadata-eligible")}")
+      val d = scan.description()
+      println(s"complete=${d.contains("AggStats: complete")} " +
+        s"eligible=${d.contains("AggStats")}")
       val batch = scan.toBatch
       val parts = batch.planInputPartitions()
       val factory = batch.createReaderFactory()
