@@ -103,6 +103,11 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
     } catch { case scala.util.control.NonFatal(_) => () }
     if (RangeBucketFunction.lookup(digest).nonEmpty) return
     if (CassandraLikeCatalog.unresolvedDigests.contains(digest)) return
+    // negative-cache ONLY a walk that ran to completion: a transient IO
+    // failure mid-walk (mount hiccup, permission blip) must stay
+    // retryable, or the digest is poisoned for the JVM lifetime even
+    // though a later re-walk would resolve it
+    var walkCompleted = false
     try {
       val s = java.nio.file.Files.walk(warehouse, 8)
       try s.iterator().asScala
@@ -111,8 +116,9 @@ class CassandraLikeCatalog extends TableCatalog with SupportsNamespaces
           if (RangeBucketFunction.lookup(digest).isEmpty) loadDir(p)
         }
       finally s.close()
+      walkCompleted = true
     } catch { case scala.util.control.NonFatal(_) => () }
-    if (RangeBucketFunction.lookup(digest).isEmpty)
+    if (walkCompleted && RangeBucketFunction.lookup(digest).isEmpty)
       CassandraLikeCatalog.unresolvedDigests.add(digest)
   }
 

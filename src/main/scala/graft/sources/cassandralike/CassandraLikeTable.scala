@@ -696,54 +696,48 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
-    // driver-side dynamic check + fold over every bucket's run stats
-    // (index-tail reads, memoized per immutable file per JVM)
-    val buckets = Options.effective(options, table.tableProps, Options.Buckets)
-      .map(_.toInt).getOrElse(Options.DefaultBuckets)
+    // driver-side dynamic check + fold over every bucket's run stats:
+    // ONE directory listing (the repeated per-bucket listing was the
+    // planning bottleneck VERDICT r4 #4 already retired once), index-tail
+    // reads memoized per immutable file per JVM. Disjointness is judged
+    // PER BUCKET (different buckets never share a key); the min/max
+    // reduction runs over the union.
+    val byBucket = CellStore.allSegmentFiles(table.dir)
     var rows = 0L
     var dKeys = 0L
-    val minB = scala.collection.mutable.Map.empty[String, Array[Byte]]
-    val maxB = scala.collection.mutable.Map.empty[String, Array[Byte]]
-    val needMinMax: Seq[String] = want.collect {
-      case PushedAgg.Min(c) => c
-      case PushedAgg.Max(c) => c
-    }.distinct
-    def windowOf(s: CellStore.RunStats, c: String, wantMin: Boolean): Array[Byte] =
-      if (c == keyN) { if (wantMin) s.firstKey else s.lastKey }
-      else if (table.mapping.transposed &&
-        c == table.mapping.field(FieldRole.TransColumn).name) {
-        if (wantMin) s.colMin else s.colMax
-      } else if (wantMin) s.subMin else s.subMax
-    var b = 0
-    while (b < buckets) {
-      val stats = CellStore.segmentFiles(table.dir, b)
-        .flatMap(f => CellStore.runStats(f).toSeq)
+    val allStats = Seq.newBuilder[CellStore.RunStats]
+    byBucket.valuesIterator.foreach { files =>
+      val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
       if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
       MetadataAggReader.exactRows(stats, table.mapping.transposed) match {
         case None => return None // overlapping runs in this bucket
         case Some(n) => rows += n
       }
       dKeys += stats.map(_.distinctKeys.toLong).sum
-      needMinMax.foreach { c =>
-        stats.foreach { s =>
-          val lo = windowOf(s, c, wantMin = true)
-          val hi = windowOf(s, c, wantMin = false)
-          if (lo == null || hi == null) return None // incomplete window
-          if (!minB.contains(c) || Codecs.compareBytes(lo, minB(c)) < 0)
-            minB(c) = lo
-          if (!maxB.contains(c) || Codecs.compareBytes(hi, maxB(c)) > 0)
-            maxB(c) = hi
-        }
-      }
-      b += 1
+      allStats ++= stats
     }
+    val stats = allStats.result()
+    def levelOf(c: String): MetadataAggReader.AddrLevel =
+      if (c == keyN) MetadataAggReader.KeyLevel
+      else if (table.mapping.transposed &&
+        c == table.mapping.field(FieldRole.TransColumn).name)
+        MetadataAggReader.ColLevel
+      else MetadataAggReader.SubLevel
     val vals: Seq[Any] = want.map {
       case PushedAgg.CountStar | PushedAgg.Count(_) => rows
       case PushedAgg.CountDistinct(_) => dKeys
       case PushedAgg.Min(c) =>
-        minB.get(c).map(table.decodeAddress(c, _)).orNull
+        if (stats.isEmpty) null
+        else MetadataAggReader.extremal(stats, levelOf(c), wantMin = true) match {
+          case Some(b) => table.decodeAddress(c, b)
+          case None => return None // incomplete window tail: decline
+        }
       case PushedAgg.Max(c) =>
-        maxB.get(c).map(table.decodeAddress(c, _)).orNull
+        if (stats.isEmpty) null
+        else MetadataAggReader.extremal(stats, levelOf(c), wantMin = false) match {
+          case Some(b) => table.decodeAddress(c, b)
+          case None => return None
+        }
       case _ => return None // unreachable (translation above)
     }
     Some((want, InternalRow.fromSeq(vals)))
@@ -1006,10 +1000,10 @@ final case class CellInputPartition(
     // scan's view, every committed segment at reader-open time
     files: Seq[String] = null,
     // metadata-only aggregate candidate (see [[MetadataAggReader]]): the
-    // planner verified the STATIC conditions and pinned `files` so every
-    // sub-split of the bucket decides the run-level conditions over the
-    // SAME set (deterministically — a torn view across sub-splits could
-    // double-count)
+    // planner verified the STATIC conditions and this partition covers
+    // its WHOLE bucket (never set on key-range sub-splits — the single
+    // reader both judges the run-level conditions and answers for the
+    // bucket, so no cross-split coordination exists to get torn)
     aggStats: Boolean = false) extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** S2: replica-aware placement hook (the reference's split locations,
@@ -1296,19 +1290,25 @@ class CellScan(
       if (table.mapping.transposed) 1L
       else math.max(1, table.mapping.cellFields.size).toLong
     // EXACT numRows from the STAT tails when the view is clean and every
-    // bucket's runs are stats-bearing, tombstone-free and key-disjoint
-    // (per-bucket: different buckets never share a key). Feeds Catalyst's
-    // broadcast threshold with the truth instead of the cells/fan-out
-    // estimate, which over-counts every overwritten address. Index-tail
-    // reads only, memoized per immutable file per JVM.
+    // bucket holds a SINGLE stats-bearing, tombstone-free run (the
+    // compacted steady state). Feeds Catalyst's broadcast threshold with
+    // the truth instead of the cells/fan-out estimate, which over-counts
+    // every overwritten address. Deliberately reads ONLY the fixed
+    // 16-byte STAT suffix per run (quickRunStats) — planning a plain
+    // scan must never parse full index tails (blooms included) across
+    // the whole store driver-side; the multi-run-disjoint refinement is
+    // left to the aggregate paths, which read full tails only for agg
+    // queries.
     val exact: Option[Long] =
       if (!cleanUnslicedView) None
       else plannedBuckets.foldLeft(Option(0L)) { (acc, b) =>
         acc.flatMap { total =>
-          val runStats = segmentsByBucket.getOrElse(b, Nil)
-            .flatMap(f => CellStore.runStats(f).toSeq)
-          MetadataAggReader.exactRows(runStats, table.mapping.transposed)
-            .map(total + _)
+          val qs = segmentsByBucket.getOrElse(b, Nil)
+            .flatMap(f => CellStore.quickRunStats(f).toSeq)
+          if (qs.lengthCompare(1) > 0 || qs.exists(_.tombstones != 0)) None
+          else Some(total + qs.map(s =>
+            if (table.mapping.transposed) s.distinctAddrs.toLong
+            else s.distinctKeys.toLong).sum)
         }
       }
     new Statistics {
@@ -1378,14 +1378,21 @@ class CellScan(
       if (hosts.isEmpty) Array.empty[String] else Array(hosts(b % hosts.length))
     val target = table.opt(options, Options.SplitTargetCells).map(_.toLong)
       .getOrElse(Options.DefaultSplitTargetCells)
-    // metadata-only aggregate candidates pin the planning-time file set
-    // (restrictFiles) and flag the partitions: every sub-split of a bucket
-    // must judge the run-level conditions over the SAME segments
+    // partial metadata-aggregate path: only an UNSPLIT bucket is flagged
+    // — its single reader both judges the run-level conditions and
+    // answers for the whole bucket, so no cross-sub-split coordination
+    // (and no pinned planning-time file set, with its vanished-segment
+    // exposure under concurrent compaction) is ever needed. Sub-split
+    // buckets fold as before; the all-clean sub-split case is owned by
+    // COMPLETE pushdown, which resolves at planning and touches no files
+    // at execution.
     val planned = plannedBuckets.flatMap { b =>
       val ps = SplitPlanner.forBucket(table.dir, b,
         segmentsByBucket.getOrElse(b, Nil), hostsFor(b), target,
-        restrictFiles = statsEligible)
-      if (statsEligible) ps.map(_.copy(aggStats = true)) else ps
+        restrictFiles = false)
+      if (statsEligible && ps.lengthCompare(1) == 0)
+        ps.map(_.copy(aggStats = true))
+      else ps
     }
     // Planning-time SUB-SPLIT pruning from the pushed key envelope: a key
     // equality/IN (or a range, on an order-preserving encoding) that misses
@@ -1527,9 +1534,12 @@ final case class CellReaderFactory(
   *
   * The STATIC conditions (aggregate shapes, no filters/slices/as-of/TTL/
   * dropped history) were verified at planning ([[CellScan.statsEligible]]),
-  * which also PINNED the committed file set into the partitions so every
-  * sub-split of a bucket judges the DYNAMIC conditions over the same
-  * segments (a torn view across sub-splits could double-count):
+  * which flags ONLY whole-bucket partitions — the single reader both
+  * judges the DYNAMIC conditions and answers for its bucket, so there is
+  * no cross-sub-split coordination to get torn, and the reader lists the
+  * committed segments at open time exactly like the fold it replaces (no
+  * pinned planning-time file set, no vanished-segment exposure under a
+  * concurrent compaction). The dynamic conditions:
   *  - every run carries the STAT tail (legacy segments decline);
   *  - zero tombstones anywhere (a delete invalidates counts and can hide
   *    the extremal key/column);
@@ -1538,20 +1548,19 @@ final case class CellReaderFactory(
   *    counts are additive. The compacted single-run bucket qualifies
   *    trivially; disjoint multi-run covers the time-series append pattern
   *    (batches landing in non-overlapping key ranges). MIN/MAX need no
-  *    disjointness — overwrites never remove an address.
-  * Any failed condition returns None and the WHOLE bucket falls back to
-  * the cell-fold scan (every sub-split reaches the same verdict).
+  *    disjointness — overwrites never remove an address — but DO decline
+  *    on any absent window tail, on every path.
+  * Any failed condition returns None and the bucket falls back to the
+  * cell-fold scan. Sub-split (big) buckets never take this path — the
+  * all-clean sub-split case is owned by COMPLETE pushdown, which
+  * resolves at planning.
   *
   * Row counts: a transposed/super SQL row IS one cell address, so rows =
   * distinct (key, col, sub) addresses; a regular row is one KEY (its
   * cells are the schema's fields), so rows = distinct keys. Counter
   * collapse merges per address and zero tombstones means no resets, so
   * the same counts hold. COUNT(address field) = COUNT(*): address fields
-  * are never NULL in emitted rows.
-  *
-  * The bucket's `lower == null` sub-split emits the bucket's partial row;
-  * the other sub-splits emit the ungrouped NEUTRAL partial (count 0, null
-  * min/max) that the final combine absorbs. */
+  * are never NULL in emitted rows. */
 object MetadataAggReader {
   /** EXACT visible-row count from per-run stats, or None when not
     * provable: every run must carry the STAT tail with zero tombstones,
@@ -1579,17 +1588,46 @@ object MetadataAggReader {
       else stats.map(_.distinctKeys.toLong).sum)
   }
 
+  /** The three address levels a run window describes. */
+  sealed trait AddrLevel extends Serializable
+  case object KeyLevel extends AddrLevel
+  case object ColLevel extends AddrLevel
+  case object SubLevel extends AddrLevel
+
+  /** Extremal byte form of one address level across runs, or None when
+    * any run's window is absent (incomplete tail — the caller must
+    * DECLINE, never guess; a silent partial answer here is a wrong MIN).
+    * Shared by the per-bucket readers and the complete-pushdown planner
+    * so the two paths cannot drift. */
+  def extremal(stats: Seq[CellStore.RunStats], level: AddrLevel,
+      wantMin: Boolean): Option[Array[Byte]] = {
+    if (stats.isEmpty) return None
+    val vs = stats.map { s =>
+      level match {
+        case KeyLevel => if (wantMin) s.firstKey else s.lastKey
+        case ColLevel => if (wantMin) s.colMin else s.colMax
+        case SubLevel => if (wantMin) s.subMin else s.subMax
+      }
+    }
+    if (vs.exists(_ == null)) None
+    else Some(vs.reduce((a, b) =>
+      if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b))
+  }
+
   def create(
       part: CellInputPartition,
       mapping: ColumnMapping,
       aggs: Seq[PushedAgg],
       opt: String => Option[String]): Option[PartitionReader[InternalRow]] = {
-    if (part.files == null) return None // file set not pinned: not a candidate
-    val files = part.files.map(n =>
-      java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
+    // whole-bucket partitions only (the planner never flags sub-splits;
+    // belt and braces — a key-range restriction would falsify the stats)
+    if (part.lower != null || part.upper != null) return None
+    val files =
+      if (part.files != null) part.files.map(n =>
+        java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
+      else CellStore.segmentFiles(part.tableDir, part.bucket)
     val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-    if (stats.exists(_.tombstones < 0)) return None // legacy run, stats unknown
-    if (stats.exists(_.tombstones > 0)) return None // deletes present
+    if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
     val needCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
@@ -1602,41 +1640,29 @@ object MetadataAggReader {
     val colCodec = if (colF == null) null else KeyCodec.ofColumn(colF.dataType, opt)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
     val subCodec = if (subF == null) null else KeyCodec.ofSub(subF.dataType, opt)
-    def lt(a: Array[Byte], b: Array[Byte]) = Codecs.compareBytes(a, b) < 0
-    // extremal byte forms per address field, or None = this field's
-    // window is incomplete in some run (shouldn't happen for cells>0 runs
-    // of the right mapping, but a defensive decline beats a wrong MIN)
-    def bytesOf(c: String, wantMin: Boolean): Option[Array[Byte]] = {
-      def reduceAll(vs: Seq[Array[Byte]]): Option[Array[Byte]] =
-        if (vs.exists(_ == null)) None
-        else Some(vs.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
-      if (c == keyF.name)
-        reduceAll(stats.map(s => if (wantMin) s.firstKey else s.lastKey))
-      else if (colF != null && c == colF.name)
-        reduceAll(stats.map(s => if (wantMin) s.colMin else s.colMax))
-      else if (subF != null && c == subF.name)
-        reduceAll(stats.map(s => if (wantMin) s.subMin else s.subMax))
+    def levelOf(c: String): Option[AddrLevel] =
+      if (c == keyF.name) Some(KeyLevel)
+      else if (colF != null && c == colF.name) Some(ColLevel)
+      else if (subF != null && c == subF.name) Some(SubLevel)
       else None
-    }
     def decode(c: String, b: Array[Byte]): Any =
       if (c == keyF.name) keyCodec.decode(b)
       else if (colF != null && c == colF.name) colCodec.decode(b)
       else subCodec.decode(b)
     val rowCount: Long = counted.getOrElse(0L) // 0 unread: gated above
-    val emitter = part.lower == null
     val vals = new Array[Any](aggs.length)
     var i = 0
     while (i < aggs.length) {
       aggs(i) match {
         case PushedAgg.CountStar | PushedAgg.Count(_) =>
-          vals(i) = if (emitter) rowCount else 0L
+          vals(i) = rowCount
         case PushedAgg.Min(c) =>
-          if (emitter && stats.nonEmpty) bytesOf(c, wantMin = true) match {
+          if (stats.nonEmpty) levelOf(c).flatMap(extremal(stats, _, wantMin = true)) match {
             case Some(b) => vals(i) = decode(c, b)
             case None => return None
           }
         case PushedAgg.Max(c) =>
-          if (emitter && stats.nonEmpty) bytesOf(c, wantMin = false) match {
+          if (stats.nonEmpty) levelOf(c).flatMap(extremal(stats, _, wantMin = false)) match {
             case Some(b) => vals(i) = decode(c, b)
             case None => return None
           }

@@ -358,18 +358,24 @@ final class CellChangeFeedStream(
     * session before the first createReaderFactory — a `lazy val` would
     * cache that None permanently and zero the metrics for the query's
     * lifetime, so resolution RETRIES until a session is found and only the
-    * successful result is cached. */
+    * successful result is cached. The retry is SYNCHRONIZED: a bare
+    * check-then-act would let the stream-execution thread and a
+    * progress-listener thread race to build two accumulator sets, with
+    * readers merging into the one metrics() no longer reads (the zeroed-
+    * metrics bug back, via a race) plus duplicate named accumulators. */
   @volatile private var seekAccumsCached: Option[ScanAccumulators] = None
   private def seekAccums: Option[ScanAccumulators] = {
-    if (seekAccumsCached.isEmpty)
-      seekAccumsCached =
-        org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
-          ScanAccumulators(
-            s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
-            s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
-            s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"),
-            s.sparkContext.longAccumulator("cassandralike.feed.runsSubSkipped"))
-        }
+    if (seekAccumsCached.isEmpty) synchronized {
+      if (seekAccumsCached.isEmpty)
+        seekAccumsCached =
+          org.apache.spark.sql.SparkSession.getActiveSession.map { s =>
+            ScanAccumulators(
+              s.sparkContext.longAccumulator("cassandralike.feed.cellsSeekSkipped"),
+              s.sparkContext.longAccumulator("cassandralike.feed.runsColSkipped"),
+              s.sparkContext.longAccumulator("cassandralike.feed.runsColBloomSkipped"),
+              s.sparkContext.longAccumulator("cassandralike.feed.runsSubSkipped"))
+          }
+    }
     seekAccumsCached
   }
 

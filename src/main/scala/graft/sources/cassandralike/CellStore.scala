@@ -509,7 +509,10 @@ object CellStore {
     // exactly during the single sorted write pass. Written last so every
     // older tail keeps its position; legacy readers stop before it,
     // legacy files parse with -1s (stats unknown → the metadata path
-    // declines and the scan folds cells as before).
+    // declines and the scan folds cells as before). INVARIANT: STAT must
+    // stay the FINAL tail — [[quickRunStats]] reads it as the fixed
+    // 16-byte suffix of the index block; a future tail appended after it
+    // must bump that reader.
     if (statTombstones >= 0 && statKeys >= 0 && statAddrs >= 0) {
       out.writeInt(StatsMagic)
       out.writeInt(statTombstones)
@@ -673,6 +676,8 @@ object CellStore {
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[Array[KeyBloom]]]()
   private val runStatsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[RunStats]]()
+  private val quickStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Array[QuickStats]]()
 
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
@@ -725,6 +730,43 @@ object CellStore {
       colMin: Array[Byte], colMax: Array[Byte],
       subMin: Array[Byte], subMax: Array[Byte],
       tombstones: Int, distinctKeys: Int, distinctAddrs: Int)
+
+  /** The STAT counters of one run, without the rest of its index. */
+  final case class QuickStats(cells: Int, tombstones: Int,
+      distinctKeys: Int, distinctAddrs: Int)
+
+  /** STAT counters of every non-empty run, read from the FIXED 16-byte
+    * suffix of each index block — STAT is always the LAST tail
+    * ([[serializeIndex]] keeps that invariant; any future tail appended
+    * after it must bump this reader). O(16 bytes) per run, so cheap
+    * enough for every planning's exact-numRows check, where parsing full
+    * index tails (blooms included) would be a driver-side terabyte at
+    * 100-TB segment counts. A legacy run whose trailing bytes happen to
+    * spell the magic is rejected by the range sanity checks (counts must
+    * be within the run's cell count and mutually consistent) — and a
+    * false negative only costs the exact statistic, never correctness.
+    * tombstones = -1 marks a run without a (valid) tail. */
+  def quickRunStats(file: Path): Array[QuickStats] =
+    quickStatsCache.computeIfAbsent(cacheKey(file), _ => {
+      val ch = java.nio.channels.FileChannel.open(file)
+      try runInfos(file).filter(_.cellCount > 0).map { ri =>
+        val legacy = QuickStats(ri.cellCount, -1, -1, -1)
+        if (ri.indexByteLen < 16) legacy
+        else {
+          val buf = java.nio.ByteBuffer.allocate(16)
+          val pos = ri.indexOffset + ri.indexByteLen - 16
+          while (buf.hasRemaining) {
+            if (ch.read(buf, pos + buf.position()) < 0)
+              throw new EOFException(s"truncated index tail: $file")
+          }
+          val (m, t, k, a) = (buf.getInt(0), buf.getInt(4), buf.getInt(8), buf.getInt(12))
+          if (m != StatsMagic || t < 0 || k < 1 || a < k ||
+              t > ri.cellCount || a > ri.cellCount) legacy
+          else QuickStats(ri.cellCount, t, k, a)
+        }
+      }.toArray
+      finally ch.close()
+    })
 
   /** Per-run [[RunStats]] of one segment; memoized per immutable file,
     * index-tail reads only. Empty runs are skipped. */
