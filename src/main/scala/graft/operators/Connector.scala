@@ -130,6 +130,43 @@ object Connector {
           countDistinct($"row_key").as("wide_rows"))
     },
 
+    // ---- RANGE-CONSTRAINED metadata COUNT: "how many rows in [a, b)" —
+    // the time-series range-count — answers from run-index ARITHMETIC:
+    // runs inside the pushed key envelope count positionally from the
+    // memoized STAT tails, and only the boundary-crossing runs scan the
+    // ONE index span containing each boundary (≤ 2×IndexEvery cell
+    // decodes per run, however wide the range). The IN twin counts
+    // per-point envelopes, so absent keys count zero — presence checks
+    // without reads. MetadataAggSpec pins the boundary exactness and
+    // every decline (overlap, dup addresses, non-ranged comparisons). ----
+    Q("conn_agg_range_count",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS n_range,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS n_points""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      val store = Seed.table(s, dir, "agg_range_count", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      val r = Seed.read(s, store)
+      val nRange = r
+        .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
+        .agg(count(lit(1)).as("n_range"))
+      val nPoints = r
+        .filter($"row_key".isin("0000000001", "0000000032", "0000000099"))
+        .agg(count(lit(1)).as("n_points"))
+      nRange.crossJoin(nPoints)
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

@@ -1095,6 +1095,36 @@ class CellScan(
       cleanUnslicedView
   }
 
+  /** Static gate of the RANGE/POINT-CONSTRAINED metadata COUNT
+    * ([[MetadataAggReader.rangeCount]]): a COUNT-only pushed aggregation
+    * over a transposed mapping whose pushed filters are all EXACT key
+    * shapes (equality/IN under any encoding, comparisons only when the
+    * encoding is order-preserving — the same condition under which
+    * [[KeyLookupBounds]] tightens the envelope) on an otherwise-plain
+    * view. The run-level conditions (STAT tails, zero tombstones, run
+    * disjointness, per-run address-deduped) are judged by the reader. */
+  private lazy val rangeCountEligible: Boolean = {
+    def countShape(a: PushedAgg): Boolean = a match {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) => table.isAddressField(c)
+      case _ => false
+    }
+    val keyN = table.mapping.keyField.name
+    val ranged = table.keyCodec.rangeOrdered
+    def keyShaped(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => c == keyN && v != null
+      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
+      case GreaterThan(c, v) => c == keyN && ranged && v != null
+      case GreaterThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case LessThan(c, v) => c == keyN && ranged && v != null
+      case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case _ => false
+    }
+    aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(countShape) &&
+      table.mapping.transposed && filters.nonEmpty && filters.forall(keyShaped) &&
+      CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
+  }
+
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
     * of [[statsEligible]] and the exact-numRows branch of
     * [[estimateStatistics]]. */
@@ -1265,7 +1295,8 @@ class CellScan(
           (if (aggGroupKeys.nonEmpty)
             s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "") +
           (if (completeRow.isDefined) " AggStats: complete"
-          else if (statsEligible) " AggStats: metadata-eligible" else "")
+          else if (statsEligible) " AggStats: metadata-eligible"
+          else if (rangeCountEligible) " AggStats: range-count" else "")
       else "")
   }
 
@@ -1390,7 +1421,11 @@ class CellScan(
       val ps = SplitPlanner.forBucket(table.dir, b,
         segmentsByBucket.getOrElse(b, Nil), hostsFor(b), target,
         restrictFiles = false)
-      if (statsEligible && ps.lengthCompare(1) == 0)
+      // the unfiltered STAT path needs the whole bucket in one reader;
+      // the range-count path counts positionally within any key slice,
+      // so its flag survives sub-splitting (big buckets keep the fast
+      // count exactly where the fold is most expensive)
+      if ((statsEligible && ps.lengthCompare(1) == 0) || rangeCountEligible)
         ps.map(_.copy(aggStats = true))
       else ps
     }
@@ -1497,7 +1532,8 @@ final case class CellReaderFactory(
     // cell-fold scan below
     if (cp.aggStats && aggs.nonEmpty && aggGroupKeys.isEmpty) {
       MetadataAggReader.create(cp, ColumnMapping(mappedFields), aggs,
-        (k: String) => Options.effective(options, tableProps, k)) match {
+        (k: String) => Options.effective(options, tableProps, k),
+        filters) match {
         case Some(r) => return r
         case None => ()
       }
@@ -1618,16 +1654,23 @@ object MetadataAggReader {
       part: CellInputPartition,
       mapping: ColumnMapping,
       aggs: Seq[PushedAgg],
-      opt: String => Option[String]): Option[PartitionReader[InternalRow]] = {
-    // whole-bucket partitions only (the planner never flags sub-splits;
-    // belt and braces — a key-range restriction would falsify the stats)
-    if (part.lower != null || part.upper != null) return None
+      opt: String => Option[String],
+      filters: Array[Filter] = Array.empty): Option[PartitionReader[InternalRow]] = {
     val files =
       if (part.files != null) part.files.map(n =>
         java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
       else CellStore.segmentFiles(part.tableDir, part.bucket)
     val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
     if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
+    // the range-count path is sub-split-safe (it counts positionally
+    // within ANY key slice), so it is consulted before the whole-bucket
+    // guard below
+    if (filters.nonEmpty) return rangeCount(part, mapping, aggs, opt, filters,
+      files, stats)
+    // UNFILTERED stats: whole-bucket partitions only (the planner never
+    // flags sub-splits here; belt and braces — a key-range restriction
+    // would falsify the bucket-wide STAT counts)
+    if (part.lower != null || part.upper != null) return None
     val needCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
@@ -1670,8 +1713,101 @@ object MetadataAggReader {
       }
       i += 1
     }
-    val row = InternalRow.fromSeq(vals.toIndexedSeq)
-    Some(new PartitionReader[InternalRow] {
+    Some(answerReader(InternalRow.fromSeq(vals.toIndexedSeq)))
+  }
+
+  /** RANGE/POINT-CONSTRAINED metadata COUNT: a pushed COUNT(*) /
+    * COUNT(address) under pushed ROW-KEY predicates answers from run-index
+    * arithmetic — runs fully inside the key envelope count positionally
+    * from the memoized stats, and only the boundary-crossing runs scan the
+    * ONE index span containing each boundary (≤ 2×IndexEvery cell decodes
+    * per run, however wide the range) — the "how many events in [t1, t2]"
+    * time-series count without reading the range
+    * ([[CellStore.countCellsInRange]]).
+    *
+    * Exactness needs the envelope to BE the satisfying key set, and every
+    * counted cell to be a distinct visible row:
+    *  - transposed/super mappings only (a visible row IS one cell
+    *    address); a regular mapping's rows-per-key varies with missing
+    *    cells, which positions can't see;
+    *  - every pushed filter is a key equality/IN (point envelopes are
+    *    exact under any injective encoding) or a key comparison under an
+    *    order-preserving encoding ([[KeyCodec.rangeOrdered]] — exactly
+    *    when [[KeyLookupBounds]] tightens the envelope; a non-ranged
+    *    comparison would leave the envelope wider than the predicate);
+    *  - zero tombstones, pairwise-disjoint runs AND per-run
+    *    distinctAddrs == cells ([[CellStore.RunStats]]) — every cell in
+    *    the envelope is then exactly one LWW-visible row. Counter
+    *    collapse merges per address, so all-distinct addresses leave
+    *    nothing to collapse.
+    * A key IN / equality counts per-point envelopes [k, succ(k)) — each
+    * contributes the number of PRESENT keys, so absent lookup keys count
+    * zero, exactly like the fold. Any unprovable condition returns None
+    * and the bucket falls back to the (seek-pruned) cell-fold scan.
+    *
+    * SUB-SPLIT SAFE, unlike the whole-bucket STAT path: the envelope is
+    * intersected with the partition's own [lower, upper) key slice and
+    * counted positionally, and split boundaries are whole keys, so each
+    * visible row lands in exactly one sub-split's count. No cross-split
+    * coordination is needed even under a concurrent compaction: a slice's
+    * visible-row count is VIEW-INDEPENDENT (compaction preserves visible
+    * cells), so any reader whose own committed listing satisfies the
+    * run-level conditions answers the same number a pre/post-compaction
+    * view would — and a reader whose view doesn't prove them just folds
+    * its own slice. */
+  private def rangeCount(
+      part: CellInputPartition,
+      mapping: ColumnMapping,
+      aggs: Seq[PushedAgg],
+      opt: String => Option[String],
+      filters: Array[Filter],
+      files: Seq[java.nio.file.Path],
+      stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
+    if (!mapping.transposed) return None
+    val keyF = mapping.keyField
+    val colF = mapping.field(FieldRole.TransColumn)
+    val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
+    val countOnly = aggs.forall {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) =>
+        c == keyF.name || c == colF.name || (subF != null && c == subF.name)
+      case _ => false // MIN/MAX would need boundary-clamped windows: decline
+    }
+    if (!countOnly) return None
+    val keyCodec = KeyCodec.of(keyF.dataType, opt)
+    val keyN = keyF.name
+    val ranged = keyCodec.rangeOrdered
+    // every filter must be an EXACT key shape (envelope == satisfying set);
+    // anything else — a clustering slice, an index speculative, a non-
+    // ranged comparison — leaves rows the envelope can't see
+    val exactShapes = filters.forall {
+      case EqualTo(c, v) => c == keyN && v != null
+      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
+      case GreaterThan(c, v) => c == keyN && ranged && v != null
+      case GreaterThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case LessThan(c, v) => c == keyN && ranged && v != null
+      case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case _ => false
+    }
+    if (!exactShapes) return None
+    // additive distinct cells: disjoint runs (exactRows' check), each run
+    // fully address-deduped — then cells-in-envelope == rows-in-envelope
+    if (exactRows(stats, transposed = true).isEmpty) return None
+    if (stats.exists(s => s.distinctAddrs != s.cells)) return None
+    // envelope ∩ the partition's own key slice (sub-splits partition the
+    // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
+    val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
+    val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
+    val n: Long =
+      if (ks != null)
+        ks.map(k => files.map(f =>
+          CellStore.countCellsInRange(f, k, KeyLookupBounds.succ(k))).sum).sum
+      else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
+    Some(answerReader(InternalRow.fromSeq(aggs.map(_ => n))))
+  }
+
+  private def answerReader(row: InternalRow): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
@@ -1683,8 +1819,7 @@ object MetadataAggReader {
         c.partitionsStatsOnly = 1L
         ScanMetrics.values(c)
       }
-    })
-  }
+    }
 }
 
 /** Folds a partition's scan rows into partial-aggregate rows (see
@@ -2570,7 +2705,7 @@ object KeyLookupBounds {
   /** Immediate successor of `k` in unsigned-lexicographic byte order:
     * k ++ 0x00 — the exclusive upper bound that admits exactly the keys
     * equal to `k` (any longer key sharing the prefix compares greater). */
-  private def succ(k: Array[Byte]): Array[Byte] = {
+  private[cassandralike] def succ(k: Array[Byte]): Array[Byte] = {
     val out = java.util.Arrays.copyOf(k, k.length + 1)
     out(k.length) = 0
     out

@@ -768,6 +768,78 @@ object CellStore {
       finally ch.close()
     })
 
+  /** Cells of one segment whose key falls in [lo, hi) (null = unbounded),
+    * counted from the sparse index: runs fully inside the range count
+    * positionally (cellCount, no IO beyond the memoized stats), runs
+    * disjoint from it count zero, and only a BOUNDARY-crossing run reads
+    * its index and scans the one span containing each boundary — at most
+    * 2×[[IndexEvery]] cell decodes per run, however wide the range. The
+    * metadata-count companion to the seek machinery: a range COUNT over a
+    * compacted store costs O(runs) metadata instead of O(range) decodes.
+    *
+    * Counts CELLS. The caller must have proven every counted cell is a
+    * distinct visible row (STAT distinctAddrs == cells per run, pairwise
+    * run-disjointness, zero tombstones) before treating this as a row
+    * count — see [[graft.sources.cassandralike.MetadataAggReader]]. */
+  def countCellsInRange(file: Path, lo: Array[Byte], hi: Array[Byte]): Long = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file) // aligned: runStats skips empty runs too
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) total += ri.cellCount
+          else {
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            // f(x) = #cells with key < x; range = f(hi) - f(lo), where a
+            // null bound contributes its identity (f(-inf) = 0 cells below
+            // a missing lower bound, f(+inf) = cellCount below a missing
+            // upper bound). Entry keys are non-decreasing (a hot key spans
+            // entries), so binary-search the LAST entry strictly below x:
+            // every earlier span is fully below, and only the found span
+            // needs a counted scan (sorted — stop at the first key >= x).
+            def below(x: Array[Byte]): Long = {
+              val keys = idx.keys
+              if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+              if (Codecs.compareBytes(idx.lastKey, x) < 0) return ri.cellCount.toLong
+              var a = 0
+              var b = keys.length - 1
+              while (a < b) {
+                val mid = (a + b + 1) >>> 1
+                if (Codecs.compareBytes(keys(mid), x) < 0) a = mid else b = mid - 1
+              }
+              var n = idx.cellPos(a).toLong
+              val spanLen =
+                (if (a == idx.cellPos.length - 1) ri.cellCount
+                 else idx.cellPos(a + 1)) - idx.cellPos(a)
+              val it = reader.runIterator(ri.payloadOffset + idx.offsets(a), spanLen)
+              var scanning = true
+              while (scanning && it.hasNext) {
+                if (Codecs.compareBytes(it.next().key, x) < 0) n += 1
+                else scanning = false
+              }
+              n
+            }
+            total += (if (hi == null) ri.cellCount.toLong else below(hi)) -
+              (if (lo == null) 0L else below(lo))
+          }
+        }
+        i += 1
+      }
+    } finally if (reader != null) reader.close()
+    total
+  }
+
   /** Per-run [[RunStats]] of one segment; memoized per immutable file,
     * index-tail reads only. Empty runs are skipped. */
   def runStats(file: Path): Array[RunStats] =

@@ -240,6 +240,88 @@ class MetadataAggSpec extends SparkSpec {
     assert(numRows(asOf) == 100L, "non-clean view keeps the cell estimate")
   }
 
+  test("range-count: pushed key ranges answer COUNT from index arithmetic") {
+    val sp = spark; import sp.implicits._
+    // 2000 single-cell wide rows over IndexEvery=128 spans: boundary spans
+    // must be scanned, interior spans counted positionally
+    val store = Seed.table(spark, sfDir, "spec_agg_range",
+      (1L to 2000L).map(i => (i, "c", i * 10L)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f).agg(count(lit(1)).as("n"))
+    // every comparison shape, boundary-inclusive/exclusive exactness
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (col("k") >= 500L && col("k") <= 1499L, 1000L),
+      (col("k") > 500L && col("k") < 1499L, 998L),
+      (col("k") >= 2000L, 1L),
+      (col("k") > 2000L, 0L),
+      (col("k") <= 1L, 1L),
+      (col("k") < 1L, 0L),
+      (col("k") === 777L, 1L),
+      (col("k") === 2001L, 0L),
+      (col("k").isin(1L, 128L, 129L, 2000L, 5555L), 4L), // absent key counts 0
+      (col("k").isin(7L, 9L) && col("k") >= 8L, 1L)) // IN ∩ range
+    cases.foreach { case (f, want) =>
+      val df = q(f)
+      val desc = scanOf(df).scan.description()
+      assert(desc.contains("AggStats: range-count"), s"not flagged: $desc")
+      val (statsOnly, _) = drain(df)
+      assert(statsOnly > 0L, s"no metadata partition answered for $f")
+      assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
+    }
+  }
+
+  test("range-count: point IN under a PLAIN (non-ranged) key encoding") {
+    val sp = spark; import sp.implicits._
+    // BE two's-complement byte order != numeric order, so a COMPARISON
+    // must decline — but equality/IN envelopes are exact under any
+    // injective encoding and stay metadata-answerable
+    val store = Seed.table(spark, sfDir, "spec_agg_range_plain",
+      Seq((-5L, "a", 1L), (3L, "a", 2L), (7L, "a", 3L))
+        .toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"))
+    val qin = Seed.read(spark, store).filter(col("k").isin(-5L, 7L, 99L))
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(qin).scan.description().contains("AggStats: range-count"))
+    val (statsOnly, _) = drain(qin)
+    assert(statsOnly > 0L, "IN under plain encoding must stay metadata-answerable")
+    assert(qin.collect()(0).getLong(0) == 2L)
+    val qrange = Seed.read(spark, store).filter(col("k") > 0L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qrange).scan.description().contains("AggStats"),
+      "plain-encoding comparison envelope is not exact; must decline")
+    assert(qrange.collect()(0).getLong(0) == 2L)
+  }
+
+  test("range-count: overlapping runs and dup addresses fall back, exact") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_range_dup",
+      (1L to 100L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    // overwrite half the addresses: runs overlap, positional counts would
+    // double-count the LWW-collapsed cells — must fold instead
+    Seed.append((50L to 149L).map(i => (i, "c", i + 1000L)).toDF("k", "c", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    val df = Seed.read(spark, store).filter(col("k") >= 40L && col("k") <= 60L)
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(df).scan.description().contains("AggStats: range-count"),
+      "statically eligible (planning can't see run overlap)")
+    val (statsOnly, _) = drain(df)
+    assert(statsOnly == 0L, "overlapping runs must fall back to the fold")
+    assert(df.collect()(0).getLong(0) == 21L, "LWW overwrites must not double-count")
+    // a regular (non-transposed) mapping never qualifies: rows-per-key
+    // varies with missing cells, positions can't count rows
+    val reg = Seed.table(spark, sfDir, "spec_agg_range_reg",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val qreg = Seed.read(spark, reg).filter(col("k") >= 1L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qreg).scan.description().contains("AggStats"))
+    assert(qreg.collect()(0).getLong(0) == 2L)
+  }
+
   test("filters and slices disable the static gate") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
