@@ -147,6 +147,10 @@ object Connector {
         |SELECT
         |  (SELECT count(*) FROM cells
         |   WHERE k >= '0000001000' AND k < '0000004000') AS n_range,
+        |  (SELECT min(k) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS first_k,
+        |  (SELECT max(k) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS last_k,
         |  (SELECT count(*) FROM cells
         |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS n_points""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -160,7 +164,8 @@ object Connector {
       val r = Seed.read(s, store)
       val nRange = r
         .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
-        .agg(count(lit(1)).as("n_range"))
+        .agg(count(lit(1)).as("n_range"), min($"row_key").as("first_k"),
+          max($"row_key").as("last_k"))
       val nPoints = r
         .filter($"row_key".isin("0000000001", "0000000032", "0000000099"))
         .agg(count(lit(1)).as("n_points"))

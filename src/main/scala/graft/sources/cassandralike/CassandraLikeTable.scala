@@ -1104,13 +1104,17 @@ class CellScan(
     * view. The run-level conditions (STAT tails, zero tombstones, run
     * disjointness, per-run address-deduped) are judged by the reader. */
   private lazy val rangeCountEligible: Boolean = {
+    val keyN = table.mapping.keyField.name
+    val ranged = table.keyCodec.rangeOrdered
     def countShape(a: PushedAgg): Boolean = a match {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) => table.isAddressField(c)
+      // MIN/MAX of the row key itself: the byte-extremal cell in the
+      // envelope is the value-extremal row under order-preserving bytes
+      case PushedAgg.Min(c) => c == keyN && ranged
+      case PushedAgg.Max(c) => c == keyN && ranged
       case _ => false
     }
-    val keyN = table.mapping.keyField.name
-    val ranged = table.keyCodec.rangeOrdered
     def keyShaped(f: Filter): Boolean = f match {
       case EqualTo(c, v) => c == keyN && v != null
       case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
@@ -1716,14 +1720,20 @@ object MetadataAggReader {
     Some(answerReader(InternalRow.fromSeq(vals.toIndexedSeq)))
   }
 
-  /** RANGE/POINT-CONSTRAINED metadata COUNT: a pushed COUNT(*) /
-    * COUNT(address) under pushed ROW-KEY predicates answers from run-index
-    * arithmetic — runs fully inside the key envelope count positionally
-    * from the memoized stats, and only the boundary-crossing runs scan the
-    * ONE index span containing each boundary (≤ 2×IndexEvery cell decodes
-    * per run, however wide the range) — the "how many events in [t1, t2]"
-    * time-series count without reading the range
-    * ([[CellStore.countCellsInRange]]).
+  /** RANGE/POINT-CONSTRAINED metadata aggregates: a pushed COUNT(*) /
+    * COUNT(address) — and MIN/MAX of the ROW KEY itself — under pushed
+    * ROW-KEY predicates answers from run-index arithmetic — runs fully
+    * inside the key envelope count positionally from the memoized stats,
+    * and only the boundary-crossing runs scan the ONE index span
+    * containing each boundary (≤ 2×IndexEvery cell decodes per run,
+    * however wide the range) — the "how many events in [t1, t2]" count
+    * and the "first/last event in the window" extremal without reading
+    * the range ([[CellStore.countCellsInRange]] /
+    * [[CellStore.extremalKeyInRange]] / [[CellStore.countCellsAtPoints]]).
+    * MIN/MAX require the key's byte order to BE its value order
+    * (order-preserving encoding) and need neither run disjointness nor
+    * address dedup (an overwrite never removes an address); counts need
+    * both.
     *
     * Exactness needs the envelope to BE the satisfying key set, and every
     * counted cell to be a distinct visible row:
@@ -1767,16 +1777,27 @@ object MetadataAggReader {
     val keyF = mapping.keyField
     val colF = mapping.field(FieldRole.TransColumn)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
-    val countOnly = aggs.forall {
-      case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) =>
-        c == keyF.name || c == colF.name || (subF != null && c == subF.name)
-      case _ => false // MIN/MAX would need boundary-clamped windows: decline
-    }
-    if (!countOnly) return None
     val keyCodec = KeyCodec.of(keyF.dataType, opt)
     val keyN = keyF.name
     val ranged = keyCodec.rangeOrdered
+    // answerable shapes: counts of address fields, plus MIN/MAX of the
+    // ROW KEY itself when byte order == value order (the byte-extremal
+    // cell in the envelope IS the value-extremal row — "first/last event
+    // in the window"). MIN/MAX of col/sub under a key range would need
+    // range-constrained windows the index doesn't carry: decline.
+    val shapesOk = aggs.forall {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) =>
+        c == keyF.name || c == colF.name || (subF != null && c == subF.name)
+      case PushedAgg.Min(c) => c == keyN && ranged
+      case PushedAgg.Max(c) => c == keyN && ranged
+      case _ => false
+    }
+    if (!shapesOk) return None
+    val needsCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
+    }
     // every filter must be an EXACT key shape (envelope == satisfying set);
     // anything else — a clustering slice, an index speculative, a non-
     // ranged comparison — leaves rows the envelope can't see
@@ -1790,20 +1811,58 @@ object MetadataAggReader {
       case _ => false
     }
     if (!exactShapes) return None
-    // additive distinct cells: disjoint runs (exactRows' check), each run
-    // fully address-deduped — then cells-in-envelope == rows-in-envelope
-    if (exactRows(stats, transposed = true).isEmpty) return None
-    if (stats.exists(s => s.distinctAddrs != s.cells)) return None
+    // COUNTS need additive distinct cells: disjoint runs (exactRows'
+    // check) and each run fully address-deduped — then cells-in-envelope
+    // == rows-in-envelope. MIN/MAX need neither (an overwrite never
+    // removes an address; zero tombstones is already checked above).
+    if (needsCount) {
+      if (exactRows(stats, transposed = true).isEmpty) return None
+      if (stats.exists(s => s.distinctAddrs != s.cells)) return None
+    }
     // envelope ∩ the partition's own key slice (sub-splits partition the
     // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
-    val n: Long =
-      if (ks != null)
-        ks.map(k => files.map(f =>
-          CellStore.countCellsInRange(f, k, KeyLookupBounds.succ(k))).sum).sum
+    // per-point presence counts (byte-sorted, one index parse per
+    // surviving run per file) serve COUNT and MIN/MAX alike: the
+    // smallest/largest PRESENT point is the envelope's extremal key
+    lazy val sortedKs: Array[Array[Byte]] =
+      ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
+    lazy val pointTotals: Array[Long] = {
+      val acc = new Array[Long](sortedKs.length)
+      files.foreach { f =>
+        val per = CellStore.countCellsAtPoints(f, sortedKs)
+        var i = 0
+        while (i < per.length) { acc(i) += per(i); i += 1 }
+      }
+      acc
+    }
+    def extremal(wantMin: Boolean): Option[Array[Byte]] =
+      if (ks != null) {
+        val order = if (wantMin) sortedKs.indices else sortedKs.indices.reverse
+        order.collectFirst { case i if pointTotals(i) > 0 => sortedKs(i) }
+      } else {
+        files.flatMap(f => CellStore.extremalKeyInRange(f, lo, hi, wantMin))
+          .reduceOption((a, b) =>
+            if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b)
+      }
+    lazy val n: Long =
+      if (ks != null) pointTotals.sum
       else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
-    Some(answerReader(InternalRow.fromSeq(aggs.map(_ => n))))
+    val vals = new Array[Any](aggs.length)
+    var i = 0
+    while (i < aggs.length) {
+      aggs(i) match {
+        case PushedAgg.CountStar | PushedAgg.Count(_) => vals(i) = n
+        case PushedAgg.Min(_) =>
+          vals(i) = extremal(wantMin = true).map(keyCodec.decode).orNull
+        case PushedAgg.Max(_) =>
+          vals(i) = extremal(wantMin = false).map(keyCodec.decode).orNull
+        case _ => return None // unreachable (shapesOk above)
+      }
+      i += 1
+    }
+    Some(answerReader(InternalRow.fromSeq(vals.toIndexedSeq)))
   }
 
   private def answerReader(row: InternalRow): PartitionReader[InternalRow] =

@@ -801,43 +801,191 @@ object CellStore {
           else {
             if (reader == null) reader = new SegmentReader(file)
             val idx = reader.readIndex(ri)
-            // f(x) = #cells with key < x; range = f(hi) - f(lo), where a
-            // null bound contributes its identity (f(-inf) = 0 cells below
-            // a missing lower bound, f(+inf) = cellCount below a missing
-            // upper bound). Entry keys are non-decreasing (a hot key spans
-            // entries), so binary-search the LAST entry strictly below x:
-            // every earlier span is fully below, and only the found span
-            // needs a counted scan (sorted — stop at the first key >= x).
-            def below(x: Array[Byte]): Long = {
-              val keys = idx.keys
-              if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
-              if (Codecs.compareBytes(idx.lastKey, x) < 0) return ri.cellCount.toLong
-              var a = 0
-              var b = keys.length - 1
-              while (a < b) {
-                val mid = (a + b + 1) >>> 1
-                if (Codecs.compareBytes(keys(mid), x) < 0) a = mid else b = mid - 1
-              }
-              var n = idx.cellPos(a).toLong
-              val spanLen =
-                (if (a == idx.cellPos.length - 1) ri.cellCount
-                 else idx.cellPos(a + 1)) - idx.cellPos(a)
-              val it = reader.runIterator(ri.payloadOffset + idx.offsets(a), spanLen)
-              var scanning = true
-              while (scanning && it.hasNext) {
-                if (Codecs.compareBytes(it.next().key, x) < 0) n += 1
-                else scanning = false
-              }
-              n
-            }
-            total += (if (hi == null) ri.cellCount.toLong else below(hi)) -
-              (if (lo == null) 0L else below(lo))
+            // f(hi) - f(lo), where a null bound contributes its identity
+            // (f(-inf) = 0 cells below a missing lower bound, f(+inf) =
+            // cellCount below a missing upper bound)
+            total +=
+              (if (hi == null) ri.cellCount.toLong
+               else cellsBelow(reader, ri, idx, hi)) -
+              (if (lo == null) 0L else cellsBelow(reader, ri, idx, lo))
           }
         }
         i += 1
       }
     } finally if (reader != null) reader.close()
     total
+  }
+
+  /** f(x) = #cells of one run with key < x (x non-null), from its parsed
+    * index. Entry keys are non-decreasing (a hot key spans entries), so
+    * binary-search the LAST entry strictly below x: every earlier span is
+    * fully below and counts positionally; only the found span is scanned
+    * (sorted — stops at the first key >= x). */
+  private def cellsBelow(reader: SegmentReader, ri: RunInfo, idx: RunIndex,
+      x: Array[Byte]): Long = {
+    val keys = idx.keys
+    if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+    if (Codecs.compareBytes(idx.lastKey, x) < 0) return ri.cellCount.toLong
+    val m = lastEntryBelow(keys, x)
+    var n = idx.cellPos(m).toLong
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      if (Codecs.compareBytes(it.next().key, x) < 0) n += 1
+      else scanning = false
+    }
+    n
+  }
+
+  /** Largest entry index with keys(i) < x; caller guarantees keys(0) < x. */
+  private def lastEntryBelow(keys: Array[Array[Byte]], x: Array[Byte]): Int = {
+    var a = 0
+    var b = keys.length - 1
+    while (a < b) {
+      val mid = (a + b + 1) >>> 1
+      if (Codecs.compareBytes(keys(mid), x) < 0) a = mid else b = mid - 1
+    }
+    a
+  }
+
+  private def spanLength(ri: RunInfo, idx: RunIndex, e: Int): Int =
+    (if (e == idx.cellPos.length - 1) ri.cellCount else idx.cellPos(e + 1)) -
+      idx.cellPos(e)
+
+  /** k ++ 0x00 — the exclusive upper bound admitting exactly key == k. */
+  private def keySucc(k: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(k, k.length + 1)
+    out(k.length) = 0
+    out
+  }
+
+  /** Per-point present-cell counts over one segment — the IN twin of
+    * [[countCellsInRange]]: a run whose memoized key window or key bloom
+    * rejects every point is skipped without ANY index IO, and one index
+    * parse per surviving run answers all its points (a large pushed IN
+    * must not parse the index once per key). Returned counts align with
+    * `points`. Same cells-not-rows caveat as [[countCellsInRange]]. */
+  def countCellsAtPoints(file: Path, points: Seq[Array[Byte]]): Array[Long] = {
+    val out = new Array[Long](points.length)
+    if (points.isEmpty) return out
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file) // aligned with infosAll (unfiltered)
+    val statsIt = runStats(file).iterator // aligned with non-empty runs
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              out(p) += cellsBelow(reader, ri, idx, keySucc(k)) -
+                cellsBelow(reader, ri, idx, k)
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+    } finally if (reader != null) reader.close()
+    out
+  }
+
+  /** Extremal key BYTES of one segment within [lo, hi) (null = unbounded),
+    * or None when the segment holds no cell in the range. wantMin = the
+    * smallest key >= lo; else the largest key < hi. A run whose window
+    * sits inside the binding bound answers from the memoized stats with
+    * no IO (firstKey/lastKey IS the answer); only a run whose window
+    * straddles the bound scans the ONE span containing it. */
+  def extremalKeyInRange(file: Path, lo: Array[Byte], hi: Array[Byte],
+      wantMin: Boolean): Option[Array[Byte]] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var best: Array[Byte] = null
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val cand: Array[Byte] =
+            if (wantMin) {
+              if (lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0) s.firstKey
+              else {
+                // !disjoint gives s.lastKey >= lo: a first-at-least exists
+                if (reader == null) reader = new SegmentReader(file)
+                firstKeyAtLeast(reader, ri, reader.readIndex(ri), lo)
+              }
+            } else {
+              if (hi == null || Codecs.compareBytes(s.lastKey, hi) < 0) s.lastKey
+              else {
+                // !disjoint gives s.firstKey < hi: a last-below exists
+                if (reader == null) reader = new SegmentReader(file)
+                lastKeyBelow(reader, ri, reader.readIndex(ri), hi)
+              }
+            }
+          // the one-sided seek can still land outside the OTHER bound —
+          // then this run has no cell in the range at all
+          val inRange = cand != null &&
+            (lo == null || Codecs.compareBytes(cand, lo) >= 0) &&
+            (hi == null || Codecs.compareBytes(cand, hi) < 0)
+          if (inRange &&
+              (best == null || (Codecs.compareBytes(cand, best) < 0) == wantMin))
+            best = cand
+        }
+        i += 1
+      }
+    } finally if (reader != null) reader.close()
+    Option(best)
+  }
+
+  /** Smallest key >= lo of one run (caller guarantees lastKey >= lo and
+    * firstKey < lo): scan the span holding the boundary; if it exhausts
+    * below lo, the NEXT entry's key is the answer (it is >= lo by the
+    * entry search, and it IS the first cell of its span). */
+  private def firstKeyAtLeast(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, lo: Array[Byte]): Array[Byte] = {
+    val m = lastEntryBelow(idx.keys, lo)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    while (it.hasNext) {
+      val k = it.next().key
+      if (Codecs.compareBytes(k, lo) >= 0) return k
+    }
+    if (m + 1 < idx.keys.length) idx.keys(m + 1) else null // null: unreachable
+  }
+
+  /** Largest key < hi of one run (caller guarantees firstKey < hi and
+    * lastKey >= hi): cells past the boundary span start at an entry
+    * key >= hi, so the answer is inside the ONE span holding the
+    * boundary — scan it tracking the last key below. */
+  private def lastKeyBelow(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, hi: Array[Byte]): Array[Byte] = {
+    val m = lastEntryBelow(idx.keys, hi)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var last: Array[Byte] = null
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val k = it.next().key
+      if (Codecs.compareBytes(k, hi) < 0) last = k else scanning = false
+    }
+    last
   }
 
   /** Per-run [[RunStats]] of one segment; memoized per immutable file,

@@ -294,6 +294,71 @@ class MetadataAggSpec extends SparkSpec {
     assert(qrange.collect()(0).getLong(0) == 2L)
   }
 
+  test("range-count: MIN/MAX of the key answer from boundary spans") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_range_mm",
+      (1L to 2000L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val q = Seed.read(spark, store)
+      .filter(col("k") > 500L && col("k") < 1500L)
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    assert(scanOf(q).scan.description().contains("AggStats: range-count"))
+    val (statsOnly, _) = drain(q)
+    assert(statsOnly > 0L)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 501L && r.getLong(1) == 1499L && r.getLong(2) == 999L,
+      s"got $r")
+    // IN: extremal = smallest/largest PRESENT point (absent ones skipped)
+    val qin = Seed.read(spark, store).filter(col("k").isin(5L, 1999L, 5555L))
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    val (so2, _) = drain(qin)
+    assert(so2 > 0L)
+    val r2 = qin.collect()(0)
+    assert(r2.getLong(0) == 5L && r2.getLong(1) == 1999L && r2.getLong(2) == 2L)
+    // empty envelope: NULL extremals, zero count — same as the fold
+    val qe = Seed.read(spark, store).filter(col("k") > 5000L)
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    val (so3, _) = drain(qe)
+    assert(so3 > 0L)
+    val r3 = qe.collect()(0)
+    assert(r3.isNullAt(0) && r3.isNullAt(1) && r3.getLong(2) == 0L)
+    // plain (non-ordered) numeric encoding: byte order != value order, so
+    // a MIN under IN must decline even though the COUNT alone would not
+    val plain = Seed.table(spark, sfDir, "spec_agg_range_mm_plain",
+      Seq((-5L, "a", 1L), (3L, "a", 2L)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"))
+    val qp = Seed.read(spark, plain).filter(col("k").isin(-5L, 3L))
+      .agg(min("k").as("mn"), count(lit(1)).as("n"))
+    assert(!scanOf(qp).scan.description().contains("AggStats"))
+    val rp = qp.collect()(0)
+    assert(rp.getLong(0) == -5L && rp.getLong(1) == 2L)
+  }
+
+  test("range-count: MIN/MAX stay metadata over overlapping runs; counts don't") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_range_mm_ovl",
+      (1L to 100L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    Seed.append((50L to 150L).map(i => (i, "c", i + 7L)).toDF("k", "c", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    // overwrites never remove an address: extremals stay provable
+    val q = Seed.read(spark, store).filter(col("k") >= 40L && col("k") < 130L)
+      .agg(min("k").as("mn"), max("k").as("mx"))
+    val (so, _) = drain(q)
+    assert(so > 0L, "MIN/MAX must stay metadata-answerable over overlap")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 40L && r.getLong(1) == 129L)
+    // adding a COUNT makes the whole aggregation need additivity: fold
+    val qc = Seed.read(spark, store).filter(col("k") >= 40L && col("k") < 130L)
+      .agg(min("k").as("mn"), count(lit(1)).as("n"))
+    val (soc, _) = drain(qc)
+    assert(soc == 0L, "a COUNT over overlapping runs must fold")
+    val rc = qc.collect()(0)
+    assert(rc.getLong(0) == 40L && rc.getLong(1) == 90L)
+  }
+
   test("range-count: overlapping runs and dup addresses fall back, exact") {
     val sp = spark; import sp.implicits._
     val store = Seed.table(spark, sfDir, "spec_agg_range_dup",
