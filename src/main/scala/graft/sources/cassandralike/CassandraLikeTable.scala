@@ -668,10 +668,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (aggregation.groupByExpressions().nonEmpty) return None
     if (aggregation.aggregateExpressions().isEmpty) return None
-    if (limit.isDefined || pushed.nonEmpty) return None
+    if (limit.isDefined) return None
     if (!CassandraLikeTable.plainView(
         k => Options.effective(options, table.tableProps, k),
         table.tableProps)) return None
+    // pushed FILTERS route to the range-aggregate planner (the unfiltered
+    // STAT-tail fold below cannot see a key restriction)
+    if (pushed.nonEmpty) return computeRangeAnswer(aggregation)
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -741,6 +744,60 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => return None // unreachable (translation above)
     }
     Some((want, InternalRow.fromSeq(vals)))
+  }
+
+  /** COMPLETE pushdown of a RANGE/POINT-CONSTRAINED aggregation: when the
+    * pushed filters are all exact key shapes and the driver-side check
+    * proves EVERY bucket's run-level conditions
+    * ([[MetadataAggReader.rangeConditionsOk]] — keys never cross buckets,
+    * so per-bucket proofs compose), the whole filtered COUNT/MIN(key)/
+    * MAX(key) resolves at planning from run-index arithmetic
+    * ([[MetadataAggReader.rangeVals]]): one partition, a precomputed row,
+    * zero executor IO — "how many events in [t1, t2]" answered before the
+    * job starts. COUNT(DISTINCT) never qualifies here (distinct keys
+    * inside a range are not derivable from positions). Any unprovable
+    * condition returns None and Spark retries the partial path, whose
+    * per-bucket readers re-judge the same conditions independently. */
+  private def computeRangeAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    if (!table.mapping.transposed) return None
+    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 &&
+            table.tableSchema.fieldNames.contains(nr.fieldNames.head) =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct =>
+          col(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+        case m: Min => col(m.column).map(PushedAgg.Min.apply)
+        case m: Max => col(m.column).map(PushedAgg.Max.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return None
+    val want = translated.flatten
+    if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
+        pushed)) return None
+    // per-bucket run-level proofs over ONE directory listing
+    val byBucket = CellStore.allSegmentFiles(table.dir)
+    val allFiles = Seq.newBuilder[java.nio.file.Path]
+    byBucket.valuesIterator.foreach { files =>
+      val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
+      if (!MetadataAggReader.rangeConditionsOk(stats, want)) return None
+      allFiles ++= files
+    }
+    val keyN = table.mapping.keyField.name
+    val (lo, hi) = KeyLookupBounds(pushed, keyN, table.keyCodec, null, null)
+    val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
+    Some((want, InternalRow.fromSeq(
+      MetadataAggReader.rangeVals(want, table.keyCodec, allFiles.result(),
+        lo, hi, ks))))
   }
 
   override def pushAggregation(
@@ -1774,18 +1831,37 @@ object MetadataAggReader {
       files: Seq[java.nio.file.Path],
       stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
     if (!mapping.transposed) return None
+    val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
+    if (!rangeShapesOk(mapping, aggs, keyCodec, filters)) return None
+    if (!rangeConditionsOk(stats, aggs)) return None
+    // envelope ∩ the partition's own key slice (sub-splits partition the
+    // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
+    val keyN = mapping.keyField.name
+    val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
+    val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
+    Some(answerReader(InternalRow.fromSeq(
+      rangeVals(aggs, keyCodec, files, lo, hi, ks))))
+  }
+
+  /** Static shape half of the range-aggregate gate, shared by the
+    * per-bucket readers and the COMPLETE-pushdown planner: answerable
+    * aggregates are counts of address fields plus MIN/MAX of the ROW KEY
+    * itself when byte order == value order (the byte-extremal cell in the
+    * envelope IS the value-extremal row — "first/last event in the
+    * window"; MIN/MAX of col/sub under a key range would need range-
+    * constrained windows the index doesn't carry), and every filter must
+    * be an EXACT key shape (envelope == satisfying set) — anything else,
+    * a clustering slice, an index speculative, a non-ranged comparison,
+    * leaves rows the envelope can't see. */
+  private[cassandralike] def rangeShapesOk(
+      mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
+      filters: Array[Filter]): Boolean = {
     val keyF = mapping.keyField
     val colF = mapping.field(FieldRole.TransColumn)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
-    val keyCodec = KeyCodec.of(keyF.dataType, opt)
     val keyN = keyF.name
     val ranged = keyCodec.rangeOrdered
-    // answerable shapes: counts of address fields, plus MIN/MAX of the
-    // ROW KEY itself when byte order == value order (the byte-extremal
-    // cell in the envelope IS the value-extremal row — "first/last event
-    // in the window"). MIN/MAX of col/sub under a key range would need
-    // range-constrained windows the index doesn't carry: decline.
-    val shapesOk = aggs.forall {
+    val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
         c == keyF.name || c == colF.name || (subF != null && c == subF.name)
@@ -1793,15 +1869,7 @@ object MetadataAggReader {
       case PushedAgg.Max(c) => c == keyN && ranged
       case _ => false
     }
-    if (!shapesOk) return None
-    val needsCount = aggs.exists {
-      case PushedAgg.CountStar | PushedAgg.Count(_) => true
-      case _ => false
-    }
-    // every filter must be an EXACT key shape (envelope == satisfying set);
-    // anything else — a clustering slice, an index speculative, a non-
-    // ranged comparison — leaves rows the envelope can't see
-    val exactShapes = filters.forall {
+    shapesOk && filters.nonEmpty && filters.forall {
       case EqualTo(c, v) => c == keyN && v != null
       case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
       case GreaterThan(c, v) => c == keyN && ranged && v != null
@@ -1810,22 +1878,39 @@ object MetadataAggReader {
       case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
       case _ => false
     }
-    if (!exactShapes) return None
-    // COUNTS need additive distinct cells: disjoint runs (exactRows'
-    // check) and each run fully address-deduped — then cells-in-envelope
-    // == rows-in-envelope. MIN/MAX need neither (an overwrite never
-    // removes an address; zero tombstones is already checked above).
-    if (needsCount) {
-      if (exactRows(stats, transposed = true).isEmpty) return None
-      if (stats.exists(s => s.distinctAddrs != s.cells)) return None
+  }
+
+  /** Run-level half of the range-aggregate gate, judged over ONE bucket's
+    * runs (keys never cross buckets, so the complete planner applies it
+    * per bucket): zero tombstones always (a tombstoned address in the
+    * envelope would be counted/extremal-ized while actually deleted);
+    * COUNTS additionally need additive distinct cells — pairwise-disjoint
+    * runs ([[exactRows]]' check) each fully address-deduped, so
+    * cells-in-envelope == rows-in-envelope. MIN/MAX need neither (an
+    * overwrite never removes an address). */
+  private[cassandralike] def rangeConditionsOk(
+      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg]): Boolean = {
+    if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
+    val needsCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
     }
-    // envelope ∩ the partition's own key slice (sub-splits partition the
-    // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
-    val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
-    val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
-    // per-point presence counts (byte-sorted, one index parse per
-    // surviving run per file) serve COUNT and MIN/MAX alike: the
-    // smallest/largest PRESENT point is the envelope's extremal key
+    !needsCount ||
+      (exactRows(stats, transposed = true).isDefined &&
+        !stats.exists(s => s.distinctAddrs != s.cells))
+  }
+
+  /** The range-aggregate values over `files` (one bucket for the partial
+    * readers, the whole store for complete pushdown) within the key
+    * envelope [lo, hi) or point set `ks` — conditions already validated
+    * by the caller. Per-point presence counts (byte-sorted, one index
+    * parse per surviving run per file) serve COUNT and MIN/MAX alike:
+    * the smallest/largest PRESENT point is the envelope's extremal key. */
+  private[cassandralike] def rangeVals(
+      aggs: Seq[PushedAgg], keyCodec: KeyCodec,
+      files: Seq[java.nio.file.Path],
+      lo: Array[Byte], hi: Array[Byte],
+      ks: Seq[Array[Byte]]): Seq[Any] = {
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
     lazy val pointTotals: Array[Long] = {
@@ -1849,20 +1934,15 @@ object MetadataAggReader {
     lazy val n: Long =
       if (ks != null) pointTotals.sum
       else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
-    val vals = new Array[Any](aggs.length)
-    var i = 0
-    while (i < aggs.length) {
-      aggs(i) match {
-        case PushedAgg.CountStar | PushedAgg.Count(_) => vals(i) = n
-        case PushedAgg.Min(_) =>
-          vals(i) = extremal(wantMin = true).map(keyCodec.decode).orNull
-        case PushedAgg.Max(_) =>
-          vals(i) = extremal(wantMin = false).map(keyCodec.decode).orNull
-        case _ => return None // unreachable (shapesOk above)
-      }
-      i += 1
+    aggs.map {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => n
+      case PushedAgg.Min(_) =>
+        extremal(wantMin = true).map(keyCodec.decode).orNull
+      case PushedAgg.Max(_) =>
+        extremal(wantMin = false).map(keyCodec.decode).orNull
+      case other =>
+        throw new IllegalStateException(s"unanswerable range aggregate $other")
     }
-    Some(answerReader(InternalRow.fromSeq(vals.toIndexedSeq)))
   }
 
   private def answerReader(row: InternalRow): PartitionReader[InternalRow] =

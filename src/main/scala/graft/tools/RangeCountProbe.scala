@@ -60,7 +60,9 @@ object RangeCountProbe {
             case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
           }.orNull
       }.filter(_ != null).head
-      println(s"rangeCount=${scan.description().contains("AggStats: range-count")}")
+      val d = scan.description()
+      println(s"complete=${d.contains("AggStats: complete")} " +
+        s"rangeCount=${d.contains("AggStats: range-count")}")
       val batch = scan.toBatch
       val parts = batch.planInputPartitions()
       val factory = batch.createReaderFactory()

@@ -264,12 +264,37 @@ class MetadataAggSpec extends SparkSpec {
       (col("k").isin(7L, 9L) && col("k") >= 8L, 1L)) // IN ∩ range
     cases.foreach { case (f, want) =>
       val df = q(f)
+      // every bucket provable at planning -> the filtered aggregation
+      // resolves COMPLETELY there: one partition, the precomputed row
       val desc = scanOf(df).scan.description()
-      assert(desc.contains("AggStats: range-count"), s"not flagged: $desc")
-      val (statsOnly, _) = drain(df)
-      assert(statsOnly > 0L, s"no metadata partition answered for $f")
+      assert(desc.contains("AggStats: complete"), s"not complete: $desc")
+      val (statsOnly, nParts) = drain(df)
+      assert(nParts == 1 && statsOnly == 1L, s"$f: $statsOnly of $nParts")
       assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
     }
+  }
+
+  test("range-count: partial per-bucket path when one bucket disqualifies") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_range_mixed",
+      (1L to 400L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    // one tombstone -> exactly one bucket loses the metadata claim:
+    // COMPLETE (all-bucket proof) declines, the static flag stays, clean
+    // buckets answer from index arithmetic, the dirty one folds its slice
+    Seed.append(Seq((7L, "c", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "c", "v").repartition(1),
+      store, Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val q = Seed.read(spark, store).filter(col("k") >= 5L && col("k") < 300L)
+      .agg(count(lit(1)).as("n"))
+    val desc = scanOf(q).scan.description()
+    assert(desc.contains("AggStats: range-count") &&
+      !desc.contains("AggStats: complete"), s"desc: $desc")
+    val (statsOnly, nParts) = drain(q)
+    assert(statsOnly > 0L && statsOnly < nParts.toLong,
+      s"expected a metadata/fold mix: $statsOnly of $nParts")
+    assert(q.collect()(0).getLong(0) == 294L) // 295 keys in [5,300) minus deleted 7
   }
 
   test("range-count: point IN under a PLAIN (non-ranged) key encoding") {
@@ -283,9 +308,10 @@ class MetadataAggSpec extends SparkSpec {
       mapping = Some(":key,:column,:value"))
     val qin = Seed.read(spark, store).filter(col("k").isin(-5L, 7L, 99L))
       .agg(count(lit(1)).as("n"))
-    assert(scanOf(qin).scan.description().contains("AggStats: range-count"))
-    val (statsOnly, _) = drain(qin)
-    assert(statsOnly > 0L, "IN under plain encoding must stay metadata-answerable")
+    assert(scanOf(qin).scan.description().contains("AggStats: complete"))
+    val (statsOnly, nParts) = drain(qin)
+    assert(nParts == 1 && statsOnly == 1L,
+      "IN under plain encoding must resolve completely at planning")
     assert(qin.collect()(0).getLong(0) == 2L)
     val qrange = Seed.read(spark, store).filter(col("k") > 0L)
       .agg(count(lit(1)).as("n"))
@@ -303,9 +329,9 @@ class MetadataAggSpec extends SparkSpec {
     val q = Seed.read(spark, store)
       .filter(col("k") > 500L && col("k") < 1500L)
       .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
-    assert(scanOf(q).scan.description().contains("AggStats: range-count"))
-    val (statsOnly, _) = drain(q)
-    assert(statsOnly > 0L)
+    assert(scanOf(q).scan.description().contains("AggStats: complete"))
+    val (statsOnly, nParts) = drain(q)
+    assert(nParts == 1 && statsOnly == 1L)
     val r = q.collect()(0)
     assert(r.getLong(0) == 501L && r.getLong(1) == 1499L && r.getLong(2) == 999L,
       s"got $r")
