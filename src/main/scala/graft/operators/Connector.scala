@@ -172,6 +172,48 @@ object Connector {
       nRange.crossJoin(nPoints)
     },
 
+    // ---- WIDE-ROW WINDOW COUNT: `WHERE key = k AND col BETWEEN a AND b`
+    // — "how many readings did row k log in the window" — answers from
+    // COMPOSITE (key, col) index boundaries: a key's cells are col-sorted
+    // within a run, so the restriction is one contiguous interval per
+    // run; interior spans count positionally, only the two boundary
+    // spans are scanned. Key IN × col window counts per-key intervals.
+    // Resolves COMPLETELY at planning on a clean store (MetadataAggSpec
+    // pins composite boundaries, the col-window extremal interplay and
+    // the key-RANGE×col-window rectangle decline). ----
+    Q("conn_agg_widerow_window",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS k,
+        |    lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0') AS c
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM cells
+        |   WHERE k = '00000003'
+        |     AND c >= '000000010000' AND c < '000000030000') AS n_win,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k IN ('00000001', '00000007')
+        |     AND c >= '000000020000') AS n_two""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        lpad(($"l_orderkey" * 10 + $"l_linenumber").cast("string"), 12, "0")
+          .as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      val store = Seed.table(s, dir, "agg_widerow_window", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      val r = Seed.read(s, store)
+      val nWin = r
+        .filter($"row_key" === "00000003" &&
+          $"column_name" >= "000000010000" && $"column_name" < "000000030000")
+        .agg(count(lit(1)).as("n_win"))
+      val nTwo = r
+        .filter($"row_key".isin("00000001", "00000007") &&
+          $"column_name" >= "000000020000")
+        .agg(count(lit(1)).as("n_two"))
+      nWin.crossJoin(nTwo)
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

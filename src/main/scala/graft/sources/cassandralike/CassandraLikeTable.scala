@@ -783,13 +783,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
     if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
-        pushed)) return None
+        table.colCodec, pushed)) return None
+    val colWin = MetadataAggReader.colWindowOf(table.mapping, table.colCodec,
+      pushed)
     // per-bucket run-level proofs over ONE directory listing
     val byBucket = CellStore.allSegmentFiles(table.dir)
     val allFiles = Seq.newBuilder[java.nio.file.Path]
     byBucket.valuesIterator.foreach { files =>
       val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-      if (!MetadataAggReader.rangeConditionsOk(stats, want)) return None
+      if (!MetadataAggReader.rangeConditionsOk(stats, want,
+          needColEntries = colWin != null)) return None
       allFiles ++= files
     }
     val keyN = table.mapping.keyField.name
@@ -797,7 +800,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
     Some((want, InternalRow.fromSeq(
       MetadataAggReader.rangeVals(want, table.keyCodec, allFiles.result(),
-        lo, hi, ks))))
+        lo, hi, ks, colWin))))
   }
 
   override def pushAggregation(
@@ -1152,39 +1155,19 @@ class CellScan(
       cleanUnslicedView
   }
 
-  /** Static gate of the RANGE/POINT-CONSTRAINED metadata COUNT
-    * ([[MetadataAggReader.rangeCount]]): a COUNT-only pushed aggregation
+  /** Static gate of the RANGE/POINT-CONSTRAINED metadata aggregates
+    * ([[MetadataAggReader.rangeCount]]): COUNT / MIN(key) / MAX(key)
     * over a transposed mapping whose pushed filters are all EXACT key
-    * shapes (equality/IN under any encoding, comparisons only when the
-    * encoding is order-preserving — the same condition under which
-    * [[KeyLookupBounds]] tightens the envelope) on an otherwise-plain
+    * shapes — plus col comparisons under a pinned key set
+    * ([[MetadataAggReader.rangeShapesOk]]) — on an otherwise-plain
     * view. The run-level conditions (STAT tails, zero tombstones, run
-    * disjointness, per-run address-deduped) are judged by the reader. */
-  private lazy val rangeCountEligible: Boolean = {
-    val keyN = table.mapping.keyField.name
-    val ranged = table.keyCodec.rangeOrdered
-    def countShape(a: PushedAgg): Boolean = a match {
-      case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) => table.isAddressField(c)
-      // MIN/MAX of the row key itself: the byte-extremal cell in the
-      // envelope is the value-extremal row under order-preserving bytes
-      case PushedAgg.Min(c) => c == keyN && ranged
-      case PushedAgg.Max(c) => c == keyN && ranged
-      case _ => false
-    }
-    def keyShaped(f: Filter): Boolean = f match {
-      case EqualTo(c, v) => c == keyN && v != null
-      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
-      case GreaterThan(c, v) => c == keyN && ranged && v != null
-      case GreaterThanOrEqual(c, v) => c == keyN && ranged && v != null
-      case LessThan(c, v) => c == keyN && ranged && v != null
-      case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
-      case _ => false
-    }
-    aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(countShape) &&
-      table.mapping.transposed && filters.nonEmpty && filters.forall(keyShaped) &&
+    * disjointness, per-run address-deduped, col entries for col windows)
+    * are judged by the reader. */
+  private lazy val rangeCountEligible: Boolean =
+    aggGroupKeys.isEmpty && table.mapping.transposed &&
+      MetadataAggReader.rangeShapesOk(table.mapping, aggs, table.keyCodec,
+        table.colCodec, filters) &&
       CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
-  }
 
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
     * of [[statsEligible]] and the exact-numRows branch of
@@ -1832,15 +1815,51 @@ object MetadataAggReader {
       stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
     if (!mapping.transposed) return None
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
-    if (!rangeShapesOk(mapping, aggs, keyCodec, filters)) return None
-    if (!rangeConditionsOk(stats, aggs)) return None
+    val colCodec = KeyCodec.ofColumn(
+      mapping.field(FieldRole.TransColumn).dataType, opt)
+    if (!rangeShapesOk(mapping, aggs, keyCodec, colCodec, filters)) return None
+    val colWin = colWindowOf(mapping, colCodec, filters)
+    if (!rangeConditionsOk(stats, aggs, needColEntries = colWin != null))
+      return None
     // envelope ∩ the partition's own key slice (sub-splits partition the
     // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
     val keyN = mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
     Some(answerReader(InternalRow.fromSeq(
-      rangeVals(aggs, keyCodec, files, lo, hi, ks))))
+      rangeVals(aggs, keyCodec, files, lo, hi, ks, colWin))))
+  }
+
+  /** The EXACT half-open clustering-column byte window [lo, hi) of the
+    * pushed col comparisons, or null when none are pushed. Unlike the
+    * scan's pruning window (an inclusive over-approximation re-filtered
+    * downstream) this must BE the predicate: succ() turns each inclusive
+    * byte form into its matching half-open bound, sound only under an
+    * order-preserving col encoding ([[rangeShapesOk]] gates on it). */
+  private[cassandralike] def colWindowOf(mapping: ColumnMapping,
+      colCodec: KeyCodec,
+      filters: Array[Filter]): (Array[Byte], Array[Byte]) = {
+    val colN = mapping.field(FieldRole.TransColumn).name
+    def enc(v: Any): Array[Byte] = colCodec.encode(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v))
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    def tightenLo(b: Array[Byte]): Unit =
+      if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+    def tightenHi(b: Array[Byte]): Unit =
+      if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+    filters.foreach {
+      case GreaterThan(c, v) if c == colN && v != null =>
+        tightenLo(KeyLookupBounds.succ(enc(v)))
+      case GreaterThanOrEqual(c, v) if c == colN && v != null => tightenLo(enc(v))
+      case LessThan(c, v) if c == colN && v != null => tightenHi(enc(v))
+      case LessThanOrEqual(c, v) if c == colN && v != null =>
+        tightenHi(KeyLookupBounds.succ(enc(v)))
+      case _ => ()
+    }
+    if (lo != null && hi != null && Codecs.compareBytes(lo, hi) > 0) (hi, hi)
+    else if (lo == null && hi == null) null
+    else (lo, hi)
   }
 
   /** Static shape half of the range-aggregate gate, shared by the
@@ -1851,16 +1870,23 @@ object MetadataAggReader {
     * window"; MIN/MAX of col/sub under a key range would need range-
     * constrained windows the index doesn't carry), and every filter must
     * be an EXACT key shape (envelope == satisfying set) — anything else,
-    * a clustering slice, an index speculative, a non-ranged comparison,
-    * leaves rows the envelope can't see. */
+    * an index speculative or a non-ranged comparison, leaves rows the
+    * envelope can't see. Clustering-column COMPARISONS are additionally
+    * admitted (exact under an order-preserving col encoding) when the key
+    * filters pin a FINITE key set: each key's cells are col-sorted within
+    * a run, so key-point × col-window is a union of contiguous (key, col)
+    * intervals — a key RANGE × col window is a rectangle positions cannot
+    * count, so it declines. */
   private[cassandralike] def rangeShapesOk(
       mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
-      filters: Array[Filter]): Boolean = {
+      colCodec: KeyCodec, filters: Array[Filter]): Boolean = {
     val keyF = mapping.keyField
     val colF = mapping.field(FieldRole.TransColumn)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
     val keyN = keyF.name
+    val colN = colF.name
     val ranged = keyCodec.rangeOrdered
+    val colRanged = colCodec.rangeOrdered
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
@@ -1869,13 +1895,22 @@ object MetadataAggReader {
       case PushedAgg.Max(c) => c == keyN && ranged
       case _ => false
     }
+    val keyPinned = filters.exists {
+      case EqualTo(c, v) => c == keyN && v != null
+      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty
+      case _ => false
+    }
     shapesOk && filters.nonEmpty && filters.forall {
       case EqualTo(c, v) => c == keyN && v != null
       case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
-      case GreaterThan(c, v) => c == keyN && ranged && v != null
-      case GreaterThanOrEqual(c, v) => c == keyN && ranged && v != null
-      case LessThan(c, v) => c == keyN && ranged && v != null
-      case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case GreaterThan(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
+      case GreaterThanOrEqual(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
+      case LessThan(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
+      case LessThanOrEqual(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
       case _ => false
     }
   }
@@ -1887,10 +1922,14 @@ object MetadataAggReader {
     * COUNTS additionally need additive distinct cells — pairwise-disjoint
     * runs ([[exactRows]]' check) each fully address-deduped, so
     * cells-in-envelope == rows-in-envelope. MIN/MAX need neither (an
-    * overwrite never removes an address). */
+    * overwrite never removes an address). A col window additionally needs
+    * every run's per-entry col bytes ([[CellStore.RunStats.colEntries]])
+    * for the composite boundary search. */
   private[cassandralike] def rangeConditionsOk(
-      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg]): Boolean = {
+      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
+      needColEntries: Boolean = false): Boolean = {
     if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
+    if (needColEntries && stats.exists(!_.colEntries)) return false
     val needsCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
@@ -1910,13 +1949,18 @@ object MetadataAggReader {
       aggs: Seq[PushedAgg], keyCodec: KeyCodec,
       files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte],
-      ks: Seq[Array[Byte]]): Seq[Any] = {
+      ks: Seq[Array[Byte]],
+      colWin: (Array[Byte], Array[Byte]) = null): Seq[Any] = {
+    // a col window is only reachable with a pinned key set (rangeShapesOk)
+    require(colWin == null || ks != null, "col window without a key set")
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
     lazy val pointTotals: Array[Long] = {
       val acc = new Array[Long](sortedKs.length)
       files.foreach { f =>
-        val per = CellStore.countCellsAtPoints(f, sortedKs)
+        val per =
+          if (colWin == null) CellStore.countCellsAtPoints(f, sortedKs)
+          else CellStore.countCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
         var i = 0
         while (i < per.length) { acc(i) += per(i); i += 1 }
       }

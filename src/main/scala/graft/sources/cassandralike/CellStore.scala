@@ -729,7 +729,10 @@ object CellStore {
       firstKey: Array[Byte], lastKey: Array[Byte],
       colMin: Array[Byte], colMax: Array[Byte],
       subMin: Array[Byte], subMax: Array[Byte],
-      tombstones: Int, distinctKeys: Int, distinctAddrs: Int)
+      tombstones: Int, distinctKeys: Int, distinctAddrs: Int,
+      /** every index entry carries non-null col bytes — the precondition
+        * of composite (key, col) boundary arithmetic */
+      colEntries: Boolean = false)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -865,8 +868,17 @@ object CellStore {
     * rejects every point is skipped without ANY index IO, and one index
     * parse per surviving run answers all its points (a large pushed IN
     * must not parse the index once per key). Returned counts align with
-    * `points`. Same cells-not-rows caveat as [[countCellsInRange]]. */
-  def countCellsAtPoints(file: Path, points: Seq[Array[Byte]]): Array[Long] = {
+    * `points`. Same cells-not-rows caveat as [[countCellsInRange]].
+    *
+    * `colLo`/`colHi` (optional, half-open) restrict each point to its
+    * cells with clustering-column bytes in [colLo, colHi) — the wide-row
+    * "how many columns of row k in [a, b)" count, answered from COMPOSITE
+    * (key, col) boundaries (a key's cells are col-sorted within a run, so
+    * the restriction is still one contiguous interval). Callers must have
+    * proven every candidate run carries complete per-entry col bytes
+    * ([[RunStats.colEntries]]) before passing col bounds. */
+  def countCellsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null): Array[Long] = {
     val out = new Array[Long](points.length)
     if (points.isEmpty) return out
     val infosAll = runInfos(file)
@@ -890,8 +902,15 @@ object CellStore {
                 if (reader == null) reader = new SegmentReader(file)
                 idx = reader.readIndex(ri)
               }
-              out(p) += cellsBelow(reader, ri, idx, keySucc(k)) -
-                cellsBelow(reader, ri, idx, k)
+              // [ (k, colLo) , (k, colHi) ) — a null col bound falls back
+              // to the key-only boundary: (k, -inf) = k, (k, +inf) = succ(k)
+              val below =
+                if (colHi == null) cellsBelow(reader, ri, idx, keySucc(k))
+                else cellsBelowComposite(reader, ri, idx, k, colHi)
+              val above =
+                if (colLo == null) cellsBelow(reader, ri, idx, k)
+                else cellsBelowComposite(reader, ri, idx, k, colLo)
+              out(p) += below - above
             }
             p += 1
           }
@@ -900,6 +919,40 @@ object CellStore {
       }
     } finally if (reader != null) reader.close()
     out
+  }
+
+  /** f(X) for the COMPOSITE boundary X = (keyB, colB): #cells of one run
+    * whose (key, col) address is lexicographically below X — the col-level
+    * twin of [[cellsBelow]]. Requires per-entry col bytes (the caller
+    * gates on [[RunStats.colEntries]]); entry addresses are non-decreasing
+    * in (key, col), so the same last-entry-below search applies and only
+    * the boundary span is scanned. */
+  private def cellsBelowComposite(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, keyB: Array[Byte], colB: Array[Byte]): Long = {
+    def addrBelow(k: Array[Byte], c: Array[Byte]): Boolean = {
+      val kc = Codecs.compareBytes(k, keyB)
+      kc < 0 || (kc == 0 && Codecs.compareBytes(c, colB) < 0)
+    }
+    val keys = idx.keys
+    val cols = idx.cols
+    if (!addrBelow(keys(0), cols(0))) return 0L
+    // binary search the LAST entry strictly below (keyB, colB)
+    var a = 0
+    var b = keys.length - 1
+    while (a < b) {
+      val mid = (a + b + 1) >>> 1
+      if (addrBelow(keys(mid), cols(mid))) a = mid else b = mid - 1
+    }
+    var n = idx.cellPos(a).toLong
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(a),
+      spanLength(ri, idx, a))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val cell = it.next()
+      if (addrBelow(cell.key, cell.col)) n += 1
+      else scanning = false
+    }
+    n
   }
 
   /** Extremal key BYTES of one segment within [lo, hi) (null = unbounded),
@@ -997,7 +1050,8 @@ object CellStore {
         val idx = r.readIndex(ri)
         RunStats(ri.cellCount, idx.keys(0), idx.lastKey,
           idx.colMin, idx.colMax, idx.subMin, idx.subMax,
-          idx.statTombstones, idx.statKeys, idx.statAddrs)
+          idx.statTombstones, idx.statKeys, idx.statAddrs,
+          colEntries = idx.cols != null && !idx.cols.exists(_ == null))
       }.toArray
       finally r.close()
     })

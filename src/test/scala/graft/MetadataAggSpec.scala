@@ -385,6 +385,47 @@ class MetadataAggSpec extends SparkSpec {
     assert(rc.getLong(0) == 40L && rc.getLong(1) == 90L)
   }
 
+  test("range-count: key-point × col-window counts from composite boundaries") {
+    val sp = spark; import sp.implicits._
+    // one 5000-column wide row (spans ~40 index entries) + a 300-column one
+    val rows = (1 to 5000).map(i => (1L, f"c$i%04d", i.toLong)) ++
+      (1 to 300).map(i => (2L, f"c$i%04d", i.toLong))
+    val store = Seed.table(spark, sfDir, "spec_agg_colwin",
+      rows.toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f).agg(count(lit(1)).as("n"))
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (col("k") === 1L && col("c") >= "c0100" && col("c") < "c0200", 100L),
+      (col("k") === 1L && col("c") > "c4000" && col("c") <= "c5000", 1000L),
+      (col("k") === 2L && col("c") >= "c0100", 201L),
+      (col("k") === 1L && col("c") > "c5000", 0L),
+      (col("k").isin(1L, 2L) && col("c") >= "c0290" && col("c") <= "c0310", 32L))
+    cases.foreach { case (f, want) =>
+      val df = q(f)
+      val desc = scanOf(df).scan.description()
+      assert(desc.contains("AggStats: complete"), s"not complete for $f: $desc")
+      assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
+    }
+    // extremals respect the col window: key 2 has no column past c0300,
+    // so MAX(present key) under the window is 1, not 2
+    val qmm = Seed.read(spark, store)
+      .filter(col("k").isin(1L, 2L) && col("c") > "c0300")
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    assert(scanOf(qmm).scan.description().contains("AggStats: complete"))
+    val r = qmm.collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 4700L,
+      s"got $r")
+    // a key RANGE × col window is a rectangle positions cannot count:
+    // declines to the ordinary seek-pruned scan, exact either way
+    val qrect = Seed.read(spark, store)
+      .filter(col("k") >= 1L && col("c") >= "c0100" && col("c") < "c0200")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qrect).scan.description().contains("AggStats"))
+    assert(qrect.collect()(0).getLong(0) == 200L)
+  }
+
   test("range-count: overlapping runs and dup addresses fall back, exact") {
     val sp = spark; import sp.implicits._
     val store = Seed.table(spark, sfDir, "spec_agg_range_dup",
