@@ -1386,11 +1386,56 @@ class CellScan(
             else s.distinctKeys.toLong).sum)
         }
       }
+    // EXACT numRows under pushed KEY filters, from the same range-count
+    // arithmetic the metadata aggregates use: a point/IN lookup (or any
+    // exact key shape on a RANGE layout, where the envelope prunes to the
+    // covered buckets) on a provably-clean view reports its true filtered
+    // row count AND a proportional sizeInBytes — so `store WHERE key IN
+    // (...)` joined to anything auto-broadcasts instead of carrying the
+    // whole store's size. Containment: engaged only when bucket pruning
+    // bounds the driver-side index work (a finite key set, or a range
+    // layout); a hash-layout open range would walk every bucket's tails
+    // at every planning and stays on the estimate.
+    val exactFiltered: Option[Long] =
+      if (exact.isDefined || filters.isEmpty || aggs.nonEmpty) None
+      else if (!table.mapping.transposed) None
+      else if (!CassandraLikeTable.plainView(
+        k => table.opt(options, k), table.tableProps)) None
+      else if (!MetadataAggReader.rangeShapesOk(table.mapping,
+        Seq(PushedAgg.CountStar), table.keyCodec, table.colCodec, filters)) None
+      else {
+        val keyN = table.mapping.keyField.name
+        val (lo, hi) = KeyLookupBounds(filters, keyN, table.keyCodec, null, null)
+        val ks = KeyLookupBounds.keySet(filters, keyN, table.keyCodec, lo, hi)
+        if (ks == null && table.rangeBounds == null) None
+        else {
+          val colWin = MetadataAggReader.colWindowOf(table.mapping,
+            table.colCodec, filters)
+          val provable = plannedBuckets.forall { b =>
+            val st = segmentsByBucket.getOrElse(b, Nil)
+              .flatMap(f => CellStore.runStats(f).toSeq)
+            MetadataAggReader.rangeConditionsOk(st, Seq(PushedAgg.CountStar),
+              needColEntries = colWin != null)
+          }
+          if (!provable) None
+          else {
+            val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
+            Some(MetadataAggReader.rangeVals(Seq(PushedAgg.CountStar),
+              table.keyCodec, files, lo, hi, ks, colWin)
+              .head.asInstanceOf[Long])
+          }
+        }
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(exactFiltered match {
+          // scale by the store's average cell size; floor at 1 byte
+          case Some(n) => math.max(1L, n * (bytes / math.max(1L, cells)))
+          case None => bytes
+        })
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(exact.getOrElse(cells / rowFanout))
+        java.util.OptionalLong.of(
+          exact.orElse(exactFiltered).getOrElse(cells / rowFanout))
     }
   }
 

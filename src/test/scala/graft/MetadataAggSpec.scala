@@ -240,6 +240,54 @@ class MetadataAggSpec extends SparkSpec {
     assert(numRows(asOf) == 100L, "non-clean view keeps the cell estimate")
   }
 
+  test("estimateStatistics: exact filtered rows under pinned key filters") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_stats_filt",
+      (1L to 1000L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    def stats(df: org.apache.spark.sql.DataFrame) = scanOf(df).scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    // a two-key IN over 1000 rows: numRows is the TRUE 2 (not 1000) and
+    // sizeInBytes scales with it — this is what lets a filtered store
+    // side auto-broadcast in a join
+    val filtered = Seed.read(spark, store).filter(col("k").isin(5L, 700L))
+    val s = stats(filtered.select(col("k"), col("v")))
+    assert(s.numRows().getAsLong == 2L, s"numRows=${s.numRows()}")
+    val whole = stats(Seed.read(spark, store).select(col("k"), col("v")))
+    assert(s.sizeInBytes().getAsLong < whole.sizeInBytes().getAsLong / 100,
+      s"filtered size ${s.sizeInBytes()} vs whole ${whole.sizeInBytes()}")
+    // key-point × col-window: the composite count feeds numRows too
+    val win = Seed.read(spark, store)
+      .filter(col("k") === 500L && col("c") >= "c")
+    assert(stats(win).numRows().getAsLong == 1L)
+    // an open range on a HASH layout would walk every bucket's index
+    // tails at every planning: stays on the estimate (containment)
+    val open = Seed.read(spark, store).filter(col("k") > 10L)
+    assert(stats(open).numRows().getAsLong == 1000L,
+      "hash-layout open range keeps the whole-store estimate")
+    // end-to-end: with a threshold between the filtered and whole sizes,
+    // the exact filtered stats flip the join to broadcast — the unfiltered
+    // store side stays a shuffle join
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+      val probe = spark.range(1, 100000).toDF("k")
+      def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect() // materialize so AQE finalizes the plan
+        df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      }
+      val small = Seed.read(spark, store).filter(col("k").isin(5L, 700L))
+        .select(col("k"), col("v"))
+      assert(hasBroadcast(probe.join(small, "k")),
+        "exact filtered stats must let the 2-row store side broadcast")
+      val all = Seed.read(spark, store).select(col("k"), col("v"))
+      assert(!hasBroadcast(probe.join(all, "k")),
+        "the whole store exceeds the threshold and must not broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("range-count: pushed key ranges answer COUNT from index arithmetic") {
     val sp = spark; import sp.implicits._
     // 2000 single-cell wide rows over IndexEvery=128 spans: boundary spans
