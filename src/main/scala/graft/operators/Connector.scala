@@ -214,6 +214,49 @@ object Connector {
       nWin.crossJoin(nTwo)
     },
 
+    // ---- SUPER-ROW SUB-WINDOW COUNT: `WHERE key = k AND col IN (...) AND
+    // sub BETWEEN a AND b` — three address levels of the same positional
+    // machinery: each pinned (key, col) group is one contiguous interval,
+    // the sub window narrows it via (key, col, sub) composite boundaries
+    // (sub bytes sort within one (key, col) group). Resolves COMPLETELY
+    // at planning on a clean store; MetadataAggSpec pins the super-store
+    // cases incl. the col-window+sub-window decline. ----
+    Q("conn_agg_super_window",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_partkey % 100 AS VARCHAR), 4, '0') AS k,
+        |    lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS c,
+        |    lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0') AS s
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM cells
+        |   WHERE k = '0042' AND c IN ('00000001', '00000003')) AS n_cols,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k = '0042' AND c IN ('00000001', '00000003')
+        |     AND s >= '000000010000' AND s < '000001000000') AS n_subwin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad(($"l_partkey" % 100).cast("string"), 4, "0").as("row_key"),
+        lpad($"l_suppkey".cast("string"), 8, "0").as("column_name"),
+        lpad(($"l_orderkey" * 10 + $"l_linenumber").cast("string"), 12, "0")
+          .as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name", "sub_column_name")
+      val store = Seed.table(s, dir, "agg_super_window", src.repartition(1),
+        mapping = Some(":key,:column,:subcolumn,:value"))
+      val r = Seed.read(s, store)
+      val nCols = r
+        .filter($"row_key" === "0042" &&
+          $"column_name".isin("00000001", "00000003"))
+        .agg(count(lit(1)).as("n_cols"))
+      val nSub = r
+        .filter($"row_key" === "0042" &&
+          $"column_name".isin("00000001", "00000003") &&
+          $"sub_column_name" >= "000000010000" &&
+          $"sub_column_name" < "000001000000")
+        .agg(count(lit(1)).as("n_subwin"))
+      nCols.crossJoin(nSub)
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

@@ -783,16 +783,22 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
     if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
-        table.colCodec, pushed)) return None
+        table.colCodec, table.subCodec, pushed)) return None
     val colWin = MetadataAggReader.colWindowOf(table.mapping, table.colCodec,
       pushed)
+    val colPts = MetadataAggReader.colPointsOf(table.mapping, table.colCodec,
+      pushed)
+    val subWin =
+      if (table.subCodec == null) null
+      else MetadataAggReader.subWindowOf(table.mapping, table.subCodec, pushed)
     // per-bucket run-level proofs over ONE directory listing
     val byBucket = CellStore.allSegmentFiles(table.dir)
     val allFiles = Seq.newBuilder[java.nio.file.Path]
     byBucket.valuesIterator.foreach { files =>
       val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
       if (!MetadataAggReader.rangeConditionsOk(stats, want,
-          needColEntries = colWin != null)) return None
+          needColEntries = colWin != null || colPts != null,
+          needSubEntries = subWin != null)) return None
       allFiles ++= files
     }
     val keyN = table.mapping.keyField.name
@@ -800,7 +806,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
     Some((want, InternalRow.fromSeq(
       MetadataAggReader.rangeVals(want, table.keyCodec, allFiles.result(),
-        lo, hi, ks, colWin))))
+        lo, hi, ks, colWin, colPts, subWin))))
   }
 
   override def pushAggregation(
@@ -1166,7 +1172,7 @@ class CellScan(
   private lazy val rangeCountEligible: Boolean =
     aggGroupKeys.isEmpty && table.mapping.transposed &&
       MetadataAggReader.rangeShapesOk(table.mapping, aggs, table.keyCodec,
-        table.colCodec, filters) &&
+        table.colCodec, table.subCodec, filters) &&
       CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
 
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
@@ -1402,7 +1408,8 @@ class CellScan(
       else if (!CassandraLikeTable.plainView(
         k => table.opt(options, k), table.tableProps)) None
       else if (!MetadataAggReader.rangeShapesOk(table.mapping,
-        Seq(PushedAgg.CountStar), table.keyCodec, table.colCodec, filters)) None
+        Seq(PushedAgg.CountStar), table.keyCodec, table.colCodec,
+        table.subCodec, filters)) None
       else {
         val keyN = table.mapping.keyField.name
         val (lo, hi) = KeyLookupBounds(filters, keyN, table.keyCodec, null, null)
@@ -1411,17 +1418,24 @@ class CellScan(
         else {
           val colWin = MetadataAggReader.colWindowOf(table.mapping,
             table.colCodec, filters)
+          val colPts = MetadataAggReader.colPointsOf(table.mapping,
+            table.colCodec, filters)
+          val subWin =
+            if (table.subCodec == null) null
+            else MetadataAggReader.subWindowOf(table.mapping, table.subCodec,
+              filters)
           val provable = plannedBuckets.forall { b =>
             val st = segmentsByBucket.getOrElse(b, Nil)
               .flatMap(f => CellStore.runStats(f).toSeq)
             MetadataAggReader.rangeConditionsOk(st, Seq(PushedAgg.CountStar),
-              needColEntries = colWin != null)
+              needColEntries = colWin != null || colPts != null,
+              needSubEntries = subWin != null)
           }
           if (!provable) None
           else {
             val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
             Some(MetadataAggReader.rangeVals(Seq(PushedAgg.CountStar),
-              table.keyCodec, files, lo, hi, ks, colWin)
+              table.keyCodec, files, lo, hi, ks, colWin, colPts, subWin)
               .head.asInstanceOf[Long])
           }
         }
@@ -1862,9 +1876,18 @@ object MetadataAggReader {
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
     val colCodec = KeyCodec.ofColumn(
       mapping.field(FieldRole.TransColumn).dataType, opt)
-    if (!rangeShapesOk(mapping, aggs, keyCodec, colCodec, filters)) return None
+    val subCodec =
+      if (mapping.hasSubColumn)
+        KeyCodec.ofSub(mapping.field(FieldRole.TransSubColumn).dataType, opt)
+      else null
+    if (!rangeShapesOk(mapping, aggs, keyCodec, colCodec, subCodec, filters))
+      return None
     val colWin = colWindowOf(mapping, colCodec, filters)
-    if (!rangeConditionsOk(stats, aggs, needColEntries = colWin != null))
+    val colPts = colPointsOf(mapping, colCodec, filters)
+    val subWin = if (subCodec == null) null else subWindowOf(mapping, subCodec, filters)
+    if (!rangeConditionsOk(stats, aggs,
+        needColEntries = colWin != null || colPts != null,
+        needSubEntries = subWin != null))
       return None
     // envelope ∩ the partition's own key slice (sub-splits partition the
     // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
@@ -1872,7 +1895,7 @@ object MetadataAggReader {
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
     Some(answerReader(InternalRow.fromSeq(
-      rangeVals(aggs, keyCodec, files, lo, hi, ks, colWin))))
+      rangeVals(aggs, keyCodec, files, lo, hi, ks, colWin, colPts, subWin))))
   }
 
   /** The EXACT half-open clustering-column byte window [lo, hi) of the
@@ -1924,14 +1947,17 @@ object MetadataAggReader {
     * count, so it declines. */
   private[cassandralike] def rangeShapesOk(
       mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
-      colCodec: KeyCodec, filters: Array[Filter]): Boolean = {
+      colCodec: KeyCodec, subCodec: KeyCodec,
+      filters: Array[Filter]): Boolean = {
     val keyF = mapping.keyField
     val colF = mapping.field(FieldRole.TransColumn)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
     val keyN = keyF.name
     val colN = colF.name
+    val subN = if (subF == null) null else subF.name
     val ranged = keyCodec.rangeOrdered
     val colRanged = colCodec.rangeOrdered
+    val subRanged = subCodec != null && subCodec.rangeOrdered
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
@@ -1945,19 +1971,104 @@ object MetadataAggReader {
       case In(c, vs) => c == keyN && vs != null && vs.nonEmpty
       case _ => false
     }
-    shapesOk && filters.nonEmpty && filters.forall {
-      case EqualTo(c, v) => c == keyN && v != null
-      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
-      case GreaterThan(c, v) =>
-        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
-      case GreaterThanOrEqual(c, v) =>
-        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
-      case LessThan(c, v) =>
-        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
-      case LessThanOrEqual(c, v) =>
-        (c == keyN && ranged || c == colN && colRanged && keyPinned) && v != null
+    // a col POINT set needs an injective byte form (same set colLookup
+    // admits: the ordered encoding normalizes; these plain forms are
+    // byte-injective already)
+    val colInjective = colCodec.ordered || (colF.dataType match {
+      case org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.BinaryType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    val colPinned = keyPinned && colInjective && filters.exists {
+      case EqualTo(c, v) => c == colN && v != null
+      case In(c, vs) => c == colN && vs != null && vs.nonEmpty
       case _ => false
     }
+    // col windows and col points don't mix (the window would have to
+    // filter the points — possible, but the seeks already serve it)
+    val colWindowed = filters.exists {
+      case GreaterThan(c, _) => c == colN
+      case GreaterThanOrEqual(c, _) => c == colN
+      case LessThan(c, _) => c == colN
+      case LessThanOrEqual(c, _) => c == colN
+      case _ => false
+    }
+    if (colPinned && colWindowed) return false
+    shapesOk && filters.nonEmpty && filters.forall {
+      case EqualTo(c, v) =>
+        (c == keyN || (c == colN && colPinned)) && v != null
+      case In(c, vs) =>
+        (c == keyN || (c == colN && colPinned)) &&
+          vs != null && vs.nonEmpty && vs.forall(_ != null)
+      case GreaterThan(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned ||
+          c == subN && subRanged && colPinned) && v != null
+      case GreaterThanOrEqual(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned ||
+          c == subN && subRanged && colPinned) && v != null
+      case LessThan(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned ||
+          c == subN && subRanged && colPinned) && v != null
+      case LessThanOrEqual(c, v) =>
+        (c == keyN && ranged || c == colN && colRanged && keyPinned ||
+          c == subN && subRanged && colPinned) && v != null
+      case _ => false
+    }
+  }
+
+  /** The EXACT clustering-column point set pinned by the filters (the
+    * intersection of col equality/IN conjuncts, encoded), or null when
+    * none are pushed — [[KeyLookupBounds.keySet]]'s col twin. */
+  private[cassandralike] def colPointsOf(mapping: ColumnMapping,
+      colCodec: KeyCodec, filters: Array[Filter]): Seq[Array[Byte]] = {
+    val colN = mapping.field(FieldRole.TransColumn).name
+    val sets = filters.flatMap {
+      case EqualTo(c, v) if c == colN && v != null => Some(Seq(v))
+      case In(c, vs) if c == colN && vs != null && vs.nonEmpty =>
+        Some(vs.toSeq.filter(_ != null))
+      case _ => None
+    }.map(_.map(v => colCodec.encode(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)).toSeq).toSet)
+    if (sets.isEmpty) null
+    else sets.reduce(_ intersect _).toSeq.map(_.toArray)
+      .sortWith((a, b) => Codecs.compareBytes(a, b) < 0)
+  }
+
+  /** The EXACT half-open sub-column byte window of the pushed sub
+    * comparisons, or null — [[colWindowOf]]'s sub twin. */
+  private[cassandralike] def subWindowOf(mapping: ColumnMapping,
+      subCodec: KeyCodec,
+      filters: Array[Filter]): (Array[Byte], Array[Byte]) = {
+    if (!mapping.hasSubColumn) return null
+    val subN = mapping.field(FieldRole.TransSubColumn).name
+    def enc(v: Any): Array[Byte] = subCodec.encode(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(v))
+    var lo: Array[Byte] = null
+    var hi: Array[Byte] = null
+    def tightenLo(b: Array[Byte]): Unit =
+      if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+    def tightenHi(b: Array[Byte]): Unit =
+      if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+    filters.foreach {
+      case GreaterThan(c, v) if c == subN && v != null =>
+        tightenLo(KeyLookupBounds.succ(enc(v)))
+      case GreaterThanOrEqual(c, v) if c == subN && v != null => tightenLo(enc(v))
+      case LessThan(c, v) if c == subN && v != null => tightenHi(enc(v))
+      case LessThanOrEqual(c, v) if c == subN && v != null =>
+        tightenHi(KeyLookupBounds.succ(enc(v)))
+      case _ => ()
+    }
+    if (lo != null && hi != null && Codecs.compareBytes(lo, hi) > 0) (hi, hi)
+    else if (lo == null && hi == null) null
+    else (lo, hi)
   }
 
   /** Run-level half of the range-aggregate gate, judged over ONE bucket's
@@ -1972,9 +2083,11 @@ object MetadataAggReader {
     * for the composite boundary search. */
   private[cassandralike] def rangeConditionsOk(
       stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
-      needColEntries: Boolean = false): Boolean = {
+      needColEntries: Boolean = false,
+      needSubEntries: Boolean = false): Boolean = {
     if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
     if (needColEntries && stats.exists(!_.colEntries)) return false
+    if (needSubEntries && stats.exists(!_.subEntries)) return false
     val needsCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
@@ -1995,17 +2108,27 @@ object MetadataAggReader {
       files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte],
       ks: Seq[Array[Byte]],
-      colWin: (Array[Byte], Array[Byte]) = null): Seq[Any] = {
-    // a col window is only reachable with a pinned key set (rangeShapesOk)
-    require(colWin == null || ks != null, "col window without a key set")
+      colWin: (Array[Byte], Array[Byte]) = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subWin: (Array[Byte], Array[Byte]) = null): Seq[Any] = {
+    // col/sub restrictions are only reachable with a pinned key set, and
+    // a sub window only inside pinned cols (rangeShapesOk)
+    require((colWin == null && colPoints == null && subWin == null) || ks != null,
+      "col/sub restriction without a key set")
+    require(subWin == null || colPoints != null, "sub window without col points")
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
     lazy val pointTotals: Array[Long] = {
       val acc = new Array[Long](sortedKs.length)
       files.foreach { f =>
         val per =
-          if (colWin == null) CellStore.countCellsAtPoints(f, sortedKs)
-          else CellStore.countCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+          if (colPoints != null)
+            CellStore.countCellsAtPoints(f, sortedKs, colPoints = colPoints,
+              subLo = if (subWin == null) null else subWin._1,
+              subHi = if (subWin == null) null else subWin._2)
+          else if (colWin != null)
+            CellStore.countCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+          else CellStore.countCellsAtPoints(f, sortedKs)
         var i = 0
         while (i < per.length) { acc(i) += per(i); i += 1 }
       }

@@ -732,7 +732,10 @@ object CellStore {
       tombstones: Int, distinctKeys: Int, distinctAddrs: Int,
       /** every index entry carries non-null col bytes — the precondition
         * of composite (key, col) boundary arithmetic */
-      colEntries: Boolean = false)
+      colEntries: Boolean = false,
+      /** every index entry carries non-null sub bytes — the precondition
+        * of (key, col, sub) boundary arithmetic */
+      subEntries: Boolean = false)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -874,11 +877,19 @@ object CellStore {
     * cells with clustering-column bytes in [colLo, colHi) — the wide-row
     * "how many columns of row k in [a, b)" count, answered from COMPOSITE
     * (key, col) boundaries (a key's cells are col-sorted within a run, so
-    * the restriction is still one contiguous interval). Callers must have
-    * proven every candidate run carries complete per-entry col bytes
-    * ([[RunStats.colEntries]]) before passing col bounds. */
+    * the restriction is still one contiguous interval). `colPoints`
+    * (mutually exclusive with the col window) restricts each key to the
+    * listed clustering columns instead — each (key, col) pair its own
+    * contiguous interval — optionally narrowed further to sub-column
+    * bytes in [subLo, subHi) (sub bytes are sorted within one (key, col)
+    * group, null sub ordering as empty). Callers must have proven every
+    * candidate run carries complete per-entry col bytes
+    * ([[RunStats.colEntries]]) before passing col bounds, and sub bytes
+    * ([[RunStats.subEntries]]) before passing sub bounds. */
   def countCellsAtPoints(file: Path, points: Seq[Array[Byte]],
-      colLo: Array[Byte] = null, colHi: Array[Byte] = null): Array[Long] = {
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subLo: Array[Byte] = null, subHi: Array[Byte] = null): Array[Long] = {
     val out = new Array[Long](points.length)
     if (points.isEmpty) return out
     val infosAll = runInfos(file)
@@ -902,15 +913,34 @@ object CellStore {
                 if (reader == null) reader = new SegmentReader(file)
                 idx = reader.readIndex(ri)
               }
-              // [ (k, colLo) , (k, colHi) ) — a null col bound falls back
-              // to the key-only boundary: (k, -inf) = k, (k, +inf) = succ(k)
-              val below =
-                if (colHi == null) cellsBelow(reader, ri, idx, keySucc(k))
-                else cellsBelowComposite(reader, ri, idx, k, colHi)
-              val above =
-                if (colLo == null) cellsBelow(reader, ri, idx, k)
-                else cellsBelowComposite(reader, ri, idx, k, colLo)
-              out(p) += below - above
+              if (colPoints != null) {
+                // one contiguous interval per (k, c):
+                // [ (k, c, subLo) , (k, c, subHi) ), null sub bounds
+                // falling back to the whole (k, c) group
+                var ci = 0
+                while (ci < colPoints.length) {
+                  val c = colPoints(ci)
+                  val below =
+                    if (subHi == null)
+                      cellsBelowComposite(reader, ri, idx, k, keySucc(c))
+                    else cellsBelowComposite(reader, ri, idx, k, c, subHi)
+                  val above =
+                    if (subLo == null) cellsBelowComposite(reader, ri, idx, k, c)
+                    else cellsBelowComposite(reader, ri, idx, k, c, subLo)
+                  out(p) += below - above
+                  ci += 1
+                }
+              } else {
+                // [ (k, colLo) , (k, colHi) ) — a null col bound falls back
+                // to the key-only boundary: (k, -inf) = k, (k, +inf) = succ(k)
+                val below =
+                  if (colHi == null) cellsBelow(reader, ri, idx, keySucc(k))
+                  else cellsBelowComposite(reader, ri, idx, k, colHi)
+                val above =
+                  if (colLo == null) cellsBelow(reader, ri, idx, k)
+                  else cellsBelowComposite(reader, ri, idx, k, colLo)
+                out(p) += below - above
+              }
             }
             p += 1
           }
@@ -921,27 +951,41 @@ object CellStore {
     out
   }
 
-  /** f(X) for the COMPOSITE boundary X = (keyB, colB): #cells of one run
-    * whose (key, col) address is lexicographically below X — the col-level
-    * twin of [[cellsBelow]]. Requires per-entry col bytes (the caller
-    * gates on [[RunStats.colEntries]]); entry addresses are non-decreasing
-    * in (key, col), so the same last-entry-below search applies and only
+  /** f(X) for the COMPOSITE boundary X = (keyB[, colB[, subB]]): #cells of
+    * one run whose (key, col, sub) address is lexicographically below X —
+    * the multi-level twin of [[cellsBelow]]. A null colB compares at key
+    * level only ((k) = "before any cell of k"); a null subB at (key, col)
+    * level. Requires per-entry col/sub bytes down to the deepest non-null
+    * bound (the caller gates on [[RunStats.colEntries]] /
+    * [[RunStats.subEntries]]); entry addresses are non-decreasing in
+    * (key, col, sub), so the same last-entry-below search applies and only
     * the boundary span is scanned. */
   private def cellsBelowComposite(reader: SegmentReader, ri: RunInfo,
-      idx: RunIndex, keyB: Array[Byte], colB: Array[Byte]): Long = {
-    def addrBelow(k: Array[Byte], c: Array[Byte]): Boolean = {
+      idx: RunIndex, keyB: Array[Byte], colB: Array[Byte],
+      subB: Array[Byte] = null): Long = {
+    def addrBelow(k: Array[Byte], c: Array[Byte], s: Array[Byte]): Boolean = {
       val kc = Codecs.compareBytes(k, keyB)
-      kc < 0 || (kc == 0 && Codecs.compareBytes(c, colB) < 0)
+      if (kc != 0) return kc < 0
+      if (colB == null) return false
+      val cc = Codecs.compareBytes(c, colB)
+      if (cc != 0) return cc < 0
+      if (subB == null) return false
+      // [[addressOrdering]] sorts a null sub as EMPTY bytes — compare the
+      // same way, so hidden null-sub cells order consistently
+      Codecs.compareBytes(
+        if (s == null) Array.emptyByteArray else s, subB) < 0
     }
     val keys = idx.keys
     val cols = idx.cols
-    if (!addrBelow(keys(0), cols(0))) return 0L
-    // binary search the LAST entry strictly below (keyB, colB)
+    val subs = idx.subs
+    def entrySub(i: Int): Array[Byte] = if (subs == null) null else subs(i)
+    if (!addrBelow(keys(0), cols(0), entrySub(0))) return 0L
+    // binary search the LAST entry strictly below the boundary
     var a = 0
     var b = keys.length - 1
     while (a < b) {
       val mid = (a + b + 1) >>> 1
-      if (addrBelow(keys(mid), cols(mid))) a = mid else b = mid - 1
+      if (addrBelow(keys(mid), cols(mid), entrySub(mid))) a = mid else b = mid - 1
     }
     var n = idx.cellPos(a).toLong
     val it = reader.runIterator(ri.payloadOffset + idx.offsets(a),
@@ -949,7 +993,7 @@ object CellStore {
     var scanning = true
     while (scanning && it.hasNext) {
       val cell = it.next()
-      if (addrBelow(cell.key, cell.col)) n += 1
+      if (addrBelow(cell.key, cell.col, cell.sub)) n += 1
       else scanning = false
     }
     n
@@ -1051,7 +1095,8 @@ object CellStore {
         RunStats(ri.cellCount, idx.keys(0), idx.lastKey,
           idx.colMin, idx.colMax, idx.subMin, idx.subMax,
           idx.statTombstones, idx.statKeys, idx.statAddrs,
-          colEntries = idx.cols != null && !idx.cols.exists(_ == null))
+          colEntries = idx.cols != null && !idx.cols.exists(_ == null),
+          subEntries = idx.subs != null && !idx.subs.exists(_ == null))
       }.toArray
       finally r.close()
     })

@@ -474,6 +474,48 @@ class MetadataAggSpec extends SparkSpec {
     assert(qrect.collect()(0).getLong(0) == 200L)
   }
 
+  test("range-count: key=k, col=c sub-window counts on super mappings") {
+    val sp = spark; import sp.implicits._
+    val rows =
+      (1 to 500).map(i => (1L, "a", f"s$i%04d", i.toLong)) ++
+      (1 to 100).map(i => (1L, "b", f"s$i%04d", i.toLong)) ++
+      (1 to 50).map(i => (2L, "a", f"s$i%04d", i.toLong))
+    val store = Seed.table(spark, sfDir, "spec_agg_subwin",
+      rows.toDF("k", "c", "s", "v").repartition(1),
+      mapping = Some(":key,:column,:subcolumn,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f).agg(count(lit(1)).as("n"))
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (col("k") === 1L && col("c") === "a", 500L),
+      (col("k") === 1L && col("c") === "a" &&
+        col("s") >= "s0100" && col("s") < "s0200", 100L),
+      (col("k") === 1L && col("c").isin("a", "b"), 600L),
+      (col("k") === 1L && col("c").isin("a", "b") && col("s") >= "s0450", 51L),
+      (col("k").isin(1L, 2L) && col("c") === "a" && col("s") <= "s0050", 100L))
+    cases.foreach { case (f, want) =>
+      val df = q(f)
+      val desc = scanOf(df).scan.description()
+      assert(desc.contains("AggStats: complete"), s"not complete for $f: $desc")
+      assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
+    }
+    // MIN/MAX(key) respect the (col, sub) restriction: key 2 has no sub
+    // past s0050 under col 'a', so the extremals collapse to key 1
+    val qmm = Seed.read(spark, store)
+      .filter(col("k").isin(1L, 2L) && col("c") === "a" && col("s") > "s0050")
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    val r = qmm.collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getLong(2) == 450L,
+      s"got $r")
+    // a col WINDOW below a sub window has no pinned (key, col) intervals:
+    // declines to the ordinary scan, exact either way
+    val qcw = Seed.read(spark, store)
+      .filter(col("k") === 1L && col("c") >= "a" && col("s") >= "s0450")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qcw).scan.description().contains("AggStats"))
+    assert(qcw.collect()(0).getLong(0) == 51L)
+  }
+
   test("range-count: overlapping runs and dup addresses fall back, exact") {
     val sp = spark; import sp.implicits._
     val store = Seed.table(spark, sfDir, "spec_agg_range_dup",
