@@ -791,19 +791,41 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val subWin =
       if (table.subCodec == null) null
       else MetadataAggReader.subWindowOf(table.mapping, table.subCodec, pushed)
-    // per-bucket run-level proofs over ONE directory listing
-    val byBucket = CellStore.allSegmentFiles(table.dir)
-    val allFiles = Seq.newBuilder[java.nio.file.Path]
-    byBucket.valuesIterator.foreach { files =>
-      val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-      if (!MetadataAggReader.rangeConditionsOk(stats, want,
-          needColEntries = colWin != null || colPts != null,
-          needSubEntries = subWin != null)) return None
-      allFiles ++= files
-    }
     val keyN = table.mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(pushed, keyN, table.keyCodec, null, null)
     val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
+    // per-bucket run-level proofs over ONE directory listing, restricted
+    // to the buckets the envelope can touch — a pinned key set routes to
+    // its own buckets (a tombstone in an UNRELATED bucket must not demote
+    // the complete answer, and a one-key count must not read the whole
+    // store's index tails), a range on the RANGE layout covers contiguous
+    // buckets, and only a hash-layout range keeps every non-empty bucket
+    // (its keys scatter across all of them).
+    val buckets = Options.effective(options, table.tableProps, Options.Buckets)
+      .map(_.toInt).getOrElse(Options.DefaultBuckets)
+    val rb = table.rangeBounds
+    val relevant: Int => Boolean =
+      if (ks != null) {
+        val wanted = ks.map(k => TokenRing.bucket(k, buckets, rb)).toSet
+        wanted.contains _
+      } else if (rb != null) {
+        val envEmpty = lo != null && hi != null &&
+          Codecs.compareBytes(lo, hi) >= 0
+        b => !envEmpty &&
+          (lo == null || b == rb.length || Codecs.compareBytes(lo, rb(b)) < 0) &&
+          (hi == null || b == 0 || Codecs.compareBytes(rb(b - 1), hi) < 0)
+      } else _ => true
+    val byBucket = CellStore.allSegmentFiles(table.dir)
+    val allFiles = Seq.newBuilder[java.nio.file.Path]
+    byBucket.foreach { case (b, files) =>
+      if (relevant(b)) {
+        val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
+        if (!MetadataAggReader.rangeConditionsOk(stats, want,
+            needColEntries = colWin != null || colPts != null,
+            needSubEntries = subWin != null)) return None
+        allFiles ++= files
+      }
+    }
     Some((want, InternalRow.fromSeq(
       MetadataAggReader.rangeVals(want, table.keyCodec, allFiles.result(),
         lo, hi, ks, colWin, colPts, subWin))))
@@ -1066,10 +1088,14 @@ final case class CellInputPartition(
     // scan's view, every committed segment at reader-open time
     files: Seq[String] = null,
     // metadata-only aggregate candidate (see [[MetadataAggReader]]): the
-    // planner verified the STATIC conditions and this partition covers
-    // its WHOLE bucket (never set on key-range sub-splits — the single
-    // reader both judges the run-level conditions and answers for the
-    // bucket, so no cross-split coordination exists to get torn)
+    // planner verified the STATIC conditions. UNFILTERED stats require a
+    // whole-bucket partition (the single reader both judges the run-level
+    // conditions and answers for the bucket from bucket-wide STAT counts,
+    // so the planner flags no sub-splits there); the RANGE-COUNT path
+    // (pushed key filters) IS flagged on key-range sub-splits — it counts
+    // positionally within the partition's own [lower, upper) slice, and a
+    // slice's visible-row count is view-independent, so no cross-split
+    // coordination exists to get torn either way
     aggStats: Boolean = false) extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** S2: replica-aware placement hook (the reference's split locations,
@@ -1393,15 +1419,19 @@ class CellScan(
         }
       }
     // EXACT numRows under pushed KEY filters, from the same range-count
-    // arithmetic the metadata aggregates use: a point/IN lookup (or any
-    // exact key shape on a RANGE layout, where the envelope prunes to the
-    // covered buckets) on a provably-clean view reports its true filtered
-    // row count AND a proportional sizeInBytes — so `store WHERE key IN
-    // (...)` joined to anything auto-broadcasts instead of carrying the
-    // whole store's size. Containment: engaged only when bucket pruning
-    // bounds the driver-side index work (a finite key set, or a range
-    // layout); a hash-layout open range would walk every bucket's tails
-    // at every planning and stays on the estimate.
+    // arithmetic the metadata aggregates use: a point/IN lookup on a
+    // provably-clean view reports its true filtered row count AND a
+    // proportional sizeInBytes — so `store WHERE key IN (...)` joined to
+    // anything auto-broadcasts instead of carrying the whole store's
+    // size. Containment: this runs at EVERY planning of a plain filtered
+    // scan, so it engages ONLY for a small finite key set — bucket
+    // routing then prunes the tail reads to the keys' own buckets. A key
+    // RANGE (any layout) stays on the estimate: the covered buckets are
+    // unbounded and planning a plain scan must never walk full index
+    // tails across the store (the quickRunStats policy above). Range
+    // COUNTS remain metadata-answerable — through the pushed-aggregate
+    // paths, which run only for aggregate queries.
+    val MaxStatPoints = 128
     val exactFiltered: Option[Long] =
       if (exact.isDefined || filters.isEmpty || aggs.nonEmpty) None
       else if (!table.mapping.transposed) None
@@ -1414,7 +1444,7 @@ class CellScan(
         val keyN = table.mapping.keyField.name
         val (lo, hi) = KeyLookupBounds(filters, keyN, table.keyCodec, null, null)
         val ks = KeyLookupBounds.keySet(filters, keyN, table.keyCodec, lo, hi)
-        if (ks == null && table.rangeBounds == null) None
+        if (ks == null || ks.size > MaxStatPoints) None
         else {
           val colWin = MetadataAggReader.colWindowOf(table.mapping,
             table.colCodec, filters)
@@ -3053,14 +3083,12 @@ object KeyLookupBounds {
     }
   }
 
-  /** Immediate successor of `k` in unsigned-lexicographic byte order:
-    * k ++ 0x00 — the exclusive upper bound that admits exactly the keys
-    * equal to `k` (any longer key sharing the prefix compares greater). */
-  private[cassandralike] def succ(k: Array[Byte]): Array[Byte] = {
-    val out = java.util.Arrays.copyOf(k, k.length + 1)
-    out(k.length) = 0
-    out
-  }
+  /** Immediate successor of `k` in unsigned-lexicographic byte order —
+    * delegates to the package's one successor primitive
+    * ([[CellStore.byteSucc]]) so every half-open envelope shares the
+    * same boundary convention. */
+  private[cassandralike] def succ(k: Array[Byte]): Array[Byte] =
+    CellStore.byteSucc(k)
 
   private val byteOrder: Ordering[Array[Byte]] =
     (a, b) => Codecs.compareBytes(a, b)

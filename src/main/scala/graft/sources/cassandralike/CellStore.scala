@@ -859,8 +859,12 @@ object CellStore {
     (if (e == idx.cellPos.length - 1) ri.cellCount else idx.cellPos(e + 1)) -
       idx.cellPos(e)
 
-  /** k ++ 0x00 — the exclusive upper bound admitting exactly key == k. */
-  private def keySucc(k: Array[Byte]): Array[Byte] = {
+  /** k ++ 0x00 — the immediate successor of `k` in unsigned-lexicographic
+    * byte order: the exclusive upper bound admitting exactly the byte
+    * strings equal to `k`. The ONE successor primitive of the package —
+    * [[KeyLookupBounds.succ]] delegates here, so every half-open envelope
+    * shares the same boundary convention. */
+  private[cassandralike] def byteSucc(k: Array[Byte]): Array[Byte] = {
     val out = java.util.Arrays.copyOf(k, k.length + 1)
     out(k.length) = 0
     out
@@ -922,7 +926,7 @@ object CellStore {
                   val c = colPoints(ci)
                   val below =
                     if (subHi == null)
-                      cellsBelowComposite(reader, ri, idx, k, keySucc(c))
+                      cellsBelowComposite(reader, ri, idx, k, byteSucc(c))
                     else cellsBelowComposite(reader, ri, idx, k, c, subHi)
                   val above =
                     if (subLo == null) cellsBelowComposite(reader, ri, idx, k, c)
@@ -934,7 +938,7 @@ object CellStore {
                 // [ (k, colLo) , (k, colHi) ) — a null col bound falls back
                 // to the key-only boundary: (k, -inf) = k, (k, +inf) = succ(k)
                 val below =
-                  if (colHi == null) cellsBelow(reader, ri, idx, keySucc(k))
+                  if (colHi == null) cellsBelow(reader, ri, idx, byteSucc(k))
                   else cellsBelowComposite(reader, ri, idx, k, colHi)
                 val above =
                   if (colLo == null) cellsBelow(reader, ri, idx, k)

@@ -474,6 +474,31 @@ class MetadataAggSpec extends SparkSpec {
     assert(qrect.collect()(0).getLong(0) == 200L)
   }
 
+  test("range-count: a dirty UNRELATED bucket doesn't demote a point count") {
+    val sp = spark; import sp.implicits._
+    // range layout: bucket membership is deterministic (bucket 0 = keys
+    // < 100, bucket 1 = the rest), so the tombstone on key 7 provably
+    // lands in a bucket the point query can never touch
+    val store = Seed.table(spark, sfDir, "spec_agg_range_unrel",
+      (1L to 200L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered",
+        Options.RangeBounds -> "100", Options.Buckets -> "2"))
+    Seed.append(Seq((7L, "c", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "c", "v").repartition(1),
+      store, Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val q = Seed.read(spark, store).filter(col("k") === 150L)
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(q).scan.description().contains("AggStats: complete"),
+      "the complete proof must only cover the key's own bucket")
+    assert(q.collect()(0).getLong(0) == 1L)
+    // the same point INSIDE the dirty bucket correctly declines complete
+    val qd = Seed.read(spark, store).filter(col("k") === 50L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qd).scan.description().contains("AggStats: complete"))
+    assert(qd.collect()(0).getLong(0) == 1L)
+  }
+
   test("range-count: key=k, col=c sub-window counts on super mappings") {
     val sp = spark; import sp.implicits._
     val rows =
