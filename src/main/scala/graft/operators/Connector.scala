@@ -257,6 +257,37 @@ object Connector {
       nCols.crossJoin(nSub)
     },
 
+    // ---- GROUPED metadata range-count: `SELECT key, count(*) WHERE key
+    // IN (...) GROUP BY key` — the batch width/presence check — resolves
+    // COMPLETELY at planning: one row per PRESENT key from the per-point
+    // presence arithmetic (absent keys emit no group, exactly like the
+    // fold), one partition, zero executor IO. MetadataAggSpec pins the
+    // grouped plan shape, the col-window narrowing and the
+    // unpinned-key-set decline. ----
+    Q("conn_agg_grouped_range",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c
+        |  FROM lineitem)
+        |SELECT k, count(*) AS width FROM cells
+        |WHERE k IN ('0000000001', '0000000032', '0000000066', '0000099999')
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      val store = Seed.table(s, dir, "agg_grouped_range", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      Seed.read(s, store)
+        .filter($"row_key".isin(
+          "0000000001", "0000000032", "0000000066", "0000099999"))
+        .groupBy($"row_key").agg(count(lit(1)).as("width"))
+        .select($"row_key".as("k"), $"width")
+        .orderBy($"k")
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

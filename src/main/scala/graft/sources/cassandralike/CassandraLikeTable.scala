@@ -660,18 +660,23 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     completeAnswer.isDefined
   }
 
-  private var completeAnswer: Option[(Seq[PushedAgg], InternalRow)] = None
+  /** (pushed aggregates, group keys, final answer rows) — one row for the
+    * ungrouped forms, one row per PRESENT group key for the grouped form. */
+  private var completeAnswer: Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = None
 
   private def computeMetadataAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Option[(Seq[PushedAgg], InternalRow)] = {
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (aggregation.groupByExpressions().nonEmpty) return None
     if (aggregation.aggregateExpressions().isEmpty) return None
     if (limit.isDefined) return None
     if (!CassandraLikeTable.plainView(
         k => Options.effective(options, table.tableProps, k),
         table.tableProps)) return None
+    // GROUP BY the row key over pushed key points: per-group presence
+    // counts from the same positional arithmetic
+    if (aggregation.groupByExpressions().nonEmpty)
+      return computeGroupedRangeAnswer(aggregation)
     // pushed FILTERS route to the range-aggregate planner (the unfiltered
     // STAT-tail fold below cannot see a key restriction)
     if (pushed.nonEmpty) return computeRangeAnswer(aggregation)
@@ -743,7 +748,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         }
       case _ => return None // unreachable (translation above)
     }
-    Some((want, InternalRow.fromSeq(vals)))
+    Some((want, Nil, Seq(InternalRow.fromSeq(vals))))
   }
 
   /** COMPLETE pushdown of a RANGE/POINT-CONSTRAINED aggregation: when the
@@ -760,28 +765,102 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * per-bucket readers re-judge the same conditions independently. */
   private def computeRangeAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Option[(Seq[PushedAgg], InternalRow)] = {
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (!table.mapping.transposed) return None
-    def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 &&
-            table.tableSchema.fieldNames.contains(nr.fieldNames.head) =>
-          Some(nr.fieldNames.head)
-        case _ => None
-      }
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          col(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
-        case m: Min => col(m.column).map(PushedAgg.Min.apply)
-        case m: Max => col(m.column).map(PushedAgg.Max.apply)
+          aggCol(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+        case m: Min => aggCol(m.column).map(PushedAgg.Min.apply)
+        case m: Max => aggCol(m.column).map(PushedAgg.Max.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
+    validatedRangeContext(want).map { ctx =>
+      (want, Nil, Seq(InternalRow.fromSeq(
+        MetadataAggReader.rangeVals(want, table.keyCodec, ctx.files,
+          ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin))))
+    }
+  }
+
+  /** GROUPED complete pushdown: `GROUP BY key` over pushed key POINTS —
+    * the batch width/presence check (`SELECT key, count(*) ... WHERE key
+    * IN (...) GROUP BY key`) resolves at planning into one row per
+    * PRESENT key from the same per-point presence arithmetic; absent
+    * keys emit no group, exactly like the fold. COUNT shapes only (a
+    * MIN/MAX of the group key is the key itself — Catalyst folds that
+    * away before it reaches the source), and the key set must be pinned
+    * (enumerable groups). */
+  private def computeGroupedRangeAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    val keyN = table.mapping.keyField.name
+    aggregation.groupByExpressions().toSeq.map(aggCol) match {
+      case Seq(Some(g)) if g == keyN => ()
+      case _ => return None
+    }
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct =>
+          aggCol(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return None
+    val want = translated.flatten
+    validatedRangeContext(want).flatMap { ctx =>
+      if (ctx.ks == null) return None // enumerable groups need pinned keys
+      val sortedKs = ctx.ks
+        .sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
+      val totals = new Array[Long](sortedKs.length)
+      ctx.files.foreach { f =>
+        val per = CellStore.countCellsAtPoints(f, sortedKs.toSeq,
+          colLo = if (ctx.colWin == null) null else ctx.colWin._1,
+          colHi = if (ctx.colWin == null) null else ctx.colWin._2,
+          colPoints = ctx.colPts,
+          subLo = if (ctx.subWin == null) null else ctx.subWin._1,
+          subHi = if (ctx.subWin == null) null else ctx.subWin._2)
+        var i = 0
+        while (i < per.length) { totals(i) += per(i); i += 1 }
+      }
+      val rows = sortedKs.indices.collect {
+        case i if totals(i) > 0 =>
+          InternalRow.fromSeq(
+            table.keyCodec.decode(sortedKs(i)) +: want.map(_ => totals(i)))
+      }
+      Some((want, Seq(keyN), rows.toSeq))
+    }
+  }
+
+  private def aggCol(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 &&
+          table.tableSchema.fieldNames.contains(nr.fieldNames.head) =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  /** Envelope + file set of a provable range aggregation, or None. */
+  private case class RangeCtx(files: Seq[java.nio.file.Path],
+      lo: Array[Byte], hi: Array[Byte], ks: Seq[Array[Byte]],
+      colWin: (Array[Byte], Array[Byte]), colPts: Seq[Array[Byte]],
+      subWin: (Array[Byte], Array[Byte]))
+
+  /** Shared validation of the COMPLETE range paths: exact filter shapes,
+    * then per-bucket run-level proofs over ONE directory listing,
+    * restricted to the buckets the envelope can touch — a pinned key set
+    * routes to its own buckets (a tombstone in an UNRELATED bucket must
+    * not demote the complete answer, and a one-key count must not read
+    * the whole store's index tails), a range on the RANGE layout covers
+    * contiguous buckets, and only a hash-layout range keeps every
+    * non-empty bucket (its keys scatter across all of them). */
+  private def validatedRangeContext(want: Seq[PushedAgg]): Option[RangeCtx] = {
+    if (!table.mapping.transposed) return None
     if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
         table.colCodec, table.subCodec, pushed)) return None
     val colWin = MetadataAggReader.colWindowOf(table.mapping, table.colCodec,
@@ -794,13 +873,6 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyN = table.mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(pushed, keyN, table.keyCodec, null, null)
     val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
-    // per-bucket run-level proofs over ONE directory listing, restricted
-    // to the buckets the envelope can touch — a pinned key set routes to
-    // its own buckets (a tombstone in an UNRELATED bucket must not demote
-    // the complete answer, and a one-key count must not read the whole
-    // store's index tails), a range on the RANGE layout covers contiguous
-    // buckets, and only a hash-layout range keeps every non-empty bucket
-    // (its keys scatter across all of them).
     val buckets = Options.effective(options, table.tableProps, Options.Buckets)
       .map(_.toInt).getOrElse(Options.DefaultBuckets)
     val rb = table.rangeBounds
@@ -826,9 +898,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         allFiles ++= files
       }
     }
-    Some((want, InternalRow.fromSeq(
-      MetadataAggReader.rangeVals(want, table.keyCodec, allFiles.result(),
-        lo, hi, ks, colWin, colPts, subWin))))
+    Some(RangeCtx(allFiles.result(), lo, hi, ks, colWin, colPts, subWin))
   }
 
   override def pushAggregation(
@@ -838,8 +908,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // COMPLETE metadata answer already proven by supportCompletePushDown
     // (Spark calls it first, with the same aggregation): accept as-is
     completeAnswer match {
-      case Some((want, _)) =>
-        aggs = want; groupKeys = Nil
+      case Some((want, gk, _)) =>
+        aggs = want; groupKeys = gk
         return true
       case None => ()
     }
@@ -990,10 +1060,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   override def build(): Scan =
     new CellScan(table, required, pushed, options, limit, aggs, groupKeys,
       limitLast,
-      // the answer row applies only if Spark actually pushed the SAME
-      // aggregate list it proved complete (a support probe without the
-      // follow-up push must not turn a plain scan into one answer row)
-      completeAnswer.collect { case (want, row) if aggs == want => row })
+      // the answer rows apply only if Spark actually pushed the SAME
+      // aggregate list (and grouping) it proved complete (a support probe
+      // without the follow-up push must not turn a plain scan into answer
+      // rows)
+      completeAnswer.collect {
+        case (want, gk, rows) if aggs == want && groupKeys == gk => rows
+      })
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
@@ -1120,10 +1193,12 @@ class CellScan(
     aggs: Seq[PushedAgg] = Nil,
     aggGroupKeys: Seq[String] = Nil,
     limitLast: Boolean = false,
-    // COMPLETE aggregate pushdown: the final answer row, precomputed at
+    // COMPLETE aggregate pushdown: the final answer rows, precomputed at
     // planning from run-index stats (see CellScanBuilder
-    // .supportCompletePushDown) — the scan plans ONE partition emitting it
-    completeRow: Option[InternalRow] = None)
+    // .supportCompletePushDown) — one row for ungrouped forms, one per
+    // PRESENT group key for the grouped form; the scan plans ONE
+    // partition emitting them
+    completeRows: Option[Seq[InternalRow]] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1370,7 +1445,7 @@ class CellScan(
         s" PushedAggregates: [${aggs.mkString(", ")}]" +
           (if (aggGroupKeys.nonEmpty)
             s" GroupedBy: [${aggGroupKeys.mkString(", ")}]" else "") +
-          (if (completeRow.isDefined) " AggStats: complete"
+          (if (completeRows.isDefined) " AggStats: complete"
           else if (statsEligible) " AggStats: metadata-eligible"
           else if (rangeCountEligible) " AggStats: range-count" else "")
       else "")
@@ -1382,13 +1457,14 @@ class CellScan(
     * join sizing so small cassandralike tables auto-broadcast — the
     * reference's Hive stack needed a manual MAPJOIN hint for this. */
   override def estimateStatistics(): Statistics = {
-    if (completeRow.isDefined)
+    completeRows.foreach { rows =>
       return new Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.of(64L)
+          java.util.OptionalLong.of(math.max(1L, 64L * rows.size))
         override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.of(1L)
+          java.util.OptionalLong.of(rows.size.toLong)
       }
+    }
     val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
     val stats = files.map(CellStore.segmentStats)
     val bytes = stats.map(_.bytes).sum
@@ -1533,7 +1609,7 @@ class CellScan(
     * tombstone reconciliation stays exact within each range. */
   override def planInputPartitions(): Array[InputPartition] = {
     // complete metadata answer: one partition, zero segment IO
-    if (completeRow.isDefined)
+    if (completeRows.isDefined)
       return Array[InputPartition](
         CellInputPartition(table.dir, 0, Array.empty, files = Nil))
     val hosts = table.opt(options, Options.Hosts)
@@ -1592,8 +1668,8 @@ class CellScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    completeRow match {
-      case Some(row) => AnswerReaderFactory(row)
+    completeRows match {
+      case Some(rows) => AnswerReaderFactory(rows)
       case None =>
         CellReaderFactory(table.tableSchema, table.mapping.fields,
           if (aggs.nonEmpty) aggBaseSchema else required,
@@ -1602,16 +1678,18 @@ class CellScan(
     }
 }
 
-/** Emits the single planning-precomputed row of a COMPLETE metadata
-  * aggregate pushdown (see CellScanBuilder.supportCompletePushDown). */
-final case class AnswerReaderFactory(row: InternalRow)
+/** Emits the planning-precomputed rows of a COMPLETE metadata aggregate
+  * pushdown (see CellScanBuilder.supportCompletePushDown) — one row for
+  * the ungrouped forms, one per present group key for the grouped form. */
+final case class AnswerReaderFactory(rows: Seq[InternalRow])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
+      private val it = rows.iterator
+      private var cur: InternalRow = _
       override def next(): Boolean =
-        if (emitted) false else { emitted = true; true }
-      override def get(): InternalRow = row
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
       override def close(): Unit = ()
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {

@@ -474,6 +474,42 @@ class MetadataAggSpec extends SparkSpec {
     assert(qrect.collect()(0).getLong(0) == 200L)
   }
 
+  test("grouped range-count: GROUP BY key over pushed points answers at planning") {
+    val sp = spark; import sp.implicits._
+    // key i carries (i % 7) + 1 columns: widths differ per key
+    val rows = (1L to 100L).flatMap(i =>
+      (0L to i % 7).map(j => (i, f"c$j%02d", i * 100 + j)))
+    val store = Seed.table(spark, sfDir, "spec_agg_grouped_range",
+      rows.toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val q = Seed.read(spark, store).filter(col("k").isin(3L, 50L, 999L))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val desc = scanOf(q).scan.description()
+    assert(desc.contains("AggStats: complete") && desc.contains("GroupedBy"),
+      s"grouped complete not pushed: $desc")
+    val (statsOnly, nParts) = drain(q)
+    assert(nParts == 1 && statsOnly == 1L, s"$statsOnly of $nParts")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // widths: key 3 -> 3 % 7 + 1 = 4 cols; key 50 -> 50 % 7 + 1 = 2;
+    // absent key 999 emits NO group, exactly like the fold
+    assert(got.toSeq == Seq((3L, 4L), (50L, 2L)), s"got ${got.toSeq}")
+    // a col window narrows each group's width the same way
+    val qw = Seed.read(spark, store)
+      .filter(col("k").isin(3L, 50L) && col("c") >= "c01")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(scanOf(qw).scan.description().contains("AggStats: complete"))
+    val gotW = qw.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(gotW.toSeq == Seq((3L, 3L), (50L, 1L)), s"got ${gotW.toSeq}")
+    // no pinned key set -> groups aren't enumerable from metadata:
+    // declines, and the normal grouped path stays exact
+    val qr = Seed.read(spark, store).filter(col("k") >= 90L)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(!scanOf(qr).scan.description().contains("AggStats: complete"))
+    assert(qr.collect().map(_.getLong(1)).sum ==
+      (90L to 100L).map(i => i % 7 + 1).sum)
+  }
+
   test("range-count: a dirty UNRELATED bucket doesn't demote a point count") {
     val sp = spark; import sp.implicits._
     // range layout: bucket membership is deterministic (bucket 0 = keys
