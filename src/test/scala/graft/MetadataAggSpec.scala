@@ -605,6 +605,60 @@ class MetadataAggSpec extends SparkSpec {
     assert(qreg.collect()(0).getLong(0) == 2L)
   }
 
+  test("fuzz: range aggregates match the fold across random stores/predicates") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (iter <- 1 to 10) {
+      val nKeys = 5 + rnd.nextInt(40)
+      def randRows(n: Int) = (1 to n).map { _ =>
+        (rnd.nextInt(nKeys).toLong - 10, f"c${rnd.nextInt(20)}%02d",
+          java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+      }
+      val store = Seed.table(spark, sfDir, s"spec_agg_fuzz_$iter",
+        randRows(60 + rnd.nextInt(300)).toDF("k", "c", "v").repartition(1),
+        mapping = Some(":key,:column,:value"),
+        props = Map(Options.KeyEncoding -> "ordered",
+          Options.Buckets -> (1 + rnd.nextInt(4)).toString))
+      // random second run: overwrites/new addresses (often overlapping)
+      if (rnd.nextBoolean())
+        Seed.append(randRows(30 + rnd.nextInt(100)).toDF("k", "c", "v")
+          .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+      // occasional tombstones (forces the fold everywhere; still exact)
+      if (rnd.nextInt(4) == 0)
+        Seed.append(randRows(5).map { case (k, c, _) =>
+          (k, c, null.asInstanceOf[java.lang.Long]) }.toDF("k", "c", "v")
+          .repartition(1), store,
+          Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "3"))
+      val a = rnd.nextInt(nKeys).toLong - 10
+      val b = a + 1 + rnd.nextInt(15)
+      val keyPts = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(nKeys + 10).toLong - 12)
+      val pred = rnd.nextInt(5) match {
+        case 0 => col("k") >= a && col("k") < b
+        case 1 => col("k").isin(keyPts: _*)
+        case 2 => col("k") === a
+        case 3 => col("k").isin(keyPts: _*) && col("c") >= "c05" && col("c") < "c15"
+        case _ => col("k") > a && col("c") <= "c10" // rectangle: must decline
+      }
+      def agg(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred)
+          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+          .collect()(0)
+      // asof = MaxValue sees every cell but disqualifies the static gates:
+      // the pure fold is the ground truth
+      val fast = agg(Map.empty)
+      val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      assert(fast == fold, s"iter $iter pred $pred: $fast vs $fold")
+      // grouped twin (pinned keys only — the others plan normally anyway)
+      def grouped(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(col("k").isin(keyPts: _*))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(grouped(Map.empty) ==
+        grouped(Map(Options.ReadAsOf -> Long.MaxValue.toString)),
+        s"iter $iter grouped mismatch")
+    }
+  }
+
   test("filters and slices disable the static gate") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
