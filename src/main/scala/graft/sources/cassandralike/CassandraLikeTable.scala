@@ -873,6 +873,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyN = table.mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(pushed, keyN, table.keyCodec, null, null)
     val ks = KeyLookupBounds.keySet(pushed, keyN, table.keyCodec, lo, hi)
+    // a HUGE pushed IN must not stall planning on driver-side point
+    // probes: decline complete and let the DISTRIBUTED partial readers
+    // own it (each bucket probes the same points in parallel, bloom- and
+    // window-pruned per run)
+    if (ks != null && ks.size > CellScanBuilder.MaxCompletePoints) return None
     val buckets = Options.effective(options, table.tableProps, Options.Buckets)
       .map(_.toInt).getOrElse(Options.DefaultBuckets)
     val rb = table.rangeBounds
@@ -1067,6 +1072,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       completeAnswer.collect {
         case (want, gk, rows) if aggs == want && groupKeys == gk => rows
       })
+}
+
+object CellScanBuilder {
+  /** Pushed-IN size past which COMPLETE range aggregation declines and
+    * the distributed partial path owns the point probes. */
+  val MaxCompletePoints = 8192
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
