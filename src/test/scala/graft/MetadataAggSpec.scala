@@ -535,6 +535,48 @@ class MetadataAggSpec extends SparkSpec {
     assert(qd.collect()(0).getLong(0) == 1L)
   }
 
+  test("range-count: ordered numeric col encoding — sign-crossing points and windows") {
+    val sp = spark; import sp.implicits._
+    // LONG clustering col under column.encoding='ordered': byte order ==
+    // numeric order across the sign, and the encoding is injective, so
+    // both col points and col windows qualify
+    val rows = (-50L to 50L).map(c => (1L, c, c * 7))
+    val store = Seed.table(spark, sfDir, "spec_agg_colord",
+      rows.toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered",
+        Options.ColumnEncoding -> "ordered"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f).agg(count(lit(1)).as("n"))
+    val cases: Seq[(org.apache.spark.sql.Column, Long)] = Seq(
+      (col("k") === 1L && col("c").isin(-50L, 0L, 50L, 99L), 3L),
+      (col("k") === 1L && col("c") >= -10L && col("c") <= 10L, 21L),
+      (col("k") === 1L && col("c") > -1L && col("c") < 1L, 1L))
+    cases.foreach { case (f, want) =>
+      val df = q(f)
+      assert(scanOf(df).scan.description().contains("AggStats: complete"),
+        s"not complete for $f")
+      assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
+    }
+    // PLAIN (big-endian two's complement) numeric col: byte order breaks
+    // at the sign for windows — but points stay injective and qualify
+    val plain = Seed.table(spark, sfDir, "spec_agg_colplain",
+      rows.toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val qp = Seed.read(spark, plain)
+      .filter(col("k") === 1L && col("c").isin(-50L, 0L, 50L, 99L))
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(qp).scan.description().contains("AggStats: complete"))
+    assert(qp.collect()(0).getLong(0) == 3L)
+    val qw = Seed.read(spark, plain)
+      .filter(col("k") === 1L && col("c") >= -10L && col("c") <= 10L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(qw).scan.description().contains("AggStats"),
+      "plain numeric col window must decline (sign-broken byte order)")
+    assert(qw.collect()(0).getLong(0) == 21L)
+  }
+
   test("range-count: key=k, col=c sub-window counts on super mappings") {
     val sp = spark; import sp.implicits._
     val rows =
