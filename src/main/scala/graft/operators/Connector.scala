@@ -95,7 +95,7 @@ object Connector {
     // `SELECT count(*)` without reading the table. ----
     Q("conn_agg_metadata",
       """SELECT count(*) AS n, min(c_name) AS mn, max(c_name) AS mx
-        |FROM customer""".stripMargin) { (s, dir) =>
+        |FROM customer""".stripMargin, bench = true) { (s, dir) =>
       import s.implicits._
       val store = Seed.table(s, dir, "agg_metadata",
         t(s, dir, "customer").select($"c_name", $"c_acctbal").repartition(1))
@@ -152,7 +152,8 @@ object Connector {
         |  (SELECT max(k) FROM cells
         |   WHERE k >= '0000001000' AND k < '0000004000') AS last_k,
         |  (SELECT count(*) FROM cells
-        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS n_points""".stripMargin) { (s, dir) =>
+        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS n_points""".stripMargin,
+      bench = true) { (s, dir) =>
       import s.implicits._
       val src = t(s, dir, "lineitem").select(
         lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
@@ -286,6 +287,124 @@ object Connector {
         .groupBy($"row_key").agg(count(lit(1)).as("width"))
         .select($"row_key".as("k"), $"width")
         .orderBy($"k")
+    },
+
+    // ---- RANGE-CONSTRAINED metadata SUM: "total volume in [t1, t2]" —
+    // the value twin of conn_agg_range_count — answers from the VSUM
+    // prefix tails: runs inside the pushed key envelope contribute their
+    // run total (16 bytes of index tail), only boundary runs scan the ONE
+    // span holding each boundary, and any Long overflow or tail-less run
+    // declines to the fold (never a wrapped metadata answer). The value is
+    // a function of the address so the LWW dedup and the oracle's DISTINCT
+    // agree. Resolves COMPLETELY at planning on a clean store —
+    // MetadataAggSpec pins boundary exactness, overflow/text/tombstone
+    // declines and a fuzz arm. ----
+    Q("conn_agg_range_sum",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS sum_range,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS n_range,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells
+        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS sum_points,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells) AS sum_all""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      val store = Seed.table(s, dir, "agg_range_sum", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      val r = Seed.read(s, store)
+      val range = r
+        .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
+        .agg(sum($"value").as("sum_range"), count(lit(1)).as("n_range"))
+      val points = r
+        .filter($"row_key".isin("0000000001", "0000000032", "0000000099"))
+        .agg(sum($"value").as("sum_points"))
+      val all = r.agg(sum($"value").as("sum_all"))
+      range.crossJoin(points).crossJoin(all)
+    },
+
+    // ---- GROUPED metadata stats: per-key COUNT + SUM(value) + MIN/MAX of
+    // the clustering column under a col window — "per-user volume and
+    // first/last reading in the window" — resolves COMPLETELY at planning:
+    // presence counts and value sums from per-point composite boundary
+    // arithmetic, extremal cols from one boundary-span seek per run, one
+    // partition, zero executor IO. Absent keys emit no group, like the
+    // fold. ----
+    Q("conn_agg_grouped_stats",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT k, count(*) AS width, CAST(sum(v) AS BIGINT) AS vol,
+        |  min(c) AS first_c, max(c) AS last_c
+        |FROM cells
+        |WHERE k IN ('0000000001', '0000000032', '0000000066', '0000099999')
+        |  AND c >= '0002'
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      val store = Seed.table(s, dir, "agg_grouped_stats", src.repartition(1),
+        mapping = Some(":key,:column,:value"))
+      Seed.read(s, store)
+        .filter($"row_key".isin(
+          "0000000001", "0000000032", "0000000066", "0000099999") &&
+          $"column_name" >= "0002")
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("width"), sum($"value").as("vol"),
+          min($"column_name").as("first_c"), max($"column_name").as("last_c"))
+        .select($"row_key".as("k"), $"width", $"vol", $"first_c", $"last_c")
+        .orderBy($"k")
+    },
+
+    // ---- REGULAR-mapping range count: `count(*) WHERE key BETWEEN` on a
+    // standard (non-transposed) store = DISTINCT KEYS in the envelope (one
+    // row per key however many cells it carries, missing cells included) —
+    // counted positionally from the KPFX per-entry distinct-key prefixes:
+    // interior runs answer from their STAT distinctKeys, boundary runs
+    // count key starts in the one boundary span. The IN form is a pure
+    // presence test (any cell ⇒ the row exists). Resolves COMPLETELY at
+    // planning on a clean store. ----
+    Q("conn_agg_regular_range",
+      """WITH rws AS (SELECT lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k
+        |             FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS n_range,
+        |  (SELECT min(k) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS first_k,
+        |  (SELECT max(k) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS last_k,
+        |  (SELECT count(*) FROM rws
+        |   WHERE k IN ('0000000007', '0000000123', '9999999999')) AS n_points""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "customer").select(
+        lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+        $"c_name", $"c_acctbal", $"c_mktsegment")
+      val store = Seed.table(s, dir, "agg_regular_range", src.repartition(1))
+      val r = Seed.read(s, store)
+      val range = r
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000000700")
+        .agg(count(lit(1)).as("n_range"), min($"row_key").as("first_k"),
+          max($"row_key").as("last_k"))
+      val points = r
+        .filter($"row_key".isin("0000000007", "0000000123", "9999999999"))
+        .agg(count(lit(1)).as("n_points"))
+      range.crossJoin(points)
     },
 
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores

@@ -667,7 +667,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private def computeMetadataAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (aggregation.aggregateExpressions().isEmpty) return None
     if (limit.isDefined) return None
     if (!CassandraLikeTable.plainView(
@@ -691,6 +691,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyN = table.mapping.keyField.name
     def minMaxable(c: String): Boolean =
       table.isAddressField(c) && table.isOrderPreservingAddress(c)
+    val sumOk = MetadataAggReader.sumEligible(table.mapping,
+      k => Options.effective(options, table.tableProps, k))
+    val valN =
+      if (table.mapping.transposed)
+        table.mapping.field(FieldRole.TransValue).name else null
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
@@ -700,31 +705,49 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           col(c.column).filter(_ == keyN).map(PushedAgg.CountDistinct.apply)
         case m: Min => col(m.column).filter(minMaxable).map(PushedAgg.Min.apply)
         case m: Max => col(m.column).filter(minMaxable).map(PushedAgg.Max.apply)
+        case s: Sum if !s.isDistinct && sumOk =>
+          col(s.column).filter(_ == valN).map(PushedAgg.Sum.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
-    // driver-side dynamic check + fold over every bucket's run stats:
+    val wantSum = want.exists {
+      case PushedAgg.Sum(_) => true
+      case _ => false
+    }
+    // driver-side dynamic check, fold over every bucket's SIDECAR record:
     // ONE directory listing (the repeated per-bucket listing was the
-    // planning bottleneck VERDICT r4 #4 already retired once), index-tail
-    // reads memoized per immutable file per JVM. Disjointness is judged
-    // PER BUCKET (different buckets never share a key); the min/max
-    // reduction runs over the union.
+    // planning bottleneck VERDICT r4 #4 already retired once), then one
+    // tiny `_bucket_stats/b<n>.stat` read per bucket — O(buckets) bytes on
+    // a cold driver (VERDICT r10 #3); a bucket whose sidecar is absent or
+    // stale transparently walks its run index tails (memoized per JVM),
+    // costing IO, never correctness. Disjointness is judged PER BUCKET
+    // (different buckets never share a key); the min/max reduction runs
+    // over the bucket records. The whole-store SUM(value) is the sum of
+    // per-run VSUM totals — exactly one visible row per summed cell is
+    // required (the same disjoint + per-run-deduped proofs the counts
+    // use), and any Long overflow declines to the fold.
     val byBucket = CellStore.allSegmentFiles(table.dir)
     var rows = 0L
     var dKeys = 0L
-    val allStats = Seq.newBuilder[CellStore.RunStats]
-    byBucket.valuesIterator.foreach { files =>
-      val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-      if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
-      MetadataAggReader.exactRows(stats, table.mapping.transposed) match {
-        case None => return None // overlapping runs in this bucket
-        case Some(n) => rows += n
+    var valSum = 0L
+    val recs = Seq.newBuilder[CellStore.BucketStat]
+    byBucket.foreach { case (b, files) =>
+      val rec = CellStore.bucketStats(table.dir, b, files)
+      if (!rec.tombstoneFree) return None // legacy or deletes
+      if (!rec.disjoint) return None // overlapping runs in this bucket
+      rows += (if (table.mapping.transposed) rec.distinctAddrs
+        else rec.distinctKeys)
+      if (wantSum) {
+        if (!rec.valSumsAll || !rec.valTotalOk || !rec.allAddrsDistinct)
+          return None
+        try valSum = Math.addExact(valSum, rec.valTotal)
+        catch { case _: ArithmeticException => return None }
       }
-      dKeys += stats.map(_.distinctKeys.toLong).sum
-      allStats ++= stats
+      dKeys += rec.distinctKeys
+      recs += rec
     }
-    val stats = allStats.result()
+    val buckets = recs.result()
     def levelOf(c: String): MetadataAggReader.AddrLevel =
       if (c == keyN) MetadataAggReader.KeyLevel
       else if (table.mapping.transposed &&
@@ -734,15 +757,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val vals: Seq[Any] = want.map {
       case PushedAgg.CountStar | PushedAgg.Count(_) => rows
       case PushedAgg.CountDistinct(_) => dKeys
+      case PushedAgg.Sum(_) => if (rows == 0L) null else valSum
       case PushedAgg.Min(c) =>
-        if (stats.isEmpty) null
-        else MetadataAggReader.extremal(stats, levelOf(c), wantMin = true) match {
+        if (buckets.isEmpty) null
+        else MetadataAggReader.extremalB(buckets, levelOf(c), wantMin = true) match {
           case Some(b) => table.decodeAddress(c, b)
           case None => return None // incomplete window tail: decline
         }
       case PushedAgg.Max(c) =>
-        if (stats.isEmpty) null
-        else MetadataAggReader.extremal(stats, levelOf(c), wantMin = false) match {
+        if (buckets.isEmpty) null
+        else MetadataAggReader.extremalB(buckets, levelOf(c), wantMin = false) match {
           case Some(b) => table.decodeAddress(c, b)
           case None => return None
         }
@@ -766,22 +790,32 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private def computeRangeAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          aggCol(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+          aggCol(c.column).filter(c0 =>
+            table.isAddressField(c0) ||
+              (!table.mapping.transposed && c0 == table.mapping.keyField.name))
+            .map(PushedAgg.Count.apply)
         case m: Min => aggCol(m.column).map(PushedAgg.Min.apply)
         case m: Max => aggCol(m.column).map(PushedAgg.Max.apply)
+        case s: Sum if !s.isDistinct => aggCol(s.column).map(PushedAgg.Sum.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
-    validatedRangeContext(want).map { ctx =>
-      (want, Nil, Seq(InternalRow.fromSeq(
-        MetadataAggReader.rangeVals(want, table.keyCodec, ctx.files,
-          ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin))))
+    validatedRangeContext(want).flatMap { ctx =>
+      val vals =
+        if (table.mapping.transposed)
+          MetadataAggReader.rangeVals(want, table.keyCodec,
+            table.colCodec, table.mapping.field(FieldRole.TransColumn).name,
+            ctx.files, ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin)
+        else
+          MetadataAggReader.regularRangeVals(want, table.keyCodec, ctx.files,
+            ctx.lo, ctx.hi, ctx.ks)
+      vals.map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
     }
   }
 
@@ -789,15 +823,20 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * the batch width/presence check (`SELECT key, count(*) ... WHERE key
     * IN (...) GROUP BY key`) resolves at planning into one row per
     * PRESENT key from the same per-point presence arithmetic; absent
-    * keys emit no group, exactly like the fold. COUNT shapes only (a
+    * keys emit no group, exactly like the fold. Besides COUNTs (a
     * MIN/MAX of the group key is the key itself — Catalyst folds that
-    * away before it reaches the source), and the key set must be pinned
+    * away before it reaches the source), per-key SUM(value) rides the
+    * VSUM positional sums ("volume per user in the window") and per-key
+    * MIN/MAX of the CLUSTERING COLUMN ride the composite extremal seeks
+    * ("first/last reading per row"). The key set must be pinned
     * (enumerable groups). */
   private def computeGroupedRangeAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    if (!table.mapping.transposed) return None
     val keyN = table.mapping.keyField.name
+    val colN = table.mapping.field(FieldRole.TransColumn).name
     aggregation.groupByExpressions().toSeq.map(aggCol) match {
       case Seq(Some(g)) if g == keyN => ()
       case _ => return None
@@ -807,6 +846,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
           aggCol(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+        case m: Min => aggCol(m.column).filter(_ == colN).map(PushedAgg.Min.apply)
+        case m: Max => aggCol(m.column).filter(_ == colN).map(PushedAgg.Max.apply)
+        case s: Sum if !s.isDistinct => aggCol(s.column).map(PushedAgg.Sum.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return None
@@ -815,21 +857,72 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       if (ctx.ks == null) return None // enumerable groups need pinned keys
       val sortedKs = ctx.ks
         .sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
+      val cLo = if (ctx.colWin == null) null else ctx.colWin._1
+      val cHi = if (ctx.colWin == null) null else ctx.colWin._2
+      val sLo = if (ctx.subWin == null) null else ctx.subWin._1
+      val sHi = if (ctx.subWin == null) null else ctx.subWin._2
       val totals = new Array[Long](sortedKs.length)
       ctx.files.foreach { f =>
         val per = CellStore.countCellsAtPoints(f, sortedKs.toSeq,
-          colLo = if (ctx.colWin == null) null else ctx.colWin._1,
-          colHi = if (ctx.colWin == null) null else ctx.colWin._2,
-          colPoints = ctx.colPts,
-          subLo = if (ctx.subWin == null) null else ctx.subWin._1,
-          subHi = if (ctx.subWin == null) null else ctx.subWin._2)
+          colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+          subLo = sLo, subHi = sHi)
         var i = 0
         while (i < per.length) { totals(i) += per(i); i += 1 }
       }
+      val wantSum = want.exists {
+        case PushedAgg.Sum(_) => true
+        case _ => false
+      }
+      // per-key positional sums; a decline (missing tail / overflow)
+      // demotes the WHOLE grouped answer to the fold
+      val sums: Array[Long] =
+        if (!wantSum) null
+        else {
+          val acc = new Array[Long](sortedKs.length)
+          try {
+            ctx.files.foreach { f =>
+              CellStore.sumCellsAtPoints(f, sortedKs.toSeq,
+                colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+                subLo = sLo, subHi = sHi) match {
+                case Some(per) =>
+                  var i = 0
+                  while (i < per.length) {
+                    acc(i) = Math.addExact(acc(i), per(i)); i += 1
+                  }
+                case None => return None
+              }
+            }
+          } catch { case _: ArithmeticException => return None }
+          acc
+        }
+      def colExtremals(wantMin: Boolean): Array[Array[Byte]] = {
+        val best = new Array[Array[Byte]](sortedKs.length)
+        ctx.files.foreach { f =>
+          val per = CellStore.extremalColsAtPoints(f, sortedKs.toSeq,
+            cLo, cHi, wantMin)
+          var i = 0
+          while (i < per.length) {
+            if (per(i) != null && (best(i) == null ||
+                (Codecs.compareBytes(per(i), best(i)) < 0) == wantMin))
+              best(i) = per(i)
+            i += 1
+          }
+        }
+        best
+      }
+      lazy val colMins = colExtremals(wantMin = true)
+      lazy val colMaxs = colExtremals(wantMin = false)
       val rows = sortedKs.indices.collect {
         case i if totals(i) > 0 =>
           InternalRow.fromSeq(
-            table.keyCodec.decode(sortedKs(i)) +: want.map(_ => totals(i)))
+            table.keyCodec.decode(sortedKs(i)) +: want.map {
+              case PushedAgg.CountStar | PushedAgg.Count(_) => totals(i)
+              case PushedAgg.Sum(_) => sums(i)
+              case PushedAgg.Min(_) => table.colCodec.decode(colMins(i))
+              case PushedAgg.Max(_) => table.colCodec.decode(colMaxs(i))
+              case other => throw new IllegalStateException(
+                s"unanswerable grouped aggregate $other")
+            })
       }
       Some((want, Seq(keyN), rows.toSeq))
     }
@@ -860,15 +953,24 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * contiguous buckets, and only a hash-layout range keeps every
     * non-empty bucket (its keys scatter across all of them). */
   private def validatedRangeContext(want: Seq[PushedAgg]): Option[RangeCtx] = {
-    if (!table.mapping.transposed) return None
-    if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
-        table.colCodec, table.subCodec, pushed)) return None
-    val colWin = MetadataAggReader.colWindowOf(table.mapping, table.colCodec,
-      pushed)
-    val colPts = MetadataAggReader.colPointsOf(table.mapping, table.colCodec,
-      pushed)
+    val transposed = table.mapping.transposed
+    if (transposed) {
+      if (!MetadataAggReader.rangeShapesOk(table.mapping, want, table.keyCodec,
+          table.colCodec, table.subCodec, pushed,
+          sumOk = MetadataAggReader.sumEligible(table.mapping,
+            k => Options.effective(options, table.tableProps, k)))) return None
+    } else {
+      if (!MetadataAggReader.regularRangeShapesOk(table.mapping, want,
+          table.keyCodec, pushed)) return None
+    }
+    val colWin =
+      if (!transposed) null
+      else MetadataAggReader.colWindowOf(table.mapping, table.colCodec, pushed)
+    val colPts =
+      if (!transposed) null
+      else MetadataAggReader.colPointsOf(table.mapping, table.colCodec, pushed)
     val subWin =
-      if (table.subCodec == null) null
+      if (!transposed || table.subCodec == null) null
       else MetadataAggReader.subWindowOf(table.mapping, table.subCodec, pushed)
     val keyN = table.mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(pushed, keyN, table.keyCodec, null, null)
@@ -896,10 +998,18 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val allFiles = Seq.newBuilder[java.nio.file.Path]
     byBucket.foreach { case (b, files) =>
       if (relevant(b)) {
-        val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-        if (!MetadataAggReader.rangeConditionsOk(stats, want,
-            needColEntries = colWin != null || colPts != null,
-            needSubEntries = subWin != null)) return None
+        // bucket-level judgment from the sidecar (walk fallback inside):
+        // O(1) per bucket instead of full index tails
+        val rec = CellStore.bucketStats(table.dir, b, files)
+        val ok =
+          if (transposed)
+            MetadataAggReader.rangeConditionsOkB(rec, want,
+              needColEntries = colWin != null || colPts != null ||
+                MetadataAggReader.wantsColExtremal(table.mapping, want),
+              needSubEntries = subWin != null)
+          else MetadataAggReader.regularRangeConditionsOkB(rec, want,
+            pointsOnly = ks != null)
+        if (!ok) return None
         allFiles ++= files
       }
     }
@@ -1267,6 +1377,11 @@ class CellScan(
         table.isAddressField(c) && table.isOrderPreservingAddress(c)
       case PushedAgg.Max(c) =>
         table.isAddressField(c) && table.isOrderPreservingAddress(c)
+      case PushedAgg.Sum(c) =>
+        table.mapping.transposed &&
+          c == table.mapping.field(FieldRole.TransValue).name &&
+          MetadataAggReader.sumEligible(table.mapping,
+            k => table.opt(options, k))
       case _ => false
     }
     aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
@@ -1282,9 +1397,14 @@ class CellScan(
     * disjointness, per-run address-deduped, col entries for col windows)
     * are judged by the reader. */
   private lazy val rangeCountEligible: Boolean =
-    aggGroupKeys.isEmpty && table.mapping.transposed &&
-      MetadataAggReader.rangeShapesOk(table.mapping, aggs, table.keyCodec,
-        table.colCodec, table.subCodec, filters) &&
+    aggGroupKeys.isEmpty &&
+      (if (table.mapping.transposed)
+        MetadataAggReader.rangeShapesOk(table.mapping, aggs, table.keyCodec,
+          table.colCodec, table.subCodec, filters,
+          sumOk = MetadataAggReader.sumEligible(table.mapping,
+            k => table.opt(options, k)))
+      else MetadataAggReader.regularRangeShapesOk(table.mapping, aggs,
+        table.keyCodec, filters)) &&
       CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
 
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
@@ -1483,26 +1603,34 @@ class CellScan(
     val rowFanout =
       if (table.mapping.transposed) 1L
       else math.max(1, table.mapping.cellFields.size).toLong
-    // EXACT numRows from the STAT tails when the view is clean and every
-    // bucket holds a SINGLE stats-bearing, tombstone-free run (the
-    // compacted steady state). Feeds Catalyst's broadcast threshold with
-    // the truth instead of the cells/fan-out estimate, which over-counts
-    // every overwritten address. Deliberately reads ONLY the fixed
-    // 16-byte STAT suffix per run (quickRunStats) — planning a plain
-    // scan must never parse full index tails (blooms included) across
-    // the whole store driver-side; the multi-run-disjoint refinement is
-    // left to the aggregate paths, which read full tails only for agg
-    // queries.
+    // EXACT numRows when the view is clean: per bucket, the STAT-sidecar
+    // record if fresh (O(1) bytes, and it proves the multi-run-disjoint
+    // case too), else the fixed 16-byte STAT suffix per run
+    // (quickRunStats) for the single-run steady state. Feeds Catalyst's
+    // broadcast threshold with the truth instead of the cells/fan-out
+    // estimate, which over-counts every overwritten address. Planning a
+    // plain scan must never parse full index tails (blooms included)
+    // across the whole store driver-side — so NO walk fallback here
+    // (readBucketStats, not bucketStats); the aggregate paths own the
+    // full-tail reads, for aggregate queries only.
     val exact: Option[Long] =
       if (!cleanUnslicedView) None
       else plannedBuckets.foldLeft(Option(0L)) { (acc, b) =>
         acc.flatMap { total =>
-          val qs = segmentsByBucket.getOrElse(b, Nil)
-            .flatMap(f => CellStore.quickRunStats(f).toSeq)
-          if (qs.lengthCompare(1) > 0 || qs.exists(_.tombstones != 0)) None
-          else Some(total + qs.map(s =>
-            if (table.mapping.transposed) s.distinctAddrs.toLong
-            else s.distinctKeys.toLong).sum)
+          val files = segmentsByBucket.getOrElse(b, Nil)
+          CellStore.readBucketStats(table.dir, b, files) match {
+            case Some(rec) =>
+              if (rec.tombstoneFree && rec.disjoint)
+                Some(total + (if (table.mapping.transposed) rec.distinctAddrs
+                  else rec.distinctKeys))
+              else None
+            case None =>
+              val qs = files.flatMap(f => CellStore.quickRunStats(f).toSeq)
+              if (qs.lengthCompare(1) > 0 || qs.exists(_.tombstones != 0)) None
+              else Some(total + qs.map(s =>
+                if (table.mapping.transposed) s.distinctAddrs.toLong
+                else s.distinctKeys.toLong).sum)
+          }
         }
       }
     // EXACT numRows under pushed KEY filters, from the same range-count
@@ -1551,9 +1679,11 @@ class CellScan(
           if (!provable) None
           else {
             val files = plannedBuckets.flatMap(segmentsByBucket.getOrElse(_, Nil))
-            Some(MetadataAggReader.rangeVals(Seq(PushedAgg.CountStar),
-              table.keyCodec, files, lo, hi, ks, colWin, colPts, subWin)
-              .head.asInstanceOf[Long])
+            MetadataAggReader.rangeVals(Seq(PushedAgg.CountStar),
+              table.keyCodec, table.colCodec,
+              table.mapping.field(FieldRole.TransColumn).name,
+              files, lo, hi, ks, colWin, colPts, subWin)
+              .map(_.head.asInstanceOf[Long])
           }
         }
       }
@@ -1872,6 +2002,62 @@ object MetadataAggReader {
       if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b))
   }
 
+  /** [[extremal]]'s bucket-record twin: the per-bucket windows were
+    * reduced from the same run stats, and a bucket whose window tail was
+    * incomplete carries `colWindowsAll`/`subWindowsAll` = false (or a
+    * null reduced window) — decline, never guess. */
+  def extremalB(buckets: Seq[CellStore.BucketStat], level: AddrLevel,
+      wantMin: Boolean): Option[Array[Byte]] = {
+    if (buckets.isEmpty) return None
+    val vs = buckets.map { b =>
+      level match {
+        case KeyLevel => if (wantMin) b.firstKey else b.lastKey
+        case ColLevel =>
+          if (!b.colWindowsAll) null
+          else if (wantMin) b.colMin else b.colMax
+        case SubLevel =>
+          if (!b.subWindowsAll) null
+          else if (wantMin) b.subMin else b.subMax
+      }
+    }
+    if (vs.exists(_ == null)) None
+    else Some(vs.reduce((a, b) =>
+      if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b))
+  }
+
+  /** [[rangeConditionsOk]]'s bucket-record twin, consumed by the COMPLETE
+    * planner (O(1) per bucket from the sidecar). Must stay judgment-
+    * equivalent to the run-level form the per-bucket partial readers use —
+    * both are independently sound, but divergence would make complete and
+    * partial answers qualify differently for no reason. */
+  def rangeConditionsOkB(b: CellStore.BucketStat, aggs: Seq[PushedAgg],
+      needColEntries: Boolean, needSubEntries: Boolean): Boolean = {
+    if (!b.tombstoneFree) return false
+    if (needColEntries && !b.colEntriesAll) return false
+    if (needSubEntries && !b.subEntriesAll) return false
+    val needsCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
+    }
+    val needsSum = aggs.exists {
+      case PushedAgg.Sum(_) => true
+      case _ => false
+    }
+    if (needsSum && !b.valSumsAll) return false
+    (!needsCount && !needsSum) || (b.disjoint && b.allAddrsDistinct)
+  }
+
+  /** [[regularRangeConditionsOk]]'s bucket-record twin. */
+  def regularRangeConditionsOkB(b: CellStore.BucketStat, aggs: Seq[PushedAgg],
+      pointsOnly: Boolean): Boolean = {
+    if (!b.tombstoneFree) return false
+    val needsCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
+    }
+    !needsCount || pointsOnly || b.disjoint
+  }
+
   def create(
       part: CellInputPartition,
       mapping: ColumnMapping,
@@ -1897,8 +2083,15 @@ object MetadataAggReader {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
     }
+    val needSum = aggs.exists {
+      case PushedAgg.Sum(_) => true
+      case _ => false
+    }
     val counted = exactRows(stats, mapping.transposed)
-    if (needCount && counted.isEmpty) return None // overlapping runs
+    if ((needCount || needSum) && counted.isEmpty) return None // overlapping runs
+    if (needSum && (!sumEligible(mapping, opt) ||
+        stats.exists(s => !s.hasValSums || s.distinctAddrs != s.cells)))
+      return None
     val keyF = mapping.keyField
     val keyCodec = KeyCodec.of(keyF.dataType, opt)
     val colF = if (mapping.transposed) mapping.field(FieldRole.TransColumn) else null
@@ -1931,7 +2124,16 @@ object MetadataAggReader {
             case Some(b) => vals(i) = decode(c, b)
             case None => return None
           }
-        case _ => return None // SUM never qualifies (planner shouldn't flag it)
+        case PushedAgg.Sum(_) =>
+          // gated above: disjoint runs, per-run dedup, VSUM tails present
+          if (rowCount == 0L) vals(i) = null
+          else {
+            var s = 0L
+            try stats.foreach(st => s = Math.addExact(s, st.valTotal))
+            catch { case _: ArithmeticException => return None }
+            vals(i) = s
+          }
+        case _ => return None // unanswerable from stats
       }
       i += 1
     }
@@ -1991,7 +2193,8 @@ object MetadataAggReader {
       filters: Array[Filter],
       files: Seq[java.nio.file.Path],
       stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
-    if (!mapping.transposed) return None
+    if (!mapping.transposed)
+      return regularRange(part, mapping, aggs, opt, filters, files, stats)
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
     val colCodec = KeyCodec.ofColumn(
       mapping.field(FieldRole.TransColumn).dataType, opt)
@@ -1999,13 +2202,15 @@ object MetadataAggReader {
       if (mapping.hasSubColumn)
         KeyCodec.ofSub(mapping.field(FieldRole.TransSubColumn).dataType, opt)
       else null
-    if (!rangeShapesOk(mapping, aggs, keyCodec, colCodec, subCodec, filters))
+    if (!rangeShapesOk(mapping, aggs, keyCodec, colCodec, subCodec, filters,
+        sumOk = sumEligible(mapping, opt)))
       return None
     val colWin = colWindowOf(mapping, colCodec, filters)
     val colPts = colPointsOf(mapping, colCodec, filters)
     val subWin = if (subCodec == null) null else subWindowOf(mapping, subCodec, filters)
     if (!rangeConditionsOk(stats, aggs,
-        needColEntries = colWin != null || colPts != null,
+        needColEntries = colWin != null || colPts != null ||
+          wantsColExtremal(mapping, aggs),
         needSubEntries = subWin != null))
       return None
     // envelope ∩ the partition's own key slice (sub-splits partition the
@@ -2013,8 +2218,34 @@ object MetadataAggReader {
     val keyN = mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
-    Some(answerReader(InternalRow.fromSeq(
-      rangeVals(aggs, keyCodec, files, lo, hi, ks, colWin, colPts, subWin))))
+    rangeVals(aggs, keyCodec, colCodec,
+      mapping.field(FieldRole.TransColumn).name,
+      files, lo, hi, ks, colWin, colPts, subWin)
+      .map(vals => answerReader(InternalRow.fromSeq(vals)))
+  }
+
+  /** [[rangeCount]]'s regular-mapping twin: COUNT under key predicates =
+    * distinct keys in the envelope (one row per key); MIN/MAX(key) from
+    * the byte-extremal seeks. Same sub-split safety argument — split
+    * boundaries are whole keys, so each key's row lands in exactly one
+    * sub-split's intersected envelope. */
+  private def regularRange(
+      part: CellInputPartition,
+      mapping: ColumnMapping,
+      aggs: Seq[PushedAgg],
+      opt: String => Option[String],
+      filters: Array[Filter],
+      files: Seq[java.nio.file.Path],
+      stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
+    val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
+    if (!regularRangeShapesOk(mapping, aggs, keyCodec, filters)) return None
+    val keyN = mapping.keyField.name
+    val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
+    val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
+    if (!regularRangeConditionsOk(stats, aggs, pointsOnly = ks != null))
+      return None
+    regularRangeVals(aggs, keyCodec, files, lo, hi, ks)
+      .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
   /** The EXACT half-open clustering-column byte window [lo, hi) of the
@@ -2067,27 +2298,46 @@ object MetadataAggReader {
   private[cassandralike] def rangeShapesOk(
       mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
       colCodec: KeyCodec, subCodec: KeyCodec,
-      filters: Array[Filter]): Boolean = {
+      filters: Array[Filter], sumOk: Boolean = false): Boolean = {
     val keyF = mapping.keyField
     val colF = mapping.field(FieldRole.TransColumn)
     val subF = if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn) else null
     val keyN = keyF.name
     val colN = colF.name
     val subN = if (subF == null) null else subF.name
+    val valN = mapping.field(FieldRole.TransValue).name
     val ranged = keyCodec.rangeOrdered
     val colRanged = colCodec.rangeOrdered
     val subRanged = subCodec != null && subCodec.rangeOrdered
+    val keyPinned = filters.exists {
+      case EqualTo(c, v) => c == keyN && v != null
+      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty
+      case _ => false
+    }
+    // SUM(value) rides the VSUM prefix tails ([[CellStore.sumCellsInRange]]
+    // / [[CellStore.sumCellsAtPoints]]) under the same exact envelopes the
+    // counts use; `sumOk` is the caller-checked static value gate
+    // ([[sumEligible]] — binary 8-byte long marshal). MIN/MAX of the
+    // CLUSTERING COLUMN are admitted under a PINNED key set (each key's
+    // extremal col in the window comes from composite boundary seeks,
+    // [[CellStore.extremalColsAtPoints]]) when col byte order is value
+    // order; a col POINT set alongside would need point-filtered extremals
+    // (the seeks already serve that shape) — declined below via the
+    // colPinned/colWindowed exclusivity the window forms rely on.
+    val wantsColExtremal = aggs.exists {
+      case PushedAgg.Min(c) => c == colN
+      case PushedAgg.Max(c) => c == colN
+      case _ => false
+    }
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
         c == keyF.name || c == colF.name || (subF != null && c == subF.name)
-      case PushedAgg.Min(c) => c == keyN && ranged
-      case PushedAgg.Max(c) => c == keyN && ranged
-      case _ => false
-    }
-    val keyPinned = filters.exists {
-      case EqualTo(c, v) => c == keyN && v != null
-      case In(c, vs) => c == keyN && vs != null && vs.nonEmpty
+      case PushedAgg.Min(c) =>
+        (c == keyN && ranged) || (c == colN && colRanged && keyPinned)
+      case PushedAgg.Max(c) =>
+        (c == keyN && ranged) || (c == colN && colRanged && keyPinned)
+      case PushedAgg.Sum(c) => sumOk && c == valN
       case _ => false
     }
     // a col POINT set needs an injective byte form (same set colLookup
@@ -2120,6 +2370,9 @@ object MetadataAggReader {
       case _ => false
     }
     if (colPinned && colWindowed) return false
+    // col extremals answer within a WINDOW; a pinned col point set would
+    // need per-point extremal filtering — decline (the seeks serve it)
+    if (wantsColExtremal && colPinned) return false
     shapesOk && filters.nonEmpty && filters.forall {
       case EqualTo(c, v) =>
         (c == keyN || (c == colN && colPinned)) && v != null
@@ -2211,9 +2464,100 @@ object MetadataAggReader {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
     }
-    !needsCount ||
+    // SUM needs everything a COUNT needs (every summed cell must be one
+    // visible row) PLUS the VSUM tail on every run — a run consulted
+    // without it has no positional sums (the point paths re-check this
+    // dynamically; requiring it here keeps complete-vs-partial parity)
+    val needsSum = aggs.exists {
+      case PushedAgg.Sum(_) => true
+      case _ => false
+    }
+    if (needsSum && stats.exists(!_.hasValSums)) return false
+    (!needsCount && !needsSum) ||
       (exactRows(stats, transposed = true).isDefined &&
         !stats.exists(s => s.distinctAddrs != s.cells))
+  }
+
+  /** Static value gate of the metadata SUM paths: a transposed mapping
+    * whose VALUE field is a LongType stored through the BINARY marshal
+    * (8-byte big-endian two's complement — exactly the interpretation the
+    * VSUM tails summed). Text encoding (variable-length digits) and
+    * counter tables (same-address increments reconcile by summation, not
+    * LWW — dup addresses would be the norm, and the count-style dedup
+    * proofs would always decline anyway) are out. */
+  private[cassandralike] def sumEligible(mapping: ColumnMapping,
+      opt: String => Option[String]): Boolean =
+    mapping.transposed &&
+      mapping.field(FieldRole.TransValue).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      !opt(Options.Encoding).contains("text") &&
+      !opt(Options.CounterMerge).exists(_.toBoolean)
+
+  /** Does the aggregate list ask for MIN/MAX of the clustering column? —
+    * the shape that additionally needs per-entry col bytes on every run. */
+  private[cassandralike] def wantsColExtremal(mapping: ColumnMapping,
+      aggs: Seq[PushedAgg]): Boolean = {
+    if (!mapping.transposed) return false
+    val colN = mapping.field(FieldRole.TransColumn).name
+    aggs.exists {
+      case PushedAgg.Min(c) => c == colN
+      case PushedAgg.Max(c) => c == colN
+      case _ => false
+    }
+  }
+
+  /** Static shape gate of the REGULAR-mapping range aggregates: a regular
+    * row IS one distinct key (its cells are the schema's fields, missing
+    * cells just surface NULL columns), so COUNT under a key envelope =
+    * distinct keys there ([[CellStore.countDistinctKeysInRange]] — runs
+    * inside the envelope answer from STAT distinctKeys, boundary runs from
+    * the KPFX prefix tail), a key IN counts PRESENT points (any cell ⇒
+    * the row exists), and MIN/MAX(key) reuse the byte-extremal seeks under
+    * an order-preserving encoding. Only COUNT(*) / COUNT(key) qualify —
+    * COUNT of a non-key column counts non-missing CELLS, which positions
+    * can't see. Every filter must be an exact key shape, same as the
+    * transposed gate. */
+  private[cassandralike] def regularRangeShapesOk(
+      mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
+      filters: Array[Filter]): Boolean = {
+    val keyN = mapping.keyField.name
+    val ranged = keyCodec.rangeOrdered
+    val shapesOk = aggs.nonEmpty && aggs.forall {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) => c == keyN
+      case PushedAgg.Min(c) => c == keyN && ranged
+      case PushedAgg.Max(c) => c == keyN && ranged
+      case _ => false
+    }
+    shapesOk && filters.nonEmpty && filters.forall {
+      case EqualTo(c, v) => c == keyN && v != null
+      case In(c, vs) =>
+        c == keyN && vs != null && vs.nonEmpty && vs.forall(_ != null)
+      case GreaterThan(c, v) => c == keyN && ranged && v != null
+      case GreaterThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case LessThan(c, v) => c == keyN && ranged && v != null
+      case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
+      case _ => false
+    }
+  }
+
+  /** Run-level gate of the regular-mapping range aggregates: zero
+    * tombstones always (a fully-tombstoned row would still count);
+    * RANGE counts additionally need strictly key-disjoint runs
+    * ([[exactRows]]' regular check) so per-run distinct-key counts are
+    * additive — point (IN) counts are presence tests and need no
+    * disjointness. Boundary-run KPFX presence is judged dynamically by
+    * [[CellStore.countDistinctKeysInRange]] (absent → None → fold). */
+  private[cassandralike] def regularRangeConditionsOk(
+      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
+      pointsOnly: Boolean): Boolean = {
+    if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
+    val needsCount = aggs.exists {
+      case PushedAgg.CountStar | PushedAgg.Count(_) => true
+      case _ => false
+    }
+    !needsCount || pointsOnly ||
+      exactRows(stats, transposed = false).isDefined
   }
 
   /** The range-aggregate values over `files` (one bucket for the partial
@@ -2221,15 +2565,21 @@ object MetadataAggReader {
     * envelope [lo, hi) or point set `ks` — conditions already validated
     * by the caller. Per-point presence counts (byte-sorted, one index
     * parse per surviving run per file) serve COUNT and MIN/MAX alike:
-    * the smallest/largest PRESENT point is the envelope's extremal key. */
+    * the smallest/largest PRESENT point is the envelope's extremal key.
+    * SUM(value) folds the VSUM positional sums; MIN/MAX of the clustering
+    * column reduce the per-key extremal seeks. None = a dynamic decline
+    * (missing VSUM tail on a consulted run, or Long overflow) — the
+    * caller falls back to the cell fold, which reproduces Spark's own
+    * overflow semantics. */
   private[cassandralike] def rangeVals(
       aggs: Seq[PushedAgg], keyCodec: KeyCodec,
+      colCodec: KeyCodec, colName: String,
       files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte],
       ks: Seq[Array[Byte]],
       colWin: (Array[Byte], Array[Byte]) = null,
       colPoints: Seq[Array[Byte]] = null,
-      subWin: (Array[Byte], Array[Byte]) = null): Seq[Any] = {
+      subWin: (Array[Byte], Array[Byte]) = null): Option[Seq[Any]] = {
     // col/sub restrictions are only reachable with a pinned key set, and
     // a sub window only inside pinned cols (rangeShapesOk)
     require((colWin == null && colPoints == null && subWin == null) || ks != null,
@@ -2253,6 +2603,39 @@ object MetadataAggReader {
       }
       acc
     }
+    // per-point value sums; None = some consulted run lacks VSUM/overflowed
+    lazy val pointSums: Option[Array[Long]] = {
+      val acc = new Array[Long](sortedKs.length)
+      try {
+        files.foreach { f =>
+          val per =
+            (if (colPoints != null)
+              CellStore.sumCellsAtPoints(f, sortedKs, colPoints = colPoints,
+                subLo = if (subWin == null) null else subWin._1,
+                subHi = if (subWin == null) null else subWin._2)
+            else if (colWin != null)
+              CellStore.sumCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+            else CellStore.sumCellsAtPoints(f, sortedKs)) match {
+              case Some(p) => p
+              case None => return None
+            }
+          var i = 0
+          while (i < per.length) { acc(i) = Math.addExact(acc(i), per(i)); i += 1 }
+        }
+        Some(acc)
+      } catch { case _: ArithmeticException => None }
+    }
+    lazy val rangeSum: Option[Long] =
+      try {
+        var t = 0L
+        files.foreach { f =>
+          CellStore.sumCellsInRange(f, lo, hi) match {
+            case Some(s) => t = Math.addExact(t, s)
+            case None => return None
+          }
+        }
+        Some(t)
+      } catch { case _: ArithmeticException => None }
     def extremal(wantMin: Boolean): Option[Array[Byte]] =
       if (ks != null) {
         val order = if (wantMin) sortedKs.indices else sortedKs.indices.reverse
@@ -2262,18 +2645,106 @@ object MetadataAggReader {
           .reduceOption((a, b) =>
             if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b)
       }
+    // extremal clustering column over the pinned keys (reduced across keys
+    // for the ungrouped form), within the pushed col window
+    def colExtremal(wantMin: Boolean): Option[Array[Byte]] = {
+      val cLo = if (colWin == null) null else colWin._1
+      val cHi = if (colWin == null) null else colWin._2
+      var best: Array[Byte] = null
+      files.foreach { f =>
+        CellStore.extremalColsAtPoints(f, sortedKs, cLo, cHi, wantMin)
+          .foreach { cand =>
+            if (cand != null && (best == null ||
+                (Codecs.compareBytes(cand, best) < 0) == wantMin))
+              best = cand
+          }
+      }
+      Option(best)
+    }
     lazy val n: Long =
       if (ks != null) pointTotals.sum
       else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
-    aggs.map {
+    val out = aggs.map {
       case PushedAgg.CountStar | PushedAgg.Count(_) => n
+      case PushedAgg.Min(c) if c == colName =>
+        colExtremal(wantMin = true).map(colCodec.decode).orNull
+      case PushedAgg.Max(c) if c == colName =>
+        colExtremal(wantMin = false).map(colCodec.decode).orNull
+      case PushedAgg.Min(_) =>
+        extremal(wantMin = true).map(keyCodec.decode).orNull
+      case PushedAgg.Max(_) =>
+        extremal(wantMin = false).map(keyCodec.decode).orNull
+      case PushedAgg.Sum(_) =>
+        (if (ks != null) pointSums.map(_.foldLeft(Option(0L)) {
+          case (Some(a), b) =>
+            try Some(Math.addExact(a, b))
+            catch { case _: ArithmeticException => None }
+          case (None, _) => None
+        }).flatten else rangeSum) match {
+          case Some(s) => if (n == 0L) null else s // SUM over no rows is NULL
+          case None => return None
+        }
+      case other =>
+        throw new IllegalStateException(s"unanswerable range aggregate $other")
+    }
+    Some(out)
+  }
+
+  /** [[rangeVals]]' regular-mapping twin: rows are distinct keys.
+    * Point (IN) shapes count PRESENT keys (any cell ⇒ the row exists —
+    * no disjointness needed); range shapes count distinct keys
+    * positionally from the KPFX tails (None on a tail-less boundary run
+    * → fold). MIN/MAX(key) reuse presence order / byte-extremal seeks. */
+  private[cassandralike] def regularRangeVals(
+      aggs: Seq[PushedAgg], keyCodec: KeyCodec,
+      files: Seq[java.nio.file.Path],
+      lo: Array[Byte], hi: Array[Byte],
+      ks: Seq[Array[Byte]]): Option[Seq[Any]] = {
+    lazy val sortedKs: Array[Array[Byte]] =
+      ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
+    lazy val pointCells: Array[Long] = {
+      val acc = new Array[Long](sortedKs.length)
+      files.foreach { f =>
+        val per = CellStore.countCellsAtPoints(f, sortedKs)
+        var i = 0
+        while (i < per.length) { acc(i) += per(i); i += 1 }
+      }
+      acc
+    }
+    lazy val rangeRows: Option[Long] = {
+      var t = 0L
+      files.foreach { f =>
+        CellStore.countDistinctKeysInRange(f, lo, hi) match {
+          case Some(x) => t += x
+          case None => return None
+        }
+      }
+      Some(t)
+    }
+    def extremal(wantMin: Boolean): Option[Array[Byte]] =
+      if (ks != null) {
+        val order = if (wantMin) sortedKs.indices else sortedKs.indices.reverse
+        order.collectFirst { case i if pointCells(i) > 0 => sortedKs(i) }
+      } else {
+        files.flatMap(f => CellStore.extremalKeyInRange(f, lo, hi, wantMin))
+          .reduceOption((a, b) =>
+            if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b)
+      }
+    val out = aggs.map {
+      case PushedAgg.CountStar | PushedAgg.Count(_) =>
+        if (ks != null) sortedKs.indices.count(pointCells(_) > 0).toLong
+        else rangeRows match {
+          case Some(x) => x
+          case None => return None
+        }
       case PushedAgg.Min(_) =>
         extremal(wantMin = true).map(keyCodec.decode).orNull
       case PushedAgg.Max(_) =>
         extremal(wantMin = false).map(keyCodec.decode).orNull
       case other =>
-        throw new IllegalStateException(s"unanswerable range aggregate $other")
+        throw new IllegalStateException(s"unanswerable regular range aggregate $other")
     }
+    Some(out)
   }
 
   private def answerReader(row: InternalRow): PartitionReader[InternalRow] =

@@ -164,6 +164,14 @@ private[graft] object CellCommit {
           .foreach { case (c, b) =>
             CellStore.compactBucket(Index.dir(dir, c), b) }
       }
+    // per-bucket STAT sidecars for every touched bucket, from the final
+    // post-compaction listing: a cold driver then plans complete metadata
+    // aggregates (count(*), sum(value), min/max) from O(buckets) sidecar
+    // bytes instead of walking every segment's index tails. After a
+    // truncate, untouched buckets lost their segments too — their stale
+    // sidecars were cleared by CellStore.truncate.
+    files.map(_._1).distinct.foreach(b =>
+      CellStore.writeBucketStats(table.dir, b))
   }
 
   def abortEpoch(table: CassandraLikeTable,

@@ -220,12 +220,30 @@ object CellStore {
     var tombs = 0
     var dKeys = 0
     var dAddrs = 0
+    // KPFX/VSUM positional tails, accumulated on the same pass: per entry,
+    // the distinct-key count and value-sum of every cell BEFORE it (prefix
+    // forms — what lets a boundary search answer "how many keys / how much
+    // value below x" positionally), plus whether the entry's own cell
+    // starts a new key (a hot key can straddle the entry boundary, and the
+    // reader must know whether to count it again). The value sum tracks
+    // 8-byte big-endian longs only and is dropped whole on any other value
+    // shape or on Long overflow — a partial sum would be a wrong answer,
+    // an absent tail only costs the fold.
+    val kPrefix = mutable.ArrayBuffer.empty[Int]
+    val kStart = mutable.ArrayBuffer.empty[Boolean]
+    val vPrefix = mutable.ArrayBuffer.empty[Long]
+    var valSum = 0L
+    var valOk = true
     var i = 0
     sorted.foreach { c =>
-      if (i % IndexEvery == 0)
-        entries += IndexEntry(i, payload.size().toLong, c.key, c.col, c.sub)
       // sorted input: distinct keys are exactly the key changes
       val newKey = prevKey == null || !java.util.Arrays.equals(prevKey, c.key)
+      if (i % IndexEvery == 0) {
+        entries += IndexEntry(i, payload.size().toLong, c.key, c.col, c.sub)
+        kPrefix += dKeys
+        kStart += newKey
+        vPrefix += valSum
+      }
       if (newKey) {
         bloom.add(c.key); prevKey = c.key; dKeys += 1
       }
@@ -233,6 +251,11 @@ object CellStore {
           !eqNullable(prevSub, c.sub)) dAddrs += 1
       prevCol = c.col; prevSub = c.sub; sawAddr = true
       if (c.tombstone) tombs += 1
+      if (valOk) {
+        if (c.value == null || c.value.length != 8) valOk = false
+        else try valSum = Math.addExact(valSum, ByteBuffer.wrap(c.value).getLong)
+        catch { case _: ArithmeticException => valOk = false }
+      }
       colBloom.add(i, c.col)
       subBloom.add(i, c.sub)
       if (c.col != null) {
@@ -248,7 +271,9 @@ object CellStore {
     }
     val index = serializeIndex(entries.toSeq, sorted.last.key, bloom.build(),
       colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
-      tombs, dKeys, dAddrs)
+      tombs, dKeys, dAddrs,
+      kPrefix.toArray, kStart.toArray,
+      if (valOk) vPrefix.toArray else null, if (valOk) valSum else 0L)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -304,7 +329,11 @@ object CellStore {
       subChunkCells: Int = 0,
       statTombstones: Int = -1 /* exact per-run content stats (STAT tail); */,
       statKeys: Int = -1 /* -1 = legacy run (stats unknown) — the */,
-      statAddrs: Int = -1 /* metadata-only aggregate path declines */)
+      statAddrs: Int = -1 /* metadata-only aggregate path declines */,
+      keyPrefix: Array[Int] = null /* per-entry distinct keys BEFORE the entry (KPFX); null = legacy */,
+      keyStart: Array[Boolean] = null /* per-entry: does the entry's cell start a new key? */,
+      valSums: Array[Long] = null /* per-entry value-sum prefix (VSUM); null = legacy or non-8-byte/overflowing values */,
+      valTotal: Long = 0L /* whole-run value sum; valid iff valSums != null */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -376,7 +405,17 @@ object CellStore {
   private val SubRangeMagic = 0x53524e47 // "SRNG" (run-wide [subMin, subMax])
   private val SubsMagic = 0x53554253 // "SUBS" (per-entry sub bytes)
   private val SubBloomMagic = 0x53424c4d // "SBLM" (per-chunk distinct-sub blooms)
+  private val KeyPrefixMagic = 0x4b504658 // "KPFX" (per-entry distinct-key prefixes)
+  private val ValSumMagic = 0x5653554d // "VSUM" (per-entry value-sum prefixes)
   private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
+
+  /** Probe knob (tools/bench only): `-Dgraft.write.tails=false` makes the
+    * writer skip every OPTIONAL index tail (COLS onward), so the write-path
+    * cost of the tails can be measured in isolation (VERDICT r10 #2).
+    * Readers treat such runs as legacy — results stay exact, the metadata
+    * fast paths just decline. Never set on a production path. */
+  private def writeOptionalTails: Boolean =
+    !sys.props.get("graft.write.tails").contains("false")
 
   /** CHUNKED distinct-column bloom accumulator for a run's column BLOOM
     * tail. The min/max window kills DISJOINT slices; the blooms kill the
@@ -432,7 +471,9 @@ object CellStore {
       colBlooms: Array[KeyBloom] = null,
       subMin: Array[Byte] = null, subMax: Array[Byte] = null,
       subBlooms: Array[KeyBloom] = null,
-      statTombstones: Int = -1, statKeys: Int = -1, statAddrs: Int = -1)
+      statTombstones: Int = -1, statKeys: Int = -1, statAddrs: Int = -1,
+      keyPrefix: Array[Int] = null, keyStart: Array[Boolean] = null,
+      valSums: Array[Long] = null, valTotal: Long = 0L)
     : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -446,6 +487,7 @@ object CellStore {
       out.writeInt(bloom.words.length)
       bloom.words.foreach(out.writeLong)
     }
+    if (!writeOptionalTails) return bos.toByteArray
     out.writeInt(ColsMagic)
     entries.foreach(e => writeBytes(out, e.col))
     // run-wide min/max column — Cassandra's sstable min/max clustering:
@@ -501,6 +543,27 @@ object CellStore {
           b.words.foreach(out.writeLong)
         }
       }
+    }
+    // positional PREFIX tails (round 11): per index entry, the number of
+    // distinct keys (KPFX — regular-mapping range counts: rows in a key
+    // range = distinct keys there) and the value-sum (VSUM — range SUMs:
+    // "total volume in [t1, t2]" from index arithmetic) of every cell
+    // BEFORE the entry, so a boundary search answers f(x) positionally and
+    // scans only the ONE span containing each boundary. KPFX is ~5 bytes
+    // per entry and always present; VSUM (8 bytes/entry + a run total) is
+    // written only when EVERY cell value was an 8-byte long and the run
+    // total never overflowed — an absent tail declines to the fold.
+    if (keyPrefix != null && keyPrefix.length == entries.length) {
+      out.writeInt(KeyPrefixMagic)
+      var pi = 0
+      while (pi < keyPrefix.length) {
+        out.writeInt(keyPrefix(pi)); out.writeBoolean(keyStart(pi)); pi += 1
+      }
+    }
+    if (valSums != null && valSums.length == entries.length) {
+      out.writeInt(ValSumMagic)
+      out.writeLong(valTotal)
+      valSums.foreach(out.writeLong)
     }
     // per-run exact content STATS — the tail that lets a global
     // COUNT/MIN/MAX answer from metadata alone (see
@@ -639,6 +702,32 @@ object CellStore {
           }
         }
       }
+    val (kPrefix, kStart) =
+      if (in.available() < 4 + 5 * n) (null, null)
+      else {
+        in.mark(4)
+        if (in.readInt() != KeyPrefixMagic) { in.reset(); (null, null) }
+        else {
+          val kp = new Array[Int](n)
+          val ks = new Array[Boolean](n)
+          var j = 0
+          while (j < n) { kp(j) = in.readInt(); ks(j) = in.readBoolean(); j += 1 }
+          (kp, ks)
+        }
+      }
+    val (vSums, vTotal) =
+      if (in.available() < 12 + 8 * n) (null, 0L)
+      else {
+        in.mark(4)
+        if (in.readInt() != ValSumMagic) { in.reset(); (null, 0L) }
+        else {
+          val total = in.readLong()
+          val vs = new Array[Long](n)
+          var j = 0
+          while (j < n) { vs(j) = in.readLong(); j += 1 }
+          (vs, total)
+        }
+      }
     val (sTombs, sKeys, sAddrs) =
       if (in.available() < 16) (-1, -1, -1)
       else {
@@ -648,7 +737,7 @@ object CellStore {
       }
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
       colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
-      sTombs, sKeys, sAddrs)
+      sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -735,7 +824,15 @@ object CellStore {
       colEntries: Boolean = false,
       /** every index entry carries non-null sub bytes — the precondition
         * of (key, col, sub) boundary arithmetic */
-      subEntries: Boolean = false)
+      subEntries: Boolean = false,
+      /** the run carries the KPFX distinct-key prefix tail — the
+        * precondition of positional distinct-key range counts */
+      hasKeyPrefix: Boolean = false,
+      /** the run carries the VSUM value-sum prefix tail (every value an
+        * 8-byte long, run total long-representable) */
+      hasValSums: Boolean = false,
+      /** whole-run value sum; valid iff [[hasValSums]] */
+      valTotal: Long = 0L)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -1003,6 +1100,401 @@ object CellStore {
     n
   }
 
+  /** The 8-byte big-endian long value of a cell under a VSUM-tailed run.
+    * Tail presence proves every cell value in the run is an 8-byte long;
+    * throws the same ArithmeticException the overflow paths use, so any
+    * impossible shape surfaces as a decline, never a wrong sum. */
+  private def valueLong(c: Cell): Long =
+    if (c.value != null && c.value.length == 8) ByteBuffer.wrap(c.value).getLong
+    else throw new ArithmeticException("non-8-byte value under VSUM tail")
+
+  /** Value-sum of one segment's cells with key in [lo, hi) (null =
+    * unbounded), from the VSUM prefix tails: runs fully inside the range
+    * contribute their run total with no IO beyond the memoized stats, and
+    * only boundary-crossing runs read their index and scan the ONE span
+    * containing each boundary — the SUM twin of [[countCellsInRange]]
+    * ("total volume in the window" without reading the range). None when
+    * any non-disjoint run lacks the tail, or any accumulation overflows
+    * Long (the fold then owns the query — Spark's own non-ANSI wrap-around
+    * reproduces there; a wrapped metadata answer would silently disagree
+    * with ANSI mode).
+    *
+    * Sums CELL values. The caller must have proven every summed cell a
+    * distinct visible row (zero tombstones, disjoint runs, per-run
+    * distinctAddrs == cells) — same proof obligations as the counts. */
+  def sumCellsInRange(file: Path, lo: Array[Byte], hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (!s.hasValSums) return None
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) total = Math.addExact(total, s.valTotal)
+          else {
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            val below =
+              if (hi == null) idx.valTotal else sumBelow(reader, ri, idx, hi)
+            val above =
+              if (lo == null) 0L else sumBelow(reader, ri, idx, lo)
+            total = Math.addExact(total, Math.subtractExact(below, above))
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** Value-sum of one run's cells with key < x — [[cellsBelow]]'s VSUM
+    * twin (caller guarantees idx.valSums != null). Prefix sums at entry
+    * boundaries plus a scan of the one boundary span; every intermediate
+    * is a true prefix of the run, so it fits Long by tail construction. */
+  private def sumBelow(reader: SegmentReader, ri: RunInfo, idx: RunIndex,
+      x: Array[Byte]): Long = {
+    val keys = idx.keys
+    if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+    if (Codecs.compareBytes(idx.lastKey, x) < 0) return idx.valTotal
+    val m = lastEntryBelow(keys, x)
+    var s = idx.valSums(m)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val c = it.next()
+      if (Codecs.compareBytes(c.key, x) < 0) s = Math.addExact(s, valueLong(c))
+      else scanning = false
+    }
+    s
+  }
+
+  /** Per-point value sums over one segment — the SUM twin of
+    * [[countCellsAtPoints]] (same pruning: a run whose key window or bloom
+    * rejects every point is skipped without index IO and without needing a
+    * VSUM tail). Supports the same col-window / col-point / sub-window
+    * narrowing via composite boundaries. None when any CONSULTED run lacks
+    * the tail or an accumulation overflows. Same cells-not-rows caveat. */
+  def sumCellsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subLo: Array[Byte] = null, subHi: Array[Byte] = null): Option[Array[Long]] = {
+    val out = new Array[Long](points.length)
+    if (points.isEmpty) return Some(out)
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              if (!s.hasValSums) return None
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              if (colPoints != null) {
+                var ci = 0
+                while (ci < colPoints.length) {
+                  val c = colPoints(ci)
+                  val below =
+                    if (subHi == null)
+                      sumBelowComposite(reader, ri, idx, k, byteSucc(c))
+                    else sumBelowComposite(reader, ri, idx, k, c, subHi)
+                  val above =
+                    if (subLo == null) sumBelowComposite(reader, ri, idx, k, c)
+                    else sumBelowComposite(reader, ri, idx, k, c, subLo)
+                  out(p) = Math.addExact(out(p), Math.subtractExact(below, above))
+                  ci += 1
+                }
+              } else {
+                val below =
+                  if (colHi == null) sumBelow(reader, ri, idx, byteSucc(k))
+                  else sumBelowComposite(reader, ri, idx, k, colHi)
+                val above =
+                  if (colLo == null) sumBelow(reader, ri, idx, k)
+                  else sumBelowComposite(reader, ri, idx, k, colLo)
+                out(p) = Math.addExact(out(p), Math.subtractExact(below, above))
+              }
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+      Some(out)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** Value-sum of one run's cells with (key, col, sub) address below the
+    * composite boundary — [[cellsBelowComposite]]'s VSUM twin (caller
+    * guarantees valSums, and col/sub entry bytes down to the deepest
+    * non-null bound). */
+  private def sumBelowComposite(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, keyB: Array[Byte], colB: Array[Byte],
+      subB: Array[Byte] = null): Long = {
+    def addrBelow(k: Array[Byte], c: Array[Byte], s: Array[Byte]): Boolean = {
+      val kc = Codecs.compareBytes(k, keyB)
+      if (kc != 0) return kc < 0
+      if (colB == null) return false
+      val cc = Codecs.compareBytes(c, colB)
+      if (cc != 0) return cc < 0
+      if (subB == null) return false
+      Codecs.compareBytes(
+        if (s == null) Array.emptyByteArray else s, subB) < 0
+    }
+    val keys = idx.keys
+    val cols = idx.cols
+    val subs = idx.subs
+    def entrySub(i: Int): Array[Byte] = if (subs == null) null else subs(i)
+    if (!addrBelow(keys(0), cols(0), entrySub(0))) return 0L
+    var a = 0
+    var b = keys.length - 1
+    while (a < b) {
+      val mid = (a + b + 1) >>> 1
+      if (addrBelow(keys(mid), cols(mid), entrySub(mid))) a = mid else b = mid - 1
+    }
+    var n = idx.valSums(a)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(a),
+      spanLength(ri, idx, a))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val cell = it.next()
+      if (addrBelow(cell.key, cell.col, cell.sub)) n = Math.addExact(n, valueLong(cell))
+      else scanning = false
+    }
+    n
+  }
+
+  /** DISTINCT-KEY count of one segment within [lo, hi) (null = unbounded)
+    * — rows of a REGULAR store in a key range (one row per key, however
+    * many cells it carries): runs fully inside contribute their STAT
+    * distinctKeys with no IO, disjoint runs zero, and boundary runs count
+    * key STARTS below each boundary from the KPFX prefix tail plus one
+    * boundary-span scan. None when a boundary run lacks the tail or a
+    * counted run lacks STAT keys.
+    *
+    * Additivity across runs (and files) is the CALLER's obligation: every
+    * pair of runs in the store must be strictly key-disjoint
+    * ([[graft.sources.cassandralike.MetadataAggReader.exactRows]]' check),
+    * or a key split across runs would count twice. */
+  def countDistinctKeysInRange(file: Path, lo: Array[Byte], hi: Array[Byte])
+    : Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (s.distinctKeys < 0) return None
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) total += s.distinctKeys.toLong
+          else {
+            if (!s.hasKeyPrefix) return None
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            total +=
+              (if (hi == null) s.distinctKeys.toLong
+               else dkBelow(reader, ri, idx, hi, s.distinctKeys)) -
+              (if (lo == null) 0L else dkBelow(reader, ri, idx, lo, s.distinctKeys))
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** #distinct keys of one run with key < x — [[cellsBelow]]'s KPFX twin:
+    * keyPrefix(m) counts the keys that STARTED before the boundary span,
+    * keyStart(m) says whether the span's first cell starts a new key (a
+    * hot key can straddle the entry boundary; counting it again would
+    * double-count), and the span scan counts the key changes below x. */
+  private def dkBelow(reader: SegmentReader, ri: RunInfo, idx: RunIndex,
+      x: Array[Byte], statKeys: Int): Long = {
+    val keys = idx.keys
+    if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+    if (Codecs.compareBytes(idx.lastKey, x) < 0) return statKeys.toLong
+    val m = lastEntryBelow(keys, x)
+    var n = idx.keyPrefix(m).toLong
+    // prev != null suppresses counting the straddling key again: its start
+    // was before the span and is already inside keyPrefix(m)
+    var prev: Array[Byte] = if (idx.keyStart(m)) null else keys(m)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val c = it.next()
+      if (Codecs.compareBytes(c.key, x) < 0) {
+        if (prev == null || !java.util.Arrays.equals(c.key, prev)) {
+          n += 1; prev = c.key
+        }
+      } else scanning = false
+    }
+    n
+  }
+
+  /** Per-point extremal CLUSTERING-COLUMN bytes within the half-open col
+    * window [colLo, colHi) (null = unbounded) over one segment — the
+    * per-group MIN/MAX(col) of the grouped metadata aggregates
+    * ("first/last reading of each row in the window"). Returned array
+    * aligns with `points`; a null element = that row has no cell in the
+    * window in this segment. A run whose key window or bloom rejects
+    * every point is skipped without IO; a consulted run parses its index
+    * ONCE for all points, binary-searches the COMPOSITE (key, col)
+    * entries per point and scans only the span holding each boundary.
+    * Caller must have proven every run's per-entry col bytes
+    * ([[RunStats.colEntries]]); needs neither run disjointness nor
+    * address dedup (an overwrite never removes an address), but the usual
+    * zero-tombstone proof (a tombstoned cell would surface as extremal). */
+  def extremalColsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte], colHi: Array[Byte],
+      wantMin: Boolean): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](points.length)
+    if (points.isEmpty) return out
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              require(s.colEntries, "extremalColsAtPoints needs per-entry col bytes")
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              val cand =
+                if (wantMin) firstColAtLeast(reader, ri, idx, k, colLo)
+                else lastColBelow(reader, ri, idx, k, colHi)
+              val ok = cand != null &&
+                (colLo == null || Codecs.compareBytes(cand, colLo) >= 0) &&
+                (colHi == null || Codecs.compareBytes(cand, colHi) < 0)
+              if (ok && (out(p) == null ||
+                  (Codecs.compareBytes(cand, out(p)) < 0) == wantMin))
+                out(p) = cand
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+    } finally if (reader != null) reader.close()
+    out
+  }
+
+  /** addr < (keyB[, colB]) at (key, col) level — the shared boundary
+    * predicate of the extremal-col seeks (null colB = key level only). */
+  private def addrBelowKC(k: Array[Byte], c: Array[Byte],
+      keyB: Array[Byte], colB: Array[Byte]): Boolean = {
+    val kc = Codecs.compareBytes(k, keyB)
+    if (kc != 0) return kc < 0
+    if (colB == null) return false
+    Codecs.compareBytes(if (c == null) Array.emptyByteArray else c, colB) < 0
+  }
+
+  /** Col bytes of the FIRST cell of one run with address >= (k, colLo)
+    * (null colLo = (k) itself), when that cell belongs to row k — else
+    * null (row k has no cell at/after the boundary in this run). The
+    * first such address lies in the boundary span or is the next entry's
+    * own cell, so the scan is ≤ one span + 1. */
+  private def firstColAtLeast(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, k: Array[Byte], colLo: Array[Byte]): Array[Byte] = {
+    val keys = idx.keys
+    val cols = idx.cols
+    val start =
+      if (!addrBelowKC(keys(0), cols(0), k, colLo)) 0
+      else {
+        var a = 0
+        var b = keys.length - 1
+        while (a < b) {
+          val mid = (a + b + 1) >>> 1
+          if (addrBelowKC(keys(mid), cols(mid), k, colLo)) a = mid else b = mid - 1
+        }
+        a
+      }
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(start),
+      ri.cellCount - idx.cellPos(start))
+    while (it.hasNext) {
+      val c = it.next()
+      if (!addrBelowKC(c.key, c.col, k, colLo))
+        return if (java.util.Arrays.equals(c.key, k)) c.col else null
+    }
+    null
+  }
+
+  /** Col bytes of the LAST cell of one run with address < (k, colHi)
+    * (null colHi = < succ(k), i.e. the last cell of row k), when that
+    * cell belongs to row k — else null. The last such address lies in the
+    * span holding the boundary (every later span starts at an entry >=
+    * the boundary). */
+  private def lastColBelow(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, k: Array[Byte], colHi: Array[Byte]): Array[Byte] = {
+    val (keyB, colB) =
+      if (colHi != null) (k, colHi) else (byteSucc(k), null)
+    val keys = idx.keys
+    val cols = idx.cols
+    if (!addrBelowKC(keys(0), cols(0), keyB, colB)) return null
+    var a = 0
+    var b = keys.length - 1
+    while (a < b) {
+      val mid = (a + b + 1) >>> 1
+      if (addrBelowKC(keys(mid), cols(mid), keyB, colB)) a = mid else b = mid - 1
+    }
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(a),
+      spanLength(ri, idx, a))
+    var lastKey: Array[Byte] = null
+    var lastCol: Array[Byte] = null
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val c = it.next()
+      if (addrBelowKC(c.key, c.col, keyB, colB)) { lastKey = c.key; lastCol = c.col }
+      else scanning = false
+    }
+    if (lastKey != null && java.util.Arrays.equals(lastKey, k)) lastCol else null
+  }
+
   /** Extremal key BYTES of one segment within [lo, hi) (null = unbounded),
     * or None when the segment holds no cell in the range. wantMin = the
     * smallest key >= lo; else the largest key < hi. A run whose window
@@ -1100,10 +1592,182 @@ object CellStore {
           idx.colMin, idx.colMax, idx.subMin, idx.subMax,
           idx.statTombstones, idx.statKeys, idx.statAddrs,
           colEntries = idx.cols != null && !idx.cols.exists(_ == null),
-          subEntries = idx.subs != null && !idx.subs.exists(_ == null))
+          subEntries = idx.subs != null && !idx.subs.exists(_ == null),
+          hasKeyPrefix = idx.keyPrefix != null,
+          hasValSums = idx.valSums != null,
+          valTotal = idx.valTotal)
       }.toArray
       finally r.close()
     })
+
+  // ---- per-bucket STAT sidecar: cold-driver planning in O(buckets) ----
+
+  /** Aggregated run-stat judgment of ONE bucket — everything the
+    * complete-pushdown planner and the exact-statistics path ask of a
+    * bucket, reduced to a fixed-size record so a cold driver plans a
+    * 4096-bucket `count(*)` from 4096 tiny sidecar reads instead of
+    * walking every segment's full index tails (VERDICT r10 #3; the
+    * `_range_digests/` sidecar-plus-self-healing-fallback pattern).
+    * `files` is the EXACT (name, size) listing the record was computed
+    * from — a reader whose own listing differs ignores the sidecar and
+    * walks (stale sidecars can cost IO, never correctness). */
+  final case class BucketStat(
+      files: Seq[(String, Long)],
+      runs: Int, cells: Long,
+      tombstoneFree: Boolean, disjoint: Boolean, allAddrsDistinct: Boolean,
+      colEntriesAll: Boolean, subEntriesAll: Boolean,
+      distinctKeys: Long, distinctAddrs: Long,
+      valSumsAll: Boolean, valTotalOk: Boolean, valTotal: Long,
+      firstKey: Array[Byte], lastKey: Array[Byte],
+      colWindowsAll: Boolean, colMin: Array[Byte], colMax: Array[Byte],
+      subWindowsAll: Boolean, subMin: Array[Byte], subMax: Array[Byte])
+
+  val BucketStatsDir = "_bucket_stats"
+  private val BucketStatMagic = 0x42535431 // "BST1"
+
+  /** Diagnostic: number of bucket-stat requests that fell back to walking
+    * run index tails (sidecar absent, stale, or corrupt). Tests pin the
+    * sidecar fast path by asserting this does not move. */
+  val bucketStatWalks = new java.util.concurrent.atomic.AtomicLong()
+
+  private def fileSig(files: Seq[Path]): Seq[(String, Long)] =
+    files.map(f => (f.getFileName.toString, Files.size(f)))
+      .sortBy(_._1)
+
+  /** Reduce one bucket's per-run stats to its [[BucketStat]] record. */
+  private def aggregateBucketStat(sig: Seq[(String, Long)],
+      stats: Seq[RunStats]): BucketStat = {
+    val tombstoneFree = !stats.exists(_.tombstones != 0) // legacy -1 counts dirty
+    val disjoint =
+      if (stats.lengthCompare(1) <= 0) true
+      else {
+        val byFirst = stats.sortWith((a, b) =>
+          Codecs.compareBytes(a.firstKey, b.firstKey) < 0)
+        (1 until byFirst.length).forall(i =>
+          Codecs.compareBytes(byFirst(i - 1).lastKey, byFirst(i).firstKey) < 0)
+      }
+    def reduceB(vs: Seq[Array[Byte]], wantMin: Boolean): Array[Byte] =
+      if (vs.isEmpty || vs.exists(_ == null)) null
+      else vs.reduce((a, b) =>
+        if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b)
+    var valTotal = 0L
+    var valOk = stats.forall(_.hasValSums)
+    if (valOk) try stats.foreach(s => valTotal = Math.addExact(valTotal, s.valTotal))
+    catch { case _: ArithmeticException => valOk = false; valTotal = 0L }
+    BucketStat(
+      files = sig,
+      runs = stats.length,
+      cells = stats.map(_.cells.toLong).sum,
+      tombstoneFree = tombstoneFree,
+      disjoint = disjoint,
+      allAddrsDistinct = !stats.exists(s => s.distinctAddrs != s.cells),
+      colEntriesAll = stats.forall(_.colEntries),
+      subEntriesAll = stats.forall(_.subEntries),
+      distinctKeys = stats.map(s => math.max(0, s.distinctKeys).toLong).sum,
+      distinctAddrs = stats.map(s => math.max(0, s.distinctAddrs).toLong).sum,
+      valSumsAll = stats.forall(_.hasValSums),
+      valTotalOk = valOk,
+      valTotal = valTotal,
+      firstKey = reduceB(stats.map(_.firstKey), wantMin = true),
+      lastKey = reduceB(stats.map(_.lastKey), wantMin = false),
+      colWindowsAll = stats.nonEmpty && stats.forall(s =>
+        s.colMin != null && s.colMax != null),
+      colMin = reduceB(stats.map(_.colMin), wantMin = true),
+      colMax = reduceB(stats.map(_.colMax), wantMin = false),
+      subWindowsAll = stats.nonEmpty && stats.forall(s =>
+        s.subMin != null && s.subMax != null),
+      subMin = reduceB(stats.map(_.subMin), wantMin = true),
+      subMax = reduceB(stats.map(_.subMax), wantMin = false))
+  }
+
+  private def bucketStatFile(tableDir: String, bucket: Int): Path =
+    Paths.get(tableDir, BucketStatsDir, s"b$bucket.stat")
+
+  /** (Re)write one bucket's sidecar from its CURRENT committed listing —
+    * called at write commit and after compaction (the two points segments
+    * change under the single-maintainer discipline). An empty bucket
+    * deletes its sidecar. Atomic temp+rename; a crash mid-write leaves a
+    * temp file nothing reads. */
+  def writeBucketStats(tableDir: String, bucket: Int): Unit = {
+    val target = bucketStatFile(tableDir, bucket)
+    val files = segmentFiles(tableDir, bucket)
+    if (files.isEmpty) { Files.deleteIfExists(target); return }
+    val rec = aggregateBucketStat(fileSig(files),
+      files.flatMap(f => runStats(f).toSeq))
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(s"b$bucket-${UUID.randomUUID()}.tmp")
+    val out = new DataOutputStream(new BufferedOutputStream(
+      Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(BucketStatMagic)
+      out.writeInt(rec.files.length)
+      rec.files.foreach { case (n, sz) => out.writeUTF(n); out.writeLong(sz) }
+      out.writeInt(rec.runs)
+      out.writeLong(rec.cells)
+      out.writeBoolean(rec.tombstoneFree)
+      out.writeBoolean(rec.disjoint)
+      out.writeBoolean(rec.allAddrsDistinct)
+      out.writeBoolean(rec.colEntriesAll)
+      out.writeBoolean(rec.subEntriesAll)
+      out.writeLong(rec.distinctKeys)
+      out.writeLong(rec.distinctAddrs)
+      out.writeBoolean(rec.valSumsAll)
+      out.writeBoolean(rec.valTotalOk)
+      out.writeLong(rec.valTotal)
+      writeBytes(out, rec.firstKey)
+      writeBytes(out, rec.lastKey)
+      out.writeBoolean(rec.colWindowsAll)
+      writeBytes(out, rec.colMin)
+      writeBytes(out, rec.colMax)
+      out.writeBoolean(rec.subWindowsAll)
+      writeBytes(out, rec.subMin)
+      writeBytes(out, rec.subMax)
+    } finally out.close()
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val bucketStatCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), BucketStat]()
+
+  /** Parse one bucket's sidecar IF it exists, parses, and its recorded
+    * listing matches `files` exactly — else None (never a stale answer).
+    * Parsed records memoize per sidecar file identity; the listing
+    * comparison reruns per call (it is the staleness authority). */
+  def readBucketStats(tableDir: String, bucket: Int,
+      files: Seq[Path]): Option[BucketStat] = {
+    val p = bucketStatFile(tableDir, bucket)
+    if (!Files.exists(p)) return None
+    val rec =
+      try bucketStatCache.computeIfAbsent(cacheKey(p), _ => {
+        val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+        try {
+          if (in.readInt() != BucketStatMagic)
+            throw new IOException(s"not a bucket-stat sidecar: $p")
+          val nf = in.readInt()
+          val sig = (0 until nf).map(_ => (in.readUTF(), in.readLong()))
+          BucketStat(sig, in.readInt(), in.readLong(),
+            in.readBoolean(), in.readBoolean(), in.readBoolean(),
+            in.readBoolean(), in.readBoolean(),
+            in.readLong(), in.readLong(),
+            in.readBoolean(), in.readBoolean(), in.readLong(),
+            readBytes(in), readBytes(in),
+            in.readBoolean(), readBytes(in), readBytes(in),
+            in.readBoolean(), readBytes(in), readBytes(in))
+        } finally in.close()
+      })
+      catch { case _: IOException | _: RuntimeException => return None }
+    if (rec.files == fileSig(files)) Some(rec) else None
+  }
+
+  /** One bucket's [[BucketStat]]: the sidecar when fresh, else computed by
+    * walking the run index tails (counted in [[bucketStatWalks]]). The
+    * aggregate-planning entry point — NEVER call from a plain-scan path
+    * (the walk reads full index tails, blooms included). */
+  def bucketStats(tableDir: String, bucket: Int, files: Seq[Path]): BucketStat =
+    readBucketStats(tableDir, bucket, files).getOrElse {
+      bucketStatWalks.incrementAndGet()
+      aggregateBucketStat(fileSig(files), files.flatMap(f => runStats(f).toSeq))
+    }
 
   /** Per-run key blooms of one segment (null element = pre-bloom run);
     * memoized per immutable file, so after the first lookup against a
@@ -1843,6 +2507,10 @@ object CellStore {
       Files.deleteIfExists(f)
       Files.deleteIfExists(provFile(f)) // an input may itself be a compaction output
     }
+    // refresh the bucket-stat sidecar to the post-compaction listing —
+    // compaction is exactly when a bucket becomes single-run and every
+    // metadata fast path starts to qualify
+    writeBucketStats(tableDir, bucket)
   }
 
   /** Compaction-provenance sidecar of a committed segment: the input
@@ -1905,15 +2573,32 @@ object CellStore {
       var tombs = 0
       var dKeys = 0
       var dAddrs = 0
+      // KPFX/VSUM prefix tails, accumulated streaming exactly as in
+      // [[writeRun]] — compaction's merged runs must keep the positional
+      // machinery or every compacted store would decline to the fold
+      val kPrefix = mutable.ArrayBuffer.empty[Int]
+      val kStart = mutable.ArrayBuffer.empty[Boolean]
+      val vPrefix = mutable.ArrayBuffer.empty[Long]
+      var valSum = 0L
+      var valOk = true
       cells.foreach { c =>
-        if (count % IndexEvery == 0)
-          entries += IndexEntry(count, counting.count, c.key, c.col, c.sub)
         val newKey = lastKey == null || !java.util.Arrays.equals(lastKey, c.key)
+        if (count % IndexEvery == 0) {
+          entries += IndexEntry(count, counting.count, c.key, c.col, c.sub)
+          kPrefix += dKeys
+          kStart += newKey
+          vPrefix += valSum
+        }
         if (newKey) { bloom.add(c.key); dKeys += 1 }
         if (newKey || !sawAddr || !eqNullable(prevCol, c.col) ||
             !eqNullable(prevSub, c.sub)) dAddrs += 1
         prevCol = c.col; prevSub = c.sub; sawAddr = true
         if (c.tombstone) tombs += 1
+        if (valOk) {
+          if (c.value == null || c.value.length != 8) valOk = false
+          else try valSum = Math.addExact(valSum, ByteBuffer.wrap(c.value).getLong)
+          catch { case _: ArithmeticException => valOk = false }
+        }
         colBloom.add(count, c.col)
         subBloom.add(count, c.sub)
         if (c.col != null) {
@@ -1931,7 +2616,9 @@ object CellStore {
       val payloadLen = counting.count
       out.write(serializeIndex(entries.toSeq, lastKey, bloom.build(),
         colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
-        tombs, dKeys, dAddrs))
+        tombs, dKeys, dAddrs,
+        kPrefix.toArray, kStart.toArray,
+        if (valOk) vPrefix.toArray else null, if (valOk) valSum else 0L))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)
@@ -1966,6 +2653,14 @@ object CellStore {
       .filter(_.getFileName.toString.startsWith("b"))
       .foreach(Files.delete)
     finally s.close()
+    // bucket-stat sidecars describe the segments just removed; stale ones
+    // would only cost a walk (listing mismatch) but clearing is cleaner
+    val bs = Paths.get(tableDir, BucketStatsDir)
+    if (Files.isDirectory(bs)) {
+      val l = Files.list(bs)
+      try l.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally l.close()
+    }
   }
 
   def newSegmentName(bucket: Int): String = s"b$bucket-${UUID.randomUUID()}.bin"

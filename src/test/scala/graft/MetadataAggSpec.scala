@@ -636,15 +636,271 @@ class MetadataAggSpec extends SparkSpec {
     val (statsOnly, _) = drain(df)
     assert(statsOnly == 0L, "overlapping runs must fall back to the fold")
     assert(df.collect()(0).getLong(0) == 21L, "LWW overwrites must not double-count")
-    // a regular (non-transposed) mapping never qualifies: rows-per-key
-    // varies with missing cells, positions can't count rows
+    // a regular (non-transposed) mapping now qualifies too (round 11):
+    // rows = DISTINCT KEYS in the envelope, counted positionally from the
+    // KPFX prefix tails — rows-per-key variance is irrelevant to a
+    // distinct-key count
     val reg = Seed.table(spark, sfDir, "spec_agg_range_reg",
       Seq((1L, "a"), (2L, "b")).toDF("k", "v").repartition(1),
       props = Map(Options.KeyEncoding -> "ordered"))
     val qreg = Seed.read(spark, reg).filter(col("k") >= 1L)
       .agg(count(lit(1)).as("n"))
-    assert(!scanOf(qreg).scan.description().contains("AggStats"))
+    assert(scanOf(qreg).scan.description().contains("AggStats: complete"),
+      s"regular key-range count should resolve at planning: " +
+        scanOf(qreg).scan.description())
     assert(qreg.collect()(0).getLong(0) == 2L)
+  }
+
+  test("KPFX/VSUM tails: positional distinct-key counts and value sums are boundary-exact") {
+    val dir = java.nio.file.Files.createTempDirectory("pfxtail").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      java.nio.file.Files.createDirectories(sst)
+      val file = sst.resolve("b0-a.bin")
+      val out = CellStore.newSegmentStream(file)
+      // 400 keys, 1-3 cells each (~800 cells, several index spans), hot key
+      // k0100 with 300 extra cells so one key straddles many entries
+      def v(x: Long) = java.nio.ByteBuffer.allocate(8).putLong(x).array()
+      val cells = (0 until 400).flatMap { i =>
+        val k = f"k$i%04d".getBytes
+        (0 until (1 + i % 3)).map(j =>
+          Cell(k, f"c$j%02d".getBytes, null, v(i.toLong * 7 + j), 1L, tombstone = false))
+      } ++ (0 until 300).map(j =>
+        Cell("k0100x".getBytes, f"d$j%04d".getBytes, null, v(j.toLong), 1L, tombstone = false))
+      CellStore.writeRun(out, cells)
+      out.close()
+      val st = CellStore.runStats(file)(0)
+      assert(st.hasKeyPrefix && st.hasValSums, s"tails missing: $st")
+      val sorted = cells.sorted(CellStore.addressOrdering)
+      val allKeys = sorted.map(c => new String(c.key)).distinct.sorted
+      assert(st.distinctKeys == allKeys.size)
+      assert(st.valTotal == sorted.map(c => java.nio.ByteBuffer.wrap(c.value).getLong).sum)
+      // boundary exactness: every (lo, hi) over a sample of boundaries,
+      // including mid-key, between-key, below-min and above-max forms
+      val probes: Seq[Array[Byte]] = Seq("a", "k0000", "k0050", "k0100",
+        "k0100x", "k0100x ", "k0257", "k0399", "k9999", "zzz")
+        .map(_.getBytes("UTF-8"))
+      // crossed (lo > hi) envelopes never reach the primitives —
+      // KeyLookupBounds clamps them to empty upstream
+      for (lo <- probes; hi <- probes
+           if Codecs.compareBytes(lo, hi) <= 0) {
+        val wantN = allKeys.count(k =>
+          Codecs.compareBytes(k.getBytes, lo) >= 0 &&
+            Codecs.compareBytes(k.getBytes, hi) < 0)
+        val gotN = CellStore.countDistinctKeysInRange(file, lo, hi)
+        assert(gotN.contains(wantN.toLong),
+          s"dk [${new String(lo)}, ${new String(hi)}): got $gotN want $wantN")
+        val wantS = sorted.filter(c =>
+          Codecs.compareBytes(c.key, lo) >= 0 &&
+            Codecs.compareBytes(c.key, hi) < 0)
+          .map(c => java.nio.ByteBuffer.wrap(c.value).getLong).sum
+        val gotS = CellStore.sumCellsInRange(file, lo, hi)
+        assert(gotS.contains(wantS),
+          s"sum [${new String(lo)}, ${new String(hi)}): got $gotS want $wantS")
+      }
+      // per-key extremal cols under a window, vs brute force
+      val ks = Seq("k0003", "k0100x", "k0999").map(_.getBytes("UTF-8"))
+      val lo = "c01".getBytes; val hi = "d0100".getBytes
+      val mins = CellStore.extremalColsAtPoints(file, ks, lo, hi, wantMin = true)
+      val maxs = CellStore.extremalColsAtPoints(file, ks, lo, hi, wantMin = false)
+      ks.indices.foreach { i =>
+        val want = sorted.filter(c => java.util.Arrays.equals(c.key, ks(i)) &&
+          Codecs.compareBytes(c.col, lo) >= 0 && Codecs.compareBytes(c.col, hi) < 0)
+          .map(c => new String(c.col))
+        assert(Option(mins(i)).map(new String(_)) == want.minOption,
+          s"min col of ${new String(ks(i))}")
+        assert(Option(maxs(i)).map(new String(_)) == want.maxOption,
+          s"max col of ${new String(ks(i))}")
+      }
+      // overflow drops the VSUM tail (never a wrapped sum)
+      val out2 = CellStore.newSegmentStream(sst.resolve("b0-o.bin"))
+      CellStore.writeRun(out2, Seq(
+        Cell("a".getBytes, "c".getBytes, null, v(Long.MaxValue), 1L, tombstone = false),
+        Cell("b".getBytes, "c".getBytes, null, v(Long.MaxValue), 1L, tombstone = false)))
+      out2.close()
+      val so = CellStore.runStats(sst.resolve("b0-o.bin"))(0)
+      assert(!so.hasValSums, "overflowing run must not carry a VSUM tail")
+      assert(so.hasKeyPrefix, "KPFX is value-independent and stays")
+      assert(CellStore.sumCellsInRange(sst.resolve("b0-o.bin"), null, null).isEmpty)
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("range SUM: pushed key envelopes answer SUM(value) from VSUM tails") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_sum",
+      (1L to 500L).map(i => (i, f"c${i % 7}%02d", i * 11L)).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f)
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    // range, IN (with an absent point), equality
+    for ((pred, wantS, wantN) <- Seq(
+      (col("k") >= 100L && col("k") < 200L, (100L until 200L).map(_ * 11L).sum, 100L),
+      (col("k").isin(3L, 77L, 9999L), (3L + 77L) * 11L, 2L),
+      (col("k") === 250L, 250L * 11L, 1L))) {
+      val df = q(pred)
+      assert(scanOf(df).scan.description().contains("AggStats: complete"),
+        s"not complete for $pred: ${scanOf(df).scan.description()}")
+      val r = df.collect()(0)
+      assert(r.getLong(0) == wantS && r.getLong(1) == wantN, s"$pred: got $r")
+    }
+    // empty envelope: SUM over no rows is NULL, count 0 — exactly the fold
+    val empty = q(col("k") > 10000L).collect()(0)
+    assert(empty.isNullAt(0) && empty.getLong(1) == 0L)
+    // UNFILTERED whole-store SUM rides the same proof set
+    val all = Seed.read(spark, store).agg(sum("v").as("s"), count(lit(1)).as("n"))
+    assert(scanOf(all).scan.description().contains("AggStats: complete"))
+    val ra = all.collect()(0)
+    assert(ra.getLong(0) == (1L to 500L).map(_ * 11L).sum && ra.getLong(1) == 500L)
+    // grouped per-key SUM + MIN/MAX(col) under a col window, at planning
+    val g = Seed.read(spark, store)
+      .filter(col("k").isin(5L, 8L, 9999L) && col("c") >= "c01")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("c").as("mn"), max("c").as("mx"))
+    assert(scanOf(g).scan.description().contains("AggStats: complete"),
+      scanOf(g).scan.description())
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((5L, 1L, 55L, "c05", "c05"), (8L, 1L, 88L, "c01", "c01")),
+      s"got $rows")
+    // overwrite -> overlapping runs: SUM must decline to the fold (LWW
+    // winners only), exact either way
+    Seed.append((100L to 300L).map(i => (i, f"c${i % 7}%02d", i * 1000L))
+      .toDF("k", "c", "v").repartition(1), store,
+      Map(Options.WriteTimestamp -> "2"))
+    val dfo = q(col("k") >= 100L && col("k") < 200L)
+    assert(!scanOf(dfo).scan.description().contains("AggStats: complete"))
+    val (statsOnly, _) = drain(dfo)
+    assert(statsOnly == 0L, "overlapping runs must fold")
+    val want = (100L until 200L).map(_ * 1000L).sum
+    val ro = dfo.collect()(0)
+    assert(ro.getLong(0) == want && ro.getLong(1) == 100L, s"got $ro")
+  }
+
+  test("range SUM declines: text marshal, non-long values, overflow") {
+    val sp = spark; import sp.implicits._
+    // text encoding: digits, variable length — the VSUM interpretation
+    // doesn't apply, the static gate must refuse
+    val text = Seed.table(spark, sfDir, "spec_agg_sum_text",
+      (1L to 50L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Encoding -> "text"))
+    val qt = Seed.read(spark, text).filter(col("k") <= 10L).agg(sum("v").as("s"))
+    assert(!scanOf(qt).scan.description().contains("AggStats"),
+      scanOf(qt).scan.description())
+    assert(qt.collect()(0).getLong(0) == 55L)
+    // overflowing totals: the writer drops the tail, the readers fold —
+    // and the fold reproduces Spark's own non-ANSI wrap-around
+    val big = Seed.table(spark, sfDir, "spec_agg_sum_big",
+      Seq((1L, "c", Long.MaxValue), (2L, "c", Long.MaxValue))
+        .toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    val qb = Seed.read(spark, big).filter(col("k") >= 1L).agg(sum("v").as("s"))
+    val (so, _) = drain(qb)
+    assert(so == 0L, "overflowing store must fold")
+    val fold = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      .filter(col("k") >= 1L).agg(sum("v").as("s")).collect()(0)
+    assert(qb.collect()(0) == fold, "fast path must equal the fold exactly")
+  }
+
+  test("regular range count: distinct keys in the envelope, boundary-exact") {
+    val sp = spark; import sp.implicits._
+    // 3 cells per key (multi-cell rows), every 5th key missing one cell
+    val df = (1L to 400L).map(i =>
+      (i, s"name$i", if (i % 5 == 0) null else s"seg${i % 3}", i * 1.5))
+      .toDF("k", "nm", "seg", "bal")
+    val store = Seed.table(spark, sfDir, "spec_agg_reg_range", df.repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f)
+        .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    for ((pred, wantN, wantMn, wantMx) <- Seq(
+      (col("k") >= 37L && col("k") < 123L, 86L, 37L, 122L),
+      (col("k") > 390L, 10L, 391L, 400L),
+      (col("k").isin(7L, 300L, 12345L), 2L, 7L, 300L),
+      (col("k") === 55L, 1L, 55L, 55L))) {
+      val dfq = q(pred)
+      assert(scanOf(dfq).scan.description().contains("AggStats: complete"),
+        s"not complete for $pred: ${scanOf(dfq).scan.description()}")
+      val r = dfq.collect()(0)
+      assert(r.getLong(0) == wantN && r.getLong(1) == wantMn && r.getLong(2) == wantMx,
+        s"$pred: got $r")
+    }
+    // COUNT(non-key column) counts non-missing CELLS — positions can't see
+    // that; must decline yet stay exact
+    val qc = Seed.read(spark, store).filter(col("k") >= 1L && col("k") <= 10L)
+      .agg(count(col("seg")).as("n"))
+    assert(!scanOf(qc).scan.description().contains("AggStats: complete"))
+    assert(qc.collect()(0).getLong(0) == 8L) // keys 5 and 10 carry no seg cell
+    // a tombstone anywhere in a counted bucket folds the count
+    Seed.append(Seq((17L, null.asInstanceOf[String],
+      null.asInstanceOf[String], null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "nm", "seg", "bal").repartition(1), store,
+      Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val qt = q(col("k") >= 1L && col("k") < 50L)
+    val fold = Seed.read(spark, store,
+      Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      .filter(col("k") >= 1L && col("k") < 50L)
+      .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    assert(qt.collect()(0) == fold.collect()(0),
+      "post-tombstone fast path must equal the fold")
+  }
+
+  test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_sidecar",
+      (1L to 300L).map(i => (i, f"c${i % 5}%02d", i * 3L)).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    val bsDir = java.nio.file.Paths.get(store, CellStore.BucketStatsDir)
+    import scala.jdk.CollectionConverters._
+    def sidecars(): Seq[java.nio.file.Path] = {
+      if (!java.nio.file.Files.isDirectory(bsDir)) return Nil
+      val s = java.nio.file.Files.list(bsDir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    assert(sidecars().nonEmpty, "write commit must leave bucket-stat sidecars")
+    def q() = Seed.read(spark, store)
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), min("k").as("mn"))
+    // fresh scans plan COMPLETELY from the sidecars alone: the walk
+    // counter must not move
+    val walks0 = CellStore.bucketStatWalks.get()
+    assert(scanOf(q()).scan.description().contains("AggStats: complete"))
+    val r0 = q().collect()(0)
+    assert(r0.getLong(0) == 300L && r0.getLong(1) == (1L to 300L).map(_ * 3L).sum
+      && r0.getLong(2) == 1L)
+    assert(CellStore.bucketStatWalks.get() == walks0,
+      "sidecar-covered planning must not walk index tails")
+    // deleting the sidecars flips planning to the (counted) walk fallback —
+    // same answers
+    sidecars().foreach(java.nio.file.Files.delete)
+    val r1 = q().collect()(0)
+    assert(r1 == r0, "walk fallback must answer identically")
+    assert(CellStore.bucketStatWalks.get() > walks0,
+      "missing sidecars must be counted as walks")
+    // a corrupt sidecar is ignored (walk), never misparsed
+    java.nio.file.Files.createDirectories(bsDir)
+    java.nio.file.Files.write(bsDir.resolve("b0.stat"),
+      "garbage".getBytes("UTF-8"))
+    assert(q().collect()(0) == r0)
+    // a STALE sidecar (listing changed underneath it) is detected by the
+    // exact file-list comparison and ignored: duplicate a segment so the
+    // listing no longer matches — the dup addresses also demote the
+    // complete path, and LWW still dedups the fold to the same answer
+    Seed.append((1L to 300L).map(i => (i, f"c${i % 5}%02d", i * 3L))
+      .toDF("k", "c", "v").repartition(1), store,
+      Map(Options.WriteTimestamp -> "1"))
+    val sst = java.nio.file.Paths.get(store, CellStore.SstDir)
+    val seg = java.nio.file.Files.list(sst).iterator().asScala.toSeq.head
+    java.nio.file.Files.copy(seg, seg.resolveSibling(
+      seg.getFileName.toString.replaceFirst("-", "-ffff")))
+    val r2 = q().collect()(0)
+    assert(r2 == r0, s"stale-sidecar read must stay exact: $r2 vs $r0")
   }
 
   test("fuzz: range aggregates match the fold across random stores/predicates") {
@@ -683,21 +939,62 @@ class MetadataAggSpec extends SparkSpec {
       }
       def agg(opts: Map[String, String]) =
         Seed.read(spark, store, opts).filter(pred)
-          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+            sum("v").as("sv"))
           .collect()(0)
       // asof = MaxValue sees every cell but disqualifies the static gates:
       // the pure fold is the ground truth
       val fast = agg(Map.empty)
       val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
       assert(fast == fold, s"iter $iter pred $pred: $fast vs $fold")
-      // grouped twin (pinned keys only — the others plan normally anyway)
+      // grouped twin (pinned keys only — the others plan normally anyway):
+      // per-key COUNT + SUM(value) + MIN/MAX(clustering col)
       def grouped(opts: Map[String, String]) =
         Seed.read(spark, store, opts).filter(col("k").isin(keyPts: _*))
-          .groupBy("k").agg(count(lit(1)).as("n"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+            min("c").as("mc"), max("c").as("xc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getString(4))).sortBy(_._1).toSeq
       assert(grouped(Map.empty) ==
         grouped(Map(Options.ReadAsOf -> Long.MaxValue.toString)),
         s"iter $iter grouped mismatch")
+    }
+    // REGULAR-mapping arm: rows = distinct keys, with random missing cells,
+    // overlapping second runs and occasional tombstones
+    for (iter <- 1 to 6) {
+      val nKeys = 10 + rnd.nextInt(80)
+      def randRows(n: Int) = (1 to n).map { _ =>
+        val k = rnd.nextInt(nKeys).toLong - 10
+        (k, if (rnd.nextInt(4) == 0) null else s"n$k",
+          java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+      }
+      val store = Seed.table(spark, sfDir, s"spec_agg_regfuzz_$iter",
+        randRows(40 + rnd.nextInt(200)).toDF("k", "nm", "x").repartition(1),
+        props = Map(Options.KeyEncoding -> "ordered",
+          Options.Buckets -> (1 + rnd.nextInt(3)).toString))
+      if (rnd.nextBoolean())
+        Seed.append(randRows(20 + rnd.nextInt(60)).toDF("k", "nm", "x")
+          .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+      if (rnd.nextInt(3) == 0)
+        Seed.append(randRows(5).map { case (k, _, _) =>
+          (k, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]) }
+          .toDF("k", "nm", "x").repartition(1), store,
+          Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "3"))
+      val a = rnd.nextInt(nKeys).toLong - 10
+      val b = a + 1 + rnd.nextInt(25)
+      val keyPts = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(nKeys + 10).toLong - 12)
+      val pred = rnd.nextInt(3) match {
+        case 0 => col("k") >= a && col("k") < b
+        case 1 => col("k").isin(keyPts: _*)
+        case _ => col("k") === a
+      }
+      def agg(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred)
+          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+          .collect()(0)
+      val fast = agg(Map.empty)
+      val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      assert(fast == fold, s"regular iter $iter pred $pred: $fast vs $fold")
     }
   }
 
@@ -706,11 +1003,21 @@ class MetadataAggSpec extends SparkSpec {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val store = Seed.table(spark, sfDir, "spec_agg_meta_gate", df.repartition(1),
       props = Map(Options.KeyEncoding -> "ordered"))
+    // a pushed filter disables the UNFILTERED stat gate; the count still
+    // resolves completely — through the RANGE path (distinct keys > 1
+    // positionally), not the whole-store STAT fold
     val filtered = Seed.read(spark, store).filter(col("k") > 1L)
       .agg(count(lit(1)).as("n"))
-    assert(!scanOf(filtered).scan.description().contains("AggStats"),
-      "a pushed filter must disable the metadata gate")
+    assert(scanOf(filtered).scan.description().contains("AggStats: complete"),
+      "an exact key range should route to the complete range path")
     assert(filtered.collect()(0).getLong(0) == 1L)
+    // a filter the envelope can't express exactly (non-key column) must
+    // disable every metadata gate
+    val vFiltered = Seed.read(spark, store).filter(col("v") > "a")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(vFiltered).scan.description().contains("AggStats"),
+      "a non-key filter must disable the metadata gate")
+    assert(vFiltered.collect()(0).getLong(0) == 1L)
     val asOf = Seed.read(spark, store, Map(Options.ReadAsOf -> "0"))
       .agg(count(lit(1)).as("n"))
     assert(!scanOf(asOf).scan.description().contains("AggStats"),
