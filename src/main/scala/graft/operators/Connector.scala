@@ -97,8 +97,11 @@ object Connector {
       """SELECT count(*) AS n, min(c_name) AS mn, max(c_name) AS mx
         |FROM customer""".stripMargin, bench = true) { (s, dir) =>
       import s.implicits._
-      val store = Seed.table(s, dir, "agg_metadata",
-        t(s, dir, "customer").select($"c_name", $"c_acctbal").repartition(1))
+      val store = s"${Seed.storeRoot(dir)}/agg_metadata"
+      seedOnce(s"$dir#agg_metadata") {
+        Seed.table(s, dir, "agg_metadata",
+          t(s, dir, "customer").select($"c_name", $"c_acctbal").repartition(1))
+      }
       Seed.read(s, store)
         .agg(count(lit(1)).as("n"), min($"c_name").as("mn"),
           max($"c_name").as("mx"))
@@ -155,13 +158,16 @@ object Connector {
         |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS n_points""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val src = t(s, dir, "lineitem").select(
-        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
-        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
-        floor($"l_quantity").cast("bigint").as("value"))
-        .dropDuplicates("row_key", "column_name")
-      val store = Seed.table(s, dir, "agg_range_count", src.repartition(1),
-        mapping = Some(":key,:column,:value"))
+      val store = s"${Seed.storeRoot(dir)}/agg_range_count"
+      seedOnce(s"$dir#agg_range_count") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          floor($"l_quantity").cast("bigint").as("value"))
+          .dropDuplicates("row_key", "column_name")
+        Seed.table(s, dir, "agg_range_count", src.repartition(1),
+          mapping = Some(":key,:column,:value"))
+      }
       val r = Seed.read(s, store)
       val nRange = r
         .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
@@ -315,13 +321,16 @@ object Connector {
         |  (SELECT CAST(sum(v) AS BIGINT) FROM cells) AS sum_all""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val src = t(s, dir, "lineitem").select(
-        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
-        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
-        (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
-        .dropDuplicates("row_key", "column_name")
-      val store = Seed.table(s, dir, "agg_range_sum", src.repartition(1),
-        mapping = Some(":key,:column,:value"))
+      val store = s"${Seed.storeRoot(dir)}/agg_range_sum"
+      seedOnce(s"$dir#agg_range_sum") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+          .dropDuplicates("row_key", "column_name")
+        Seed.table(s, dir, "agg_range_sum", src.repartition(1),
+          mapping = Some(":key,:column,:value"))
+      }
       val r = Seed.read(s, store)
       val range = r
         .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")

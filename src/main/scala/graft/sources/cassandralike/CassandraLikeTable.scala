@@ -486,6 +486,10 @@ class CassandraLikeTable(
         finally out.close()
         CellStore.commitSegments(dir,
           Seq(tmp -> CellStore.newSegmentName(bucket)))
+        // refresh the bucket-stat sidecar (the tombstones just written
+        // flip its tombstoneFree flag — planning reads that from O(1)
+        // bytes instead of walking a stale-listing fallback)
+        CellStore.writeBucketStats(dir, bucket)
       }
     }
   }

@@ -771,6 +771,16 @@ object CellStore {
   private def cacheKey(file: Path): (String, Long, Long) =
     (file.toString, Files.size(file), Files.getLastModifiedTime(file).toMillis)
 
+  /** Probe/test hook: drop every driver-side planning memo (run stats,
+    * quick stats, bucket-stat sidecars) so a measurement can replay the
+    * COLD-driver planning cost inside one JVM. Never called on a
+    * production path — the caches are correct forever (immutable files). */
+  private[graft] def clearPlannerCaches(): Unit = {
+    runStatsCache.clear()
+    quickStatsCache.clear()
+    bucketStatCache.clear()
+  }
+
   /** Total (bytes, cells) of one segment; memoized per immutable file. */
   def segmentStats(file: Path): SegmentStats =
     statsCache.computeIfAbsent(cacheKey(file), _ =>

@@ -77,6 +77,28 @@ class PlanShapeSpec extends SparkSpec {
       s"scan output should be partial aggregates: ${scans.head.output}")
   }
 
+  test("metadata-aggregate judged queries plan COMPLETE on their real seeded stores") {
+    // pins that the actual judged stores (single-task seed → one
+    // commit-compacted run per bucket) qualify for complete pushdown —
+    // a seeding or gating regression would silently demote these to the
+    // fold and only surface as bench drift
+    for ((name, minComplete) <- Seq(
+      ("conn_agg_metadata", 1), // one unfiltered agg scan
+      ("conn_agg_range_count", 2), // range(count+min+max) + points sub-aggs
+      ("conn_agg_range_sum", 3), // range, points, unfiltered sum
+      ("conn_agg_grouped_stats", 1),
+      ("conn_agg_regular_range", 2))) {
+      val scans = collectAll(plan(name)).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("cassandralike") => b.scan.description()
+      }
+      val complete = scans.count(_.contains("AggStats: complete"))
+      assert(complete >= minComplete,
+        s"$name: want >=$minComplete complete metadata scans, got $complete of " +
+          s"${scans.size}:\n${scans.mkString("\n")}")
+    }
+  }
+
   test("rel_q1 filter is pushed down to the parquet scan") {
     val scans = collectAll(plan("rel_q1_pricing_summary"))
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
