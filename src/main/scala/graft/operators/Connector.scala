@@ -342,6 +342,59 @@ object Connector {
       range.crossJoin(points).crossJoin(all)
     },
 
+    // ---- VALUE-COLUMN metadata aggregates: AVG / MIN / MAX / COUNT of
+    // the VALUE under key envelopes — "average and peak reading in the
+    // window" — from the VMMX per-span value min/max tails (extremes never
+    // overflow, so they survive where a VSUM total can't) plus the VSUM
+    // sums: Spark rewrites AVG into the Sum+Count pair before pushing, so
+    // the whole SELECT resolves COMPLETELY at planning (plan is Project
+    // over one answer partition — no HashAggregate anywhere). COUNT(value)
+    // == COUNT(*) because the tail proves every stored value an 8-byte
+    // long (never NULL); value extremals additionally need the
+    // visible-row proofs — an overwritten cell's value must never surface
+    // (MetadataAggSpec pins exactly that overwrite trap). ----
+    Q("conn_agg_value_stats",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)
+        |   FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS avg_range,
+        |  (SELECT min(v) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS min_range,
+        |  (SELECT max(v) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS max_range,
+        |  (SELECT count(v) FROM cells) AS nv_all,
+        |  (SELECT min(v) FROM cells
+        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS min_points,
+        |  (SELECT max(v) FROM cells
+        |   WHERE k IN ('0000000001', '0000000032', '0000000099')) AS max_points""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_value_stats"
+      seedOnce(s"$dir#agg_value_stats") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+          .dropDuplicates("row_key", "column_name")
+        Seed.table(s, dir, "agg_value_stats", src.repartition(1),
+          mapping = Some(":key,:column,:value"))
+      }
+      val r = Seed.read(s, store)
+      val range = r
+        .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
+        .agg(avg($"value").as("avg_range"), min($"value").as("min_range"),
+          max($"value").as("max_range"))
+      val all = r.agg(count($"value").as("nv_all"))
+      val points = r
+        .filter($"row_key".isin("0000000001", "0000000032", "0000000099"))
+        .agg(min($"value").as("min_points"), max($"value").as("max_points"))
+      range.crossJoin(all).crossJoin(points)
+    },
+
     // ---- GROUPED metadata stats: per-key COUNT + SUM(value) + MIN/MAX of
     // the clustering column under a col window — "per-user volume and
     // first/last reading in the window" — resolves COMPLETELY at planning:
@@ -356,7 +409,8 @@ object Connector {
         |    (l_orderkey % 97) * 100 + l_linenumber AS v
         |  FROM lineitem)
         |SELECT k, count(*) AS width, CAST(sum(v) AS BIGINT) AS vol,
-        |  min(c) AS first_c, max(c) AS last_c
+        |  min(c) AS first_c, max(c) AS last_c,
+        |  min(v) AS vmin, max(v) AS vmax
         |FROM cells
         |WHERE k IN ('0000000001', '0000000032', '0000000066', '0000099999')
         |  AND c >= '0002'
@@ -375,8 +429,10 @@ object Connector {
           $"column_name" >= "0002")
         .groupBy($"row_key")
         .agg(count(lit(1)).as("width"), sum($"value").as("vol"),
-          min($"column_name").as("first_c"), max($"column_name").as("last_c"))
-        .select($"row_key".as("k"), $"width", $"vol", $"first_c", $"last_c")
+          min($"column_name").as("first_c"), max($"column_name").as("last_c"),
+          min($"value").as("vmin"), max($"value").as("vmax"))
+        .select($"row_key".as("k"), $"width", $"vol", $"first_c", $"last_c",
+          $"vmin", $"vmax")
         .orderBy($"k")
     },
 

@@ -700,15 +700,22 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val valN =
       if (table.mapping.transposed)
         table.mapping.field(FieldRole.TransValue).name else null
+    // Count(value)/Min(value)/Max(value) under the same static value gate
+    // as SUM: the VMMX tails (checked per bucket below) prove every value
+    // non-null, so Count(value) == COUNT(*), and carry the extremes
+    def isVal(c: String): Boolean = sumOk && valN != null && c == valN
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          col(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
+          col(c.column).filter(c0 => table.isAddressField(c0) || isVal(c0))
+            .map(PushedAgg.Count.apply)
         case c: Count if c.isDistinct =>
           col(c.column).filter(_ == keyN).map(PushedAgg.CountDistinct.apply)
-        case m: Min => col(m.column).filter(minMaxable).map(PushedAgg.Min.apply)
-        case m: Max => col(m.column).filter(minMaxable).map(PushedAgg.Max.apply)
+        case m: Min => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0))
+          .map(PushedAgg.Min.apply)
+        case m: Max => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0))
+          .map(PushedAgg.Max.apply)
         case s: Sum if !s.isDistinct && sumOk =>
           col(s.column).filter(_ == valN).map(PushedAgg.Sum.apply)
         case _ => None
@@ -717,6 +724,15 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val want = translated.flatten
     val wantSum = want.exists {
       case PushedAgg.Sum(_) => true
+      case _ => false
+    }
+    val wantValCount = want.exists {
+      case PushedAgg.Count(c) => isVal(c)
+      case _ => false
+    }
+    val wantValExtremal = want.exists {
+      case PushedAgg.Min(c) => isVal(c)
+      case PushedAgg.Max(c) => isVal(c)
       case _ => false
     }
     // driver-side dynamic check, fold over every bucket's SIDECAR record:
@@ -735,6 +751,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     var rows = 0L
     var dKeys = 0L
     var valSum = 0L
+    var valMinHas = false
+    var valMinAll = 0L
+    var valMaxAll = 0L
     val recs = Seq.newBuilder[CellStore.BucketStat]
     byBucket.foreach { case (b, files) =>
       val rec = CellStore.bucketStats(table.dir, b, files)
@@ -747,6 +766,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           return None
         try valSum = Math.addExact(valSum, rec.valTotal)
         catch { case _: ArithmeticException => return None }
+      }
+      if (wantValCount && !rec.valRangeAll) return None // a NULL-able value
+      if (wantValExtremal) {
+        // overwritten values must not contribute: same visible-row proofs
+        // as the counts, plus the VMMX tails everywhere
+        if (!rec.valRangeAll || !rec.allAddrsDistinct) return None
+        if (rec.runs > 0) {
+          if (!valMinHas) { valMinHas = true; valMinAll = rec.valMin; valMaxAll = rec.valMax }
+          else {
+            if (rec.valMin < valMinAll) valMinAll = rec.valMin
+            if (rec.valMax > valMaxAll) valMaxAll = rec.valMax
+          }
+        }
       }
       dKeys += rec.distinctKeys
       recs += rec
@@ -762,6 +794,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case PushedAgg.CountStar | PushedAgg.Count(_) => rows
       case PushedAgg.CountDistinct(_) => dKeys
       case PushedAgg.Sum(_) => if (rows == 0L) null else valSum
+      case PushedAgg.Min(c) if isVal(c) =>
+        if (valMinHas) Long.box(valMinAll) else null
+      case PushedAgg.Max(c) if isVal(c) =>
+        if (valMinHas) Long.box(valMaxAll) else null
       case PushedAgg.Min(c) =>
         if (buckets.isEmpty) null
         else MetadataAggReader.extremalB(buckets, levelOf(c), wantMin = true) match {
@@ -801,7 +837,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case c: Count if !c.isDistinct =>
           aggCol(c.column).filter(c0 =>
             table.isAddressField(c0) ||
-              (!table.mapping.transposed && c0 == table.mapping.keyField.name))
+              (!table.mapping.transposed && c0 == table.mapping.keyField.name) ||
+              (table.mapping.transposed &&
+                c0 == table.mapping.field(FieldRole.TransValue).name))
             .map(PushedAgg.Count.apply)
         case m: Min => aggCol(m.column).map(PushedAgg.Min.apply)
         case m: Max => aggCol(m.column).map(PushedAgg.Max.apply)
@@ -815,7 +853,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         if (table.mapping.transposed)
           MetadataAggReader.rangeVals(want, table.keyCodec,
             table.colCodec, table.mapping.field(FieldRole.TransColumn).name,
-            ctx.files, ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin)
+            ctx.files, ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin,
+            valName = table.mapping.field(FieldRole.TransValue).name)
         else
           MetadataAggReader.regularRangeVals(want, table.keyCodec, ctx.files,
             ctx.lo, ctx.hi, ctx.ks)
@@ -841,6 +880,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (!table.mapping.transposed) return None
     val keyN = table.mapping.keyField.name
     val colN = table.mapping.field(FieldRole.TransColumn).name
+    val valN = table.mapping.field(FieldRole.TransValue).name
     aggregation.groupByExpressions().toSeq.map(aggCol) match {
       case Seq(Some(g)) if g == keyN => ()
       case _ => return None
@@ -849,9 +889,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          aggCol(c.column).filter(table.isAddressField).map(PushedAgg.Count.apply)
-        case m: Min => aggCol(m.column).filter(_ == colN).map(PushedAgg.Min.apply)
-        case m: Max => aggCol(m.column).filter(_ == colN).map(PushedAgg.Max.apply)
+          aggCol(c.column).filter(c0 =>
+            table.isAddressField(c0) || c0 == valN).map(PushedAgg.Count.apply)
+        case m: Min => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN)
+          .map(PushedAgg.Min.apply)
+        case m: Max => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN)
+          .map(PushedAgg.Max.apply)
         case s: Sum if !s.isDistinct => aggCol(s.column).map(PushedAgg.Sum.apply)
         case _ => None
       }
@@ -916,12 +959,48 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
       lazy val colMins = colExtremals(wantMin = true)
       lazy val colMaxs = colExtremals(wantMin = false)
+      // per-key VALUE extremals ("per-user peak in the window"), from the
+      // same composite interval positions; a missing-tail decline demotes
+      // the whole grouped answer to the fold
+      def valExtremals(wantMin: Boolean): Array[java.lang.Long] = {
+        val best = new Array[java.lang.Long](sortedKs.length)
+        ctx.files.foreach { f =>
+          CellStore.extremalValuesAtPoints(f, sortedKs.toSeq,
+            colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+            subLo = sLo, subHi = sHi, wantMin = wantMin) match {
+            case Some(per) =>
+              var i = 0
+              while (i < per.length) {
+                if (per(i) != null && (best(i) == null ||
+                    (if (wantMin) per(i) < best(i) else per(i) > best(i))))
+                  best(i) = per(i)
+                i += 1
+              }
+            case None => return null // decline marker, checked below
+          }
+        }
+        best
+      }
+      val wantValMin = want.exists {
+        case PushedAgg.Min(c) => c == valN
+        case _ => false
+      }
+      val wantValMax = want.exists {
+        case PushedAgg.Max(c) => c == valN
+        case _ => false
+      }
+      val valMins = if (wantValMin) valExtremals(wantMin = true) else null
+      if (wantValMin && valMins == null) return None
+      val valMaxs = if (wantValMax) valExtremals(wantMin = false) else null
+      if (wantValMax && valMaxs == null) return None
       val rows = sortedKs.indices.collect {
         case i if totals(i) > 0 =>
           InternalRow.fromSeq(
             table.keyCodec.decode(sortedKs(i)) +: want.map {
               case PushedAgg.CountStar | PushedAgg.Count(_) => totals(i)
               case PushedAgg.Sum(_) => sums(i)
+              case PushedAgg.Min(c) if c == valN => valMins(i)
+              case PushedAgg.Max(c) if c == valN => valMaxs(i)
               case PushedAgg.Min(_) => table.colCodec.decode(colMins(i))
               case PushedAgg.Max(_) => table.colCodec.decode(colMaxs(i))
               case other => throw new IllegalStateException(
@@ -1010,7 +1089,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
             MetadataAggReader.rangeConditionsOkB(rec, want,
               needColEntries = colWin != null || colPts != null ||
                 MetadataAggReader.wantsColExtremal(table.mapping, want),
-              needSubEntries = subWin != null)
+              needSubEntries = subWin != null,
+              valName = table.mapping.field(FieldRole.TransValue).name)
           else MetadataAggReader.regularRangeConditionsOkB(rec, want,
             pointsOnly = ks != null)
         if (!ok) return None
@@ -1374,18 +1454,20 @@ class CellScan(
     * tails — O(runs) metadata IO instead of O(cells): at 100 TB,
     * `SELECT count(*)` over a compacted store reads a few KB per bucket. */
   private lazy val statsEligible: Boolean = {
+    def isVal(c: String): Boolean =
+      table.mapping.transposed &&
+        c == table.mapping.field(FieldRole.TransValue).name &&
+        MetadataAggReader.sumEligible(table.mapping, k => table.opt(options, k))
     def answerable(a: PushedAgg): Boolean = a match {
       case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) => table.isAddressField(c)
+      case PushedAgg.Count(c) => table.isAddressField(c) || isVal(c)
       case PushedAgg.Min(c) =>
-        table.isAddressField(c) && table.isOrderPreservingAddress(c)
+        (table.isAddressField(c) && table.isOrderPreservingAddress(c)) ||
+          isVal(c)
       case PushedAgg.Max(c) =>
-        table.isAddressField(c) && table.isOrderPreservingAddress(c)
-      case PushedAgg.Sum(c) =>
-        table.mapping.transposed &&
-          c == table.mapping.field(FieldRole.TransValue).name &&
-          MetadataAggReader.sumEligible(table.mapping,
-            k => table.opt(options, k))
+        (table.isAddressField(c) && table.isOrderPreservingAddress(c)) ||
+          isVal(c)
+      case PushedAgg.Sum(c) => isVal(c)
       case _ => false
     }
     aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
@@ -2035,7 +2117,8 @@ object MetadataAggReader {
     * both are independently sound, but divergence would make complete and
     * partial answers qualify differently for no reason. */
   def rangeConditionsOkB(b: CellStore.BucketStat, aggs: Seq[PushedAgg],
-      needColEntries: Boolean, needSubEntries: Boolean): Boolean = {
+      needColEntries: Boolean, needSubEntries: Boolean,
+      valName: String = null): Boolean = {
     if (!b.tombstoneFree) return false
     if (needColEntries && !b.colEntriesAll) return false
     if (needSubEntries && !b.subEntriesAll) return false
@@ -2048,7 +2131,20 @@ object MetadataAggReader {
       case _ => false
     }
     if (needsSum && !b.valSumsAll) return false
-    (!needsCount && !needsSum) || (b.disjoint && b.allAddrsDistinct)
+    val touchesValue = valName != null && aggs.exists {
+      case PushedAgg.Count(c) => c == valName
+      case PushedAgg.Min(c) => c == valName
+      case PushedAgg.Max(c) => c == valName
+      case _ => false
+    }
+    if (touchesValue && !b.valRangeAll) return false
+    val valExtremal = valName != null && aggs.exists {
+      case PushedAgg.Min(c) => c == valName
+      case PushedAgg.Max(c) => c == valName
+      case _ => false
+    }
+    (!needsCount && !needsSum && !valExtremal) ||
+      (b.disjoint && b.allAddrsDistinct)
   }
 
   /** [[regularRangeConditionsOk]]'s bucket-record twin. */
@@ -2083,6 +2179,10 @@ object MetadataAggReader {
     // flags sub-splits here; belt and braces — a key-range restriction
     // would falsify the bucket-wide STAT counts)
     if (part.lower != null || part.upper != null) return None
+    val valN0 =
+      if (mapping.transposed) mapping.field(FieldRole.TransValue).name else null
+    val valOk0 = valN0 != null && sumEligible(mapping, opt)
+    def isVal(c: String): Boolean = valOk0 && c == valN0
     val needCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
@@ -2091,10 +2191,27 @@ object MetadataAggReader {
       case PushedAgg.Sum(_) => true
       case _ => false
     }
+    val needValExtremal = aggs.exists {
+      case PushedAgg.Min(c) => isVal(c)
+      case PushedAgg.Max(c) => isVal(c)
+      case _ => false
+    }
+    val needValCount = aggs.exists {
+      case PushedAgg.Count(c) => isVal(c)
+      case _ => false
+    }
     val counted = exactRows(stats, mapping.transposed)
-    if ((needCount || needSum) && counted.isEmpty) return None // overlapping runs
+    if ((needCount || needSum || needValExtremal) && counted.isEmpty)
+      return None // overlapping runs
     if (needSum && (!sumEligible(mapping, opt) ||
         stats.exists(s => !s.hasValSums || s.distinctAddrs != s.cells)))
+      return None
+    // value-column aggregates: VMMX tails everywhere prove every value
+    // non-null (Count) and carry the extremes (Min/Max — which also need
+    // the visible-row dedup, an overwritten value must not surface)
+    if ((needValCount || needValExtremal) && stats.exists(!_.hasValRange))
+      return None
+    if (needValExtremal && stats.exists(s => s.distinctAddrs != s.cells))
       return None
     val keyF = mapping.keyField
     val keyCodec = KeyCodec.of(keyF.dataType, opt)
@@ -2117,7 +2234,11 @@ object MetadataAggReader {
     while (i < aggs.length) {
       aggs(i) match {
         case PushedAgg.CountStar | PushedAgg.Count(_) =>
-          vals(i) = rowCount
+          vals(i) = rowCount // Count(value) == rows: VMMX gated above
+        case PushedAgg.Min(c) if isVal(c) =>
+          if (stats.nonEmpty) vals(i) = Long.box(stats.map(_.valMin).min)
+        case PushedAgg.Max(c) if isVal(c) =>
+          if (stats.nonEmpty) vals(i) = Long.box(stats.map(_.valMax).max)
         case PushedAgg.Min(c) =>
           if (stats.nonEmpty) levelOf(c).flatMap(extremal(stats, _, wantMin = true)) match {
             case Some(b) => vals(i) = decode(c, b)
@@ -2212,10 +2333,12 @@ object MetadataAggReader {
     val colWin = colWindowOf(mapping, colCodec, filters)
     val colPts = colPointsOf(mapping, colCodec, filters)
     val subWin = if (subCodec == null) null else subWindowOf(mapping, subCodec, filters)
+    val valN = mapping.field(FieldRole.TransValue).name
     if (!rangeConditionsOk(stats, aggs,
         needColEntries = colWin != null || colPts != null ||
           wantsColExtremal(mapping, aggs),
-        needSubEntries = subWin != null))
+        needSubEntries = subWin != null,
+        valName = valN))
       return None
     // envelope ∩ the partition's own key slice (sub-splits partition the
     // bucket's keys; KeyLookupBounds clamps a crossed range to empty)
@@ -2224,7 +2347,7 @@ object MetadataAggReader {
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
     rangeVals(aggs, keyCodec, colCodec,
       mapping.field(FieldRole.TransColumn).name,
-      files, lo, hi, ks, colWin, colPts, subWin)
+      files, lo, hi, ks, colWin, colPts, subWin, valName = valN)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
@@ -2333,14 +2456,23 @@ object MetadataAggReader {
       case PushedAgg.Max(c) => c == colN
       case _ => false
     }
+    // Count/Min/Max of the VALUE column ride the VMMX tails under the
+    // same sumOk static gate: tail presence proves every stored value an
+    // 8-byte long, so COUNT(value) == COUNT(*) (no NULLs to skip) and the
+    // per-span extremes answer "peak reading in the window" — this is
+    // also what makes AVG(value) resolve completely (Spark rewrites AVG
+    // into the Sum+Count pair before pushing).
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
-        c == keyF.name || c == colF.name || (subF != null && c == subF.name)
+        c == keyF.name || c == colF.name || (subF != null && c == subF.name) ||
+          (sumOk && c == valN)
       case PushedAgg.Min(c) =>
-        (c == keyN && ranged) || (c == colN && colRanged && keyPinned)
+        (c == keyN && ranged) || (c == colN && colRanged && keyPinned) ||
+          (sumOk && c == valN)
       case PushedAgg.Max(c) =>
-        (c == keyN && ranged) || (c == colN && colRanged && keyPinned)
+        (c == keyN && ranged) || (c == colN && colRanged && keyPinned) ||
+          (sumOk && c == valN)
       case PushedAgg.Sum(c) => sumOk && c == valN
       case _ => false
     }
@@ -2460,7 +2592,8 @@ object MetadataAggReader {
   private[cassandralike] def rangeConditionsOk(
       stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
       needColEntries: Boolean = false,
-      needSubEntries: Boolean = false): Boolean = {
+      needSubEntries: Boolean = false,
+      valName: String = null): Boolean = {
     if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
     if (needColEntries && stats.exists(!_.colEntries)) return false
     if (needSubEntries && stats.exists(!_.subEntries)) return false
@@ -2477,7 +2610,25 @@ object MetadataAggReader {
       case _ => false
     }
     if (needsSum && stats.exists(!_.hasValSums)) return false
-    (!needsCount && !needsSum) ||
+    // VALUE-column aggregates need the VMMX tail everywhere: Count(value)
+    // relies on it to prove every stored value decodes NON-NULL, and
+    // Min/Max(value) take extremes from it — and an OVERWRITTEN cell's
+    // value must never contribute, so value extremals also need the full
+    // visible-row proofs (unlike address extremals, which overwrites
+    // can't change)
+    val touchesValue = valName != null && aggs.exists {
+      case PushedAgg.Count(c) => c == valName
+      case PushedAgg.Min(c) => c == valName
+      case PushedAgg.Max(c) => c == valName
+      case _ => false
+    }
+    if (touchesValue && stats.exists(!_.hasValRange)) return false
+    val valExtremal = valName != null && aggs.exists {
+      case PushedAgg.Min(c) => c == valName
+      case PushedAgg.Max(c) => c == valName
+      case _ => false
+    }
+    (!needsCount && !needsSum && !valExtremal) ||
       (exactRows(stats, transposed = true).isDefined &&
         !stats.exists(s => s.distinctAddrs != s.cells))
   }
@@ -2583,7 +2734,8 @@ object MetadataAggReader {
       ks: Seq[Array[Byte]],
       colWin: (Array[Byte], Array[Byte]) = null,
       colPoints: Seq[Array[Byte]] = null,
-      subWin: (Array[Byte], Array[Byte]) = null): Option[Seq[Any]] = {
+      subWin: (Array[Byte], Array[Byte]) = null,
+      valName: String = null): Option[Seq[Any]] = {
     // col/sub restrictions are only reachable with a pinned key set, and
     // a sub window only inside pinned cols (rangeShapesOk)
     require((colWin == null && colPoints == null && subWin == null) || ks != null,
@@ -2668,8 +2820,63 @@ object MetadataAggReader {
     lazy val n: Long =
       if (ks != null) pointTotals.sum
       else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
+    // extremal decoded VALUE in the envelope, from the VMMX tails:
+    // Some(x) = the extreme, Some-of-nothing handled by caller null,
+    // None propagated below as a decline (tail missing on a consulted run)
+    def valExtremal(wantMin: Boolean): Option[Option[Long]] = {
+      if (ks != null) {
+        var best: java.lang.Long = null
+        files.foreach { f =>
+          val per =
+            (if (colPoints != null)
+              CellStore.extremalValuesAtPoints(f, sortedKs, colPoints = colPoints,
+                subLo = if (subWin == null) null else subWin._1,
+                subHi = if (subWin == null) null else subWin._2,
+                wantMin = wantMin)
+            else if (colWin != null)
+              CellStore.extremalValuesAtPoints(f, sortedKs, colWin._1, colWin._2,
+                wantMin = wantMin)
+            else CellStore.extremalValuesAtPoints(f, sortedKs, wantMin = wantMin))
+            match {
+              case Some(p) => p
+              case None => return None
+            }
+          per.foreach { v =>
+            if (v != null && (best == null ||
+                (if (wantMin) v < best else v > best))) best = v
+          }
+        }
+        Some(Option(best).map(_.longValue()))
+      } else {
+        var has = false
+        var best = 0L
+        files.foreach { f =>
+          CellStore.extremalValueInRange(f, lo, hi, wantMin) match {
+            case Some(Some(v)) =>
+              if (!has || (if (wantMin) v < best else v > best)) {
+                has = true; best = v
+              }
+            case Some(None) => ()
+            case None => return None
+          }
+        }
+        Some(if (has) Some(best) else None)
+      }
+    }
     val out = aggs.map {
+      case PushedAgg.Count(c) if valName != null && c == valName =>
+        n // VMMX on every run proves every value decodes non-null
       case PushedAgg.CountStar | PushedAgg.Count(_) => n
+      case PushedAgg.Min(c) if valName != null && c == valName =>
+        valExtremal(wantMin = true) match {
+          case Some(v) => v.map(Long.box).orNull
+          case None => return None
+        }
+      case PushedAgg.Max(c) if valName != null && c == valName =>
+        valExtremal(wantMin = false) match {
+          case Some(v) => v.map(Long.box).orNull
+          case None => return None
+        }
       case PushedAgg.Min(c) if c == colName =>
         colExtremal(wantMin = true).map(colCodec.decode).orNull
       case PushedAgg.Max(c) if c == colName =>

@@ -232,8 +232,7 @@ object CellStore {
     val kPrefix = mutable.ArrayBuffer.empty[Int]
     val kStart = mutable.ArrayBuffer.empty[Boolean]
     val vPrefix = mutable.ArrayBuffer.empty[Long]
-    var valSum = 0L
-    var valOk = true
+    val vals = new ValueTailBuilder
     var i = 0
     sorted.foreach { c =>
       // sorted input: distinct keys are exactly the key changes
@@ -242,7 +241,8 @@ object CellStore {
         entries += IndexEntry(i, payload.size().toLong, c.key, c.col, c.sub)
         kPrefix += dKeys
         kStart += newKey
-        vPrefix += valSum
+        vPrefix += vals.sum
+        vals.startSpan()
       }
       if (newKey) {
         bloom.add(c.key); prevKey = c.key; dKeys += 1
@@ -251,11 +251,7 @@ object CellStore {
           !eqNullable(prevSub, c.sub)) dAddrs += 1
       prevCol = c.col; prevSub = c.sub; sawAddr = true
       if (c.tombstone) tombs += 1
-      if (valOk) {
-        if (c.value == null || c.value.length != 8) valOk = false
-        else try valSum = Math.addExact(valSum, ByteBuffer.wrap(c.value).getLong)
-        catch { case _: ArithmeticException => valOk = false }
-      }
+      vals.add(c)
       colBloom.add(i, c.col)
       subBloom.add(i, c.sub)
       if (c.col != null) {
@@ -273,7 +269,8 @@ object CellStore {
       colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
       tombs, dKeys, dAddrs,
       kPrefix.toArray, kStart.toArray,
-      if (valOk) vPrefix.toArray else null, if (valOk) valSum else 0L)
+      if (vals.sumOk) vPrefix.toArray else null, if (vals.sumOk) vals.sum else 0L,
+      vals)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -333,7 +330,11 @@ object CellStore {
       keyPrefix: Array[Int] = null /* per-entry distinct keys BEFORE the entry (KPFX); null = legacy */,
       keyStart: Array[Boolean] = null /* per-entry: does the entry's cell start a new key? */,
       valSums: Array[Long] = null /* per-entry value-sum prefix (VSUM); null = legacy or non-8-byte/overflowing values */,
-      valTotal: Long = 0L /* whole-run value sum; valid iff valSums != null */)
+      valTotal: Long = 0L /* whole-run value sum; valid iff valSums != null */,
+      valMins: Array[Long] = null /* per-SPAN value min/max (VMMX); null = legacy or non-8-byte values */,
+      valMaxs: Array[Long] = null,
+      valMin: Long = 0L /* run-wide value min/max; valid iff valMins != null */,
+      valMax: Long = 0L)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -407,6 +408,7 @@ object CellStore {
   private val SubBloomMagic = 0x53424c4d // "SBLM" (per-chunk distinct-sub blooms)
   private val KeyPrefixMagic = 0x4b504658 // "KPFX" (per-entry distinct-key prefixes)
   private val ValSumMagic = 0x5653554d // "VSUM" (per-entry value-sum prefixes)
+  private val ValRangeMagic = 0x564d4d58 // "VMMX" (run + per-span value min/max)
   private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
 
   /** Probe knob (tools/bench only): `-Dgraft.write.tails=false` makes the
@@ -465,6 +467,44 @@ object CellStore {
     val ChunkCells: Int = SpansPerChunk * IndexEvery // 8192
   }
 
+  /** Accumulates the VALUE-derived index tails on one sorted write pass:
+    * the VSUM prefix sums (valid only while every value is an 8-byte long
+    * AND no running prefix overflows Long) and the VMMX per-span + run-wide
+    * value min/max (valid whenever every value is an 8-byte long — extremes
+    * can't overflow, so a VSUM-overflowing run keeps its VMMX). Spans align
+    * with index entries ([[writeRun]]/[[writeSingleRun]] call
+    * [[startSpan]] at every entry), so span i covers exactly the cells of
+    * index span i — what lets a positional interval take interior spans'
+    * extremes from the tail and scan only the two boundary spans. */
+  final class ValueTailBuilder {
+    var sum = 0L
+    private var val8 = true
+    private var sumValid = true
+    private val spanMins = mutable.ArrayBuffer.empty[Long]
+    private val spanMaxs = mutable.ArrayBuffer.empty[Long]
+    var runMin: Long = Long.MaxValue
+    var runMax: Long = Long.MinValue
+    def startSpan(): Unit = { spanMins += Long.MaxValue; spanMaxs += Long.MinValue }
+    def add(c: Cell): Unit = {
+      if (!val8) return
+      if (c.value == null || c.value.length != 8) { val8 = false; return }
+      val v = ByteBuffer.wrap(c.value).getLong
+      if (sumValid)
+        try sum = Math.addExact(sum, v)
+        catch { case _: ArithmeticException => sumValid = false }
+      val s = spanMins.length - 1
+      if (v < spanMins(s)) spanMins(s) = v
+      if (v > spanMaxs(s)) spanMaxs(s) = v
+      if (v < runMin) runMin = v
+      if (v > runMax) runMax = v
+    }
+    def sumOk: Boolean = val8 && sumValid
+    def rangeOk: Boolean = val8 && spanMins.nonEmpty
+    def spanCount: Int = spanMins.length
+    def mins: Array[Long] = spanMins.toArray
+    def maxs: Array[Long] = spanMaxs.toArray
+  }
+
   private def serializeIndex(entries: Seq[IndexEntry],
       lastKey: Array[Byte], bloom: KeyBloom = null,
       colMin: Array[Byte] = null, colMax: Array[Byte] = null,
@@ -473,7 +513,8 @@ object CellStore {
       subBlooms: Array[KeyBloom] = null,
       statTombstones: Int = -1, statKeys: Int = -1, statAddrs: Int = -1,
       keyPrefix: Array[Int] = null, keyStart: Array[Boolean] = null,
-      valSums: Array[Long] = null, valTotal: Long = 0L)
+      valSums: Array[Long] = null, valTotal: Long = 0L,
+      valTail: ValueTailBuilder = null)
     : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -564,6 +605,22 @@ object CellStore {
       out.writeInt(ValSumMagic)
       out.writeLong(valTotal)
       valSums.foreach(out.writeLong)
+    }
+    // VMMX: run-wide + per-span value MIN/MAX ("peak reading in the
+    // window" from index arithmetic) — written whenever every value is an
+    // 8-byte long (extremes can't overflow, so a VSUM-overflowing run
+    // still carries its VMMX)
+    if (valTail != null && valTail.rangeOk &&
+        valTail.spanCount == entries.length) {
+      out.writeInt(ValRangeMagic)
+      out.writeLong(valTail.runMin)
+      out.writeLong(valTail.runMax)
+      val mins = valTail.mins
+      val maxs = valTail.maxs
+      var vi = 0
+      while (vi < mins.length) {
+        out.writeLong(mins(vi)); out.writeLong(maxs(vi)); vi += 1
+      }
     }
     // per-run exact content STATS — the tail that lets a global
     // COUNT/MIN/MAX answer from metadata alone (see
@@ -728,6 +785,21 @@ object CellStore {
           (vs, total)
         }
       }
+    val (vMins, vMaxs, vMin, vMax) =
+      if (in.available() < 20 + 16 * n) (null, null, 0L, 0L)
+      else {
+        in.mark(4)
+        if (in.readInt() != ValRangeMagic) { in.reset(); (null, null, 0L, 0L) }
+        else {
+          val mn = in.readLong()
+          val mx = in.readLong()
+          val mins = new Array[Long](n)
+          val maxs = new Array[Long](n)
+          var j = 0
+          while (j < n) { mins(j) = in.readLong(); maxs(j) = in.readLong(); j += 1 }
+          (mins, maxs, mn, mx)
+        }
+      }
     val (sTombs, sKeys, sAddrs) =
       if (in.available() < 16) (-1, -1, -1)
       else {
@@ -737,7 +809,8 @@ object CellStore {
       }
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
       colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
-      sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal)
+      sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal,
+      vMins, vMaxs, vMin, vMax)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -842,7 +915,14 @@ object CellStore {
         * 8-byte long, run total long-representable) */
       hasValSums: Boolean = false,
       /** whole-run value sum; valid iff [[hasValSums]] */
-      valTotal: Long = 0L)
+      valTotal: Long = 0L,
+      /** the run carries the VMMX per-span value min/max tail (every
+        * value an 8-byte long; extremes never overflow, so this can hold
+        * where [[hasValSums]] dropped) */
+      hasValRange: Boolean = false,
+      /** run-wide value min/max; valid iff [[hasValRange]] */
+      valMin: Long = 0L,
+      valMax: Long = 0L)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -1299,6 +1379,173 @@ object CellStore {
     n
   }
 
+  /** Extremal decoded VALUE over the cell POSITIONS [loPos, hiPos) of one
+    * run, from the VMMX tail (caller guarantees idx.valMins != null):
+    * spans fully inside the interval contribute their tail min/max with
+    * no IO, only the (at most two) partial boundary spans scan cells —
+    * the value twin of the positional counts. None = empty interval. */
+  private def extremalValueBetween(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, loPos: Long, hiPos: Long,
+      wantMin: Boolean): Option[Long] = {
+    if (loPos >= hiPos) return None
+    val n = idx.cellPos.length
+    var has = false
+    var best = 0L
+    def consider(v: Long): Unit =
+      if (!has || (if (wantMin) v < best else v > best)) { has = true; best = v }
+    // first span that can overlap: the last span starting at or below loPos
+    var s = {
+      var a = 0
+      var b = n - 1
+      while (a < b) {
+        val mid = (a + b + 1) >>> 1
+        if (idx.cellPos(mid) <= loPos) a = mid else b = mid - 1
+      }
+      a
+    }
+    while (s < n && idx.cellPos(s) < hiPos) {
+      val start = idx.cellPos(s).toLong
+      val end = (if (s == n - 1) ri.cellCount else idx.cellPos(s + 1)).toLong
+      if (end > loPos) {
+        if (start >= loPos && end <= hiPos)
+          consider(if (wantMin) idx.valMins(s) else idx.valMaxs(s))
+        else {
+          val it = reader.runIterator(ri.payloadOffset + idx.offsets(s),
+            (end - start).toInt)
+          var p = start
+          while (p < end && p < hiPos && it.hasNext) {
+            val c = it.next()
+            if (p >= loPos) consider(valueLong(c))
+            p += 1
+          }
+        }
+      }
+      s += 1
+    }
+    if (has) Some(best) else None
+  }
+
+  /** Extremal decoded VALUE of one segment's cells with key in [lo, hi)
+    * (null = unbounded) — "the peak reading in the window" from the VMMX
+    * tails: runs fully inside answer from run-wide min/max with no IO,
+    * boundary runs resolve the interval POSITIONS with the usual boundary
+    * searches and take interior spans from the tail. Some(None) = no cell
+    * in range; None = a non-disjoint run lacks the tail (decline → fold).
+    *
+    * Values of OVERWRITTEN addresses would contribute here — the caller
+    * must have proven every cell visible (zero tombstones, disjoint runs,
+    * per-run distinctAddrs == cells), the same proofs the counts use. */
+  def extremalValueInRange(file: Path, lo: Array[Byte], hi: Array[Byte],
+      wantMin: Boolean): Option[Option[Long]] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var has = false
+    var best = 0L
+    def consider(v: Long): Unit =
+      if (!has || (if (wantMin) v < best else v > best)) { has = true; best = v }
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (!s.hasValRange) return None
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) consider(if (wantMin) s.valMin else s.valMax)
+          else {
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            val loPos = if (fullLow) 0L else cellsBelow(reader, ri, idx, lo)
+            val hiPos =
+              if (fullHigh) ri.cellCount.toLong else cellsBelow(reader, ri, idx, hi)
+            extremalValueBetween(reader, ri, idx, loPos, hiPos, wantMin)
+              .foreach(consider)
+          }
+        }
+        i += 1
+      }
+      Some(if (has) Some(best) else None)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** Per-point extremal VALUES over one segment — the value twin of
+    * [[countCellsAtPoints]], with the same col-window / col-point /
+    * sub-window narrowing (interval positions from the composite boundary
+    * searches, interior spans from the VMMX tail). Returned array aligns
+    * with `points`; a null element = that key has no cell in its
+    * interval. None = a consulted run lacks the tail (decline). Same
+    * visible-row proof obligations as [[extremalValueInRange]]. */
+  def extremalValuesAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subLo: Array[Byte] = null, subHi: Array[Byte] = null,
+      wantMin: Boolean = true): Option[Array[java.lang.Long]] = {
+    val out = new Array[java.lang.Long](points.length)
+    if (points.isEmpty) return Some(out)
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    def merge(p: Int, v: Option[Long]): Unit = v.foreach { x =>
+      if (out(p) == null || (if (wantMin) x < out(p) else x > out(p)))
+        out(p) = x
+    }
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              if (!s.hasValRange) return None
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              if (colPoints != null) {
+                var ci = 0
+                while (ci < colPoints.length) {
+                  val c = colPoints(ci)
+                  val hiPos =
+                    if (subHi == null)
+                      cellsBelowComposite(reader, ri, idx, k, byteSucc(c))
+                    else cellsBelowComposite(reader, ri, idx, k, c, subHi)
+                  val loPos =
+                    if (subLo == null) cellsBelowComposite(reader, ri, idx, k, c)
+                    else cellsBelowComposite(reader, ri, idx, k, c, subLo)
+                  merge(p, extremalValueBetween(reader, ri, idx, loPos, hiPos, wantMin))
+                  ci += 1
+                }
+              } else {
+                val hiPos =
+                  if (colHi == null) cellsBelow(reader, ri, idx, byteSucc(k))
+                  else cellsBelowComposite(reader, ri, idx, k, colHi)
+                val loPos =
+                  if (colLo == null) cellsBelow(reader, ri, idx, k)
+                  else cellsBelowComposite(reader, ri, idx, k, colLo)
+                merge(p, extremalValueBetween(reader, ri, idx, loPos, hiPos, wantMin))
+              }
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+      Some(out)
+    } finally if (reader != null) reader.close()
+  }
+
   /** DISTINCT-KEY count of one segment within [lo, hi) (null = unbounded)
     * — rows of a REGULAR store in a key range (one row per key, however
     * many cells it carries): runs fully inside contribute their STAT
@@ -1605,7 +1852,10 @@ object CellStore {
           subEntries = idx.subs != null && !idx.subs.exists(_ == null),
           hasKeyPrefix = idx.keyPrefix != null,
           hasValSums = idx.valSums != null,
-          valTotal = idx.valTotal)
+          valTotal = idx.valTotal,
+          hasValRange = idx.valMins != null,
+          valMin = idx.valMin,
+          valMax = idx.valMax)
       }.toArray
       finally r.close()
     })
@@ -1630,10 +1880,13 @@ object CellStore {
       valSumsAll: Boolean, valTotalOk: Boolean, valTotal: Long,
       firstKey: Array[Byte], lastKey: Array[Byte],
       colWindowsAll: Boolean, colMin: Array[Byte], colMax: Array[Byte],
-      subWindowsAll: Boolean, subMin: Array[Byte], subMax: Array[Byte])
+      subWindowsAll: Boolean, subMin: Array[Byte], subMax: Array[Byte],
+      valRangeAll: Boolean = false, valMin: Long = 0L, valMax: Long = 0L)
 
   val BucketStatsDir = "_bucket_stats"
-  private val BucketStatMagic = 0x42535431 // "BST1"
+  // "BST2" — bumped for the VMMX value-range fields; BST1 sidecars (none
+  // survive a commit, which rewrites them) parse as corrupt → walk
+  private val BucketStatMagic = 0x42535432
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -1687,7 +1940,10 @@ object CellStore {
       subWindowsAll = stats.nonEmpty && stats.forall(s =>
         s.subMin != null && s.subMax != null),
       subMin = reduceB(stats.map(_.subMin), wantMin = true),
-      subMax = reduceB(stats.map(_.subMax), wantMin = false))
+      subMax = reduceB(stats.map(_.subMax), wantMin = false),
+      valRangeAll = stats.forall(_.hasValRange),
+      valMin = if (stats.isEmpty) 0L else stats.map(_.valMin).min,
+      valMax = if (stats.isEmpty) 0L else stats.map(_.valMax).max)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -1732,6 +1988,9 @@ object CellStore {
       out.writeBoolean(rec.subWindowsAll)
       writeBytes(out, rec.subMin)
       writeBytes(out, rec.subMax)
+      out.writeBoolean(rec.valRangeAll)
+      out.writeLong(rec.valMin)
+      out.writeLong(rec.valMax)
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -1762,7 +2021,8 @@ object CellStore {
             in.readBoolean(), in.readBoolean(), in.readLong(),
             readBytes(in), readBytes(in),
             in.readBoolean(), readBytes(in), readBytes(in),
-            in.readBoolean(), readBytes(in), readBytes(in))
+            in.readBoolean(), readBytes(in), readBytes(in),
+            in.readBoolean(), in.readLong(), in.readLong())
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }
@@ -2589,26 +2849,22 @@ object CellStore {
       val kPrefix = mutable.ArrayBuffer.empty[Int]
       val kStart = mutable.ArrayBuffer.empty[Boolean]
       val vPrefix = mutable.ArrayBuffer.empty[Long]
-      var valSum = 0L
-      var valOk = true
+      val vals = new ValueTailBuilder
       cells.foreach { c =>
         val newKey = lastKey == null || !java.util.Arrays.equals(lastKey, c.key)
         if (count % IndexEvery == 0) {
           entries += IndexEntry(count, counting.count, c.key, c.col, c.sub)
           kPrefix += dKeys
           kStart += newKey
-          vPrefix += valSum
+          vPrefix += vals.sum
+          vals.startSpan()
         }
         if (newKey) { bloom.add(c.key); dKeys += 1 }
         if (newKey || !sawAddr || !eqNullable(prevCol, c.col) ||
             !eqNullable(prevSub, c.sub)) dAddrs += 1
         prevCol = c.col; prevSub = c.sub; sawAddr = true
         if (c.tombstone) tombs += 1
-        if (valOk) {
-          if (c.value == null || c.value.length != 8) valOk = false
-          else try valSum = Math.addExact(valSum, ByteBuffer.wrap(c.value).getLong)
-          catch { case _: ArithmeticException => valOk = false }
-        }
+        vals.add(c)
         colBloom.add(count, c.col)
         subBloom.add(count, c.sub)
         if (c.col != null) {
@@ -2628,7 +2884,9 @@ object CellStore {
         colMin, colMax, colBloom.build(), subMin, subMax, subBloom.build(),
         tombs, dKeys, dAddrs,
         kPrefix.toArray, kStart.toArray,
-        if (valOk) vPrefix.toArray else null, if (valOk) valSum else 0L))
+        if (vals.sumOk) vPrefix.toArray else null,
+        if (vals.sumOk) vals.sum else 0L,
+        vals))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

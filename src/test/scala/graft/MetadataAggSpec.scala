@@ -602,6 +602,18 @@ class MetadataAggSpec extends SparkSpec {
       assert(desc.contains("AggStats: complete"), s"not complete for $f: $desc")
       assert(df.collect()(0).getLong(0) == want, s"$f: want $want")
     }
+    // VALUE aggregates ride the same composite (key, col, sub) positions:
+    // col 'b' holds no sub >= s0450, so only col 'a' (v = 450..500)
+    // contributes — sum/extremes of exactly those 51 cells
+    val qv = Seed.read(spark, store)
+      .filter(col("k") === 1L && col("c").isin("a", "b") && col("s") >= "s0450")
+      .agg(sum("v").as("sv"), min("v").as("vn"), max("v").as("vx"),
+        count(lit(1)).as("n"))
+    assert(scanOf(qv).scan.description().contains("AggStats: complete"),
+      scanOf(qv).scan.description())
+    val rv = qv.collect()(0)
+    assert(rv.getLong(0) == (450L to 500L).sum && rv.getLong(1) == 450L &&
+      rv.getLong(2) == 500L && rv.getLong(3) == 51L, s"got $rv")
     // MIN/MAX(key) respect the (col, sub) restriction: key 2 has no sub
     // past s0050 under col 'a', so the extremals collapse to key 1
     val qmm = Seed.read(spark, store)
@@ -697,6 +709,17 @@ class MetadataAggSpec extends SparkSpec {
         val gotS = CellStore.sumCellsInRange(file, lo, hi)
         assert(gotS.contains(wantS),
           s"sum [${new String(lo)}, ${new String(hi)}): got $gotS want $wantS")
+        // VMMX: extremal value in the same envelope, vs brute force
+        val inRange = sorted.filter(c =>
+          Codecs.compareBytes(c.key, lo) >= 0 &&
+            Codecs.compareBytes(c.key, hi) < 0)
+          .map(c => java.nio.ByteBuffer.wrap(c.value).getLong)
+        val gotMn = CellStore.extremalValueInRange(file, lo, hi, wantMin = true)
+        val gotMx = CellStore.extremalValueInRange(file, lo, hi, wantMin = false)
+        assert(gotMn.contains(inRange.minOption),
+          s"vmin [${new String(lo)}, ${new String(hi)}): got $gotMn")
+        assert(gotMx.contains(inRange.maxOption),
+          s"vmax [${new String(lo)}, ${new String(hi)}): got $gotMx")
       }
       // per-key extremal cols under a window, vs brute force
       val ks = Seq("k0003", "k0100x", "k0999").map(_.getBytes("UTF-8"))
@@ -722,6 +745,11 @@ class MetadataAggSpec extends SparkSpec {
       assert(!so.hasValSums, "overflowing run must not carry a VSUM tail")
       assert(so.hasKeyPrefix, "KPFX is value-independent and stays")
       assert(CellStore.sumCellsInRange(sst.resolve("b0-o.bin"), null, null).isEmpty)
+      // ...but VMMX survives the overflow (extremes can't overflow)
+      assert(so.hasValRange && so.valMin == Long.MaxValue && so.valMax == Long.MaxValue,
+        s"VMMX must survive a VSUM overflow: $so")
+      assert(CellStore.extremalValueInRange(sst.resolve("b0-o.bin"), null, null,
+        wantMin = false).contains(Some(Long.MaxValue)))
     } finally CellStore.dropTable(dir)
   }
 
@@ -850,6 +878,59 @@ class MetadataAggSpec extends SparkSpec {
       "post-tombstone fast path must equal the fold")
   }
 
+  test("value aggregates: AVG/MIN/MAX/COUNT(value) resolve at planning; overwrites decline") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_agg_vminmax",
+      (1L to 400L).map(i => (i, f"c${i % 5}%02d", (i * 37) % 1000 - 300))
+        .toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f)
+        .agg(avg("v").as("a"), min("v").as("mn"), max("v").as("mx"),
+          count("v").as("nv"))
+    val vOf = (i: Long) => (i * 37) % 1000 - 300
+    for ((pred, keys) <- Seq(
+      (col("k") >= 50L && col("k") < 250L, (50L until 250L).toSeq),
+      (col("k").isin(3L, 77L, 9999L), Seq(3L, 77L)),
+      (col("k") === 111L, Seq(111L)))) {
+      val df = q(pred)
+      assert(scanOf(df).scan.description().contains("AggStats: complete"),
+        s"not complete for $pred: ${scanOf(df).scan.description()}")
+      val vs = keys.map(vOf)
+      val r = df.collect()(0)
+      assert(r.getDouble(0) == vs.sum.toDouble / vs.size &&
+        r.getLong(1) == vs.min && r.getLong(2) == vs.max &&
+        r.getLong(3) == vs.size, s"$pred: got $r want $vs")
+    }
+    // the whole plan is Project over the answer partition — no aggregate
+    // exec node anywhere (AVG's Sum/Count rewrite resolves at planning too)
+    val plan = q(col("k") >= 50L && col("k") < 250L)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("HashAggregate"),
+      s"value stats should plan with no aggregate exec:\n$plan")
+    // grouped per-key value extremals
+    val g = Seed.read(spark, store).filter(col("k").isin(5L, 8L, 9999L))
+      .groupBy("k").agg(min("v").as("mn"), max("v").as("mx"),
+        count(lit(1)).as("n"))
+    assert(scanOf(g).scan.description().contains("AggStats: complete"),
+      scanOf(g).scan.description())
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq((5L, vOf(5), vOf(5)), (8L, vOf(8), vOf(8))), s"got $rows")
+    // THE overwrite trap: k=111's value drops from its original to 1 at
+    // ts=2 — the stale value must never surface as MAX. The overlapping
+    // runs + dup addresses demote every value aggregate to the fold.
+    Seed.append(Seq((111L, f"c${111 % 5}%02d", 1L)).toDF("k", "c", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    val dfo = q(col("k") === 111L)
+    val (statsOnly, _) = drain(dfo)
+    assert(statsOnly == 0L, "overwritten store must fold value aggregates")
+    val ro = dfo.collect()(0)
+    assert(ro.getLong(1) == 1L && ro.getLong(2) == 1L && ro.getLong(3) == 1L,
+      s"stale overwritten value surfaced: $ro")
+  }
+
   test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
     val sp = spark; import sp.implicits._
     val store = Seed.table(spark, sfDir, "spec_agg_sidecar",
@@ -940,7 +1021,7 @@ class MetadataAggSpec extends SparkSpec {
       def agg(opts: Map[String, String]) =
         Seed.read(spark, store, opts).filter(pred)
           .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
-            sum("v").as("sv"))
+            sum("v").as("sv"), min("v").as("vn"), max("v").as("vx"))
           .collect()(0)
       // asof = MaxValue sees every cell but disqualifies the static gates:
       // the pure fold is the ground truth
@@ -952,9 +1033,11 @@ class MetadataAggSpec extends SparkSpec {
       def grouped(opts: Map[String, String]) =
         Seed.read(spark, store, opts).filter(col("k").isin(keyPts: _*))
           .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"),
-            min("c").as("mc"), max("c").as("xc"))
+            min("c").as("mc"), max("c").as("xc"),
+            min("v").as("vn"), max("v").as("vx"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getString(3), r.getString(4))).sortBy(_._1).toSeq
+            r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
+          .sortBy(_._1).toSeq
       assert(grouped(Map.empty) ==
         grouped(Map(Options.ReadAsOf -> Long.MaxValue.toString)),
         s"iter $iter grouped mismatch")

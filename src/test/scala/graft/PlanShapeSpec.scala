@@ -86,6 +86,7 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_metadata", 1), // one unfiltered agg scan
       ("conn_agg_range_count", 2), // range(count+min+max) + points sub-aggs
       ("conn_agg_range_sum", 3), // range, points, unfiltered sum
+      ("conn_agg_value_stats", 3), // avg/min/max range + count all + points
       ("conn_agg_grouped_stats", 1),
       ("conn_agg_regular_range", 2))) {
       val scans = collectAll(plan(name)).collect {
