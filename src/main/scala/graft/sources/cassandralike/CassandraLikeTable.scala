@@ -1756,9 +1756,9 @@ class CellScan(
             else MetadataAggReader.subWindowOf(table.mapping, table.subCodec,
               filters)
           val provable = plannedBuckets.forall { b =>
-            val st = segmentsByBucket.getOrElse(b, Nil)
-              .flatMap(f => CellStore.runStats(f).toSeq)
-            MetadataAggReader.rangeConditionsOk(st, Seq(PushedAgg.CountStar),
+            val rec = CellStore.bucketStats(table.dir, b,
+              segmentsByBucket.getOrElse(b, Nil))
+            MetadataAggReader.rangeConditionsOkB(rec, Seq(PushedAgg.CountStar),
               needColEntries = colWin != null || colPts != null,
               needSubEntries = subWin != null)
           }
@@ -2168,13 +2168,21 @@ object MetadataAggReader {
       if (part.files != null) part.files.map(n =>
         java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
       else CellStore.segmentFiles(part.tableDir, part.bucket)
-    val stats = files.flatMap(f => CellStore.runStats(f).toSeq)
-    if (stats.exists(_.tombstones != 0)) return None // legacy or deletes
+    // per-task planning IO through the bucket-stat SIDECAR (walk fallback
+    // inside; a change-feed part whose pinned file list differs from the
+    // committed listing mismatches the sidecar and walks exactly its own
+    // files) — at thousands of segments per bucket the reader judges its
+    // conditions from one fixed-size record instead of every index tail,
+    // through the SAME rangeConditionsOkB judgments the complete planner
+    // uses, so the two paths cannot drift (VERDICT r10 follow-up; was
+    // SURVEY §7.4 round-12 #3)
+    val rec = CellStore.bucketStats(part.tableDir, part.bucket, files)
+    if (!rec.tombstoneFree) return None // legacy or deletes
     // the range-count path is sub-split-safe (it counts positionally
     // within ANY key slice), so it is consulted before the whole-bucket
     // guard below
     if (filters.nonEmpty) return rangeCount(part, mapping, aggs, opt, filters,
-      files, stats)
+      files, rec)
     // UNFILTERED stats: whole-bucket partitions only (the planner never
     // flags sub-splits here; belt and braces — a key-range restriction
     // would falsify the bucket-wide STAT counts)
@@ -2200,18 +2208,17 @@ object MetadataAggReader {
       case PushedAgg.Count(c) => isVal(c)
       case _ => false
     }
-    val counted = exactRows(stats, mapping.transposed)
-    if ((needCount || needSum || needValExtremal) && counted.isEmpty)
+    if ((needCount || needSum || needValExtremal) && !rec.disjoint)
       return None // overlapping runs
     if (needSum && (!sumEligible(mapping, opt) ||
-        stats.exists(s => !s.hasValSums || s.distinctAddrs != s.cells)))
+        !rec.valSumsAll || !rec.valTotalOk || !rec.allAddrsDistinct))
       return None
     // value-column aggregates: VMMX tails everywhere prove every value
     // non-null (Count) and carry the extremes (Min/Max — which also need
     // the visible-row dedup, an overwritten value must not surface)
-    if ((needValCount || needValExtremal) && stats.exists(!_.hasValRange))
+    if ((needValCount || needValExtremal) && !rec.valRangeAll)
       return None
-    if (needValExtremal && stats.exists(s => s.distinctAddrs != s.cells))
+    if (needValExtremal && !rec.allAddrsDistinct)
       return None
     val keyF = mapping.keyField
     val keyCodec = KeyCodec.of(keyF.dataType, opt)
@@ -2228,7 +2235,8 @@ object MetadataAggReader {
       if (c == keyF.name) keyCodec.decode(b)
       else if (colF != null && c == colF.name) colCodec.decode(b)
       else subCodec.decode(b)
-    val rowCount: Long = counted.getOrElse(0L) // 0 unread: gated above
+    val rowCount: Long =
+      if (mapping.transposed) rec.distinctAddrs else rec.distinctKeys
     val vals = new Array[Any](aggs.length)
     var i = 0
     while (i < aggs.length) {
@@ -2236,28 +2244,24 @@ object MetadataAggReader {
         case PushedAgg.CountStar | PushedAgg.Count(_) =>
           vals(i) = rowCount // Count(value) == rows: VMMX gated above
         case PushedAgg.Min(c) if isVal(c) =>
-          if (stats.nonEmpty) vals(i) = Long.box(stats.map(_.valMin).min)
+          if (rec.runs > 0) vals(i) = Long.box(rec.valMin)
         case PushedAgg.Max(c) if isVal(c) =>
-          if (stats.nonEmpty) vals(i) = Long.box(stats.map(_.valMax).max)
+          if (rec.runs > 0) vals(i) = Long.box(rec.valMax)
         case PushedAgg.Min(c) =>
-          if (stats.nonEmpty) levelOf(c).flatMap(extremal(stats, _, wantMin = true)) match {
+          if (rec.runs > 0) levelOf(c).flatMap(
+            extremalB(Seq(rec), _, wantMin = true)) match {
             case Some(b) => vals(i) = decode(c, b)
             case None => return None
           }
         case PushedAgg.Max(c) =>
-          if (stats.nonEmpty) levelOf(c).flatMap(extremal(stats, _, wantMin = false)) match {
+          if (rec.runs > 0) levelOf(c).flatMap(
+            extremalB(Seq(rec), _, wantMin = false)) match {
             case Some(b) => vals(i) = decode(c, b)
             case None => return None
           }
         case PushedAgg.Sum(_) =>
           // gated above: disjoint runs, per-run dedup, VSUM tails present
-          if (rowCount == 0L) vals(i) = null
-          else {
-            var s = 0L
-            try stats.foreach(st => s = Math.addExact(s, st.valTotal))
-            catch { case _: ArithmeticException => return None }
-            vals(i) = s
-          }
+          vals(i) = if (rowCount == 0L) null else rec.valTotal
         case _ => return None // unanswerable from stats
       }
       i += 1
@@ -2317,9 +2321,9 @@ object MetadataAggReader {
       opt: String => Option[String],
       filters: Array[Filter],
       files: Seq[java.nio.file.Path],
-      stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
+      rec: CellStore.BucketStat): Option[PartitionReader[InternalRow]] = {
     if (!mapping.transposed)
-      return regularRange(part, mapping, aggs, opt, filters, files, stats)
+      return regularRange(part, mapping, aggs, opt, filters, files, rec)
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
     val colCodec = KeyCodec.ofColumn(
       mapping.field(FieldRole.TransColumn).dataType, opt)
@@ -2334,7 +2338,7 @@ object MetadataAggReader {
     val colPts = colPointsOf(mapping, colCodec, filters)
     val subWin = if (subCodec == null) null else subWindowOf(mapping, subCodec, filters)
     val valN = mapping.field(FieldRole.TransValue).name
-    if (!rangeConditionsOk(stats, aggs,
+    if (!rangeConditionsOkB(rec, aggs,
         needColEntries = colWin != null || colPts != null ||
           wantsColExtremal(mapping, aggs),
         needSubEntries = subWin != null,
@@ -2363,13 +2367,13 @@ object MetadataAggReader {
       opt: String => Option[String],
       filters: Array[Filter],
       files: Seq[java.nio.file.Path],
-      stats: Seq[CellStore.RunStats]): Option[PartitionReader[InternalRow]] = {
+      rec: CellStore.BucketStat): Option[PartitionReader[InternalRow]] = {
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
     if (!regularRangeShapesOk(mapping, aggs, keyCodec, filters)) return None
     val keyN = mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
-    if (!regularRangeConditionsOk(stats, aggs, pointsOnly = ks != null))
+    if (!regularRangeConditionsOkB(rec, aggs, pointsOnly = ks != null))
       return None
     regularRangeVals(aggs, keyCodec, files, lo, hi, ks)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
@@ -2579,60 +2583,6 @@ object MetadataAggReader {
     else (lo, hi)
   }
 
-  /** Run-level half of the range-aggregate gate, judged over ONE bucket's
-    * runs (keys never cross buckets, so the complete planner applies it
-    * per bucket): zero tombstones always (a tombstoned address in the
-    * envelope would be counted/extremal-ized while actually deleted);
-    * COUNTS additionally need additive distinct cells — pairwise-disjoint
-    * runs ([[exactRows]]' check) each fully address-deduped, so
-    * cells-in-envelope == rows-in-envelope. MIN/MAX need neither (an
-    * overwrite never removes an address). A col window additionally needs
-    * every run's per-entry col bytes ([[CellStore.RunStats.colEntries]])
-    * for the composite boundary search. */
-  private[cassandralike] def rangeConditionsOk(
-      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
-      needColEntries: Boolean = false,
-      needSubEntries: Boolean = false,
-      valName: String = null): Boolean = {
-    if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
-    if (needColEntries && stats.exists(!_.colEntries)) return false
-    if (needSubEntries && stats.exists(!_.subEntries)) return false
-    val needsCount = aggs.exists {
-      case PushedAgg.CountStar | PushedAgg.Count(_) => true
-      case _ => false
-    }
-    // SUM needs everything a COUNT needs (every summed cell must be one
-    // visible row) PLUS the VSUM tail on every run — a run consulted
-    // without it has no positional sums (the point paths re-check this
-    // dynamically; requiring it here keeps complete-vs-partial parity)
-    val needsSum = aggs.exists {
-      case PushedAgg.Sum(_) => true
-      case _ => false
-    }
-    if (needsSum && stats.exists(!_.hasValSums)) return false
-    // VALUE-column aggregates need the VMMX tail everywhere: Count(value)
-    // relies on it to prove every stored value decodes NON-NULL, and
-    // Min/Max(value) take extremes from it — and an OVERWRITTEN cell's
-    // value must never contribute, so value extremals also need the full
-    // visible-row proofs (unlike address extremals, which overwrites
-    // can't change)
-    val touchesValue = valName != null && aggs.exists {
-      case PushedAgg.Count(c) => c == valName
-      case PushedAgg.Min(c) => c == valName
-      case PushedAgg.Max(c) => c == valName
-      case _ => false
-    }
-    if (touchesValue && stats.exists(!_.hasValRange)) return false
-    val valExtremal = valName != null && aggs.exists {
-      case PushedAgg.Min(c) => c == valName
-      case PushedAgg.Max(c) => c == valName
-      case _ => false
-    }
-    (!needsCount && !needsSum && !valExtremal) ||
-      (exactRows(stats, transposed = true).isDefined &&
-        !stats.exists(s => s.distinctAddrs != s.cells))
-  }
-
   /** Static value gate of the metadata SUM paths: a transposed mapping
     * whose VALUE field is a LongType stored through the BINARY marshal
     * (8-byte big-endian two's complement — exactly the interpretation the
@@ -2694,25 +2644,6 @@ object MetadataAggReader {
       case LessThanOrEqual(c, v) => c == keyN && ranged && v != null
       case _ => false
     }
-  }
-
-  /** Run-level gate of the regular-mapping range aggregates: zero
-    * tombstones always (a fully-tombstoned row would still count);
-    * RANGE counts additionally need strictly key-disjoint runs
-    * ([[exactRows]]' regular check) so per-run distinct-key counts are
-    * additive — point (IN) counts are presence tests and need no
-    * disjointness. Boundary-run KPFX presence is judged dynamically by
-    * [[CellStore.countDistinctKeysInRange]] (absent → None → fold). */
-  private[cassandralike] def regularRangeConditionsOk(
-      stats: Seq[CellStore.RunStats], aggs: Seq[PushedAgg],
-      pointsOnly: Boolean): Boolean = {
-    if (stats.exists(_.tombstones != 0)) return false // legacy (-1) or deletes
-    val needsCount = aggs.exists {
-      case PushedAgg.CountStar | PushedAgg.Count(_) => true
-      case _ => false
-    }
-    !needsCount || pointsOnly ||
-      exactRows(stats, transposed = false).isDefined
   }
 
   /** The range-aggregate values over `files` (one bucket for the partial
