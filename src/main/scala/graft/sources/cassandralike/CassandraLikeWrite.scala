@@ -172,6 +172,13 @@ private[graft] object CellCommit {
     // sidecars were cleared by CellStore.truncate.
     files.map(_._1).distinct.foreach(b =>
       CellStore.writeBucketStats(table.dir, b))
+    // index sub-store buckets refresh too: compaction above may have
+    // written sidecars under index dirs, and a later epoch's segments would
+    // otherwise leave them stale forever (harmless — the listing check
+    // rejects them — but every aggregate-planning call over the index
+    // sub-store would walk index tails instead of reading one record)
+    idxFiles.map { case (c, b, _) => (c, b) }.distinct.foreach { case (c, b) =>
+      CellStore.writeBucketStats(Index.dir(table.dir, c), b) }
   }
 
   def abortEpoch(table: CassandraLikeTable,

@@ -1470,6 +1470,10 @@ object CellStore {
         i += 1
       }
       Some(if (has) Some(best) else None)
+    } catch {
+      // a corrupt run whose VMMX tail coexists with a non-8-byte value
+      // declines like the SUM twin does, instead of crashing the query
+      case _: ArithmeticException => None
     } finally if (reader != null) reader.close()
   }
 
@@ -1543,6 +1547,9 @@ object CellStore {
         r += 1
       }
       Some(out)
+    } catch {
+      // same decline-not-crash contract as the range form above
+      case _: ArithmeticException => None
     } finally if (reader != null) reader.close()
   }
 

@@ -57,17 +57,20 @@ object WriteTailProbe {
       Seed.read(spark, store).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm-up one seed per arm, then interleaved min-of-N
-    seed("wtp_warm_on", tails = true); seed("wtp_warm_off", tails = false)
+    // warm-up one seed per arm, then interleaved min-of-N; the finally
+    // guarantees the process-global knob never outlives the probe — a seed
+    // that throws must not leave the JVM silently writing tail-less runs
     val on = collection.mutable.ArrayBuffer.empty[Double]
     val off = collection.mutable.ArrayBuffer.empty[Double]
     var storeOn = ""; var storeOff = ""
-    (1 to runs).foreach { i =>
-      val (tOn, sOn) = seed(s"wtp_on_$i", tails = true)
-      val (tOff, sOff) = seed(s"wtp_off_$i", tails = false)
-      on += tOn; off += tOff; storeOn = sOn; storeOff = sOff
-    }
-    sys.props.remove("graft.write.tails")
+    try {
+      seed("wtp_warm_on", tails = true); seed("wtp_warm_off", tails = false)
+      (1 to runs).foreach { i =>
+        val (tOn, sOn) = seed(s"wtp_on_$i", tails = true)
+        val (tOff, sOff) = seed(s"wtp_off_$i", tails = false)
+        on += tOn; off += tOff; storeOn = sOn; storeOff = sOff
+      }
+    } finally sys.props.remove("graft.write.tails")
     val (idxOn, totOn) = indexBytes(storeOn)
     val (idxOff, totOff) = indexBytes(storeOff)
     scanOnce(storeOn); scanOnce(storeOff) // warm-up
