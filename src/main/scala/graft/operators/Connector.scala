@@ -472,6 +472,65 @@ object Connector {
       range.crossJoin(points)
     },
 
+    // ---- REGULAR-mapping per-COLUMN value aggregates: `SUM/AVG/MIN/MAX/
+    // COUNT(col) WHERE key BETWEEN …` on a standard (non-transposed)
+    // store — the most common real table shape — from the CVAL per-column
+    // index tails: runs inside the envelope contribute their per-column
+    // run totals (a few bytes of tail), only boundary runs scan the one
+    // span holding each boundary, and the whole SELECT resolves
+    // COMPLETELY at planning (AVG rewrites to the pushed Sum+Count pair).
+    // Every 7th key withholds its value cell at write time, so COUNT(v)
+    // counts NON-MISSING cells — the thing positions alone could never
+    // see — and the absent column stays exact (tail presence proves
+    // complete per-column coverage). MetadataAggSpec pins boundary
+    // exactness, missing-cell counts, text/tombstone/overflow declines
+    // and a fuzz arm. ----
+    Q("conn_agg_regular_value",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    CASE WHEN c_custkey % 7 <> 0
+        |         THEN (c_custkey % 977) * 1000 + c_nationkey END AS v
+        |  FROM customer)
+        |SELECT
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS sum_range,
+        |  (SELECT count(v) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS nv_range,
+        |  (SELECT min(v) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS min_range,
+        |  (SELECT max(v) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS max_range,
+        |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS avg_range,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws) AS sum_all,
+        |  (SELECT count(v) FROM rws) AS nv_all,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE k IN ('0000000007', '0000000123', '9999999999')) AS sum_points""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_regular_value"
+      seedOnce(s"$dir#agg_regular_value") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise(($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"),
+          $"c_mktsegment")
+        Seed.table(s, dir, "agg_regular_value", src.repartition(1))
+      }
+      val r = Seed.read(s, store)
+      val range = r
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000000700")
+        .agg(sum($"v").as("sum_range"), count($"v").as("nv_range"),
+          min($"v").as("min_range"), max($"v").as("max_range"),
+          avg($"v").as("avg_range"))
+      val all = r.agg(sum($"v").as("sum_all"), count($"v").as("nv_all"))
+      val points = r
+        .filter($"row_key".isin("0000000007", "0000000123", "9999999999"))
+        .agg(sum($"v").as("sum_points"))
+      range.crossJoin(all).crossJoin(points)
+    },
+
     // ---- DECIMAL-exact SUM pushdown: the money type. The cell stores
     // DECIMAL(12,2) (Cassandra DecimalType marshal — 4-byte scale +
     // unscaled big-endian), the scan fold sums each partition EXACTLY

@@ -704,26 +704,58 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // as SUM: the VMMX tails (checked per bucket below) prove every value
     // non-null, so Count(value) == COUNT(*), and carry the extremes
     def isVal(c: String): Boolean = sumOk && valN != null && c == valN
+    // REGULAR per-column aggregates (CVAL tails, round 12): COUNT of any
+    // named cell column (non-missing cells), SUM/MIN/MAX of a binary-long
+    // one — the whole-store "column totals" without reading the table
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    def isRegCell(c: String): Boolean =
+      MetadataAggReader.regularCountEligible(table.mapping, c, optF)
+    def isRegVal(c: String): Boolean =
+      MetadataAggReader.regularValueEligible(table.mapping, c, optF)
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          col(c.column).filter(c0 => table.isAddressField(c0) || isVal(c0))
-            .map(PushedAgg.Count.apply)
+          col(c.column).filter(c0 => table.isAddressField(c0) || isVal(c0) ||
+            isRegCell(c0)).map(PushedAgg.Count.apply)
         case c: Count if c.isDistinct =>
           col(c.column).filter(_ == keyN).map(PushedAgg.CountDistinct.apply)
-        case m: Min => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0))
-          .map(PushedAgg.Min.apply)
-        case m: Max => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0))
-          .map(PushedAgg.Max.apply)
+        case m: Min => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0) ||
+          isRegVal(c0)).map(PushedAgg.Min.apply)
+        case m: Max => col(m.column).filter(c0 => minMaxable(c0) || isVal(c0) ||
+          isRegVal(c0)).map(PushedAgg.Max.apply)
         case s: Sum if !s.isDistinct && sumOk =>
           col(s.column).filter(_ == valN).map(PushedAgg.Sum.apply)
+        case s: Sum if !s.isDistinct =>
+          col(s.column).filter(isRegVal).map(PushedAgg.Sum.apply)
         case _ => None
       }
     if (translated.exists(_.isEmpty)) return None
     val want = translated.flatten
+    // which reg columns each aggregate kind touches (empty on transposed)
+    val regCols: Seq[String] = want.flatMap {
+      case PushedAgg.Count(c) if !table.isAddressField(c) && isRegCell(c) => Some(c)
+      case PushedAgg.Sum(c) if isRegVal(c) => Some(c)
+      case PushedAgg.Min(c) if !minMaxable(c) && isRegVal(c) => Some(c)
+      case PushedAgg.Max(c) if !minMaxable(c) && isRegVal(c) => Some(c)
+      case _ => None
+    }.distinct
+    val regWantSum = want.collect {
+      case PushedAgg.Sum(c) if isRegVal(c) => c }.toSet
+    val regWantExt = want.collect {
+      case PushedAgg.Min(c) if !minMaxable(c) && isRegVal(c) => c
+      case PushedAgg.Max(c) if !minMaxable(c) && isRegVal(c) => c }.toSet
+    final class RegAcc {
+      var count = 0L
+      var sum = 0L
+      var has = false
+      var min = 0L
+      var max = 0L
+    }
+    val regAcc: Map[String, RegAcc] = regCols.map(_ -> new RegAcc).toMap
     val wantSum = want.exists {
-      case PushedAgg.Sum(_) => true
+      case PushedAgg.Sum(c) => !regAcc.contains(c) // per-col sums ride CVAL, not VSUM
       case _ => false
     }
     val wantValCount = want.exists {
@@ -767,6 +799,33 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         try valSum = Math.addExact(valSum, rec.valTotal)
         catch { case _: ArithmeticException => return None }
       }
+      if (regCols.nonEmpty) {
+        // per-column aggregates need every cell to be a distinct visible
+        // row plus the CVAL tails on every run of every bucket
+        if (!rec.colValsAll || !rec.allAddrsDistinct) return None
+        regCols.foreach { c =>
+          val cb = MetadataAggReader.regularCellBytes(table.mapping, c)
+          rec.colVals.find(cv => java.util.Arrays.equals(cv.col, cb)).foreach { cv =>
+            val a = regAcc(c)
+            a.count += cv.count
+            if (regWantSum(c)) {
+              if (!cv.sumsOk) return None
+              try a.sum = Math.addExact(a.sum, cv.sum)
+              catch { case _: ArithmeticException => return None }
+            }
+            if (regWantExt(c)) {
+              if (!cv.rangeOk) return None
+              if (cv.count > 0L) {
+                if (!a.has) { a.has = true; a.min = cv.min; a.max = cv.max }
+                else {
+                  if (cv.min < a.min) a.min = cv.min
+                  if (cv.max > a.max) a.max = cv.max
+                }
+              }
+            }
+          }
+        }
+      }
       if (wantValCount && !rec.valRangeAll) return None // a NULL-able value
       if (wantValExtremal) {
         // overwritten values must not contribute: same visible-row proofs
@@ -791,6 +850,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         MetadataAggReader.ColLevel
       else MetadataAggReader.SubLevel
     val vals: Seq[Any] = want.map {
+      case PushedAgg.Count(c) if regAcc.contains(c) => regAcc(c).count
+      case PushedAgg.Sum(c) if regAcc.contains(c) =>
+        if (regAcc(c).count == 0L) null else Long.box(regAcc(c).sum)
+      case PushedAgg.Min(c) if regAcc.contains(c) && regWantExt(c) =>
+        if (regAcc(c).has) Long.box(regAcc(c).min) else null
+      case PushedAgg.Max(c) if regAcc.contains(c) && regWantExt(c) =>
+        if (regAcc(c).has) Long.box(regAcc(c).max) else null
       case PushedAgg.CountStar | PushedAgg.Count(_) => rows
       case PushedAgg.CountDistinct(_) => dKeys
       case PushedAgg.Sum(_) => if (rows == 0L) null else valSum
@@ -837,7 +903,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case c: Count if !c.isDistinct =>
           aggCol(c.column).filter(c0 =>
             table.isAddressField(c0) ||
-              (!table.mapping.transposed && c0 == table.mapping.keyField.name) ||
+              (!table.mapping.transposed &&
+                (c0 == table.mapping.keyField.name ||
+                  MetadataAggReader.regularCountEligible(table.mapping, c0,
+                    k => Options.effective(options, table.tableProps, k)))) ||
               (table.mapping.transposed &&
                 c0 == table.mapping.field(FieldRole.TransValue).name))
             .map(PushedAgg.Count.apply)
@@ -857,7 +926,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
             valName = table.mapping.field(FieldRole.TransValue).name)
         else
           MetadataAggReader.regularRangeVals(want, table.keyCodec, ctx.files,
-            ctx.lo, ctx.hi, ctx.ks)
+            ctx.lo, ctx.hi, ctx.ks,
+            colBytesOf =
+              if (MetadataAggReader.regularColAggs(table.mapping, want))
+                MetadataAggReader.regularCellBytes(table.mapping, _)
+              else _ => null)
       vals.map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
     }
   }
@@ -1044,7 +1117,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
             k => Options.effective(options, table.tableProps, k)))) return None
     } else {
       if (!MetadataAggReader.regularRangeShapesOk(table.mapping, want,
-          table.keyCodec, pushed)) return None
+          table.keyCodec, pushed,
+          k => Options.effective(options, table.tableProps, k))) return None
     }
     val colWin =
       if (!transposed) null
@@ -1092,7 +1166,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
               needSubEntries = subWin != null,
               valName = table.mapping.field(FieldRole.TransValue).name)
           else MetadataAggReader.regularRangeConditionsOkB(rec, want,
-            pointsOnly = ks != null)
+            pointsOnly = ks != null,
+            colAggs = MetadataAggReader.regularColAggs(table.mapping, want))
         if (!ok) return None
         allFiles ++= files
       }
@@ -1458,16 +1533,25 @@ class CellScan(
       table.mapping.transposed &&
         c == table.mapping.field(FieldRole.TransValue).name &&
         MetadataAggReader.sumEligible(table.mapping, k => table.opt(options, k))
+    // REGULAR per-column aggregates (CVAL tails): COUNT of any named
+    // cell column; SUM/MIN/MAX of a binary-long one
+    def isRegCell(c: String): Boolean =
+      MetadataAggReader.regularCountEligible(table.mapping, c,
+        k => table.opt(options, k))
+    def isRegVal(c: String): Boolean =
+      MetadataAggReader.regularValueEligible(table.mapping, c,
+        k => table.opt(options, k))
     def answerable(a: PushedAgg): Boolean = a match {
       case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) => table.isAddressField(c) || isVal(c)
+      case PushedAgg.Count(c) => table.isAddressField(c) || isVal(c) ||
+        isRegCell(c)
       case PushedAgg.Min(c) =>
         (table.isAddressField(c) && table.isOrderPreservingAddress(c)) ||
-          isVal(c)
+          isVal(c) || isRegVal(c)
       case PushedAgg.Max(c) =>
         (table.isAddressField(c) && table.isOrderPreservingAddress(c)) ||
-          isVal(c)
-      case PushedAgg.Sum(c) => isVal(c)
+          isVal(c) || isRegVal(c)
+      case PushedAgg.Sum(c) => isVal(c) || isRegVal(c)
       case _ => false
     }
     aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
@@ -1490,7 +1574,7 @@ class CellScan(
           sumOk = MetadataAggReader.sumEligible(table.mapping,
             k => table.opt(options, k)))
       else MetadataAggReader.regularRangeShapesOk(table.mapping, aggs,
-        table.keyCodec, filters)) &&
+        table.keyCodec, filters, k => table.opt(options, k))) &&
       CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
 
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
@@ -2147,15 +2231,35 @@ object MetadataAggReader {
       (b.disjoint && b.allAddrsDistinct)
   }
 
-  /** [[regularRangeConditionsOk]]'s bucket-record twin. */
+  /** [[regularRangeConditionsOk]]'s bucket-record twin. `colAggs` marks a
+    * per-COLUMN aggregate in the list (CVAL paths): those need every
+    * consulted cell to be a distinct visible row — disjoint runs, per-run
+    * address dedup — plus the CVAL tails on every run. */
   def regularRangeConditionsOkB(b: CellStore.BucketStat, aggs: Seq[PushedAgg],
-      pointsOnly: Boolean): Boolean = {
+      pointsOnly: Boolean, colAggs: Boolean = false): Boolean = {
     if (!b.tombstoneFree) return false
+    if (colAggs && !(b.disjoint && b.allAddrsDistinct && b.colValsAll))
+      return false
     val needsCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
     }
     !needsCount || pointsOnly || b.disjoint
+  }
+
+  /** Does the aggregate list touch a non-key column of a regular mapping?
+    * — the shape that routes through the CVAL per-column machinery. */
+  private[cassandralike] def regularColAggs(mapping: ColumnMapping,
+      aggs: Seq[PushedAgg]): Boolean = {
+    if (mapping.transposed) return false
+    val keyN = mapping.keyField.name
+    aggs.exists {
+      case PushedAgg.Count(c) => c != keyN
+      case PushedAgg.Min(c) => c != keyN
+      case PushedAgg.Max(c) => c != keyN
+      case PushedAgg.Sum(_) => true
+      case _ => false
+    }
   }
 
   def create(
@@ -2191,12 +2295,26 @@ object MetadataAggReader {
       if (mapping.transposed) mapping.field(FieldRole.TransValue).name else null
     val valOk0 = valN0 != null && sumEligible(mapping, opt)
     def isVal(c: String): Boolean = valOk0 && c == valN0
+    // REGULAR per-column aggregates (CVAL): COUNT/SUM/MIN/MAX of a named
+    // cell column answer from the bucket's per-column reductions — the
+    // static type/encoding eligibility was proven by the pushdown gate
+    // (statsEligible); here only the dynamic store proofs are judged
+    def regBytes(c: String): Array[Byte] =
+      if (mapping.transposed || c == mapping.keyField.name) null
+      else regularCellBytes(mapping, c)
+    if (regularColAggs(mapping, aggs) &&
+        !(rec.disjoint && rec.allAddrsDistinct && rec.colValsAll))
+      return None
+    def regStat(c: String): Option[CellStore.ColValStat] = {
+      val cb = regBytes(c)
+      rec.colVals.find(cv => java.util.Arrays.equals(cv.col, cb))
+    }
     val needCount = aggs.exists {
       case PushedAgg.CountStar | PushedAgg.Count(_) => true
       case _ => false
     }
     val needSum = aggs.exists {
-      case PushedAgg.Sum(_) => true
+      case PushedAgg.Sum(c) => regBytes(c) == null // per-col sums gate above
       case _ => false
     }
     val needValExtremal = aggs.exists {
@@ -2241,6 +2359,30 @@ object MetadataAggReader {
     var i = 0
     while (i < aggs.length) {
       aggs(i) match {
+        case PushedAgg.Count(c) if regBytes(c) != null =>
+          // visible cells named c (an absent column has exactly zero)
+          vals(i) = regStat(c).map(_.count).getOrElse(0L)
+        case PushedAgg.Sum(c) if regBytes(c) != null =>
+          regStat(c) match {
+            case Some(cv) =>
+              if (!cv.sumsOk) return None // non-long bytes or overflow
+              vals(i) = if (cv.count == 0L) null else Long.box(cv.sum)
+            case None => vals(i) = null // SUM over no rows is NULL
+          }
+        case PushedAgg.Min(c) if regBytes(c) != null =>
+          regStat(c) match {
+            case Some(cv) =>
+              if (!cv.rangeOk) return None
+              if (cv.count > 0L) vals(i) = Long.box(cv.min)
+            case None => () // no cells: NULL partial
+          }
+        case PushedAgg.Max(c) if regBytes(c) != null =>
+          regStat(c) match {
+            case Some(cv) =>
+              if (!cv.rangeOk) return None
+              if (cv.count > 0L) vals(i) = Long.box(cv.max)
+            case None => ()
+          }
         case PushedAgg.CountStar | PushedAgg.Count(_) =>
           vals(i) = rowCount // Count(value) == rows: VMMX gated above
         case PushedAgg.Min(c) if isVal(c) =>
@@ -2369,13 +2511,16 @@ object MetadataAggReader {
       files: Seq[java.nio.file.Path],
       rec: CellStore.BucketStat): Option[PartitionReader[InternalRow]] = {
     val keyCodec = KeyCodec.of(mapping.keyField.dataType, opt)
-    if (!regularRangeShapesOk(mapping, aggs, keyCodec, filters)) return None
+    if (!regularRangeShapesOk(mapping, aggs, keyCodec, filters, opt)) return None
     val keyN = mapping.keyField.name
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
-    if (!regularRangeConditionsOkB(rec, aggs, pointsOnly = ks != null))
+    val colAggs = regularColAggs(mapping, aggs)
+    if (!regularRangeConditionsOkB(rec, aggs, pointsOnly = ks != null,
+        colAggs = colAggs))
       return None
-    regularRangeVals(aggs, keyCodec, files, lo, hi, ks)
+    regularRangeVals(aggs, keyCodec, files, lo, hi, ks,
+      colBytesOf = if (colAggs) regularCellBytes(mapping, _) else _ => null)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
@@ -2598,6 +2743,44 @@ object MetadataAggReader {
       !opt(Options.Encoding).contains("text") &&
       !opt(Options.CounterMerge).exists(_.toBoolean)
 
+  /** Static value gate of the PER-COLUMN (CVAL) metadata paths: a REGULAR
+    * mapping cell field of LongType stored through the BINARY marshal
+    * (8-byte big-endian — exactly the interpretation the CVAL tails
+    * accumulated). Text encoding (variable-length digit strings — an
+    * 8-character one would parse as a garbage long) and counter tables
+    * (same-address increments, dup addresses by design) are out, same as
+    * [[sumEligible]]. */
+  private[cassandralike] def regularValueEligible(mapping: ColumnMapping,
+      c: String, opt: String => Option[String]): Boolean =
+    !mapping.transposed &&
+      mapping.fields.exists(f => f.name == c &&
+        f.role.isInstanceOf[FieldRole.Cell] &&
+        f.dataType == org.apache.spark.sql.types.LongType) &&
+      !opt(Options.Encoding).contains("text") &&
+      !opt(Options.CounterMerge).exists(_.toBoolean)
+
+  /** COUNT-only gate of the per-column paths: ANY regular cell field
+    * qualifies — counting cells named `c` never decodes a value, so the
+    * column TYPE doesn't matter (cell names are UTF-8 under every
+    * encoding). Counter tables still out (dup addresses by design). */
+  private[cassandralike] def regularCountEligible(mapping: ColumnMapping,
+      c: String, opt: String => Option[String]): Boolean =
+    !mapping.transposed &&
+      mapping.fields.exists(f => f.name == c &&
+        f.role.isInstanceOf[FieldRole.Cell]) &&
+      !opt(Options.CounterMerge).exists(_.toBoolean)
+
+  /** The stored cell-name bytes of a regular mapping's schema field `c`,
+    * or null when `c` is not a named cell (the key, say). The mapping may
+    * rename (schema name ≠ cell name) — per-column index lookups must use
+    * the CELL name, exactly what the writer stored. */
+  private[cassandralike] def regularCellBytes(mapping: ColumnMapping,
+      c: String): Array[Byte] =
+    mapping.fields.collectFirst {
+      case MappedField(n, _, FieldRole.Cell(cellName)) if n == c =>
+        cellName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }.orNull
+
   /** Does the aggregate list ask for MIN/MAX of the clustering column? —
     * the shape that additionally needs per-entry col bytes on every run. */
   private[cassandralike] def wantsColExtremal(mapping: ColumnMapping,
@@ -2618,20 +2801,27 @@ object MetadataAggReader {
     * inside the envelope answer from STAT distinctKeys, boundary runs from
     * the KPFX prefix tail), a key IN counts PRESENT points (any cell ⇒
     * the row exists), and MIN/MAX(key) reuse the byte-extremal seeks under
-    * an order-preserving encoding. Only COUNT(*) / COUNT(key) qualify —
-    * COUNT of a non-key column counts non-missing CELLS, which positions
-    * can't see. Every filter must be an exact key shape, same as the
-    * transposed gate. */
+    * an order-preserving encoding. NON-KEY columns ride the CVAL per-column
+    * tails (round 12): COUNT(c) counts that column's cells (non-missing =
+    * non-NULL — what positions alone could never see), and SUM/MIN/MAX(c)
+    * of a binary-long column read the per-column prefix sums / span
+    * extremes — `SELECT sum(c_acctbal) WHERE key BETWEEN …` without
+    * reading the range. Every filter must be an exact key shape, same as
+    * the transposed gate. */
   private[cassandralike] def regularRangeShapesOk(
       mapping: ColumnMapping, aggs: Seq[PushedAgg], keyCodec: KeyCodec,
-      filters: Array[Filter]): Boolean = {
+      filters: Array[Filter], opt: String => Option[String]): Boolean = {
     val keyN = mapping.keyField.name
     val ranged = keyCodec.rangeOrdered
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
-      case PushedAgg.Count(c) => c == keyN
-      case PushedAgg.Min(c) => c == keyN && ranged
-      case PushedAgg.Max(c) => c == keyN && ranged
+      case PushedAgg.Count(c) =>
+        c == keyN || regularCountEligible(mapping, c, opt)
+      case PushedAgg.Min(c) =>
+        (c == keyN && ranged) || regularValueEligible(mapping, c, opt)
+      case PushedAgg.Max(c) =>
+        (c == keyN && ranged) || regularValueEligible(mapping, c, opt)
+      case PushedAgg.Sum(c) => regularValueEligible(mapping, c, opt)
       case _ => false
     }
     shapesOk && filters.nonEmpty && filters.forall {
@@ -2836,12 +3026,19 @@ object MetadataAggReader {
     * Point (IN) shapes count PRESENT keys (any cell ⇒ the row exists —
     * no disjointness needed); range shapes count distinct keys
     * positionally from the KPFX tails (None on a tail-less boundary run
-    * → fold). MIN/MAX(key) reuse presence order / byte-extremal seeks. */
+    * → fold). MIN/MAX(key) reuse presence order / byte-extremal seeks.
+    * NON-KEY columns (resolved by `colBytesOf`, null for the key) ride
+    * the CVAL per-column tails: COUNT(c) = the column's visible cells in
+    * the envelope, SUM/MIN/MAX(c) from per-column prefix sums and span
+    * extremes; a point set evaluates per-point [k, succ(k)) envelopes.
+    * None = a dynamic decline (tail-less run, invalid per-column sums,
+    * or Long overflow) — the caller falls back to the cell fold. */
   private[cassandralike] def regularRangeVals(
       aggs: Seq[PushedAgg], keyCodec: KeyCodec,
       files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte],
-      ks: Seq[Array[Byte]]): Option[Seq[Any]] = {
+      ks: Seq[Array[Byte]],
+      colBytesOf: String => Array[Byte] = _ => null): Option[Seq[Any]] = {
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
     lazy val pointCells: Array[Long] = {
@@ -2872,7 +3069,75 @@ object MetadataAggReader {
           .reduceOption((a, b) =>
             if ((Codecs.compareBytes(a, b) < 0) == wantMin) a else b)
       }
+    // the envelope set: one [lo, hi) for the range form, or one
+    // [k, succ(k)) per pinned point (exact under any injective encoding)
+    def envelopes: Seq[(Array[Byte], Array[Byte])] =
+      if (ks != null) sortedKs.toSeq.map(k => (k, CellStore.byteSucc(k)))
+      else Seq((lo, hi))
+    def colCount(cb: Array[Byte]): Option[Long] = {
+      var t = 0L
+      files.foreach { f =>
+        envelopes.foreach { case (l, h) =>
+          CellStore.countColCellsInRange(f, cb, l, h) match {
+            case Some(x) => t += x
+            case None => return None
+          }
+        }
+      }
+      Some(t)
+    }
+    def colSum(cb: Array[Byte]): Option[Long] =
+      try {
+        var t = 0L
+        files.foreach { f =>
+          envelopes.foreach { case (l, h) =>
+            CellStore.sumColCellsInRange(f, cb, l, h) match {
+              case Some(x) => t = Math.addExact(t, x)
+              case None => return None
+            }
+          }
+        }
+        Some(t)
+      } catch { case _: ArithmeticException => None }
+    def colExtremal(cb: Array[Byte], wantMin: Boolean): Option[Option[Long]] = {
+      var has = false
+      var best = 0L
+      files.foreach { f =>
+        envelopes.foreach { case (l, h) =>
+          CellStore.extremalColValueInRange(f, cb, l, h, wantMin) match {
+            case Some(Some(v)) =>
+              if (!has || (if (wantMin) v < best else v > best)) {
+                has = true; best = v
+              }
+            case Some(None) => ()
+            case None => return None
+          }
+        }
+      }
+      Some(if (has) Some(best) else None)
+    }
     val out = aggs.map {
+      case PushedAgg.Count(c) if colBytesOf(c) != null =>
+        colCount(colBytesOf(c)) match {
+          case Some(x) => x
+          case None => return None
+        }
+      case PushedAgg.Sum(c) if colBytesOf(c) != null =>
+        val cb = colBytesOf(c)
+        (colCount(cb), colSum(cb)) match {
+          case (Some(n), Some(s)) => if (n == 0L) null else Long.box(s)
+          case _ => return None
+        }
+      case PushedAgg.Min(c) if colBytesOf(c) != null =>
+        colExtremal(colBytesOf(c), wantMin = true) match {
+          case Some(v) => v.map(Long.box).orNull
+          case None => return None
+        }
+      case PushedAgg.Max(c) if colBytesOf(c) != null =>
+        colExtremal(colBytesOf(c), wantMin = false) match {
+          case Some(v) => v.map(Long.box).orNull
+          case None => return None
+        }
       case PushedAgg.CountStar | PushedAgg.Count(_) =>
         if (ks != null) sortedKs.indices.count(pointCells(_) > 0).toLong
         else rangeRows match {

@@ -233,6 +233,7 @@ object CellStore {
     val kStart = mutable.ArrayBuffer.empty[Boolean]
     val vPrefix = mutable.ArrayBuffer.empty[Long]
     val vals = new ValueTailBuilder
+    val colVals = new ColValTailBuilder
     var i = 0
     sorted.foreach { c =>
       // sorted input: distinct keys are exactly the key changes
@@ -243,6 +244,7 @@ object CellStore {
         kStart += newKey
         vPrefix += vals.sum
         vals.startSpan()
+        colVals.startSpan()
       }
       if (newKey) {
         bloom.add(c.key); prevKey = c.key; dKeys += 1
@@ -252,6 +254,7 @@ object CellStore {
       prevCol = c.col; prevSub = c.sub; sawAddr = true
       if (c.tombstone) tombs += 1
       vals.add(c)
+      colVals.add(c)
       colBloom.add(i, c.col)
       subBloom.add(i, c.sub)
       if (c.col != null) {
@@ -270,7 +273,7 @@ object CellStore {
       tombs, dKeys, dAddrs,
       kPrefix.toArray, kStart.toArray,
       if (vals.sumOk) vPrefix.toArray else null, if (vals.sumOk) vals.sum else 0L,
-      vals)
+      vals, colVals.result())
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -334,7 +337,8 @@ object CellStore {
       valMins: Array[Long] = null /* per-SPAN value min/max (VMMX); null = legacy or non-8-byte values */,
       valMaxs: Array[Long] = null,
       valMin: Long = 0L /* run-wide value min/max; valid iff valMins != null */,
-      valMax: Long = 0L)
+      valMax: Long = 0L,
+      colVals: Array[ColValIdx] = null /* per-COLUMN value stats (CVAL); null = legacy or over-cap */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -409,7 +413,16 @@ object CellStore {
   private val KeyPrefixMagic = 0x4b504658 // "KPFX" (per-entry distinct-key prefixes)
   private val ValSumMagic = 0x5653554d // "VSUM" (per-entry value-sum prefixes)
   private val ValRangeMagic = 0x564d4d58 // "VMMX" (run + per-span value min/max)
+  private val ColValMagic = 0x4356414c // "CVAL" (per-COLUMN value stats)
   private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
+
+  /** Distinct-column cap of the CVAL tail: a run with more named columns
+    * than this drops the tail whole (tail bytes and writer memory stay
+    * bounded). Regular tables — the tail's audience — have schema-width
+    * column counts, far below it; high-cardinality transposed runs (cols
+    * are data there) opt out via the cap rather than writing megabytes of
+    * per-column arrays. */
+  val MaxColValCols = 48
 
   /** Probe knob (tools/bench only): `-Dgraft.write.tails=false` makes the
     * writer skip every OPTIONAL index tail (COLS onward), so the write-path
@@ -505,6 +518,123 @@ object CellStore {
     def maxs: Array[Long] = spanMaxs.toArray
   }
 
+  /** One column's CVAL tail: run totals, per-entry prefix count/sum and
+    * per-span value min/max of the cells NAMED `col`. `prefixSums`/
+    * `totalSum` valid iff `sumsOk` (every value of this column an 8-byte
+    * long AND no prefix overflowed); span/run extremes valid iff `rangeOk`
+    * (8-byte longs — extremes can't overflow, so they survive a sum
+    * overflow). Empty spans carry the (Long.MaxValue, Long.MinValue)
+    * sentinel. Counts are valid unconditionally — they count cells, not
+    * values. */
+  final case class ColValIdx(col: Array[Byte], sumsOk: Boolean,
+      rangeOk: Boolean, totalCount: Int, prefixCounts: Array[Int],
+      totalSum: Long, prefixSums: Array[Long],
+      runMin: Long, runMax: Long,
+      spanMins: Array[Long], spanMaxs: Array[Long])
+
+  /** [[ColValIdx]] reduced to its run totals — what [[RunStats]] and the
+    * bucket-stat sidecar carry (the per-entry arrays stay in the index). */
+  final case class ColValStat(col: Array[Byte], sumsOk: Boolean,
+      rangeOk: Boolean, count: Long, sum: Long, min: Long, max: Long)
+
+  /** Accumulates the PER-COLUMN value tails (CVAL) on the same sorted
+    * write pass as every other tail: for each distinct cell NAME in the
+    * run — bounded by [[MaxColValCols]]; past the cap the tail is dropped
+    * whole — the per-entry prefix count and value-sum of that column's
+    * cells BEFORE each index entry, per-span value min/max, and run
+    * totals. This is what lets `SUM/MIN/MAX/AVG/COUNT(col) WHERE key
+    * BETWEEN …` on a REGULAR mapping (the most common real table shape)
+    * answer positionally instead of reading the range (VERDICT r11 #1).
+    * The writer validates only the byte SHAPE (8-byte values); the
+    * planner's static gate must additionally prove the column TYPE is a
+    * binary-marshaled LongType before trusting sums/extremes — a text
+    * store's 8-character digit strings would parse as garbage longs.
+    * Tail presence asserts COMPLETE per-column coverage: a column absent
+    * from a written tail provably has zero cells in the run. */
+  final class ColValTailBuilder {
+    import java.nio.{ByteBuffer => BB}
+    private final class State {
+      var count = 0
+      var sumsOk = true
+      var sum = 0L
+      var rangeOk = true
+      var runMin = Long.MaxValue
+      var runMax = Long.MinValue
+      val prefixCounts = mutable.ArrayBuffer.empty[Int]
+      val prefixSums = mutable.ArrayBuffer.empty[Long]
+      val spanMins = mutable.ArrayBuffer.empty[Long]
+      val spanMaxs = mutable.ArrayBuffer.empty[Long]
+    }
+    private val byCol = mutable.LinkedHashMap.empty[BB, State]
+    private var spans = 0
+    private var dropped = false
+    /** Called exactly when an index entry is pushed, BEFORE the entry's
+      * own cell is added — same prefix convention as KPFX/VSUM. */
+    def startSpan(): Unit = {
+      spans += 1
+      if (dropped) return
+      byCol.valuesIterator.foreach { st =>
+        st.prefixCounts += st.count
+        st.prefixSums += st.sum
+        st.spanMins += Long.MaxValue
+        st.spanMaxs += Long.MinValue
+      }
+    }
+    def add(c: Cell): Unit = {
+      if (dropped || c.col == null) return
+      val k = BB.wrap(c.col)
+      var st = byCol.getOrElse(k, null)
+      if (st == null) {
+        if (byCol.size >= MaxColValCols) {
+          dropped = true; byCol.clear(); return
+        }
+        st = new State
+        // backfill: this column existed (with zero cells) in every
+        // earlier span, so its arrays stay aligned with the index entries
+        var i = 0
+        while (i < spans) {
+          st.prefixCounts += 0; st.prefixSums += 0L
+          st.spanMins += Long.MaxValue; st.spanMaxs += Long.MinValue
+          i += 1
+        }
+        byCol.put(k, st)
+      }
+      st.count += 1
+      if (c.value == null || c.value.length != 8) {
+        st.sumsOk = false; st.rangeOk = false
+      } else {
+        val v = BB.wrap(c.value).getLong
+        if (st.sumsOk)
+          try st.sum = Math.addExact(st.sum, v)
+          catch { case _: ArithmeticException => st.sumsOk = false }
+        if (st.rangeOk) {
+          val s = st.spanMins.length - 1
+          if (s >= 0) {
+            if (v < st.spanMins(s)) st.spanMins(s) = v
+            if (v > st.spanMaxs(s)) st.spanMaxs(s) = v
+          }
+          if (v < st.runMin) st.runMin = v
+          if (v > st.runMax) st.runMax = v
+        }
+      }
+    }
+    /** The serializable tail (columns byte-sorted for determinism), or
+      * null when dropped (over-cap) or no span was ever started. */
+    def result(): Array[ColValIdx] = {
+      if (dropped || spans == 0) return null
+      byCol.iterator.map { case (k, st) =>
+        ColValIdx(k.array(), st.sumsOk, st.rangeOk, st.count,
+          st.prefixCounts.toArray,
+          if (st.sumsOk) st.sum else 0L,
+          if (st.sumsOk) st.prefixSums.toArray else null,
+          if (st.rangeOk) st.runMin else 0L,
+          if (st.rangeOk) st.runMax else 0L,
+          if (st.rangeOk) st.spanMins.toArray else null,
+          if (st.rangeOk) st.spanMaxs.toArray else null)
+      }.toArray.sortWith((a, b) => Codecs.compareBytes(a.col, b.col) < 0)
+    }
+  }
+
   private def serializeIndex(entries: Seq[IndexEntry],
       lastKey: Array[Byte], bloom: KeyBloom = null,
       colMin: Array[Byte] = null, colMax: Array[Byte] = null,
@@ -514,7 +644,8 @@ object CellStore {
       statTombstones: Int = -1, statKeys: Int = -1, statAddrs: Int = -1,
       keyPrefix: Array[Int] = null, keyStart: Array[Boolean] = null,
       valSums: Array[Long] = null, valTotal: Long = 0L,
-      valTail: ValueTailBuilder = null)
+      valTail: ValueTailBuilder = null,
+      colVals: Array[ColValIdx] = null)
     : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -620,6 +751,31 @@ object CellStore {
       var vi = 0
       while (vi < mins.length) {
         out.writeLong(mins(vi)); out.writeLong(maxs(vi)); vi += 1
+      }
+    }
+    // CVAL: per-COLUMN prefix counts/sums and span extremes (regular-
+    // mapping value aggregates under key envelopes); self-describing by
+    // magic like every tail, dropped whole past MaxColValCols
+    if (colVals != null &&
+        colVals.forall(cv => cv.prefixCounts.length == entries.length)) {
+      out.writeInt(ColValMagic)
+      out.writeInt(colVals.length)
+      colVals.foreach { cv =>
+        writeBytes(out, cv.col)
+        out.writeByte((if (cv.sumsOk) 1 else 0) | (if (cv.rangeOk) 2 else 0))
+        out.writeInt(cv.totalCount)
+        cv.prefixCounts.foreach(out.writeInt)
+        if (cv.sumsOk) {
+          out.writeLong(cv.totalSum)
+          cv.prefixSums.foreach(out.writeLong)
+        }
+        if (cv.rangeOk) {
+          out.writeLong(cv.runMin); out.writeLong(cv.runMax)
+          var i = 0
+          while (i < cv.spanMins.length) {
+            out.writeLong(cv.spanMins(i)); out.writeLong(cv.spanMaxs(i)); i += 1
+          }
+        }
       }
     }
     // per-run exact content STATS — the tail that lets a global
@@ -800,6 +956,52 @@ object CellStore {
           (mins, maxs, mn, mx)
         }
       }
+    val colVals =
+      if (in.available() < 8) null
+      else {
+        in.mark(8)
+        if (in.readInt() != ColValMagic) { in.reset(); null }
+        else {
+          val nc = in.readInt()
+          if (nc < 0 || nc > MaxColValCols) { in.reset(); null }
+          else {
+            val arr = new Array[ColValIdx](nc)
+            var ci = 0
+            while (ci < nc) {
+              val col = readBytes(in)
+              val flags = in.readByte()
+              val sumsOk = (flags & 1) != 0
+              val rangeOk = (flags & 2) != 0
+              val totalCount = in.readInt()
+              val pc = new Array[Int](n)
+              var j = 0
+              while (j < n) { pc(j) = in.readInt(); j += 1 }
+              var totalSum = 0L
+              var ps: Array[Long] = null
+              if (sumsOk) {
+                totalSum = in.readLong()
+                ps = new Array[Long](n)
+                j = 0
+                while (j < n) { ps(j) = in.readLong(); j += 1 }
+              }
+              var rMin = 0L
+              var rMax = 0L
+              var sm: Array[Long] = null
+              var sx: Array[Long] = null
+              if (rangeOk) {
+                rMin = in.readLong(); rMax = in.readLong()
+                sm = new Array[Long](n); sx = new Array[Long](n)
+                j = 0
+                while (j < n) { sm(j) = in.readLong(); sx(j) = in.readLong(); j += 1 }
+              }
+              arr(ci) = ColValIdx(col, sumsOk, rangeOk, totalCount, pc,
+                totalSum, ps, rMin, rMax, sm, sx)
+              ci += 1
+            }
+            arr
+          }
+        }
+      }
     val (sTombs, sKeys, sAddrs) =
       if (in.available() < 16) (-1, -1, -1)
       else {
@@ -810,7 +1012,7 @@ object CellStore {
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
       colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
       sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal,
-      vMins, vMaxs, vMin, vMax)
+      vMins, vMaxs, vMin, vMax, colVals)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -922,7 +1124,11 @@ object CellStore {
       hasValRange: Boolean = false,
       /** run-wide value min/max; valid iff [[hasValRange]] */
       valMin: Long = 0L,
-      valMax: Long = 0L)
+      valMax: Long = 0L,
+      /** per-COLUMN run totals from the CVAL tail; null = tail absent
+        * (legacy run or over-cap distinct columns) — per-column
+        * aggregates then decline to the fold */
+      colVals: Array[ColValStat] = null)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -1629,6 +1835,279 @@ object CellStore {
     n
   }
 
+  // ---- per-COLUMN positional aggregates (CVAL tails): the regular-
+  // mapping value family — SUM/MIN/MAX/COUNT of one NAMED column's cells
+  // under a key envelope, the per-column twins of countCellsInRange /
+  // sumCellsInRange / extremalValueInRange. Same caller obligations:
+  // every consulted cell must be a distinct visible row (zero tombstones,
+  // disjoint runs, per-run distinctAddrs == cells), and the planner must
+  // have proven the column TYPE a binary 8-byte-long marshal before
+  // trusting sums/extremes. ----
+
+  private def findColVal(cvs: Array[ColValIdx], col: Array[Byte]): ColValIdx = {
+    if (cvs == null) return null
+    var i = 0
+    while (i < cvs.length) {
+      if (java.util.Arrays.equals(cvs(i).col, col)) return cvs(i)
+      i += 1
+    }
+    null
+  }
+
+  private def findColValStat(cvs: Array[ColValStat], col: Array[Byte]): ColValStat = {
+    if (cvs == null) return null
+    var i = 0
+    while (i < cvs.length) {
+      if (java.util.Arrays.equals(cvs(i).col, col)) return cvs(i)
+      i += 1
+    }
+    null
+  }
+
+  /** #cells NAMED `cvi.col` of one run with key < x — [[cellsBelow]]'s
+    * CVAL twin: the per-entry prefix count plus a scan of the one
+    * boundary span filtering on the column name. */
+  private def colCountBelow(reader: SegmentReader, ri: RunInfo, idx: RunIndex,
+      cvi: ColValIdx, x: Array[Byte]): Long = {
+    val keys = idx.keys
+    if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+    if (Codecs.compareBytes(idx.lastKey, x) < 0) return cvi.totalCount.toLong
+    val m = lastEntryBelow(keys, x)
+    var n = cvi.prefixCounts(m).toLong
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val c = it.next()
+      if (Codecs.compareBytes(c.key, x) < 0) {
+        if (c.col != null && java.util.Arrays.equals(c.col, cvi.col)) n += 1
+      } else scanning = false
+    }
+    n
+  }
+
+  /** Value-sum of one run's `cvi.col` cells with key < x — [[sumBelow]]'s
+    * CVAL twin (caller guarantees cvi.sumsOk). */
+  private def colSumBelow(reader: SegmentReader, ri: RunInfo, idx: RunIndex,
+      cvi: ColValIdx, x: Array[Byte]): Long = {
+    val keys = idx.keys
+    if (Codecs.compareBytes(keys(0), x) >= 0) return 0L
+    if (Codecs.compareBytes(idx.lastKey, x) < 0) return cvi.totalSum
+    val m = lastEntryBelow(keys, x)
+    var s = cvi.prefixSums(m)
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(m),
+      spanLength(ri, idx, m))
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val c = it.next()
+      if (Codecs.compareBytes(c.key, x) < 0) {
+        if (c.col != null && java.util.Arrays.equals(c.col, cvi.col))
+          s = Math.addExact(s, valueLong(c))
+      } else scanning = false
+    }
+    s
+  }
+
+  /** Extremal value of one run's `cvi.col` cells over the cell POSITIONS
+    * [loPos, hiPos) — [[extremalValueBetween]]'s CVAL twin (caller
+    * guarantees cvi.rangeOk): interior spans take their per-span extreme
+    * from the tail (empty-span sentinels skipped), boundary spans scan
+    * with the column-name filter. None = no such cell in the interval. */
+  private def colExtremalBetween(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, cvi: ColValIdx, loPos: Long, hiPos: Long,
+      wantMin: Boolean): Option[Long] = {
+    if (loPos >= hiPos) return None
+    val n = idx.cellPos.length
+    var has = false
+    var best = 0L
+    def consider(v: Long): Unit =
+      if (!has || (if (wantMin) v < best else v > best)) { has = true; best = v }
+    var s = {
+      var a = 0
+      var b = n - 1
+      while (a < b) {
+        val mid = (a + b + 1) >>> 1
+        if (idx.cellPos(mid) <= loPos) a = mid else b = mid - 1
+      }
+      a
+    }
+    while (s < n && idx.cellPos(s) < hiPos) {
+      val start = idx.cellPos(s).toLong
+      val end = (if (s == n - 1) ri.cellCount else idx.cellPos(s + 1)).toLong
+      if (end > loPos) {
+        if (start >= loPos && end <= hiPos) {
+          val mn = cvi.spanMins(s)
+          val mx = cvi.spanMaxs(s)
+          if (mn != Long.MaxValue || mx != Long.MinValue)
+            consider(if (wantMin) mn else mx)
+        } else {
+          val it = reader.runIterator(ri.payloadOffset + idx.offsets(s),
+            (end - start).toInt)
+          var p = start
+          while (p < end && p < hiPos && it.hasNext) {
+            val c = it.next()
+            if (p >= loPos && c.col != null &&
+                java.util.Arrays.equals(c.col, cvi.col))
+              consider(valueLong(c))
+            p += 1
+          }
+        }
+      }
+      s += 1
+    }
+    if (has) Some(best) else None
+  }
+
+  /** COUNT of one segment's cells NAMED `col` with key in [lo, hi) (null =
+    * unbounded), from the CVAL prefix-count tails: runs fully inside the
+    * envelope contribute their per-column run total with no IO beyond the
+    * memoized stats, runs whose tail lists no such column contribute zero
+    * EXACTLY (tail presence proves complete coverage), and only boundary-
+    * crossing runs scan the one span holding each boundary. None when a
+    * non-disjoint run lacks the tail (decline → fold). On a REGULAR
+    * mapping this IS `COUNT(c)` in a key range — non-missing `c` cells. */
+  def countColCellsInRange(file: Path, col: Array[Byte],
+      lo: Array[Byte], hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (s.colVals == null) return None
+          val cv = findColValStat(s.colVals, col)
+          if (cv != null) { // absent column = zero cells, exactly
+            val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+            val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+            if (fullLow && fullHigh) total += cv.count
+            else {
+              if (reader == null) reader = new SegmentReader(file)
+              val idx = reader.readIndex(ri)
+              val cvi = findColVal(idx.colVals, col)
+              if (cvi == null) return None // tail/stat drift: decline
+              total +=
+                (if (hi == null) cvi.totalCount.toLong
+                 else colCountBelow(reader, ri, idx, cvi, hi)) -
+                (if (lo == null) 0L else colCountBelow(reader, ri, idx, cvi, lo))
+            }
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** Value-sum of one segment's cells NAMED `col` with key in [lo, hi) —
+    * [[countColCellsInRange]]'s SUM twin, from the CVAL prefix-sum tails.
+    * None when a non-disjoint run lacks the tail, the column's sums are
+    * invalid there (non-8-byte value or write-time overflow), or any
+    * accumulation overflows Long (the fold then owns the query). */
+  def sumColCellsInRange(file: Path, col: Array[Byte],
+      lo: Array[Byte], hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (s.colVals == null) return None
+          val cv = findColValStat(s.colVals, col)
+          if (cv != null) {
+            if (!cv.sumsOk) return None
+            val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+            val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+            if (fullLow && fullHigh) total = Math.addExact(total, cv.sum)
+            else {
+              if (reader == null) reader = new SegmentReader(file)
+              val idx = reader.readIndex(ri)
+              val cvi = findColVal(idx.colVals, col)
+              if (cvi == null || !cvi.sumsOk) return None
+              val below =
+                if (hi == null) cvi.totalSum
+                else colSumBelow(reader, ri, idx, cvi, hi)
+              val above =
+                if (lo == null) 0L else colSumBelow(reader, ri, idx, cvi, lo)
+              total = Math.addExact(total, Math.subtractExact(below, above))
+            }
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** Extremal value of one segment's cells NAMED `col` with key in
+    * [lo, hi) — "peak reading of THIS series in the window" — from the
+    * CVAL per-span extremes. Some(None) = no such cell in range; None = a
+    * non-disjoint run lacks the tail or its extremes are invalid for the
+    * column (decline → fold). */
+  def extremalColValueInRange(file: Path, col: Array[Byte],
+      lo: Array[Byte], hi: Array[Byte],
+      wantMin: Boolean): Option[Option[Long]] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var has = false
+    var best = 0L
+    def consider(v: Long): Unit =
+      if (!has || (if (wantMin) v < best else v > best)) { has = true; best = v }
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          if (s.colVals == null) return None
+          val cv = findColValStat(s.colVals, col)
+          if (cv != null) {
+            if (!cv.rangeOk) return None
+            val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+            val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+            if (fullLow && fullHigh) {
+              if (cv.count > 0) consider(if (wantMin) cv.min else cv.max)
+            } else {
+              if (reader == null) reader = new SegmentReader(file)
+              val idx = reader.readIndex(ri)
+              val cvi = findColVal(idx.colVals, col)
+              if (cvi == null || !cvi.rangeOk) return None
+              val loPos = if (fullLow) 0L else cellsBelow(reader, ri, idx, lo)
+              val hiPos =
+                if (fullHigh) ri.cellCount.toLong
+                else cellsBelow(reader, ri, idx, hi)
+              colExtremalBetween(reader, ri, idx, cvi, loPos, hiPos, wantMin)
+                .foreach(consider)
+            }
+          }
+        }
+        i += 1
+      }
+      Some(if (has) Some(best) else None)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
   /** Per-point extremal CLUSTERING-COLUMN bytes within the half-open col
     * window [colLo, colHi) (null = unbounded) over one segment — the
     * per-group MIN/MAX(col) of the grouped metadata aggregates
@@ -1862,7 +2341,11 @@ object CellStore {
           valTotal = idx.valTotal,
           hasValRange = idx.valMins != null,
           valMin = idx.valMin,
-          valMax = idx.valMax)
+          valMax = idx.valMax,
+          colVals = if (idx.colVals == null) null
+            else idx.colVals.map(cv => ColValStat(cv.col, cv.sumsOk,
+              cv.rangeOk, cv.totalCount.toLong, cv.totalSum,
+              cv.runMin, cv.runMax)))
       }.toArray
       finally r.close()
     })
@@ -1888,12 +2371,23 @@ object CellStore {
       firstKey: Array[Byte], lastKey: Array[Byte],
       colWindowsAll: Boolean, colMin: Array[Byte], colMax: Array[Byte],
       subWindowsAll: Boolean, subMin: Array[Byte], subMax: Array[Byte],
-      valRangeAll: Boolean = false, valMin: Long = 0L, valMax: Long = 0L)
+      valRangeAll: Boolean = false, valMin: Long = 0L, valMax: Long = 0L,
+      /** every run's STAT counters are present (no -1 legacy sentinels):
+        * distinctKeys/distinctAddrs are trustworthy numbers, not clamped
+        * unknowns — consumers beyond the tombstoneFree gate must check
+        * this before reading the counts */
+      statsValid: Boolean = false,
+      /** every run carries the CVAL per-column tail; only then is
+        * [[colVals]] the complete per-column reduction (a column absent
+        * from it provably has zero cells in the bucket) */
+      colValsAll: Boolean = false,
+      colVals: Seq[ColValStat] = Nil)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST2" — bumped for the VMMX value-range fields; BST1 sidecars (none
-  // survive a commit, which rewrites them) parse as corrupt → walk
-  private val BucketStatMagic = 0x42535432
+  // "BST3" — bumped for statsValid + the CVAL per-column reductions; BST2
+  // sidecars (none survive a commit, which rewrites them) parse as
+  // corrupt → walk
+  private val BucketStatMagic = 0x42535433
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -1924,6 +2418,37 @@ object CellStore {
     var valOk = stats.forall(_.hasValSums)
     if (valOk) try stats.foreach(s => valTotal = Math.addExact(valTotal, s.valTotal))
     catch { case _: ArithmeticException => valOk = false; valTotal = 0L }
+    // per-column CVAL reduction: columns union across runs (a run whose
+    // tail lacks a column contributes zero cells of it — exact, because
+    // tail presence asserts complete coverage); sums add with overflow →
+    // per-column sumsOk=false, extremes reduce
+    var colValsAll = stats.forall(_.colVals != null)
+    val colVals: Seq[ColValStat] =
+      if (!colValsAll) Nil
+      else {
+        val m = mutable.LinkedHashMap.empty[java.nio.ByteBuffer, ColValStat]
+        stats.foreach(_.colVals.foreach { cv =>
+          val k = java.nio.ByteBuffer.wrap(cv.col)
+          m.get(k) match {
+            case None => m.put(k, cv)
+            case Some(prev) =>
+              var sumsOk = prev.sumsOk && cv.sumsOk
+              var sum = 0L
+              if (sumsOk)
+                try sum = Math.addExact(prev.sum, cv.sum)
+                catch { case _: ArithmeticException => sumsOk = false }
+              val rangeOk = prev.rangeOk && cv.rangeOk
+              m.put(k, ColValStat(cv.col, sumsOk, rangeOk,
+                prev.count + cv.count, sum,
+                if (rangeOk) math.min(prev.min, cv.min) else 0L,
+                if (rangeOk) math.max(prev.max, cv.max) else 0L))
+          }
+        })
+        // runaway union (schema churn across many runs): drop rather than
+        // grow the sidecar unboundedly — costs the fast path, never truth
+        if (m.size > 4 * MaxColValCols) { colValsAll = false; Nil }
+        else m.values.toSeq
+      }
     BucketStat(
       files = sig,
       runs = stats.length,
@@ -1950,7 +2475,11 @@ object CellStore {
       subMax = reduceB(stats.map(_.subMax), wantMin = false),
       valRangeAll = stats.forall(_.hasValRange),
       valMin = if (stats.isEmpty) 0L else stats.map(_.valMin).min,
-      valMax = if (stats.isEmpty) 0L else stats.map(_.valMax).max)
+      valMax = if (stats.isEmpty) 0L else stats.map(_.valMax).max,
+      statsValid = stats.forall(s =>
+        s.tombstones >= 0 && s.distinctKeys >= 0 && s.distinctAddrs >= 0),
+      colValsAll = colValsAll,
+      colVals = colVals)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -1998,6 +2527,18 @@ object CellStore {
       out.writeBoolean(rec.valRangeAll)
       out.writeLong(rec.valMin)
       out.writeLong(rec.valMax)
+      out.writeBoolean(rec.statsValid)
+      out.writeBoolean(rec.colValsAll)
+      out.writeInt(rec.colVals.length)
+      rec.colVals.foreach { cv =>
+        writeBytes(out, cv.col)
+        out.writeBoolean(cv.sumsOk)
+        out.writeBoolean(cv.rangeOk)
+        out.writeLong(cv.count)
+        out.writeLong(cv.sum)
+        out.writeLong(cv.min)
+        out.writeLong(cv.max)
+      }
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -2021,7 +2562,7 @@ object CellStore {
             throw new IOException(s"not a bucket-stat sidecar: $p")
           val nf = in.readInt()
           val sig = (0 until nf).map(_ => (in.readUTF(), in.readLong()))
-          BucketStat(sig, in.readInt(), in.readLong(),
+          val base = BucketStat(sig, in.readInt(), in.readLong(),
             in.readBoolean(), in.readBoolean(), in.readBoolean(),
             in.readBoolean(), in.readBoolean(),
             in.readLong(), in.readLong(),
@@ -2030,6 +2571,15 @@ object CellStore {
             in.readBoolean(), readBytes(in), readBytes(in),
             in.readBoolean(), readBytes(in), readBytes(in),
             in.readBoolean(), in.readLong(), in.readLong())
+          val statsValid = in.readBoolean()
+          val colValsAll = in.readBoolean()
+          val ncv = in.readInt()
+          val colVals = (0 until ncv).map { _ =>
+            ColValStat(readBytes(in), in.readBoolean(), in.readBoolean(),
+              in.readLong(), in.readLong(), in.readLong(), in.readLong())
+          }
+          base.copy(statsValid = statsValid, colValsAll = colValsAll,
+            colVals = colVals)
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }
@@ -2857,6 +3407,7 @@ object CellStore {
       val kStart = mutable.ArrayBuffer.empty[Boolean]
       val vPrefix = mutable.ArrayBuffer.empty[Long]
       val vals = new ValueTailBuilder
+      val colVals = new ColValTailBuilder
       cells.foreach { c =>
         val newKey = lastKey == null || !java.util.Arrays.equals(lastKey, c.key)
         if (count % IndexEvery == 0) {
@@ -2865,6 +3416,7 @@ object CellStore {
           kStart += newKey
           vPrefix += vals.sum
           vals.startSpan()
+          colVals.startSpan()
         }
         if (newKey) { bloom.add(c.key); dKeys += 1 }
         if (newKey || !sawAddr || !eqNullable(prevCol, c.col) ||
@@ -2872,6 +3424,7 @@ object CellStore {
         prevCol = c.col; prevSub = c.sub; sawAddr = true
         if (c.tombstone) tombs += 1
         vals.add(c)
+        colVals.add(c)
         colBloom.add(count, c.col)
         subBloom.add(count, c.sub)
         if (c.col != null) {
@@ -2893,7 +3446,7 @@ object CellStore {
         kPrefix.toArray, kStart.toArray,
         if (vals.sumOk) vPrefix.toArray else null,
         if (vals.sumOk) vals.sum else 0L,
-        vals))
+        vals, colVals.result()))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

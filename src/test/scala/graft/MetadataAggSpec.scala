@@ -858,11 +858,12 @@ class MetadataAggSpec extends SparkSpec {
       assert(r.getLong(0) == wantN && r.getLong(1) == wantMn && r.getLong(2) == wantMx,
         s"$pred: got $r")
     }
-    // COUNT(non-key column) counts non-missing CELLS — positions can't see
-    // that; must decline yet stay exact
+    // COUNT(non-key column) counts non-missing CELLS — as of round 12 the
+    // CVAL per-column tails answer it at planning (it used to decline)
     val qc = Seed.read(spark, store).filter(col("k") >= 1L && col("k") <= 10L)
       .agg(count(col("seg")).as("n"))
-    assert(!scanOf(qc).scan.description().contains("AggStats: complete"))
+    assert(scanOf(qc).scan.description().contains("AggStats: complete"),
+      scanOf(qc).scan.description())
     assert(qc.collect()(0).getLong(0) == 8L) // keys 5 and 10 carry no seg cell
     // a tombstone anywhere in a counted bucket folds the count
     Seed.append(Seq((17L, null.asInstanceOf[String],
@@ -929,6 +930,174 @@ class MetadataAggSpec extends SparkSpec {
     val ro = dfo.collect()(0)
     assert(ro.getLong(1) == 1L && ro.getLong(2) == 1L && ro.getLong(3) == 1L,
       s"stale overwritten value surfaced: $ro")
+  }
+
+  test("CVAL tail: per-column totals round-trip; over-cap runs drop it whole") {
+    val dir = java.nio.file.Files.createTempDirectory("cvaltail").toString
+    try {
+      val sst = java.nio.file.Paths.get(dir, CellStore.SstDir)
+      java.nio.file.Files.createDirectories(sst)
+      def v8(x: Long) = java.nio.ByteBuffer.allocate(8).putLong(x).array()
+      def c(k: String, col: String, v: Array[Byte]) =
+        Cell(k.getBytes, col.getBytes, null, v, 1L, tombstone = false)
+      val out = CellStore.newSegmentStream(sst.resolve("b0-a.bin"))
+      // col "a": longs 5, 7 (sum 12, min 5, max 7); col "b": one non-long
+      // value (counts still exact, sums/extremes invalid); col "z" absent
+      CellStore.writeRun(out, Seq(
+        c("k1", "a", v8(5L)), c("k1", "b", "xx".getBytes),
+        c("k2", "a", v8(7L))))
+      out.close()
+      val s = CellStore.runStats(sst.resolve("b0-a.bin"))(0)
+      assert(s.colVals != null, "CVAL tail must be present")
+      val a = s.colVals.find(cv => new String(cv.col) == "a").get
+      assert(a.count == 2L && a.sumsOk && a.sum == 12L &&
+        a.rangeOk && a.min == 5L && a.max == 7L, s"got $a")
+      val b = s.colVals.find(cv => new String(cv.col) == "b").get
+      assert(b.count == 1L && !b.sumsOk && !b.rangeOk, s"got $b")
+      assert(!s.colVals.exists(cv => new String(cv.col) == "z"))
+      // over-cap: more distinct columns than MaxColValCols drops the tail
+      val out2 = CellStore.newSegmentStream(sst.resolve("b0-b.bin"))
+      CellStore.writeRun(out2, (1 to CellStore.MaxColValCols + 5).map(i =>
+        c("k1", f"col$i%03d", v8(i.toLong))))
+      out2.close()
+      val s2 = CellStore.runStats(sst.resolve("b0-b.bin"))(0)
+      assert(s2.colVals == null, "over-cap run must drop the CVAL tail")
+      // under-cap high-col run keeps it, and a column first seen mid-run
+      // backfills zero prefixes (exercised via a range read below)
+      assert(CellStore.countColCellsInRange(sst.resolve("b0-a.bin"),
+        "a".getBytes, null, null).contains(2L))
+      assert(CellStore.countColCellsInRange(sst.resolve("b0-b.bin"),
+        "a".getBytes, null, null).isEmpty, "tail-less run must decline")
+    } finally CellStore.dropTable(dir)
+  }
+
+  test("regular per-column value aggregates: SUM/AVG/MIN/MAX/COUNT(col) at planning") {
+    val sp = spark; import sp.implicits._
+    // every 5th key withholds its v cell (missing cell, not a stored
+    // NULL); a second string column rides along so the store is genuinely
+    // multi-column (VSUM can never apply — only CVAL can answer)
+    val vOf = (i: Long) => (i * 37) % 1000 - 300
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 5 == 0) null else java.lang.Long.valueOf(vOf(i)),
+        s"seg${i % 3}"))
+      .toDF("k", "v", "seg")
+    val store = Seed.table(spark, sfDir, "spec_agg_regval", df.repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f)
+        .agg(sum("v").as("s"), count(col("v")).as("nv"),
+          min("v").as("mn"), max("v").as("mx"), avg("v").as("a"),
+          count(lit(1)).as("n"))
+    for ((pred, keys) <- Seq(
+      (col("k") >= 37L && col("k") < 123L, (37L until 123L).toSeq),
+      (col("k") > 390L, (391L to 400L).toSeq),
+      (col("k").isin(7L, 300L, 12345L), Seq(7L, 300L)), // 300's v is missing
+      (col("k") === 56L, Seq(56L)))) {
+      val dfq = q(pred)
+      assert(scanOf(dfq).scan.description().contains("AggStats: complete"),
+        s"not complete for $pred: ${scanOf(dfq).scan.description()}")
+      val present = keys.filter(_ % 5 != 0).map(vOf)
+      val r = dfq.collect()(0)
+      assert(r.getLong(0) == present.sum && r.getLong(1) == present.size &&
+        r.getLong(2) == present.min && r.getLong(3) == present.max &&
+        r.getDouble(4) == present.sum.toDouble / present.size &&
+        r.getLong(5) == keys.size,
+        s"$pred: got $r want sum=${present.sum} n=${present.size}")
+    }
+    // no aggregate exec node anywhere: AVG's Sum/Count rewrite resolves
+    // at planning too
+    val plan = q(col("k") >= 37L && col("k") < 123L).queryExecution.executedPlan
+    assert(!plan.toString.contains("HashAggregate"),
+      s"per-column value stats should plan with no aggregate exec:\n$plan")
+    // keys whose v cell is missing: SUM over an envelope of only-missing
+    // rows is NULL with count(*) intact
+    val rm = q(col("k").isin(5L, 10L, 15L)).collect()(0)
+    assert(rm.isNullAt(0) && rm.getLong(1) == 0L && rm.isNullAt(2) &&
+      rm.isNullAt(3) && rm.getLong(5) == 3L, s"got $rm")
+    // UNFILTERED whole-store per-column aggregates ride the sidecar
+    val all = Seed.read(spark, store)
+      .agg(sum("v").as("s"), count(col("v")).as("nv"),
+        min("v").as("mn"), max("v").as("mx"))
+    assert(scanOf(all).scan.description().contains("AggStats: complete"),
+      scanOf(all).scan.description())
+    val presentAll = (1L to 400L).filter(_ % 5 != 0).map(vOf)
+    val ra = all.collect()(0)
+    assert(ra.getLong(0) == presentAll.sum && ra.getLong(1) == presentAll.size &&
+      ra.getLong(2) == presentAll.min && ra.getLong(3) == presentAll.max)
+    // MIN/MAX of a STRING column: statically ineligible (no byte-long
+    // marshal) — must not claim completeness, stays exact via the fold
+    val qs = Seed.read(spark, store).filter(col("k") >= 1L && col("k") < 50L)
+      .agg(min("seg").as("mn"), count(lit(1)).as("n"))
+    assert(!scanOf(qs).scan.description().contains("AggStats: complete"))
+    assert(qs.collect()(0).getString(0) == "seg0")
+    // COUNT of the string column IS eligible (counts cells, no decode)
+    val qcs = Seed.read(spark, store).filter(col("k") >= 1L && col("k") < 50L)
+      .agg(count(col("seg")).as("n"))
+    assert(scanOf(qcs).scan.description().contains("AggStats: complete"),
+      scanOf(qcs).scan.description())
+    assert(qcs.collect()(0).getLong(0) == 49L)
+    // THE overwrite trap: k=41's value drops to 1 at ts=2 — the stale
+    // value must never surface as MAX; overlapping runs demote to the fold
+    Seed.append(Seq((41L, java.lang.Long.valueOf(1L), "seg2")).toDF("k", "v", "seg")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    val dfo = q(col("k") === 41L)
+    val (statsOnly, _) = drain(dfo)
+    assert(statsOnly == 0L, "overwritten store must fold per-column aggregates")
+    val ro = dfo.collect()(0)
+    assert(ro.getLong(0) == 1L && ro.getLong(2) == 1L && ro.getLong(3) == 1L,
+      s"stale overwritten value surfaced: $ro")
+  }
+
+  test("regular per-column declines: text marshal, overflow, tombstones — exact either way") {
+    val sp = spark; import sp.implicits._
+    // text encoding: variable-length digit strings; the static gate must
+    // refuse SUM/MIN/MAX even though COUNT stays eligible
+    val text = Seed.table(spark, sfDir, "spec_agg_regval_text",
+      (1L to 50L).map(i => (i, i * 3L)).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Encoding -> "text"))
+    val qt = Seed.read(spark, text).filter(col("k") <= 10L)
+      .agg(sum("v").as("s"), min("v").as("mn"))
+    assert(!scanOf(qt).scan.description().contains("AggStats: complete"),
+      scanOf(qt).scan.description())
+    val rt = qt.collect()(0)
+    assert(rt.getLong(0) == (1L to 10L).map(_ * 3L).sum && rt.getLong(1) == 3L)
+    val qtc = Seed.read(spark, text).filter(col("k") <= 10L)
+      .agg(count(col("v")).as("n"))
+    assert(scanOf(qtc).scan.description().contains("AggStats: complete"),
+      scanOf(qtc).scan.description())
+    assert(qtc.collect()(0).getLong(0) == 10L)
+    // per-column overflow: the writer marks the column's sums invalid;
+    // SUM folds (reproducing Spark's wrap-around), MIN/MAX stay metadata
+    // (extremes can't overflow)
+    val big = Seed.table(spark, sfDir, "spec_agg_regval_big",
+      Seq((1L, Long.MaxValue, "x"), (2L, Long.MaxValue, "y"))
+        .toDF("k", "v", "seg").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    val qb = Seed.read(spark, big).filter(col("k") >= 1L).agg(sum("v").as("s"))
+    val (so, _) = drain(qb)
+    assert(so == 0L, "overflowing column must fold its SUM")
+    val fold = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      .filter(col("k") >= 1L).agg(sum("v").as("s")).collect()(0)
+    assert(qb.collect()(0) == fold, "fast path must equal the fold exactly")
+    val qbm = Seed.read(spark, big).filter(col("k") >= 1L)
+      .agg(min("v").as("mn"), max("v").as("mx"))
+    assert(scanOf(qbm).scan.description().contains("AggStats: complete"),
+      scanOf(qbm).scan.description())
+    val rbm = qbm.collect()(0)
+    assert(rbm.getLong(0) == Long.MaxValue && rbm.getLong(1) == Long.MaxValue)
+    // a tombstone demotes everything; results match the fold
+    Seed.append(Seq((1L, null.asInstanceOf[java.lang.Long], null.asInstanceOf[String]))
+      .toDF("k", "v", "seg").repartition(1), big,
+      Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val qd = Seed.read(spark, big).filter(col("k") >= 1L)
+      .agg(sum("v").as("s"), count(col("v")).as("nv"), max("v").as("mx"))
+    val (so2, _) = drain(qd)
+    assert(so2 == 0L, "tombstoned store must fold")
+    val foldD = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      .filter(col("k") >= 1L)
+      .agg(sum("v").as("s"), count(col("v")).as("nv"), max("v").as("mx"))
+      .collect()(0)
+    assert(qd.collect()(0) == foldD)
   }
 
   test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
@@ -1073,7 +1242,12 @@ class MetadataAggSpec extends SparkSpec {
       }
       def agg(opts: Map[String, String]) =
         Seed.read(spark, store, opts).filter(pred)
-          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+          .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+            // per-COLUMN (CVAL) aggregates: counts see missing cells,
+            // sums/extremes the LWW-visible long values
+            count(col("nm")).as("nnm"), count(col("x")).as("nx"),
+            sum("x").as("sx"), min("x").as("xn"), max("x").as("xx"),
+            avg("x").as("ax"))
           .collect()(0)
       val fast = agg(Map.empty)
       val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
