@@ -2077,6 +2077,71 @@ object Connector {
         .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
     },
 
+    // ---- TOMBSTONE-NETTED metadata counts: DELETE then COUNT *without
+    // compaction*. A SQL DELETE by key writes a CERTIFIED delete epoch
+    // (every tombstone shadows a cell read from the then-visible view, at
+    // a strictly newer timestamp — CellStore's DCRT contract), so
+    // positional COUNTs SUBTRACT the deletions instead of declining to
+    // the fold until compaction: range, whole-store and point counts all
+    // resolve COMPLETELY at planning over a store that still carries its
+    // tombstones. Extremals and sums keep folding (a tombstone doesn't
+    // carry the shadowed value). MetadataAggSpec pins the re-insert and
+    // uncertified-tombstone declines and a fuzz arm with interleaved
+    // deletes. ----
+    Q("conn_agg_netted_count",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c
+        |  FROM lineitem WHERE l_orderkey % 50 <> 3)
+        |SELECT
+        |  (SELECT count(*) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS n_range,
+        |  (SELECT count(*) FROM cells) AS n_all,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k IN ('0000000001', '0000000003', '0000000153')) AS n_points""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.cassandralike",
+        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+        s"${Seed.storeRoot(dir)}/warehouse")
+      Tables.registerAll(s, dir)
+      seedOnce(s"$dir#agg_netted_count") {
+        s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+        s.sql("DROP TABLE IF EXISTS cassandralike.ks.netted_t")
+        // commit-time compaction leaves ONE live run per bucket; the
+        // DELETE epoch then appends its certified tombstone runs on top
+        s.sql("""CREATE TABLE cassandralike.ks.netted_t
+                |  (row_key STRING, column_name STRING, value BIGINT)
+                |USING cassandralike
+                |TBLPROPERTIES ('compact.segments.max' = '1')""".stripMargin)
+        s.sql("""INSERT INTO cassandralike.ks.netted_t
+                |SELECT DISTINCT lpad(CAST(l_orderkey AS STRING), 10, '0'),
+                |  lpad(CAST(l_linenumber AS STRING), 4, '0'),
+                |  CAST(l_orderkey % 97 AS BIGINT)
+                |FROM lineitem""".stripMargin)
+        // the doomed-key list is driver-issued by nature (DELETE ... WHERE
+        // key IN (...) is a point operation, not a scan job) — same
+        // pattern as conn_delete_where
+        val doomed = t(s, dir, "lineitem")
+          .filter($"l_orderkey" % 50 === 3)
+          .select(lpad($"l_orderkey".cast("string"), 10, "0")).distinct()
+          .collect().map(_.getString(0))
+        if (doomed.nonEmpty)
+          s.sql("DELETE FROM cassandralike.ks.netted_t WHERE row_key IN (" +
+            doomed.map(k => s"'$k'").mkString(",") + ")")
+      }
+      val r = s.table("cassandralike.ks.netted_t")
+      val range = r
+        .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
+        .agg(count(lit(1)).as("n_range"))
+      val all = r.agg(count(lit(1)).as("n_all"))
+      val points = r
+        .filter($"row_key".isin("0000000001", "0000000003", "0000000153"))
+        .agg(count(lit(1)).as("n_points"))
+      range.crossJoin(all).crossJoin(points)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

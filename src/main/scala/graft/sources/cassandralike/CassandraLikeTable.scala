@@ -482,7 +482,17 @@ class CassandraLikeTable(
         // scan would open as a committed segment) and spared by truncate
         val tmp = sst.resolve(s"tmp-${java.util.UUID.randomUUID()}-b$bucket.bin")
         val out = CellStore.newSegmentStream(tmp)
-        try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)))
+        // CERTIFIED delete epoch (CellStore.writeRun's DCRT contract):
+        // every tombstone here shadows a cell read from the then-visible
+        // view at a strictly newer timestamp, and a doomed key's visible
+        // cells are ALL doomed together (keySet matches every cell of the
+        // key) — what lets positional counts NET these deletions out
+        // before compaction. Counter stores read the COLLAPSED view (one
+        // tombstone per merged cell, many underlying increments), which
+        // breaks the one-tombstone-one-cell accounting: not certified.
+        try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)),
+          certifiedDeletes =
+            !tableProps.get(Options.CounterMerge).exists(_.toBoolean))
         finally out.close()
         CellStore.commitSegments(dir,
           Seq(tmp -> CellStore.newSegmentName(bucket)))
@@ -786,10 +796,27 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     var valMinHas = false
     var valMinAll = 0L
     var valMaxAll = 0L
+    // tombstone NETTING (certified delete epochs): a netted bucket can
+    // serve only row-equivalent COUNTs — COUNT(*) / COUNT(address) on
+    // transposed, COUNT(*) / COUNT(key) on regular
+    val nettedRowCountsOnly = want.forall {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) =>
+        if (table.mapping.transposed) table.isAddressField(c)
+        else c == keyN
+      case _ => false
+    }
     val recs = Seq.newBuilder[CellStore.BucketStat]
     byBucket.foreach { case (b, files) =>
       val rec = CellStore.bucketStats(table.dir, b, files)
-      if (!rec.tombstoneFree) return None // legacy or deletes
+      if (!rec.tombstoneFree) {
+        // netted bucket: certified deletions subtract from the row count;
+        // anything beyond a row count declines the whole answer. recs is
+        // NOT extended (extremalB unreachable under counts-only).
+        if (!rec.nettedOk || !nettedRowCountsOnly) return None
+        rows += (if (table.mapping.transposed) rec.nettedAddrs
+          else rec.nettedKeys)
+      } else {
       if (!rec.disjoint) return None // overlapping runs in this bucket
       rows += (if (table.mapping.transposed) rec.distinctAddrs
         else rec.distinctKeys)
@@ -841,6 +868,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
       dKeys += rec.distinctKeys
       recs += rec
+      }
     }
     val buckets = recs.result()
     def levelOf(c: String): MetadataAggReader.AddrLevel =
@@ -923,14 +951,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           MetadataAggReader.rangeVals(want, table.keyCodec,
             table.colCodec, table.mapping.field(FieldRole.TransColumn).name,
             ctx.files, ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin,
-            valName = table.mapping.field(FieldRole.TransValue).name)
+            valName = table.mapping.field(FieldRole.TransValue).name,
+            netted = ctx.netted)
         else
           MetadataAggReader.regularRangeVals(want, table.keyCodec, ctx.files,
             ctx.lo, ctx.hi, ctx.ks,
             colBytesOf =
               if (MetadataAggReader.regularColAggs(table.mapping, want))
                 MetadataAggReader.regularCellBytes(table.mapping, _)
-              else _ => null)
+              else _ => null,
+            netted = ctx.netted)
       vals.map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
     }
   }
@@ -975,6 +1005,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val want = translated.flatten
     validatedRangeContext(want).flatMap { ctx =>
       if (ctx.ks == null) return None // enumerable groups need pinned keys
+      // the grouped arithmetic below reads raw per-point counts; a store
+      // with certified delete epochs would need netted twins — decline
+      // (the partial/fold path stays exact)
+      if (ctx.netted) return None
       val sortedKs = ctx.ks
         .sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
       val cLo = if (ctx.colWin == null) null else ctx.colWin._1
@@ -1094,11 +1128,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => None
     }
 
-  /** Envelope + file set of a provable range aggregation, or None. */
+  /** Envelope + file set of a provable range aggregation, or None.
+    * `netted` = at least one relevant bucket carries certified delete
+    * epochs: the count arithmetic must subtract them per run. */
   private case class RangeCtx(files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte], ks: Seq[Array[Byte]],
       colWin: (Array[Byte], Array[Byte]), colPts: Seq[Array[Byte]],
-      subWin: (Array[Byte], Array[Byte]))
+      subWin: (Array[Byte], Array[Byte]), netted: Boolean = false)
 
   /** Shared validation of the COMPLETE range paths: exact filter shapes,
     * then per-bucket run-level proofs over ONE directory listing,
@@ -1153,13 +1189,28 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       } else _ => true
     val byBucket = CellStore.allSegmentFiles(table.dir)
     val allFiles = Seq.newBuilder[java.nio.file.Path]
+    var anyNetted = false
     byBucket.foreach { case (b, files) =>
       if (relevant(b)) {
         // bucket-level judgment from the sidecar (walk fallback inside):
         // O(1) per bucket instead of full index tails
         val rec = CellStore.bucketStats(table.dir, b, files)
         val ok =
-          if (transposed)
+          if (!rec.tombstoneFree) {
+            // tombstone NETTING: certified delete epochs subtract from
+            // COUNTs positionally — counts-only shapes, and col/sub
+            // narrowing or per-column counts need their tails everywhere
+            anyNetted = true
+            rec.nettedOk &&
+              MetadataAggReader.nettedShapesOk(table.mapping, want,
+                k => Options.effective(options, table.tableProps, k)) &&
+              (!transposed ||
+                (((colWin == null && colPts == null) || rec.colEntriesAll) &&
+                  (subWin == null || rec.subEntriesAll))) &&
+              (transposed ||
+                !MetadataAggReader.regularColAggs(table.mapping, want) ||
+                rec.colValsAll)
+          } else if (transposed)
             MetadataAggReader.rangeConditionsOkB(rec, want,
               needColEntries = colWin != null || colPts != null ||
                 MetadataAggReader.wantsColExtremal(table.mapping, want),
@@ -1172,7 +1223,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         allFiles ++= files
       }
     }
-    Some(RangeCtx(allFiles.result(), lo, hi, ks, colWin, colPts, subWin))
+    Some(RangeCtx(allFiles.result(), lo, hi, ks, colWin, colPts, subWin,
+      netted = anyNetted))
   }
 
   override def pushAggregation(
@@ -2247,6 +2299,33 @@ object MetadataAggReader {
     !needsCount || pointsOnly || b.disjoint
   }
 
+  /** Can the aggregate list NET certified deletions? — COUNTs only:
+    * COUNT(*) and COUNT of an address field (plus, on regular mappings,
+    * COUNT of a named cell column, which nets through the per-column
+    * tails — a victim cell and its tombstone share a column name).
+    * Extremals and sums never net: a tombstone doesn't carry the shadowed
+    * value, and a deleted key's bytes would surface as a false extremal. */
+  private[cassandralike] def nettedShapesOk(mapping: ColumnMapping,
+      aggs: Seq[PushedAgg], opt: String => Option[String]): Boolean = {
+    val keyN = mapping.keyField.name
+    if (mapping.transposed) {
+      val colN = mapping.field(FieldRole.TransColumn).name
+      val subN =
+        if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn).name
+        else null
+      aggs.nonEmpty && aggs.forall {
+        case PushedAgg.CountStar => true
+        case PushedAgg.Count(c) =>
+          c == keyN || c == colN || (subN != null && c == subN)
+        case _ => false
+      }
+    } else aggs.nonEmpty && aggs.forall {
+      case PushedAgg.CountStar => true
+      case PushedAgg.Count(c) => c == keyN || regularCountEligible(mapping, c, opt)
+      case _ => false
+    }
+  }
+
   /** Does the aggregate list touch a non-key column of a regular mapping?
     * — the shape that routes through the CVAL per-column machinery. */
   private[cassandralike] def regularColAggs(mapping: ColumnMapping,
@@ -2281,7 +2360,14 @@ object MetadataAggReader {
     // uses, so the two paths cannot drift (VERDICT r10 follow-up; was
     // SURVEY §7.4 round-12 #3)
     val rec = CellStore.bucketStats(part.tableDir, part.bucket, files)
-    if (!rec.tombstoneFree) return None // legacy or deletes
+    // tombstones: either the bucket proves TOMBSTONE NETTING — certified
+    // delete epochs only (DCRT), where COUNTs subtract deletions
+    // positionally — or every metadata path declines to the fold. A
+    // change-feed partition pins a file SUBSET that can split a tombstone
+    // from its victim run: never net those.
+    val netted = !rec.tombstoneFree
+    if (netted && (!rec.nettedOk || part.files != null ||
+        !nettedShapesOk(mapping, aggs, opt))) return None
     // the range-count path is sub-split-safe (it counts positionally
     // within ANY key slice), so it is consulted before the whole-bucket
     // guard below
@@ -2291,6 +2377,25 @@ object MetadataAggReader {
     // flags sub-splits here; belt and braces — a key-range restriction
     // would falsify the bucket-wide STAT counts)
     if (part.lower != null || part.upper != null) return None
+    if (netted) {
+      // netted unfiltered COUNTs: visible rows from the netted reductions.
+      // Only row-equivalent counts qualify here (COUNT of a regular CELL
+      // column would need per-column netted reductions the sidecar doesn't
+      // carry; the FILTERED path nets those per file instead).
+      val keyN0 = mapping.keyField.name
+      val rowOnly = aggs.forall {
+        case PushedAgg.CountStar => true
+        case PushedAgg.Count(c) =>
+          if (mapping.transposed) true // address fields only (gate above)
+          else c == keyN0
+        case _ => false
+      }
+      if (!rowOnly) return None
+      val rowCount: Long =
+        if (mapping.transposed) rec.nettedAddrs else rec.nettedKeys
+      return Some(answerReader(
+        InternalRow.fromSeq(aggs.map(_ => rowCount: Any))))
+    }
     val valN0 =
       if (mapping.transposed) mapping.field(FieldRole.TransValue).name else null
     val valOk0 = valN0 != null && sumEligible(mapping, opt)
@@ -2480,7 +2585,14 @@ object MetadataAggReader {
     val colPts = colPointsOf(mapping, colCodec, filters)
     val subWin = if (subCodec == null) null else subWindowOf(mapping, subCodec, filters)
     val valN = mapping.field(FieldRole.TransValue).name
-    if (!rangeConditionsOkB(rec, aggs,
+    val netted = !rec.tombstoneFree
+    if (netted) {
+      // [[create]] pre-proved nettedOk + counts-only shapes; col/sub
+      // narrowing additionally needs per-entry bytes on EVERY run (a
+      // certified epoch carries its victims' col/sub bytes)
+      if ((colWin != null || colPts != null) && !rec.colEntriesAll) return None
+      if (subWin != null && !rec.subEntriesAll) return None
+    } else if (!rangeConditionsOkB(rec, aggs,
         needColEntries = colWin != null || colPts != null ||
           wantsColExtremal(mapping, aggs),
         needSubEntries = subWin != null,
@@ -2493,7 +2605,8 @@ object MetadataAggReader {
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
     rangeVals(aggs, keyCodec, colCodec,
       mapping.field(FieldRole.TransColumn).name,
-      files, lo, hi, ks, colWin, colPts, subWin, valName = valN)
+      files, lo, hi, ks, colWin, colPts, subWin, valName = valN,
+      netted = netted)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
@@ -2516,11 +2629,17 @@ object MetadataAggReader {
     val (lo, hi) = KeyLookupBounds(filters, keyN, keyCodec, part.lower, part.upper)
     val ks = KeyLookupBounds.keySet(filters, keyN, keyCodec, lo, hi)
     val colAggs = regularColAggs(mapping, aggs)
-    if (!regularRangeConditionsOkB(rec, aggs, pointsOnly = ks != null,
+    val netted = !rec.tombstoneFree
+    if (netted) {
+      // [[create]] pre-proved nettedOk + counts-only shapes; per-column
+      // netted counts additionally need the CVAL tails on every run
+      if (colAggs && !rec.colValsAll) return None
+    } else if (!regularRangeConditionsOkB(rec, aggs, pointsOnly = ks != null,
         colAggs = colAggs))
       return None
     regularRangeVals(aggs, keyCodec, files, lo, hi, ks,
-      colBytesOf = if (colAggs) regularCellBytes(mapping, _) else _ => null)
+      colBytesOf = if (colAggs) regularCellBytes(mapping, _) else _ => null,
+      netted = netted)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
@@ -2856,7 +2975,8 @@ object MetadataAggReader {
       colWin: (Array[Byte], Array[Byte]) = null,
       colPoints: Seq[Array[Byte]] = null,
       subWin: (Array[Byte], Array[Byte]) = null,
-      valName: String = null): Option[Seq[Any]] = {
+      valName: String = null,
+      netted: Boolean = false): Option[Seq[Any]] = {
     // col/sub restrictions are only reachable with a pinned key set, and
     // a sub window only inside pinned cols (rangeShapesOk)
     require((colWin == null && colPoints == null && subWin == null) || ks != null,
@@ -2864,22 +2984,41 @@ object MetadataAggReader {
     require(subWin == null || colPoints != null, "sub window without col points")
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
-    lazy val pointTotals: Array[Long] = {
+    // per-point totals; in netted mode certified delete epochs subtract
+    // (None = an unclassifiable run → decline)
+    def pointTotalsOpt(): Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
+      var ok = true
       files.foreach { f =>
-        val per =
-          if (colPoints != null)
-            CellStore.countCellsAtPoints(f, sortedKs, colPoints = colPoints,
-              subLo = if (subWin == null) null else subWin._1,
-              subHi = if (subWin == null) null else subWin._2)
-          else if (colWin != null)
-            CellStore.countCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
-          else CellStore.countCellsAtPoints(f, sortedKs)
-        var i = 0
-        while (i < per.length) { acc(i) += per(i); i += 1 }
+        if (ok) {
+          val subLo = if (subWin == null) null else subWin._1
+          val subHi = if (subWin == null) null else subWin._2
+          val perOpt: Option[Array[Long]] =
+            if (netted) {
+              if (colPoints != null)
+                CellStore.nettedCountCellsAtPoints(f, sortedKs,
+                  colPoints = colPoints, subLo = subLo, subHi = subHi)
+              else if (colWin != null)
+                CellStore.nettedCountCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+              else CellStore.nettedCountCellsAtPoints(f, sortedKs)
+            } else Some(
+              if (colPoints != null)
+                CellStore.countCellsAtPoints(f, sortedKs, colPoints = colPoints,
+                  subLo = subLo, subHi = subHi)
+              else if (colWin != null)
+                CellStore.countCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+              else CellStore.countCellsAtPoints(f, sortedKs))
+          perOpt match {
+            case Some(per) =>
+              var i = 0
+              while (i < per.length) { acc(i) += per(i); i += 1 }
+            case None => ok = false
+          }
+        }
       }
-      acc
+      if (ok) Some(acc) else None
     }
+    lazy val pointTotals: Array[Long] = pointTotalsOpt().get
     // per-point value sums; None = some consulted run lacks VSUM/overflowed
     lazy val pointSums: Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
@@ -2938,9 +3077,19 @@ object MetadataAggReader {
       }
       Option(best)
     }
-    lazy val n: Long =
-      if (ks != null) pointTotals.sum
-      else files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum
+    lazy val nOpt: Option[Long] =
+      if (ks != null) pointTotalsOpt().map(_.sum)
+      else if (netted) {
+        var t = 0L
+        var ok = true
+        files.foreach(f =>
+          if (ok) CellStore.nettedCountCellsInRange(f, lo, hi) match {
+            case Some(x) => t += x
+            case None => ok = false
+          })
+        if (ok) Some(t) else None
+      } else Some(files.map(f => CellStore.countCellsInRange(f, lo, hi)).sum)
+    lazy val n: Long = nOpt.get // non-netted callers: always Some
     // extremal decoded VALUE in the envelope, from the VMMX tails:
     // Some(x) = the extreme, Some-of-nothing handled by caller null,
     // None propagated below as a decline (tail missing on a consulted run)
@@ -2987,7 +3136,11 @@ object MetadataAggReader {
     val out = aggs.map {
       case PushedAgg.Count(c) if valName != null && c == valName =>
         n // VMMX on every run proves every value decodes non-null
-      case PushedAgg.CountStar | PushedAgg.Count(_) => n
+      case PushedAgg.CountStar | PushedAgg.Count(_) =>
+        nOpt match {
+          case Some(x) => x
+          case None => return None // netted decline: unclassifiable run
+        }
       case PushedAgg.Min(c) if valName != null && c == valName =>
         valExtremal(wantMin = true) match {
           case Some(v) => v.map(Long.box).orNull
@@ -3038,22 +3191,36 @@ object MetadataAggReader {
       files: Seq[java.nio.file.Path],
       lo: Array[Byte], hi: Array[Byte],
       ks: Seq[Array[Byte]],
-      colBytesOf: String => Array[Byte] = _ => null): Option[Seq[Any]] = {
+      colBytesOf: String => Array[Byte] = _ => null,
+      netted: Boolean = false): Option[Seq[Any]] = {
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
-    lazy val pointCells: Array[Long] = {
+    // per-point NET cell counts: a fully-deleted key nets to zero and
+    // counts as absent, exactly like the fold
+    lazy val pointCellsOpt: Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
+      var ok = true
       files.foreach { f =>
-        val per = CellStore.countCellsAtPoints(f, sortedKs)
-        var i = 0
-        while (i < per.length) { acc(i) += per(i); i += 1 }
+        if (ok) {
+          val perOpt =
+            if (netted) CellStore.nettedCountCellsAtPoints(f, sortedKs)
+            else Some(CellStore.countCellsAtPoints(f, sortedKs))
+          perOpt match {
+            case Some(per) =>
+              var i = 0
+              while (i < per.length) { acc(i) += per(i); i += 1 }
+            case None => ok = false
+          }
+        }
       }
-      acc
+      if (ok) Some(acc) else None
     }
+    lazy val pointCells: Array[Long] = pointCellsOpt.get // non-netted: always Some
     lazy val rangeRows: Option[Long] = {
       var t = 0L
       files.foreach { f =>
-        CellStore.countDistinctKeysInRange(f, lo, hi) match {
+        (if (netted) CellStore.nettedCountDistinctKeysInRange(f, lo, hi)
+         else CellStore.countDistinctKeysInRange(f, lo, hi)) match {
           case Some(x) => t += x
           case None => return None
         }
@@ -3078,7 +3245,8 @@ object MetadataAggReader {
       var t = 0L
       files.foreach { f =>
         envelopes.foreach { case (l, h) =>
-          CellStore.countColCellsInRange(f, cb, l, h) match {
+          (if (netted) CellStore.nettedCountColCellsInRange(f, cb, l, h)
+           else CellStore.countColCellsInRange(f, cb, l, h)) match {
             case Some(x) => t += x
             case None => return None
           }
@@ -3139,7 +3307,10 @@ object MetadataAggReader {
           case None => return None
         }
       case PushedAgg.CountStar | PushedAgg.Count(_) =>
-        if (ks != null) sortedKs.indices.count(pointCells(_) > 0).toLong
+        if (ks != null) pointCellsOpt match {
+          case Some(pc) => pc.indices.count(pc(_) > 0).toLong
+          case None => return None // netted decline
+        }
         else rangeRows match {
           case Some(x) => x
           case None => return None

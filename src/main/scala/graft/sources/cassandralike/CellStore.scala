@@ -196,8 +196,22 @@ object CellStore {
   }
 
   /** Append one sorted run (the order invariant is enforced here), with its
-    * sparse key index and per-run key bloom. */
-  def writeRun(out: DataOutputStream, cells: Seq[Cell]): Unit = {
+    * sparse key index and per-run key bloom.
+    *
+    * `certifiedDeletes = true` marks the run as a CERTIFIED DELETE EPOCH —
+    * the caller asserts that EVERY cell is a tombstone that shadows a cell
+    * VISIBLE at write time (the address existed live, the tombstone's
+    * timestamp strictly exceeds that cell's), and that when a key's cells
+    * are tombstoned, ALL of that key's then-visible cells are tombstoned
+    * in this same run. [[graft.sources.cassandralike.CassandraLikeTable
+    * .deleteWhere]] satisfies this by construction (it reads the doomed
+    * visible cells and stamps max-ts+1); nothing else may set it. The
+    * marker is what lets positional counts NET OUT deletions
+    * ([[nettedCountCellsInRange]] and twins) instead of declining to the
+    * fold until compaction. It is written only when the run is genuinely
+    * all-tombstone. */
+  def writeRun(out: DataOutputStream, cells: Seq[Cell],
+      certifiedDeletes: Boolean = false): Unit = {
     if (cells.isEmpty) return
     val sorted = cells.sorted(addressOrdering)
     val payload = new ByteArrayOutputStream(64 * cells.length)
@@ -273,7 +287,8 @@ object CellStore {
       tombs, dKeys, dAddrs,
       kPrefix.toArray, kStart.toArray,
       if (vals.sumOk) vPrefix.toArray else null, if (vals.sumOk) vals.sum else 0L,
-      vals, colVals.result())
+      vals, colVals.result(),
+      certifiedDeletes = certifiedDeletes && tombs == sorted.length)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -338,7 +353,8 @@ object CellStore {
       valMaxs: Array[Long] = null,
       valMin: Long = 0L /* run-wide value min/max; valid iff valMins != null */,
       valMax: Long = 0L,
-      colVals: Array[ColValIdx] = null /* per-COLUMN value stats (CVAL); null = legacy or over-cap */)
+      colVals: Array[ColValIdx] = null /* per-COLUMN value stats (CVAL); null = legacy or over-cap */,
+      certDeletes: Boolean = false /* certified delete-epoch run (DCRT) */)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -414,6 +430,7 @@ object CellStore {
   private val ValSumMagic = 0x5653554d // "VSUM" (per-entry value-sum prefixes)
   private val ValRangeMagic = 0x564d4d58 // "VMMX" (run + per-span value min/max)
   private val ColValMagic = 0x4356414c // "CVAL" (per-COLUMN value stats)
+  private val DelCertMagic = 0x44435254 // "DCRT" (certified-delete run marker)
   private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
 
   /** Distinct-column cap of the CVAL tail: a run with more named columns
@@ -645,7 +662,8 @@ object CellStore {
       keyPrefix: Array[Int] = null, keyStart: Array[Boolean] = null,
       valSums: Array[Long] = null, valTotal: Long = 0L,
       valTail: ValueTailBuilder = null,
-      colVals: Array[ColValIdx] = null)
+      colVals: Array[ColValIdx] = null,
+      certifiedDeletes: Boolean = false)
     : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -778,6 +796,9 @@ object CellStore {
         }
       }
     }
+    // DCRT: the certified-delete marker (see [[writeRun]]'s contract) —
+    // 4 magic bytes on pure-tombstone delete-epoch runs only
+    if (certifiedDeletes) out.writeInt(DelCertMagic)
     // per-run exact content STATS — the tail that lets a global
     // COUNT/MIN/MAX answer from metadata alone (see
     // [[CassandraLikeTable.MetadataAggReader]]): tombstone count,
@@ -1002,6 +1023,13 @@ object CellStore {
           }
         }
       }
+    val certDeletes =
+      if (in.available() < 4) false
+      else {
+        in.mark(4)
+        if (in.readInt() != DelCertMagic) { in.reset(); false }
+        else true
+      }
     val (sTombs, sKeys, sAddrs) =
       if (in.available() < 16) (-1, -1, -1)
       else {
@@ -1012,7 +1040,7 @@ object CellStore {
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
       colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
       sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal,
-      vMins, vMaxs, vMin, vMax, colVals)
+      vMins, vMaxs, vMin, vMax, colVals, certDeletes)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -1128,7 +1156,11 @@ object CellStore {
       /** per-COLUMN run totals from the CVAL tail; null = tail absent
         * (legacy run or over-cap distinct columns) — per-column
         * aggregates then decline to the fold */
-      colVals: Array[ColValStat] = null)
+      colVals: Array[ColValStat] = null,
+      /** certified delete-epoch run (DCRT marker — see
+        * [[writeRun]]'s contract): every cell a tombstone shadowing a
+        * then-visible cell, whole keys tombstoned together */
+      certDeletes: Boolean = false)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -2108,6 +2140,224 @@ object CellStore {
     } finally if (reader != null) reader.close()
   }
 
+  // ---- TOMBSTONE-NETTED positional counts: visible rows of a store with
+  // UNCOMPACTED certified delete epochs = (live cells) − (certified
+  // tombstones), per envelope, because the bucket-level proofs
+  // ([[BucketStat.nettedOk]]) make every live cell a distinct visible row
+  // and every certified tombstone the shadow of exactly one of them —
+  // and a tombstone shares its victim's ADDRESS, so both fall in the same
+  // key envelope and the subtraction is exact per range, per point and
+  // per column. SUM/MIN/MAX never net (a tombstone doesn't carry the
+  // shadowed value) — they keep declining until compaction. ----
+
+  /** +1 for a live run, −1 for a certified pure-tombstone delete epoch,
+    * None for anything else (mixed or uncertified tombstones → the
+    * caller must decline). */
+  private def nettedSign(s: RunStats): Option[Int] =
+    if (s.tombstones == 0) Some(1)
+    else if (s.tombstones == s.cells && s.certDeletes) Some(-1)
+    else None
+
+  /** [[countCellsInRange]]'s tombstone-netting twin: live runs add,
+    * certified delete epochs subtract. None when an envelope-overlapping
+    * run is neither (decline → fold). Caller must have proven
+    * [[BucketStat.nettedOk]]. */
+  def nettedCountCellsInRange(file: Path, lo: Array[Byte],
+      hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val sign = nettedSign(s) match {
+            case Some(x) => x
+            case None => return None
+          }
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) total += sign * ri.cellCount.toLong
+          else {
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            total += sign *
+              ((if (hi == null) ri.cellCount.toLong
+                else cellsBelow(reader, ri, idx, hi)) -
+               (if (lo == null) 0L else cellsBelow(reader, ri, idx, lo)))
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[countCellsAtPoints]]' tombstone-netting twin (same col-window /
+    * col-point / sub-window narrowing). None when a consulted run is
+    * unclassifiable. */
+  def nettedCountCellsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subLo: Array[Byte] = null, subHi: Array[Byte] = null)
+    : Option[Array[Long]] = {
+    val out = new Array[Long](points.length)
+    if (points.isEmpty) return Some(out)
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var sign = 0
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              if (sign == 0) sign = nettedSign(s) match {
+                case Some(x) => x
+                case None => return None
+              }
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              if (colPoints != null) {
+                var ci = 0
+                while (ci < colPoints.length) {
+                  val c = colPoints(ci)
+                  val below =
+                    if (subHi == null)
+                      cellsBelowComposite(reader, ri, idx, k, byteSucc(c))
+                    else cellsBelowComposite(reader, ri, idx, k, c, subHi)
+                  val above =
+                    if (subLo == null) cellsBelowComposite(reader, ri, idx, k, c)
+                    else cellsBelowComposite(reader, ri, idx, k, c, subLo)
+                  out(p) += sign * (below - above)
+                  ci += 1
+                }
+              } else {
+                val below =
+                  if (colHi == null) cellsBelow(reader, ri, idx, byteSucc(k))
+                  else cellsBelowComposite(reader, ri, idx, k, colHi)
+                val above =
+                  if (colLo == null) cellsBelow(reader, ri, idx, k)
+                  else cellsBelowComposite(reader, ri, idx, k, colLo)
+                out(p) += sign * (below - above)
+              }
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+      Some(out)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[countDistinctKeysInRange]]'s tombstone-netting twin: a certified
+    * delete epoch tombstones WHOLE keys (writeRun's contract), so its
+    * distinct keys in the envelope subtract exactly the rows it removed
+    * from the live side. */
+  def nettedCountDistinctKeysInRange(file: Path, lo: Array[Byte],
+      hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val sign = nettedSign(s) match {
+            case Some(x) => x
+            case None => return None
+          }
+          if (s.distinctKeys < 0) return None
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh) total += sign * s.distinctKeys.toLong
+          else {
+            if (!s.hasKeyPrefix) return None
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            total += sign *
+              ((if (hi == null) s.distinctKeys.toLong
+                else dkBelow(reader, ri, idx, hi, s.distinctKeys)) -
+               (if (lo == null) 0L else dkBelow(reader, ri, idx, lo, s.distinctKeys)))
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[countColCellsInRange]]'s tombstone-netting twin: a certified
+    * epoch's tombstones carry their victims' column names, so per-column
+    * counts net the same way (a victim cell and its tombstone land in the
+    * same column bucket). */
+  def nettedCountColCellsInRange(file: Path, col: Array[Byte],
+      lo: Array[Byte], hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val sign = nettedSign(s) match {
+            case Some(x) => x
+            case None => return None
+          }
+          if (s.colVals == null) return None
+          val cv = findColValStat(s.colVals, col)
+          if (cv != null) {
+            val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+            val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+            if (fullLow && fullHigh) total += sign * cv.count
+            else {
+              if (reader == null) reader = new SegmentReader(file)
+              val idx = reader.readIndex(ri)
+              val cvi = findColVal(idx.colVals, col)
+              if (cvi == null) return None
+              total += sign *
+                ((if (hi == null) cvi.totalCount.toLong
+                  else colCountBelow(reader, ri, idx, cvi, hi)) -
+                 (if (lo == null) 0L else colCountBelow(reader, ri, idx, cvi, lo)))
+            }
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } finally if (reader != null) reader.close()
+  }
+
   /** Per-point extremal CLUSTERING-COLUMN bytes within the half-open col
     * window [colLo, colHi) (null = unbounded) over one segment — the
     * per-group MIN/MAX(col) of the grouped metadata aggregates
@@ -2345,7 +2595,8 @@ object CellStore {
           colVals = if (idx.colVals == null) null
             else idx.colVals.map(cv => ColValStat(cv.col, cv.sumsOk,
               cv.rangeOk, cv.totalCount.toLong, cv.totalSum,
-              cv.runMin, cv.runMax)))
+              cv.runMin, cv.runMax)),
+          certDeletes = idx.certDeletes)
       }.toArray
       finally r.close()
     })
@@ -2381,13 +2632,30 @@ object CellStore {
         * [[colVals]] the complete per-column reduction (a column absent
         * from it provably has zero cells in the bucket) */
       colValsAll: Boolean = false,
-      colVals: Seq[ColValStat] = Nil)
+      colVals: Seq[ColValStat] = Nil,
+      /** TOMBSTONE-NETTING eligibility: every run is either live
+        * (zero tombstones, per-run address-deduped, live runs pairwise
+        * key-disjoint) or a CERTIFIED pure-tombstone delete epoch (DCRT,
+        * per-run address-deduped) — then a positional count can subtract
+        * deletions instead of declining until compaction. Certified
+        * epochs are address-disjoint from EACH OTHER by construction
+        * (each deleteWhere reads the then-visible view, which excludes
+        * earlier victims), so their counts are additive without a range
+        * check. */
+      nettedOk: Boolean = false,
+      /** visible cell addresses under netting: Σ live distinctAddrs −
+        * Σ certified tombstones; valid iff [[nettedOk]] */
+      nettedAddrs: Long = 0L,
+      /** visible distinct keys under netting: Σ live distinctKeys −
+        * Σ certified-run distinctKeys (a certified run tombstones whole
+        * keys); valid iff [[nettedOk]] */
+      nettedKeys: Long = 0L)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST3" — bumped for statsValid + the CVAL per-column reductions; BST2
-  // sidecars (none survive a commit, which rewrites them) parse as
-  // corrupt → walk
-  private val BucketStatMagic = 0x42535433
+  // "BST4" — bumped for statsValid + CVAL per-column reductions +
+  // tombstone-netting fields; older sidecars (none survive a commit,
+  // which rewrites them) parse as corrupt → walk
+  private val BucketStatMagic = 0x42535434
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -2449,6 +2717,31 @@ object CellStore {
         if (m.size > 4 * MaxColValCols) { colValsAll = false; Nil }
         else m.values.toSeq
       }
+    // tombstone-netting judgment: live runs vs certified delete epochs
+    // (see [[BucketStat.nettedOk]]); any mixed or uncertified-tombstone
+    // run disqualifies the whole bucket
+    val liveRuns = stats.filter(_.tombstones == 0)
+    val certRuns = stats.filter(s =>
+      s.tombstones > 0 && s.tombstones == s.cells && s.certDeletes)
+    val statsValid0 = stats.forall(s =>
+      s.tombstones >= 0 && s.distinctKeys >= 0 && s.distinctAddrs >= 0)
+    val liveDisjoint =
+      if (liveRuns.lengthCompare(1) <= 0) true
+      else {
+        val byFirst = liveRuns.sortWith((a, b) =>
+          Codecs.compareBytes(a.firstKey, b.firstKey) < 0)
+        (1 until byFirst.length).forall(i =>
+          Codecs.compareBytes(byFirst(i - 1).lastKey, byFirst(i).firstKey) < 0)
+      }
+    val nettedOk = statsValid0 &&
+      liveRuns.length + certRuns.length == stats.length &&
+      liveDisjoint &&
+      liveRuns.forall(s => s.distinctAddrs == s.cells) &&
+      certRuns.forall(s => s.distinctAddrs == s.cells)
+    val nettedAddrs =
+      liveRuns.map(_.distinctAddrs.toLong).sum - certRuns.map(_.cells.toLong).sum
+    val nettedKeys =
+      liveRuns.map(_.distinctKeys.toLong).sum - certRuns.map(_.distinctKeys.toLong).sum
     BucketStat(
       files = sig,
       runs = stats.length,
@@ -2479,7 +2772,10 @@ object CellStore {
       statsValid = stats.forall(s =>
         s.tombstones >= 0 && s.distinctKeys >= 0 && s.distinctAddrs >= 0),
       colValsAll = colValsAll,
-      colVals = colVals)
+      colVals = colVals,
+      nettedOk = nettedOk,
+      nettedAddrs = if (nettedOk) nettedAddrs else 0L,
+      nettedKeys = if (nettedOk) nettedKeys else 0L)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -2539,6 +2835,9 @@ object CellStore {
         out.writeLong(cv.min)
         out.writeLong(cv.max)
       }
+      out.writeBoolean(rec.nettedOk)
+      out.writeLong(rec.nettedAddrs)
+      out.writeLong(rec.nettedKeys)
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -2579,7 +2878,10 @@ object CellStore {
               in.readLong(), in.readLong(), in.readLong(), in.readLong())
           }
           base.copy(statsValid = statsValid, colValsAll = colValsAll,
-            colVals = colVals)
+            colVals = colVals,
+            nettedOk = in.readBoolean(),
+            nettedAddrs = in.readLong(),
+            nettedKeys = in.readLong())
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }

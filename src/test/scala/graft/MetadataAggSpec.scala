@@ -1100,6 +1100,109 @@ class MetadataAggSpec extends SparkSpec {
     assert(qd.collect()(0) == foldD)
   }
 
+  test("tombstone netting: DELETE then COUNT without compaction stays metadata") {
+    val sp = spark; import sp.implicits._
+    def tableOf(store: String): CassandraLikeTable = {
+      val meta = CellStore.readMeta(store).get
+      new CassandraLikeTable(store, store,
+        org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+        Some(meta.mapping), meta.properties)
+    }
+    def fold(store: String, f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+        .filter(f).agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    // TRANSPOSED: one live run per bucket, then a certified delete epoch
+    val store = Seed.table(spark, sfDir, "spec_agg_net",
+      (1L to 400L).map(i => (i, f"c${i % 5}%02d", i * 3L)).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    tableOf(store).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        (1L to 400L).filter(_ % 7 == 0).map(Long.box).toArray[Any])))
+    def q(f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store).filter(f).agg(count(lit(1)).as("n"))
+    // range whose bound sits ON a deleted key (tombstone-over-boundary),
+    // an IN with one deleted point, an equality on a deleted key, and the
+    // unfiltered whole store — all complete at planning, all == fold
+    for (pred <- Seq(
+      col("k") >= 7L && col("k") < 210L, // both bounds deleted keys
+      col("k") >= 50L && col("k") < 123L,
+      col("k").isin(3L, 14L, 9999L), // 14 deleted, 9999 absent
+      col("k") === 21L, // deleted: count 0
+      col("k") === 20L)) {
+      val df = q(pred)
+      assert(scanOf(df).scan.description().contains("AggStats: complete"),
+        s"not complete for $pred: ${scanOf(df).scan.description()}")
+      assert(df.collect()(0).getLong(0) == fold(store, pred), s"$pred")
+    }
+    val all = Seed.read(spark, store).agg(count(lit(1)).as("n"))
+    assert(scanOf(all).scan.description().contains("AggStats: complete"),
+      scanOf(all).scan.description())
+    assert(all.collect()(0).getLong(0) == 400L - 400L / 7L)
+    // MIN/MAX over a netted store must DECLINE (a deleted key's bytes
+    // would surface as a false extremal) — exact via the fold
+    val mm = Seed.read(spark, store).filter(col("k") >= 7L && col("k") < 30L)
+      .agg(min("k").as("mn"), max("k").as("mx"))
+    assert(!scanOf(mm).scan.description().contains("AggStats: complete"))
+    val rm = mm.collect()(0)
+    assert(rm.getLong(0) == 8L && rm.getLong(1) == 29L, s"got $rm")
+    // SUM must decline too (a tombstone doesn't carry the shadowed value)
+    val sq = Seed.read(spark, store).filter(col("k") >= 1L && col("k") < 50L)
+      .agg(sum("v").as("s"))
+    val (soS, _) = drain(sq)
+    assert(soS == 0L, "netted SUM must fold")
+    assert(sq.collect()(0).getLong(0) ==
+      (1L until 50L).filter(_ % 7 != 0).map(_ * 3L).sum)
+    // RE-INSERT after delete: the new live run overlaps the old one —
+    // netting must demote to the fold, and the row is back
+    Seed.append(Seq((21L, f"c${21 % 5}%02d", 999L)).toDF("k", "c", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "9"))
+    val dfR = q(col("k") === 21L)
+    val (soR, _) = drain(dfR)
+    assert(soR == 0L, "re-insert must demote netting to the fold")
+    assert(dfR.collect()(0).getLong(0) == 1L)
+    // UNCERTIFIED tombstones (nulls-as-tombstones append) never net
+    val store2 = Seed.table(spark, sfDir, "spec_agg_net_uncert",
+      (1L to 50L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    Seed.append(Seq((5L, "c", null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "c", "v").repartition(1), store2,
+      Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
+    val dfU = Seed.read(spark, store2).filter(col("k") <= 10L)
+      .agg(count(lit(1)).as("n"))
+    val (soU, _) = drain(dfU)
+    assert(soU == 0L, "uncertified tombstones must fold")
+    assert(dfU.collect()(0).getLong(0) == 9L)
+    // REGULAR mapping: netted row counts AND netted per-column counts
+    val store3 = Seed.table(spark, sfDir, "spec_agg_net_reg",
+      (1L to 300L).map(i =>
+        (i, if (i % 5 == 0) null else s"n$i", i * 2L)).toDF("k", "nm", "x")
+        .repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "2"))
+    tableOf(store3).deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k",
+        (1L to 300L).filter(_ % 11 == 0).map(Long.box).toArray[Any])))
+    val dfReg = Seed.read(spark, store3)
+      .filter(col("k") >= 10L && col("k") < 200L)
+      .agg(count(lit(1)).as("n"), count(col("nm")).as("nn"),
+        count(col("x")).as("nx"))
+    assert(scanOf(dfReg).scan.description().contains("AggStats: complete"),
+      scanOf(dfReg).scan.description())
+    val kept = (10L until 200L).filter(_ % 11 != 0)
+    val rReg = dfReg.collect()(0)
+    assert(rReg.getLong(0) == kept.size &&
+      rReg.getLong(1) == kept.count(_ % 5 != 0) &&
+      rReg.getLong(2) == kept.size, s"got $rReg want ${kept.size}")
+    // netted SUM on the regular store declines too
+    val dfRegS = Seed.read(spark, store3).filter(col("k") >= 10L && col("k") < 200L)
+      .agg(sum("x").as("s"))
+    val (soRS, _) = drain(dfRegS)
+    assert(soRS == 0L)
+    assert(dfRegS.collect()(0).getLong(0) == kept.map(_ * 2L).sum)
+  }
+
   test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
     val sp = spark; import sp.implicits._
     val store = Seed.table(spark, sfDir, "spec_agg_sidecar",
@@ -1177,6 +1280,18 @@ class MetadataAggSpec extends SparkSpec {
           (k, c, null.asInstanceOf[java.lang.Long]) }.toDF("k", "c", "v")
           .repartition(1), store,
           Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "3"))
+      // occasional CERTIFIED deletes (deleteWhere): the netting-eligible
+      // shape — counts may stay metadata, everything must stay exact
+      if (rnd.nextInt(3) == 0) {
+        val meta = CellStore.readMeta(store).get
+        new CassandraLikeTable(store, store,
+          org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+          Some(meta.mapping), meta.properties)
+          .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.In("k",
+              Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(nKeys).toLong - 10)
+                .distinct.map(Long.box).toArray[Any])))
+      }
       val a = rnd.nextInt(nKeys).toLong - 10
       val b = a + 1 + rnd.nextInt(15)
       val keyPts = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(nKeys + 10).toLong - 12)
@@ -1232,6 +1347,17 @@ class MetadataAggSpec extends SparkSpec {
           (k, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]) }
           .toDF("k", "nm", "x").repartition(1), store,
           Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "3"))
+      // interleaved CERTIFIED deletes: netted regular counts stay exact
+      if (rnd.nextInt(3) == 0) {
+        val meta = CellStore.readMeta(store).get
+        new CassandraLikeTable(store, store,
+          org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+          Some(meta.mapping), meta.properties)
+          .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.In("k",
+              Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(nKeys).toLong - 10)
+                .distinct.map(Long.box).toArray[Any])))
+      }
       val a = rnd.nextInt(nKeys).toLong - 10
       val b = a + 1 + rnd.nextInt(25)
       val keyPts = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(nKeys + 10).toLong - 12)
