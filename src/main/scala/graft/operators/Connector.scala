@@ -264,6 +264,44 @@ object Connector {
       nCols.crossJoin(nSub)
     },
 
+    // ---- SUB-level grouped extremals (SURVEY §7.4 #4): per-key MIN/MAX
+    // of the SUB column under pinned (key, col) groups — "first/last
+    // sub-entry of each row's pinned column" — from composite
+    // (key, col, sub) boundary seeks: one binary search + at most one
+    // span scan per (key, col) per run, resolved COMPLETELY at planning
+    // (one answer partition, zero executor IO). Absent keys emit no
+    // group, exactly like the fold. ----
+    Q("conn_agg_sub_extremal",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_partkey % 100 AS VARCHAR), 4, '0') AS k,
+        |    lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS c,
+        |    lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 12, '0') AS s
+        |  FROM lineitem)
+        |SELECT k, count(*) AS width, min(s) AS first_s, max(s) AS last_s
+        |FROM cells
+        |WHERE k IN ('0042', '0077', '9999') AND c = '00000001'
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad(($"l_partkey" % 100).cast("string"), 4, "0").as("row_key"),
+        lpad($"l_suppkey".cast("string"), 8, "0").as("column_name"),
+        lpad(($"l_orderkey" * 10 + $"l_linenumber").cast("string"), 12, "0")
+          .as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name", "sub_column_name")
+      val store = Seed.table(s, dir, "agg_sub_extremal", src.repartition(1),
+        mapping = Some(":key,:column,:subcolumn,:value"))
+      Seed.read(s, store)
+        .filter($"row_key".isin("0042", "0077", "9999") &&
+          $"column_name" === "00000001")
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("width"),
+          min($"sub_column_name").as("first_s"),
+          max($"sub_column_name").as("last_s"))
+        .select($"row_key".as("k"), $"width", $"first_s", $"last_s")
+        .orderBy($"k")
+    },
+
     // ---- GROUPED metadata range-count: `SELECT key, count(*) WHERE key
     // IN (...) GROUP BY key` — the batch width/presence check — resolves
     // COMPLETELY at planning: one row per PRESENT key from the per-point
@@ -393,6 +431,55 @@ object Connector {
         .filter($"row_key".isin("0000000001", "0000000032", "0000000099"))
         .agg(min($"value").as("min_points"), max($"value").as("max_points"))
       range.crossJoin(all).crossJoin(points)
+    },
+
+    // ---- AS-OF metadata aggregates (round 12): a time-bounded read keeps
+    // every metadata fast path when the bound provably COVERS the store —
+    // TSRG run-timestamp windows prove maxTs ≤ bound per bucket, so the
+    // bounded view IS the current view and "total volume in the window as
+    // of the watermark" resolves COMPLETELY at planning; a bound below
+    // the newest cell hides data the index can't see and folds (the
+    // historical audit answer, still exact). ----
+    Q("conn_agg_asof_stats",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM cells
+        |   WHERE k >= '0000000100' AND k < '0000001200') AS n_now,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells
+        |   WHERE k >= '0000000100' AND k < '0000001200') AS sum_now,
+        |  (SELECT count(*) FROM cells
+        |   WHERE k >= '0000000100' AND k < '0000001200'
+        |     AND k < '0000000700') AS n_hist,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells
+        |   WHERE k >= '0000000100' AND k < '0000001200'
+        |     AND k < '0000000700') AS sum_hist""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_asof_stats"
+      seedOnce(s"$dir#agg_asof_stats") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+          .dropDuplicates("row_key", "column_name")
+        // epoch 1 (ts=1): keys below '0000000700'; epoch 2 (ts=2): the
+        // rest — key-disjoint runs, so the current view stays clean
+        Seed.table(s, dir, "agg_asof_stats",
+          src.filter($"row_key" < "0000000700").repartition(1),
+          mapping = Some(":key,:column,:value"))
+        Seed.append(src.filter($"row_key" >= "0000000700").repartition(1),
+          store, Map(Options.WriteTimestamp -> "2"))
+      }
+      val now = Seed.read(s, store, Map(Options.ReadAsOf -> "2"))
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000001200")
+        .agg(count(lit(1)).as("n_now"), sum($"value").as("sum_now"))
+      val hist = Seed.read(s, store, Map(Options.ReadAsOf -> "1"))
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000001200")
+        .agg(count(lit(1)).as("n_hist"), sum($"value").as("sum_hist"))
+      now.crossJoin(hist)
     },
 
     // ---- GROUPED metadata stats: per-key COUNT + SUM(value) + MIN/MAX of

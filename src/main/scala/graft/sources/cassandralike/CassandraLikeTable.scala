@@ -65,6 +65,12 @@ object Options {
     * compaction preserves it per segment because LWW reconciliation inside
     * one write epoch is ts-stable). */
   val ReadAsOf = "read.asof"
+  /** `metadata.agg=false` disables every metadata-only aggregate fast
+    * path (complete and per-bucket partial alike) — the scan folds cells
+    * as if no index statistics existed. An escape hatch for debugging and
+    * the specs' ground-truth baseline; results are identical either way
+    * by the decline contract. */
+  val MetadataAgg = "metadata.agg"
   /** Columnar batch reads for the batch scan (default on): rows batch into
     * on-heap column vectors so whole-stage codegen consumes the scan
     * vectorized. `false` restores the row-wise reader; results are
@@ -213,10 +219,20 @@ object CassandraLikeTable {
     * indexes' content stats describe exactly what a scan would emit
     * (pushed-filter emptiness is checked separately by each caller). */
   private[cassandralike] def plainView(
-      opt: String => Option[String], props: Map[String, String]): Boolean =
+      opt: String => Option[String], props: Map[String, String],
+      allowBoundedAsOf: Boolean = false): Boolean =
     Seq(Options.SliceStart, Options.SliceFinish, Options.SliceReversed,
       Options.SliceCount, Options.SliceSubStart, Options.SliceSubFinish,
-      Options.ReadAsOf, Options.Ttl).forall(k => opt(k).isEmpty) &&
+      Options.Ttl).forall(k => opt(k).isEmpty) &&
+      // an AS-OF bound is tolerated only by callers that run the dynamic
+      // per-bucket proof (every consulted run's newest cell ≤ the bound ⇒
+      // the bounded view IS the current view); everyone else treats it as
+      // a view change
+      (allowBoundedAsOf || opt(Options.ReadAsOf).isEmpty) &&
+      // explicit escape hatch: metadata.agg=false forces the cell fold
+      // everywhere this gate guards (production debugging + the specs'
+      // ground-truth baseline)
+      opt(Options.MetadataAgg).forall(_.toBoolean) &&
       !props.keys.exists(_.startsWith(Options.DroppedPrefix))
 
   /** The store's bucket transform for Catalyst. Ordered-key tables report
@@ -686,7 +702,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (limit.isDefined) return None
     if (!CassandraLikeTable.plainView(
         k => Options.effective(options, table.tableProps, k),
-        table.tableProps)) return None
+        table.tableProps, allowBoundedAsOf = true)) return None
     // GROUP BY the row key over pushed key points: per-group presence
     // counts from the same positional arithmetic
     if (aggregation.groupByExpressions().nonEmpty)
@@ -806,9 +822,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         else c == keyN
       case _ => false
     }
+    // an AS-OF bound must provably cover every bucket (see the reader
+    // twin in [[MetadataAggReader.create]])
+    val asOfBound = Options.effective(options, table.tableProps,
+      Options.ReadAsOf).map(_.toLong)
     val recs = Seq.newBuilder[CellStore.BucketStat]
     byBucket.foreach { case (b, files) =>
       val rec = CellStore.bucketStats(table.dir, b, files)
+      if (asOfBound.exists(a => !rec.tsAll || rec.maxTs > a)) return None
       if (!rec.tombstoneFree) {
         // netted bucket: certified deletions subtract from the row count;
         // anything beyond a row count declines the whole answer. recs is
@@ -952,7 +973,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
             table.colCodec, table.mapping.field(FieldRole.TransColumn).name,
             ctx.files, ctx.lo, ctx.hi, ctx.ks, ctx.colWin, ctx.colPts, ctx.subWin,
             valName = table.mapping.field(FieldRole.TransValue).name,
-            netted = ctx.netted)
+            netted = ctx.netted,
+            subCodec = table.subCodec,
+            subName =
+              if (table.mapping.hasSubColumn)
+                table.mapping.field(FieldRole.TransSubColumn).name
+              else null)
         else
           MetadataAggReader.regularRangeVals(want, table.keyCodec, ctx.files,
             ctx.lo, ctx.hi, ctx.ks,
@@ -984,6 +1010,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val keyN = table.mapping.keyField.name
     val colN = table.mapping.field(FieldRole.TransColumn).name
     val valN = table.mapping.field(FieldRole.TransValue).name
+    val subN =
+      if (table.mapping.hasSubColumn)
+        table.mapping.field(FieldRole.TransSubColumn).name
+      else null
     aggregation.groupByExpressions().toSeq.map(aggCol) match {
       case Seq(Some(g)) if g == keyN => ()
       case _ => return None
@@ -994,10 +1024,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case c: Count if !c.isDistinct =>
           aggCol(c.column).filter(c0 =>
             table.isAddressField(c0) || c0 == valN).map(PushedAgg.Count.apply)
-        case m: Min => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN)
-          .map(PushedAgg.Min.apply)
-        case m: Max => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN)
-          .map(PushedAgg.Max.apply)
+        case m: Min => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN ||
+          (subN != null && c0 == subN)).map(PushedAgg.Min.apply)
+        case m: Max => aggCol(m.column).filter(c0 => c0 == colN || c0 == valN ||
+          (subN != null && c0 == subN)).map(PushedAgg.Max.apply)
         case s: Sum if !s.isDistinct => aggCol(s.column).map(PushedAgg.Sum.apply)
         case _ => None
       }
@@ -1066,6 +1096,25 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
       lazy val colMins = colExtremals(wantMin = true)
       lazy val colMaxs = colExtremals(wantMin = false)
+      // per-key extremal SUB of the pinned (key, col) groups ("first/last
+      // sub-entry of each row's pinned column") — composite boundary seeks
+      def subExtremals(wantMin: Boolean): Array[Array[Byte]] = {
+        val best = new Array[Array[Byte]](sortedKs.length)
+        ctx.files.foreach { f =>
+          val per = CellStore.extremalSubsAtPoints(f, sortedKs.toSeq,
+            ctx.colPts, sLo, sHi, wantMin)
+          var i = 0
+          while (i < per.length) {
+            if (per(i) != null && (best(i) == null ||
+                (Codecs.compareBytes(per(i), best(i)) < 0) == wantMin))
+              best(i) = per(i)
+            i += 1
+          }
+        }
+        best
+      }
+      lazy val subMins = subExtremals(wantMin = true)
+      lazy val subMaxs = subExtremals(wantMin = false)
       // per-key VALUE extremals ("per-user peak in the window"), from the
       // same composite interval positions; a missing-tail decline demotes
       // the whole grouped answer to the fold
@@ -1108,6 +1157,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
               case PushedAgg.Sum(_) => sums(i)
               case PushedAgg.Min(c) if c == valN => valMins(i)
               case PushedAgg.Max(c) if c == valN => valMaxs(i)
+              case PushedAgg.Min(c) if subN != null && c == subN =>
+                if (subMins(i) == null) null else table.subCodec.decode(subMins(i))
+              case PushedAgg.Max(c) if subN != null && c == subN =>
+                if (subMaxs(i) == null) null else table.subCodec.decode(subMaxs(i))
               case PushedAgg.Min(_) => table.colCodec.decode(colMins(i))
               case PushedAgg.Max(_) => table.colCodec.decode(colMaxs(i))
               case other => throw new IllegalStateException(
@@ -1190,11 +1243,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val byBucket = CellStore.allSegmentFiles(table.dir)
     val allFiles = Seq.newBuilder[java.nio.file.Path]
     var anyNetted = false
+    val asOfBound = Options.effective(options, table.tableProps,
+      Options.ReadAsOf).map(_.toLong)
     byBucket.foreach { case (b, files) =>
       if (relevant(b)) {
         // bucket-level judgment from the sidecar (walk fallback inside):
         // O(1) per bucket instead of full index tails
         val rec = CellStore.bucketStats(table.dir, b, files)
+        if (asOfBound.exists(a => !rec.tsAll || rec.maxTs > a)) return None
         val ok =
           if (!rec.tombstoneFree) {
             // tombstone NETTING: certified delete epochs subtract from
@@ -1213,8 +1269,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           } else if (transposed)
             MetadataAggReader.rangeConditionsOkB(rec, want,
               needColEntries = colWin != null || colPts != null ||
-                MetadataAggReader.wantsColExtremal(table.mapping, want),
-              needSubEntries = subWin != null,
+                MetadataAggReader.wantsColExtremal(table.mapping, want) ||
+                MetadataAggReader.wantsSubExtremal(table.mapping, want),
+              needSubEntries = subWin != null ||
+                MetadataAggReader.wantsSubExtremal(table.mapping, want),
               valName = table.mapping.field(FieldRole.TransValue).name)
           else MetadataAggReader.regularRangeConditionsOkB(rec, want,
             pointsOnly = ks != null,
@@ -1606,8 +1664,11 @@ class CellScan(
       case PushedAgg.Sum(c) => isVal(c) || isRegVal(c)
       case _ => false
     }
+    // unlike [[cleanUnslicedView]], a bounded AS-OF read is tolerated:
+    // the per-bucket readers prove maxTs ≤ bound dynamically
     aggs.nonEmpty && aggGroupKeys.isEmpty && aggs.forall(answerable) &&
-      cleanUnslicedView
+      filters.isEmpty && CassandraLikeTable.plainView(
+        k => table.opt(options, k), table.tableProps, allowBoundedAsOf = true)
   }
 
   /** Static gate of the RANGE/POINT-CONSTRAINED metadata aggregates
@@ -1627,7 +1688,8 @@ class CellScan(
             k => table.opt(options, k)))
       else MetadataAggReader.regularRangeShapesOk(table.mapping, aggs,
         table.keyCodec, filters, k => table.opt(options, k))) &&
-      CassandraLikeTable.plainView(k => table.opt(options, k), table.tableProps)
+      CassandraLikeTable.plainView(k => table.opt(options, k),
+        table.tableProps, allowBoundedAsOf = true)
 
   /** No pushed filters + [[CassandraLikeTable.plainView]]: the shared gate
     * of [[statsEligible]] and the exact-numRows branch of
@@ -1909,16 +1971,55 @@ class CellScan(
           }
         }
       }
+    // BOUNDED estimate for LARGE pinned INs (> MaxStatPoints, where the
+    // exact per-point probes would stall planning): present keys ≤
+    // min(points, Σ relevant buckets' distinct keys), scaled by the
+    // store's cells-per-key fan-out. An UPPER bound — so a broadcast
+    // decision made with it is safe (overestimating never broadcasts
+    // something too big) while a thousand-key IN stops inheriting the
+    // WHOLE store's size — at O(relevant buckets) sidecar bytes under the
+    // same no-walk planning policy (a bucket without a fresh sidecar
+    // keeps the whole-store estimate). A per-bucket membership sketch was
+    // evaluated and rejected: a fixed-size mergeable filter saturates at
+    // realistic bucket cardinalities, and the broadcast decision only
+    // needs this bound (SURVEY §7.4).
+    val boundedFiltered: Option[Long] =
+      if (exact.isDefined || exactFiltered.isDefined || filters.isEmpty ||
+        aggs.nonEmpty) None
+      else if (!CassandraLikeTable.plainView(
+        k => table.opt(options, k), table.tableProps)) None
+      else {
+        val keyN = table.mapping.keyField.name
+        val (lo, hi) = KeyLookupBounds(filters, keyN, table.keyCodec, null, null)
+        val ks = KeyLookupBounds.keySet(filters, keyN, table.keyCodec, lo, hi)
+        if (ks == null || ks.size <= MaxStatPoints) None
+        else plannedBuckets.foldLeft(Option((0L, 0L))) { (acc, b) =>
+          acc.flatMap { case (dk, cls) =>
+            CellStore.readBucketStats(table.dir, b,
+              segmentsByBucket.getOrElse(b, Nil)) match {
+              case Some(rec) if rec.statsValid =>
+                Some((dk + rec.distinctKeys, cls + rec.cells))
+              case _ => None
+            }
+          }
+        }.map { case (dk, cls) =>
+          val present = math.min(ks.size.toLong, dk)
+          if (table.mapping.transposed)
+            present * math.max(1L, cls / math.max(1L, dk)) // rows = cells
+          else present // regular: one row per key
+        }
+      }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(exactFiltered match {
+        java.util.OptionalLong.of(exactFiltered.orElse(boundedFiltered) match {
           // scale by the store's average cell size; floor at 1 byte
           case Some(n) => math.max(1L, n * (bytes / math.max(1L, cells)))
           case None => bytes
         })
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(
-          exact.orElse(exactFiltered).getOrElse(cells / rowFanout))
+          exact.orElse(exactFiltered).orElse(boundedFiltered)
+            .getOrElse(cells / rowFanout))
     }
   }
 
@@ -2360,6 +2461,12 @@ object MetadataAggReader {
     // uses, so the two paths cannot drift (VERDICT r10 follow-up; was
     // SURVEY §7.4 round-12 #3)
     val rec = CellStore.bucketStats(part.tableDir, part.bucket, files)
+    // an AS-OF bound keeps the metadata paths ONLY when it provably
+    // covers every cell of the bucket (TSRG windows on every run and
+    // maxTs ≤ bound ⇒ the bounded view IS the current view); anything
+    // newer, or a legacy run without the window, declines to the fold
+    val asOf = opt(Options.ReadAsOf).map(_.toLong)
+    if (asOf.exists(a => !rec.tsAll || rec.maxTs > a)) return None
     // tombstones: either the bucket proves TOMBSTONE NETTING — certified
     // delete epochs only (DCRT), where COUNTs subtract deletions
     // positionally — or every metadata path declines to the fold. A
@@ -2594,8 +2701,8 @@ object MetadataAggReader {
       if (subWin != null && !rec.subEntriesAll) return None
     } else if (!rangeConditionsOkB(rec, aggs,
         needColEntries = colWin != null || colPts != null ||
-          wantsColExtremal(mapping, aggs),
-        needSubEntries = subWin != null,
+          wantsColExtremal(mapping, aggs) || wantsSubExtremal(mapping, aggs),
+        needSubEntries = subWin != null || wantsSubExtremal(mapping, aggs),
         valName = valN))
       return None
     // envelope ∩ the partition's own key slice (sub-splits partition the
@@ -2606,7 +2713,11 @@ object MetadataAggReader {
     rangeVals(aggs, keyCodec, colCodec,
       mapping.field(FieldRole.TransColumn).name,
       files, lo, hi, ks, colWin, colPts, subWin, valName = valN,
-      netted = netted)
+      netted = netted,
+      subCodec = subCodec,
+      subName =
+        if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn).name
+        else null)
       .map(vals => answerReader(InternalRow.fromSeq(vals)))
   }
 
@@ -2730,6 +2841,15 @@ object MetadataAggReader {
     // per-span extremes answer "peak reading in the window" — this is
     // also what makes AVG(value) resolve completely (Spark rewrites AVG
     // into the Sum+Count pair before pushing).
+    // MIN/MAX of the SUB column are admitted under a pinned (key, col)
+    // set (sub bytes are sorted within one (key, col) group, so the
+    // extremal sub is a composite boundary seek — SURVEY §7.4 #4) when
+    // sub byte order is value order
+    val colPinned0 = filters.exists {
+      case EqualTo(c, v) => c == colN && v != null
+      case In(c, vs) => c == colN && vs != null && vs.nonEmpty
+      case _ => false
+    }
     val shapesOk = aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
@@ -2737,9 +2857,11 @@ object MetadataAggReader {
           (sumOk && c == valN)
       case PushedAgg.Min(c) =>
         (c == keyN && ranged) || (c == colN && colRanged && keyPinned) ||
+          (subN != null && c == subN && subRanged && keyPinned && colPinned0) ||
           (sumOk && c == valN)
       case PushedAgg.Max(c) =>
         (c == keyN && ranged) || (c == colN && colRanged && keyPinned) ||
+          (subN != null && c == subN && subRanged && keyPinned && colPinned0) ||
           (sumOk && c == valN)
       case PushedAgg.Sum(c) => sumOk && c == valN
       case _ => false
@@ -2913,6 +3035,20 @@ object MetadataAggReader {
     }
   }
 
+  /** Does the aggregate list ask for MIN/MAX of the SUB column? — the
+    * shape that needs per-entry col AND sub bytes on every run (composite
+    * (key, col, sub) boundary seeks). */
+  private[cassandralike] def wantsSubExtremal(mapping: ColumnMapping,
+      aggs: Seq[PushedAgg]): Boolean = {
+    if (!mapping.transposed || !mapping.hasSubColumn) return false
+    val subN = mapping.field(FieldRole.TransSubColumn).name
+    aggs.exists {
+      case PushedAgg.Min(c) => c == subN
+      case PushedAgg.Max(c) => c == subN
+      case _ => false
+    }
+  }
+
   /** Static shape gate of the REGULAR-mapping range aggregates: a regular
     * row IS one distinct key (its cells are the schema's fields, missing
     * cells just surface NULL columns), so COUNT under a key envelope =
@@ -2976,7 +3112,8 @@ object MetadataAggReader {
       colPoints: Seq[Array[Byte]] = null,
       subWin: (Array[Byte], Array[Byte]) = null,
       valName: String = null,
-      netted: Boolean = false): Option[Seq[Any]] = {
+      netted: Boolean = false,
+      subCodec: KeyCodec = null, subName: String = null): Option[Seq[Any]] = {
     // col/sub restrictions are only reachable with a pinned key set, and
     // a sub window only inside pinned cols (rangeShapesOk)
     require((colWin == null && colPoints == null && subWin == null) || ks != null,
@@ -3077,6 +3214,22 @@ object MetadataAggReader {
       }
       Option(best)
     }
+    // extremal SUB over the pinned (key, col) groups (reduced across keys
+    // and cols for the ungrouped form), within the pushed sub window
+    def subExtremal(wantMin: Boolean): Option[Array[Byte]] = {
+      val sLo = if (subWin == null) null else subWin._1
+      val sHi = if (subWin == null) null else subWin._2
+      var best: Array[Byte] = null
+      files.foreach { f =>
+        CellStore.extremalSubsAtPoints(f, sortedKs, colPoints, sLo, sHi, wantMin)
+          .foreach { cand =>
+            if (cand != null && (best == null ||
+                (Codecs.compareBytes(cand, best) < 0) == wantMin))
+              best = cand
+          }
+      }
+      Option(best)
+    }
     lazy val nOpt: Option[Long] =
       if (ks != null) pointTotalsOpt().map(_.sum)
       else if (netted) {
@@ -3155,6 +3308,10 @@ object MetadataAggReader {
         colExtremal(wantMin = true).map(colCodec.decode).orNull
       case PushedAgg.Max(c) if c == colName =>
         colExtremal(wantMin = false).map(colCodec.decode).orNull
+      case PushedAgg.Min(c) if subName != null && c == subName =>
+        subExtremal(wantMin = true).map(subCodec.decode).orNull
+      case PushedAgg.Max(c) if subName != null && c == subName =>
+        subExtremal(wantMin = false).map(subCodec.decode).orNull
       case PushedAgg.Min(_) =>
         extremal(wantMin = true).map(keyCodec.decode).orNull
       case PushedAgg.Max(_) =>

@@ -248,6 +248,8 @@ object CellStore {
     val vPrefix = mutable.ArrayBuffer.empty[Long]
     val vals = new ValueTailBuilder
     val colVals = new ColValTailBuilder
+    var tsMin = Long.MaxValue
+    var tsMax = Long.MinValue
     var i = 0
     sorted.foreach { c =>
       // sorted input: distinct keys are exactly the key changes
@@ -267,6 +269,8 @@ object CellStore {
           !eqNullable(prevSub, c.sub)) dAddrs += 1
       prevCol = c.col; prevSub = c.sub; sawAddr = true
       if (c.tombstone) tombs += 1
+      if (c.ts < tsMin) tsMin = c.ts
+      if (c.ts > tsMax) tsMax = c.ts
       vals.add(c)
       colVals.add(c)
       colBloom.add(i, c.col)
@@ -288,7 +292,8 @@ object CellStore {
       kPrefix.toArray, kStart.toArray,
       if (vals.sumOk) vPrefix.toArray else null, if (vals.sumOk) vals.sum else 0L,
       vals, colVals.result(),
-      certifiedDeletes = certifiedDeletes && tombs == sorted.length)
+      certifiedDeletes = certifiedDeletes && tombs == sorted.length,
+      tsMin = tsMin, tsMax = tsMax)
     out.writeInt(sorted.length)
     out.writeLong(payload.size().toLong)
     out.writeInt(index.length)
@@ -354,7 +359,10 @@ object CellStore {
       valMin: Long = 0L /* run-wide value min/max; valid iff valMins != null */,
       valMax: Long = 0L,
       colVals: Array[ColValIdx] = null /* per-COLUMN value stats (CVAL); null = legacy or over-cap */,
-      certDeletes: Boolean = false /* certified delete-epoch run (DCRT) */)
+      certDeletes: Boolean = false /* certified delete-epoch run (DCRT) */,
+      tsMin: Long = 0L /* run-wide cell-timestamp window (TSRG); */,
+      tsMax: Long = 0L /* valid iff hasTsRange */,
+      hasTsRange: Boolean = false)
 
   val IndexEvery = 128
   private val RunHeaderLen = 16L
@@ -430,6 +438,7 @@ object CellStore {
   private val ValSumMagic = 0x5653554d // "VSUM" (per-entry value-sum prefixes)
   private val ValRangeMagic = 0x564d4d58 // "VMMX" (run + per-span value min/max)
   private val ColValMagic = 0x4356414c // "CVAL" (per-COLUMN value stats)
+  private val TsRangeMagic = 0x54535247 // "TSRG" (run-wide cell-timestamp min/max)
   private val DelCertMagic = 0x44435254 // "DCRT" (certified-delete run marker)
   private val StatsMagic = 0x53544154 // "STAT" (per-run exact content stats)
 
@@ -663,7 +672,8 @@ object CellStore {
       valSums: Array[Long] = null, valTotal: Long = 0L,
       valTail: ValueTailBuilder = null,
       colVals: Array[ColValIdx] = null,
-      certifiedDeletes: Boolean = false)
+      certifiedDeletes: Boolean = false,
+      tsMin: Long = Long.MaxValue, tsMax: Long = Long.MinValue)
     : Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -795,6 +805,14 @@ object CellStore {
           }
         }
       }
+    }
+    // TSRG: run-wide cell-timestamp window — what lets an AS-OF read keep
+    // the metadata fast paths when the bound provably covers every cell
+    // (maxTs ≤ asOf ⇒ the bounded view IS the current view)
+    if (tsMin <= tsMax) {
+      out.writeInt(TsRangeMagic)
+      out.writeLong(tsMin)
+      out.writeLong(tsMax)
     }
     // DCRT: the certified-delete marker (see [[writeRun]]'s contract) —
     // 4 magic bytes on pure-tombstone delete-epoch runs only
@@ -1023,6 +1041,13 @@ object CellStore {
           }
         }
       }
+    val (tsMin, tsMax, hasTs) =
+      if (in.available() < 20) (0L, 0L, false)
+      else {
+        in.mark(4)
+        if (in.readInt() != TsRangeMagic) { in.reset(); (0L, 0L, false) }
+        else (in.readLong(), in.readLong(), true)
+      }
     val certDeletes =
       if (in.available() < 4) false
       else {
@@ -1040,7 +1065,7 @@ object CellStore {
     RunIndex(pos, off, keys, lastKey, bloom, cols, cMin, cMax,
       colBlooms, colChunkCells, subs, sMin, sMax, subBlooms, subChunkCells,
       sTombs, sKeys, sAddrs, kPrefix, kStart, vSums, vTotal,
-      vMins, vMaxs, vMin, vMax, colVals, certDeletes)
+      vMins, vMaxs, vMin, vMax, colVals, certDeletes, tsMin, tsMax, hasTs)
   }
 
   // ---- immutable-file driver-side caches: a committed segment never
@@ -1160,7 +1185,12 @@ object CellStore {
       /** certified delete-epoch run (DCRT marker — see
         * [[writeRun]]'s contract): every cell a tombstone shadowing a
         * then-visible cell, whole keys tombstoned together */
-      certDeletes: Boolean = false)
+      certDeletes: Boolean = false,
+      /** run-wide cell-timestamp window (TSRG); valid iff hasTsRange —
+        * what proves an AS-OF bound covers every cell */
+      tsMin: Long = 0L,
+      tsMax: Long = 0L,
+      hasTsRange: Boolean = false)
 
   /** The STAT counters of one run, without the rest of its index. */
   final case class QuickStats(cells: Int, tombstones: Int,
@@ -2417,6 +2447,163 @@ object CellStore {
     out
   }
 
+  /** Per-point extremal SUB-COLUMN bytes of the pinned (key, col) groups
+    * within the half-open sub window [subLo, subHi) (null = unbounded)
+    * over one segment — the per-group MIN/MAX(sub) of the grouped super-
+    * mapping aggregates ("first/last sub-entry of each row's pinned
+    * column"). For each point key and each pinned col, cells of the
+    * (key, col) group are SUB-sorted within a run, so the extremal sub is
+    * the first/last cell of the group's composite interval — one boundary
+    * binary search + at most one span scan per (point, col) per run.
+    * Returned array aligns with `points` (reduced across the pinned
+    * cols); null element = no cell in any pinned group in this segment.
+    * Caller must have proven per-entry col AND sub bytes
+    * ([[RunStats.colEntries]]/[[RunStats.subEntries]]) and the usual
+    * zero-tombstone proof; like the col seeks, needs neither run
+    * disjointness nor address dedup (an overwrite never removes an
+    * address). */
+  def extremalSubsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colPoints: Seq[Array[Byte]],
+      subLo: Array[Byte], subHi: Array[Byte],
+      wantMin: Boolean): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](points.length)
+    if (points.isEmpty || colPoints == null || colPoints.isEmpty) return out
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    def better(cand: Array[Byte], best: Array[Byte]): Boolean =
+      best == null || (Codecs.compareBytes(cand, best) < 0) == wantMin
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              require(s.colEntries && s.subEntries,
+                "extremalSubsAtPoints needs per-entry col and sub bytes")
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              var ci = 0
+              while (ci < colPoints.length) {
+                val c = colPoints(ci)
+                val cand =
+                  if (wantMin) firstSubAtLeast(reader, ri, idx, k, c, subLo)
+                  else lastSubBelow(reader, ri, idx, k, c, subHi)
+                val ok = cand != null &&
+                  (subLo == null || Codecs.compareBytes(cand, subLo) >= 0) &&
+                  (subHi == null || Codecs.compareBytes(cand, subHi) < 0)
+                if (ok && better(cand, out(p))) out(p) = cand
+                ci += 1
+              }
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+    } finally if (reader != null) reader.close()
+    out
+  }
+
+  /** addr < (keyB, colB[, subB]) at full composite level — the boundary
+    * predicate of the extremal-sub seeks (null subB = (key, col) level;
+    * null cell sub compares as EMPTY bytes, same as [[addressOrdering]]). */
+  private def addrBelowKCS(k: Array[Byte], c: Array[Byte], s: Array[Byte],
+      keyB: Array[Byte], colB: Array[Byte], subB: Array[Byte]): Boolean = {
+    val kc = Codecs.compareBytes(k, keyB)
+    if (kc != 0) return kc < 0
+    val cc = Codecs.compareBytes(
+      if (c == null) Array.emptyByteArray else c, colB)
+    if (cc != 0) return cc < 0
+    if (subB == null) return false
+    Codecs.compareBytes(if (s == null) Array.emptyByteArray else s, subB) < 0
+  }
+
+  /** Sub bytes of the FIRST cell of one run with address >= (k, c, subLo)
+    * (null subLo = (k, c) itself), when that cell belongs to group
+    * (k, c) — else null. ≤ one span scan + 1 cell. */
+  private def firstSubAtLeast(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, k: Array[Byte], c: Array[Byte],
+      subLo: Array[Byte]): Array[Byte] = {
+    val keys = idx.keys
+    val cols = idx.cols
+    val subs = idx.subs
+    def entrySub(i: Int): Array[Byte] = if (subs == null) null else subs(i)
+    val start =
+      if (!addrBelowKCS(keys(0), cols(0), entrySub(0), k, c, subLo)) 0
+      else {
+        var a = 0
+        var b = keys.length - 1
+        while (a < b) {
+          val mid = (a + b + 1) >>> 1
+          if (addrBelowKCS(keys(mid), cols(mid), entrySub(mid), k, c, subLo))
+            a = mid
+          else b = mid - 1
+        }
+        a
+      }
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(start),
+      ri.cellCount - idx.cellPos(start))
+    while (it.hasNext) {
+      val cell = it.next()
+      if (!addrBelowKCS(cell.key, cell.col, cell.sub, k, c, subLo))
+        return if (java.util.Arrays.equals(cell.key, k) &&
+          cell.col != null && java.util.Arrays.equals(cell.col, c))
+          cell.sub
+        else null
+    }
+    null
+  }
+
+  /** Sub bytes of the LAST cell of one run with address < (k, c, subHi)
+    * (null subHi = the last cell of group (k, c)), when that cell belongs
+    * to group (k, c) — else null. */
+  private def lastSubBelow(reader: SegmentReader, ri: RunInfo,
+      idx: RunIndex, k: Array[Byte], c: Array[Byte],
+      subHi: Array[Byte]): Array[Byte] = {
+    // null subHi: bound at (k, succ(c)) — the first address past the group
+    val (colB, subB) =
+      if (subHi != null) (c, subHi) else (byteSucc(c), null)
+    val keys = idx.keys
+    val cols = idx.cols
+    val subs = idx.subs
+    def entrySub(i: Int): Array[Byte] = if (subs == null) null else subs(i)
+    if (!addrBelowKCS(keys(0), cols(0), entrySub(0), k, colB, subB)) return null
+    var a = 0
+    var b = keys.length - 1
+    while (a < b) {
+      val mid = (a + b + 1) >>> 1
+      if (addrBelowKCS(keys(mid), cols(mid), entrySub(mid), k, colB, subB))
+        a = mid
+      else b = mid - 1
+    }
+    val it = reader.runIterator(ri.payloadOffset + idx.offsets(a),
+      spanLength(ri, idx, a))
+    var lastKey: Array[Byte] = null
+    var lastCol: Array[Byte] = null
+    var lastSub: Array[Byte] = null
+    var scanning = true
+    while (scanning && it.hasNext) {
+      val cell = it.next()
+      if (addrBelowKCS(cell.key, cell.col, cell.sub, k, colB, subB)) {
+        lastKey = cell.key; lastCol = cell.col; lastSub = cell.sub
+      } else scanning = false
+    }
+    if (lastKey != null && java.util.Arrays.equals(lastKey, k) &&
+      lastCol != null && java.util.Arrays.equals(lastCol, c)) lastSub
+    else null
+  }
+
   /** addr < (keyB[, colB]) at (key, col) level — the shared boundary
     * predicate of the extremal-col seeks (null colB = key level only). */
   private def addrBelowKC(k: Array[Byte], c: Array[Byte],
@@ -2596,7 +2783,10 @@ object CellStore {
             else idx.colVals.map(cv => ColValStat(cv.col, cv.sumsOk,
               cv.rangeOk, cv.totalCount.toLong, cv.totalSum,
               cv.runMin, cv.runMax)),
-          certDeletes = idx.certDeletes)
+          certDeletes = idx.certDeletes,
+          tsMin = idx.tsMin,
+          tsMax = idx.tsMax,
+          hasTsRange = idx.hasTsRange)
       }.toArray
       finally r.close()
     })
@@ -2649,13 +2839,19 @@ object CellStore {
       /** visible distinct keys under netting: Σ live distinctKeys −
         * Σ certified-run distinctKeys (a certified run tombstones whole
         * keys); valid iff [[nettedOk]] */
-      nettedKeys: Long = 0L)
+      nettedKeys: Long = 0L,
+      /** every run carries the TSRG timestamp window */
+      tsAll: Boolean = false,
+      /** newest cell timestamp across the bucket; valid iff [[tsAll]] —
+        * an AS-OF bound ≥ this proves the bounded view IS the current
+        * view, keeping every metadata fast path */
+      maxTs: Long = 0L)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST4" — bumped for statsValid + CVAL per-column reductions +
-  // tombstone-netting fields; older sidecars (none survive a commit,
-  // which rewrites them) parse as corrupt → walk
-  private val BucketStatMagic = 0x42535434
+  // "BST5" — bumped for statsValid + CVAL per-column reductions +
+  // tombstone-netting fields + the TSRG timestamp window; older sidecars
+  // (none survive a commit, which rewrites them) parse as corrupt → walk
+  private val BucketStatMagic = 0x42535435
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -2775,7 +2971,10 @@ object CellStore {
       colVals = colVals,
       nettedOk = nettedOk,
       nettedAddrs = if (nettedOk) nettedAddrs else 0L,
-      nettedKeys = if (nettedOk) nettedKeys else 0L)
+      nettedKeys = if (nettedOk) nettedKeys else 0L,
+      tsAll = stats.forall(_.hasTsRange),
+      maxTs = if (stats.nonEmpty && stats.forall(_.hasTsRange))
+        stats.map(_.tsMax).max else 0L)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -2838,6 +3037,8 @@ object CellStore {
       out.writeBoolean(rec.nettedOk)
       out.writeLong(rec.nettedAddrs)
       out.writeLong(rec.nettedKeys)
+      out.writeBoolean(rec.tsAll)
+      out.writeLong(rec.maxTs)
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -2881,7 +3082,9 @@ object CellStore {
             colVals = colVals,
             nettedOk = in.readBoolean(),
             nettedAddrs = in.readLong(),
-            nettedKeys = in.readLong())
+            nettedKeys = in.readLong(),
+            tsAll = in.readBoolean(),
+            maxTs = in.readLong())
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }
@@ -3710,6 +3913,8 @@ object CellStore {
       val vPrefix = mutable.ArrayBuffer.empty[Long]
       val vals = new ValueTailBuilder
       val colVals = new ColValTailBuilder
+      var tsMin = Long.MaxValue
+      var tsMax = Long.MinValue
       cells.foreach { c =>
         val newKey = lastKey == null || !java.util.Arrays.equals(lastKey, c.key)
         if (count % IndexEvery == 0) {
@@ -3725,6 +3930,8 @@ object CellStore {
             !eqNullable(prevSub, c.sub)) dAddrs += 1
         prevCol = c.col; prevSub = c.sub; sawAddr = true
         if (c.tombstone) tombs += 1
+        if (c.ts < tsMin) tsMin = c.ts
+        if (c.ts > tsMax) tsMax = c.ts
         vals.add(c)
         colVals.add(c)
         colBloom.add(count, c.col)
@@ -3748,7 +3955,7 @@ object CellStore {
         kPrefix.toArray, kStart.toArray,
         if (vals.sumOk) vPrefix.toArray else null,
         if (vals.sumOk) vals.sum else 0L,
-        vals, colVals.result()))
+        vals, colVals.result(), tsMin = tsMin, tsMax = tsMax))
       out.flush()
       val indexLen = (counting.count - payloadLen).toInt
       raf.seek(0L)

@@ -286,6 +286,43 @@ class MetadataAggSpec extends SparkSpec {
       assert(!hasBroadcast(probe.join(all, "k")),
         "the whole store exceeds the threshold and must not broadcast")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // LARGE pinned IN (> the 128-point exact cap): the BOUNDED estimate —
+    // min(points, relevant distinct keys) × fan-out — replaces the
+    // whole-store fallback; with mostly-absent points the bound stays the
+    // point count, far under the store's 5000 rows
+    val big = Seed.table(spark, sfDir, "spec_agg_stats_bigin",
+      (1L to 5000L).map(i => (i, "c", i)).toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered"))
+    val inKeys = (1L to 200L) ++ (100000L to 100299L) // 200 present, 300 absent
+    val largeIn = Seed.read(spark, big)
+      .filter(col("k").isin(inKeys.map(Long.box): _*))
+      .select(col("k"), col("v"))
+    val sBig = stats(largeIn)
+    assert(sBig.numRows().getAsLong == inKeys.size.toLong,
+      s"bounded large-IN estimate: ${sBig.numRows()} want ${inKeys.size}")
+    val wholeBig = stats(Seed.read(spark, big).select(col("k"), col("v")))
+    assert(sBig.sizeInBytes().getAsLong < wholeBig.sizeInBytes().getAsLong,
+      "large-IN size must undercut the whole store")
+    // and the broadcast flip extends to the large-IN arm: bound ≈ 5001
+    // rows on a tiny threshold needs a smaller store share — use a
+    // threshold between the bounded and whole sizes
+    val thr2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((sBig.sizeInBytes().getAsLong +
+          wholeBig.sizeInBytes().getAsLong) / 2).toString)
+      val probe2 = spark.range(1, 100000).toDF("k")
+      def bcast(df: org.apache.spark.sql.DataFrame): Boolean = {
+        df.collect()
+        df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      }
+      assert(bcast(probe2.join(largeIn, "k")),
+        "bounded large-IN stats must let the filtered side broadcast")
+      // (the negative arm — whole store stays a shuffle — is pinned by
+      // the tiny-threshold flip above; at this midpoint threshold AQE's
+      // runtime re-plan may legitimately broadcast the small actual data)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr2)
   }
 
   test("range-count: pushed key ranges answer COUNT from index arithmetic") {
@@ -830,7 +867,7 @@ class MetadataAggSpec extends SparkSpec {
     val qb = Seed.read(spark, big).filter(col("k") >= 1L).agg(sum("v").as("s"))
     val (so, _) = drain(qb)
     assert(so == 0L, "overflowing store must fold")
-    val fold = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+    val fold = Seed.read(spark, big, Map(Options.MetadataAgg -> "false"))
       .filter(col("k") >= 1L).agg(sum("v").as("s")).collect()(0)
     assert(qb.collect()(0) == fold, "fast path must equal the fold exactly")
   }
@@ -872,7 +909,7 @@ class MetadataAggSpec extends SparkSpec {
       Map(Options.NullsAsTombstones -> "true", Options.WriteTimestamp -> "2"))
     val qt = q(col("k") >= 1L && col("k") < 50L)
     val fold = Seed.read(spark, store,
-      Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      Map(Options.MetadataAgg -> "false"))
       .filter(col("k") >= 1L && col("k") < 50L)
       .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
     assert(qt.collect()(0) == fold.collect()(0),
@@ -1076,7 +1113,7 @@ class MetadataAggSpec extends SparkSpec {
     val qb = Seed.read(spark, big).filter(col("k") >= 1L).agg(sum("v").as("s"))
     val (so, _) = drain(qb)
     assert(so == 0L, "overflowing column must fold its SUM")
-    val fold = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+    val fold = Seed.read(spark, big, Map(Options.MetadataAgg -> "false"))
       .filter(col("k") >= 1L).agg(sum("v").as("s")).collect()(0)
     assert(qb.collect()(0) == fold, "fast path must equal the fold exactly")
     val qbm = Seed.read(spark, big).filter(col("k") >= 1L)
@@ -1093,11 +1130,58 @@ class MetadataAggSpec extends SparkSpec {
       .agg(sum("v").as("s"), count(col("v")).as("nv"), max("v").as("mx"))
     val (so2, _) = drain(qd)
     assert(so2 == 0L, "tombstoned store must fold")
-    val foldD = Seed.read(spark, big, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+    val foldD = Seed.read(spark, big, Map(Options.MetadataAgg -> "false"))
       .filter(col("k") >= 1L)
       .agg(sum("v").as("s"), count(col("v")).as("nv"), max("v").as("mx"))
       .collect()(0)
     assert(qd.collect()(0) == foldD)
+  }
+
+  test("sub-level extremals: per-key MIN/MAX(sub) under pinned (key, col) groups") {
+    val sp = spark; import sp.implicits._
+    // 3 keys × 3 cols × 4 subs, with a deliberately sparse corner
+    val rows = for {
+      k <- Seq("k1", "k2", "k3")
+      c <- Seq("ca", "cb", "cc")
+      s <- Seq("s1", "s2", "s3", "s4")
+      if !(k == "k2" && c == "cb") // k2's cb group is EMPTY
+    } yield (k, c, s, 1L)
+    val store = Seed.table(spark, sfDir, "spec_agg_subext",
+      rows.toDF("k", "c", "s", "v").repartition(1),
+      mapping = Some(":key,:column,:subcolumn,:value"),
+      props = Map(Options.Buckets -> "2"))
+    // grouped: per-key first/last sub of the pinned col, absent key and
+    // empty group emit no row — exactly like the fold
+    val g = Seed.read(spark, store)
+      .filter(col("k").isin("k1", "k2", "k9") && col("c") === "cb")
+      .groupBy("k").agg(count(lit(1)).as("n"),
+        min("s").as("mn"), max("s").as("mx"))
+    assert(scanOf(g).scan.description().contains("AggStats: complete"),
+      scanOf(g).scan.description())
+    val rowsG = g.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getString(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(rowsG == Seq(("k1", 4L, "s1", "s4")), s"got $rowsG")
+    // ungrouped, within a half-open sub window
+    val u = Seed.read(spark, store)
+      .filter(col("k") === "k3" && col("c") === "ca" &&
+        col("s") >= "s2" && col("s") < "s4")
+      .agg(count(lit(1)).as("n"), min("s").as("mn"), max("s").as("mx"))
+    assert(scanOf(u).scan.description().contains("AggStats: complete"),
+      scanOf(u).scan.description())
+    val ru = u.collect()(0)
+    assert(ru.getLong(0) == 2L && ru.getString(1) == "s2" &&
+      ru.getString(2) == "s3", s"got $ru")
+    // an OVERWRITE never removes an address: sub extremals stay metadata
+    // over overlapping runs (unlike counts) and stay exact
+    Seed.append(Seq(("k1", "cb", "s1", 9L)).toDF("k", "c", "s", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    val g2 = Seed.read(spark, store)
+      .filter(col("k") === "k1" && col("c") === "cb")
+      .agg(min("s").as("mn"), max("s").as("mx"))
+    assert(scanOf(g2).scan.description().contains("AggStats: complete"),
+      scanOf(g2).scan.description())
+    val rg2 = g2.collect()(0)
+    assert(rg2.getString(0) == "s1" && rg2.getString(1) == "s4")
   }
 
   test("tombstone netting: DELETE then COUNT without compaction stays metadata") {
@@ -1109,7 +1193,7 @@ class MetadataAggSpec extends SparkSpec {
         Some(meta.mapping), meta.properties)
     }
     def fold(store: String, f: org.apache.spark.sql.Column) =
-      Seed.read(spark, store, Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      Seed.read(spark, store, Map(Options.MetadataAgg -> "false"))
         .filter(f).agg(count(lit(1)).as("n")).collect()(0).getLong(0)
     // TRANSPOSED: one live run per bucket, then a certified delete epoch
     val store = Seed.table(spark, sfDir, "spec_agg_net",
@@ -1310,7 +1394,7 @@ class MetadataAggSpec extends SparkSpec {
       // asof = MaxValue sees every cell but disqualifies the static gates:
       // the pure fold is the ground truth
       val fast = agg(Map.empty)
-      val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      val fold = agg(Map(Options.MetadataAgg -> "false"))
       assert(fast == fold, s"iter $iter pred $pred: $fast vs $fold")
       // grouped twin (pinned keys only — the others plan normally anyway):
       // per-key COUNT + SUM(value) + MIN/MAX(clustering col)
@@ -1323,7 +1407,7 @@ class MetadataAggSpec extends SparkSpec {
             r.getString(3), r.getString(4), r.getLong(5), r.getLong(6)))
           .sortBy(_._1).toSeq
       assert(grouped(Map.empty) ==
-        grouped(Map(Options.ReadAsOf -> Long.MaxValue.toString)),
+        grouped(Map(Options.MetadataAgg -> "false")),
         s"iter $iter grouped mismatch")
     }
     // REGULAR-mapping arm: rows = distinct keys, with random missing cells,
@@ -1376,7 +1460,7 @@ class MetadataAggSpec extends SparkSpec {
             avg("x").as("ax"))
           .collect()(0)
       val fast = agg(Map.empty)
-      val fold = agg(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      val fold = agg(Map(Options.MetadataAgg -> "false"))
       assert(fast == fold, s"regular iter $iter pred $pred: $fast vs $fold")
     }
   }
@@ -1401,10 +1485,65 @@ class MetadataAggSpec extends SparkSpec {
     assert(!scanOf(vFiltered).scan.description().contains("AggStats"),
       "a non-key filter must disable the metadata gate")
     assert(vFiltered.collect()(0).getLong(0) == 1L)
+    // an as-of bound BELOW the store's newest cell hides cells the stats
+    // can't see: every metadata path must fold (round 12: a COVERING
+    // bound keeps them — see the dedicated as-of test)
     val asOf = Seed.read(spark, store, Map(Options.ReadAsOf -> "0"))
       .agg(count(lit(1)).as("n"))
-    assert(!scanOf(asOf).scan.description().contains("AggStats"),
-      "an as-of bound must disable the metadata gate")
+    assert(!scanOf(asOf).scan.description().contains("AggStats: complete"))
+    val (soA, _) = drain(asOf)
+    assert(soA == 0L, "an uncovering as-of bound must fold")
     assert(asOf.collect()(0).getLong(0) == 0L)
+    // the explicit escape hatch forces the fold even on a clean store
+    val off = Seed.read(spark, store, Map(Options.MetadataAgg -> "false"))
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(off).scan.description().contains("AggStats"))
+    val (soO, _) = drain(off)
+    assert(soO == 0L, "metadata.agg=false must fold")
+    assert(off.collect()(0).getLong(0) == 2L)
+  }
+
+  test("as-of bounds: a covering bound keeps every metadata path; an uncovering one folds") {
+    val sp = spark; import sp.implicits._
+    // epoch 1 (ts=1): keys 1..300; epoch 2 (ts=5): keys 301..400 — runs
+    // stay key-disjoint, so the current view is clean
+    val store = Seed.table(spark, sfDir, "spec_agg_asof",
+      (1L to 300L).map(i => (i, f"c${i % 5}%02d", i * 3L)).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    Seed.append((301L to 400L).map(i => (i, f"c${i % 5}%02d", i * 3L))
+      .toDF("k", "c", "v").repartition(1), store,
+      Map(Options.WriteTimestamp -> "5"))
+    def q(opts: Map[String, String], f: org.apache.spark.sql.Column) =
+      Seed.read(spark, store, opts).filter(f)
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          min("v").as("mn"), max("v").as("mx"))
+    // a COVERING bound (≥ every cell ts): the bounded view IS the current
+    // view — counts, sums and value extremals stay complete at planning
+    for (bound <- Seq("5", "100")) {
+      val df = q(Map(Options.ReadAsOf -> bound),
+        col("k") >= 50L && col("k") < 350L)
+      assert(scanOf(df).scan.description().contains("AggStats: complete"),
+        s"bound $bound: ${scanOf(df).scan.description()}")
+      val r = df.collect()(0)
+      val want = (50L until 350L).map(_ * 3L)
+      assert(r.getLong(0) == 300L && r.getLong(1) == want.sum &&
+        r.getLong(2) == want.min && r.getLong(3) == want.max, s"got $r")
+      // unfiltered whole-store twin
+      val all = Seed.read(spark, store, Map(Options.ReadAsOf -> bound))
+        .agg(count(lit(1)).as("n"))
+      assert(scanOf(all).scan.description().contains("AggStats: complete"))
+      assert(all.collect()(0).getLong(0) == 400L)
+    }
+    // an UNCOVERING bound (hides epoch 2): folds, and the fold sees only
+    // epoch 1 — the historical audit answer
+    val hist = q(Map(Options.ReadAsOf -> "1"), col("k") >= 50L && col("k") < 350L)
+    val (soH, _) = drain(hist)
+    assert(soH == 0L, "an uncovering bound must fold")
+    val rh = hist.collect()(0)
+    val wantH = (50L to 300L).map(_ * 3L)
+    assert(rh.getLong(0) == 251L && rh.getLong(1) == wantH.sum &&
+      rh.getLong(2) == wantH.min && rh.getLong(3) == wantH.max, s"got $rh")
   }
 }
