@@ -1907,6 +1907,10 @@ class CellScan(
               if (rec.tombstoneFree && rec.disjoint)
                 Some(total + (if (table.mapping.transposed) rec.distinctAddrs
                   else rec.distinctKeys))
+              else if (rec.nettedOk)
+                // certified delete epochs: exact visible rows by netting
+                Some(total + (if (table.mapping.transposed) rec.nettedAddrs
+                  else rec.nettedKeys))
               else None
             case None =>
               val qs = files.flatMap(f => CellStore.quickRunStats(f).toSeq)
@@ -3122,7 +3126,9 @@ object MetadataAggReader {
     lazy val sortedKs: Array[Array[Byte]] =
       ks.sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
     // per-point totals; in netted mode certified delete epochs subtract
-    // (None = an unclassifiable run → decline)
+    // (None = an unclassifiable run → decline). Memoized: a COUNT+MIN mix
+    // must not run the per-point probes twice.
+    lazy val pointTotalsRes: Option[Array[Long]] = pointTotalsOpt()
     def pointTotalsOpt(): Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
       var ok = true
@@ -3155,7 +3161,7 @@ object MetadataAggReader {
       }
       if (ok) Some(acc) else None
     }
-    lazy val pointTotals: Array[Long] = pointTotalsOpt().get
+    lazy val pointTotals: Array[Long] = pointTotalsRes.get
     // per-point value sums; None = some consulted run lacks VSUM/overflowed
     lazy val pointSums: Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
@@ -3231,7 +3237,7 @@ object MetadataAggReader {
       Option(best)
     }
     lazy val nOpt: Option[Long] =
-      if (ks != null) pointTotalsOpt().map(_.sum)
+      if (ks != null) pointTotalsRes.map(_.sum)
       else if (netted) {
         var t = 0L
         var ok = true

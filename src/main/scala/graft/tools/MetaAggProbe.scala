@@ -14,9 +14,10 @@ import graft.sources.cassandralike.{Options, Seed}
   * <table> (default customer) once, then times
   * `count(*) + min(key) + max(key)` two ways —
   * the plain read (metadata path: STAT index tails only) and a
-  * `read.asof = MaxValue` read (same visible cells, but the as-of knob
-  * disqualifies the static gate, so the scan folds every cell). The
-  * delta is pure scan IO + decode; min-of-5 each, interleaved. */
+  * `metadata.agg = false` read (same visible cells; the explicit escape
+  * hatch forces the fold — the old asof=MaxValue trick now legitimately
+  * keeps the fast paths, round 12). The delta is pure scan IO + decode;
+  * min-of-5 each, interleaved. */
 object MetaAggProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -86,13 +87,13 @@ object MetaAggProbe {
       println(s"partitions=${parts.length} statsOnly=$statsOnly")
     }
     // warm-up both paths once, then interleaved min-of-5
-    run(Map.empty); run(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+    run(Map.empty); run(Map(Options.MetadataAgg -> "false"))
     val metas = collection.mutable.ArrayBuffer.empty[Double]
     val folds = collection.mutable.ArrayBuffer.empty[Double]
     var rows = 0L
     (1 to 5).foreach { _ =>
       val (tm, n1) = run(Map.empty)
-      val (tf, n2) = run(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      val (tf, n2) = run(Map(Options.MetadataAgg -> "false"))
       require(n1 == n2, s"paths disagree: $n1 vs $n2")
       rows = n1; metas += tm; folds += tf
     }

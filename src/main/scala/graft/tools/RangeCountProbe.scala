@@ -14,9 +14,9 @@ import graft.sources.cassandralike.{Options, Seed}
   * compacts every bucket to the single-run steady state, then times
   * `count(*) WHERE key >= lo AND key < hi` two ways — the plain read
   * (range-count path: positional index arithmetic, boundary spans only)
-  * and a `read.asof = MaxValue` read (same visible cells, but the as-of
-  * knob disqualifies the static gate, so the scan SEEKS to the range and
-  * folds every cell in it). The delta is exactly the in-range decode the
+  * and a `metadata.agg = false` read (same visible cells; the explicit
+  * escape hatch forces the fold — the old asof=MaxValue trick now
+  * legitimately keeps the fast paths, round 12). The delta is exactly the in-range decode the
   * positional count avoids; min-of-5 each, interleaved. */
 object RangeCountProbe {
   def main(args: Array[String]): Unit = {
@@ -77,13 +77,13 @@ object RangeCountProbe {
       }
       println(s"partitions=${parts.length} statsOnly=$statsOnly")
     }
-    run(Map.empty); run(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+    run(Map.empty); run(Map(Options.MetadataAgg -> "false"))
     val metas = collection.mutable.ArrayBuffer.empty[Double]
     val folds = collection.mutable.ArrayBuffer.empty[Double]
     var rows = 0L
     (1 to 5).foreach { _ =>
       val (tm, n1) = run(Map.empty)
-      val (tf, n2) = run(Map(Options.ReadAsOf -> Long.MaxValue.toString))
+      val (tf, n2) = run(Map(Options.MetadataAgg -> "false"))
       require(n1 == n2, s"paths disagree: $n1 vs $n2")
       rows = n1; metas += tm; folds += tf
     }
