@@ -2178,12 +2178,18 @@ object Connector {
     Q("conn_agg_netted_count",
       """WITH cells AS (SELECT DISTINCT
         |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
-        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    CAST(l_orderkey % 97 AS BIGINT) AS v
         |  FROM lineitem WHERE l_orderkey % 50 <> 3)
         |SELECT
         |  (SELECT count(*) FROM cells
         |   WHERE k >= '0000001000' AND k < '0000004000') AS n_range,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS sum_range,
+        |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) FROM cells
+        |   WHERE k >= '0000001000' AND k < '0000004000') AS avg_range,
         |  (SELECT count(*) FROM cells) AS n_all,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM cells) AS sum_all,
         |  (SELECT count(*) FROM cells
         |   WHERE k IN ('0000000001', '0000000003', '0000000153')) AS n_points""".stripMargin,
       bench = true) { (s, dir) =>
@@ -2219,10 +2225,14 @@ object Connector {
             doomed.map(k => s"'$k'").mkString(",") + ")")
       }
       val r = s.table("cassandralike.ks.netted_t")
+      // SUM/AVG net too: the certified tombstones carry their victims'
+      // values, so the delete epoch's VSUM tails subtract exactly the
+      // deleted volume (AVG via Spark's Sum+Count rewrite)
       val range = r
         .filter($"row_key" >= "0000001000" && $"row_key" < "0000004000")
-        .agg(count(lit(1)).as("n_range"))
-      val all = r.agg(count(lit(1)).as("n_all"))
+        .agg(count(lit(1)).as("n_range"), sum($"value").as("sum_range"),
+          avg($"value").as("avg_range"))
+      val all = r.agg(count(lit(1)).as("n_all"), sum($"value").as("sum_all"))
       val points = r
         .filter($"row_key".isin("0000000001", "0000000003", "0000000153"))
         .agg(count(lit(1)).as("n_points"))

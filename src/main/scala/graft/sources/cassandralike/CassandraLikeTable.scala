@@ -482,12 +482,22 @@ class CassandraLikeTable(
       // cell (at max ts + 1) then shadows every underlying increment.
       // The doomed-key set doubles as the bloom lookup set: runs that
       // provably hold none of the keys never enter the merge.
+      val counterTable = tableProps.get(Options.CounterMerge).exists(_.toBoolean)
       val merge = new CellStore.BucketMergeIterator(dir, bucket,
-        counterMerge = tableProps.get(Options.CounterMerge).exists(_.toBoolean),
+        counterMerge = counterTable,
         lookupKeys = ks)
       val doomed = try {
         merge.filter(c => keySet.contains(c.key.toSeq)).map { c =>
-          Cell(c.key, c.col, c.sub, Array.emptyByteArray, c.ts, tombstone = true)
+          // a CERTIFIED tombstone carries its victim's value bytes: the
+          // doomed cell was just read from the visible view, so recording
+          // its value lets positional SUMs net deletions too (visible sum
+          // = live sums − certified shadowed sums). No reader surfaces a
+          // tombstone's value (the merge drops the row; the change feed
+          // emits nothing for delete segments) — the bytes exist only for
+          // the VSUM/CVAL tails the delete run's own index accumulates.
+          Cell(c.key, c.col, c.sub,
+            if (counterTable) Array.emptyByteArray else c.value,
+            c.ts, tombstone = true)
         }.toVector
       } finally merge.close()
       if (doomed.nonEmpty) {
@@ -507,8 +517,7 @@ class CassandraLikeTable(
         // tombstone per merged cell, many underlying increments), which
         // breaks the one-tombstone-one-cell accounting: not certified.
         try CellStore.writeRun(out, doomed.map(_.copy(ts = ts)),
-          certifiedDeletes =
-            !tableProps.get(Options.CounterMerge).exists(_.toBoolean))
+          certifiedDeletes = !counterTable)
         finally out.close()
         CellStore.commitSegments(dir,
           Seq(tmp -> CellStore.newSegmentName(bucket)))
@@ -813,13 +822,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     var valMinAll = 0L
     var valMaxAll = 0L
     // tombstone NETTING (certified delete epochs): a netted bucket can
-    // serve only row-equivalent COUNTs — COUNT(*) / COUNT(address) on
-    // transposed, COUNT(*) / COUNT(key) on regular
-    val nettedRowCountsOnly = want.forall {
+    // serve row-equivalent COUNTs — COUNT(*) / COUNT(address) on
+    // transposed, COUNT(*) / COUNT(key) on regular — and SUM of the
+    // transposed value column (certified tombstones carry their victims'
+    // values, so the sidecar's nettedSum is the visible total)
+    val nettedAnswerable = want.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
-        if (table.mapping.transposed) table.isAddressField(c)
+        if (table.mapping.transposed) table.isAddressField(c) || isVal(c)
         else c == keyN
+      case PushedAgg.Sum(c) => table.mapping.transposed && isVal(c)
       case _ => false
     }
     // an AS-OF bound must provably cover every bucket (see the reader
@@ -831,12 +843,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       val rec = CellStore.bucketStats(table.dir, b, files)
       if (asOfBound.exists(a => !rec.tsAll || rec.maxTs > a)) return None
       if (!rec.tombstoneFree) {
-        // netted bucket: certified deletions subtract from the row count;
-        // anything beyond a row count declines the whole answer. recs is
-        // NOT extended (extremalB unreachable under counts-only).
-        if (!rec.nettedOk || !nettedRowCountsOnly) return None
+        // netted bucket: certified deletions subtract from the row count
+        // and the value sum; anything beyond declines the whole answer.
+        // recs is NOT extended (extremalB unreachable under the netted
+        // shape gate).
+        if (!rec.nettedOk || !nettedAnswerable) return None
+        if (wantValCount && !rec.valRangeAll) return None
         rows += (if (table.mapping.transposed) rec.nettedAddrs
           else rec.nettedKeys)
+        if (wantSum) {
+          if (!rec.nettedSumOk) return None
+          try valSum = Math.addExact(valSum, rec.nettedSum)
+          catch { case _: ArithmeticException => return None }
+        }
       } else {
       if (!rec.disjoint) return None // overlapping runs in this bucket
       rows += (if (table.mapping.transposed) rec.distinctAddrs
@@ -1262,7 +1281,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
                 k => Options.effective(options, table.tableProps, k)) &&
               (!transposed ||
                 (((colWin == null && colPts == null) || rec.colEntriesAll) &&
-                  (subWin == null || rec.subEntriesAll))) &&
+                  (subWin == null || rec.subEntriesAll) &&
+                  // Count(value) needs the VMMX non-null proof
+                  (!want.exists {
+                    case PushedAgg.Count(c) =>
+                      c == table.mapping.field(FieldRole.TransValue).name
+                    case _ => false
+                  } || rec.valRangeAll))) &&
               (transposed ||
                 !MetadataAggReader.regularColAggs(table.mapping, want) ||
                 rec.colValsAll)
@@ -2404,12 +2429,16 @@ object MetadataAggReader {
     !needsCount || pointsOnly || b.disjoint
   }
 
-  /** Can the aggregate list NET certified deletions? — COUNTs only:
-    * COUNT(*) and COUNT of an address field (plus, on regular mappings,
-    * COUNT of a named cell column, which nets through the per-column
-    * tails — a victim cell and its tombstone share a column name).
-    * Extremals and sums never net: a tombstone doesn't carry the shadowed
-    * value, and a deleted key's bytes would surface as a false extremal. */
+  /** Can the aggregate list NET certified deletions? — COUNTs (COUNT(*)
+    * and COUNT of an address field; on regular mappings also COUNT of a
+    * named cell column, which nets through the per-column tails — a
+    * victim cell and its tombstone share a column name) and SUMs
+    * (certified tombstones carry their victims' VALUES, so the delete
+    * epoch's VSUM/CVAL tails hold the SHADOWED sums: visible sum = live
+    * sums − certified sums; AVG nets for free via Spark's Sum+Count
+    * rewrite). Extremals never net — removing an extreme can't be
+    * expressed as a subtraction, and a deleted key's bytes would surface
+    * as a false extremal. */
   private[cassandralike] def nettedShapesOk(mapping: ColumnMapping,
       aggs: Seq[PushedAgg], opt: String => Option[String]): Boolean = {
     val keyN = mapping.keyField.name
@@ -2418,15 +2447,22 @@ object MetadataAggReader {
       val subN =
         if (mapping.hasSubColumn) mapping.field(FieldRole.TransSubColumn).name
         else null
+      val valN = mapping.field(FieldRole.TransValue).name
+      val sumOk = sumEligible(mapping, opt)
       aggs.nonEmpty && aggs.forall {
         case PushedAgg.CountStar => true
         case PushedAgg.Count(c) =>
-          c == keyN || c == colN || (subN != null && c == subN)
+          // Count(value) == rows under the VMMX non-null proof (checked
+          // dynamically per bucket) — what AVG's Sum+Count rewrite needs
+          c == keyN || c == colN || (subN != null && c == subN) ||
+            (sumOk && c == valN)
+        case PushedAgg.Sum(c) => sumOk && c == valN
         case _ => false
       }
     } else aggs.nonEmpty && aggs.forall {
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) => c == keyN || regularCountEligible(mapping, c, opt)
+      case PushedAgg.Sum(c) => regularValueEligible(mapping, c, opt)
       case _ => false
     }
   }
@@ -2489,23 +2525,35 @@ object MetadataAggReader {
     // would falsify the bucket-wide STAT counts)
     if (part.lower != null || part.upper != null) return None
     if (netted) {
-      // netted unfiltered COUNTs: visible rows from the netted reductions.
-      // Only row-equivalent counts qualify here (COUNT of a regular CELL
-      // column would need per-column netted reductions the sidecar doesn't
-      // carry; the FILTERED path nets those per file instead).
+      // netted unfiltered COUNTs + SUM(value): visible rows and the
+      // netted value total from the sidecar reductions. Only
+      // row-equivalent counts qualify (COUNT of a regular CELL column
+      // would need per-column netted reductions the sidecar doesn't
+      // carry; the FILTERED path nets those per file instead), and SUM
+      // only on the transposed value column (regular per-column sums net
+      // through the filtered path too).
       val keyN0 = mapping.keyField.name
-      val rowOnly = aggs.forall {
+      val valNN =
+        if (mapping.transposed) mapping.field(FieldRole.TransValue).name
+        else null
+      val answerableHere = aggs.forall {
         case PushedAgg.CountStar => true
         case PushedAgg.Count(c) =>
-          if (mapping.transposed) true // address fields only (gate above)
+          if (mapping.transposed)
+            // Count(value) == rows only under the VMMX non-null proof
+            c != valNN || rec.valRangeAll
           else c == keyN0
+        case PushedAgg.Sum(_) => mapping.transposed && rec.nettedSumOk
         case _ => false
       }
-      if (!rowOnly) return None
+      if (!answerableHere) return None
       val rowCount: Long =
         if (mapping.transposed) rec.nettedAddrs else rec.nettedKeys
-      return Some(answerReader(
-        InternalRow.fromSeq(aggs.map(_ => rowCount: Any))))
+      return Some(answerReader(InternalRow.fromSeq(aggs.map {
+        case PushedAgg.Sum(_) =>
+          if (rowCount == 0L) null else Long.box(rec.nettedSum)
+        case _ => rowCount: Any
+      })))
     }
     val valN0 =
       if (mapping.transposed) mapping.field(FieldRole.TransValue).name else null
@@ -2698,11 +2746,17 @@ object MetadataAggReader {
     val valN = mapping.field(FieldRole.TransValue).name
     val netted = !rec.tombstoneFree
     if (netted) {
-      // [[create]] pre-proved nettedOk + counts-only shapes; col/sub
+      // [[create]] pre-proved nettedOk + netted shapes; col/sub
       // narrowing additionally needs per-entry bytes on EVERY run (a
-      // certified epoch carries its victims' col/sub bytes)
+      // certified epoch carries its victims' col/sub bytes), and
+      // Count(value) needs the VMMX non-null proof
       if ((colWin != null || colPts != null) && !rec.colEntriesAll) return None
       if (subWin != null && !rec.subEntriesAll) return None
+      val wantsValCount = aggs.exists {
+        case PushedAgg.Count(c) => c == valN
+        case _ => false
+      }
+      if (wantsValCount && !rec.valRangeAll) return None
     } else if (!rangeConditionsOkB(rec, aggs,
         needColEntries = colWin != null || colPts != null ||
           wantsColExtremal(mapping, aggs) || wantsSubExtremal(mapping, aggs),
@@ -3162,22 +3216,35 @@ object MetadataAggReader {
       if (ok) Some(acc) else None
     }
     lazy val pointTotals: Array[Long] = pointTotalsRes.get
-    // per-point value sums; None = some consulted run lacks VSUM/overflowed
+    // per-point value sums (netted mode: certified delete epochs carry
+    // their victims' values and subtract); None = some consulted run
+    // lacks VSUM / is unclassifiable / overflowed
     lazy val pointSums: Option[Array[Long]] = {
       val acc = new Array[Long](sortedKs.length)
+      val subLo = if (subWin == null) null else subWin._1
+      val subHi = if (subWin == null) null else subWin._2
       try {
         files.foreach { f =>
-          val per =
-            (if (colPoints != null)
-              CellStore.sumCellsAtPoints(f, sortedKs, colPoints = colPoints,
-                subLo = if (subWin == null) null else subWin._1,
-                subHi = if (subWin == null) null else subWin._2)
-            else if (colWin != null)
-              CellStore.sumCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
-            else CellStore.sumCellsAtPoints(f, sortedKs)) match {
-              case Some(p) => p
-              case None => return None
+          val perOpt: Option[Array[Long]] =
+            if (netted) {
+              if (colPoints != null)
+                CellStore.nettedSumCellsAtPoints(f, sortedKs,
+                  colPoints = colPoints, subLo = subLo, subHi = subHi)
+              else if (colWin != null)
+                CellStore.nettedSumCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+              else CellStore.nettedSumCellsAtPoints(f, sortedKs)
+            } else {
+              if (colPoints != null)
+                CellStore.sumCellsAtPoints(f, sortedKs, colPoints = colPoints,
+                  subLo = subLo, subHi = subHi)
+              else if (colWin != null)
+                CellStore.sumCellsAtPoints(f, sortedKs, colWin._1, colWin._2)
+              else CellStore.sumCellsAtPoints(f, sortedKs)
             }
+          val per = perOpt match {
+            case Some(p) => p
+            case None => return None
+          }
           var i = 0
           while (i < per.length) { acc(i) = Math.addExact(acc(i), per(i)); i += 1 }
         }
@@ -3188,7 +3255,8 @@ object MetadataAggReader {
       try {
         var t = 0L
         files.foreach { f =>
-          CellStore.sumCellsInRange(f, lo, hi) match {
+          (if (netted) CellStore.nettedSumCellsInRange(f, lo, hi)
+           else CellStore.sumCellsInRange(f, lo, hi)) match {
             case Some(s) => t = Math.addExact(t, s)
             case None => return None
           }
@@ -3294,7 +3362,11 @@ object MetadataAggReader {
     }
     val out = aggs.map {
       case PushedAgg.Count(c) if valName != null && c == valName =>
-        n // VMMX on every run proves every value decodes non-null
+        // VMMX on every run proves every value decodes non-null
+        nOpt match {
+          case Some(x) => x
+          case None => return None
+        }
       case PushedAgg.CountStar | PushedAgg.Count(_) =>
         nOpt match {
           case Some(x) => x
@@ -3329,7 +3401,10 @@ object MetadataAggReader {
             catch { case _: ArithmeticException => None }
           case (None, _) => None
         }).flatten else rangeSum) match {
-          case Some(s) => if (n == 0L) null else s // SUM over no rows is NULL
+          case Some(s) => nOpt match {
+            case Some(cnt) => if (cnt == 0L) null else s // SUM over no rows is NULL
+            case None => return None
+          }
           case None => return None
         }
       case other =>
@@ -3422,7 +3497,8 @@ object MetadataAggReader {
         var t = 0L
         files.foreach { f =>
           envelopes.foreach { case (l, h) =>
-            CellStore.sumColCellsInRange(f, cb, l, h) match {
+            (if (netted) CellStore.nettedSumColCellsInRange(f, cb, l, h)
+             else CellStore.sumColCellsInRange(f, cb, l, h)) match {
               case Some(x) => t = Math.addExact(t, x)
               case None => return None
             }

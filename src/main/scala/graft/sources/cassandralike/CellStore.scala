@@ -2188,6 +2188,11 @@ object CellStore {
     else if (s.tombstones == s.cells && s.certDeletes) Some(-1)
     else None
 
+  /** acc ± x with overflow → ArithmeticException (a bare `sign * x`
+    * would silently wrap on x == Long.MinValue). */
+  private def addSigned(acc: Long, sign: Int, x: Long): Long =
+    if (sign >= 0) Math.addExact(acc, x) else Math.subtractExact(acc, x)
+
   /** [[countCellsInRange]]'s tombstone-netting twin: live runs add,
     * certified delete epochs subtract. None when an envelope-overlapping
     * run is neither (decline → fold). Caller must have proven
@@ -2295,6 +2300,180 @@ object CellStore {
         r += 1
       }
       Some(out)
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[sumCellsInRange]]'s tombstone-netting twin: certified delete
+    * epochs carry their VICTIMS' value bytes (deleteWhere records the
+    * just-read visible cell), so their VSUM tails hold the SHADOWED sums
+    * and `visible sum = live sums − certified sums` per envelope. None
+    * when an overlapping run is unclassifiable, lacks the VSUM tail
+    * (e.g. non-long victims), or any accumulation overflows. */
+  def nettedSumCellsInRange(file: Path, lo: Array[Byte],
+      hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val sign = nettedSign(s) match {
+            case Some(x) => x
+            case None => return None
+          }
+          if (!s.hasValSums) return None
+          val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+          val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+          if (fullLow && fullHigh)
+            total = addSigned(total, sign, s.valTotal)
+          else {
+            if (reader == null) reader = new SegmentReader(file)
+            val idx = reader.readIndex(ri)
+            val below =
+              if (hi == null) idx.valTotal else sumBelow(reader, ri, idx, hi)
+            val above =
+              if (lo == null) 0L else sumBelow(reader, ri, idx, lo)
+            total = addSigned(total, sign,
+              Math.subtractExact(below, above))
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[sumCellsAtPoints]]' tombstone-netting twin (same col-window /
+    * col-point / sub-window narrowing). */
+  def nettedSumCellsAtPoints(file: Path, points: Seq[Array[Byte]],
+      colLo: Array[Byte] = null, colHi: Array[Byte] = null,
+      colPoints: Seq[Array[Byte]] = null,
+      subLo: Array[Byte] = null, subHi: Array[Byte] = null)
+    : Option[Array[Long]] = {
+    val out = new Array[Long](points.length)
+    if (points.isEmpty) return Some(out)
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          var sign = 0
+          var idx: RunIndex = null
+          var p = 0
+          while (p < points.length) {
+            val k = points(p)
+            val inWindow = Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0
+            if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
+              if (sign == 0) sign = nettedSign(s) match {
+                case Some(x) => x
+                case None => return None
+              }
+              if (!s.hasValSums) return None
+              if (idx == null) {
+                if (reader == null) reader = new SegmentReader(file)
+                idx = reader.readIndex(ri)
+              }
+              if (colPoints != null) {
+                var ci = 0
+                while (ci < colPoints.length) {
+                  val c = colPoints(ci)
+                  val below =
+                    if (subHi == null)
+                      sumBelowComposite(reader, ri, idx, k, byteSucc(c))
+                    else sumBelowComposite(reader, ri, idx, k, c, subHi)
+                  val above =
+                    if (subLo == null) sumBelowComposite(reader, ri, idx, k, c)
+                    else sumBelowComposite(reader, ri, idx, k, c, subLo)
+                  out(p) = addSigned(out(p), sign,
+                    Math.subtractExact(below, above))
+                  ci += 1
+                }
+              } else {
+                val below =
+                  if (colHi == null) sumBelow(reader, ri, idx, byteSucc(k))
+                  else sumBelowComposite(reader, ri, idx, k, colHi)
+                val above =
+                  if (colLo == null) sumBelow(reader, ri, idx, k)
+                  else sumBelowComposite(reader, ri, idx, k, colLo)
+                out(p) = addSigned(out(p), sign,
+                  Math.subtractExact(below, above))
+              }
+            }
+            p += 1
+          }
+        }
+        r += 1
+      }
+      Some(out)
+    } catch {
+      case _: ArithmeticException => None
+    } finally if (reader != null) reader.close()
+  }
+
+  /** [[sumColCellsInRange]]'s tombstone-netting twin: a certified
+    * epoch's CVAL tails sum its victims' values per column name. */
+  def nettedSumColCellsInRange(file: Path, col: Array[Byte],
+      lo: Array[Byte], hi: Array[Byte]): Option[Long] = {
+    val infos = runInfos(file).filter(_.cellCount > 0)
+    val stats = runStats(file)
+    var total = 0L
+    var reader: SegmentReader = null
+    try {
+      var i = 0
+      while (i < infos.length) {
+        val ri = infos(i)
+        val s = stats(i)
+        val disjoint =
+          (lo != null && Codecs.compareBytes(s.lastKey, lo) < 0) ||
+            (hi != null && Codecs.compareBytes(s.firstKey, hi) >= 0)
+        if (!disjoint) {
+          val sign = nettedSign(s) match {
+            case Some(x) => x
+            case None => return None
+          }
+          if (s.colVals == null) return None
+          val cv = findColValStat(s.colVals, col)
+          if (cv != null) {
+            if (!cv.sumsOk) return None
+            val fullLow = lo == null || Codecs.compareBytes(lo, s.firstKey) <= 0
+            val fullHigh = hi == null || Codecs.compareBytes(s.lastKey, hi) < 0
+            if (fullLow && fullHigh)
+              total = addSigned(total, sign, cv.sum)
+            else {
+              if (reader == null) reader = new SegmentReader(file)
+              val idx = reader.readIndex(ri)
+              val cvi = findColVal(idx.colVals, col)
+              if (cvi == null || !cvi.sumsOk) return None
+              val below =
+                if (hi == null) cvi.totalSum
+                else colSumBelow(reader, ri, idx, cvi, hi)
+              val above =
+                if (lo == null) 0L else colSumBelow(reader, ri, idx, cvi, lo)
+              total = addSigned(total, sign,
+                Math.subtractExact(below, above))
+            }
+          }
+        }
+        i += 1
+      }
+      Some(total)
+    } catch {
+      case _: ArithmeticException => None
     } finally if (reader != null) reader.close()
   }
 
@@ -2845,13 +3024,20 @@ object CellStore {
       /** newest cell timestamp across the bucket; valid iff [[tsAll]] —
         * an AS-OF bound ≥ this proves the bounded view IS the current
         * view, keeping every metadata fast path */
-      maxTs: Long = 0L)
+      maxTs: Long = 0L,
+      /** netted whole-bucket VALUE sum (live totals − certified shadowed
+        * totals — certified tombstones carry their victims' values):
+        * valid iff [[nettedSumOk]] (nettedOk + VSUM tails on every run +
+        * no overflow) */
+      nettedSumOk: Boolean = false,
+      nettedSum: Long = 0L)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST5" — bumped for statsValid + CVAL per-column reductions +
-  // tombstone-netting fields + the TSRG timestamp window; older sidecars
-  // (none survive a commit, which rewrites them) parse as corrupt → walk
-  private val BucketStatMagic = 0x42535435
+  // "BST6" — bumped for statsValid + CVAL per-column reductions +
+  // tombstone-netting fields (incl. netted value sums) + the TSRG
+  // timestamp window; older sidecars (none survive a commit, which
+  // rewrites them) parse as corrupt → walk
+  private val BucketStatMagic = 0x42535436
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -2938,6 +3124,15 @@ object CellStore {
       liveRuns.map(_.distinctAddrs.toLong).sum - certRuns.map(_.cells.toLong).sum
     val nettedKeys =
       liveRuns.map(_.distinctKeys.toLong).sum - certRuns.map(_.distinctKeys.toLong).sum
+    var nettedSum = 0L
+    var nettedSumOk = nettedOk && stats.forall(_.hasValSums)
+    if (nettedSumOk)
+      try {
+        liveRuns.foreach(s => nettedSum = Math.addExact(nettedSum, s.valTotal))
+        certRuns.foreach(s => nettedSum = Math.subtractExact(nettedSum, s.valTotal))
+      } catch {
+        case _: ArithmeticException => nettedSumOk = false; nettedSum = 0L
+      }
     BucketStat(
       files = sig,
       runs = stats.length,
@@ -2974,7 +3169,9 @@ object CellStore {
       nettedKeys = if (nettedOk) nettedKeys else 0L,
       tsAll = stats.forall(_.hasTsRange),
       maxTs = if (stats.nonEmpty && stats.forall(_.hasTsRange))
-        stats.map(_.tsMax).max else 0L)
+        stats.map(_.tsMax).max else 0L,
+      nettedSumOk = nettedSumOk,
+      nettedSum = nettedSum)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -3039,6 +3236,8 @@ object CellStore {
       out.writeLong(rec.nettedKeys)
       out.writeBoolean(rec.tsAll)
       out.writeLong(rec.maxTs)
+      out.writeBoolean(rec.nettedSumOk)
+      out.writeLong(rec.nettedSum)
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -3084,7 +3283,9 @@ object CellStore {
             nettedAddrs = in.readLong(),
             nettedKeys = in.readLong(),
             tsAll = in.readBoolean(),
-            maxTs = in.readLong())
+            maxTs = in.readLong(),
+            nettedSumOk = in.readBoolean(),
+            nettedSum = in.readLong())
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }

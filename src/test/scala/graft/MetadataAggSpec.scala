@@ -1231,13 +1231,25 @@ class MetadataAggSpec extends SparkSpec {
     assert(!scanOf(mm).scan.description().contains("AggStats: complete"))
     val rm = mm.collect()(0)
     assert(rm.getLong(0) == 8L && rm.getLong(1) == 29L, s"got $rm")
-    // SUM must decline too (a tombstone doesn't carry the shadowed value)
+    // SUM nets too: certified tombstones carry their victims' values, so
+    // the delete epoch's VSUM tails subtract exactly the deleted volume —
+    // complete at planning, with AVG riding the Sum+Count rewrite
     val sq = Seed.read(spark, store).filter(col("k") >= 1L && col("k") < 50L)
-      .agg(sum("v").as("s"))
-    val (soS, _) = drain(sq)
-    assert(soS == 0L, "netted SUM must fold")
-    assert(sq.collect()(0).getLong(0) ==
-      (1L until 50L).filter(_ % 7 != 0).map(_ * 3L).sum)
+      .agg(sum("v").as("s"), avg("v").as("a"))
+    assert(scanOf(sq).scan.description().contains("AggStats: complete"),
+      scanOf(sq).scan.description())
+    val kept50 = (1L until 50L).filter(_ % 7 != 0).map(_ * 3L)
+    val rs = sq.collect()(0)
+    assert(rs.getLong(0) == kept50.sum &&
+      rs.getDouble(1) == kept50.sum.toDouble / kept50.size, s"got $rs")
+    // unfiltered netted SUM rides the sidecar's netted total
+    val sAll = Seed.read(spark, store)
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(scanOf(sAll).scan.description().contains("AggStats: complete"),
+      scanOf(sAll).scan.description())
+    val keptAll = (1L to 400L).filter(_ % 7 != 0).map(_ * 3L)
+    val rAll = sAll.collect()(0)
+    assert(rAll.getLong(0) == keptAll.size && rAll.getLong(1) == keptAll.sum)
     // RE-INSERT after delete: the new live run overlaps the old one —
     // netting must demote to the fold, and the row is back
     Seed.append(Seq((21L, f"c${21 % 5}%02d", 999L)).toDF("k", "c", "v")
@@ -1279,12 +1291,16 @@ class MetadataAggSpec extends SparkSpec {
     assert(rReg.getLong(0) == kept.size &&
       rReg.getLong(1) == kept.count(_ % 5 != 0) &&
       rReg.getLong(2) == kept.size, s"got $rReg want ${kept.size}")
-    // netted SUM on the regular store declines too
+    // netted SUM of a regular column rides the per-column CVAL tails of
+    // the delete epoch (victims' values recorded per column name)
     val dfRegS = Seed.read(spark, store3).filter(col("k") >= 10L && col("k") < 200L)
-      .agg(sum("x").as("s"))
-    val (soRS, _) = drain(dfRegS)
-    assert(soRS == 0L)
-    assert(dfRegS.collect()(0).getLong(0) == kept.map(_ * 2L).sum)
+      .agg(sum("x").as("s"), avg("x").as("a"))
+    assert(scanOf(dfRegS).scan.description().contains("AggStats: complete"),
+      scanOf(dfRegS).scan.description())
+    val rRegS = dfRegS.collect()(0)
+    assert(rRegS.getLong(0) == kept.map(_ * 2L).sum &&
+      rRegS.getDouble(1) == kept.map(_ * 2L).sum.toDouble / kept.size,
+      s"got $rRegS")
   }
 
   test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
