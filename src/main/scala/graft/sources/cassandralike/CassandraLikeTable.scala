@@ -1057,20 +1057,31 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       // the grouped arithmetic below reads raw per-point counts; a store
       // with certified delete epochs would need netted twins — decline
       // (the partial/fold path stays exact)
-      if (ctx.netted) return None
       val sortedKs = ctx.ks
         .sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
       val cLo = if (ctx.colWin == null) null else ctx.colWin._1
       val cHi = if (ctx.colWin == null) null else ctx.colWin._2
       val sLo = if (ctx.subWin == null) null else ctx.subWin._1
       val sHi = if (ctx.subWin == null) null else ctx.subWin._2
+      // netted stores serve grouped COUNTs and SUMs too (the per-bucket
+      // netted shape gate in validatedRangeContext already rejected
+      // extremals): a fully-deleted key nets to zero and emits no group,
+      // exactly like the fold
       val totals = new Array[Long](sortedKs.length)
       ctx.files.foreach { f =>
-        val per = CellStore.countCellsAtPoints(f, sortedKs.toSeq,
-          colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
-          subLo = sLo, subHi = sHi)
-        var i = 0
-        while (i < per.length) { totals(i) += per(i); i += 1 }
+        val perOpt =
+          if (ctx.netted) CellStore.nettedCountCellsAtPoints(f, sortedKs.toSeq,
+            colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+            subLo = sLo, subHi = sHi)
+          else Some(CellStore.countCellsAtPoints(f, sortedKs.toSeq,
+            colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+            subLo = sLo, subHi = sHi))
+        perOpt match {
+          case Some(per) =>
+            var i = 0
+            while (i < per.length) { totals(i) += per(i); i += 1 }
+          case None => return None // unclassifiable run under netting
+        }
       }
       val wantSum = want.exists {
         case PushedAgg.Sum(_) => true
@@ -1084,9 +1095,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           val acc = new Array[Long](sortedKs.length)
           try {
             ctx.files.foreach { f =>
-              CellStore.sumCellsAtPoints(f, sortedKs.toSeq,
+              (if (ctx.netted) CellStore.nettedSumCellsAtPoints(f, sortedKs.toSeq,
                 colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
-                subLo = sLo, subHi = sHi) match {
+                subLo = sLo, subHi = sHi)
+              else CellStore.sumCellsAtPoints(f, sortedKs.toSeq,
+                colLo = cLo, colHi = cHi, colPoints = ctx.colPts,
+                subLo = sLo, subHi = sHi)) match {
                 case Some(per) =>
                   var i = 0
                   while (i < per.length) {

@@ -1250,6 +1250,17 @@ class MetadataAggSpec extends SparkSpec {
     val keptAll = (1L to 400L).filter(_ % 7 != 0).map(_ * 3L)
     val rAll = sAll.collect()(0)
     assert(rAll.getLong(0) == keptAll.size && rAll.getLong(1) == keptAll.sum)
+    // grouped netted COUNT+SUM over pinned keys: a deleted key emits no
+    // group (nets to zero), exactly like the fold; extremals would
+    // demote the whole grouped answer (gate-checked)
+    val gn = Seed.read(spark, store)
+      .filter(col("k").isin(20L, 21L, 9999L)) // 21 deleted, 9999 absent
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(scanOf(gn).scan.description().contains("AggStats: complete"),
+      scanOf(gn).scan.description())
+    val rGn = gn.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rGn == Seq((20L, 1L, 60L)), s"got $rGn")
     // RE-INSERT after delete: the new live run overlaps the old one —
     // netting must demote to the fold, and the row is back
     Seed.append(Seq((21L, f"c${21 % 5}%02d", 999L)).toDF("k", "c", "v")
