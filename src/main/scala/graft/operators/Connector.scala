@@ -482,6 +482,78 @@ object Connector {
       now.crossJoin(hist)
     },
 
+    // ---- PER-RUN as-of gating (round 13, SURVEY §7.4 #5): an as-of
+    // bound BETWEEN commit epochs keeps the metadata fast paths — runs
+    // fully covered by the bound answer positionally over their file
+    // subset, runs fully newer drop out (their cells, tombstones
+    // included, postdate the bound), only a straddling run folds. The
+    // audit shape on a LIVE store: "volume in window as of last Tuesday"
+    // stays a planning-time answer even though fresh runs — and a whole
+    // takedown epoch — landed since. Three views of one store: as-of
+    // epoch 1 (both later epochs drop out), as-of epoch 2 (pre-delete,
+    // tombstone-FREE over the covered subset), and current (netted). ----
+    Q("conn_agg_asof_epochs",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem),
+        |w AS (SELECT * FROM cells
+        |      WHERE k >= '0000000100' AND k < '0000001200')
+        |SELECT
+        |  (SELECT count(*) FROM w WHERE k < '0000000700') AS n_e1,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM w WHERE k < '0000000700') AS sum_e1,
+        |  (SELECT count(*) FROM w) AS n_pre,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM w) AS sum_pre,
+        |  (SELECT count(*) FROM w
+        |   WHERE NOT (k >= '0000000800' AND k < '0000000900')) AS n_now,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM w
+        |   WHERE NOT (k >= '0000000800' AND k < '0000000900')) AS sum_now""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_asof_epochs"
+      seedOnce(s"$dir#agg_asof_epochs") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+          .dropDuplicates("row_key", "column_name")
+        // epoch 1 (ts=1): keys < '0000000700'; epoch 2 (ts=2): the rest;
+        // epoch 3: a CERTIFIED DELETE of epoch-2 keys in ['0000000800',
+        // '0000000900') — the victims carry ts=2, so the tombstones stamp
+        // ts=3, strictly newer than both write epochs
+        Seed.table(s, dir, "agg_asof_epochs",
+          src.filter($"row_key" < "0000000700").repartition(1),
+          mapping = Some(":key,:column,:value"))
+        Seed.append(src.filter($"row_key" >= "0000000700").repartition(1),
+          store, Map(Options.WriteTimestamp -> "2"))
+        // the doomed-key list is driver-issued by nature (DELETE ... WHERE
+        // key IN (...) is a point operation) — same pattern as
+        // conn_delete_where / conn_agg_netted_count
+        val doomed = src
+          .filter($"row_key" >= "0000000800" && $"row_key" < "0000000900")
+          .select($"row_key").distinct().collect().map(_.getString(0))
+        if (doomed.nonEmpty) {
+          val meta = CellStore.readMeta(store).get
+          new graft.sources.cassandralike.CassandraLikeTable(store, store,
+            org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+            Some(meta.mapping), meta.properties)
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("row_key",
+                doomed.toArray[Any])))
+        }
+      }
+      def view(opts: Map[String, String]) = Seed.read(s, store, opts)
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000001200")
+      val e1 = view(Map(Options.ReadAsOf -> "1"))
+        .agg(count(lit(1)).as("n_e1"), sum($"value").as("sum_e1"))
+      val pre = view(Map(Options.ReadAsOf -> "2"))
+        .agg(count(lit(1)).as("n_pre"), sum($"value").as("sum_pre"))
+      val now = view(Map.empty)
+        .agg(count(lit(1)).as("n_now"), sum($"value").as("sum_now"))
+      e1.crossJoin(pre).crossJoin(now)
+    },
+
     // ---- GROUPED metadata stats: per-key COUNT + SUM(value) + MIN/MAX of
     // the clustering column under a col window — "per-user volume and
     // first/last reading in the window" — resolves COMPLETELY at planning:

@@ -231,8 +231,9 @@ object CassandraLikeTable {
       (allowBoundedAsOf || opt(Options.ReadAsOf).isEmpty) &&
       // explicit escape hatch: metadata.agg=false forces the cell fold
       // everywhere this gate guards (production debugging + the specs'
-      // ground-truth baseline)
-      opt(Options.MetadataAgg).forall(_.toBoolean) &&
+      // ground-truth baseline); only the literal "false" disables — any
+      // other value keeps the default rather than throwing at planning
+      !opt(Options.MetadataAgg).exists(_.equalsIgnoreCase("false")) &&
       !props.keys.exists(_.startsWith(Options.DroppedPrefix))
 
   /** The store's bucket transform for Catalyst. Ordered-key tables report
@@ -834,14 +835,18 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case PushedAgg.Sum(c) => table.mapping.transposed && isVal(c)
       case _ => false
     }
-    // an AS-OF bound must provably cover every bucket (see the reader
-    // twin in [[MetadataAggReader.create]])
+    // an AS-OF bound gates PER RUN ([[MetadataAggReader.asOfView]]):
+    // covered runs answer from their subset record, newer runs drop out,
+    // straddlers fold the whole answer
     val asOfBound = Options.effective(options, table.tableProps,
       Options.ReadAsOf).map(_.toLong)
     val recs = Seq.newBuilder[CellStore.BucketStat]
     byBucket.foreach { case (b, files) =>
-      val rec = CellStore.bucketStats(table.dir, b, files)
-      if (asOfBound.exists(a => !rec.tsAll || rec.maxTs > a)) return None
+      val rec0 = CellStore.bucketStats(table.dir, b, files)
+      val rec = MetadataAggReader.asOfView(files, rec0, asOfBound) match {
+        case Some((_, r)) => r
+        case None => return None
+      }
       if (!rec.tombstoneFree) {
         // netted bucket: certified deletions subtract from the row count
         // and the value sum; anything beyond declines the whole answer.
@@ -907,7 +912,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         }
       }
       dKeys += rec.distinctKeys
-      recs += rec
+      // a bucket whose as-of covered subset is EMPTY holds no visible
+      // rows: it contributes nothing to the extremal reduction (its
+      // null key window would otherwise decline the whole answer)
+      if (rec.runs > 0) recs += rec
       }
     }
     val buckets = recs.result()
@@ -1054,9 +1062,6 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val want = translated.flatten
     validatedRangeContext(want).flatMap { ctx =>
       if (ctx.ks == null) return None // enumerable groups need pinned keys
-      // the grouped arithmetic below reads raw per-point counts; a store
-      // with certified delete epochs would need netted twins — decline
-      // (the partial/fold path stays exact)
       val sortedKs = ctx.ks
         .sortWith((a, b) => Codecs.compareBytes(a, b) < 0).toArray
       val cLo = if (ctx.colWin == null) null else ctx.colWin._1
@@ -1278,12 +1283,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     var anyNetted = false
     val asOfBound = Options.effective(options, table.tableProps,
       Options.ReadAsOf).map(_.toLong)
-    byBucket.foreach { case (b, files) =>
+    byBucket.foreach { case (b, files0) =>
       if (relevant(b)) {
         // bucket-level judgment from the sidecar (walk fallback inside):
-        // O(1) per bucket instead of full index tails
-        val rec = CellStore.bucketStats(table.dir, b, files)
-        if (asOfBound.exists(a => !rec.tsAll || rec.maxTs > a)) return None
+        // O(1) per bucket instead of full index tails; an as-of bound
+        // between epochs gates per run ([[MetadataAggReader.asOfView]])
+        // and the positional arithmetic below runs over the covered
+        // file subset only
+        val rec0 = CellStore.bucketStats(table.dir, b, files0)
+        val (files, rec) =
+          MetadataAggReader.asOfView(files0, rec0, asOfBound) match {
+            case Some(fr) => fr
+            case None => return None
+          }
         val ok =
           if (!rec.tombstoneFree) {
             // tombstone NETTING: certified delete epochs subtract from
@@ -2496,13 +2508,36 @@ object MetadataAggReader {
     }
   }
 
+  /** Resolve the (files, stats) pair a metadata path may answer from
+    * under an optional AS-OF bound. No bound — or a bound covering the
+    * whole bucket (TSRG on every run and maxTs ≤ bound ⇒ the bounded
+    * view IS the current view) — keeps the committed record unchanged.
+    * A bound BETWEEN commit epochs gates PER RUN
+    * ([[CellStore.asOfCoveredFiles]], SURVEY §7.4 #5): fully-covered
+    * runs answer positionally through their subset record, fully-newer
+    * runs drop out (every cell — tombstones included — postdates the
+    * bound), and any straddling or pre-TSRG run folds (None). A store
+    * that is netted NOW can be tombstone-free AS-OF a pre-delete bound,
+    * so the historical audit read keeps the full fast-path set. */
+  private[cassandralike] def asOfView(
+      files: Seq[java.nio.file.Path],
+      rec: CellStore.BucketStat,
+      asOf: Option[Long])
+    : Option[(Seq[java.nio.file.Path], CellStore.BucketStat)] =
+    asOf match {
+      case None => Some((files, rec))
+      case Some(a) if rec.tsAll && rec.maxTs <= a => Some((files, rec))
+      case Some(a) => CellStore.asOfCoveredFiles(files, a)
+        .map(cov => (cov, CellStore.subsetBucketStats(cov)))
+    }
+
   def create(
       part: CellInputPartition,
       mapping: ColumnMapping,
       aggs: Seq[PushedAgg],
       opt: String => Option[String],
       filters: Array[Filter] = Array.empty): Option[PartitionReader[InternalRow]] = {
-    val files =
+    val files0 =
       if (part.files != null) part.files.map(n =>
         java.nio.file.Paths.get(part.tableDir, CellStore.SstDir, n))
       else CellStore.segmentFiles(part.tableDir, part.bucket)
@@ -2514,13 +2549,15 @@ object MetadataAggReader {
     // through the SAME rangeConditionsOkB judgments the complete planner
     // uses, so the two paths cannot drift (VERDICT r10 follow-up; was
     // SURVEY §7.4 round-12 #3)
-    val rec = CellStore.bucketStats(part.tableDir, part.bucket, files)
-    // an AS-OF bound keeps the metadata paths ONLY when it provably
-    // covers every cell of the bucket (TSRG windows on every run and
-    // maxTs ≤ bound ⇒ the bounded view IS the current view); anything
-    // newer, or a legacy run without the window, declines to the fold
+    val rec0 = CellStore.bucketStats(part.tableDir, part.bucket, files0)
+    // an AS-OF bound between epochs gates PER RUN ([[asOfView]]): covered
+    // runs answer positionally from their subset record, newer runs drop
+    // out, straddlers fold
     val asOf = opt(Options.ReadAsOf).map(_.toLong)
-    if (asOf.exists(a => !rec.tsAll || rec.maxTs > a)) return None
+    val (files, rec) = asOfView(files0, rec0, asOf) match {
+      case Some(fr) => fr
+      case None => return None
+    }
     // tombstones: either the bucket proves TOMBSTONE NETTING — certified
     // delete epochs only (DCRT), where COUNTs subtract deletions
     // positionally — or every metadata path declines to the fold. A

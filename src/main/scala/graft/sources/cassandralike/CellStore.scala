@@ -1107,6 +1107,7 @@ object CellStore {
     runStatsCache.clear()
     quickStatsCache.clear()
     bucketStatCache.clear()
+    subsetStatCache.clear()
   }
 
   /** Total (bytes, cells) of one segment; memoized per immutable file. */
@@ -3160,8 +3161,7 @@ object CellStore {
       valRangeAll = stats.forall(_.hasValRange),
       valMin = if (stats.isEmpty) 0L else stats.map(_.valMin).min,
       valMax = if (stats.isEmpty) 0L else stats.map(_.valMax).max,
-      statsValid = stats.forall(s =>
-        s.tombstones >= 0 && s.distinctKeys >= 0 && s.distinctAddrs >= 0),
+      statsValid = statsValid0,
       colValsAll = colValsAll,
       colVals = colVals,
       nettedOk = nettedOk,
@@ -3301,6 +3301,50 @@ object CellStore {
       bucketStatWalks.incrementAndGet()
       aggregateBucketStat(fileSig(files), files.flatMap(f => runStats(f).toSeq))
     }
+
+  /** PER-RUN as-of gating (SURVEY §7.4 #5, round 13): partition one
+    * bucket's segment files under an AS-OF bound into the COVERED subset.
+    * Some(covered) when every run of every file carries the TSRG window
+    * and is either fully covered (tsMax ≤ bound — every cell is in the
+    * bounded view) or fully newer (tsMin > bound — no cell is, its
+    * tombstones included); None when any run straddles the bound,
+    * predates TSRG, or shares a file with runs on the other side (files
+    * are immutable commit units, so all runs of one file share a commit —
+    * a mixed file never arises from the write path, and declining keeps
+    * the proof local to what the tails state).
+    *
+    * Soundness: the bounded view replays exactly the cells with
+    * ts ≤ bound under LWW — which is exactly the covered files' cells.
+    * So every per-run judgment (disjointness, dedup, netting, CVAL/VSUM
+    * tails) recomputed over the covered subset describes the bounded
+    * view the way the committed sidecar describes the current one.
+    * Reads memoized index tails only — no cell payload IO. */
+  def asOfCoveredFiles(files: Seq[Path], bound: Long): Option[Seq[Path]] = {
+    val out = Seq.newBuilder[Path]
+    var i = 0
+    val arr = files.toIndexedSeq
+    while (i < arr.length) {
+      val rs = runStats(arr(i))
+      if (rs.exists(!_.hasTsRange)) return None
+      if (rs.forall(_.tsMax <= bound)) out += arr(i)
+      else if (!rs.forall(_.tsMin > bound)) return None
+      i += 1
+    }
+    Some(out.result())
+  }
+
+  /** Bucket-stat reduction over an explicit file SUBSET (the as-of
+    * covered files): the same judgments the sidecar record carries,
+    * recomputed over the subset from per-file memoized index tails.
+    * Memoized per file list — segments are immutable, so a signature
+    * seen once reduces the same way forever. */
+  def subsetBucketStats(files: Seq[Path]): BucketStat =
+    subsetStatCache.computeIfAbsent(files.map(cacheKey).sorted.mkString("\n"),
+      _ => aggregateBucketStat(fileSig(files),
+        files.flatMap(f => runStats(f).toSeq)))
+
+  private val subsetStatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BucketStat]()
 
   /** Per-run key blooms of one segment (null element = pre-bloom run);
     * memoized per immutable file, so after the first lookup against a

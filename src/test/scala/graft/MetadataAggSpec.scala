@@ -1513,13 +1513,11 @@ class MetadataAggSpec extends SparkSpec {
       "a non-key filter must disable the metadata gate")
     assert(vFiltered.collect()(0).getLong(0) == 1L)
     // an as-of bound BELOW the store's newest cell hides cells the stats
-    // can't see: every metadata path must fold (round 12: a COVERING
-    // bound keeps them — see the dedicated as-of test)
+    // can't see — but round 13's PER-RUN gating proves every run fully
+    // NEWER than the bound, so the empty historical view still answers
+    // positionally (zero covered runs → count 0 at planning)
     val asOf = Seed.read(spark, store, Map(Options.ReadAsOf -> "0"))
       .agg(count(lit(1)).as("n"))
-    assert(!scanOf(asOf).scan.description().contains("AggStats: complete"))
-    val (soA, _) = drain(asOf)
-    assert(soA == 0L, "an uncovering as-of bound must fold")
     assert(asOf.collect()(0).getLong(0) == 0L)
     // the explicit escape hatch forces the fold even on a clean store
     val off = Seed.read(spark, store, Map(Options.MetadataAgg -> "false"))
@@ -1563,14 +1561,104 @@ class MetadataAggSpec extends SparkSpec {
       assert(scanOf(all).scan.description().contains("AggStats: complete"))
       assert(all.collect()(0).getLong(0) == 400L)
     }
-    // an UNCOVERING bound (hides epoch 2): folds, and the fold sees only
-    // epoch 1 — the historical audit answer
+    // an UNCOVERING bound between epochs (hides epoch 2): round 13's
+    // PER-RUN gating keeps the fast paths — epoch 1's runs are fully
+    // covered, epoch 2's fully newer, so the historical audit answer
+    // resolves positionally over the covered subset
     val hist = q(Map(Options.ReadAsOf -> "1"), col("k") >= 50L && col("k") < 350L)
-    val (soH, _) = drain(hist)
-    assert(soH == 0L, "an uncovering bound must fold")
+    assert(scanOf(hist).scan.description().contains("AggStats: complete"),
+      s"a clean run split must stay positional: ${scanOf(hist).scan.description()}")
     val rh = hist.collect()(0)
     val wantH = (50L to 300L).map(_ * 3L)
     assert(rh.getLong(0) == 251L && rh.getLong(1) == wantH.sum &&
       rh.getLong(2) == wantH.min && rh.getLong(3) == wantH.max, s"got $rh")
+    // ground truth: the explicit fold agrees
+    val histF = Seed.read(spark, store,
+      Map(Options.ReadAsOf -> "1", Options.MetadataAgg -> "false"))
+      .filter(col("k") >= 50L && col("k") < 350L)
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    assert(histF.collect()(0) == rh, "positional as-of must equal the fold")
+  }
+
+  test("per-run as-of gating: straddling runs fold; delete epochs after the bound drop out") {
+    val sp = spark; import sp.implicits._
+    // epoch 1 (ts=1): keys 1..200; epoch 2 (ts=5): keys 201..260; then a
+    // CERTIFIED delete epoch removes keys 210..229 — the victims are
+    // epoch-2 cells (ts=5), so deleteWhere stamps the tombstones ts=6,
+    // strictly NEWER than both write epochs
+    val store = Seed.table(spark, sfDir, "spec_agg_asof_runs",
+      (1L to 200L).map(i => (i, f"c${i % 5}%02d", i * 3L)).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "1"))
+    Seed.append((201L to 260L).map(i => (i, f"c${i % 5}%02d", i * 3L))
+      .toDF("k", "c", "v").repartition(1), store,
+      Map(Options.WriteTimestamp -> "5"))
+    val meta = CellStore.readMeta(store).get
+    new CassandraLikeTable(store, store,
+      org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+      Some(meta.mapping), meta.properties)
+      .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("k",
+          (210L until 230L).map(Long.box).toArray[Any])))
+    def q(opts: Map[String, String]) =
+      Seed.read(spark, store, opts).filter(col("k") >= 10L && col("k") < 240L)
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    // as-of BEFORE the delete epoch: the delete's runs are fully newer →
+    // they drop out; the pre-delete view is tombstone-FREE over the
+    // covered subset, so the full fast-path set survives a store that is
+    // netted NOW ("volume in window as of last Tuesday" after a purge)
+    val pre = q(Map(Options.ReadAsOf -> "5"))
+    assert(scanOf(pre).scan.description().contains("AggStats: complete"),
+      s"pre-delete bound must stay positional: ${scanOf(pre).scan.description()}")
+    val rPre = pre.collect()(0)
+    val wantPre = (10L until 240L).map(_ * 3L)
+    assert(rPre.getLong(0) == 230L && rPre.getLong(1) == wantPre.sum, s"got $rPre")
+    // as-of between epoch 1 and 2: only epoch 1 visible
+    val e1 = q(Map(Options.ReadAsOf -> "1"))
+    assert(scanOf(e1).scan.description().contains("AggStats: complete"))
+    val rE1 = e1.collect()(0)
+    val wantE1 = (10L to 200L).map(_ * 3L)
+    assert(rE1.getLong(0) == 191L && rE1.getLong(1) == wantE1.sum, s"got $rE1")
+    // current view: netted counts/sums (delete subtracted)
+    val now = q(Map.empty)
+    val rNow = now.collect()(0)
+    val wantNow = ((10L until 210L) ++ (230L until 240L)).map(_ * 3L)
+    assert(rNow.getLong(0) == 210L && rNow.getLong(1) == wantNow.sum, s"got $rNow")
+    // a STRADDLING run folds: one run whose TSRG window crosses the
+    // bound (a raw segment carrying BOTH ts=2 and ts=6 cells — the real
+    // write path stamps one ts per run, so the straddle is seeded raw;
+    // the stale sidecar walks, which is exactly the posture under test)
+    val store2 = Seed.table(spark, sfDir, "spec_agg_asof_straddle",
+      Seq(("k1", "c1", "v1"), ("k2", "c1", "v2")).toDF("k", "c", "v")
+        .repartition(1),
+      mapping = Some(":key,:column,:value"),
+      props = Map(Options.Buckets -> "1"))
+    val sst2 = java.nio.file.Paths.get(store2, CellStore.SstDir)
+    val out2 = CellStore.newSegmentStream(sst2.resolve("b0-zz.bin"))
+    CellStore.writeRun(out2, Seq(
+      Cell("k3".getBytes, "c1".getBytes, null, "v3".getBytes, 2L,
+        tombstone = false),
+      Cell("k4".getBytes, "c1".getBytes, null, "v4".getBytes, 6L,
+        tombstone = false)))
+    out2.close()
+    def cnt(opts: Map[String, String]) =
+      Seed.read(spark, store2, opts)
+        .filter(col("k") >= "k1" && col("k") < "k9")
+        .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+    val strad = cnt(Map(Options.ReadAsOf -> "4"))
+    val (soS, _) = drain(strad)
+    assert(soS == 0L, "a straddling run must fold")
+    assert(strad.collect()(0).getLong(0) == 3L)
+    // fuzz: random bounds against the explicit fold
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 8) {
+      val bound = rnd.nextInt(8).toString
+      assert(cnt(Map(Options.ReadAsOf -> bound)).collect()(0) ==
+        cnt(Map(Options.ReadAsOf -> bound,
+          Options.MetadataAgg -> "false")).collect()(0),
+        s"bound $bound")
+    }
   }
 }
