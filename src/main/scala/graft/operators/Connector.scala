@@ -31,6 +31,45 @@ object Connector {
   private def seedOnce(key: String)(body: => Unit): Unit =
     seeded.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
+  /** Seed the catalog table `cassandralike.ks.netted_t` — one
+    * commit-compacted live epoch of lineitem cells, then a CERTIFIED
+    * delete epoch removing every key with orderkey % 50 == 3 — shared by
+    * conn_agg_netted_count (ungrouped counts/sums) and
+    * conn_agg_netted_group (the grouped twin). */
+  private def seedNettedT(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.cassandralike",
+      classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
+    s.conf.set("spark.sql.catalog.cassandralike.warehouse",
+      s"${Seed.storeRoot(dir)}/warehouse")
+    Tables.registerAll(s, dir)
+    seedOnce(s"$dir#agg_netted_count") {
+      s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
+      s.sql("DROP TABLE IF EXISTS cassandralike.ks.netted_t")
+      // commit-time compaction leaves ONE live run per bucket; the
+      // DELETE epoch then appends its certified tombstone runs on top
+      s.sql("""CREATE TABLE cassandralike.ks.netted_t
+              |  (row_key STRING, column_name STRING, value BIGINT)
+              |USING cassandralike
+              |TBLPROPERTIES ('compact.segments.max' = '1')""".stripMargin)
+      s.sql("""INSERT INTO cassandralike.ks.netted_t
+              |SELECT DISTINCT lpad(CAST(l_orderkey AS STRING), 10, '0'),
+              |  lpad(CAST(l_linenumber AS STRING), 4, '0'),
+              |  CAST(l_orderkey % 97 AS BIGINT)
+              |FROM lineitem""".stripMargin)
+      // the doomed-key list is driver-issued by nature (DELETE ... WHERE
+      // key IN (...) is a point operation, not a scan job) — same
+      // pattern as conn_delete_where
+      val doomed = t(s, dir, "lineitem")
+        .filter($"l_orderkey" % 50 === 3)
+        .select(lpad($"l_orderkey".cast("string"), 10, "0")).distinct()
+        .collect().map(_.getString(0))
+      if (doomed.nonEmpty)
+        s.sql("DELETE FROM cassandralike.ks.netted_t WHERE row_key IN (" +
+          doomed.map(k => s"'$k'").mkString(",") + ")")
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- S3 standard row scan + T1 binary decode + full-fidelity readback ----
@@ -2266,36 +2305,7 @@ object Connector {
         |   WHERE k IN ('0000000001', '0000000003', '0000000153')) AS n_points""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      s.conf.set("spark.sql.catalog.cassandralike",
-        classOf[graft.sources.cassandralike.CassandraLikeCatalog].getName)
-      s.conf.set("spark.sql.catalog.cassandralike.warehouse",
-        s"${Seed.storeRoot(dir)}/warehouse")
-      Tables.registerAll(s, dir)
-      seedOnce(s"$dir#agg_netted_count") {
-        s.sql("CREATE NAMESPACE IF NOT EXISTS cassandralike.ks")
-        s.sql("DROP TABLE IF EXISTS cassandralike.ks.netted_t")
-        // commit-time compaction leaves ONE live run per bucket; the
-        // DELETE epoch then appends its certified tombstone runs on top
-        s.sql("""CREATE TABLE cassandralike.ks.netted_t
-                |  (row_key STRING, column_name STRING, value BIGINT)
-                |USING cassandralike
-                |TBLPROPERTIES ('compact.segments.max' = '1')""".stripMargin)
-        s.sql("""INSERT INTO cassandralike.ks.netted_t
-                |SELECT DISTINCT lpad(CAST(l_orderkey AS STRING), 10, '0'),
-                |  lpad(CAST(l_linenumber AS STRING), 4, '0'),
-                |  CAST(l_orderkey % 97 AS BIGINT)
-                |FROM lineitem""".stripMargin)
-        // the doomed-key list is driver-issued by nature (DELETE ... WHERE
-        // key IN (...) is a point operation, not a scan job) — same
-        // pattern as conn_delete_where
-        val doomed = t(s, dir, "lineitem")
-          .filter($"l_orderkey" % 50 === 3)
-          .select(lpad($"l_orderkey".cast("string"), 10, "0")).distinct()
-          .collect().map(_.getString(0))
-        if (doomed.nonEmpty)
-          s.sql("DELETE FROM cassandralike.ks.netted_t WHERE row_key IN (" +
-            doomed.map(k => s"'$k'").mkString(",") + ")")
-      }
+      seedNettedT(s, dir)
       val r = s.table("cassandralike.ks.netted_t")
       // SUM/AVG net too: the certified tombstones carry their victims'
       // values, so the delete epoch's VSUM tails subtract exactly the
@@ -2307,6 +2317,107 @@ object Connector {
       val all = r.agg(count(lit(1)).as("n_all"), sum($"value").as("sum_all"))
       val points = r
         .filter($"row_key".isin("0000000001", "0000000003", "0000000153"))
+        .agg(count(lit(1)).as("n_points"))
+      range.crossJoin(all).crossJoin(points)
+    },
+
+    // ---- NETTED GROUPED counts/sums (round 13, the judged twin of the
+    // r12 spec-level coverage): GROUP BY key over pinned points on a
+    // store that still carries its certified delete epochs — "per-order
+    // width and volume after the takedown pass" — nets per key at
+    // planning: a fully-deleted key nets to zero and emits NO group,
+    // exactly like the fold; live keys answer from per-point composite
+    // boundary arithmetic minus the delete epoch's positional counts. ----
+    Q("conn_agg_netted_group",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    CAST(l_orderkey % 97 AS BIGINT) AS v
+        |  FROM lineitem WHERE l_orderkey % 50 <> 3)
+        |SELECT k, count(*) AS width, CAST(sum(v) AS BIGINT) AS vol
+        |FROM cells
+        |WHERE k IN ('0000000001', '0000000003', '0000000032',
+        |            '0000000153', '0000099999')
+        |GROUP BY k ORDER BY k""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      seedNettedT(s, dir)
+      // keys 3 and 153 are deleted (%50==3 → certified epoch), 99999 was
+      // never written — all three emit no group; 1 and 32 answer netted
+      s.table("cassandralike.ks.netted_t")
+        .filter($"row_key".isin("0000000001", "0000000003", "0000000032",
+          "0000000153", "0000099999"))
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("width"), sum($"value").as("vol"))
+        .select($"row_key".as("k"), $"width", $"vol")
+        .orderBy($"k")
+    },
+
+    // ---- NETTED REGULAR per-column counts/sums (round 13): COUNT(c) /
+    // SUM(c) / AVG(c) on a standard (non-transposed) store carrying
+    // certified delete epochs — the per-column CVAL tails net because a
+    // victim cell and its certified tombstone share a column name (and
+    // the tombstone carries the victim's value bytes for the sums).
+    // COUNT(*) counts distinct visible KEYS (one row per key), COUNT(c)
+    // counts visible non-missing cells — rows whose c cell was never
+    // written count in the former, not the latter. ----
+    Q("conn_agg_netted_regular",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    CASE WHEN c_custkey % 7 <> 0
+        |         THEN (c_custkey % 977) * 1000 + c_nationkey END AS v
+        |  FROM customer WHERE c_custkey % 40 <> 7)
+        |SELECT
+        |  (SELECT count(*) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS n_range,
+        |  (SELECT count(v) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS nv_range,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS sum_range,
+        |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE) FROM rws
+        |   WHERE k >= '0000000100' AND k < '0000000700') AS avg_range,
+        |  (SELECT count(*) FROM rws) AS n_all,
+        |  (SELECT count(v) FROM rws) AS nv_all,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws) AS sum_all,
+        |  (SELECT count(*) FROM rws
+        |   WHERE k IN ('0000000032', '0000000047', '0000000123')) AS n_points""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_netted_regular"
+      seedOnce(s"$dir#agg_netted_regular") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise(($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"),
+          $"c_mktsegment")
+        Seed.table(s, dir, "agg_netted_regular", src.repartition(1),
+          props = Map(Options.CompactSegmentsMax -> "1"))
+        // CERTIFIED delete epoch: every key with custkey % 40 == 7 (the
+        // driver-issued point list, as in conn_delete_where); key 47 in
+        // the points arm below is deleted, 32 and 123 stay live
+        val doomed = t(s, dir, "customer").filter($"c_custkey" % 40 === 7)
+          .select(lpad($"c_custkey".cast("string"), 10, "0")).distinct()
+          .collect().map(_.getString(0))
+        if (doomed.nonEmpty) {
+          val meta = CellStore.readMeta(store).get
+          new graft.sources.cassandralike.CassandraLikeTable(store, store,
+            org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+            Some(meta.mapping), meta.properties)
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("row_key",
+                doomed.toArray[Any])))
+        }
+      }
+      val r = Seed.read(s, store)
+      val range = r
+        .filter($"row_key" >= "0000000100" && $"row_key" < "0000000700")
+        .agg(count(lit(1)).as("n_range"), count($"v").as("nv_range"),
+          sum($"v").as("sum_range"), avg($"v").as("avg_range"))
+      val all = r.agg(count(lit(1)).as("n_all"), count($"v").as("nv_all"),
+        sum($"v").as("sum_all"))
+      val points = r
+        .filter($"row_key".isin("0000000032", "0000000047", "0000000123"))
         .agg(count(lit(1)).as("n_points"))
       range.crossJoin(all).crossJoin(points)
     },

@@ -831,8 +831,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case PushedAgg.CountStar => true
       case PushedAgg.Count(c) =>
         if (table.mapping.transposed) table.isAddressField(c) || isVal(c)
-        else c == keyN
-      case PushedAgg.Sum(c) => table.mapping.transposed && isVal(c)
+        else c == keyN || isRegCell(c) // netted CVAL twins (r13)
+      case PushedAgg.Sum(c) =>
+        if (table.mapping.transposed) isVal(c)
+        else isRegVal(c) // netted CVAL twins (r13); extremals never net
       case _ => false
     }
     // an AS-OF bound gates PER RUN ([[MetadataAggReader.asOfView]]):
@@ -860,6 +862,25 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           if (!rec.nettedSumOk) return None
           try valSum = Math.addExact(valSum, rec.nettedSum)
           catch { case _: ArithmeticException => return None }
+        }
+        if (regCols.nonEmpty) {
+          // regular per-column aggregates over a netted bucket: the
+          // NETTED CVAL twins (live − certified) carry visible counts
+          // and sums; extremals were rejected by nettedAnswerable
+          if (!rec.nettedColValsOk) return None
+          regCols.foreach { c =>
+            val cb = MetadataAggReader.regularCellBytes(table.mapping, c)
+            rec.nettedColVals.find(cv =>
+              java.util.Arrays.equals(cv.col, cb)).foreach { cv =>
+              val a = regAcc(c)
+              a.count += cv.count
+              if (regWantSum(c)) {
+                if (!cv.sumsOk) return None
+                try a.sum = Math.addExact(a.sum, cv.sum)
+                catch { case _: ArithmeticException => return None }
+              }
+            }
+          }
         }
       } else {
       if (!rec.disjoint) return None // overlapping runs in this bucket
@@ -2576,31 +2597,43 @@ object MetadataAggReader {
     // would falsify the bucket-wide STAT counts)
     if (part.lower != null || part.upper != null) return None
     if (netted) {
-      // netted unfiltered COUNTs + SUM(value): visible rows and the
-      // netted value total from the sidecar reductions. Only
-      // row-equivalent counts qualify (COUNT of a regular CELL column
-      // would need per-column netted reductions the sidecar doesn't
-      // carry; the FILTERED path nets those per file instead), and SUM
-      // only on the transposed value column (regular per-column sums net
-      // through the filtered path too).
+      // netted unfiltered COUNTs + SUMs: visible rows and the netted
+      // value total from the sidecar reductions; REGULAR per-column
+      // COUNT(c)/SUM(c) from the NETTED CVAL twins (live − certified,
+      // round 13 — the whole-store "column totals after a purge").
+      // Transposed SUM only on the value column.
       val keyN0 = mapping.keyField.name
       val valNN =
         if (mapping.transposed) mapping.field(FieldRole.TransValue).name
         else null
+      def regNetted(c: String): Option[CellStore.ColValStat] = {
+        val cb = regularCellBytes(mapping, c)
+        rec.nettedColVals.find(cv => java.util.Arrays.equals(cv.col, cb))
+      }
       val answerableHere = aggs.forall {
         case PushedAgg.CountStar => true
         case PushedAgg.Count(c) =>
           if (mapping.transposed)
             // Count(value) == rows only under the VMMX non-null proof
             c != valNN || rec.valRangeAll
-          else c == keyN0
-        case PushedAgg.Sum(_) => mapping.transposed && rec.nettedSumOk
+          else c == keyN0 || rec.nettedColValsOk
+        case PushedAgg.Sum(c) =>
+          if (mapping.transposed) rec.nettedSumOk
+          else rec.nettedColValsOk && regNetted(c).forall(_.sumsOk)
         case _ => false
       }
       if (!answerableHere) return None
       val rowCount: Long =
         if (mapping.transposed) rec.nettedAddrs else rec.nettedKeys
       return Some(answerReader(InternalRow.fromSeq(aggs.map {
+        case PushedAgg.Count(c) if !mapping.transposed && c != keyN0 =>
+          // visible cells named c (an absent column has exactly zero)
+          regNetted(c).map(_.count).getOrElse(0L): Any
+        case PushedAgg.Sum(c) if !mapping.transposed =>
+          regNetted(c) match {
+            case Some(cv) if cv.count > 0L => Long.box(cv.sum)
+            case _ => null // SUM over no visible cells is NULL
+          }
         case PushedAgg.Sum(_) =>
           if (rowCount == 0L) null else Long.box(rec.nettedSum)
         case _ => rowCount: Any

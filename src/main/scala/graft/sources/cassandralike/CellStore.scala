@@ -3031,14 +3031,23 @@ object CellStore {
         * valid iff [[nettedSumOk]] (nettedOk + VSUM tails on every run +
         * no overflow) */
       nettedSumOk: Boolean = false,
-      nettedSum: Long = 0L)
+      nettedSum: Long = 0L,
+      /** per-column NETTED reductions (live CVAL − certified CVAL): a
+        * victim cell and its certified tombstone share a column name, and
+        * the tombstone carries the victim's value bytes, so count = the
+        * column's VISIBLE cells and sum = its visible value total. Valid
+        * iff [[nettedColValsOk]] (nettedOk + CVAL tails on every run,
+        * live and certified — then a column absent from the list provably
+        * has zero visible cells). Extremes never net: entries carry
+        * rangeOk = false, so no consumer can surface a deleted extreme. */
+      nettedColValsOk: Boolean = false,
+      nettedColVals: Seq[ColValStat] = Nil)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST6" — bumped for statsValid + CVAL per-column reductions +
-  // tombstone-netting fields (incl. netted value sums) + the TSRG
-  // timestamp window; older sidecars (none survive a commit, which
-  // rewrites them) parse as corrupt → walk
-  private val BucketStatMagic = 0x42535436
+  // "BST7" — bumped for the per-column NETTED reductions (r13; BST6
+  // added statsValid + CVAL + netting + TSRG); older sidecars (none
+  // survive a commit, which rewrites them) parse as corrupt → walk
+  private val BucketStatMagic = 0x42535437
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -3134,6 +3143,33 @@ object CellStore {
       } catch {
         case _: ArithmeticException => nettedSumOk = false; nettedSum = 0L
       }
+    // per-column NETTED twins (live − certified; see
+    // [[BucketStat.nettedColValsOk]]) — the whole-store "column totals
+    // after a purge" answer. Extremes never net (rangeOk = false).
+    val nettedColValsOk = nettedOk && colValsAll
+    val nettedColVals: Seq[ColValStat] =
+      if (!nettedColValsOk) Nil
+      else {
+        val m = mutable.LinkedHashMap.empty[java.nio.ByteBuffer, ColValStat]
+        def fold(runs: Seq[RunStats], live: Boolean): Unit =
+          runs.foreach(_.colVals.foreach { cv =>
+            val k = java.nio.ByteBuffer.wrap(cv.col)
+            val prev = m.getOrElse(k,
+              ColValStat(cv.col, sumsOk = true, rangeOk = false, 0L, 0L, 0L, 0L))
+            var sumsOk = prev.sumsOk && cv.sumsOk
+            var sum = prev.sum
+            if (sumsOk)
+              try sum =
+                if (live) Math.addExact(prev.sum, cv.sum)
+                else Math.subtractExact(prev.sum, cv.sum)
+              catch { case _: ArithmeticException => sumsOk = false }
+            m.put(k, ColValStat(cv.col, sumsOk, rangeOk = false,
+              prev.count + (if (live) cv.count else -cv.count), sum, 0L, 0L))
+          })
+        fold(liveRuns, live = true)
+        fold(certRuns, live = false)
+        m.values.toSeq
+      }
     BucketStat(
       files = sig,
       runs = stats.length,
@@ -3171,7 +3207,9 @@ object CellStore {
       maxTs = if (stats.nonEmpty && stats.forall(_.hasTsRange))
         stats.map(_.tsMax).max else 0L,
       nettedSumOk = nettedSumOk,
-      nettedSum = nettedSum)
+      nettedSum = nettedSum,
+      nettedColValsOk = nettedColValsOk,
+      nettedColVals = nettedColVals)
   }
 
   private def bucketStatFile(tableDir: String, bucket: Int): Path =
@@ -3238,6 +3276,14 @@ object CellStore {
       out.writeLong(rec.maxTs)
       out.writeBoolean(rec.nettedSumOk)
       out.writeLong(rec.nettedSum)
+      out.writeBoolean(rec.nettedColValsOk)
+      out.writeInt(rec.nettedColVals.length)
+      rec.nettedColVals.foreach { cv =>
+        writeBytes(out, cv.col)
+        out.writeBoolean(cv.sumsOk)
+        out.writeLong(cv.count)
+        out.writeLong(cv.sum)
+      }
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
@@ -3277,7 +3323,8 @@ object CellStore {
             ColValStat(readBytes(in), in.readBoolean(), in.readBoolean(),
               in.readLong(), in.readLong(), in.readLong(), in.readLong())
           }
-          base.copy(statsValid = statsValid, colValsAll = colValsAll,
+          val withNet = base.copy(statsValid = statsValid,
+            colValsAll = colValsAll,
             colVals = colVals,
             nettedOk = in.readBoolean(),
             nettedAddrs = in.readLong(),
@@ -3286,6 +3333,14 @@ object CellStore {
             maxTs = in.readLong(),
             nettedSumOk = in.readBoolean(),
             nettedSum = in.readLong())
+          val nettedColValsOk = in.readBoolean()
+          val nncv = in.readInt()
+          val nettedColVals = (0 until nncv).map { _ =>
+            ColValStat(readBytes(in), in.readBoolean(), rangeOk = false,
+              in.readLong(), in.readLong(), 0L, 0L)
+          }
+          withNet.copy(nettedColValsOk = nettedColValsOk,
+            nettedColVals = nettedColVals)
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }

@@ -1312,6 +1312,28 @@ class MetadataAggSpec extends SparkSpec {
     assert(rRegS.getLong(0) == kept.map(_ * 2L).sum &&
       rRegS.getDouble(1) == kept.map(_ * 2L).sum.toDouble / kept.size,
       s"got $rRegS")
+    // UNFILTERED whole-store per-column aggregates over the netted
+    // store: the sidecar's NETTED CVAL twins (live − certified, r13) —
+    // counts see only visible cells, sums only visible values
+    val dfRegAll = Seed.read(spark, store3)
+      .agg(count(lit(1)).as("n"), count(col("nm")).as("nn"),
+        sum("x").as("s"), avg("x").as("a"))
+    assert(scanOf(dfRegAll).scan.description().contains("AggStats: complete"),
+      scanOf(dfRegAll).scan.description())
+    val keptAllR = (1L to 300L).filter(_ % 11 != 0)
+    val rRegAll = dfRegAll.collect()(0)
+    assert(rRegAll.getLong(0) == keptAllR.size &&
+      rRegAll.getLong(1) == keptAllR.count(_ % 5 != 0) &&
+      rRegAll.getLong(2) == keptAllR.map(_ * 2L).sum &&
+      rRegAll.getDouble(3) ==
+        keptAllR.map(_ * 2L).sum.toDouble / keptAllR.size,
+      s"got $rRegAll")
+    // netted regular extremals must still fold (a deleted extreme would
+    // surface as a false MIN/MAX) — exact via the fold
+    val dfRegMm = Seed.read(spark, store3).agg(min("x").as("mn"))
+    val (soMm, _) = drain(dfRegMm)
+    assert(soMm == 0L, "netted regular extremal must fold")
+    assert(dfRegMm.collect()(0).getLong(0) == keptAllR.map(_ * 2L).min)
   }
 
   test("bucket-stat sidecars: planning reads O(buckets) sidecar bytes; walk fallback pinned") {
