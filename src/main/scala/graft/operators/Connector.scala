@@ -2422,6 +2422,37 @@ object Connector {
       range.crossJoin(all).crossJoin(points)
     },
 
+    // ---- INDEX-ACCELERATED COUNT (round 13, VERDICT r12 #5):
+    // `count(*) WHERE indexed_col = v` answers from the POSTINGS count at
+    // planning — zero base IO — under a composed proof: clean base (no
+    // overwrite/delete ever), postings-totals equality (catches orphaned
+    // or duplicated index commits), then per-value key-point arithmetic
+    // on the routed index bucket. The corpus-polling shape: "how many
+    // docs have lang = 'en'" over an append-only store. Dirty stores
+    // decline to candidate point reads (IndexSpec pins both arms). ----
+    Q("conn_agg_indexed_count",
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_mktsegment = 'BUILDING') AS n_eq,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'NOPE')) AS n_in""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_count"
+      seedOnce(s"$dir#agg_indexed_count") {
+        Seed.table(s, dir, "agg_indexed_count",
+          t(s, dir, "customer").select($"c_custkey", $"c_name",
+            $"c_mktsegment", $"c_acctbal"),
+          props = Map(Options.IndexColumns -> "c_mktsegment"))
+      }
+      val r = Seed.read(s, store)
+      val eq = r.filter($"c_mktsegment" === "BUILDING")
+        .agg(count(lit(1)).as("n_eq"))
+      val in = r.filter($"c_mktsegment".isin("AUTOMOBILE", "MACHINERY", "NOPE"))
+        .agg(count(lit(1)).as("n_in"))
+      eq.crossJoin(in)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

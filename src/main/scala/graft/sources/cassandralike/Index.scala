@@ -76,7 +76,7 @@ object Index {
   /** Whether the store's stamped key-format matches this reader. False
     * (missing or mismatched) = the lookup abandons the index — never trusts
     * bytes encoded under a different transform. */
-  private def formatOk(idxDir: String): Boolean = {
+  private[cassandralike] def formatOk(idxDir: String): Boolean = {
     val p = java.nio.file.Paths.get(idxDir, FormatFile)
     java.nio.file.Files.exists(p) &&
       new String(java.nio.file.Files.readAllBytes(p),

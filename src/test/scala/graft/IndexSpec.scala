@@ -388,4 +388,76 @@ class IndexSpec extends SparkSpec {
     }
     assert(Options.LayoutProperties.contains(Options.IndexColumns))
   }
+
+  test("indexed count(*): postings answer at planning on a clean store; dirty stores decline, exact") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan
+      plan.collectFirst { case b: BatchScanExec => b }
+        .orElse(plan.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
+        .map(_.scan.description()).getOrElse("")
+    }
+    val rows = (1L to 3000L).map(i => (i, s"g${i % 7}", i * 1.0))
+    val dir = seed("spec_idx_count", "name", rows)
+    def q(vs: String*) = Seed.read(spark, dir)
+      .filter(if (vs.length == 1) col("name") === vs.head
+        else col("name").isin(vs: _*))
+      .agg(count(lit(1)).as("n"))
+    // clean store: the count is the postings count — complete at
+    // planning, zero base IO
+    val one = q("g3")
+    assert(scanDesc(one).contains("AggStats: complete"),
+      s"indexed count must answer at planning: ${scanDesc(one)}")
+    assert(one.collect()(0).getLong(0) == rows.count(_._2 == "g3"))
+    // IN with duplicate and absent values: dups count once, absent zero
+    val in = q("g1", "g1", "nope")
+    assert(scanDesc(in).contains("AggStats: complete"))
+    assert(in.collect()(0).getLong(0) == rows.count(_._2 == "g1"))
+    // a second filter alongside leaves residuals — not this path, exact
+    val two = Seed.read(spark, dir)
+      .filter(col("name") === "g3" && col("bal") > 1500.0)
+      .agg(count(lit(1)).as("n"))
+    assert(two.collect()(0).getLong(0) ==
+      rows.count(r => r._2 == "g3" && r._3 > 1500.0))
+    // OVERWRITE dirties the base (stale posting would over-count):
+    // declines to the candidate point reads, result exact
+    Seed.append(Seq((3L, "gX", 0.0)).toDF("id", "name", "bal"), dir,
+      Map(Options.WriteTimestamp -> "2"))
+    val afterOw = q("g3")
+    assert(!scanDesc(afterOw).contains("AggStats: complete"),
+      "an overwritten store must decline the postings count")
+    assert(afterOw.collect()(0).getLong(0) == rows.count(_._2 == "g3") - 1)
+    // DELETE dirties it too
+    val dir2 = seed("spec_idx_count_del", "name",
+      (1L to 500L).map(i => (i, s"h${i % 3}", 1.0)))
+    tableOf(dir2).deleteWhere(Array[Filter](EqualTo("id", 6L))) // h0
+    val afterDel = Seed.read(spark, dir2).filter(col("name") === "h0")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(afterDel).contains("AggStats: complete"))
+    assert(afterDel.collect()(0).getLong(0) ==
+      (1L to 500L).count(i => i % 3 == 0 && i != 6L))
+    // ORPHAN postings (a crashed/retried index commit): totals equality
+    // catches what per-bucket cleanliness cannot — decline, exact
+    val dir3 = seed("spec_idx_count_orph", "name",
+      (1L to 200L).map(i => (i, s"o${i % 2}", 1.0)))
+    val ek = Index.encodeKey(org.apache.spark.sql.types.StringType,
+      org.apache.spark.unsafe.types.UTF8String.fromString("o1"),
+      textEncoding = false)
+    val idxSst = java.nio.file.Paths.get(Index.dir(dir3, "name"),
+      CellStore.SstDir)
+    val b = TokenRing.bucket(ek, Options.DefaultBuckets)
+    val out = CellStore.newSegmentStream(idxSst.resolve(s"b$b-orphan.bin"))
+    CellStore.writeRun(out, Seq(Cell(ek,
+      Codecs.encode(org.apache.spark.sql.types.LongType, 9999L),
+      null, Array.emptyByteArray, 1L, tombstone = false)))
+    out.close()
+    val orph = Seed.read(spark, dir3).filter(col("name") === "o1")
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(orph).contains("AggStats: complete"),
+      "orphan postings must fail the totals equality and decline")
+    assert(orph.collect()(0).getLong(0) == 100L)
+  }
 }
