@@ -2943,8 +2943,15 @@ object CellStore {
 
   /** Per-run [[RunStats]] of one segment; memoized per immutable file,
     * index-tail reads only. Empty runs are skipped. */
+  /** Diagnostic: number of run-index-tail parses that actually hit the
+    * file (cache misses). The incremental-sidecar spec pins commit-time
+    * refreshes to O(new files) by watching this not move for carried
+    * files. */
+  val runTailReads = new java.util.concurrent.atomic.AtomicLong()
+
   def runStats(file: Path): Array[RunStats] =
     runStatsCache.computeIfAbsent(cacheKey(file), _ => {
+      runTailReads.incrementAndGet()
       val r = new SegmentReader(file)
       try runInfos(file).filter(_.cellCount > 0).map { ri =>
         val idx = r.readIndex(ri)
@@ -3044,10 +3051,11 @@ object CellStore {
       nettedColVals: Seq[ColValStat] = Nil)
 
   val BucketStatsDir = "_bucket_stats"
-  // "BST7" — bumped for the per-column NETTED reductions (r13; BST6
-  // added statsValid + CVAL + netting + TSRG); older sidecars (none
-  // survive a commit, which rewrites them) parse as corrupt → walk
-  private val BucketStatMagic = 0x42535437
+  // "BST8" — bumped twice in r13: per-column NETTED reductions, then the
+  // per-file RUN-STATS section that makes the commit-time refresh
+  // incremental (BST6 added statsValid + CVAL + netting + TSRG); older
+  // sidecars parse as corrupt → one walk, then the rewrite upgrades them
+  private val BucketStatMagic = 0x42535438
 
   /** Diagnostic: number of bucket-stat requests that fell back to walking
     * run index tails (sidecar absent, stale, or corrupt). Tests pin the
@@ -3219,13 +3227,30 @@ object CellStore {
     * called at write commit and after compaction (the two points segments
     * change under the single-maintainer discipline). An empty bucket
     * deletes its sidecar. Atomic temp+rename; a crash mid-write leaves a
-    * temp file nothing reads. */
+    * temp file nothing reads.
+    *
+    * INCREMENTAL (round 13): the sidecar carries a per-file RUN-STATS
+    * section after the reduction, so a refresh re-reads index tails only
+    * for files the previous sidecar has not seen — O(new tails) per
+    * commit instead of O(all tails), the difference between a constant
+    * and a linear commit cost at thousands of segments per bucket.
+    * Files removed by compaction simply drop out of the carried map
+    * (matched by (name, size), the same signature the staleness
+    * authority trusts for the whole record). Planning reads are
+    * unaffected: [[readBucketStats]] stops parsing BEFORE the per-file
+    * section, keeping planning IO at the reduction's ~fixed bytes. */
   def writeBucketStats(tableDir: String, bucket: Int): Unit = {
     val target = bucketStatFile(tableDir, bucket)
     val files = segmentFiles(tableDir, bucket)
     if (files.isEmpty) { Files.deleteIfExists(target); return }
+    val prev: Map[(String, Long), Array[RunStats]] =
+      readSidecarRunStats(target)
+    val perFile: Seq[(Path, Array[RunStats])] = files.map { f =>
+      val sig = (f.getFileName.toString, Files.size(f))
+      f -> prev.getOrElse(sig, runStats(f))
+    }
     val rec = aggregateBucketStat(fileSig(files),
-      files.flatMap(f => runStats(f).toSeq))
+      perFile.flatMap(_._2.toSeq))
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s"b$bucket-${UUID.randomUUID()}.tmp")
     val out = new DataOutputStream(new BufferedOutputStream(
@@ -3284,8 +3309,110 @@ object CellStore {
         out.writeLong(cv.count)
         out.writeLong(cv.sum)
       }
+      // per-file RUN-STATS section (incremental refresh; parse-optional —
+      // planning readers stop before it)
+      out.writeInt(perFile.length)
+      perFile.foreach { case (f, rs) =>
+        out.writeUTF(f.getFileName.toString)
+        out.writeLong(Files.size(f))
+        out.writeInt(rs.length)
+        rs.foreach(writeRunStats(out, _))
+      }
     } finally out.close()
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeRunStats(out: DataOutputStream, s: RunStats): Unit = {
+    out.writeInt(s.cells)
+    writeBytes(out, s.firstKey)
+    writeBytes(out, s.lastKey)
+    writeBytes(out, s.colMin)
+    writeBytes(out, s.colMax)
+    writeBytes(out, s.subMin)
+    writeBytes(out, s.subMax)
+    out.writeInt(s.tombstones)
+    out.writeInt(s.distinctKeys)
+    out.writeInt(s.distinctAddrs)
+    out.writeBoolean(s.colEntries)
+    out.writeBoolean(s.subEntries)
+    out.writeBoolean(s.hasKeyPrefix)
+    out.writeBoolean(s.hasValSums)
+    out.writeLong(s.valTotal)
+    out.writeBoolean(s.hasValRange)
+    out.writeLong(s.valMin)
+    out.writeLong(s.valMax)
+    if (s.colVals == null) out.writeInt(-1)
+    else {
+      out.writeInt(s.colVals.length)
+      s.colVals.foreach { cv =>
+        writeBytes(out, cv.col)
+        out.writeBoolean(cv.sumsOk)
+        out.writeBoolean(cv.rangeOk)
+        out.writeLong(cv.count)
+        out.writeLong(cv.sum)
+        out.writeLong(cv.min)
+        out.writeLong(cv.max)
+      }
+    }
+    out.writeBoolean(s.certDeletes)
+    out.writeLong(s.tsMin)
+    out.writeLong(s.tsMax)
+    out.writeBoolean(s.hasTsRange)
+  }
+
+  private def readRunStats0(in: DataInputStream): RunStats = {
+    val cells = in.readInt()
+    val firstKey = readBytes(in)
+    val lastKey = readBytes(in)
+    val colMin = readBytes(in)
+    val colMax = readBytes(in)
+    val subMin = readBytes(in)
+    val subMax = readBytes(in)
+    val tombstones = in.readInt()
+    val distinctKeys = in.readInt()
+    val distinctAddrs = in.readInt()
+    val colEntries = in.readBoolean()
+    val subEntries = in.readBoolean()
+    val hasKeyPrefix = in.readBoolean()
+    val hasValSums = in.readBoolean()
+    val valTotal = in.readLong()
+    val hasValRange = in.readBoolean()
+    val valMin = in.readLong()
+    val valMax = in.readLong()
+    val ncv = in.readInt()
+    val colVals =
+      if (ncv < 0) null
+      else Array.fill(ncv)(ColValStat(readBytes(in), in.readBoolean(),
+        in.readBoolean(), in.readLong(), in.readLong(), in.readLong(),
+        in.readLong()))
+    RunStats(cells, firstKey, lastKey, colMin, colMax, subMin, subMax,
+      tombstones, distinctKeys, distinctAddrs, colEntries, subEntries,
+      hasKeyPrefix, hasValSums, valTotal, hasValRange, valMin, valMax,
+      colVals, in.readBoolean(), in.readLong(), in.readLong(),
+      in.readBoolean())
+  }
+
+  /** Parse the per-file run-stats section of one sidecar, skipping the
+    * reduction — the commit-path companion of [[readBucketStats]]. An
+    * absent, legacy, or corrupt sidecar returns empty (the refresh then
+    * reads every tail, exactly the pre-incremental behavior). */
+  private def readSidecarRunStats(p: Path)
+    : Map[(String, Long), Array[RunStats]] = {
+    if (!Files.exists(p)) return Map.empty
+    val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))
+    try {
+      if (in.readInt() != BucketStatMagic) return Map.empty
+      readReduction(in) // discard — only the section after it is wanted
+      val nf = in.readInt()
+      (0 until nf).map { _ =>
+        val name = in.readUTF()
+        val size = in.readLong()
+        val nr = in.readInt()
+        (name, size) -> Array.fill(nr)(readRunStats0(in))
+      }.toMap
+    } catch {
+      case _: IOException | _: RuntimeException => Map.empty
+    } finally in.close()
   }
 
   private val bucketStatCache =
@@ -3305,46 +3432,57 @@ object CellStore {
         try {
           if (in.readInt() != BucketStatMagic)
             throw new IOException(s"not a bucket-stat sidecar: $p")
-          val nf = in.readInt()
-          val sig = (0 until nf).map(_ => (in.readUTF(), in.readLong()))
-          val base = BucketStat(sig, in.readInt(), in.readLong(),
-            in.readBoolean(), in.readBoolean(), in.readBoolean(),
-            in.readBoolean(), in.readBoolean(),
-            in.readLong(), in.readLong(),
-            in.readBoolean(), in.readBoolean(), in.readLong(),
-            readBytes(in), readBytes(in),
-            in.readBoolean(), readBytes(in), readBytes(in),
-            in.readBoolean(), readBytes(in), readBytes(in),
-            in.readBoolean(), in.readLong(), in.readLong())
-          val statsValid = in.readBoolean()
-          val colValsAll = in.readBoolean()
-          val ncv = in.readInt()
-          val colVals = (0 until ncv).map { _ =>
-            ColValStat(readBytes(in), in.readBoolean(), in.readBoolean(),
-              in.readLong(), in.readLong(), in.readLong(), in.readLong())
-          }
-          val withNet = base.copy(statsValid = statsValid,
-            colValsAll = colValsAll,
-            colVals = colVals,
-            nettedOk = in.readBoolean(),
-            nettedAddrs = in.readLong(),
-            nettedKeys = in.readLong(),
-            tsAll = in.readBoolean(),
-            maxTs = in.readLong(),
-            nettedSumOk = in.readBoolean(),
-            nettedSum = in.readLong())
-          val nettedColValsOk = in.readBoolean()
-          val nncv = in.readInt()
-          val nettedColVals = (0 until nncv).map { _ =>
-            ColValStat(readBytes(in), in.readBoolean(), rangeOk = false,
-              in.readLong(), in.readLong(), 0L, 0L)
-          }
-          withNet.copy(nettedColValsOk = nettedColValsOk,
-            nettedColVals = nettedColVals)
+          // the REDUCTION only — the per-file run-stats section after it
+          // is never read at planning (commit-path readers parse it via
+          // readSidecarRunStats), keeping planning IO at the reduction's
+          // ~fixed bytes however many runs the bucket carries
+          readReduction(in)
         } finally in.close()
       })
       catch { case _: IOException | _: RuntimeException => return None }
     if (rec.files == fileSig(files)) Some(rec) else None
+  }
+
+  /** Parse the sidecar's REDUCTION record (everything before the
+    * per-file run-stats section); the stream is left positioned at the
+    * section's file count. */
+  private def readReduction(in: DataInputStream): BucketStat = {
+    val nf = in.readInt()
+    val sig = (0 until nf).map(_ => (in.readUTF(), in.readLong()))
+    val base = BucketStat(sig, in.readInt(), in.readLong(),
+      in.readBoolean(), in.readBoolean(), in.readBoolean(),
+      in.readBoolean(), in.readBoolean(),
+      in.readLong(), in.readLong(),
+      in.readBoolean(), in.readBoolean(), in.readLong(),
+      readBytes(in), readBytes(in),
+      in.readBoolean(), readBytes(in), readBytes(in),
+      in.readBoolean(), readBytes(in), readBytes(in),
+      in.readBoolean(), in.readLong(), in.readLong())
+    val statsValid = in.readBoolean()
+    val colValsAll = in.readBoolean()
+    val ncv = in.readInt()
+    val colVals = (0 until ncv).map { _ =>
+      ColValStat(readBytes(in), in.readBoolean(), in.readBoolean(),
+        in.readLong(), in.readLong(), in.readLong(), in.readLong())
+    }
+    val withNet = base.copy(statsValid = statsValid,
+      colValsAll = colValsAll,
+      colVals = colVals,
+      nettedOk = in.readBoolean(),
+      nettedAddrs = in.readLong(),
+      nettedKeys = in.readLong(),
+      tsAll = in.readBoolean(),
+      maxTs = in.readLong(),
+      nettedSumOk = in.readBoolean(),
+      nettedSum = in.readLong())
+    val nettedColValsOk = in.readBoolean()
+    val nncv = in.readInt()
+    val nettedColVals = (0 until nncv).map { _ =>
+      ColValStat(readBytes(in), in.readBoolean(), rangeOk = false,
+        in.readLong(), in.readLong(), 0L, 0L)
+    }
+    withNet.copy(nettedColValsOk = nettedColValsOk,
+      nettedColVals = nettedColVals)
   }
 
   /** One bucket's [[BucketStat]]: the sidecar when fresh, else computed by

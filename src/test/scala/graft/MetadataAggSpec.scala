@@ -1389,6 +1389,48 @@ class MetadataAggSpec extends SparkSpec {
     assert(r2 == r0, s"stale-sidecar read must stay exact: $r2 vs $r0")
   }
 
+  test("incremental sidecar refresh: a commit re-reads only NEW files' tails") {
+    val sp = spark; import sp.implicits._
+    val store = Seed.table(spark, sfDir, "spec_incr_sidecar",
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v").repartition(1),
+      props = Map(Options.KeyEncoding -> "ordered", Options.Buckets -> "4"))
+    def allSegs(): Set[String] =
+      CellStore.allSegmentFiles(store).values.flatten
+        .map(_.getFileName.toString).toSet
+    val before = allSegs()
+    // COLD driver: the carried per-run stats must come from the sidecar's
+    // per-file section, not the in-memory memo
+    CellStore.clearPlannerCaches()
+    val reads0 = CellStore.runTailReads.get()
+    Seed.append((401L to 500L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+    val newFiles = allSegs() -- before
+    val delta = CellStore.runTailReads.get() - reads0
+    assert(newFiles.nonEmpty)
+    assert(delta == newFiles.size,
+      s"commit must read only the ${newFiles.size} new files' tails, read $delta")
+    // the incrementally-refreshed reduction equals a from-scratch walk
+    CellStore.allSegmentFiles(store).foreach { case (b, files) =>
+      val side = CellStore.readBucketStats(store, b, files)
+        .getOrElse(fail(s"bucket $b sidecar missing/stale"))
+      val walk = CellStore.subsetBucketStats(files)
+      assert(side.runs == walk.runs && side.cells == walk.cells &&
+        side.distinctKeys == walk.distinctKeys &&
+        side.distinctAddrs == walk.distinctAddrs &&
+        side.tombstoneFree == walk.tombstoneFree &&
+        side.disjoint == walk.disjoint &&
+        side.allAddrsDistinct == walk.allAddrsDistinct &&
+        side.colValsAll == walk.colValsAll &&
+        side.colVals.length == walk.colVals.length &&
+        side.tsAll == walk.tsAll && side.maxTs == walk.maxTs &&
+        side.nettedOk == walk.nettedOk,
+        s"bucket $b: incremental reduction diverged from the walk")
+    }
+    // and the answers stay exact
+    val n = Seed.read(spark, store).agg(count(lit(1)).as("n")).collect()(0)
+    assert(n.getLong(0) == 500L)
+  }
+
   test("fuzz: range aggregates match the fold across random stores/predicates") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(20260815L)
