@@ -848,7 +848,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val recs = Seq.newBuilder[CellStore.BucketStat]
     byBucket.foreach { case (b, files) =>
       val rec0 = CellStore.bucketStats(table.dir, b, files)
-      val rec = MetadataAggReader.asOfView(files, rec0, asOfBound) match {
+      val rec = MetadataAggReader.asOfView(table.dir, b, files, rec0,
+          asOfBound) match {
         case Some((_, r)) => r
         case None => return None
       }
@@ -1421,7 +1422,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         // file subset only
         val rec0 = CellStore.bucketStats(table.dir, b, files0)
         val (files, rec) =
-          MetadataAggReader.asOfView(files0, rec0, asOfBound) match {
+          MetadataAggReader.asOfView(table.dir, b, files0, rec0,
+            asOfBound) match {
             case Some(fr) => fr
             case None => return None
           }
@@ -2689,6 +2691,8 @@ object MetadataAggReader {
     * that is netted NOW can be tombstone-free AS-OF a pre-delete bound,
     * so the historical audit read keeps the full fast-path set. */
   private[cassandralike] def asOfView(
+      tableDir: String,
+      bucket: Int,
       files: Seq[java.nio.file.Path],
       rec: CellStore.BucketStat,
       asOf: Option[Long])
@@ -2696,8 +2700,13 @@ object MetadataAggReader {
     asOf match {
       case None => Some((files, rec))
       case Some(a) if rec.tsAll && rec.maxTs <= a => Some((files, rec))
-      case Some(a) => CellStore.asOfCoveredFiles(files, a)
-        .map(cov => (cov, CellStore.subsetBucketStats(cov)))
+      case Some(a) =>
+        // cold-driver planning IO: the per-run judgments below answer
+        // from the sidecar's per-file section (one read) instead of
+        // opening every segment's index tail
+        CellStore.seedRunStatsFromSidecar(tableDir, bucket, files)
+        CellStore.asOfCoveredFiles(files, a)
+          .map(cov => (cov, CellStore.subsetBucketStats(cov)))
     }
 
   def create(
@@ -2723,7 +2732,8 @@ object MetadataAggReader {
     // runs answer positionally from their subset record, newer runs drop
     // out, straddlers fold
     val asOf = opt(Options.ReadAsOf).map(_.toLong)
-    val (files, rec) = asOfView(files0, rec0, asOf) match {
+    val (files, rec) = asOfView(part.tableDir, part.bucket, files0,
+        rec0, asOf) match {
       case Some(fr) => fr
       case None => return None
     }

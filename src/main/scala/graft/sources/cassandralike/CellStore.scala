@@ -1108,6 +1108,7 @@ object CellStore {
     quickStatsCache.clear()
     bucketStatCache.clear()
     subsetStatCache.clear()
+    sidecarRunStatsCache.clear()
   }
 
   /** Total (bytes, cells) of one segment; memoized per immutable file. */
@@ -3392,11 +3393,43 @@ object CellStore {
       in.readBoolean())
   }
 
+  /** Seed [[runStats]]' memo from one bucket's sidecar per-file section:
+    * a COLD driver's per-run judgments (as-of gating, subset stats) then
+    * answer from ONE sidecar read instead of opening every segment's
+    * tail — the planning twin of the incremental commit refresh. Only
+    * files whose (name, size) signature matches a live segment seed (the
+    * same staleness authority as the reduction); files already memoized
+    * are untouched. Cheap to call repeatedly: parses are memoized per
+    * sidecar identity. */
+  def seedRunStatsFromSidecar(tableDir: String, bucket: Int,
+      files: Seq[Path]): Unit = {
+    if (files.forall(f => runStatsCache.containsKey(cacheKey(f)))) return
+    val carried = readSidecarRunStats(bucketStatFile(tableDir, bucket))
+    if (carried.isEmpty) return
+    files.foreach { f =>
+      carried.get((f.getFileName.toString, Files.size(f))).foreach { rs =>
+        runStatsCache.putIfAbsent(cacheKey(f), rs)
+      }
+    }
+  }
+
   /** Parse the per-file run-stats section of one sidecar, skipping the
     * reduction — the commit-path companion of [[readBucketStats]]. An
     * absent, legacy, or corrupt sidecar returns empty (the refresh then
-    * reads every tail, exactly the pre-incremental behavior). */
+    * reads every tail, exactly the pre-incremental behavior). Memoized
+    * per sidecar file identity (sidecars are replaced atomically, never
+    * appended). */
   private def readSidecarRunStats(p: Path)
+    : Map[(String, Long), Array[RunStats]] = {
+    if (!Files.exists(p)) return Map.empty
+    sidecarRunStatsCache.computeIfAbsent(cacheKey(p), _ =>
+      readSidecarRunStats0(p))
+  }
+
+  private val sidecarRunStatsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[(String, Long), Array[RunStats]]]()
+
+  private def readSidecarRunStats0(p: Path)
     : Map[(String, Long), Array[RunStats]] = {
     if (!Files.exists(p)) return Map.empty
     val in = new DataInputStream(new BufferedInputStream(Files.newInputStream(p)))

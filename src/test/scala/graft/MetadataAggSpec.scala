@@ -1690,6 +1690,13 @@ class MetadataAggSpec extends SparkSpec {
     val rNow = now.collect()(0)
     val wantNow = ((10L until 210L) ++ (230L until 240L)).map(_ * 3L)
     assert(rNow.getLong(0) == 210L && rNow.getLong(1) == wantNow.sum, s"got $rNow")
+    // COLD driver: the per-run gating judgments answer from the sidecar's
+    // per-file section (one read per bucket) — zero index-tail opens
+    CellStore.clearPlannerCaches()
+    val tails0 = CellStore.runTailReads.get()
+    assert(q(Map(Options.ReadAsOf -> "5")).collect()(0) == rPre)
+    assert(CellStore.runTailReads.get() == tails0,
+      "cold as-of per-run gating must read the sidecar section, not tails")
     // a STRADDLING run folds: one run whose TSRG window crosses the
     // bound (a raw segment carrying BOTH ts=2 and ts=6 cells — the real
     // write path stamps one ts per run, so the straddle is seeded raw;
