@@ -31,6 +31,44 @@ object Connector {
   private def seedOnce(key: String)(body: => Unit): Unit =
     seeded.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
+  /** Seed the 3-epoch as-of store: epoch 1 (ts=1) keys < '0000000700',
+    * epoch 2 (ts=2) the rest, then a CERTIFIED DELETE of epoch-2 keys in
+    * ['0000000800','0000000900') — the victims carry ts=2, so the
+    * tombstones stamp ts=3, strictly newer than both write epochs.
+    * Shared by conn_agg_asof_epochs and conn_agg_asof_group. */
+  private def seedAsOfEpochs(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val store = s"${Seed.storeRoot(dir)}/agg_asof_epochs"
+    seedOnce(s"$dir#agg_asof_epochs") {
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+        (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
+        .dropDuplicates("row_key", "column_name")
+      Seed.table(s, dir, "agg_asof_epochs",
+        src.filter($"row_key" < "0000000700").repartition(1),
+        mapping = Some(":key,:column,:value"))
+      Seed.append(src.filter($"row_key" >= "0000000700").repartition(1),
+        store, Map(Options.WriteTimestamp -> "2"))
+      // the doomed-key list is driver-issued by nature (DELETE ... WHERE
+      // key IN (...) is a point operation) — same pattern as
+      // conn_delete_where / conn_agg_netted_count
+      val doomed = src
+        .filter($"row_key" >= "0000000800" && $"row_key" < "0000000900")
+        .select($"row_key").distinct().collect().map(_.getString(0))
+      if (doomed.nonEmpty) {
+        val meta = CellStore.readMeta(store).get
+        new graft.sources.cassandralike.CassandraLikeTable(store, store,
+          org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+          Some(meta.mapping), meta.properties)
+          .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.In("row_key",
+              doomed.toArray[Any])))
+      }
+    }
+    store
+  }
+
   /** Seed the catalog table `cassandralike.ks.netted_t` — one
     * commit-compacted live epoch of lineitem cells, then a CERTIFIED
     * delete epoch removing every key with orderkey % 50 == 3 — shared by
@@ -550,38 +588,7 @@ object Connector {
         |   WHERE NOT (k >= '0000000800' AND k < '0000000900')) AS sum_now""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val store = s"${Seed.storeRoot(dir)}/agg_asof_epochs"
-      seedOnce(s"$dir#agg_asof_epochs") {
-        val src = t(s, dir, "lineitem").select(
-          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
-          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
-          (($"l_orderkey" % 97) * 100 + $"l_linenumber").cast("bigint").as("value"))
-          .dropDuplicates("row_key", "column_name")
-        // epoch 1 (ts=1): keys < '0000000700'; epoch 2 (ts=2): the rest;
-        // epoch 3: a CERTIFIED DELETE of epoch-2 keys in ['0000000800',
-        // '0000000900') — the victims carry ts=2, so the tombstones stamp
-        // ts=3, strictly newer than both write epochs
-        Seed.table(s, dir, "agg_asof_epochs",
-          src.filter($"row_key" < "0000000700").repartition(1),
-          mapping = Some(":key,:column,:value"))
-        Seed.append(src.filter($"row_key" >= "0000000700").repartition(1),
-          store, Map(Options.WriteTimestamp -> "2"))
-        // the doomed-key list is driver-issued by nature (DELETE ... WHERE
-        // key IN (...) is a point operation) — same pattern as
-        // conn_delete_where / conn_agg_netted_count
-        val doomed = src
-          .filter($"row_key" >= "0000000800" && $"row_key" < "0000000900")
-          .select($"row_key").distinct().collect().map(_.getString(0))
-        if (doomed.nonEmpty) {
-          val meta = CellStore.readMeta(store).get
-          new graft.sources.cassandralike.CassandraLikeTable(store, store,
-            org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
-            Some(meta.mapping), meta.properties)
-            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
-              org.apache.spark.sql.sources.In("row_key",
-                doomed.toArray[Any])))
-        }
-      }
+      val store = seedAsOfEpochs(s, dir)
       def view(opts: Map[String, String]) = Seed.read(s, store, opts)
         .filter($"row_key" >= "0000000100" && $"row_key" < "0000001200")
       val e1 = view(Map(Options.ReadAsOf -> "1"))
@@ -591,6 +598,32 @@ object Connector {
       val now = view(Map.empty)
         .agg(count(lit(1)).as("n_now"), sum($"value").as("sum_now"))
       e1.crossJoin(pre).crossJoin(now)
+    },
+
+    // ---- GROUPED as-of (round 13): per-key width/volume over pinned
+    // points AT A BOUND — "per-order size as of the pre-takedown
+    // watermark". The bound (ts=2) covers both write epochs and excludes
+    // the delete epoch (ts=3), so key 810 — deleted NOW — still emits its
+    // group; the per-point composite arithmetic runs over the covered
+    // file subset, complete at planning. ----
+    Q("conn_agg_asof_group",
+      """WITH cells AS (SELECT DISTINCT
+        |    lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS k,
+        |    lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS c,
+        |    (l_orderkey % 97) * 100 + l_linenumber AS v
+        |  FROM lineitem)
+        |SELECT k, count(*) AS width, CAST(sum(v) AS BIGINT) AS vol
+        |FROM cells
+        |WHERE k IN ('0000000001', '0000000810', '0000099999')
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val store = seedAsOfEpochs(s, dir)
+      Seed.read(s, store, Map(Options.ReadAsOf -> "2"))
+        .filter($"row_key".isin("0000000001", "0000000810", "0000099999"))
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("width"), sum($"value").as("vol"))
+        .select($"row_key".as("k"), $"width", $"vol")
+        .orderBy($"k")
     },
 
     // ---- GROUPED metadata stats: per-key COUNT + SUM(value) + MIN/MAX of

@@ -3244,8 +3244,13 @@ object CellStore {
     val target = bucketStatFile(tableDir, bucket)
     val files = segmentFiles(tableDir, bucket)
     if (files.isEmpty) { Files.deleteIfExists(target); return }
+    // probe knob (tools only): -Dgraft.sidecar.incremental=false replays
+    // the pre-r13 full re-read so SidecarRefreshProbe can measure the
+    // incremental refresh in isolation; never set on a production path
     val prev: Map[(String, Long), Array[RunStats]] =
-      readSidecarRunStats(target)
+      if (sys.props.get("graft.sidecar.incremental").contains("false"))
+        Map.empty
+      else readSidecarRunStats(target)
     val perFile: Seq[(Path, Array[RunStats])] = files.map { f =>
       val sig = (f.getFileName.toString, Files.size(f))
       f -> prev.getOrElse(sig, runStats(f))

@@ -1487,6 +1487,14 @@ class MetadataAggSpec extends SparkSpec {
       val fast = agg(Map.empty)
       val fold = agg(Map(Options.MetadataAgg -> "false"))
       assert(fast == fold, s"iter $iter pred $pred: $fast vs $fold")
+      // random AS-OF bound (r13 per-run gating): positional == fold at
+      // every bound, epochs covered, straddled or excluded alike
+      val bound = rnd.nextInt(5).toString
+      val fastA = agg(Map(Options.ReadAsOf -> bound))
+      val foldA = agg(Map(Options.ReadAsOf -> bound,
+        Options.MetadataAgg -> "false"))
+      assert(fastA == foldA,
+        s"iter $iter pred $pred asof $bound: $fastA vs $foldA")
       // grouped twin (pinned keys only — the others plan normally anyway):
       // per-key COUNT + SUM(value) + MIN/MAX(clustering col)
       def grouped(opts: Map[String, String]) =
@@ -1553,6 +1561,13 @@ class MetadataAggSpec extends SparkSpec {
       val fast = agg(Map.empty)
       val fold = agg(Map(Options.MetadataAgg -> "false"))
       assert(fast == fold, s"regular iter $iter pred $pred: $fast vs $fold")
+      // random AS-OF bound (r13 per-run gating), regular-mapping twin
+      val bound = rnd.nextInt(5).toString
+      val fastA = agg(Map(Options.ReadAsOf -> bound))
+      val foldA = agg(Map(Options.ReadAsOf -> bound,
+        Options.MetadataAgg -> "false"))
+      assert(fastA == foldA,
+        s"regular iter $iter pred $pred asof $bound: $fastA vs $foldA")
     }
   }
 
@@ -1697,6 +1712,23 @@ class MetadataAggSpec extends SparkSpec {
     assert(q(Map(Options.ReadAsOf -> "5")).collect()(0) == rPre)
     assert(CellStore.runTailReads.get() == tails0,
       "cold as-of per-run gating must read the sidecar section, not tails")
+    // GROUPED as-of composes: per-key counts/sums over pinned points at a
+    // bound between epochs run the same per-point arithmetic over the
+    // covered subset (215 is deleted at ts=6 but visible as-of 5; at
+    // bound 1 the epoch-2 keys emit no group)
+    def g(bound: String, ks: Long*) =
+      Seed.read(spark, store, Map(Options.ReadAsOf -> bound))
+        .filter(col("k").isin(ks.map(Long.box): _*))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val g5 = g("5", 15L, 215L, 255L)
+    assert(scanOf(g5).scan.description().contains("AggStats: complete"),
+      s"grouped as-of must stay positional: ${scanOf(g5).scan.description()}")
+    assert(g5.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq ==
+      Seq((15L, 1L, 45L), (215L, 1L, 645L), (255L, 1L, 765L)))
+    val g1 = g("1", 15L, 215L, 255L)
+    assert(scanOf(g1).scan.description().contains("AggStats: complete"))
+    assert(g1.collect().map(_.getLong(0)).toSeq == Seq(15L))
     // a STRADDLING run folds: one run whose TSRG window crosses the
     // bound (a raw segment carrying BOTH ts=2 and ts=6 cells — the real
     // write path stamps one ts per run, so the straddle is seeded raw;
