@@ -2486,6 +2486,155 @@ object Connector {
       eq.crossJoin(in)
     },
 
+    // ---- INDEX-ACCELERATED VALUE STATISTICS (round 13, extending the
+    // postings-count path): `SUM/MIN/MAX/COUNT(v) WHERE indexed_col = x`
+    // answers COMPLETELY at planning — under the same bijection proof the
+    // postings for x list EXACTLY the matching rows' keys, so one bounded
+    // postings point read feeds the per-point positional arithmetic
+    // (presence seeks + CVAL interval sums/extremes). "Statistics of one
+    // source" over an append-only corpus: O(matching postings +
+    // candidates · log) planning IO, never a base scan; past the
+    // candidate budget the index-shrunk distributed scan owns it. Every
+    // 7th row withholds its value cell, so COUNT(v) < COUNT(*). ----
+    Q("conn_agg_indexed_stats",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    CASE WHEN c_custkey % 7 <> 0
+        |         THEN (c_custkey % 977) * 1000 + c_nationkey END AS v
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM rws WHERE src = 'BUILDING#4') AS n,
+        |  (SELECT count(v) FROM rws WHERE src = 'BUILDING#4') AS nv,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws WHERE src = 'BUILDING#4') AS sv,
+        |  (SELECT min(v) FROM rws WHERE src = 'BUILDING#4') AS mn,
+        |  (SELECT max(v) FROM rws WHERE src = 'BUILDING#4') AS mx,
+        |  (SELECT CAST(sum(v) AS DOUBLE) / CAST(count(v) AS DOUBLE)
+        |   FROM rws WHERE src = 'BUILDING#4') AS av,
+        |  (SELECT min(k) FROM rws WHERE src = 'BUILDING#4') AS mk""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_stats"
+      seedOnce(s"$dir#agg_indexed_stats") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise(($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_stats", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src"))
+      }
+      Seed.read(s, store)
+        .filter($"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+          sum($"v").as("sv"), min($"v").as("mn"), max($"v").as("mx"),
+          avg($"v").as("av"), min($"row_key").as("mk"))
+    },
+
+    // ---- GROUP BY the INDEXED column over an IN ("per-source row and
+    // value totals"): one group per IN value with matching rows, each
+    // answered from its own candidate set exactly like the scalar form;
+    // a value with no postings ('NOPE#9') emits NO group, like the fold. ----
+    Q("conn_agg_indexed_group",
+      """WITH rws AS (SELECT
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    CASE WHEN c_custkey % 7 <> 0
+        |         THEN (c_custkey % 977) * 1000 + c_nationkey END AS v
+        |  FROM customer)
+        |SELECT src, count(*) AS n, count(v) AS nv,
+        |  CAST(sum(v) AS BIGINT) AS sv, max(v) AS mx
+        |FROM rws WHERE src IN ('BUILDING#4', 'AUTOMOBILE#7', 'NOPE#9')
+        |GROUP BY src""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_stats"
+      seedOnce(s"$dir#agg_indexed_stats") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise(($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_stats", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src"))
+      }
+      Seed.read(s, store)
+        .filter($"src".isin("BUILDING#4", "AUTOMOBILE#7", "NOPE#9"))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+          sum($"v").as("sv"), max($"v").as("mx"))
+    },
+
+    // ---- INDEXED STATS ON A NETTED STORE ("per-source volume after last
+    // night's takedown"): certified delete epochs keep the indexed
+    // aggregate paths POSITIONAL — candidates whose rows were deleted net
+    // to zero presence (an emptied source emits no group, like the fold),
+    // counts/sums subtract per point through the netted twins, and the
+    // totals-equality proof recovers the live postings count from the
+    // committed CVAL + netted-CVAL reductions. Value extremals never net
+    // (IndexSpec pins the decline). ----
+    Q("conn_agg_indexed_netted",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    CASE WHEN c_custkey % 7 <> 0
+        |         THEN (c_custkey % 977) * 1000 + c_nationkey END AS v
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 9 = 2 OR
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) = 'MACHINERY#1')),
+        |s AS (SELECT count(*) AS n, count(v) AS nv,
+        |    CAST(sum(v) AS BIGINT) AS sv, min(k) AS mk
+        |  FROM rws WHERE src = 'BUILDING#4'),
+        |g AS (SELECT src, count(*) AS gn, CAST(sum(v) AS BIGINT) AS gsv
+        |  FROM rws WHERE src IN ('BUILDING#4', 'MACHINERY#1', 'AUTOMOBILE#7')
+        |  GROUP BY src)
+        |SELECT s.n, s.nv, s.sv, s.mk, g.src, g.gn, g.gsv
+        |FROM s CROSS JOIN g""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_netted"
+      seedOnce(s"$dir#agg_indexed_netted") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          when($"c_custkey" % 7 === 0, lit(null))
+            .otherwise(($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"),
+          $"c_custkey")
+        Seed.table(s, dir, "agg_indexed_netted",
+          src.select($"row_key", $"src", $"v").repartition(1),
+          props = Map(Options.IndexColumns -> "src"))
+        // the takedown: driver-issued key list (DELETE ... WHERE key IN
+        // (...) is a point operation by nature — same pattern as
+        // conn_agg_netted_count / conn_agg_asof_epochs)
+        val doomed = src
+          .filter($"c_custkey" % 9 === 2 || $"src" === "MACHINERY#1")
+          .select($"row_key").distinct().collect().map(_.getString(0))
+        if (doomed.nonEmpty) {
+          val meta = CellStore.readMeta(store).get
+          new graft.sources.cassandralike.CassandraLikeTable(store, store,
+            org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+            Some(meta.mapping), meta.properties)
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("row_key",
+                doomed.toArray[Any])))
+        }
+      }
+      val r = Seed.read(s, store)
+      val scalar = r.filter($"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+          sum($"v").as("sv"), min($"row_key").as("mk"))
+      val grouped = r
+        .filter($"src".isin("BUILDING#4", "MACHINERY#1", "AUTOMOBILE#7"))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"))
+      scalar.crossJoin(grouped)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

@@ -713,15 +713,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (!CassandraLikeTable.plainView(
         k => Options.effective(options, table.tableProps, k),
         table.tableProps, allowBoundedAsOf = true)) return None
-    // GROUP BY the row key over pushed key points: per-group presence
-    // counts from the same positional arithmetic
+    // GROUP BY the row key over pushed key points (or the INDEXED column
+    // over an absorbed IN): per-group presence counts from the same
+    // positional arithmetic
     if (aggregation.groupByExpressions().nonEmpty)
-      return computeGroupedRangeAnswer(aggregation)
+      return computeIndexedGroupAnswer(aggregation)
+        .orElse(computeGroupedRangeAnswer(aggregation))
     // pushed FILTERS route to the range-aggregate planner (the unfiltered
     // STAT-tail fold below cannot see a key restriction); an absorbed
-    // INDEXED equality/IN tries the postings-count path first
+    // INDEXED equality/IN tries the zero-base-IO postings-count path
+    // first, then the candidate-point value-aggregate path
     if (pushed.nonEmpty)
       return computeIndexedCountAnswer(aggregation)
+        .orElse(computeIndexedStatsAnswer(aggregation))
         .orElse(computeRangeAnswer(aggregation))
     def col(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -1021,26 +1025,29 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * as-of views, transposed mappings — returns None and the existing
     * paths own the query (candidate point reads + reader-side fold:
     * exact, just not zero-IO). */
-  private def computeIndexedCountAnswer(
-      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+  /** The proven context every indexed-aggregate path shares: the one
+    * absorbed indexed predicate, its DISTINCT encoded value points (paired
+    * with their Catalyst values — the grouped form's group keys), and the
+    * index's segment map — produced only after the full composed proof
+    * above (clean base, tombstone-free postings, totals equality) has
+    * held, so callers may treat postings as a BIJECTION onto the base's
+    * current cells of the indexed column. */
+  private case class IndexedCtx(idxCol: String,
+      pts: Seq[(Array[Byte], Any)],
+      idxDir: String,
+      idxByBucket: Map[Int, Seq[java.nio.file.Path]],
+      buckets: Int,
+      /** some base bucket carries certified delete epochs: candidates are
+        * a superset of the visible rows (deleted keys net to zero), the
+        * per-point arithmetic must use the netted twins, and value
+        * extremals decline (removing an extreme is not a subtraction) */
+      netted: Boolean)
+
+  private def indexedAggContext(): Option[IndexedCtx] = {
     if (table.mapping.transposed) return None
     val optF: String => Option[String] =
       k => Options.effective(options, table.tableProps, k)
     if (optF(Options.ReadAsOf).nonEmpty) return None
-    val keyN = table.mapping.keyField.name
-    // every aggregate must be row-count-equivalent: COUNT(*) or
-    // COUNT(key) (the key is never missing)
-    val translated: Seq[Option[PushedAgg]] =
-      aggregation.aggregateExpressions().toSeq.map {
-        case _: CountStar => Some(PushedAgg.CountStar)
-        case c: Count if !c.isDistinct =>
-          aggCol(c.column).filter(_ == keyN).map(PushedAgg.Count.apply)
-        case _ => None
-      }
-    if (translated.exists(_.isEmpty)) return None
-    val want = translated.flatten
     // exactly ONE absorbed indexed equality/IN and nothing else pushed
     // (the IsNotNull Catalyst pairs with it is subsumed by the equality)
     val idxCols = Index.columns(table.mapping, optF)
@@ -1059,14 +1066,30 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (!Index.formatOk(idxDir)) return None
     val colBytes = MetadataAggReader.regularCellBytes(table.mapping, idxCol)
     if (colBytes == null) return None
-    // clean-base proof + the base's per-column total (CVAL)
+    // base proof + the base's per-column LIVE total (CVAL): every bucket
+    // must be CLEAN (no overwrite/delete ever) or NETTING-ELIGIBLE
+    // (disjoint live runs + certified delete epochs). The totals equality
+    // below compares postings against cells EVER WRITTEN of the indexed
+    // column — on a netted bucket that is the LIVE-run count, recovered
+    // from the two committed reductions: colVals = live + certified
+    // victims, nettedColVals = live − certified, so live = (sum)/2.
     var baseColCells = 0L
+    var anyNetted = false
     CellStore.allSegmentFiles(table.dir).foreach { case (b, files) =>
       val rec = CellStore.bucketStats(table.dir, b, files)
-      if (!(rec.statsValid && rec.tombstoneFree && rec.disjoint &&
-          rec.allAddrsDistinct && rec.colValsAll)) return None
-      rec.colVals.find(cv => java.util.Arrays.equals(cv.col, colBytes))
-        .foreach(cv => baseColCells += cv.count)
+      if (!rec.statsValid) return None
+      def colCount(cvs: Seq[CellStore.ColValStat]): Long =
+        cvs.find(cv => java.util.Arrays.equals(cv.col, colBytes))
+          .map(_.count).getOrElse(0L)
+      if (rec.tombstoneFree && rec.disjoint && rec.allAddrsDistinct &&
+          rec.colValsAll) {
+        baseColCells += colCount(rec.colVals)
+      } else if (rec.nettedOk && rec.nettedColValsOk) {
+        anyNetted = true
+        val both = colCount(rec.colVals) + colCount(rec.nettedColVals)
+        if (both < 0 || both % 2 != 0) return None
+        baseColCells += both / 2
+      } else return None
     }
     // index-side totals (tombstone-free postings, raw cell count)
     var idxCells = 0L
@@ -1077,26 +1100,260 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       idxCells += rec.cells
     }
     if (idxCells != baseColCells) return None // orphan/dup postings: decline
-    // count the value points on their routed index buckets
     val dt = table.tableSchema(idxCol).dataType
     val textEnc = optF(Options.Encoding).contains("text")
     val buckets = optF(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    val points: Seq[Array[Byte]] = rawVals
-      .map(org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst)
-      .filter(_ != null)
-      .map(Index.encodeKey(dt, _, textEnc))
-      .map(_.toSeq).distinct.map(_.toArray) // dup IN values count once
+    // distinct encoded points, keeping the Catalyst value (dup IN values
+    // count once; absorbed types encode injectively, so distinct bytes =
+    // distinct SQL values)
+    val seen = collection.mutable.Set.empty[Seq[Byte]]
+    val pts = Seq.newBuilder[(Array[Byte], Any)]
+    rawVals.foreach { v =>
+      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)
+      if (cat != null) {
+        val ek = Index.encodeKey(dt, cat, textEnc)
+        if (seen.add(ek.toSeq)) pts += ((ek, cat))
+      }
+    }
+    Some(IndexedCtx(idxCol, pts.result(), idxDir, idxByBucket, buckets,
+      anyNetted))
+  }
+
+  private def computeIndexedCountAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    val ctx = indexedAggContext().getOrElse(return None)
+    // postings count deleted rows too: the zero-IO count is clean-only
+    // (the candidate-point stats path below answers netted stores)
+    if (ctx.netted) return None
+    val keyN = table.mapping.keyField.name
+    // every aggregate must be row-count-equivalent: COUNT(*), COUNT(key)
+    // (the key is never missing), or COUNT(indexed col) — every matching
+    // row carries the indexed cell by definition of matching
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct =>
+          aggCol(c.column).filter(c0 => c0 == keyN || c0 == ctx.idxCol)
+            .map(PushedAgg.Count.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) return None
+    val want = translated.flatten
+    // count the value points on their routed index buckets
     var total = 0L
-    points.groupBy(ek => TokenRing.bucket(ek, buckets)).foreach {
-      case (b, pts) =>
-        idxByBucket.get(b).foreach { files =>
+    ctx.pts.map(_._1).groupBy(ek => TokenRing.bucket(ek, ctx.buckets)).foreach {
+      case (b, ps) =>
+        ctx.idxByBucket.get(b).foreach { files =>
           files.foreach { f =>
-            CellStore.countCellsAtPoints(f, pts).foreach(total += _)
+            CellStore.countCellsAtPoints(f, ps).foreach(total += _)
           }
         }
     }
     Some((want, Nil, Seq(InternalRow.fromSeq(want.map(_ => total: Any)))))
+  }
+
+  /** COMPLETE pushdown of VALUE aggregates under an absorbed indexed
+    * equality/IN — `SELECT sum(c2), min(c2), count(c2) WHERE c1 = v` —
+    * the "statistics of one source/segment/language" polling shape
+    * (round 13, extending the postings-count path above). Composition:
+    * under the same bijection proof ([[indexedAggContext]]), the
+    * postings for value v list EXACTLY the matching rows' keys, so the
+    * candidate keys (one bounded postings point read) feed the existing
+    * per-point positional arithmetic ([[MetadataAggReader
+    * .regularRangeVals]] with pinned key points: presence from boundary
+    * seeks, per-column COUNT/SUM/MIN/MAX from the CVAL interval
+    * machinery). Planning IO is O(matching postings + candidates · log),
+    * independent of table size — never a base scan. Budgeted twice: the
+    * index's own candidate budget, then [[CellScanBuilder
+    * .MaxCompletePoints]] — past either, the planner declines and the
+    * index-shrunk distributed scan owns the query (exact, just not
+    * planning-time). */
+  private def computeIndexedStatsAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    val ctx = indexedAggContext().getOrElse(return None)
+    val want = translateIndexedValueAggs(aggregation, ctx.netted)
+      .getOrElse(return None)
+    val cands = indexedCandidates(ctx).getOrElse(return None)
+    val ks0 = cands.values.flatten.toSeq
+    if (ks0.size > CellScanBuilder.MaxCompletePoints) return None
+    val files = CellStore.allSegmentFiles(table.dir).values.flatten.toSeq
+    // netted: shrink candidates to the VISIBLE rows (a deleted key nets
+    // to zero presence) — afterwards the list is exactly the matching
+    // rows under either proof, so key extremals may decode it directly
+    val ks =
+      if (!ctx.netted) ks0
+      else presentPoints(ks0, files).getOrElse(return None)
+    indexedVals(want, ks, files, ctx.netted)
+      .map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
+  }
+
+  /** The subset of `ks` with POSITIVE netted presence (live − certified
+    * cells at the point), or None when any consulted run is
+    * unclassifiable under netting. */
+  private def presentPoints(ks: Seq[Array[Byte]],
+      files: Seq[java.nio.file.Path]): Option[Seq[Array[Byte]]] = {
+    val acc = new Array[Long](ks.length)
+    files.foreach { f =>
+      CellStore.nettedCountCellsAtPoints(f, ks) match {
+        case Some(per) =>
+          var i = 0
+          while (i < per.length) { acc(i) += per(i); i += 1 }
+        case None => return None
+      }
+    }
+    Some(ks.zipWithIndex.collect { case (k, i) if acc(i) > 0 => k })
+  }
+
+  /** One indexed-candidate answer row: per-column counts/values through
+    * the positional point arithmetic, MIN/MAX of the KEY directly from
+    * the candidate list — under the bijection proof the candidates ARE
+    * the matching rows, so the key extremal is a decode + the type's own
+    * ordering, exact under ANY key codec (no byte-order requirement). */
+  private def indexedVals(want: Seq[PushedAgg],
+      ks: Seq[Array[Byte]],
+      files: Seq[java.nio.file.Path],
+      netted: Boolean): Option[Seq[Any]] = {
+    val keyN = table.mapping.keyField.name
+    def isKeyExtremal(a: PushedAgg): Boolean = a match {
+      case PushedAgg.Min(c) => c == keyN
+      case PushedAgg.Max(c) => c == keyN
+      case _ => false
+    }
+    val rest = want.filterNot(isKeyExtremal)
+    val restVals = MetadataAggReader.regularRangeVals(rest, table.keyCodec,
+      files, null, null, ks,
+      colBytesOf = MetadataAggReader.regularCellBytes(table.mapping, _),
+      netted = netted)
+      .getOrElse(return None)
+    lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(table.tableSchema(keyN).dataType)
+    lazy val decoded: Seq[Any] = ks.map(table.keyCodec.decode)
+    val it = restVals.iterator
+    Some(want.map {
+      case a if isKeyExtremal(a) =>
+        if (ks.isEmpty) null
+        else a match {
+          case PushedAgg.Min(_) => decoded.min(ord)
+          case _ => decoded.max(ord)
+        }
+      case _ => it.next()
+    })
+  }
+
+  /** GROUP BY the INDEXED column over an absorbed IN — `SELECT c1,
+    * count(*), sum(c2) WHERE c1 IN (...) GROUP BY c1` ("per-source row
+    * and byte totals") — one group per IN value with matching rows, each
+    * group answered from its own candidate key set exactly like the
+    * scalar form; a value with no postings emits NO group, exactly like
+    * the fold. */
+  private def computeIndexedGroupAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
+    val ctx = indexedAggContext().getOrElse(return None)
+    aggregation.groupByExpressions().toSeq.map(aggCol) match {
+      case Seq(Some(g)) if g == ctx.idxCol => ()
+      case _ => return None
+    }
+    val want = translateIndexedValueAggs(aggregation, ctx.netted)
+      .getOrElse(return None)
+    val cands = indexedCandidates(ctx).getOrElse(return None)
+    if (cands.values.map(_.size).sum > CellScanBuilder.MaxCompletePoints)
+      return None
+    val files = CellStore.allSegmentFiles(table.dir).values.flatten.toSeq
+    val rows = ctx.pts.flatMap { case (ek, cat) =>
+      val ks0 = cands.getOrElse(ek.toSeq, Nil)
+      // netted: a value whose every matching row was deleted nets to an
+      // EMPTY visible set and emits no group, exactly like the fold
+      val ks =
+        if (!ctx.netted) ks0
+        else presentPoints(ks0, files).getOrElse(return None)
+      if (ks.isEmpty) None
+      else indexedVals(want, ks, files, ctx.netted) match {
+        case Some(vals) => Some(InternalRow.fromSeq(cat +: vals))
+        case None => return None
+      }
+    }
+    Some((want, Seq(ctx.idxCol), rows))
+  }
+
+  /** Aggregates the indexed VALUE paths can answer: row counts, per-column
+    * counts of any named cell, SUM/MIN/MAX of binary-long cells, MIN/MAX
+    * of an order-preserving key. Anything else declines the whole answer. */
+  private def translateIndexedValueAggs(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      netted: Boolean)
+    : Option[Seq[PushedAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    val keyN = table.mapping.keyField.name
+    // SUMs net (certified tombstones carry their victims' values);
+    // value EXTREMALS never net (removing an extreme is not a
+    // subtraction; a deleted cell's bytes must not surface) — netted
+    // stores keep counts/sums/key-extremals and decline MIN/MAX(value)
+    def sumOk(c: String): Boolean =
+      MetadataAggReader.regularValueEligible(table.mapping, c, optF)
+    def valOk(c: String): Boolean = !netted && sumOk(c)
+    // key extremals decode the candidate list and use the type's own
+    // ordering (see indexedVals) — any orderable key type qualifies,
+    // order-preserving codec NOT required
+    def keyMinMaxOk(c: String): Boolean = c == keyN &&
+      (table.tableSchema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+          org.apache.spark.sql.types.StringType |
+          org.apache.spark.sql.types.DateType |
+          org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.BooleanType |
+          org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      })
+    val translated: Seq[Option[PushedAgg]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(PushedAgg.CountStar)
+        case c: Count if !c.isDistinct =>
+          aggCol(c.column).filter(c0 => c0 == keyN ||
+            MetadataAggReader.regularCountEligible(table.mapping, c0, optF))
+            .map(PushedAgg.Count.apply)
+        case m: Min =>
+          aggCol(m.column).filter(c0 => valOk(c0) || keyMinMaxOk(c0))
+            .map(PushedAgg.Min.apply)
+        case m: Max =>
+          aggCol(m.column).filter(c0 => valOk(c0) || keyMinMaxOk(c0))
+            .map(PushedAgg.Max.apply)
+        case s: Sum if !s.isDistinct =>
+          aggCol(s.column).filter(sumOk).map(PushedAgg.Sum.apply)
+        case _ => None
+      }
+    if (translated.exists(_.isEmpty)) None else Some(translated.flatten)
+  }
+
+  /** Candidate BASE KEYS per encoded value point, from one budgeted
+    * postings point read each ([[Index.lookupOne]] — run index + blooms on
+    * the routed bucket). None = some value's postings blew the candidate
+    * budget; the caller declines to the index-shrunk scan. */
+  private def indexedCandidates(ctx: IndexedCtx)
+    : Option[Map[Seq[Byte], Seq[Array[Byte]]]] = {
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    val budget = math.min(
+      optF(Options.IndexMaxCandidates).map(_.toInt)
+        .getOrElse(Options.DefaultIndexMaxCandidates),
+      CellScanBuilder.MaxCompletePoints)
+    val out = Map.newBuilder[Seq[Byte], Seq[Array[Byte]]]
+    ctx.pts.foreach { case (ek, _) =>
+      Index.lookupOne(ctx.idxDir, ek, ctx.buckets, budget) match {
+        case Some(ks) => out += ek.toSeq -> ks
+        case None => return None
+      }
+    }
+    Some(out.result())
   }
 
   private def computeRangeAnswer(

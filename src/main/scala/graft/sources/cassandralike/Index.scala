@@ -306,8 +306,8 @@ object Index {
     * the candidate budget — checked DURING iteration, so a pathologically
     * hot value never materializes an unbounded driver-side list before the
     * budget is consulted. */
-  private def lookupOne(idxDir: String, ek: Array[Byte], buckets: Int,
-      budget: Int): Option[Vector[Array[Byte]]] = {
+  private[cassandralike] def lookupOne(idxDir: String, ek: Array[Byte],
+      buckets: Int, budget: Int): Option[Vector[Array[Byte]]] = {
     val b = TokenRing.bucket(ek, buckets)
     val hi = java.util.Arrays.copyOf(ek, ek.length + 1) // succ: ek ++ 0x00
     val it = new CellStore.BucketMergeIterator(idxDir, b, ek, hi,

@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.cassandralike.{Options, Seed}
+
+/** Measures the INDEXED value-statistics paths (round 13) against their
+  * two fallbacks on the same data:
+  * `runMain graft.tools.IndexedAggProbe <sfDir>`.
+  *
+  * Seeds TWO identical regular stores from orders (~100 distinct values
+  * of the probe column, so one value matches ~N/100 rows) — one with
+  * `index.columns`, one without — then times
+  * `count(*), count(v), sum(v), min(key) WHERE src = <value>` three ways:
+  *
+  *   positional  indexed store, complete-at-planning (postings point read
+  *               → candidate keys → per-point boundary seeks; ZERO jobs)
+  *   shrunk      indexed store, `metadata.agg = false` (the index still
+  *               shrinks the scan to candidate point reads; one job over
+  *               O(matching rows))
+  *   full        unindexed store (distributed scan of the whole table
+  *               with partial aggregation)
+  *
+  * positional/shrunk isolates what answering AT PLANNING saves over the
+  * index-shrunk job; shrunk/full isolates what the index itself saves.
+  * min-of-5 each, interleaved. */
+object IndexedAggProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = math.max(4, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = Tables.load(spark, sfDir, "orders").select(
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("row_key"),
+      concat(col("o_orderpriority"), lit("#"),
+        (col("o_orderkey") % 20).cast("string")).as("src"),
+      floor(col("o_totalprice")).cast("bigint").as("v"))
+    val indexed = Seed.table(spark, sfDir, "idx_agg_probe_on", src,
+      props = Map(Options.IndexColumns -> "src"))
+    val plain = Seed.table(spark, sfDir, "idx_agg_probe_off", src)
+    val probe = "1-URGENT#7"
+    def q(dir: String, opts: Map[String, String]) =
+      Seed.read(spark, dir, opts).filter(col("src") === probe)
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+          sum(col("v")).as("sv"), min(col("row_key")).as("mk"))
+    def run(dir: String, opts: Map[String, String]): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = q(dir, opts).collect()(0).getLong(0)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // prove the positional arm engages
+    locally {
+      val df = q(indexed, Map.empty)
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+          }.orNull
+      }.filter(_ != null).head
+      println(s"complete=${scan.description().contains("AggStats: complete")}")
+    }
+    run(indexed, Map.empty); run(indexed, Map(Options.MetadataAgg -> "false"))
+    run(plain, Map.empty)
+    val pos = collection.mutable.ArrayBuffer.empty[Double]
+    val shr = collection.mutable.ArrayBuffer.empty[Double]
+    val ful = collection.mutable.ArrayBuffer.empty[Double]
+    var rows = 0L
+    (1 to 5).foreach { _ =>
+      val (tp, n1) = run(indexed, Map.empty)
+      val (ts, n2) = run(indexed, Map(Options.MetadataAgg -> "false"))
+      val (tf, n3) = run(plain, Map.empty)
+      require(n1 == n2 && n2 == n3, s"paths disagree: $n1 / $n2 / $n3")
+      rows = n1; pos += tp; shr += ts; ful += tf
+    }
+    println(f"matching_rows=$rows positional_min=${pos.min}%.4f " +
+      f"shrunk_min=${shr.min}%.4f full_min=${ful.min}%.4f " +
+      f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
+      f"full_over_positional=${ful.min / pos.min}%.1f")
+    spark.stop()
+  }
+}

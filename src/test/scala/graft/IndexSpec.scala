@@ -430,13 +430,16 @@ class IndexSpec extends SparkSpec {
     assert(!scanDesc(afterOw).contains("AggStats: complete"),
       "an overwritten store must decline the postings count")
     assert(afterOw.collect()(0).getLong(0) == rows.count(_._2 == "g3") - 1)
-    // DELETE dirties it too
+    // CERTIFIED DELETE: the zero-IO postings count declines (postings
+    // include the victim), but the candidate-point stats path still
+    // answers POSITIONALLY — presence netting zeroes the deleted key
     val dir2 = seed("spec_idx_count_del", "name",
       (1L to 500L).map(i => (i, s"h${i % 3}", 1.0)))
     tableOf(dir2).deleteWhere(Array[Filter](EqualTo("id", 6L))) // h0
     val afterDel = Seed.read(spark, dir2).filter(col("name") === "h0")
       .agg(count(lit(1)).as("n"))
-    assert(!scanDesc(afterDel).contains("AggStats: complete"))
+    assert(scanDesc(afterDel).contains("AggStats: complete"),
+      "a certified delete keeps the candidate-point count positional")
     assert(afterDel.collect()(0).getLong(0) ==
       (1L to 500L).count(i => i % 3 == 0 && i != 6L))
     // ORPHAN postings (a crashed/retried index commit): totals equality
@@ -459,5 +462,231 @@ class IndexSpec extends SparkSpec {
     assert(!scanDesc(orph).contains("AggStats: complete"),
       "orphan postings must fail the totals equality and decline")
     assert(orph.collect()(0).getLong(0) == 100L)
+  }
+
+  test("indexed value statistics + GROUP BY indexed column: candidates feed point arithmetic; declines stay exact") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan
+      plan.collectFirst { case b: BatchScanExec => b }
+        .orElse(plan.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
+        .map(_.scan.description()).getOrElse("")
+    }
+    // v withheld on every 5th row: COUNT(v) < COUNT(*), SUM skips nulls
+    val rows: Seq[(Long, String, Option[Long])] = (1L to 3000L).map(i =>
+      (i, s"g${i % 7}", if (i % 5 == 0) None else Some(i * 3 - 1000)))
+    val dir = Seed.table(spark, sfDir, "spec_idx_stats",
+      rows.toDF("id", "name", "v"),
+      props = Map(Options.IndexColumns -> "name"))
+    def stats(readOpts: Map[String, String], vs: String*) =
+      Seed.read(spark, dir, readOpts)
+        .filter(if (vs.length == 1) col("name") === vs.head
+          else col("name").isin(vs: _*))
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+          sum(col("v")).as("sv"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"), min(col("id")).as("mk"))
+    def expect(p: ((Long, String, Option[Long])) => Boolean) = {
+      val m = rows.filter(p)
+      val vv = m.flatMap(_._3)
+      (m.size.toLong, vv.size.toLong,
+        if (vv.isEmpty) null else Long.box(vv.sum),
+        if (vv.isEmpty) null else Long.box(vv.min),
+        if (vv.isEmpty) null else Long.box(vv.max),
+        if (m.isEmpty) null else Long.box(m.map(_._1).min))
+    }
+    def got(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2)),
+        if (r.isNullAt(3)) null else Long.box(r.getLong(3)),
+        if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+        if (r.isNullAt(5)) null else Long.box(r.getLong(5)))
+    }
+    // clean store: complete at planning, exact vs the row model
+    val one = stats(Map.empty, "g3")
+    assert(scanDesc(one).contains("AggStats: complete"),
+      s"indexed value stats must answer at planning: ${scanDesc(one)}")
+    assert(got(one) == expect(_._2 == "g3"))
+    // value with no postings: zero row count, NULL value aggregates
+    val none = stats(Map.empty, "zzz")
+    assert(scanDesc(none).contains("AggStats: complete"))
+    assert(got(none) == (0L, 0L, null, null, null, null))
+    // GROUP BY the indexed column over an IN (dup + absent values):
+    // complete, one row per present value, absent value emits no group
+    val grp = Seed.read(spark, dir)
+      .filter(col("name").isin("g1", "g1", "g4", "zzz"))
+      .groupBy(col("name"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        sum(col("v")).as("sv"), max(col("v")).as("mx"))
+    assert(scanDesc(grp).contains("AggStats: complete"),
+      s"grouped indexed stats must answer at planning: ${scanDesc(grp)}")
+    val grpGot = grp.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(grpGot.keySet == Set("g1", "g4"))
+    for (g <- Seq("g1", "g4")) {
+      val m = rows.filter(_._2 == g); val vv = m.flatMap(_._3)
+      assert(grpGot(g) == (m.size.toLong, vv.size.toLong, vv.sum, vv.max), g)
+    }
+    // candidate budget exceeded: declines complete, the index-shrunk
+    // distributed scan answers exactly
+    val tight = stats(Map(Options.IndexMaxCandidates -> "7"), "g3")
+    assert(!scanDesc(tight).contains("AggStats: complete"),
+      "over-budget candidates must decline the complete answer")
+    assert(got(tight) == expect(_._2 == "g3"))
+    // OVERWRITE dirties the base: stale candidates could answer from a
+    // shadowed value — decline, exact through the re-filtered scan
+    Seed.append(Seq((30L, "gX", Some(1L))).toDF("id", "name", "v"), dir,
+      Map(Options.WriteTimestamp -> "2"))
+    val afterOw = stats(Map.empty, "g3")
+    assert(!scanDesc(afterOw).contains("AggStats: complete"),
+      "an overwritten store must decline indexed value stats")
+    assert(got(afterOw) == expect(r => r._2 == "g3" && r._1 != 30L))
+    // non-long value column (bal DOUBLE): SUM/MIN/MAX can't ride the
+    // positional tails — decline, exact
+    val dir2 = seed("spec_idx_stats_dbl", "name",
+      (1L to 400L).map(i => (i, s"d${i % 3}", i * 0.5)))
+    val dbl = Seed.read(spark, dir2).filter(col("name") === "d1")
+      .agg(count(lit(1)).as("n"), sum(col("bal")).as("sb"))
+    assert(!scanDesc(dbl).contains("AggStats: complete"))
+    val dblRow = dbl.collect()(0)
+    assert(dblRow.getLong(0) == (1L to 400L).count(_ % 3 == 1))
+    assert(math.abs(dblRow.getDouble(1) -
+      (1L to 400L).filter(_ % 3 == 1).map(_ * 0.5).sum) < 1e-9)
+  }
+
+  test("indexed stats on NETTED stores: certified deletes subtract; extremals decline; emptied groups vanish") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+      val plan = df.queryExecution.executedPlan
+      plan.collectFirst { case b: BatchScanExec => b }
+        .orElse(plan.collectFirst {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
+        .map(_.scan.description()).getOrElse("")
+    }
+    val rows: Seq[(Long, String, Option[Long])] = (1L to 900L).map(i =>
+      (i, s"n${i % 5}", if (i % 6 == 0) None else Some(i * 7 - 2000)))
+    val dir = Seed.table(spark, sfDir, "spec_idx_netted",
+      rows.toDF("id", "src", "v"),
+      props = Map(Options.IndexColumns -> "src"))
+    // certified delete epoch: every 4th id, plus ALL of n2's rows —
+    // the emptied-group arm
+    val doomed = rows.collect { case (i, s, _) if i % 4 == 0 || s == "n2" => i }
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      doomed.map(Long.box).toArray[Any])))
+    val live = rows.filterNot(r => doomed.contains(r._1))
+    // counts + sums + key extremals stay POSITIONAL (netted twins);
+    // per-point presence filters the deleted candidates out
+    val stats = Seed.read(spark, dir).filter(col("src") === "n1")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        sum(col("v")).as("sv"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    assert(scanDesc(stats).contains("AggStats: complete"),
+      s"netted indexed counts/sums must stay positional: ${scanDesc(stats)}")
+    val m = live.filter(_._2 == "n1"); val vv = m.flatMap(_._3)
+    val r = stats.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (m.size.toLong, vv.size.toLong, vv.sum,
+      m.map(_._1).min, m.map(_._1).max))
+    // MIN/MAX of the VALUE column never nets — a deleted extreme must
+    // not surface; declines to the re-filtered scan, exact
+    val vx = Seed.read(spark, dir).filter(col("src") === "n1")
+      .agg(min(col("v")).as("vn"), max(col("v")).as("vx"))
+    assert(!scanDesc(vx).contains("AggStats: complete"),
+      "netted value extremals must decline")
+    val vxr = vx.collect()(0)
+    assert((vxr.getLong(0), vxr.getLong(1)) == (vv.min, vv.max))
+    // grouped: n2 was fully deleted — candidates exist, presence nets to
+    // zero, NO group emitted (exactly like the fold)
+    val grp = Seed.read(spark, dir)
+      .filter(col("src").isin("n1", "n2", "n3"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanDesc(grp).contains("AggStats: complete"),
+      s"netted grouped counts must stay positional: ${scanDesc(grp)}")
+    val gGot = grp.collect().map(x => x.getString(0) ->
+      (x.getLong(1), x.getLong(2))).toMap
+    assert(gGot.keySet == Set("n1", "n3"), s"emptied group must vanish: $gGot")
+    for (g <- Seq("n1", "n3")) {
+      val gm = live.filter(_._2 == g); val gv = gm.flatMap(_._3)
+      assert(gGot(g) == (gm.size.toLong, gv.sum), g)
+    }
+    // re-insert after delete breaks live disjointness: decline, exact
+    Seed.append(Seq((8L, "n3", Some(42L))).toDF("id", "src", "v"), dir,
+      Map(Options.WriteTimestamp -> "3"))
+    val after = Seed.read(spark, dir).filter(col("src") === "n3")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(!scanDesc(after).contains("AggStats: complete"),
+      "re-insert-after-delete must decline netted indexed stats")
+    val ar = after.collect()(0)
+    val am = live.filter(r2 => r2._2 == "n3" && r2._1 != 8L) :+
+      ((8L, "n3", Some(42L)))
+    assert((ar.getLong(0), ar.getLong(1)) ==
+      (am.size.toLong, am.flatMap(_._3).sum))
+  }
+
+  test("fuzz: indexed value statistics match the fold across random stores") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (iter <- 1 to 8) {
+      val n = 100 + rnd.nextInt(400)
+      val vals = (0 until 2 + rnd.nextInt(6)).map(i => s"s$i")
+      def randRows(ids: Seq[Long]) = ids.map { i =>
+        (i, vals(rnd.nextInt(vals.size)),
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(2000).toLong - 500))
+      }
+      val store = Seed.table(spark, sfDir, s"spec_idx_fuzz_$iter",
+        randRows((1L to n.toLong)).toDF("id", "src", "v").repartition(1),
+        props = Map(Options.IndexColumns -> "src",
+          Options.Buckets -> (1 + rnd.nextInt(4)).toString))
+      // random second epoch: fresh keys (stays clean) or overwrites
+      // (dirties — must decline to the re-filtered scan, exact)
+      rnd.nextInt(3) match {
+        case 0 => ()
+        case 1 => Seed.append(randRows((n + 1L) to (n + 50L)).toDF(
+          "id", "src", "v").repartition(1), store,
+          Map(Options.WriteTimestamp -> "2"))
+        case _ => Seed.append(randRows(Seq.fill(10)(
+          rnd.nextInt(n).toLong + 1).distinct).toDF("id", "src", "v")
+          .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+      }
+      // occasional deletes (dirty: tombstones)
+      if (rnd.nextInt(4) == 0)
+        tableOf(store).deleteWhere(Array[Filter](In("id",
+          Seq.fill(5)(rnd.nextInt(n).toLong + 1).distinct
+            .map(Long.box).toArray[Any])))
+      val probe = Seq.fill(1 + rnd.nextInt(3))(
+        if (rnd.nextInt(5) == 0) "zzz" else vals(rnd.nextInt(vals.size)))
+        .distinct
+      val readOpts =
+        if (rnd.nextInt(3) == 0)
+          Map(Options.IndexMaxCandidates -> (1 + rnd.nextInt(50)).toString)
+        else Map.empty[String, String]
+      def pred(c: org.apache.spark.sql.Column) =
+        if (probe.length == 1) c === probe.head else c.isin(probe: _*)
+      def agg(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred(col("src")))
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+            sum(col("v")).as("sv"), min(col("v")).as("vn"),
+            max(col("v")).as("vx"), min(col("id")).as("mn"),
+            max(col("id")).as("mx")).collect()(0)
+      val fast = agg(readOpts)
+      val fold = agg(readOpts + (Options.MetadataAgg -> "false"))
+      assert(fast == fold, s"iter $iter probe $probe: $fast vs $fold")
+      def grouped(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred(col("src")))
+          .groupBy(col("src"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            max(col("id")).as("mx"))
+          .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val gFast = grouped(readOpts)
+      val gFold = grouped(readOpts + (Options.MetadataAgg -> "false"))
+      assert(gFast == gFold, s"iter $iter grouped $probe: $gFast vs $gFold")
+    }
   }
 }

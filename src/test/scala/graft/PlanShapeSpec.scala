@@ -88,7 +88,10 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_range_sum", 3), // range, points, unfiltered sum
       ("conn_agg_value_stats", 3), // avg/min/max range + count all + points
       ("conn_agg_grouped_stats", 1),
-      ("conn_agg_regular_range", 2))) {
+      ("conn_agg_regular_range", 2),
+      ("conn_agg_indexed_stats", 1), // candidate-point value stats
+      ("conn_agg_indexed_group", 1), // GROUP BY the indexed column
+      ("conn_agg_indexed_netted", 2))) { // scalar + grouped on the netted store
       val scans = collectAll(plan(name)).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
           if b.scan.description().contains("cassandralike") => b.scan.description()
