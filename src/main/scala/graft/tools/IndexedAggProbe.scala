@@ -39,53 +39,77 @@ object IndexedAggProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // two probe columns: `src` (~100 values, ~N/100 rows each — the
+    // bulk-selectivity arm) and `srcN` (~2500 values, ~N/2500 rows each —
+    // the needle arm where the structural gap shows even on a small
+    // table: positional cost is O(matching rows), the full scan's is
+    // O(table))
     val src = Tables.load(spark, sfDir, "orders").select(
       lpad(col("o_orderkey").cast("string"), 12, "0").as("row_key"),
       concat(col("o_orderpriority"), lit("#"),
         (col("o_orderkey") % 20).cast("string")).as("src"),
+      concat(col("o_orderpriority"), lit("#"),
+        (col("o_orderkey") % 500).cast("string")).as("srcN"),
       floor(col("o_totalprice")).cast("bigint").as("v"))
     val indexed = Seed.table(spark, sfDir, "idx_agg_probe_on", src,
-      props = Map(Options.IndexColumns -> "src"))
+      props = Map(Options.IndexColumns -> "src,srcN"))
     val plain = Seed.table(spark, sfDir, "idx_agg_probe_off", src)
-    val probe = "1-URGENT#7"
-    def q(dir: String, opts: Map[String, String]) =
-      Seed.read(spark, dir, opts).filter(col("src") === probe)
+    // steady state: commit-compact every bucket (a parallel seed's
+    // per-task runs overlap in key range, which fails the disjointness
+    // proof — compaction is the store's normal maintenance answer)
+    Seq(indexed, plain).foreach { d =>
+      (0 until Options.DefaultBuckets).foreach(b =>
+        graft.sources.cassandralike.CellStore.compactBucket(d, b))
+      Seq("src", "srcN").foreach { c =>
+        val idxDir = graft.sources.cassandralike.Index.dir(d, c)
+        if (new java.io.File(idxDir).isDirectory)
+          (0 until Options.DefaultBuckets).foreach(b =>
+            graft.sources.cassandralike.CellStore.compactBucket(idxDir, b))
+      }
+    }
+    def q(dir: String, c: String, v: String, opts: Map[String, String]) =
+      Seed.read(spark, dir, opts).filter(col(c) === v)
         .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
           sum(col("v")).as("sv"), min(col("row_key")).as("mk"))
-    def run(dir: String, opts: Map[String, String]): (Double, Long) = {
+    def run(dir: String, c: String, v: String,
+        opts: Map[String, String]): (Double, Long) = {
       val t0 = System.nanoTime()
-      val n = q(dir, opts).collect()(0).getLong(0)
+      val n = q(dir, c, v, opts).collect()(0).getLong(0)
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    // prove the positional arm engages
-    locally {
-      val df = q(indexed, Map.empty)
-      val scan = df.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan.collectFirst {
-            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
-          }.orNull
-      }.filter(_ != null).head
-      println(s"complete=${scan.description().contains("AggStats: complete")}")
+    for ((c, v, label) <- Seq(("src", "1-URGENT#7", "bulk"),
+      ("srcN", "1-URGENT#107", "needle"))) {
+      // prove the positional arm engages
+      locally {
+        val df = q(indexed, c, v, Map.empty)
+        val scan = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan.collectFirst {
+              case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+            }.orNull
+        }.filter(_ != null).head
+        println(s"$label complete=${scan.description().contains("AggStats: complete")}")
+      }
+      run(indexed, c, v, Map.empty)
+      run(indexed, c, v, Map(Options.MetadataAgg -> "false"))
+      run(plain, c, v, Map.empty)
+      val pos = collection.mutable.ArrayBuffer.empty[Double]
+      val shr = collection.mutable.ArrayBuffer.empty[Double]
+      val ful = collection.mutable.ArrayBuffer.empty[Double]
+      var rows = 0L
+      (1 to 5).foreach { _ =>
+        val (tp, n1) = run(indexed, c, v, Map.empty)
+        val (ts, n2) = run(indexed, c, v, Map(Options.MetadataAgg -> "false"))
+        val (tf, n3) = run(plain, c, v, Map.empty)
+        require(n1 == n2 && n2 == n3, s"paths disagree: $n1 / $n2 / $n3")
+        rows = n1; pos += tp; shr += ts; ful += tf
+      }
+      println(f"$label matching_rows=$rows positional_min=${pos.min}%.4f " +
+        f"shrunk_min=${shr.min}%.4f full_min=${ful.min}%.4f " +
+        f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
+        f"full_over_positional=${ful.min / pos.min}%.1f")
     }
-    run(indexed, Map.empty); run(indexed, Map(Options.MetadataAgg -> "false"))
-    run(plain, Map.empty)
-    val pos = collection.mutable.ArrayBuffer.empty[Double]
-    val shr = collection.mutable.ArrayBuffer.empty[Double]
-    val ful = collection.mutable.ArrayBuffer.empty[Double]
-    var rows = 0L
-    (1 to 5).foreach { _ =>
-      val (tp, n1) = run(indexed, Map.empty)
-      val (ts, n2) = run(indexed, Map(Options.MetadataAgg -> "false"))
-      val (tf, n3) = run(plain, Map.empty)
-      require(n1 == n2 && n2 == n3, s"paths disagree: $n1 / $n2 / $n3")
-      rows = n1; pos += tp; shr += ts; ful += tf
-    }
-    println(f"matching_rows=$rows positional_min=${pos.min}%.4f " +
-      f"shrunk_min=${shr.min}%.4f full_min=${ful.min}%.4f " +
-      f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
-      f"full_over_positional=${ful.min / pos.min}%.1f")
     spark.stop()
   }
 }
