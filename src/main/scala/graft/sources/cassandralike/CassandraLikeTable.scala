@@ -1043,6 +1043,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         * extremals decline (removing an extreme is not a subtraction) */
       netted: Boolean)
 
+  /** Memoized per builder — the scalar count, scalar stats and grouped
+    * paths all consult it during ONE planning pass, and `pushed` (its
+    * only mutable input) is final before Spark offers aggregates. */
+  private lazy val indexedAggCtx: Option[IndexedCtx] = indexedAggContext()
+
   private def indexedAggContext(): Option[IndexedCtx] = {
     if (table.mapping.transposed) return None
     val optF: String => Option[String] =
@@ -1126,7 +1131,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar}
     if (aggregation.groupByExpressions().nonEmpty) return None
-    val ctx = indexedAggContext().getOrElse(return None)
+    val ctx = indexedAggCtx.getOrElse(return None)
     // postings count deleted rows too: the zero-IO count is clean-only
     // (the candidate-point stats path below answers netted stores)
     if (ctx.netted) return None
@@ -1177,7 +1182,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
     if (aggregation.groupByExpressions().nonEmpty) return None
-    val ctx = indexedAggContext().getOrElse(return None)
+    val ctx = indexedAggCtx.getOrElse(return None)
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     val cands = indexedCandidates(ctx).getOrElse(return None)
@@ -1365,7 +1370,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private def computeIndexedGroupAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    val ctx = indexedAggContext().getOrElse(return None)
+    val ctx = indexedAggCtx.getOrElse(return None)
     aggregation.groupByExpressions().toSeq.map(aggCol) match {
       case Seq(Some(g)) if g == ctx.idxCol => ()
       case _ => return None
