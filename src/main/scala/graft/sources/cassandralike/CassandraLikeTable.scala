@@ -1194,7 +1194,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ks =
       if (!ctx.netted) ks0
       else presentPoints(ks0).getOrElse(return None)
-    indexedVals(want, ks, ctx.netted)
+    indexedVals(want, ks, ctx.idxCol, ctx.netted)
       .map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
   }
 
@@ -1218,6 +1218,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
 
   private lazy val baseByBucket: Map[Int, Seq[java.nio.file.Path]] =
     CellStore.allSegmentFiles(table.dir)
+
+  /** MIN/MAX-able column types — one list shared by the partial-pushdown
+    * gate and the indexed key-extremal gate, so the two can never drift. */
+  private def orderableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType |
+        org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.BooleanType |
+        org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
 
   /** The subset of `ks` with POSITIVE netted presence (live − certified
     * cells at the point), or None when any consulted run is
@@ -1255,10 +1268,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     *     slower than the scan it was meant to beat at 1.5k candidates). */
   private def indexedVals(want: Seq[PushedAgg],
       ks: Seq[Array[Byte]],
+      idxCol: String,
       netted: Boolean): Option[Seq[Any]] = {
     val keyN = table.mapping.keyField.name
-    val idxCols = Index.columns(table.mapping,
-      k => Options.effective(options, table.tableProps, k))
     val groups = routePoints(ks)
     lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(table.tableSchema(keyN).dataType)
@@ -1327,8 +1339,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     def colSum(c: String): Option[Long] = colAgg(c).map(_.sum)
     def colExtremal(c: String, wantMin: Boolean): Option[Option[Long]] =
       colAgg(c).map(a => Option(if (wantMin) a.min else a.max).map(Long.unbox))
+    // ONLY the key and the FILTERED column are never-missing on matching
+    // rows — another indexed column can hold nulls there, so its COUNT
+    // must go through the per-point cell arithmetic like any other cell
     def rowCountEquivalent(c: String): Boolean =
-      c == keyN || idxCols(c)
+      c == keyN || c == idxCol
     val out = want.map {
       case PushedAgg.CountStar => ks.size.toLong
       case PushedAgg.Count(c) if rowCountEquivalent(c) => ks.size.toLong
@@ -1370,11 +1385,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private def computeIndexedGroupAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
-    val ctx = indexedAggCtx.getOrElse(return None)
-    aggregation.groupByExpressions().toSeq.map(aggCol) match {
-      case Seq(Some(g)) if g == ctx.idxCol => ()
+    // cheap shape gate FIRST — the ctx proof walks every bucket's
+    // sidecar, pure waste for a group key this path can never serve
+    val groupCol = aggregation.groupByExpressions().toSeq.map(aggCol) match {
+      case Seq(Some(g)) => g
       case _ => return None
     }
+    val ctx = indexedAggCtx.getOrElse(return None)
+    if (groupCol != ctx.idxCol) return None
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     val cands = indexedCandidates(ctx).getOrElse(return None)
@@ -1388,7 +1406,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         if (!ctx.netted) ks0
         else presentPoints(ks0).getOrElse(return None)
       if (ks.isEmpty) None
-      else indexedVals(want, ks, ctx.netted) match {
+      else indexedVals(want, ks, ctx.idxCol, ctx.netted) match {
         case Some(vals) => Some(InternalRow.fromSeq(cat +: vals))
         case None => return None
       }
@@ -1417,16 +1435,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // key extremals decode the candidate list and use the type's own
     // ordering (see indexedVals) — any orderable key type qualifies,
     // order-preserving codec NOT required
-    def keyMinMaxOk(c: String): Boolean = c == keyN &&
-      (table.tableSchema(c).dataType match {
-        case _: org.apache.spark.sql.types.NumericType |
-          org.apache.spark.sql.types.StringType |
-          org.apache.spark.sql.types.DateType |
-          org.apache.spark.sql.types.TimestampType |
-          org.apache.spark.sql.types.BooleanType |
-          org.apache.spark.sql.types.BinaryType => true
-        case _ => false
-      })
+    def keyMinMaxOk(c: String): Boolean =
+      c == keyN && orderableType(table.tableSchema(c).dataType)
     val translated: Seq[Option[PushedAgg]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
@@ -1460,9 +1470,15 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         .getOrElse(Options.DefaultIndexMaxCandidates),
       CellScanBuilder.MaxCompletePoints)
     val out = Map.newBuilder[Seq[Byte], Seq[Array[Byte]]]
+    var total = 0
     ctx.pts.foreach { case (ek, _) =>
       Index.lookupOne(ctx.idxDir, ek, ctx.buckets, budget) match {
-        case Some(ks) => out += ek.toSeq -> ks
+        case Some(ks) =>
+          // enforce the TOTAL cap while resolving, so an oversized IN
+          // never materializes |IN| × budget keys only to be discarded
+          total += ks.size
+          if (total > CellScanBuilder.MaxCompletePoints) return None
+          out += ek.toSeq -> ks
         case None => return None
       }
     }
@@ -1862,12 +1878,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           Some(nr.fieldNames.head)
         case _ => None
       }
-    def orderable(c: String): Boolean = table.tableSchema(c).dataType match {
-      case _: org.apache.spark.sql.types.NumericType | org.apache.spark.sql.types.StringType |
-        org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
-        org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.BinaryType => true
-      case _ => false
-    }
+    def orderable(c: String): Boolean =
+      orderableType(table.tableSchema(c).dataType)
     // SUM only over types whose partial accumulation matches Spark's own
     // partial-agg semantics exactly: integrals accumulate as Long (same
     // wrap-around), float/double as Double (Spark sums float as double),

@@ -25,6 +25,17 @@ class IndexSpec extends SparkSpec {
       Some(meta.mapping), meta.properties)
   }
 
+  private def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val plan = df.queryExecution.executedPlan
+    plan.collectFirst { case b: BatchScanExec => b }
+      .orElse(plan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+      }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
+      .map(_.scan.description()).getOrElse("")
+  }
+
+
   /** Planned partitions for pushed filters, through the real builder. */
   private def partitions(dir: String, filters: Array[Filter]): Int = {
     val t = tableOf(dir)
@@ -391,15 +402,6 @@ class IndexSpec extends SparkSpec {
 
   test("indexed count(*): postings answer at planning on a clean store; dirty stores decline, exact") {
     val sp = spark; import sp.implicits._
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
-      val plan = df.queryExecution.executedPlan
-      plan.collectFirst { case b: BatchScanExec => b }
-        .orElse(plan.collectFirst {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
-        .map(_.scan.description()).getOrElse("")
-    }
     val rows = (1L to 3000L).map(i => (i, s"g${i % 7}", i * 1.0))
     val dir = seed("spec_idx_count", "name", rows)
     def q(vs: String*) = Seed.read(spark, dir)
@@ -466,15 +468,6 @@ class IndexSpec extends SparkSpec {
 
   test("indexed value statistics + GROUP BY indexed column: candidates feed point arithmetic; declines stay exact") {
     val sp = spark; import sp.implicits._
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
-      val plan = df.queryExecution.executedPlan
-      plan.collectFirst { case b: BatchScanExec => b }
-        .orElse(plan.collectFirst {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
-        .map(_.scan.description()).getOrElse("")
-    }
     // v withheld on every 5th row: COUNT(v) < COUNT(*), SUM skips nulls
     val rows: Seq[(Long, String, Option[Long])] = (1L to 3000L).map(i =>
       (i, s"g${i % 7}", if (i % 5 == 0) None else Some(i * 3 - 1000)))
@@ -559,15 +552,6 @@ class IndexSpec extends SparkSpec {
 
   test("indexed stats on NETTED stores: certified deletes subtract; extremals decline; emptied groups vanish") {
     val sp = spark; import sp.implicits._
-    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
-      val plan = df.queryExecution.executedPlan
-      plan.collectFirst { case b: BatchScanExec => b }
-        .orElse(plan.collectFirst {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
-        }.flatMap(_.executedPlan.collectFirst { case b: BatchScanExec => b }))
-        .map(_.scan.description()).getOrElse("")
-    }
     val rows: Seq[(Long, String, Option[Long])] = (1L to 900L).map(i =>
       (i, s"n${i % 5}", if (i % 6 == 0) None else Some(i * 7 - 2000)))
     val dir = Seed.table(spark, sfDir, "spec_idx_netted",
@@ -627,6 +611,27 @@ class IndexSpec extends SparkSpec {
       ((8L, "n3", Some(42L)))
     assert((ar.getLong(0), ar.getLong(1)) ==
       (am.size.toLong, am.flatMap(_._3).sum))
+  }
+
+  test("COUNT of a SECOND indexed column counts its non-missing cells, not rows") {
+    val sp = spark; import sp.implicits._
+    // two indexed columns; only the FILTERED one is never-missing on
+    // matching rows — COUNT(other indexed col) must go through the
+    // per-point cell arithmetic, not the candidate row count
+    val rows = (1L to 600L).map(i => (i, s"a${i % 4}",
+      if (i % 3 == 0) null else s"b${i % 5}"))
+    val dir = Seed.table(spark, sfDir, "spec_idx_second",
+      rows.toDF("id", "a", "b"),
+      props = Map(Options.IndexColumns -> "a,b"))
+    val df = Seed.read(spark, dir).filter(col("a") === "a1")
+      .agg(count(lit(1)).as("n"), count(col("b")).as("nb"))
+    assert(scanDesc(df).contains("AggStats: complete"))
+    val r = df.collect()(0)
+    val m = rows.filter(_._2 == "a1")
+    assert(r.getLong(0) == m.size.toLong)
+    assert(r.getLong(1) == m.count(_._3 != null).toLong,
+      "COUNT(second indexed col) must count non-missing cells")
+    assert(r.getLong(1) < r.getLong(0), "fixture must exercise missing cells")
   }
 
   test("fuzz: indexed value statistics match the fold across random stores") {
