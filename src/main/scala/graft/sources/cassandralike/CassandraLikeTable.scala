@@ -1041,7 +1041,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         * a superset of the visible rows (deleted keys net to zero), the
         * per-point arithmetic must use the netted twins, and value
         * extremals decline (removing an extreme is not a subtraction) */
-      netted: Boolean)
+      netted: Boolean,
+      /** the BASE listing the proof walk judged, pinned like idxByBucket:
+        * every candidate probe below routes against exactly these files,
+        * so a segment committed between the proof and the probes (an
+        * unproven run — uncompacted tombstones, overlapping live runs)
+        * can never feed a planning-time 'complete' answer */
+      baseByBucket: Map[Int, Seq[java.nio.file.Path]])
 
   /** Memoized per builder — the scalar count, scalar stats and grouped
     * paths all consult it during ONE planning pass, and `pushed` (its
@@ -1080,7 +1086,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // victims, nettedColVals = live − certified, so live = (sum)/2.
     var baseColCells = 0L
     var anyNetted = false
-    CellStore.allSegmentFiles(table.dir).foreach { case (b, files) =>
+    val baseByBucket = CellStore.allSegmentFiles(table.dir)
+    baseByBucket.foreach { case (b, files) =>
       val rec = CellStore.bucketStats(table.dir, b, files)
       if (!rec.statsValid) return None
       def colCount(cvs: Seq[CellStore.ColValStat]): Long =
@@ -1123,7 +1130,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
     }
     Some(IndexedCtx(idxCol, pts.result(), idxDir, idxByBucket, buckets,
-      anyNetted))
+      anyNetted, baseByBucket))
   }
 
   private def computeIndexedCountAnswer(
@@ -1185,39 +1192,117 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ctx = indexedAggCtx.getOrElse(return None)
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
+    // indexedCandidates enforces the MaxCompletePoints cap on the TOTAL
+    // while resolving, so no size re-check is needed here
     val cands = indexedCandidates(ctx).getOrElse(return None)
-    val ks0 = cands.values.flatten.toSeq
-    if (ks0.size > CellScanBuilder.MaxCompletePoints) return None
-    // netted: shrink candidates to the VISIBLE rows (a deleted key nets
-    // to zero presence) — afterwards the list is exactly the matching
-    // rows under either proof, so key extremals may decode it directly
-    val ks =
-      if (!ctx.netted) ks0
-      else presentPoints(ks0).getOrElse(return None)
-    indexedVals(want, ks, ctx.idxCol, ctx.netted)
+    val ks = cands.values.flatten.toIndexedSeq
+    val aggsP = new IndexedPointAggs(ks, ctx)
+    // netted: restrict to the VISIBLE rows (a deleted key nets to zero
+    // presence) — afterwards the index set is exactly the matching rows
+    // under either proof, so key extremals may decode it directly
+    val present =
+      if (!ctx.netted) Array.range(0, ks.size)
+      else {
+        val mask = aggsP.presentMask.getOrElse(return None)
+        Array.range(0, ks.size).filter(mask)
+      }
+    foldIndexedVals(want, present, ks, aggsP, ctx)
       .map(v => (want, Nil, Seq(InternalRow.fromSeq(v))))
   }
 
-  /** Candidate keys grouped by the BASE bucket they route to, paired with
-    * that bucket's segment files — the planner-side analogue of the scan's
-    * partition routing: a candidate's cells can only live in its own
-    * bucket, so every per-point probe below touches exactly the files that
-    * could hold it (hash buckets span the whole key domain, so key-window
-    * pruning alone cannot reject foreign candidates — routing can). */
-  private def routePoints(ks: Seq[Array[Byte]])
-    : Seq[(Seq[Array[Byte]], Seq[java.nio.file.Path])] = {
-    val buckets = Options.effective(options, table.tableProps, Options.Buckets)
-      .map(_.toInt).getOrElse(Options.DefaultBuckets)
-    val rb = table.rangeBounds
-    val byBucket = baseByBucket
-    ks.groupBy(k => TokenRing.bucket(k, buckets, rb)).toSeq.flatMap {
-      case (b, pts) => byBucket.get(b).map(files =>
-        (pts.sortWith((a, c) => Codecs.compareBytes(a, c) < 0), files))
+  /** Per-point probe results for ONE candidate list, shared by every
+    * aggregate and every group that consults it. Candidates route ONCE to
+    * the base bucket they belong to — paired with that bucket's PROVEN
+    * files (`ctx.baseByBucket`, the listing the proof walk judged — a
+    * segment committed after the proof can never feed these probes), the
+    * planner-side analogue of the scan's partition routing: a candidate's
+    * cells can only live in its own bucket, so every probe touches exactly
+    * the files that could hold it (hash buckets span the whole key domain,
+    * so key-window pruning alone cannot reject foreign candidates —
+    * routing can). Presence and per-column accumulators then run as ONE
+    * batched pass per (bucket, column, file) over ALL points, results
+    * input-aligned so the grouped path slices them per group — G groups
+    * cost the same segment opens and index parses as one. */
+  private final class IndexedPointAggs(ks: IndexedSeq[Array[Byte]],
+      ctx: IndexedCtx) {
+    /** (bucket-sorted points, their input indices, proven files). */
+    private val routed
+      : Seq[(Seq[Array[Byte]], Array[Int], Seq[java.nio.file.Path])] = {
+      val rb = table.rangeBounds
+      ks.zipWithIndex.groupBy { case (k, _) =>
+        TokenRing.bucket(k, ctx.buckets, rb)
+      }.toSeq.flatMap { case (b, pws) =>
+        ctx.baseByBucket.get(b).map { files =>
+          val sorted = pws.sortWith((a, c) =>
+            Codecs.compareBytes(a._1, c._1) < 0)
+          (sorted.map(_._1), sorted.map(_._2).toArray, files)
+        }
+      }
+    }
+
+    /** Visible-point mask (positive netted presence = live − certified
+      * cells at the point), input-aligned; None when any consulted run is
+      * unclassifiable under netting. */
+    lazy val presentMask: Option[Array[Boolean]] = computePresentMask()
+
+    private def computePresentMask(): Option[Array[Boolean]] = {
+      val mask = new Array[Boolean](ks.size)
+      routed.foreach { case (pts, idxs, files) =>
+        val acc = new Array[Long](pts.length)
+        files.foreach { f =>
+          CellStore.nettedCountCellsAtPoints(f, pts) match {
+            case Some(per) =>
+              var i = 0
+              while (i < per.length) { acc(i) += per(i); i += 1 }
+            case None => return None
+          }
+        }
+        var i = 0
+        while (i < acc.length) {
+          if (acc(i) > 0) mask(idxs(i)) = true
+          i += 1
+        }
+      }
+      Some(mask)
+    }
+
+    private val cache = collection.mutable.Map
+      .empty[(String, Boolean), Option[(Array[Long], Array[Long])]]
+
+    /** Input-aligned per-point (counts, sums-or-null) of one cell column —
+      * memoized, so the grouped path's G folds share one batched pass.
+      * None = the pass declined (unknown column, sum overflow, or an
+      * unclassifiable netted run). */
+    def colPointAggs(c: String, wantSums: Boolean)
+      : Option[(Array[Long], Array[Long])] =
+      cache.getOrElseUpdate((c, wantSums), computeColPointAggs(c, wantSums))
+
+    private def computeColPointAggs(c: String, wantSums: Boolean)
+      : Option[(Array[Long], Array[Long])] = {
+      val cb = MetadataAggReader.regularCellBytes(table.mapping, c)
+      if (cb == null) return None
+      val counts = new Array[Long](ks.size)
+      val sums = if (wantSums) new Array[Long](ks.size) else null
+      try {
+        routed.foreach { case (pts, idxs, files) =>
+          files.foreach { f =>
+            CellStore.colAggAtPoints(f, pts, cb, wantSums, ctx.netted) match {
+              case Some((cs, ss)) =>
+                var i = 0
+                while (i < cs.length) {
+                  counts(idxs(i)) += cs(i)
+                  if (sums != null)
+                    sums(idxs(i)) = Math.addExact(sums(idxs(i)), ss(i))
+                  i += 1
+                }
+              case None => return None
+            }
+          }
+        }
+      } catch { case _: ArithmeticException => return None }
+      Some((counts, sums))
     }
   }
-
-  private lazy val baseByBucket: Map[Int, Seq[java.nio.file.Path]] =
-    CellStore.allSegmentFiles(table.dir)
 
   /** MIN/MAX-able column types — one list shared by the partial-pushdown
     * gate and the indexed key-extremal gate, so the two can never drift. */
@@ -1232,49 +1317,32 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => false
     }
 
-  /** The subset of `ks` with POSITIVE netted presence (live − certified
-    * cells at the point), or None when any consulted run is
-    * unclassifiable under netting. Bucket-routed: each point is probed
-    * only against its own bucket's files. */
-  private def presentPoints(ks: Seq[Array[Byte]]): Option[Seq[Array[Byte]]] = {
-    val out = Seq.newBuilder[Array[Byte]]
-    routePoints(ks).foreach { case (pts, files) =>
-      val acc = new Array[Long](pts.length)
-      files.foreach { f =>
-        CellStore.nettedCountCellsAtPoints(f, pts) match {
-          case Some(per) =>
-            var i = 0
-            while (i < per.length) { acc(i) += per(i); i += 1 }
-          case None => return None
-        }
-      }
-      pts.zipWithIndex.foreach { case (k, i) => if (acc(i) > 0) out += k }
-    }
-    Some(out.result())
-  }
-
-  /** One indexed-candidate answer row. Everything leans on the bijection
-    * proof: the candidate list IS the matching row set (presence-filtered
-    * first on netted stores), so
+  /** One answer row folded from the batched per-point results, restricted
+    * to `present` (this group's VISIBLE candidate indices — all of them on
+    * clean stores, the positive-presence subset on netted ones).
+    * Everything leans on the bijection proof: the visible candidate set IS
+    * the matching row set, so
     *   - row counts (COUNT(*), COUNT(key), COUNT(indexed col)) are the
     *     candidate COUNT — zero base IO;
     *   - MIN/MAX of the KEY decode the candidates and compare under the
     *     type's own ordering — exact under ANY key codec, zero base IO;
-    *   - per-column COUNT/SUM/MIN/MAX batch through the composite
-    *     (key, col) point arithmetic — ONE pass per segment file over all
-    *     candidates (shared reader, bloom/window-pruned per run), never a
+    *   - per-column COUNT/SUM/MIN/MAX slice the shared batched pass
+    *     ([[IndexedPointAggs.colPointAggs]] — one pass per segment file
+    *     over ALL candidates, bloom/window-pruned per run), never a
     *     per-candidate envelope call (the per-envelope form is
     *     O(files × candidates × aggs) separate span seeks — measured 150×
     *     slower than the scan it was meant to beat at 1.5k candidates). */
-  private def indexedVals(want: Seq[PushedAgg],
-      ks: Seq[Array[Byte]],
-      idxCol: String,
-      netted: Boolean): Option[Seq[Any]] = {
+  private def foldIndexedVals(want: Seq[PushedAgg],
+      present: Array[Int],
+      ks: IndexedSeq[Array[Byte]],
+      aggsP: IndexedPointAggs,
+      ctx: IndexedCtx): Option[Seq[Any]] = {
     val keyN = table.mapping.keyField.name
-    val groups = routePoints(ks)
+    val idxCol = ctx.idxCol
     lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(table.tableSchema(keyN).dataType)
-    lazy val decoded: Seq[Any] = ks.map(table.keyCodec.decode)
+    lazy val decoded: Seq[Any] =
+      present.toSeq.map(i => table.keyCodec.decode(ks(i)))
     // which cell columns need VALUES alongside counts (SUM/MIN/MAX share
     // one per-point pass with COUNT; under the dedup proofs a point's
     // count for a named cell is 0/1, so its per-point sum IS the value)
@@ -1283,56 +1351,40 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case PushedAgg.Min(c) if c != keyN => c
       case PushedAgg.Max(c) if c != keyN => c
     }.toSet
-    /** Fold of one column's per-point accumulators across the routed
-      * bucket groups — ONE batched pass per (bucket, column). */
+    /** Fold of one column's shared per-point accumulators over `present`. */
     case class ColAgg(count: Long, sum: Long,
         min: java.lang.Long, max: java.lang.Long)
-    val cache = collection.mutable.Map.empty[String, ColAgg]
+    val folded = collection.mutable.Map.empty[String, ColAgg]
     def colAgg(c: String): Option[ColAgg] =
-      cache.get(c).map(Some(_)).getOrElse {
-        val cb = MetadataAggReader.regularCellBytes(table.mapping, c)
-        if (cb == null) return None
+      folded.get(c).map(Some(_)).getOrElse {
+        val (counts, sums) = aggsP.colPointAggs(c, needSums(c))
+          .getOrElse(return None)
         var count = 0L
         var sum = 0L
         var mn: java.lang.Long = null
         var mx: java.lang.Long = null
         try {
-          groups.foreach { case (pts, files) =>
-            val counts = new Array[Long](pts.length)
-            val sums = if (needSums(c)) new Array[Long](pts.length) else null
-            files.foreach { f =>
-              CellStore.colAggAtPoints(f, pts, cb, needSums(c), netted) match {
-                case Some((cs, ss)) =>
-                  var i = 0
-                  while (i < cs.length) {
-                    counts(i) += cs(i)
-                    if (sums != null) sums(i) = Math.addExact(sums(i), ss(i))
-                    i += 1
-                  }
-                case None => return None
+          var j = 0
+          while (j < present.length) {
+            val i = present(j)
+            count += counts(i)
+            if (sums != null) {
+              sum = Math.addExact(sum, sums(i))
+              if (counts(i) == 1L) {
+                val v = sums(i)
+                if (mn == null || v < mn) mn = v
+                if (mx == null || v > mx) mx = v
+              } else if (counts(i) != 0L) {
+                // dup address: a per-point "value" is undefined — the
+                // dedup proofs exclude this; decline defensively
+                return None
               }
             }
-            var i = 0
-            while (i < counts.length) {
-              count += counts(i)
-              if (sums != null) {
-                sum = Math.addExact(sum, sums(i))
-                if (counts(i) == 1L) {
-                  val v = sums(i)
-                  if (mn == null || v < mn) mn = v
-                  if (mx == null || v > mx) mx = v
-                } else if (counts(i) != 0L && needSums(c)) {
-                  // dup address: a per-point "value" is undefined — the
-                  // dedup proofs exclude this; decline defensively
-                  return None
-                }
-              }
-              i += 1
-            }
+            j += 1
           }
         } catch { case _: ArithmeticException => return None }
         val r = ColAgg(count, sum, mn, mx)
-        cache(c) = r
+        folded(c) = r
         Some(r)
       }
     def colCount(c: String): Option[Long] = colAgg(c).map(_.count)
@@ -1345,8 +1397,8 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     def rowCountEquivalent(c: String): Boolean =
       c == keyN || c == idxCol
     val out = want.map {
-      case PushedAgg.CountStar => ks.size.toLong
-      case PushedAgg.Count(c) if rowCountEquivalent(c) => ks.size.toLong
+      case PushedAgg.CountStar => present.length.toLong
+      case PushedAgg.Count(c) if rowCountEquivalent(c) => present.length.toLong
       case PushedAgg.Count(c) =>
         colCount(c) match {
           case Some(x) => x
@@ -1358,9 +1410,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           case _ => return None
         }
       case PushedAgg.Min(c) if c == keyN =>
-        if (ks.isEmpty) null else decoded.min(ord)
+        if (present.isEmpty) null else decoded.min(ord)
       case PushedAgg.Max(c) if c == keyN =>
-        if (ks.isEmpty) null else decoded.max(ord)
+        if (present.isEmpty) null else decoded.max(ord)
       case PushedAgg.Min(c) =>
         colExtremal(c, wantMin = true) match {
           case Some(v) => v.map(Long.box).orNull
@@ -1395,18 +1447,40 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (groupCol != ctx.idxCol) return None
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
+    // indexedCandidates enforces the MaxCompletePoints cap on the TOTAL
+    // while resolving, so no size re-check is needed here
     val cands = indexedCandidates(ctx).getOrElse(return None)
-    if (cands.values.map(_.size).sum > CellScanBuilder.MaxCompletePoints)
-      return None
-    val rows = ctx.pts.flatMap { case (ek, cat) =>
-      val ks0 = cands.getOrElse(ek.toSeq, Nil)
+    // ALL groups' candidates batch into ONE point list (each group keeps
+    // its index range): the presence and per-column passes then open each
+    // consulted segment once TOTAL instead of once per (group, column),
+    // and the per-group folds slice the shared input-aligned arrays — G
+    // groups cost the index parses of one
+    val allKs = Vector.newBuilder[Array[Byte]]
+    var off = 0
+    val slices: Seq[(Any, Range)] = ctx.pts.flatMap { case (ek, cat) =>
+      val g = cands.getOrElse(ek.toSeq, Nil)
+      if (g.isEmpty) None
+      else {
+        val start = off
+        allKs ++= g
+        off += g.size
+        Some((cat, start until off))
+      }
+    }
+    val ks = allKs.result()
+    val aggsP = new IndexedPointAggs(ks, ctx)
+    val visible: Int => Boolean =
+      if (!ctx.netted) _ => true
+      else {
+        val mask = aggsP.presentMask.getOrElse(return None)
+        mask(_)
+      }
+    val rows = slices.flatMap { case (cat, range) =>
       // netted: a value whose every matching row was deleted nets to an
       // EMPTY visible set and emits no group, exactly like the fold
-      val ks =
-        if (!ctx.netted) ks0
-        else presentPoints(ks0).getOrElse(return None)
-      if (ks.isEmpty) None
-      else indexedVals(want, ks, ctx.idxCol, ctx.netted) match {
+      val present = range.filter(visible).toArray
+      if (present.isEmpty) None
+      else foldIndexedVals(want, present, ks, aggsP, ctx) match {
         case Some(vals) => Some(InternalRow.fromSeq(cat +: vals))
         case None => return None
       }

@@ -1,8 +1,10 @@
 package graft.tools
 
 /** Scratch driver for plan-shape exploration during development:
-  * `runMain graft.tools.AdhocProbe <queryName> [sfDir]`. Contents change
-  * per investigation; nothing depends on it. */
+  * `runMain graft.tools.AdhocProbe [sfDir]`. Contents change per
+  * investigation; nothing depends on it. The current body reads the
+  * `idx_agg_probe_on` store that [[IndexedAggProbe]] seeds — run that
+  * first on the same sfDir or this fails on a missing store. */
 object AdhocProbe {
   def main(args: Array[String]): Unit = {
     // current investigation: where do the indexed-stats positional arm's
