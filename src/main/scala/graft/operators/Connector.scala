@@ -2635,6 +2635,61 @@ object Connector {
       scalar.crossJoin(grouped)
     },
 
+    // ---- INDEXED RANGE-PREDICATE AGGREGATES (round 14, SURVEY §7.4 open
+    // #1): `sum(v) WHERE indexed BETWEEN a AND b` — the histogram-slice
+    // shape ("volume of the mid-size sources"). Absorbed comparisons on
+    // exact-eval indexed columns compose with the positional machinery:
+    // one run-index RANGE SEEK over the postings ([lo, hi) in the
+    // order-preserving value encoding) yields exactly the matching rows'
+    // keys under the same bijection proof, and the existing per-point
+    // arithmetic answers counts/sums/extremals at planning — O(buckets ·
+    // log + matching postings), never a base scan. Three arms: a string
+    // window on one indexed column, a numeric BETWEEN on a second indexed
+    // column (also the summed column), and an open-ended > bound. ----
+    Q("conn_agg_indexed_range",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM rws
+        |   WHERE src >= 'BUILDING#4' AND src < 'BUILDING#6') AS n_str,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE src >= 'BUILDING#4' AND src < 'BUILDING#6') AS sv_str,
+        |  (SELECT min(k) FROM rws
+        |   WHERE src >= 'BUILDING#4' AND src < 'BUILDING#6') AS mk_str,
+        |  (SELECT count(*) FROM rws
+        |   WHERE v BETWEEN 123000 AND 155999) AS n_num,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE v BETWEEN 123000 AND 155999) AS sv_num,
+        |  (SELECT min(v) FROM rws
+        |   WHERE v BETWEEN 123000 AND 155999) AS mn_num,
+        |  (SELECT max(v) FROM rws WHERE v > 950000) AS mx_open""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      val r = Seed.read(s, store)
+      val str = r.filter($"src" >= "BUILDING#4" && $"src" < "BUILDING#6")
+        .agg(count(lit(1)).as("n_str"), sum($"v").as("sv_str"),
+          min($"row_key").as("mk_str"))
+      val num = r.filter($"v" >= 123000L && $"v" <= 155999L)
+        .agg(count(lit(1)).as("n_num"), sum($"v").as("sv_num"),
+          min($"v").as("mn_num"))
+      val open = r.filter($"v" > 950000L).agg(max($"v").as("mx_open"))
+      str.crossJoin(num).crossJoin(open)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

@@ -132,6 +132,19 @@ object Options {
     * Read-time only, NOT a layout property. */
   val IndexMaxCandidates = "index.max.candidates"
 
+  /** COST model for the index-SHRUNK scan (the max.candidates knob above
+    * is a driver MEMORY budget; this one decides whether the shrunk scan
+    * is worth running at all): one candidate point read costs about this
+    * many sequentially scanned cells — a seek through the run index plus
+    * bloom checks and a span walk per overlapping run, against the full
+    * scan's streaming decode. The planner abandons the index when
+    * candidates × this factor exceeds the store's total cells: past that
+    * crossover the shrunk job's point reads cost MORE than the scan they
+    * avoid (measured on the sf1 probe store — see IndexedAggProbe's sweep
+    * arm). 0 disables the gate (memory budget still applies). Read-time
+    * only, NOT a layout property. */
+  val IndexPointCostCells = "index.point.cost.cells"
+
   /** Row-key byte form: 'bytes' (default — the canonical BytesType
     * marshal) or 'ordered' (integral keys big-endian with the sign bit
     * flipped, so byte order == numeric order). Ordered keys extend the
@@ -178,6 +191,12 @@ object Options {
 
   val DefaultBuckets = 32
   val DefaultIndexMaxCandidates = 64 * 1024
+  /** Measured on the IndexedAggProbe sf1 sweep (see SURVEY §7.4): the
+    * shrunk job already loses 1.26× at 288 cells/candidate and degrades
+    * monotonically past it (147 → 1.74×, 73 → 2.28×), so the crossover
+    * sits at ≈300 — past candidates > cells/300 the index-shrunk scan
+    * costs more than the scan it avoids. */
+  val DefaultIndexPointCostCells = 300L
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
     * key-range partitions, so scan parallelism grows with data instead of
     * being capped by the write-time bucket knob (the reference scales splits
@@ -1022,9 +1041,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     *      by (2) even across overlapping index runs.
     *
     * Anything outside the shape — other filters, non-COUNT aggregates,
-    * as-of views, transposed mappings — returns None and the existing
-    * paths own the query (candidate point reads + reader-side fold:
-    * exact, just not zero-IO). */
+    * transposed mappings, a bound some run straddles — returns None and
+    * the existing paths own the query (candidate point reads +
+    * reader-side fold: exact, just not zero-IO). AS-OF bounds compose
+    * when every run is cleanly covered or newer (see the pairing note in
+    * [[indexedAggContext]]). */
   /** The proven context every indexed-aggregate path shares: the one
     * absorbed indexed predicate, its DISTINCT encoded value points (paired
     * with their Catalyst values — the grouped form's group keys), and the
@@ -1034,6 +1055,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * current cells of the indexed column. */
   private case class IndexedCtx(idxCol: String,
       pts: Seq[(Array[Byte], Any)],
+      /** RANGE form (pts empty): the absorbed comparison conjuncts on the
+        * indexed column — candidates come from one run-index range seek
+        * over the postings ([[Index.rangeLookup]]) instead of per-value
+        * point lookups. Exclusive with pts. */
+      bounds: Seq[Filter],
       idxDir: String,
       idxByBucket: Map[Int, Seq[java.nio.file.Path]],
       buckets: Int,
@@ -1058,15 +1084,38 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (table.mapping.transposed) return None
     val optF: String => Option[String] =
       k => Options.effective(options, table.tableProps, k)
-    if (optF(Options.ReadAsOf).nonEmpty) return None
-    // exactly ONE absorbed indexed equality/IN and nothing else pushed
-    // (the IsNotNull Catalyst pairs with it is subsumed by the equality)
+    // AS-OF composes (round 14): postings carry the SAME logical cell
+    // timestamps as their base cells (the write path stamps both sides of
+    // a posting/cell pair with one ts), so gating BOTH stores per run by
+    // the same bound preserves the bijection — covered postings ↔ covered
+    // base cells — re-proven below by the totals equality over the two
+    // COVERED subsets: a crash between a pair's commits (index lands
+    // first) strands covered postings with no covered cells and fails the
+    // equality; runs straddling the bound (a compacted file mixing
+    // epochs) decline to the fold, exactly like the plain metadata paths.
+    // Every candidate probe then runs against the pinned covered maps.
+    val asOf = optF(Options.ReadAsOf).map(_.toLong)
+    // exactly ONE absorbed indexed equality/IN — or a conjunction of
+    // absorbed COMPARISONS on one indexed column (`BETWEEN a AND b`) —
+    // and nothing else pushed (the IsNotNull Catalyst pairs with either
+    // shape is subsumed by it)
     val idxCols = Index.columns(table.mapping, optF)
-    val (idxCol, rawVals) = pushed.filterNot(
+    def boundOn(f: Filter): Option[String] = f match {
+      case GreaterThan(c, v) if idxCols(c) && v != null => Some(c)
+      case GreaterThanOrEqual(c, v) if idxCols(c) && v != null => Some(c)
+      case LessThan(c, v) if idxCols(c) && v != null => Some(c)
+      case LessThanOrEqual(c, v) if idxCols(c) && v != null => Some(c)
+      case _ => None
+    }
+    val (idxCol, rawVals, bounds) = pushed.filterNot(
       _.isInstanceOf[org.apache.spark.sql.sources.IsNotNull]) match {
-      case Array(EqualTo(c, v)) if idxCols(c) && v != null => (c, Seq(v))
+      case Array(EqualTo(c, v)) if idxCols(c) && v != null =>
+        (c, Seq(v), Nil)
       case Array(In(c, vs)) if idxCols(c) && vs != null && vs.nonEmpty =>
-        (c, vs.toSeq)
+        (c, vs.toSeq, Nil)
+      case fs if fs.nonEmpty && fs.flatMap(boundOn).length == fs.length &&
+          fs.flatMap(boundOn).distinct.length == 1 =>
+        (fs.flatMap(boundOn).head, Nil, fs.toSeq)
       case _ => return None
     }
     if (pushed.exists {
@@ -1086,9 +1135,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // victims, nettedColVals = live − certified, so live = (sum)/2.
     var baseColCells = 0L
     var anyNetted = false
-    val baseByBucket = CellStore.allSegmentFiles(table.dir)
-    baseByBucket.foreach { case (b, files) =>
-      val rec = CellStore.bucketStats(table.dir, b, files)
+    val baseB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
+    CellStore.allSegmentFiles(table.dir).foreach { case (b, files0) =>
+      val rec0 = CellStore.bucketStats(table.dir, b, files0)
+      if (!rec0.statsValid) return None
+      // an as-of bound keeps only the covered files, stats recomputed over
+      // the subset from memoized tails; straddling runs decline
+      val (files, rec) = MetadataAggReader.asOfView(table.dir, b, files0,
+        rec0, asOf).getOrElse(return None)
       if (!rec.statsValid) return None
       def colCount(cvs: Seq[CellStore.ColValStat]): Long =
         cvs.find(cv => java.util.Arrays.equals(cv.col, colBytes))
@@ -1102,15 +1156,23 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         if (both < 0 || both % 2 != 0) return None
         baseColCells += both / 2
       } else return None
+      baseB += b -> files
     }
-    // index-side totals (tombstone-free postings, raw cell count)
+    val baseByBucket = baseB.result()
+    // index-side totals (tombstone-free postings, raw cell count) over the
+    // same bound's covered subset
     var idxCells = 0L
-    val idxByBucket = CellStore.allSegmentFiles(idxDir)
-    idxByBucket.foreach { case (b, files) =>
-      val rec = CellStore.bucketStats(idxDir, b, files)
+    val idxB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
+    CellStore.allSegmentFiles(idxDir).foreach { case (b, files0) =>
+      val rec0 = CellStore.bucketStats(idxDir, b, files0)
+      if (!rec0.statsValid) return None
+      val (files, rec) = MetadataAggReader.asOfView(idxDir, b, files0,
+        rec0, asOf).getOrElse(return None)
       if (!(rec.statsValid && rec.tombstoneFree)) return None
       idxCells += rec.cells
+      idxB += b -> files
     }
+    val idxByBucket = idxB.result()
     if (idxCells != baseColCells) return None // orphan/dup postings: decline
     val dt = table.tableSchema(idxCol).dataType
     val textEnc = optF(Options.Encoding).contains("text")
@@ -1118,19 +1180,22 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       .getOrElse(Options.DefaultBuckets)
     // distinct encoded points, keeping the Catalyst value (dup IN values
     // count once; absorbed types encode injectively, so distinct bytes =
-    // distinct SQL values)
+    // distinct SQL values). The ONE lossy encode — timestamps marshal to
+    // millis — drops sub-millisecond points outright: no stored value can
+    // equal them, and counting their collapsed-millisecond postings would
+    // claim rows whose value is NOT the probe's (over-count)
     val seen = collection.mutable.Set.empty[Seq[Byte]]
     val pts = Seq.newBuilder[(Array[Byte], Any)]
     rawVals.foreach { v =>
       val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .convertToCatalyst(v)
-      if (cat != null) {
+      if (cat != null && !Index.lossyPoint(dt, cat)) {
         val ek = Index.encodeKey(dt, cat, textEnc)
         if (seen.add(ek.toSeq)) pts += ((ek, cat))
       }
     }
-    Some(IndexedCtx(idxCol, pts.result(), idxDir, idxByBucket, buckets,
-      anyNetted, baseByBucket))
+    Some(IndexedCtx(idxCol, pts.result(), bounds, idxDir, idxByBucket,
+      buckets, anyNetted, baseByBucket))
   }
 
   private def computeIndexedCountAnswer(
@@ -1140,8 +1205,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     if (aggregation.groupByExpressions().nonEmpty) return None
     val ctx = indexedAggCtx.getOrElse(return None)
     // postings count deleted rows too: the zero-IO count is clean-only
-    // (the candidate-point stats path below answers netted stores)
-    if (ctx.netted) return None
+    // (the candidate-point stats path below answers netted stores); the
+    // RANGE form has no value points to route — its count rides the
+    // candidate stats path too (still O(matching postings))
+    if (ctx.netted || ctx.bounds.nonEmpty) return None
     val keyN = table.mapping.keyField.name
     // every aggregate must be row-count-equivalent: COUNT(*), COUNT(key)
     // (the key is never missing), or COUNT(indexed col) — every matching
@@ -1445,6 +1512,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     }
     val ctx = indexedAggCtx.getOrElse(return None)
     if (groupCol != ctx.idxCol) return None
+    // RANGE form declines: emitting one group per DISTINCT value in the
+    // range would need the postings' VALUE bytes alongside their keys —
+    // the candidate resolution keeps only keys
+    if (ctx.bounds.nonEmpty) return None
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     // indexedCandidates enforces the MaxCompletePoints cap on the TOTAL
@@ -1533,8 +1604,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
 
   /** Candidate BASE KEYS per encoded value point, from one budgeted
     * postings point read each ([[Index.lookupOne]] — run index + blooms on
-    * the routed bucket). None = some value's postings blew the candidate
-    * budget; the caller declines to the index-shrunk scan. */
+    * the routed bucket); the RANGE form resolves as a single entry from
+    * one run-index range seek over the postings ([[Index.rangeLookup]] —
+    * cost O(buckets · log + matching postings)). None = the candidates
+    * blew the budget; the caller declines to the index-shrunk scan. */
   private def indexedCandidates(ctx: IndexedCtx)
     : Option[Map[Seq[Byte], Seq[Array[Byte]]]] = {
     val optF: String => Option[String] =
@@ -1543,10 +1616,21 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       optF(Options.IndexMaxCandidates).map(_.toInt)
         .getOrElse(Options.DefaultIndexMaxCandidates),
       CellScanBuilder.MaxCompletePoints)
+    if (ctx.bounds.nonEmpty) {
+      val dt = table.tableSchema(ctx.idxCol).dataType
+      val textEnc = optF(Options.Encoding).contains("text")
+      // rangeLookup's budget counts SCANNED postings (≥ matching), so the
+      // returned set respects the same MaxCompletePoints cap as the loop;
+      // the walk is pinned to the proof's (possibly as-of covered) listing
+      return Index.rangeLookup(ctx.idxDir, dt, textEnc, ctx.idxCol,
+          ctx.bounds, ctx.buckets, budget, ctx.idxByBucket)
+        .map(s => Map(Seq.empty[Byte] -> s.toSeq.map(_.toArray)))
+    }
     val out = Map.newBuilder[Seq[Byte], Seq[Array[Byte]]]
     var total = 0
     ctx.pts.foreach { case (ek, _) =>
-      Index.lookupOne(ctx.idxDir, ek, ctx.buckets, budget) match {
+      Index.lookupOne(ctx.idxDir, ek, ctx.buckets, budget,
+          ctx.idxByBucket) match {
         case Some(ks) =>
           // enforce the TOTAL cap while resolving, so an oversized IN
           // never materializes |IN| × budget keys only to be discarded
@@ -2059,16 +2143,18 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // Secondary index: equality AND comparison predicates on indexed cell
     // columns ALSO reach the scan — they resolve to key candidates at
     // planning (Index.keyFilters: point lookups for =/IN, run-index range
-    // seeks for >/>=/</<=). Comparisons stay in the returned residual set
-    // (Spark re-applies them above the scan); EQUALITY/IN on a column
-    // whose type the reader compares EXACTLY like Spark (integrals,
-    // default-collation strings, boolean, date/timestamp — FilterEval's
-    // comparators) is fully ABSORBED instead: the reader re-applies the
-    // predicate per row (stale index candidates still re-filter, so index
-    // staleness can only ever cost IO), and absorption is what lets
-    // AGGREGATE pushdown compose with index lookups — Spark only pushes
-    // aggregates below a plan with no residual filters
-    // (`count(*) WHERE lang = 'en'`, see computeIndexedCountAnswer).
+    // seeks for >/>=/</<=). On a column whose type the reader compares
+    // EXACTLY like Spark (integrals, default-collation strings, boolean,
+    // date/timestamp — FilterEval's comparators, whose total order equals
+    // Spark's for exactly these types) the predicate is fully ABSORBED:
+    // the reader re-applies it per row (stale index candidates still
+    // re-filter, so index staleness can only ever cost IO), and absorption
+    // is what lets AGGREGATE pushdown compose with index lookups — Spark
+    // only pushes aggregates below a plan with no residual filters
+    // (`count(*) WHERE lang = 'en'`, `sum(v) WHERE ts BETWEEN a AND b` —
+    // see computeIndexedCountAnswer / computeIndexedStatsAnswer).
+    // Comparisons on any OTHER indexed type (float/double/decimal: NaN and
+    // scale semantics diverge from raw comparators) stay residual.
     val idxCols = Index.columns(m,
       k => Options.effective(options, table.tableProps, k))
     def exactEvalType(c: String): Boolean =
@@ -2088,16 +2174,26 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case EqualTo(c, v) => idxCols(c) && v != null && exactEvalType(c)
       case In(c, vs) => idxCols(c) && vs != null && vs.nonEmpty &&
         exactEvalType(c)
+      case GreaterThan(c, v) => idxCols(c) && v != null && exactEvalType(c)
+      case GreaterThanOrEqual(c, v) =>
+        idxCols(c) && v != null && exactEvalType(c)
+      case LessThan(c, v) => idxCols(c) && v != null && exactEvalType(c)
+      case LessThanOrEqual(c, v) =>
+        idxCols(c) && v != null && exactEvalType(c)
       case _ => false
     }
-    // the IsNotNull(c) conjunct Catalyst pairs with an equality is
-    // SUBSUMED by an absorbed equality on the same column (null never
-    // equals the constant; FilterEval's EqualTo/In reject null rows), so
-    // it absorbs alongside — left residual it would block aggregate
-    // pushdown for no reason
+    // the IsNotNull(c) conjunct Catalyst pairs with an equality or
+    // comparison is SUBSUMED by an absorbed predicate on the same column
+    // (null never compares true; FilterEval rejects null rows), so it
+    // absorbs alongside — left residual it would block aggregate pushdown
+    // for no reason
     val absorbedCols = absorbedEq.collect {
       case EqualTo(c, _) => c
       case In(c, _) => c
+      case GreaterThan(c, _) => c
+      case GreaterThanOrEqual(c, _) => c
+      case LessThan(c, _) => c
+      case LessThanOrEqual(c, _) => c
     }.toSet
     val (absorbedNn, rejected) = rejected1.partition {
       case org.apache.spark.sql.sources.IsNotNull(c) => absorbedCols(c)
@@ -2495,7 +2591,11 @@ class CellScan(
     * that then drives bucket pruning, run-index seeks and per-run blooms
     * exactly like a user-written key lookup. */
   private lazy val indexKeyFilters: Array[Filter] =
-    Index.keyFilters(table, options, filters)
+    Index.keyFilters(table, options, filters,
+      // total cells of the scan's own committed listing (memoized segment
+      // stats — no extra IO): the cost gate's full-scan side
+      () => segmentsByBucket.values.flatten
+        .map(f => CellStore.segmentStats(f).cells).sum)
 
   private def effectiveFilters: Array[Filter] =
     filters ++ runtimeFilters ++ indexKeyFilters

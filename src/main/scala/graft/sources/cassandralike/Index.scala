@@ -175,6 +175,17 @@ object Index {
     else orderPreserving(dt, Codecs.encode(dt, n))
   }
 
+  /** The one LOSSY binary encode among the indexable types: TimestampType
+    * micros marshal to epoch MILLIS (reference fidelity — stored values
+    * are always millisecond multiples). A probe value with sub-millisecond
+    * residue can therefore equal NO stored value: equality/IN points drop
+    * (they match nothing), and range bounds tighten to the equivalent
+    * aligned strict form (see [[rangeLookup]]) so the encoded seek window
+    * stays EXACT instead of dropping or over-admitting the boundary
+    * millisecond's rows. */
+  private[cassandralike] def lossyPoint(dt: DataType, cat: Any): Boolean =
+    dt == TimestampType && Math.floorMod(cat.asInstanceOf[Long], 1000L) != 0L
+
   /** Monotone byte transform over the fixed-width big-endian encodings:
     * integrals flip the sign bit (two's complement negatives then sort
     * below positives in unsigned order); floats use the classic IEEE total
@@ -232,7 +243,8 @@ object Index {
   def keyFilters(
       table: CassandraLikeTable,
       options: Map[String, String],
-      filters: Array[Filter]): Array[Filter] = {
+      filters: Array[Filter],
+      baseCells: () => Long): Array[Filter] = {
     val opt = (k: String) => table.opt(options, k)
     val idxCols = columns(table.mapping, opt)
     if (idxCols.isEmpty) return Array.empty
@@ -293,6 +305,18 @@ object Index {
     val sets = eqIntersection.toSeq ++ rangeSets.flatten
     if (sets.isEmpty) return Array.empty // every lookup over budget
     val cands = sets.reduce(_ intersect _)
+    // COST gate (the candidate budget above is a driver MEMORY bound; this
+    // is the crossover decision): the shrunk scan reads each candidate
+    // with a run-index seek + bloom probes + a span walk per overlapping
+    // run, while the full scan streams every cell once — past
+    // candidates × per-point-cost > total cells the shrunk job LOSES to
+    // the scan it avoids (IndexedAggProbe sweep arm). Abandon the index
+    // there: same rows either way — the pushed predicates are re-applied
+    // row-level by the readers (absorbed) or by Spark (residual).
+    val pointCost = opt(Options.IndexPointCostCells).map(_.toLong)
+      .getOrElse(Options.DefaultIndexPointCostCells)
+    if (pointCost > 0 && cands.size.toLong * pointCost > baseCells())
+      return Array.empty
     val keyType = table.mapping.keyField.dataType
     // postings carry the BASE KEY's stored bytes — decode with the table's
     // key codec (ordered-key stores store sign-flipped integral bytes)
@@ -305,13 +329,21 @@ object Index {
     * of the index bucket the value routes to. None = the postings exceeded
     * the candidate budget — checked DURING iteration, so a pathologically
     * hot value never materializes an unbounded driver-side list before the
-    * budget is consulted. */
+    * budget is consulted. `filesByBucket`, when non-null, pins the probe
+    * to an explicit per-bucket file map (the indexed-aggregate context's
+    * proof-walk listing — possibly an AS-OF covered subset) instead of a
+    * fresh directory listing. */
   private[cassandralike] def lookupOne(idxDir: String, ek: Array[Byte],
-      buckets: Int, budget: Int): Option[Vector[Array[Byte]]] = {
+      buckets: Int, budget: Int,
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
+    : Option[Vector[Array[Byte]]] = {
     val b = TokenRing.bucket(ek, buckets)
+    if (filesByBucket != null && !filesByBucket.contains(b))
+      return Some(Vector.empty) // no (covered) segments can hold postings
     val hi = java.util.Arrays.copyOf(ek, ek.length + 1) // succ: ek ++ 0x00
     val it = new CellStore.BucketMergeIterator(idxDir, b, ek, hi,
-      lookupKeys = Seq(ek))
+      lookupKeys = Seq(ek),
+      onlyFiles = if (filesByBucket == null) null else filesByBucket(b))
     try {
       val out = Vector.newBuilder[Array[Byte]]
       var n = 0
@@ -336,14 +368,29 @@ object Index {
     * candidate list exceeded the budget — the caller falls back to a full
     * base scan instead of materializing an unbounded key list on the
     * driver. */
-  private def rangeLookup(idxDir: String, dt: DataType, textEnc: Boolean,
+  private[cassandralike] def rangeLookup(idxDir: String, dt: DataType,
+      textEnc: Boolean,
       colName: String, bounds: Seq[Filter], buckets: Int,
-      budget: Int): Option[Set[Seq[Byte]]] = {
+      budget: Int,
+      /** non-null pins the walk to an explicit per-bucket file map (the
+        * indexed-aggregate proof-walk listing — possibly an AS-OF covered
+        * subset) instead of a fresh directory listing */
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
+    : Option[Set[Seq[Byte]]] = {
     def enc(v: Any): Array[Byte] =
       encodeKey(dt, CatalystTypeConverters.convertToCatalyst(v), textEnc)
     def succ(b: Array[Byte]): Array[Byte] =
       java.util.Arrays.copyOf(b, b.length + 1)
     val seek = seekable(dt, textEnc)
+    // a bound the encode cannot represent (sub-millisecond timestamp:
+    // stored values are all ms-multiples) tightens to the equivalent
+    // ALIGNED strict/inclusive form — `>= b` ⇔ `> floor(b)`, `< b` ⇔
+    // `<= floor(b)` — keeping the window EXACT: the naive `hi = enc(b)`
+    // for `< b` would exclude the rows AT floor(b), a FALSE NEGATIVE (the
+    // one failure the index must never produce), and `lo = enc(b)` for
+    // `>= b` would admit them where they don't match
+    def lossy(v: Any): Boolean =
+      lossyPoint(dt, CatalystTypeConverters.convertToCatalyst(v))
     // tightest seek window under byte order (= value order when seekable):
     // highest lower bound, lowest upper bound; hi is exclusive, so
     // inclusive uppers (and exclusive lowers) take the key's successor
@@ -353,9 +400,11 @@ object Index {
       case GreaterThan(_, v) =>
         val b = succ(enc(v)); if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
       case GreaterThanOrEqual(_, v) =>
-        val b = enc(v); if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+        val b = if (lossy(v)) succ(enc(v)) else enc(v)
+        if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
       case LessThan(_, v) =>
-        val b = enc(v); if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+        val b = if (lossy(v)) succ(enc(v)) else enc(v)
+        if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
       case LessThanOrEqual(_, v) =>
         val b = succ(enc(v)); if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
       case _ =>
@@ -381,7 +430,9 @@ object Index {
     // planning-time IO and driver memory alike (on the seekable path every
     // scanned posting matches, so this is the old check; on the text path
     // it caps the decode-and-reject sweep a huge index could stall on).
-    val bucketFiles = CellStore.allSegmentFiles(idxDir)
+    val bucketFiles =
+      if (filesByBucket != null) filesByBucket
+      else CellStore.allSegmentFiles(idxDir)
     val toVisit = (0 until buckets).flatMap(b => bucketFiles.get(b).map(b -> _))
       .filter { case (_, files) =>
         !seek || files.exists { f =>

@@ -110,6 +110,51 @@ object IndexedAggProbe {
         f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
         f"full_over_positional=${ful.min / pos.min}%.1f")
     }
+    // CROSSOVER sweep (index.point.cost.cells calibration): IN over k bulk
+    // values multiplies the candidate count on the same store, racing the
+    // index-shrunk job (cost gate DISABLED, positional disabled) against
+    // the full scan as candidates grow. The gate's default factor must sit
+    // at or below the measured crossover so the gated path is never slower
+    // than the scan it abandons; the `gated` column re-runs the same query
+    // under the DEFAULT gate to show it picks the winner at every k.
+    val totalCells = {
+      val files = graft.sources.cassandralike.CellStore
+        .allSegmentFiles(indexed).values.flatten
+      files.map(f => graft.sources.cassandralike.CellStore
+        .segmentStats(f).cells).sum
+    }
+    def sweep(dir: String, vals: Seq[String],
+        opts: Map[String, String]): (Double, Long) = {
+      val df = Seed.read(spark, dir, opts)
+        .filter(col("src").isin(vals: _*))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val t0 = System.nanoTime()
+      val n = df.collect()(0).getLong(0)
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val noGate = Map(Options.MetadataAgg -> "false",
+      Options.IndexPointCostCells -> "0")
+    val gated = Map(Options.MetadataAgg -> "false")
+    for (k <- Seq(1, 2, 4)) {
+      val vals = (0 until k).map(i => s"1-URGENT#${(i * 5 + 7) % 20}")
+      Seq(noGate, gated).foreach(o => sweep(indexed, vals, o)) // warm
+      sweep(plain, vals, Map.empty)
+      val sh = collection.mutable.ArrayBuffer.empty[Double]
+      val gt = collection.mutable.ArrayBuffer.empty[Double]
+      val fu = collection.mutable.ArrayBuffer.empty[Double]
+      var rows = 0L
+      (1 to 5).foreach { _ =>
+        val (ts, n1) = sweep(indexed, vals, noGate)
+        val (tg, n2) = sweep(indexed, vals, gated)
+        val (tf, n3) = sweep(plain, vals, Map.empty)
+        require(n1 == n2 && n2 == n3, s"sweep paths disagree: $n1 / $n2 / $n3")
+        rows = n1; sh += ts; gt += tg; fu += tf
+      }
+      println(f"sweep k=$k candidates=$rows cells=$totalCells " +
+        f"cells_per_cand=${totalCells.toDouble / rows}%.0f " +
+        f"shrunk_min=${sh.min}%.4f gated_min=${gt.min}%.4f " +
+        f"full_min=${fu.min}%.4f shrunk_over_full=${sh.min / fu.min}%.2f")
+    }
     spark.stop()
   }
 }

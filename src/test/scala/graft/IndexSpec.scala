@@ -126,7 +126,10 @@ class IndexSpec extends SparkSpec {
     // this seek return the value-order range
     val dir = Seed.table(spark, sfDir, "spec_idx_rangelong",
       (-10L to 10L).map(v => (v + 100L, v)).toDF("id", "v"),
-      props = Map(Options.IndexColumns -> "v"))
+      // gate off: at 42 cells the cost model would (correctly) abandon the
+      // index — this spec pins the SEEK machinery, not the cost decision
+      props = Map(Options.IndexColumns -> "v",
+        Options.IndexPointCostCells -> "0"))
     val got = Seed.read(spark, dir)
       .filter(col("v") > -5L && col("v") <= 3L)
       .collect().map(_.getLong(1)).sorted
@@ -186,8 +189,11 @@ class IndexSpec extends SparkSpec {
     val sp = spark; import sp.implicits._
     val dir = Seed.table(spark, sfDir, "spec_idx_rangebudget",
       (1L to 100L).map(v => (v, v * 1.0d)).toDF("id", "v"),
+      // gate off: this spec pins the MEMORY budget's fallback, not the
+      // cost decision (which would also abandon at this toy scale)
       props = Map(Options.IndexColumns -> "v",
-        Options.IndexMaxCandidates -> "5"))
+        Options.IndexMaxCandidates -> "5",
+        Options.IndexPointCostCells -> "0"))
     // 50 matches > budget 5: no In(key) filter is planned (full partitions)
     import org.apache.spark.sql.sources.GreaterThan
     val full = partitions(dir, Array.empty)
@@ -274,7 +280,10 @@ class IndexSpec extends SparkSpec {
       ((1L to 50L).map(i => (i, "hot")) ++ (51L to 60L).map(i => (i, s"c$i")))
         .toDF("id", "name"),
       props = Map(Options.IndexColumns -> "name",
-        Options.IndexMaxCandidates -> "5"))
+        Options.IndexMaxCandidates -> "5",
+        // gate off: this spec pins the memory budget's mid-iteration bail,
+        // not the cost decision (which would also abandon at 60 cells)
+        Options.IndexPointCostCells -> "0"))
     val full = partitions(dir, Array.empty)
     // 50 postings > budget 5: the lookup bails DURING iteration and the
     // scan falls back to full partitions — never a truncated candidate list
@@ -286,8 +295,11 @@ class IndexSpec extends SparkSpec {
 
   test("key-format marker: mismatched store is abandoned by reads, rejected by writes") {
     val sp = spark; import sp.implicits._
-    val dir = seed("spec_idx_format", "name",
-      (1L to 30L).map(i => (i, s"n$i", 0.0)))
+    val dir = Seed.table(spark, sfDir, "spec_idx_format",
+      (1L to 30L).map(i => (i, s"n$i", 0.0)).toDF("id", "name", "bal"),
+      // gate off so the marker (not the cost model) decides the plan here
+      props = Map(Options.IndexColumns -> "name",
+        Options.IndexPointCostCells -> "0"))
     val marker = java.nio.file.Paths.get(Index.dir(dir, "name"), "FORMAT")
     assert(java.nio.file.Files.exists(marker), "commit must stamp the marker")
     val pruned = partitions(dir, Array(EqualTo("name", "n7")))
@@ -314,9 +326,12 @@ class IndexSpec extends SparkSpec {
 
   test("ALTER TABLE adds an index to an occupied table via rebuild; removal drops it") {
     val sp = spark; import sp.implicits._
-    // store WITHOUT any index, occupied before the index exists
+    // store WITHOUT any index, occupied before the index exists (gate off:
+    // g-values match ~71 of 500 rows — the cost model would abandon at
+    // this scale, and the spec pins the rebuild machinery)
     val dir = Seed.table(spark, sfDir, "spec_idx_rebuild",
-      (1L to 500L).map(i => (i, s"g${i % 7}", i * 1.0)).toDF("id", "name", "bal"))
+      (1L to 500L).map(i => (i, s"g${i % 7}", i * 1.0)).toDF("id", "name", "bal"),
+      props = Map(Options.IndexPointCostCells -> "0"))
     val meta0 = CellStore.readMeta(dir).get
     assert(!meta0.properties.contains(Options.IndexColumns))
     // rebuild through the same entry point the catalog's ALTER uses
@@ -692,6 +707,261 @@ class IndexSpec extends SparkSpec {
       val gFast = grouped(readOpts)
       val gFold = grouped(readOpts + (Options.MetadataAgg -> "false"))
       assert(gFast == gFold, s"iter $iter grouped $probe: $gFast vs $gFold")
+    }
+  }
+
+  test("cost gate: the shrunk scan is abandoned past the point-read/scan crossover, kept below it") {
+    val sp = spark; import sp.implicits._
+    // 400 rows × 2 cells = 800 cells; 'bulk' matches 200 rows, needles 1
+    val dir = Seed.table(spark, sfDir, "spec_idx_costgate",
+      (1L to 400L).map(i => (i, if (i <= 200) "bulk" else s"c$i", i * 3))
+        .toDF("id", "name", "w"),
+      props = Map(Options.IndexColumns -> "name"))
+    val t = tableOf(dir)
+    val cells = CellStore.allSegmentFiles(dir).values.flatten
+      .map(f => CellStore.segmentStats(f).cells).sum
+    def kf(f: Filter, opts: Map[String, String] = Map.empty) =
+      Index.keyFilters(t, opts, Array(f), () => cells)
+    // DEFAULT gate: 200 candidates × 300 cells/point ≫ 800 cells — the
+    // shrunk job would cost more than the scan it avoids: abandon
+    assert(kf(EqualTo("name", "bulk")).isEmpty,
+      "bulk lookup past the crossover must abandon the index")
+    // needle: 1 × 300 ≤ 800 — keep the In(key, candidates) translation
+    assert(kf(EqualTo("name", "c333")).nonEmpty,
+      "needle lookup below the crossover must keep the index")
+    // the decision belongs to the knob: gate off (or a 1-cell point cost)
+    // keeps the bulk lookup; a huge factor abandons even the needle
+    assert(kf(EqualTo("name", "bulk"),
+      Map(Options.IndexPointCostCells -> "0")).nonEmpty)
+    assert(kf(EqualTo("name", "bulk"),
+      Map(Options.IndexPointCostCells -> "1")).nonEmpty)
+    assert(kf(EqualTo("name", "c333"),
+      Map(Options.IndexPointCostCells -> "100000")).isEmpty)
+    // both decisions return the same rows/values end-to-end
+    assert(Seed.read(spark, dir).filter(col("name") === "bulk")
+      .count() == 200L)
+    val s = Seed.read(spark, dir).filter(col("name") === "bulk")
+      .agg(sum(col("w")).as("sw")).collect()(0).getLong(0)
+    assert(s == (1L to 200L).map(_ * 3).sum)
+  }
+
+  test("indexed RANGE aggregates answer at planning; sign and sub-millisecond edges hold") {
+    val sp = spark; import sp.implicits._
+    // longs crossing the sign boundary (the order-preserving transform's
+    // one sharp edge)
+    val rows = (-250L until 250L).map(v => (v + 1000L, v, v * 7 + 3))
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangeagg",
+      rows.toDF("id", "v", "w"), props = Map(Options.IndexColumns -> "v"))
+    val df = Seed.read(spark, dir)
+      .filter(col("v") >= -100L && col("v") < 37L)
+      .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+        sum(col("w")).as("sw"), min(col("w")).as("wn"),
+        max(col("w")).as("wx"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    assert(scanDesc(df).contains("AggStats: complete"),
+      s"range stats must answer at planning: ${scanDesc(df)}")
+    val exp = rows.filter(r => r._2 >= -100L && r._2 < 37L)
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (exp.size.toLong, exp.size.toLong, exp.map(_._3).sum,
+        exp.map(_._3).min, exp.map(_._3).max,
+        exp.map(_._1).min, exp.map(_._1).max))
+    // directed ordering edges, each judged against the fold: negative-only
+    // windows, zero crossing, open ends, empty both sides, strict bounds
+    for ((p, label) <- Seq[(org.apache.spark.sql.Column, String)](
+      (col("v") > -250L && col("v") <= -249L, "negative edge"),
+      (col("v") > -1L && col("v") < 1L, "zero crossing"),
+      (col("v") >= 249L, "open top"),
+      (col("v") < -250L, "empty below"),
+      (col("v") > 500L, "empty above"),
+      (col("v") > -3L, "open bottom strict"))) {
+      val a = Seed.read(spark, dir).filter(p)
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw")).collect()(0)
+      val b = Seed.read(spark, dir, Map(Options.MetadataAgg -> "false"))
+        .filter(p)
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw")).collect()(0)
+      assert(a == b, s"$label: $a vs $b")
+    }
+    // timestamps ONE MILLISECOND apart — the cell marshal's granularity
+    // (micros collapse to the stored millis form, reference fidelity)
+    def mk(us: Long): java.sql.Timestamp = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    val us0 = 1700000000000000L
+    val trows = (1L to 300L).map(i => (i, mk(us0 + i * 1000L), i * 11))
+    val tdir = Seed.table(spark, sfDir, "spec_idx_rangets",
+      trows.toDF("id", "ts", "w"), props = Map(Options.IndexColumns -> "ts"))
+    val tq = Seed.read(spark, tdir)
+      .filter(col("ts") >= lit(mk(us0 + 50000L)) &&
+        col("ts") < lit(mk(us0 + 120000L)))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(scanDesc(tq).contains("AggStats: complete"),
+      s"timestamp range stats must answer at planning: ${scanDesc(tq)}")
+    val tr = tq.collect()(0)
+    assert((tr.getLong(0), tr.getLong(1), tr.getLong(2), tr.getLong(3)) ==
+      (70L, (50L until 120L).map(_ * 11).sum, 50L, 119L))
+    // SUB-MILLISECOND bounds: the lossy encode must tighten, not drop.
+    // `ts < (50 ms + 1 µs)` INCLUDES the row stored at 50 ms (the naive
+    // encoded window excluded it — a false negative) and `>= (50 ms +
+    // 1 µs)` excludes it; positional, plain read, and fold all agree
+    for ((p, expN) <- Seq[(org.apache.spark.sql.Column, Long)](
+      (col("ts") < lit(mk(us0 + 50001L)), 50L),
+      (col("ts") >= lit(mk(us0 + 50001L)), 250L),
+      (col("ts") <= lit(mk(us0 + 50001L)), 50L),
+      (col("ts") > lit(mk(us0 + 50001L)), 250L))) {
+      val read = Seed.read(spark, tdir).filter(p).count()
+      val a = Seed.read(spark, tdir).filter(p)
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      val b = Seed.read(spark, tdir, Map(Options.MetadataAgg -> "false"))
+        .filter(p).agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      assert(read == expN && a == expN && b == expN,
+        s"sub-ms bound $p: read=$read agg=$a fold=$b expected $expN")
+    }
+    // a sub-millisecond EQUALITY can match no stored value: the positional
+    // path must answer 0, not the collapsed millisecond's row count
+    val eqq = Seed.read(spark, tdir)
+      .filter(col("ts") === lit(mk(us0 + 50001L)))
+      .agg(count(lit(1)).as("n"))
+    assert(scanDesc(eqq).contains("AggStats: complete"),
+      s"sub-ms equality must still answer at planning: ${scanDesc(eqq)}")
+    assert(eqq.collect()(0).getLong(0) == 0L,
+      "sub-ms equality matches nothing")
+    // strings: binary (= default collation) windows, vs the fold
+    val srows = (1L to 260L).map(i =>
+      (i, ('a' + (i % 26)).toChar.toString + (i % 10), i))
+    val sdir = Seed.table(spark, sfDir, "spec_idx_rangestr2",
+      srows.toDF("id", "s", "w"), props = Map(Options.IndexColumns -> "s"))
+    val sq = Seed.read(spark, sdir)
+      .filter(col("s") >= "f" && col("s") < "m")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(sq).contains("AggStats: complete"),
+      s"string range stats must answer at planning: ${scanDesc(sq)}")
+    val sexp = srows.filter(x => x._2 >= "f" && x._2 < "m")
+    val sr = sq.collect()(0)
+    assert((sr.getLong(0), sr.getLong(1)) ==
+      (sexp.size.toLong, sexp.map(_._3).sum))
+    // GROUP BY the indexed column under a range declines (group values
+    // would need the postings' value bytes) — exact via the fold
+    val g = Seed.read(spark, sdir).filter(col("s") >= "f" && col("s") < "h")
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+    assert(!scanDesc(g).contains("AggStats: complete"),
+      "grouped range must decline the positional path")
+    val gGot = g.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val gExp = sexp.filter(x => x._2 < "h").groupBy(_._2)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    assert(gGot == gExp)
+  }
+
+  test("indexed RANGE aggregates on netted stores; re-insert and budget decline stay exact") {
+    val sp = spark; import sp.implicits._
+    val rows: Seq[(Long, Long, Option[Long])] = (1L to 600L).map(i =>
+      (i, i * 2 - 600, if (i % 7 == 0) None else Some(i * 13)))
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangenet",
+      rows.toDF("id", "v", "w"), props = Map(Options.IndexColumns -> "v"))
+    // certified delete epoch inside the probed window
+    val doomed = rows.collect { case (i, v, _)
+      if v >= -200 && v < 100 && i % 3 == 0 => i }
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      doomed.map(Long.box).toArray[Any])))
+    val live = rows.filterNot(x => doomed.contains(x._1))
+    val q = Seed.read(spark, dir)
+      .filter(col("v") >= -150L && col("v") < 80L)
+      .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+        sum(col("w")).as("sw"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    assert(scanDesc(q).contains("AggStats: complete"),
+      s"netted range stats must stay positional: ${scanDesc(q)}")
+    val m = live.filter(x => x._2 >= -150L && x._2 < 80L)
+    val vv = m.flatMap(_._3)
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (m.size.toLong, vv.size.toLong, vv.sum,
+      m.map(_._1).min, m.map(_._1).max))
+    // value extremals never net — decline, exact
+    val vx = Seed.read(spark, dir)
+      .filter(col("v") >= -150L && col("v") < 80L)
+      .agg(min(col("w")).as("wn"), max(col("w")).as("wx"))
+    assert(!scanDesc(vx).contains("AggStats: complete"),
+      "netted value extremals under a range must decline")
+    val vxr = vx.collect()(0)
+    assert((vxr.getLong(0), vxr.getLong(1)) == (vv.min, vv.max))
+    // a candidate budget below the window's postings declines — exact
+    val tight = Seed.read(spark, dir,
+        Map(Options.IndexMaxCandidates -> "7"))
+      .filter(col("v") >= -150L && col("v") < 80L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(!scanDesc(tight).contains("AggStats: complete"),
+      "over-budget range must decline the positional path")
+    val tr = tight.collect()(0)
+    assert((tr.getLong(0), tr.getLong(1)) == (m.size.toLong, vv.sum))
+    // re-insert after delete breaks live disjointness: decline, exact
+    Seed.append(Seq((9L, -582L, Some(42L))).toDF("id", "v", "w"), dir,
+      Map(Options.WriteTimestamp -> "3"))
+    val after = Seed.read(spark, dir)
+      .filter(col("v") >= -600L && col("v") < -400L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(!scanDesc(after).contains("AggStats: complete"),
+      "re-insert-after-delete must decline netted range stats")
+    val am = (live.filterNot(_._1 == 9L) :+ ((9L, -582L, Some(42L))))
+      .filter(x => x._2 >= -600L && x._2 < -400L)
+    val ar = after.collect()(0)
+    assert((ar.getLong(0), ar.getLong(1)) ==
+      (am.size.toLong, am.flatMap(_._3).sum))
+  }
+
+  test("fuzz: indexed RANGE aggregates match the fold across random stores and windows") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    for (iter <- 1 to 6) {
+      val n = 100 + rnd.nextInt(300)
+      def randRows(ids: Seq[Long]) = ids.map { i =>
+        (i, rnd.nextInt(2000).toLong - 500,
+          if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(1000).toLong - 200))
+      }
+      val store = Seed.table(spark, sfDir, s"spec_idx_rangefuzz_$iter",
+        randRows(1L to n.toLong).toDF("id", "v", "w").repartition(1),
+        props = Map(Options.IndexColumns -> "v",
+          Options.Buckets -> (1 + rnd.nextInt(4)).toString))
+      rnd.nextInt(3) match {
+        case 0 => () // clean single epoch
+        case 1 => Seed.append(randRows((n + 1L) to (n + 40L)) // clean append
+          .toDF("id", "v", "w").repartition(1), store,
+          Map(Options.WriteTimestamp -> "2"))
+        case _ => Seed.append(randRows(Seq.fill(8)( // overwrites: dirty
+          rnd.nextInt(n).toLong + 1).distinct).toDF("id", "v", "w")
+          .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+      }
+      if (rnd.nextInt(3) == 0) // certified deletes: netted
+        tableOf(store).deleteWhere(Array[Filter](In("id",
+          Seq.fill(7)(rnd.nextInt(n).toLong + 1).distinct
+            .map(Long.box).toArray[Any])))
+      // random window: open/closed ends, strict/inclusive bounds, possibly
+      // empty or beyond-domain
+      val lo = rnd.nextInt(3000).toLong - 1000
+      val hi = lo + rnd.nextInt(1200)
+      var pred = lit(true)
+      if (rnd.nextBoolean()) pred = pred &&
+        (if (rnd.nextBoolean()) col("v") >= lo else col("v") > lo)
+      if (rnd.nextBoolean()) pred = pred &&
+        (if (rnd.nextBoolean()) col("v") < hi else col("v") <= hi)
+      val readOpts =
+        if (rnd.nextInt(3) == 0)
+          Map(Options.IndexMaxCandidates -> (1 + rnd.nextInt(60)).toString)
+        else Map.empty[String, String]
+      def agg(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred)
+          .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+            sum(col("w")).as("sw"), min(col("w")).as("wn"),
+            max(col("w")).as("wx"), min(col("id")).as("mn"),
+            max(col("id")).as("mx")).collect()(0)
+      val fast = agg(readOpts)
+      val fold = agg(readOpts + (Options.MetadataAgg -> "false"))
+      assert(fast == fold, s"iter $iter window [$lo, $hi): $fast vs $fold")
     }
   }
 }
