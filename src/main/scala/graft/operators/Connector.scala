@@ -2690,6 +2690,95 @@ object Connector {
       str.crossJoin(num).crossJoin(open)
     },
 
+    // ---- INDEXED AGGREGATES UNDER AS-OF BOUNDS (round 14, closing SURVEY
+    // §7.4 open #2): "per-source stats as of last Tuesday" — postings carry
+    // the SAME logical timestamps as their base cells, so gating BOTH
+    // stores per run by one bound preserves the postings↔cells bijection,
+    // re-proven by the totals equality over the two covered subsets. The
+    // store is a RANGE layout whose epochs land in disjoint key ranges
+    // (the at-scale shape: time-increasing keys), so per-bucket runs stay
+    // ts-homogeneous and a bound between epochs covers cleanly. A
+    // takedown of epoch-2 rows stamps ts=3: bounds at 1 and 2 answer the
+    // PRE-delete views positionally, the current view nets the victims
+    // out — also positionally. Scalar, grouped, and range arms. ----
+    Q("conn_agg_indexed_asof",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v,
+        |    c_custkey AS ck
+        |  FROM customer),
+        |e1 AS (SELECT * FROM rws WHERE ck < 1000),
+        |live AS (SELECT * FROM rws WHERE ck < 1000 OR ck % 40 <> 7),
+        |s1 AS (SELECT count(*) AS n1, CAST(sum(v) AS BIGINT) AS sv1,
+        |    min(k) AS mk1 FROM e1 WHERE src = 'BUILDING#4'),
+        |s2 AS (SELECT count(*) AS n2, CAST(sum(v) AS BIGINT) AS sv2
+        |  FROM rws WHERE src = 'BUILDING#4'),
+        |sn AS (SELECT count(*) AS n_now, CAST(sum(v) AS BIGINT) AS sv_now
+        |  FROM live WHERE src = 'BUILDING#4'),
+        |rg AS (SELECT count(*) AS n1_rng, CAST(sum(v) AS BIGINT) AS sv1_rng
+        |  FROM e1 WHERE v BETWEEN 123000 AND 155999),
+        |g AS (SELECT src AS gsrc, count(*) AS gn, CAST(sum(v) AS BIGINT) AS gsv
+        |  FROM e1 WHERE src IN ('BUILDING#4', 'AUTOMOBILE#7') GROUP BY src)
+        |SELECT s1.*, s2.*, sn.*, rg.*, g.*
+        |FROM s1 CROSS JOIN s2 CROSS JOIN sn CROSS JOIN rg CROSS JOIN g""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_asof"
+      seedOnce(s"$dir#agg_indexed_asof") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"),
+          $"c_custkey")
+        // range layout with a bound AT the epoch split (1000), so no
+        // bucket ever holds runs from both epochs
+        Seed.table(s, dir, "agg_indexed_asof",
+          src.filter($"c_custkey" < 1000)
+            .select($"row_key", $"src", $"v").repartition(1),
+          props = Map(Options.IndexColumns -> "src,v",
+            Options.Buckets -> "11",
+            Options.RangeBounds -> ("0000000250,0000000500,0000000750," +
+              "0000001000,0000004000,0000007000,0000010000,0000040000," +
+              "0000070000,0000100000")))
+        Seed.append(src.filter($"c_custkey" >= 1000)
+          .select($"row_key", $"src", $"v").repartition(1), store,
+          Map(Options.WriteTimestamp -> "2"))
+        // the takedown: epoch-2 victims (their tombstones stamp ts=3)
+        val doomed = src
+          .filter($"c_custkey" >= 1000 && $"c_custkey" % 40 === 7)
+          .select($"row_key").distinct().collect().map(_.getString(0))
+        if (doomed.nonEmpty) {
+          val meta = CellStore.readMeta(store).get
+          new graft.sources.cassandralike.CassandraLikeTable(store, store,
+            org.apache.spark.sql.types.StructType.fromDDL(meta.schemaDdl),
+            Some(meta.mapping), meta.properties)
+            .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+              org.apache.spark.sql.sources.In("row_key",
+                doomed.toArray[Any])))
+        }
+      }
+      val r1 = Seed.read(s, store, Map(Options.ReadAsOf -> "1"))
+      val r2 = Seed.read(s, store, Map(Options.ReadAsOf -> "2"))
+      val rc = Seed.read(s, store)
+      val s1 = r1.filter($"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n1"), sum($"v").as("sv1"),
+          min($"row_key").as("mk1"))
+      val s2 = r2.filter($"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n2"), sum($"v").as("sv2"))
+      val sn = rc.filter($"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n_now"), sum($"v").as("sv_now"))
+      val rg = r1.filter($"v" >= 123000L && $"v" <= 155999L)
+        .agg(count(lit(1)).as("n1_rng"), sum($"v").as("sv1_rng"))
+      val g = r1.filter($"src".isin("BUILDING#4", "AUTOMOBILE#7"))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"))
+        .select($"src".as("gsrc"), $"gn", $"gsv")
+      s1.crossJoin(s2).crossJoin(sn).crossJoin(rg).crossJoin(g)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

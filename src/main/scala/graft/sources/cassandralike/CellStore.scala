@@ -1372,6 +1372,7 @@ object CellStore {
             if (inWindow && (blooms(r) == null || blooms(r).mightContain(k))) {
               if (idx == null) {
                 if (reader == null) reader = new SegmentReader(file)
+                pointProbeIndexReads.incrementAndGet()
                 idx = reader.readIndex(ri)
               }
               if (colPoints != null) {
@@ -2075,6 +2076,7 @@ object CellStore {
             if (cv != null) { // absent column = zero cells, exactly
               if (wantSums && !cv.sumsOk) return None
               if (reader == null) reader = new SegmentReader(file)
+              pointProbeIndexReads.incrementAndGet()
               val idx = reader.readIndex(ri)
               var p = 0
               while (p < points.length) {
@@ -2371,6 +2373,7 @@ object CellStore {
               }
               if (idx == null) {
                 if (reader == null) reader = new SegmentReader(file)
+                pointProbeIndexReads.incrementAndGet()
                 idx = reader.readIndex(ri)
               }
               if (colPoints != null) {
@@ -3050,6 +3053,14 @@ object CellStore {
     * refreshes to O(new files) by watching this not move for carried
     * files. */
   val runTailReads = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Diagnostic: run-index parses performed by the per-point probe
+    * functions (countCellsAtPoints / colAggAtPoints /
+    * nettedCountCellsAtPoints / sumCellsAtPoints). The batched grouped
+    * indexed-aggregate path pins "G groups cost the parses of one" by
+    * watching this stay flat as the IN widens (IndexedAggProbe wide-IN
+    * arm). */
+  val pointProbeIndexReads = new java.util.concurrent.atomic.AtomicLong()
 
   def runStats(file: Path): Array[RunStats] =
     runStatsCache.computeIfAbsent(cacheKey(file), _ => {

@@ -155,6 +155,33 @@ object IndexedAggProbe {
         f"shrunk_min=${sh.min}%.4f gated_min=${gt.min}%.4f " +
         f"full_min=${fu.min}%.4f shrunk_over_full=${sh.min / fu.min}%.2f")
     }
+    // WIDE-IN grouped arm (round 14): all groups' candidates batch into
+    // ONE per-point pass per (bucket, column, file) — the run-index parse
+    // count must stay flat as the IN widens (the pre-batched form parsed
+    // once per (group, column): O(G × files))
+    val wideVals = Seed.read(spark, indexed).select(col("srcN"))
+      .distinct().orderBy(col("srcN")).limit(64)
+      .collect().map(_.getString(0)).toSeq
+    def groupedParses(k: Int): (Boolean, Long, Double) = {
+      val vals = wideVals.take(k)
+      def df = Seed.read(spark, indexed)
+        .filter(col("srcN").isin(vals: _*))
+        .groupBy(col("srcN"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      df.collect() // warm memos
+      val complete = df.queryExecution.executedPlan.toString()
+        .contains("AggStats: complete")
+      graft.sources.cassandralike.CellStore.pointProbeIndexReads.set(0)
+      val t0 = System.nanoTime()
+      df.collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (complete,
+        graft.sources.cassandralike.CellStore.pointProbeIndexReads.get(), dt)
+    }
+    for (k <- Seq(1, 8, 64)) {
+      val (c, p, t) = groupedParses(k)
+      println(f"widein groups=$k complete=$c index_parses=$p wall=$t%.3f")
+    }
     spark.stop()
   }
 }

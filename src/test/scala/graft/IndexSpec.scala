@@ -913,6 +913,79 @@ class IndexSpec extends SparkSpec {
       (am.size.toLong, am.flatMap(_._3).sum))
   }
 
+  test("indexed aggregates under AS-OF bounds: covered epochs stay positional; straddles fold") {
+    val sp = spark; import sp.implicits._
+    // epochs with key-disjoint runs (the at-scale shape: time-increasing
+    // keys / a range layout; one bucket keeps the spec's runs byte-sorted)
+    val e1 = (1L to 300L).map(i => (i, s"g${i % 4}", i * 3))
+    val e2 = (301L to 450L).map(i => (i, s"g${i % 4}", i * 3))
+    val dir = Seed.table(spark, sfDir, "spec_idx_asof",
+      e1.toDF("id", "src", "v").repartition(1),
+      props = Map(Options.IndexColumns -> "src,v", Options.Buckets -> "1"))
+    Seed.append(e2.toDF("id", "src", "v").repartition(1), dir,
+      Map(Options.WriteTimestamp -> "2"))
+    def stats(asOf: Option[Long], extra: Map[String, String] = Map.empty) = {
+      val opts = asOf.map(a => Map(Options.ReadAsOf -> a.toString))
+        .getOrElse(Map.empty) ++ extra
+      Seed.read(spark, dir, opts).filter(col("src") === "g1")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("id")).as("mn"), max(col("id")).as("mx"))
+    }
+    def expect(rows: Seq[(Long, String, Long)]): (Long, Long, Long, Long) = {
+      val m = rows.filter(_._2 == "g1")
+      (m.size.toLong, m.map(_._3).sum, m.map(_._1).min, m.map(_._1).max)
+    }
+    def got(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // a bound at epoch 1 sees only epoch 1 — positionally
+    val q1 = stats(Some(1L))
+    assert(scanDesc(q1).contains("AggStats: complete"),
+      s"as-of bound at epoch 1 must stay positional: ${scanDesc(q1)}")
+    assert(got(q1) == expect(e1))
+    assert(got(stats(Some(1L), Map(Options.MetadataAgg -> "false"))) ==
+      expect(e1), "fold agrees at bound 1")
+    // a bound at epoch 2 sees both
+    val q2 = stats(Some(2L))
+    assert(scanDesc(q2).contains("AggStats: complete"))
+    assert(got(q2) == expect(e1 ++ e2))
+    // a takedown of epoch-2 rows: the certified tombstones stamp
+    // victim-ts + 1 = 3, so bounded views at ts ≤ 2 still answer the
+    // pre-delete values positionally (the delete files are fully newer),
+    // while the CURRENT view nets them out — also positionally
+    val doomed = e2.collect { case (i, s, _) if s == "g1" && i % 5 == 0 => i }
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      doomed.map(Long.box).toArray[Any])))
+    val q2b = stats(Some(2L))
+    assert(scanDesc(q2b).contains("AggStats: complete"),
+      "bounded view before the delete must stay positional")
+    assert(got(q2b) == expect(e1 ++ e2), "pre-delete values at bound 2")
+    val now = stats(None)
+    assert(scanDesc(now).contains("AggStats: complete"),
+      "current netted view must stay positional")
+    val liveRows = (e1 ++ e2).filterNot(r => doomed.contains(r._1))
+    assert(got(now) == expect(liveRows))
+    // RANGE form composes with the bound too
+    val rng = Seed.read(spark, dir, Map(Options.ReadAsOf -> "1"))
+      .filter(col("v") >= 120L && col("v") < 600L)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanDesc(rng).contains("AggStats: complete"),
+      s"as-of range stats must stay positional: ${scanDesc(rng)}")
+    val rexp = e1.filter(r => r._3 >= 120L && r._3 < 600L)
+    val rr = rng.collect()(0)
+    assert((rr.getLong(0), rr.getLong(1)) ==
+      (rexp.size.toLong, rexp.map(_._3).sum))
+    // compaction collapses the epochs into one run: a bound INSIDE the
+    // merged ts range straddles — decline, exact vs the fold
+    CellStore.compactBucket(dir, 0)
+    val qs = stats(Some(1L))
+    assert(!scanDesc(qs).contains("AggStats: complete"),
+      "a straddling bound must decline the positional path")
+    assert(got(qs) ==
+      got(stats(Some(1L), Map(Options.MetadataAgg -> "false"))))
+  }
+
   test("fuzz: indexed RANGE aggregates match the fold across random stores and windows") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(20260816L)

@@ -91,7 +91,9 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_regular_range", 2),
       ("conn_agg_indexed_stats", 1), // candidate-point value stats
       ("conn_agg_indexed_group", 1), // GROUP BY the indexed column
-      ("conn_agg_indexed_netted", 2))) { // scalar + grouped on the netted store
+      ("conn_agg_indexed_netted", 2), // scalar + grouped on the netted store
+      ("conn_agg_indexed_range", 3), // string window, numeric BETWEEN, open >
+      ("conn_agg_indexed_asof", 5))) { // 2 bounded + netted-now + range + grouped
       val scans = collectAll(plan(name)).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
           if b.scan.description().contains("cassandralike") => b.scan.description()
