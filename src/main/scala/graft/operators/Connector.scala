@@ -2690,6 +2690,42 @@ object Connector {
       str.crossJoin(num).crossJoin(open)
     },
 
+    // ---- GROUP BY the INDEXED column under a RANGE ("histogram per
+    // source over a source window", round 14): the postings walk keeps
+    // the VALUE bytes, so one run-index seek yields the distinct group
+    // values AND their candidate keys together — group keys decode from
+    // the order-preserving value encoding, aggregates ride the same
+    // batched per-point pass as the IN form. ----
+    Q("conn_agg_indexed_range_group",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT src, count(*) AS gn, CAST(sum(v) AS BIGINT) AS gsv,
+        |  min(k) AS gmk
+        |FROM rws WHERE src >= 'BUILDING#4' AND src < 'BUILDING#6'
+        |GROUP BY src""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      Seed.read(s, store)
+        .filter($"src" >= "BUILDING#4" && $"src" < "BUILDING#6")
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"),
+          min($"row_key").as("gmk"))
+    },
+
     // ---- INDEXED AGGREGATES UNDER AS-OF BOUNDS (round 14, closing SURVEY
     // §7.4 open #2): "per-source stats as of last Tuesday" — postings carry
     // the SAME logical timestamps as their base cells, so gating BOTH

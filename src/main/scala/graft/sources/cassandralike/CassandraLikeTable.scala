@@ -1497,10 +1497,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
 
   /** GROUP BY the INDEXED column over an absorbed IN — `SELECT c1,
     * count(*), sum(c2) WHERE c1 IN (...) GROUP BY c1` ("per-source row
-    * and byte totals") — one group per IN value with matching rows, each
-    * group answered from its own candidate key set exactly like the
-    * scalar form; a value with no postings emits NO group, exactly like
-    * the fold. */
+    * and byte totals") — or over an absorbed RANGE (`WHERE c1 BETWEEN a
+    * AND b GROUP BY c1`, the histogram-slice shape): one group per value
+    * with matching rows, each answered from its own candidate key set
+    * exactly like the scalar form; a value with no postings (or whose
+    * rows all netted away) emits NO group, exactly like the fold. */
   private def computeIndexedGroupAnswer(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
     : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
@@ -1512,15 +1513,35 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     }
     val ctx = indexedAggCtx.getOrElse(return None)
     if (groupCol != ctx.idxCol) return None
-    // RANGE form declines: emitting one group per DISTINCT value in the
-    // range would need the postings' VALUE bytes alongside their keys —
-    // the candidate resolution keeps only keys
-    if (ctx.bounds.nonEmpty) return None
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
-    // indexedCandidates enforces the MaxCompletePoints cap on the TOTAL
-    // while resolving, so no size re-check is needed here
-    val cands = indexedCandidates(ctx).getOrElse(return None)
+    // per-group candidates: one point lookup per IN value, or — the RANGE
+    // form (round 14, "histogram per source over a value window") — one
+    // postings walk that keeps the VALUE bytes, yielding the distinct
+    // group values and their base keys together; group keys decode from
+    // the value bytes (exact: absorbed types round-trip every STORED
+    // value). Both forms enforce the MaxCompletePoints cap while
+    // resolving, so no size re-check is needed here.
+    val groupCands: Seq[(Any, Seq[Array[Byte]])] =
+      if (ctx.bounds.isEmpty) {
+        val cands = indexedCandidates(ctx).getOrElse(return None)
+        ctx.pts.map { case (ek, cat) =>
+          (cat, cands.getOrElse(ek.toSeq, Nil))
+        }
+      } else {
+        val optF: String => Option[String] =
+          k => Options.effective(options, table.tableProps, k)
+        val budget = math.min(
+          optF(Options.IndexMaxCandidates).map(_.toInt)
+            .getOrElse(Options.DefaultIndexMaxCandidates),
+          CellScanBuilder.MaxCompletePoints)
+        val dt = table.tableSchema(ctx.idxCol).dataType
+        val textEnc = optF(Options.Encoding).contains("text")
+        Index.rangeLookupGrouped(ctx.idxDir, dt, textEnc, ctx.idxCol,
+            ctx.bounds, ctx.buckets, budget, ctx.idxByBucket)
+          .getOrElse(return None)
+          .map { case (ek, ks) => (Index.decodeKey(dt, ek, textEnc), ks) }
+      }
     // ALL groups' candidates batch into ONE point list (each group keeps
     // its index range): the presence and per-column passes then open each
     // consulted segment once TOTAL instead of once per (group, column),
@@ -1528,8 +1549,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // groups cost the index parses of one
     val allKs = Vector.newBuilder[Array[Byte]]
     var off = 0
-    val slices: Seq[(Any, Range)] = ctx.pts.flatMap { case (ek, cat) =>
-      val g = cands.getOrElse(ek.toSeq, Nil)
+    val slices: Seq[(Any, Range)] = groupCands.flatMap { case (cat, g) =>
       if (g.isEmpty) None
       else {
         val start = off

@@ -206,16 +206,52 @@ object Index {
       case _ => b
     }
 
+  /** Inverse of [[encodeKey]]: the Catalyst value a posting's key bytes
+    * decode to. Exact for every STORED value — the absorbed types encode
+    * injectively, and the one lossy case (timestamps, micros→millis)
+    * stores only millisecond-aligned values, which round-trip. Feeds the
+    * grouped RANGE-aggregate path, whose group keys are the postings'
+    * values. */
+  private[cassandralike] def decodeKey(dt: DataType, ek: Array[Byte],
+      textEncoding: Boolean): Any =
+    if (textEncoding) Codecs.decode(dt, ek)
+    else Codecs.decode(dt, orderPreservingInverse(dt, ek))
+
+  private def orderPreservingInverse(dt: DataType, b: Array[Byte]): Array[Byte] =
+    dt match {
+      case IntegerType | LongType | TimestampType =>
+        val c = b.clone(); c(0) = (c(0) ^ 0x80).toByte; c
+      case FloatType | DoubleType =>
+        // forward: negatives flip ALL bits (encoded sign bit becomes 0),
+        // non-negatives set the sign bit (encoded sign bit 1) — so the
+        // encoded sign bit tells which branch to invert
+        val c = b.clone()
+        if ((c(0) & 0x80) != 0) c(0) = (c(0) ^ 0x80).toByte
+        else { var i = 0; while (i < c.length) { c(i) = (~c(i)).toByte; i += 1 } }
+        c
+      case _ => b
+    }
+
   /** Whether unsigned-byte order over encoded index keys equals SQL value
     * order — the precondition for seeking a value range through the run
-    * index. Binary encodings all qualify via [[orderPreserving]]; text
+    * index. Binary encodings qualify when [[orderPreserving]] covers the
+    * type (or the marshal is already byte-ordered: strings, binary,
+    * boolean); DECIMAL does NOT — its marshal is a scale prefix plus
+    * VARIABLE-LENGTH unscaled two's-complement bytes, where 100 (0x64)
+    * sorts above 1000 (0x03E8), so a seek would skip matching postings
+    * (false negatives, the one failure the index must never produce) —
+    * decimal ranges take the scan-and-recheck path below instead. Text
     * renders numerics as decimal strings ("10" < "9"), leaving only the
     * identity-rendered types ("false" < "true" happens to hold). */
   private def seekable(dt: DataType, textEncoding: Boolean): Boolean =
-    !textEncoding || (dt match {
+    if (textEncoding) dt match {
       case StringType | BinaryType | BooleanType => true
       case _ => false
-    })
+    } else dt match {
+      case IntegerType | LongType | TimestampType | FloatType | DoubleType |
+           StringType | BinaryType | BooleanType => true
+      case _ => false
+    }
 
   /** Validated indexed column set from `index.columns` (comma list of
     * schema column names; regular mappings only, named cells only). */
@@ -359,24 +395,59 @@ object Index {
     } finally it.close()
   }
 
-  /** Postings whose value satisfies every bound in `bounds` (a conjunction
-    * over one column). Values hash across index buckets, so all buckets are
-    * visited; when the key encoding is order-preserving each visit SEEKS
-    * the `[lo, hi)` slice through the run index (cost = matching postings),
-    * otherwise it scans the bucket's narrow postings and re-checks the
-    * decoded value through the exact FilterEval comparators. None = the
-    * candidate list exceeded the budget — the caller falls back to a full
-    * base scan instead of materializing an unbounded key list on the
-    * driver. */
+  /** Base-key candidates whose value satisfies every bound — the key-only
+    * view of [[rangeWalk]] the scan path consumes. */
   private[cassandralike] def rangeLookup(idxDir: String, dt: DataType,
       textEnc: Boolean,
       colName: String, bounds: Seq[Filter], buckets: Int,
       budget: Int,
-      /** non-null pins the walk to an explicit per-bucket file map (the
-        * indexed-aggregate proof-walk listing — possibly an AS-OF covered
-        * subset) instead of a fresh directory listing */
       filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
-    : Option[Set[Seq[Byte]]] = {
+    : Option[Set[Seq[Byte]]] =
+    rangeWalk(idxDir, dt, textEnc, colName, bounds, buckets, budget,
+      filesByBucket).map(_.iterator.map(_._2.toSeq).toSet)
+
+  /** Per-VALUE candidate groups whose value satisfies every bound — the
+    * grouped range-aggregate form ("histogram per source over a value
+    * window"): the postings walk keeps the value bytes, so one seek
+    * yields the groups and their base keys together. A value's postings
+    * live in exactly one bucket (value-hash routing), so per-bucket
+    * grouping composes by concatenation. */
+  private[cassandralike] def rangeLookupGrouped(idxDir: String, dt: DataType,
+      textEnc: Boolean,
+      colName: String, bounds: Seq[Filter], buckets: Int,
+      budget: Int,
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
+    : Option[Seq[(Array[Byte], Seq[Array[Byte]])]] =
+    rangeWalk(idxDir, dt, textEnc, colName, bounds, buckets, budget,
+      filesByBucket).map { pairs =>
+      val m = collection.mutable.LinkedHashMap
+        .empty[Seq[Byte], Vector[Array[Byte]]]
+      pairs.foreach { case (v, k) =>
+        val key = v.toSeq
+        m.put(key, m.getOrElse(key, Vector.empty) :+ k)
+      }
+      m.iterator.map { case (v, ks) => (v.toArray, ks: Seq[Array[Byte]]) }
+        .toSeq
+    }
+
+  /** (encoded value, base key) postings whose value satisfies every bound
+    * in `bounds` (a conjunction over one column). Values hash across index
+    * buckets, so all buckets are visited; when the key encoding is
+    * order-preserving each visit SEEKS the `[lo, hi)` slice through the
+    * run index (cost = matching postings), otherwise it scans the bucket's
+    * narrow postings and re-checks the decoded value through the exact
+    * FilterEval comparators. None = the walk exceeded the budget — the
+    * caller falls back to a full base scan instead of materializing an
+    * unbounded list on the driver. `filesByBucket`, when non-null, pins
+    * the walk to an explicit per-bucket file map (the indexed-aggregate
+    * proof-walk listing — possibly an AS-OF covered subset) instead of a
+    * fresh directory listing. */
+  private def rangeWalk(idxDir: String, dt: DataType,
+      textEnc: Boolean,
+      colName: String, bounds: Seq[Filter], buckets: Int,
+      budget: Int,
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]])
+    : Option[Vector[(Array[Byte], Array[Byte])]] = {
     def enc(v: Any): Array[Byte] =
       encodeKey(dt, CatalystTypeConverters.convertToCatalyst(v), textEnc)
     def succ(b: Array[Byte]): Array[Byte] =
@@ -446,7 +517,7 @@ object Index {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val perBucket: Seq[Option[Vector[Seq[Byte]]]] =
+    val perBucket: Seq[Option[Vector[(Array[Byte], Array[Byte])]]] =
       Await.result(Future.sequence(toVisit.map { case (b, files) => Future {
         if (scanned.get() > budget) None // another bucket already aborted
         else {
@@ -454,20 +525,20 @@ object Index {
           val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi,
             onlyFiles = files)
           try {
-            val out = Vector.newBuilder[Vector[Byte]]
+            val out = Vector.newBuilder[(Array[Byte], Array[Byte])]
             var ok = true
             while (ok && it.hasNext) {
               val c = it.next()
               if (scanned.incrementAndGet() > budget) ok = false
               else if (checks.isEmpty ||
                   checks.forall(_(Map(colName -> Codecs.decode(dt, c.key)))))
-                out += c.col.toVector
+                out += ((c.key, c.col))
             }
-            if (ok) Some(out.result().map(v => v: Seq[Byte])) else None
+            if (ok) Some(out.result()) else None
           } finally it.close()
         }
       } }), Duration.Inf)
     if (perBucket.exists(_.isEmpty)) None
-    else Some(perBucket.flatMap(_.get).toSet)
+    else Some(perBucket.iterator.flatMap(_.get).toVector)
   }
 }

@@ -172,6 +172,36 @@ class IndexSpec extends SparkSpec {
     assert(one.toSeq == Seq(8L))
   }
 
+  test("decimal-indexed ranges scan-and-recheck: variable-width unscaled bytes never seek") {
+    val sp = spark; import sp.implicits._
+    // the decimal marshal is a scale prefix + VARIABLE-LENGTH unscaled
+    // two's-complement bytes: under raw byte order 100.00 (2-byte
+    // unscaled) sorts ABOVE 1000.00 (3-byte) and negatives above
+    // positives — a run-index seek over that order would silently skip
+    // matching postings, so decimal ranges must take the non-seekable
+    // scan-and-recheck path (gate off so the index path actually runs)
+    val vals = Seq(BigDecimal(-1500.50), BigDecimal(-100.25),
+      BigDecimal(-1.75), BigDecimal(0.00), BigDecimal(1.25),
+      BigDecimal(99.99), BigDecimal(100.00), BigDecimal(127.50),
+      BigDecimal(1000.00), BigDecimal(32000.00))
+    val dir = Seed.table(spark, sfDir, "spec_idx_rangedec",
+      vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }
+        .toDF("id", "v0").select(col("id"), col("v0").cast("decimal(12,2)").as("v")),
+      props = Map(Options.IndexColumns -> "v",
+        Options.IndexPointCostCells -> "0"))
+    def ids(p: org.apache.spark.sql.Column): Seq[Long] =
+      Seed.read(spark, dir).filter(p).collect().map(_.getLong(0)).sorted.toSeq
+    def exp(f: BigDecimal => Boolean): Seq[Long] =
+      vals.zipWithIndex.collect { case (v, i) if f(v) => i.toLong + 1 }
+    assert(ids(col("v") >= 100.00) == exp(_ >= 100.00),
+      "length boundary: 1000.00 must not sort below 100.00")
+    assert(ids(col("v") < -1.00) == exp(_ < -1.00),
+      "negatives must not sort above positives")
+    assert(ids(col("v") >= -100.25 && col("v") < 127.50) ==
+      exp(v => v >= -100.25 && v < 127.50))
+    assert(ids(col("v") > 0.00) == exp(_ > 0.00))
+  }
+
   test("text-encoded numeric ranges re-check decoded values (non-seekable)") {
     val sp = spark; import sp.implicits._
     // decimal strings are not byte-ordered ("10" < "9"), so this path must
@@ -844,16 +874,29 @@ class IndexSpec extends SparkSpec {
     val sr = sq.collect()(0)
     assert((sr.getLong(0), sr.getLong(1)) ==
       (sexp.size.toLong, sexp.map(_._3).sum))
-    // GROUP BY the indexed column under a range declines (group values
-    // would need the postings' value bytes) — exact via the fold
+    // GROUP BY the indexed column under a range answers positionally too
+    // (round 14): the postings walk keeps the value bytes, so the distinct
+    // group values and their candidates come from one seek
     val g = Seed.read(spark, sdir).filter(col("s") >= "f" && col("s") < "h")
-      .groupBy(col("s")).agg(count(lit(1)).as("n"))
-    assert(!scanDesc(g).contains("AggStats: complete"),
-      "grouped range must decline the positional path")
-    val gGot = g.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(g).contains("AggStats: complete"),
+      s"grouped range must stay positional: ${scanDesc(g)}")
+    val gGot = g.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
     val gExp = sexp.filter(x => x._2 < "h").groupBy(_._2)
-      .map { case (k, xs) => k -> xs.size.toLong }
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._3).sum) }
     assert(gGot == gExp)
+    // grouped range over LONGS: group keys decode through the
+    // order-preserving inverse — sign boundary included
+    val gl = Seed.read(spark, dir).filter(col("v") >= -3L && col("v") < 4L)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"), min(col("id")).as("mn"))
+    assert(scanDesc(gl).contains("AggStats: complete"),
+      s"grouped long range must stay positional: ${scanDesc(gl)}")
+    val glGot = gl.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val glExp = rows.filter(r => r._2 >= -3L && r._2 < 4L).groupBy(_._2)
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._1).min) }
+    assert(glGot == glExp)
   }
 
   test("indexed RANGE aggregates on netted stores; re-insert and budget decline stay exact") {
@@ -889,6 +932,21 @@ class IndexSpec extends SparkSpec {
       "netted value extremals under a range must decline")
     val vxr = vx.collect()(0)
     assert((vxr.getLong(0), vxr.getLong(1)) == (vv.min, vv.max))
+    // grouped range on the netted store: an emptied value (all its
+    // in-window rows deleted) emits no group, like the fold
+    val gq = Seed.read(spark, dir)
+      .filter(col("v") >= -150L && col("v") < 80L)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(gq).contains("AggStats: complete"),
+      s"netted grouped range must stay positional: ${scanDesc(gq)}")
+    val gGot = gq.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1),
+        if (x.isNullAt(2)) null else Long.box(x.getLong(2)))).toMap
+    val gExp = m.groupBy(_._2).map { case (k, xs) =>
+      val vs = xs.flatMap(_._3)
+      k -> (xs.size.toLong, if (vs.isEmpty) null else Long.box(vs.sum))
+    }
+    assert(gGot == gExp, "netted grouped range values")
     // a candidate budget below the window's postings declines — exact
     val tight = Seed.read(spark, dir,
         Map(Options.IndexMaxCandidates -> "7"))
@@ -1035,6 +1093,16 @@ class IndexSpec extends SparkSpec {
       val fast = agg(readOpts)
       val fold = agg(readOpts + (Options.MetadataAgg -> "false"))
       assert(fast == fold, s"iter $iter window [$lo, $hi): $fast vs $fold")
+      def grouped(opts: Map[String, String]) =
+        Seed.read(spark, store, opts).filter(pred)
+          .groupBy(col("v"))
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+            max(col("id")).as("mx"))
+          .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val gFast = grouped(readOpts)
+      val gFold = grouped(readOpts + (Options.MetadataAgg -> "false"))
+      assert(gFast == gFold,
+        s"iter $iter grouped window [$lo, $hi): $gFast vs $gFold")
     }
   }
 }
