@@ -2726,6 +2726,59 @@ object Connector {
           min($"row_key").as("gmk"))
     },
 
+    // ---- MULTI-PREDICATE INDEXED AGGREGATES (round 14): a conjunction
+    // across indexed columns — `WHERE src = x AND v BETWEEN a AND b`, the
+    // "clicks in a window" shape — intersects the columns' candidate sets
+    // under per-index bijection proofs, then rides the same per-point
+    // arithmetic; the grouped form intersects every group's candidates
+    // with the other predicates' sets. ----
+    Q("conn_agg_indexed_multi",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM rws
+        |   WHERE src = 'BUILDING#4' AND v BETWEEN 123000 AND 447999) AS n,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE src = 'BUILDING#4' AND v BETWEEN 123000 AND 447999) AS sv,
+        |  (SELECT min(k) FROM rws
+        |   WHERE src = 'BUILDING#4' AND v BETWEEN 123000 AND 447999) AS mk,
+        |  g.gsrc, g.gn, g.gsv
+        |FROM (SELECT src AS gsrc, count(*) AS gn,
+        |    CAST(sum(v) AS BIGINT) AS gsv
+        |  FROM rws
+        |  WHERE src IN ('BUILDING#4', 'AUTOMOBILE#7')
+        |    AND v BETWEEN 123000 AND 447999
+        |  GROUP BY src) g""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      val r = Seed.read(s, store)
+      val scalar = r
+        .filter($"src" === "BUILDING#4" && $"v" >= 123000L && $"v" <= 447999L)
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          min($"row_key").as("mk"))
+      val grouped = r
+        .filter($"src".isin("BUILDING#4", "AUTOMOBILE#7") &&
+          $"v" >= 123000L && $"v" <= 447999L)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"))
+        .select($"src".as("gsrc"), $"gn", $"gsv")
+      scalar.crossJoin(grouped)
+    },
+
     // ---- INDEXED AGGREGATES UNDER AS-OF BOUNDS (round 14, closing SURVEY
     // §7.4 open #2): "per-source stats as of last Tuesday" — postings carry
     // the SAME logical timestamps as their base cells, so gating BOTH

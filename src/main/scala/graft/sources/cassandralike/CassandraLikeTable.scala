@@ -1046,22 +1046,26 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * reader-side fold: exact, just not zero-IO). AS-OF bounds compose
     * when every run is cleanly covered or newer (see the pairing note in
     * [[indexedAggContext]]). */
-  /** The proven context every indexed-aggregate path shares: the one
-    * absorbed indexed predicate, its DISTINCT encoded value points (paired
-    * with their Catalyst values — the grouped form's group keys), and the
-    * index's segment map — produced only after the full composed proof
-    * above (clean base, tombstone-free postings, totals equality) has
-    * held, so callers may treat postings as a BIJECTION onto the base's
-    * current cells of the indexed column. */
-  private case class IndexedCtx(idxCol: String,
+  /** One absorbed indexed predicate inside [[IndexedCtx]]: the column,
+    * its DISTINCT encoded value points (equality/IN — paired with their
+    * Catalyst values, the grouped form's group keys) OR its range bounds
+    * (exclusive), and the column's index-store segment map, pinned
+    * (possibly an as-of covered subset) by the proof walk. */
+  private case class IdxPred(col: String,
       pts: Seq[(Array[Byte], Any)],
-      /** RANGE form (pts empty): the absorbed comparison conjuncts on the
-        * indexed column — candidates come from one run-index range seek
-        * over the postings ([[Index.rangeLookup]]) instead of per-value
-        * point lookups. Exclusive with pts. */
       bounds: Seq[Filter],
       idxDir: String,
-      idxByBucket: Map[Int, Seq[java.nio.file.Path]],
+      idxByBucket: Map[Int, Seq[java.nio.file.Path]])
+
+  /** The proven context every indexed-aggregate path shares: the absorbed
+    * indexed predicates (ONE per referenced column — a conjunction across
+    * columns intersects their candidate sets, round 14: `type = 'click'
+    * AND ts BETWEEN a AND b`) and the pinned base listing — produced only
+    * after the full composed proof above (clean base, tombstone-free
+    * postings, totals equality PER INDEX) has held, so callers may treat
+    * each column's postings as a BIJECTION onto the base's current cells
+    * of that column. */
+  private case class IndexedCtx(preds: Seq[IdxPred],
       buckets: Int,
       /** some base bucket carries certified delete epochs: candidates are
         * a superset of the visible rows (deleted keys net to zero), the
@@ -1095,45 +1099,57 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // epochs) decline to the fold, exactly like the plain metadata paths.
     // Every candidate probe then runs against the pinned covered maps.
     val asOf = optF(Options.ReadAsOf).map(_.toLong)
-    // exactly ONE absorbed indexed equality/IN — or a conjunction of
-    // absorbed COMPARISONS on one indexed column (`BETWEEN a AND b`) —
-    // and nothing else pushed (the IsNotNull Catalyst pairs with either
-    // shape is subsumed by it)
+    // the pushed set must be ENTIRELY absorbed indexed predicates: per
+    // referenced column either ONE equality/IN or a conjunction of
+    // comparisons (`BETWEEN a AND b`); columns conjoin by candidate
+    // intersection (round 14). Mixed eq+range on ONE column declines (the
+    // scan path's keyFilters intersection owns it), as does anything else
+    // pushed — the IsNotNull conjuncts Catalyst pairs with the absorbed
+    // shapes are subsumed by them.
     val idxCols = Index.columns(table.mapping, optF)
-    def boundOn(f: Filter): Option[String] = f match {
-      case GreaterThan(c, v) if idxCols(c) && v != null => Some(c)
-      case GreaterThanOrEqual(c, v) if idxCols(c) && v != null => Some(c)
-      case LessThan(c, v) if idxCols(c) && v != null => Some(c)
-      case LessThanOrEqual(c, v) if idxCols(c) && v != null => Some(c)
-      case _ => None
-    }
-    val (idxCol, rawVals, bounds) = pushed.filterNot(
-      _.isInstanceOf[org.apache.spark.sql.sources.IsNotNull]) match {
-      case Array(EqualTo(c, v)) if idxCols(c) && v != null =>
-        (c, Seq(v), Nil)
-      case Array(In(c, vs)) if idxCols(c) && vs != null && vs.nonEmpty =>
-        (c, vs.toSeq, Nil)
-      case fs if fs.nonEmpty && fs.flatMap(boundOn).length == fs.length &&
-          fs.flatMap(boundOn).distinct.length == 1 =>
-        (fs.flatMap(boundOn).head, Nil, fs.toSeq)
+    val eqVals = collection.mutable.LinkedHashMap.empty[String, Seq[Any]]
+    val rngs = collection.mutable.LinkedHashMap.empty[String, Vector[Filter]]
+    pushed.foreach {
+      case _: org.apache.spark.sql.sources.IsNotNull => ()
+      case EqualTo(c, v) if idxCols(c) && v != null =>
+        if (eqVals.contains(c)) return None
+        eqVals(c) = Seq(v)
+      case In(c, vs) if idxCols(c) && vs != null && vs.nonEmpty =>
+        if (eqVals.contains(c)) return None
+        eqVals(c) = vs.toSeq
+      case f @ GreaterThan(c, v) if idxCols(c) && v != null =>
+        rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
+      case f @ GreaterThanOrEqual(c, v) if idxCols(c) && v != null =>
+        rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
+      case f @ LessThan(c, v) if idxCols(c) && v != null =>
+        rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
+      case f @ LessThanOrEqual(c, v) if idxCols(c) && v != null =>
+        rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
       case _ => return None
     }
+    val cols: Seq[String] = (eqVals.keys ++ rngs.keys).toSeq
+    if (cols.isEmpty || eqVals.keySet.intersect(rngs.keySet).nonEmpty)
+      return None
     if (pushed.exists {
-      case org.apache.spark.sql.sources.IsNotNull(c) => c != idxCol
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        !eqVals.contains(c) && !rngs.contains(c)
       case _ => false
     }) return None
-    val idxDir = Index.dir(table.dir, idxCol)
-    if (!Index.formatOk(idxDir)) return None
-    val colBytes = MetadataAggReader.regularCellBytes(table.mapping, idxCol)
-    if (colBytes == null) return None
-    // base proof + the base's per-column LIVE total (CVAL): every bucket
+    val colBytesByCol: Map[String, Array[Byte]] = cols.map { c =>
+      if (!Index.formatOk(Index.dir(table.dir, c))) return None
+      val cb = MetadataAggReader.regularCellBytes(table.mapping, c)
+      if (cb == null) return None
+      c -> cb
+    }.toMap
+    // base proof + the base's per-column LIVE totals (CVAL): every bucket
     // must be CLEAN (no overwrite/delete ever) or NETTING-ELIGIBLE
     // (disjoint live runs + certified delete epochs). The totals equality
-    // below compares postings against cells EVER WRITTEN of the indexed
-    // column — on a netted bucket that is the LIVE-run count, recovered
-    // from the two committed reductions: colVals = live + certified
-    // victims, nettedColVals = live − certified, so live = (sum)/2.
-    var baseColCells = 0L
+    // below compares each index's postings against cells EVER WRITTEN of
+    // its column — on a netted bucket that is the LIVE-run count,
+    // recovered from the two committed reductions: colVals = live +
+    // certified victims, nettedColVals = live − certified ⇒ live = sum/2.
+    val baseColCells =
+      collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     var anyNetted = false
     val baseB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
     CellStore.allSegmentFiles(table.dir).foreach { case (b, files0) =>
@@ -1144,58 +1160,65 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       val (files, rec) = MetadataAggReader.asOfView(table.dir, b, files0,
         rec0, asOf).getOrElse(return None)
       if (!rec.statsValid) return None
-      def colCount(cvs: Seq[CellStore.ColValStat]): Long =
-        cvs.find(cv => java.util.Arrays.equals(cv.col, colBytes))
+      def colCount(cvs: Seq[CellStore.ColValStat], cb: Array[Byte]): Long =
+        cvs.find(cv => java.util.Arrays.equals(cv.col, cb))
           .map(_.count).getOrElse(0L)
       if (rec.tombstoneFree && rec.disjoint && rec.allAddrsDistinct &&
           rec.colValsAll) {
-        baseColCells += colCount(rec.colVals)
+        cols.foreach(c =>
+          baseColCells(c) += colCount(rec.colVals, colBytesByCol(c)))
       } else if (rec.nettedOk && rec.nettedColValsOk) {
         anyNetted = true
-        val both = colCount(rec.colVals) + colCount(rec.nettedColVals)
-        if (both < 0 || both % 2 != 0) return None
-        baseColCells += both / 2
+        cols.foreach { c =>
+          val both = colCount(rec.colVals, colBytesByCol(c)) +
+            colCount(rec.nettedColVals, colBytesByCol(c))
+          if (both < 0 || both % 2 != 0) return None
+          baseColCells(c) += both / 2
+        }
       } else return None
       baseB += b -> files
     }
     val baseByBucket = baseB.result()
-    // index-side totals (tombstone-free postings, raw cell count) over the
-    // same bound's covered subset
-    var idxCells = 0L
-    val idxB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
-    CellStore.allSegmentFiles(idxDir).foreach { case (b, files0) =>
-      val rec0 = CellStore.bucketStats(idxDir, b, files0)
-      if (!rec0.statsValid) return None
-      val (files, rec) = MetadataAggReader.asOfView(idxDir, b, files0,
-        rec0, asOf).getOrElse(return None)
-      if (!(rec.statsValid && rec.tombstoneFree)) return None
-      idxCells += rec.cells
-      idxB += b -> files
-    }
-    val idxByBucket = idxB.result()
-    if (idxCells != baseColCells) return None // orphan/dup postings: decline
-    val dt = table.tableSchema(idxCol).dataType
     val textEnc = optF(Options.Encoding).contains("text")
     val buckets = optF(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    // distinct encoded points, keeping the Catalyst value (dup IN values
-    // count once; absorbed types encode injectively, so distinct bytes =
-    // distinct SQL values). The ONE lossy encode — timestamps marshal to
-    // millis — drops sub-millisecond points outright: no stored value can
-    // equal them, and counting their collapsed-millisecond postings would
-    // claim rows whose value is NOT the probe's (over-count)
-    val seen = collection.mutable.Set.empty[Seq[Byte]]
-    val pts = Seq.newBuilder[(Array[Byte], Any)]
-    rawVals.foreach { v =>
-      val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToCatalyst(v)
-      if (cat != null && !Index.lossyPoint(dt, cat)) {
-        val ek = Index.encodeKey(dt, cat, textEnc)
-        if (seen.add(ek.toSeq)) pts += ((ek, cat))
+    val preds = cols.map { c =>
+      val idxDir = Index.dir(table.dir, c)
+      // index-side totals (tombstone-free postings, raw cell count) over
+      // the same bound's covered subset, one equality per index store
+      var idxCells = 0L
+      val idxB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
+      CellStore.allSegmentFiles(idxDir).foreach { case (b, files0) =>
+        val rec0 = CellStore.bucketStats(idxDir, b, files0)
+        if (!rec0.statsValid) return None
+        val (files, rec) = MetadataAggReader.asOfView(idxDir, b, files0,
+          rec0, asOf).getOrElse(return None)
+        if (!(rec.statsValid && rec.tombstoneFree)) return None
+        idxCells += rec.cells
+        idxB += b -> files
       }
+      if (idxCells != baseColCells(c)) return None // orphan/dup postings
+      val dt = table.tableSchema(c).dataType
+      // distinct encoded points, keeping the Catalyst value (dup IN values
+      // count once; absorbed types encode injectively, so distinct bytes =
+      // distinct SQL values). The ONE lossy encode — timestamps marshal to
+      // millis — drops sub-millisecond points outright: no stored value
+      // can equal them, and counting their collapsed-millisecond postings
+      // would claim rows whose value is NOT the probe's (over-count)
+      val seen = collection.mutable.Set.empty[Seq[Byte]]
+      val pts = Seq.newBuilder[(Array[Byte], Any)]
+      eqVals.getOrElse(c, Nil).foreach { v =>
+        val cat = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToCatalyst(v)
+        if (cat != null && !Index.lossyPoint(dt, cat)) {
+          val ek = Index.encodeKey(dt, cat, textEnc)
+          if (seen.add(ek.toSeq)) pts += ((ek, cat))
+        }
+      }
+      IdxPred(c, pts.result(), rngs.getOrElse(c, Vector.empty), idxDir,
+        idxB.result())
     }
-    Some(IndexedCtx(idxCol, pts.result(), bounds, idxDir, idxByBucket,
-      buckets, anyNetted, baseByBucket))
+    Some(IndexedCtx(preds, buckets, anyNetted, baseByBucket))
   }
 
   private def computeIndexedCountAnswer(
@@ -1206,9 +1229,13 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ctx = indexedAggCtx.getOrElse(return None)
     // postings count deleted rows too: the zero-IO count is clean-only
     // (the candidate-point stats path below answers netted stores); the
-    // RANGE form has no value points to route — its count rides the
-    // candidate stats path too (still O(matching postings))
-    if (ctx.netted || ctx.bounds.nonEmpty) return None
+    // RANGE and multi-predicate forms have no single point set to route —
+    // their counts ride the candidate stats path (still O(matching))
+    if (ctx.netted) return None
+    val pred = ctx.preds match {
+      case Seq(one) if one.bounds.isEmpty => one
+      case _ => return None
+    }
     val keyN = table.mapping.keyField.name
     // every aggregate must be row-count-equivalent: COUNT(*), COUNT(key)
     // (the key is never missing), or COUNT(indexed col) — every matching
@@ -1217,7 +1244,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(PushedAgg.CountStar)
         case c: Count if !c.isDistinct =>
-          aggCol(c.column).filter(c0 => c0 == keyN || c0 == ctx.idxCol)
+          aggCol(c.column).filter(c0 => c0 == keyN || c0 == pred.col)
             .map(PushedAgg.Count.apply)
         case _ => None
       }
@@ -1225,14 +1252,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val want = translated.flatten
     // count the value points on their routed index buckets
     var total = 0L
-    ctx.pts.map(_._1).groupBy(ek => TokenRing.bucket(ek, ctx.buckets)).foreach {
-      case (b, ps) =>
-        ctx.idxByBucket.get(b).foreach { files =>
+    pred.pts.map(_._1).groupBy(ek => TokenRing.bucket(ek, ctx.buckets))
+      .foreach { case (b, ps) =>
+        pred.idxByBucket.get(b).foreach { files =>
           files.foreach { f =>
             CellStore.countCellsAtPoints(f, ps).foreach(total += _)
           }
         }
-    }
+      }
     Some((want, Nil, Seq(InternalRow.fromSeq(want.map(_ => total: Any)))))
   }
 
@@ -1259,10 +1286,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val ctx = indexedAggCtx.getOrElse(return None)
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
-    // indexedCandidates enforces the MaxCompletePoints cap on the TOTAL
-    // while resolving, so no size re-check is needed here
-    val cands = indexedCandidates(ctx).getOrElse(return None)
-    val ks = cands.values.flatten.toIndexedSeq
+    // per-predicate candidate resolution enforces the MaxCompletePoints
+    // cap while resolving; a conjunction intersects the columns' sets
+    val ks = intersectedCandidateKeys(ctx).getOrElse(return None)
     val aggsP = new IndexedPointAggs(ks, ctx)
     // netted: restrict to the VISIBLE rows (a deleted key nets to zero
     // presence) — afterwards the index set is exactly the matching rows
@@ -1405,7 +1431,6 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       aggsP: IndexedPointAggs,
       ctx: IndexedCtx): Option[Seq[Any]] = {
     val keyN = table.mapping.keyField.name
-    val idxCol = ctx.idxCol
     lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(table.tableSchema(keyN).dataType)
     lazy val decoded: Seq[Any] =
@@ -1458,11 +1483,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     def colSum(c: String): Option[Long] = colAgg(c).map(_.sum)
     def colExtremal(c: String, wantMin: Boolean): Option[Option[Long]] =
       colAgg(c).map(a => Option(if (wantMin) a.min else a.max).map(Long.unbox))
-    // ONLY the key and the FILTERED column are never-missing on matching
-    // rows — another indexed column can hold nulls there, so its COUNT
-    // must go through the per-point cell arithmetic like any other cell
+    // ONLY the key and the FILTERED columns are never-missing on matching
+    // rows (every conjunct references a non-null cell there) — another
+    // indexed-but-unfiltered column can hold nulls, so its COUNT must go
+    // through the per-point cell arithmetic like any other cell
     def rowCountEquivalent(c: String): Boolean =
-      c == keyN || c == idxCol
+      c == keyN || ctx.preds.exists(_.col == c)
     val out = want.map {
       case PushedAgg.CountStar => present.length.toLong
       case PushedAgg.Count(c) if rowCountEquivalent(c) => present.length.toLong
@@ -1512,7 +1538,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case _ => return None
     }
     val ctx = indexedAggCtx.getOrElse(return None)
-    if (groupCol != ctx.idxCol) return None
+    val gp = ctx.preds.find(_.col == groupCol).getOrElse(return None)
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     // per-group candidates: one point lookup per IN value, or — the RANGE
@@ -1522,25 +1548,34 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // the value bytes (exact: absorbed types round-trip every STORED
     // value). Both forms enforce the MaxCompletePoints cap while
     // resolving, so no size re-check is needed here.
-    val groupCands: Seq[(Any, Seq[Array[Byte]])] =
-      if (ctx.bounds.isEmpty) {
-        val cands = indexedCandidates(ctx).getOrElse(return None)
-        ctx.pts.map { case (ek, cat) =>
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    val textEnc = optF(Options.Encoding).contains("text")
+    val groupCands0: Seq[(Any, Seq[Array[Byte]])] =
+      if (gp.bounds.isEmpty) {
+        val cands = groupPointCandidates(gp, ctx).getOrElse(return None)
+        gp.pts.map { case (ek, cat) =>
           (cat, cands.getOrElse(ek.toSeq, Nil))
         }
       } else {
-        val optF: String => Option[String] =
-          k => Options.effective(options, table.tableProps, k)
         val budget = math.min(
           optF(Options.IndexMaxCandidates).map(_.toInt)
             .getOrElse(Options.DefaultIndexMaxCandidates),
           CellScanBuilder.MaxCompletePoints)
-        val dt = table.tableSchema(ctx.idxCol).dataType
-        val textEnc = optF(Options.Encoding).contains("text")
-        Index.rangeLookupGrouped(ctx.idxDir, dt, textEnc, ctx.idxCol,
-            ctx.bounds, ctx.buckets, budget, ctx.idxByBucket)
+        val dt = table.tableSchema(gp.col).dataType
+        Index.rangeLookupGrouped(gp.idxDir, dt, textEnc, gp.col,
+            gp.bounds, ctx.buckets, budget, gp.idxByBucket)
           .getOrElse(return None)
           .map { case (ek, ks) => (Index.decodeKey(dt, ek, textEnc), ks) }
+      }
+    // conjunction: the OTHER predicates' candidate sets intersect every
+    // group's candidates (GROUP BY src WHERE src IN (...) AND ts BETWEEN)
+    val otherSets: Seq[Set[Seq[Byte]]] = ctx.preds.filterNot(_ eq gp)
+      .map(p => predCandidateKeys(p, ctx).getOrElse(return None))
+    val groupCands: Seq[(Any, Seq[Array[Byte]])] =
+      if (otherSets.isEmpty) groupCands0
+      else groupCands0.map { case (cat, ks) =>
+        (cat, ks.filter(k => otherSets.forall(_.contains(k.toSeq))))
       }
     // ALL groups' candidates batch into ONE point list (each group keeps
     // its index range): the presence and per-column passes then open each
@@ -1576,7 +1611,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         case None => return None
       }
     }
-    Some((want, Seq(ctx.idxCol), rows))
+    Some((want, Seq(gp.col), rows))
   }
 
   /** Aggregates the indexed VALUE paths can answer: row counts, per-column
@@ -1628,29 +1663,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * one run-index range seek over the postings ([[Index.rangeLookup]] —
     * cost O(buckets · log + matching postings)). None = the candidates
     * blew the budget; the caller declines to the index-shrunk scan. */
-  private def indexedCandidates(ctx: IndexedCtx)
+  private def candidateBudget: Int = math.min(
+    Options.effective(options, table.tableProps, Options.IndexMaxCandidates)
+      .map(_.toInt).getOrElse(Options.DefaultIndexMaxCandidates),
+    CellScanBuilder.MaxCompletePoints)
+
+  private def groupPointCandidates(p: IdxPred, ctx: IndexedCtx)
     : Option[Map[Seq[Byte], Seq[Array[Byte]]]] = {
-    val optF: String => Option[String] =
-      k => Options.effective(options, table.tableProps, k)
-    val budget = math.min(
-      optF(Options.IndexMaxCandidates).map(_.toInt)
-        .getOrElse(Options.DefaultIndexMaxCandidates),
-      CellScanBuilder.MaxCompletePoints)
-    if (ctx.bounds.nonEmpty) {
-      val dt = table.tableSchema(ctx.idxCol).dataType
-      val textEnc = optF(Options.Encoding).contains("text")
-      // rangeLookup's budget counts SCANNED postings (≥ matching), so the
-      // returned set respects the same MaxCompletePoints cap as the loop;
-      // the walk is pinned to the proof's (possibly as-of covered) listing
-      return Index.rangeLookup(ctx.idxDir, dt, textEnc, ctx.idxCol,
-          ctx.bounds, ctx.buckets, budget, ctx.idxByBucket)
-        .map(s => Map(Seq.empty[Byte] -> s.toSeq.map(_.toArray)))
-    }
+    val budget = candidateBudget
     val out = Map.newBuilder[Seq[Byte], Seq[Array[Byte]]]
     var total = 0
-    ctx.pts.foreach { case (ek, _) =>
-      Index.lookupOne(ctx.idxDir, ek, ctx.buckets, budget,
-          ctx.idxByBucket) match {
+    p.pts.foreach { case (ek, _) =>
+      Index.lookupOne(p.idxDir, ek, ctx.buckets, budget,
+          p.idxByBucket) match {
         case Some(ks) =>
           // enforce the TOTAL cap while resolving, so an oversized IN
           // never materializes |IN| × budget keys only to be discarded
@@ -1661,6 +1686,40 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
     }
     Some(out.result())
+  }
+
+  /** One predicate's DEDUPED candidate key set: budgeted point lookups
+    * (equality/IN) or one postings range seek, both pinned to the proof's
+    * (possibly as-of covered) index listing. rangeLookup's budget counts
+    * SCANNED postings (≥ matching), so both forms respect the same
+    * MaxCompletePoints cap. None = over budget; the caller declines to
+    * the (cost-gated) index-shrunk scan. */
+  private def predCandidateKeys(p: IdxPred, ctx: IndexedCtx)
+    : Option[Set[Seq[Byte]]] = {
+    if (p.bounds.nonEmpty) {
+      val optF: String => Option[String] =
+        k => Options.effective(options, table.tableProps, k)
+      val dt = table.tableSchema(p.col).dataType
+      val textEnc = optF(Options.Encoding).contains("text")
+      Index.rangeLookup(p.idxDir, dt, textEnc, p.col, p.bounds,
+        ctx.buckets, candidateBudget, p.idxByBucket)
+    } else
+      groupPointCandidates(p, ctx)
+        .map(_.valuesIterator.flatMap(_.iterator.map(_.toSeq)).toSet)
+  }
+
+  /** The conjunction's candidate keys: per-predicate sets intersected,
+    * short-circuiting once provably empty. */
+  private def intersectedCandidateKeys(ctx: IndexedCtx)
+    : Option[IndexedSeq[Array[Byte]]] = {
+    var acc: Set[Seq[Byte]] = null
+    ctx.preds.foreach { p =>
+      if (acc == null || acc.nonEmpty) {
+        val ks = predCandidateKeys(p, ctx).getOrElse(return None)
+        acc = if (acc == null) ks else acc.intersect(ks)
+      }
+    }
+    Some(acc.iterator.map(_.toArray).toIndexedSeq)
   }
 
   private def computeRangeAnswer(

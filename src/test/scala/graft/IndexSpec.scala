@@ -1044,6 +1044,78 @@ class IndexSpec extends SparkSpec {
       got(stats(Some(1L), Map(Options.MetadataAgg -> "false"))))
   }
 
+  test("multi-predicate indexed aggregates: conjunctions intersect candidate sets") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 600L).map(i =>
+      (i, s"t${i % 4}", i % 250, i * 3))
+    val dir = Seed.table(spark, sfDir, "spec_idx_multi",
+      rows.toDF("id", "typ", "ts", "w"),
+      props = Map(Options.IndexColumns -> "typ,ts"))
+    def model(f: ((Long, String, Long, Long)) => Boolean) =
+      rows.filter(f)
+    // eq × range: "clicks in a window"
+    val q = Seed.read(spark, dir)
+      .filter(col("typ") === "t1" && col("ts") >= 50L && col("ts") < 150L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(scanDesc(q).contains("AggStats: complete"),
+      s"eq × range conjunction must answer at planning: ${scanDesc(q)}")
+    val m = model(r => r._2 == "t1" && r._3 >= 50L && r._3 < 150L)
+    val r0 = q.collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) ==
+      (m.size.toLong, m.map(_._4).sum, m.map(_._1).min, m.map(_._1).max))
+    // fold agreement
+    val f0 = Seed.read(spark, dir, Map(Options.MetadataAgg -> "false"))
+      .filter(col("typ") === "t1" && col("ts") >= 50L && col("ts") < 150L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    assert(r0 == f0, s"fold disagrees: $r0 vs $f0")
+    // GROUPED conjunction: GROUP BY typ IN (...) AND ts window — the other
+    // predicate's set intersects every group's candidates
+    val g = Seed.read(spark, dir)
+      .filter(col("typ").isin("t1", "t2") && col("ts") >= 50L && col("ts") < 150L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(g).contains("AggStats: complete"),
+      s"grouped conjunction must answer at planning: ${scanDesc(g)}")
+    val gGot = g.collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val gExp = model(r => Set("t1", "t2")(r._2) && r._3 >= 50L && r._3 < 150L)
+      .groupBy(_._2)
+      .map { case (k, xs) => k -> (xs.size.toLong, xs.map(_._4).sum) }
+    assert(gGot == gExp)
+    // provably-empty intersection: one row with nulls (scalar), no groups
+    val e = Seed.read(spark, dir)
+      .filter(col("typ") === "t1" && col("ts") > 10000L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(e).contains("AggStats: complete"))
+    val er = e.collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+    // one predicate over its budget declines the whole answer — exact
+    val tight = Seed.read(spark, dir, Map(Options.IndexMaxCandidates -> "5"))
+      .filter(col("typ") === "t1" && col("ts") >= 50L && col("ts") < 150L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(!scanDesc(tight).contains("AggStats: complete"),
+      "over-budget conjunct must decline")
+    val tr = tight.collect()(0)
+    assert((tr.getLong(0), tr.getLong(1)) == (m.size.toLong, m.map(_._4).sum))
+    // NETTED conjunction: certified deletes inside the window net out
+    val doomed = rows.collect {
+      case (i, t, s, _) if t == "t1" && s >= 50L && s < 150L && i % 2 == 0 => i
+    }
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      doomed.map(Long.box).toArray[Any])))
+    val qn = Seed.read(spark, dir)
+      .filter(col("typ") === "t1" && col("ts") >= 50L && col("ts") < 150L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(qn).contains("AggStats: complete"),
+      s"netted conjunction must stay positional: ${scanDesc(qn)}")
+    val mLive = m.filterNot(r => doomed.contains(r._1))
+    val nr = qn.collect()(0)
+    assert((nr.getLong(0), nr.getLong(1)) ==
+      (mLive.size.toLong, mLive.map(_._4).sum))
+  }
+
   test("fuzz: indexed RANGE aggregates match the fold across random stores and windows") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(20260816L)
