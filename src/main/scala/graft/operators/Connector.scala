@@ -2726,6 +2726,48 @@ object Connector {
           min($"row_key").as("gmk"))
     },
 
+    // ---- FLOAT-INDEXED RANGE AGGREGATES (round 14): comparisons on
+    // float/double indexed columns absorb too — FilterEval's comparators
+    // reproduce Spark's NaN-greatest / signed-zero-equal double ordering,
+    // and the index's IEEE total-order byte map seeks the same order —
+    // so "volume of mid-score docs" (`sum(bytes) WHERE score BETWEEN`)
+    // answers at planning. Aggregates stay integer-typed (counts + a
+    // LONG sum) so the oracle hash-compare is exact. ----
+    Q("conn_agg_indexed_float",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    CAST(c_custkey % 1000 AS DOUBLE) / 4.0 AS score,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM rws
+        |   WHERE score >= 50.25 AND score < 62.5) AS n_mid,
+        |  (SELECT CAST(sum(v) AS BIGINT) FROM rws
+        |   WHERE score >= 50.25 AND score < 62.5) AS sv_mid,
+        |  (SELECT min(k) FROM rws
+        |   WHERE score >= 50.25 AND score < 62.5) AS mk_mid,
+        |  (SELECT count(*) FROM rws WHERE score > 245.0) AS n_top""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_float"
+      seedOnce(s"$dir#agg_indexed_float") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          (($"c_custkey" % 1000).cast("double") / 4.0).as("score"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_float", src.repartition(1),
+          props = Map(Options.IndexColumns -> "score"))
+      }
+      val r = Seed.read(s, store)
+      val mid = r.filter($"score" >= 50.25d && $"score" < 62.5d)
+        .agg(count(lit(1)).as("n_mid"), sum($"v").as("sv_mid"),
+          min($"row_key").as("mk_mid"))
+      val top = r.filter($"score" > 245.0d)
+        .agg(count(lit(1)).as("n_top"))
+      mid.crossJoin(top)
+    },
+
     // ---- MULTI-PREDICATE INDEXED AGGREGATES (round 14): a conjunction
     // across indexed columns — `WHERE src = x AND v BETWEEN a AND b`, the
     // "clicks in a window" shape — intersects the columns' candidate sets

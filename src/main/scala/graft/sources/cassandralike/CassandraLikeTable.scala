@@ -2224,16 +2224,18 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // planning (Index.keyFilters: point lookups for =/IN, run-index range
     // seeks for >/>=/</<=). On a column whose type the reader compares
     // EXACTLY like Spark (integrals, default-collation strings, boolean,
-    // date/timestamp — FilterEval's comparators, whose total order equals
-    // Spark's for exactly these types) the predicate is fully ABSORBED:
-    // the reader re-applies it per row (stale index candidates still
-    // re-filter, so index staleness can only ever cost IO), and absorption
-    // is what lets AGGREGATE pushdown compose with index lookups — Spark
-    // only pushes aggregates below a plan with no residual filters
+    // date/timestamp, and — round 14 — float/double: FilterEval's
+    // comparators normalize -0.0 to +0.0 and use Double.compare, which
+    // reproduces Spark's NaN-greatest / NaN-self-equal / signed-zero-equal
+    // ordering bit for bit) the predicate is fully ABSORBED: the reader
+    // re-applies it per row (stale index candidates still re-filter, so
+    // index staleness can only ever cost IO), and absorption is what lets
+    // AGGREGATE pushdown compose with index lookups — Spark only pushes
+    // aggregates below a plan with no residual filters
     // (`count(*) WHERE lang = 'en'`, `sum(v) WHERE ts BETWEEN a AND b` —
     // see computeIndexedCountAnswer / computeIndexedStatsAnswer).
-    // Comparisons on any OTHER indexed type (float/double/decimal: NaN and
-    // scale semantics diverge from raw comparators) stay residual.
+    // Comparisons on DECIMAL stay residual (precision/scale cast
+    // semantics diverge from the raw comparators).
     val idxCols = Index.columns(m,
       k => Options.effective(options, table.tableProps, k))
     def exactEvalType(c: String): Boolean =
@@ -2244,7 +2246,9 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
              org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.BooleanType |
              org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType => true
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
         case s: org.apache.spark.sql.types.StringType =>
           s == org.apache.spark.sql.types.StringType // default collation only
         case _ => false

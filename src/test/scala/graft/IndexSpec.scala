@@ -1044,6 +1044,66 @@ class IndexSpec extends SparkSpec {
       got(stats(Some(1L), Map(Options.MetadataAgg -> "false"))))
   }
 
+  test("float-indexed comparisons absorb: NaN/zero/subnormal edges match Spark; counts ride positionally") {
+    val sp = spark; import sp.implicits._
+    val vals: Seq[Double] = Seq(Double.NaN, -0.0, 0.0, -3.5, 2.25,
+      Double.NegativeInfinity, Double.PositiveInfinity,
+      java.lang.Double.MIN_VALUE, -java.lang.Double.MIN_VALUE, 7.5)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v, (i + 1) * 10L) }
+    val dir = Seed.table(spark, sfDir, "spec_idx_floatabs",
+      rows.toDF("id", "v", "w"),
+      // gate off so the small store still exercises the index read path
+      props = Map(Options.IndexColumns -> "v",
+        Options.IndexPointCostCells -> "0"))
+    // Spark's double ordering: NaN greatest and self-equal, -0.0 = 0.0 —
+    // exactly java.lang.Double.compare after +0.0 normalization
+    def cmp(a: Double, b: Double): Int =
+      java.lang.Double.compare(a + 0.0d, b + 0.0d)
+    def ids(p: org.apache.spark.sql.Column,
+        f: Double => Boolean): Unit = {
+      val got = Seed.read(spark, dir).filter(p)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val exp = rows.collect { case (i, v, _) if f(v) => i }
+      assert(got == exp, s"$p: got $got expected $exp")
+      // and the fold agrees on the aggregate form
+      val a = Seed.read(spark, dir).filter(p)
+        .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      val b = Seed.read(spark, dir, Map(Options.MetadataAgg -> "false"))
+        .filter(p).agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+      assert(a == exp.size.toLong && b == a, s"$p agg: $a / $b vs ${exp.size}")
+    }
+    // NaN is GREATER than +Inf in Spark's ordering: a `> 0` window must
+    // include the NaN rows (an IEEE-naive comparator would drop them)
+    ids(col("v") > 0.0d, v => cmp(v, 0.0d) > 0)
+    ids(col("v") >= -0.0d, v => cmp(v, -0.0d) >= 0)
+    ids(col("v") < 0.0d, v => cmp(v, 0.0d) < 0)
+    ids(col("v") <= java.lang.Double.MIN_VALUE,
+      v => cmp(v, java.lang.Double.MIN_VALUE) <= 0)
+    ids(col("v") > Double.PositiveInfinity,
+      v => cmp(v, Double.PositiveInfinity) > 0) // exactly the NaN row
+    ids(col("v") === -0.0d, v => cmp(v, -0.0d) == 0) // both zeros
+    ids(col("v") === Double.NaN, v => cmp(v, Double.NaN) == 0)
+    // positional: count(*) under a float window answers at planning
+    val q = Seed.read(spark, dir).filter(col("v") > 0.0d)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"))
+    assert(scanDesc(q).contains("AggStats: complete"),
+      s"float range count must answer at planning: ${scanDesc(q)}")
+    val m = rows.filter(r => cmp(r._2, 0.0d) > 0)
+    val r0 = q.collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ==
+      (m.size.toLong, m.map(_._3).sum, m.map(_._1).min))
+    // grouped by the float column: NaNs group together, zeros group as one
+    val g = Seed.read(spark, dir).filter(col("v") >= -0.0d)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(scanDesc(g).contains("AggStats: complete"),
+      s"float grouped range must answer at planning: ${scanDesc(g)}")
+    val gGot = g.collect().map(x => (x.getDouble(0), x.getLong(1))).toMap
+    val zeros = rows.count(r => cmp(r._2, 0.0d) == 0).toLong
+    assert(gGot.size == rows.count(r => cmp(r._2, -0.0d) >= 0) - zeros + 1)
+    assert(gGot(0.0d) == zeros, s"zeros must group as one: $gGot")
+  }
+
   test("multi-predicate indexed aggregates: conjunctions intersect candidate sets") {
     val sp = spark; import sp.implicits._
     val rows = (1L to 600L).map(i =>

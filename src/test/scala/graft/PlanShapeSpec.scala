@@ -95,6 +95,7 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_indexed_range", 3), // string window, numeric BETWEEN, open >
       ("conn_agg_indexed_range_group", 1), // GROUP BY under a range window
       ("conn_agg_indexed_multi", 2), // eq × range conjunction + grouped form
+      ("conn_agg_indexed_float", 2), // float windows (mid BETWEEN + open >)
       ("conn_agg_indexed_asof", 5))) { // 2 bounded + netted-now + range + grouped
       val scans = collectAll(plan(name)).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
