@@ -2910,6 +2910,179 @@ object Connector {
       s1.crossJoin(s2).crossJoin(sn).crossJoin(rg).crossJoin(g)
     },
 
+    // ---- LIKE-PREFIX PUSHDOWN (round 15, VERDICT r14 #1): the most
+    // common string predicate in log/corpus workloads. Two arms: a prefix
+    // on an INDEXED string column (one postings range seek
+    // [p, prefixSucc(p)) — the order-preserving string encoding is the
+    // identity, so byte-prefix containment IS the seek window) and a
+    // prefix on the STRING ROW KEY (a key range: the merge bounds tighten
+    // and the run indexes seek past everything outside the window, the
+    // same machinery pushed </>= already drives). Both absorb — FilterEval
+    // re-applies the exact UTF8 byte-prefix test per row, so no residual
+    // filter sits above the scan. ----
+    Q("conn_like_prefix",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT arm, k, src, v FROM (
+        |  SELECT 'src' AS arm, k, src, v FROM rws
+        |  WHERE src LIKE 'BUILDING#%'
+        |  UNION ALL
+        |  SELECT 'key' AS arm, k, src, v FROM rws
+        |  WHERE k LIKE '00000001%')
+        |ORDER BY arm, k""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      val r = Seed.read(s, store)
+      val bySrc = r.filter($"src".startsWith("BUILDING#"))
+        .select(lit("src").as("arm"), $"row_key".as("k"), $"src", $"v")
+      val byKey = r.filter($"row_key".startsWith("00000001"))
+        .select(lit("key").as("arm"), $"row_key".as("k"), $"src", $"v")
+      bySrc.unionAll(byKey).orderBy($"arm", $"k")
+    },
+
+    // ---- INDEXED PREFIX AGGREGATES (round 15): `count/sum/min WHERE src
+    // LIKE 'p%'` — the prefix is just another absorbed one-column RANGE
+    // ([p, prefixSucc(p)) in the value encoding), so it composes with the
+    // whole indexed-aggregate surface for free: the scalar form rides the
+    // candidate-point arithmetic, the grouped form the value-keeping
+    // postings walk. ----
+    Q("conn_agg_indexed_prefix",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT s.n, s.sv, s.mk, g.src, g.gn, g.gsv
+        |FROM (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |    min(k) AS mk FROM rws WHERE src LIKE 'BUILDING#%') s
+        |CROSS JOIN (SELECT src, count(*) AS gn,
+        |    CAST(sum(v) AS BIGINT) AS gsv
+        |  FROM rws WHERE src LIKE 'BUILDING#%' GROUP BY src) g""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      val r = Seed.read(s, store)
+      val scalar = r.filter($"src".startsWith("BUILDING#"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          min($"row_key").as("mk"))
+      val grouped = r.filter($"src".startsWith("BUILDING#"))
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"))
+      scalar.crossJoin(grouped)
+    },
+
+    // ---- UNFILTERED HISTOGRAM OF AN INDEXED COLUMN (round 15, VERDICT
+    // r14 #2): `SELECT src, count(*), sum(v) GROUP BY src` with NO
+    // predicate — the full-histogram shape. The group column is proven as
+    // an EXTRA column (same bijection proof, no pushed filter on it), an
+    // open-bounds postings walk yields every distinct value with its
+    // candidate keys in one budgeted seek, and the totals equality
+    // visible-rows == visible-cells proves no NULL group exists (a row
+    // without the cell would belong to a group no index walk can see).
+    // The store caps at 3000 rows so the walk stays inside the
+    // MaxCompletePoints budget at every SF — past it the path declines to
+    // the distributed fold by design (a 100-TB full histogram IS a scan). ----
+    Q("conn_agg_indexed_histogram",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer WHERE c_custkey <= 3000)
+        |SELECT src, count(*) AS gn, CAST(sum(v) AS BIGINT) AS gsv,
+        |  min(k) AS gmk
+        |FROM rws GROUP BY src ORDER BY src""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_hist"
+      seedOnce(s"$dir#agg_indexed_hist") {
+        val src = t(s, dir, "customer").filter($"c_custkey" <= 3000).select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_hist", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src"))
+      }
+      Seed.read(s, store)
+        .groupBy($"src")
+        .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"),
+          min($"row_key").as("gmk"))
+        .orderBy($"src")
+    },
+
+    // ---- INDEXED DISJUNCTIONS (round 15, VERDICT r14 #4): `WHERE src =
+    // x OR v > t` absorbs whole and resolves to the UNION of the
+    // branches' candidate sets under the same per-column bijection
+    // proofs; the union is a key set, so a row matching several branches
+    // counts ONCE (the overlapping-BETWEEN arm makes the dedup judged,
+    // not just spec-pinned). Nested And branches (`BETWEEN x AND y OR
+    // BETWEEN p AND q`) resolve each as one seek window; a LIKE-prefix
+    // works as a branch too. ----
+    Q("conn_agg_indexed_or",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT a.n_or, a.sv_or, a.mk_or, b.n_ovl, c.n_pfx
+        |FROM (SELECT count(*) AS n_or, CAST(sum(v) AS BIGINT) AS sv_or,
+        |    min(k) AS mk_or FROM rws
+        |  WHERE src = 'BUILDING#4' OR v > 950000) a
+        |CROSS JOIN (SELECT count(*) AS n_ovl FROM rws
+        |  WHERE (v BETWEEN 123000 AND 200000)
+        |     OR (v BETWEEN 150000 AND 300000)) b
+        |CROSS JOIN (SELECT count(*) AS n_pfx FROM rws
+        |  WHERE src LIKE 'MACH%' OR v < 5000) c""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      val r = Seed.read(s, store)
+      val a = r.filter($"src" === "BUILDING#4" || $"v" > 950000L)
+        .agg(count(lit(1)).as("n_or"), sum($"v").as("sv_or"),
+          min($"row_key").as("mk_or"))
+      val b = r.filter(($"v" >= 123000L && $"v" <= 200000L) ||
+          ($"v" >= 150000L && $"v" <= 300000L))
+        .agg(count(lit(1)).as("n_ovl"))
+      val c = r.filter($"src".startsWith("MACH") || $"v" < 5000L)
+        .agg(count(lit(1)).as("n_pfx"))
+      a.crossJoin(b).crossJoin(c)
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

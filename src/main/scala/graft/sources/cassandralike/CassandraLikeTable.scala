@@ -145,6 +145,16 @@ object Options {
     * only, NOT a layout property. */
   val IndexPointCostCells = "index.point.cost.cells"
 
+  /** Wall-clock bound on one planning-time index WALK (the all-bucket
+    * postings range seek): expiry abandons the index for that predicate —
+    * the scan fallback returns the same rows — so a stalled filesystem
+    * read can delay planning by at most this long instead of hanging it
+    * (the walk used to block indefinitely on the global pool). A
+    * non-positive value disables planning-time walks outright (every
+    * range/prefix/histogram lookup declines immediately). Read-time
+    * only, NOT a layout property. */
+  val IndexWalkTimeoutMs = "index.walk.timeout.ms"
+
   /** Row-key byte form: 'bytes' (default — the canonical BytesType
     * marshal) or 'ordered' (integral keys big-endian with the sign bit
     * flipped, so byte order == numeric order). Ordered keys extend the
@@ -197,6 +207,10 @@ object Options {
     * sits at ≈300 — past candidates > cells/300 the index-shrunk scan
     * costs more than the scan it avoids. */
   val DefaultIndexPointCostCells = 300L
+  /** Generous by design: a healthy walk finishes in milliseconds, so this
+    * only ever bites on a genuinely stalled read, where declining to the
+    * distributed scan beats hanging the planner forever. */
+  val DefaultIndexWalkTimeoutMs = 300000L
   /** Sub-bucket split sizing: a bucket bigger than this plans multiple
     * key-range partitions, so scan parallelism grows with data instead of
     * being capped by the write-time bucket knob (the reference scales splits
@@ -1055,7 +1069,20 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       pts: Seq[(Array[Byte], Any)],
       bounds: Seq[Filter],
       idxDir: String,
-      idxByBucket: Map[Int, Seq[java.nio.file.Path]])
+      idxByBucket: Map[Int, Seq[java.nio.file.Path]],
+      /** the column's VISIBLE base cells (clean buckets: the CVAL count;
+        * netted: the netted-CVAL count — live minus certified victims) —
+        * the histogram path compares this against the store's visible row
+        * count to prove no NULL group exists (round 15). Distinct from
+        * the proof's ever-written totals: on a netted store postings
+        * outnumber visible cells by exactly the victims. */
+      visColCells: Long,
+      /** NO pushed predicate constrains this column — it was proven as an
+        * extra (histogram group column) or as a disjunction leaf column.
+        * Distinguishes "open walk over the whole postings" from "an
+        * equality whose every point was unrepresentable" (pts empty too,
+        * but matching NOTHING rather than everything). */
+      open: Boolean = false)
 
   /** The proven context every indexed-aggregate path shares: the absorbed
     * indexed predicates (ONE per referenced column — a conjunction across
@@ -1077,14 +1104,30 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         * so a segment committed between the proof and the probes (an
         * unproven run — uncompacted tombstones, overlapping live runs)
         * can never feed a planning-time 'complete' answer */
-      baseByBucket: Map[Int, Seq[java.nio.file.Path]])
+      baseByBucket: Map[Int, Seq[java.nio.file.Path]],
+      /** VISIBLE distinct row keys across the proven base (clean buckets:
+        * Σ distinctKeys over disjoint runs; netted: Σ nettedKeys) — what
+        * the histogram path compares against a column's colCells to prove
+        * every visible row carries the cell (round 15) */
+      baseRows: Long,
+      /** a pushed DISJUNCTION (round 15): candidates resolve to the union
+        * of the branches' sets under the same per-column bijection proofs
+        * (every referenced column has an IdxPred carrying its pinned
+        * index listing); only the scalar stats path serves this shape */
+      orFilter: Option[Filter] = None)
 
   /** Memoized per builder — the scalar count, scalar stats and grouped
     * paths all consult it during ONE planning pass, and `pushed` (its
     * only mutable input) is final before Spark offers aggregates. */
   private lazy val indexedAggCtx: Option[IndexedCtx] = indexedAggContext()
 
-  private def indexedAggContext(): Option[IndexedCtx] = {
+  /** `extraCols` (round 15, the HISTOGRAM shape): indexed columns to prove
+    * and pin WITHOUT any pushed predicate on them — the unfiltered
+    * `GROUP BY indexedCol` walks that column's whole postings under the
+    * same bijection proof, so it needs the column's totals equality and
+    * pinned listing even though no filter references it. */
+  private def indexedAggContext(extraCols: Set[String] = Set.empty)
+    : Option[IndexedCtx] = {
     if (table.mapping.transposed) return None
     val optF: String => Option[String] =
       k => Options.effective(options, table.tableProps, k)
@@ -1107,8 +1150,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // pushed — the IsNotNull conjuncts Catalyst pairs with the absorbed
     // shapes are subsumed by them.
     val idxCols = Index.columns(table.mapping, optF)
+    if (extraCols.exists(c => !idxCols(c))) return None
     val eqVals = collection.mutable.LinkedHashMap.empty[String, Seq[Any]]
     val rngs = collection.mutable.LinkedHashMap.empty[String, Vector[Filter]]
+    val ors = Seq.newBuilder[Filter]
     pushed.foreach {
       case _: org.apache.spark.sql.sources.IsNotNull => ()
       case EqualTo(c, v) if idxCols(c) && v != null =>
@@ -1125,14 +1170,53 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
       case f @ LessThanOrEqual(c, v) if idxCols(c) && v != null =>
         rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
+      // LIKE-prefix (round 15): just another one-column range —
+      // [p, prefixSucc(p)) in the order-preserving value encoding
+      case f @ StringStartsWith(c, p) if idxCols(c) && p != null &&
+        table.tableSchema(c).dataType == StringType =>
+        rngs(c) = rngs.getOrElse(c, Vector.empty) :+ (f: Filter)
+      // DISJUNCTION (round 15): held whole; resolved as the union of its
+      // branches' candidate sets by the stats path
+      case o: org.apache.spark.sql.sources.Or => ors += o
       case _ => return None
     }
-    val cols: Seq[String] = (eqVals.keys ++ rngs.keys).toSeq
+    // disjunction shape: exactly ONE Or and nothing else conjunctive —
+    // mixing `x AND (a OR b)` would need per-branch intersection with the
+    // conjuncts; declined until a real workload needs it
+    val orF: Option[Filter] = ors.result() match {
+      case Seq() => None
+      case Seq(one) if eqVals.isEmpty && rngs.isEmpty && extraCols.isEmpty =>
+        Some(one)
+      case _ => return None
+    }
+    // every column a disjunction leaf references joins the proof set —
+    // absorption guaranteed the leaves are indexed predicates, but verify
+    // against THIS reader's index view (options can differ)
+    def treeCols(f: Filter): Set[String] = f match {
+      case org.apache.spark.sql.sources.Or(l, r) => treeCols(l) ++ treeCols(r)
+      case org.apache.spark.sql.sources.And(l, r) =>
+        treeCols(l) ++ treeCols(r)
+      case leaf => leaf.references.toSet
+    }
+    val orCols: Seq[String] = orF.map(treeCols(_).toSeq.sorted).getOrElse(Nil)
+    if (orCols.exists(c => !idxCols(c))) return None
+    val cols: Seq[String] =
+      ((eqVals.keys ++ rngs.keys) ++ orCols ++ extraCols).toSeq.distinct
     if (cols.isEmpty || eqVals.keySet.intersect(rngs.keySet).nonEmpty)
       return None
+    // an Or implies non-null only for a column EVERY branch constrains
+    // (the shape Catalyst infers IsNotNull from)
+    def orImpliesNonNull(c: String): Boolean = orF.exists { o =>
+      def branchCols(f: Filter): Seq[Set[String]] = f match {
+        case org.apache.spark.sql.sources.Or(l, r) =>
+          branchCols(l) ++ branchCols(r)
+        case other => Seq(other.references.toSet)
+      }
+      branchCols(o).forall(_.contains(c))
+    }
     if (pushed.exists {
       case org.apache.spark.sql.sources.IsNotNull(c) =>
-        !eqVals.contains(c) && !rngs.contains(c)
+        !eqVals.contains(c) && !rngs.contains(c) && !orImpliesNonNull(c)
       case _ => false
     }) return None
     val colBytesByCol: Map[String, Array[Byte]] = cols.map { c =>
@@ -1150,7 +1234,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // certified victims, nettedColVals = live − certified ⇒ live = sum/2.
     val baseColCells =
       collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val visColCells =
+      collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     var anyNetted = false
+    var baseRows = 0L
     val baseB = Map.newBuilder[Int, Seq[java.nio.file.Path]]
     CellStore.allSegmentFiles(table.dir).foreach { case (b, files0) =>
       val rec0 = CellStore.bucketStats(table.dir, b, files0)
@@ -1165,8 +1252,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           .map(_.count).getOrElse(0L)
       if (rec.tombstoneFree && rec.disjoint && rec.allAddrsDistinct &&
           rec.colValsAll) {
-        cols.foreach(c =>
-          baseColCells(c) += colCount(rec.colVals, colBytesByCol(c)))
+        cols.foreach { c =>
+          val n = colCount(rec.colVals, colBytesByCol(c))
+          baseColCells(c) += n
+          visColCells(c) += n // clean: no deletes ever, so all visible
+        }
+        baseRows += rec.distinctKeys // additive: disjoint runs
       } else if (rec.nettedOk && rec.nettedColValsOk) {
         anyNetted = true
         cols.foreach { c =>
@@ -1174,7 +1265,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
             colCount(rec.nettedColVals, colBytesByCol(c))
           if (both < 0 || both % 2 != 0) return None
           baseColCells(c) += both / 2
+          // the netted CVAL IS the visible count (live − certified victims)
+          visColCells(c) += colCount(rec.nettedColVals, colBytesByCol(c))
         }
+        baseRows += rec.nettedKeys // visible keys under certified netting
       } else return None
       baseB += b -> files
     }
@@ -1216,9 +1310,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         }
       }
       IdxPred(c, pts.result(), rngs.getOrElse(c, Vector.empty), idxDir,
-        idxB.result())
+        idxB.result(), visColCells(c),
+        open = !eqVals.contains(c) && !rngs.contains(c))
     }
-    Some(IndexedCtx(preds, buckets, anyNetted, baseByBucket))
+    Some(IndexedCtx(preds, buckets, anyNetted, baseByBucket, baseRows, orF))
   }
 
   private def computeIndexedCountAnswer(
@@ -1230,8 +1325,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // postings count deleted rows too: the zero-IO count is clean-only
     // (the candidate-point stats path below answers netted stores); the
     // RANGE and multi-predicate forms have no single point set to route —
-    // their counts ride the candidate stats path (still O(matching))
-    if (ctx.netted) return None
+    // their counts ride the candidate stats path (still O(matching)), as
+    // does a DISJUNCTION (point-counting branches would double-count a
+    // row matching several)
+    if (ctx.netted || ctx.orFilter.nonEmpty) return None
     val pred = ctx.preds match {
       case Seq(one) if one.bounds.isEmpty => one
       case _ => return None
@@ -1287,8 +1384,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     // per-predicate candidate resolution enforces the MaxCompletePoints
-    // cap while resolving; a conjunction intersects the columns' sets
-    val ks = intersectedCandidateKeys(ctx).getOrElse(return None)
+    // cap while resolving; a conjunction intersects the columns' sets, a
+    // disjunction (round 15) unions its branches' sets — the union is a
+    // key SET, so a row matching several branches feeds the per-point
+    // arithmetic once
+    val ks = (ctx.orFilter match {
+      case Some(_) => orCandidateKeys(ctx)
+      case None => intersectedCandidateKeys(ctx)
+    }).getOrElse(return None)
     val aggsP = new IndexedPointAggs(ks, ctx)
     // netted: restrict to the VISIBLE rows (a deleted key nets to zero
     // presence) — afterwards the index set is exactly the matching rows
@@ -1537,8 +1640,31 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case Seq(Some(g)) => g
       case _ => return None
     }
-    val ctx = indexedAggCtx.getOrElse(return None)
+    // ctx acquisition (round 15): the memoized context serves when it
+    // carries a pred on the group column; otherwise the HISTOGRAM shapes —
+    // unfiltered `GROUP BY indexedCol`, or filtered only on OTHER indexed
+    // columns — prove the group column as an EXTRA column and walk its
+    // whole postings. A pushed-but-unabsorbed filter set (memoized None
+    // with pushed nonEmpty) and the disjunction shape both decline: the
+    // former has no proof, the latter no per-group candidate slicing.
+    val ctx: IndexedCtx = indexedAggCtx match {
+      case Some(c) if c.orFilter.isEmpty && c.preds.exists(_.col == groupCol) =>
+        c
+      case Some(c) if c.orFilter.isEmpty =>
+        indexedAggContext(Set(groupCol)).getOrElse(return None)
+      case Some(_) => return None
+      case None if pushed.isEmpty =>
+        indexedAggContext(Set(groupCol)).getOrElse(return None)
+      case None => return None
+    }
     val gp = ctx.preds.find(_.col == groupCol).getOrElse(return None)
+    // HISTOGRAM null-group guard: the open walk enumerates rows CARRYING
+    // the group cell; rows without it form SQL's NULL group, whose
+    // aggregates no index can supply — answer only when the totals prove
+    // every visible row carries the cell (visible rows == the column's
+    // visible cells; at most one cell per row holds by the address
+    // uniqueness the proof already established)
+    if (gp.open && ctx.baseRows != gp.visColCells) return None
     val want = translateIndexedValueAggs(aggregation, ctx.netted)
       .getOrElse(return None)
     // per-group candidates: one point lookup per IN value, or — the RANGE
@@ -1552,19 +1678,24 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       k => Options.effective(options, table.tableProps, k)
     val textEnc = optF(Options.Encoding).contains("text")
     val groupCands0: Seq[(Any, Seq[Array[Byte]])] =
-      if (gp.bounds.isEmpty) {
+      if (!gp.open && gp.bounds.isEmpty) {
         val cands = groupPointCandidates(gp, ctx).getOrElse(return None)
         gp.pts.map { case (ek, cat) =>
           (cat, cands.getOrElse(ek.toSeq, Nil))
         }
       } else {
+        // RANGE form, or — round 15, `gp.open` — the HISTOGRAM's
+        // unbounded walk (empty bounds = every posting): one budgeted
+        // seek yields the distinct group values and their base keys
         val budget = math.min(
           optF(Options.IndexMaxCandidates).map(_.toInt)
             .getOrElse(Options.DefaultIndexMaxCandidates),
           CellScanBuilder.MaxCompletePoints)
         val dt = table.tableSchema(gp.col).dataType
         Index.rangeLookupGrouped(gp.idxDir, dt, textEnc, gp.col,
-            gp.bounds, ctx.buckets, budget, gp.idxByBucket)
+            gp.bounds, ctx.buckets, budget, gp.idxByBucket,
+            optF(Options.IndexWalkTimeoutMs).map(_.toLong)
+              .getOrElse(Options.DefaultIndexWalkTimeoutMs))
           .getOrElse(return None)
           .map { case (ek, ks) => (Index.decodeKey(dt, ek, textEnc), ks) }
       }
@@ -1702,10 +1833,39 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       val dt = table.tableSchema(p.col).dataType
       val textEnc = optF(Options.Encoding).contains("text")
       Index.rangeLookup(p.idxDir, dt, textEnc, p.col, p.bounds,
-        ctx.buckets, candidateBudget, p.idxByBucket)
+        ctx.buckets, candidateBudget, p.idxByBucket,
+        optF(Options.IndexWalkTimeoutMs).map(_.toLong)
+          .getOrElse(Options.DefaultIndexWalkTimeoutMs))
     } else
       groupPointCandidates(p, ctx)
         .map(_.valuesIterator.flatMap(_.iterator.map(_.toSeq)).toSet)
+  }
+
+  /** The disjunction's candidate keys (round 15): the pushed Or resolves
+    * through [[Index.resolveTree]] in EXACT mode — every leaf must resolve
+    * (a branch admitting unknown rows would under-count), lookups pin to
+    * the proof's (possibly as-of covered) per-column index listings, and
+    * the union is a set so overlapping branches contribute each key once.
+    * Under the per-column bijection proofs the result is EXACTLY the keys
+    * of rows satisfying the disjunction. */
+  private def orCandidateKeys(ctx: IndexedCtx)
+    : Option[IndexedSeq[Array[Byte]]] = {
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    val textEnc = optF(Options.Encoding).contains("text")
+    val byCol = ctx.preds.map(p => p.col -> p.idxByBucket).toMap
+    // every leaf column must carry a proven, pinned index listing — a
+    // column outside the proof set must fail the resolution, never fall
+    // back to a fresh (unproven) directory listing
+    val pinned: String => Map[Int, Seq[java.nio.file.Path]] =
+      c => byCol.getOrElse(c, Map.empty)
+    Index.resolveTree(ctx.orFilter.getOrElse(return None),
+      byCol.keySet, c => table.tableSchema(c).dataType, table.dir,
+      textEnc, ctx.buckets, candidateBudget,
+      optF(Options.IndexWalkTimeoutMs).map(_.toLong)
+        .getOrElse(Options.DefaultIndexWalkTimeoutMs),
+      pinned, requireAll = true)
+      .map(_.iterator.map(_.toArray).toIndexedSeq)
   }
 
   /** The conjunction's candidate keys: per-predicate sets intersected,
@@ -2216,6 +2376,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case GreaterThanOrEqual(c, v) => keyRange(c, v) || sliceable(c)
       case LessThan(c, v) => keyRange(c, v) || sliceable(c)
       case LessThanOrEqual(c, v) => keyRange(c, v) || sliceable(c)
+      // LIKE-prefix on a STRING row key (round 15): `key LIKE 'p%'` IS the
+      // key range [p, prefixSucc(p)) — string keys marshal to their UTF-8
+      // bytes (identity), whose unsigned byte order is SQL string order
+      // and under which value-prefix containment is byte-prefix
+      // containment — so the merge bounds tighten and the run indexes
+      // seek past everything outside the prefix window
+      // (KeyLookupBounds), exactly like pushed </>= on the key.
+      // FilterEval re-applies the predicate per row (exact).
+      case StringStartsWith(c, p) =>
+        c == keyName && p != null && m.keyField.dataType == StringType
       case _ => false
     }
     val (accepted, rejected0) = filters.partition(pushable)
@@ -2253,7 +2423,11 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
           s == org.apache.spark.sql.types.StringType // default collation only
         case _ => false
       }
-    val (absorbedEq, rejected1) = rejected0.partition {
+    // one absorbable LEAF: an equality/IN/comparison/LIKE-prefix on an
+    // indexed cell column whose type the reader compares exactly like
+    // Spark — the unit the conjunctive absorption below and the
+    // DISJUNCTION absorption (round 15) are both built from
+    def absorbableLeaf(f: Filter): Boolean = f match {
       case EqualTo(c, v) => idxCols(c) && v != null && exactEvalType(c)
       case In(c, vs) => idxCols(c) && vs != null && vs.nonEmpty &&
         exactEvalType(c)
@@ -2263,20 +2437,54 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case LessThan(c, v) => idxCols(c) && v != null && exactEvalType(c)
       case LessThanOrEqual(c, v) =>
         idxCols(c) && v != null && exactEvalType(c)
+      // LIKE-prefix: StringStartsWith is a UTF8String byte-prefix test on
+      // both sides (Spark's StartsWith and FilterEval agree bit for bit
+      // on default-collation strings), and resolves to one postings range
+      // seek [p, prefixSucc(p)) on the column's index
+      case StringStartsWith(c, p) => idxCols(c) && p != null &&
+        exactEvalType(c) && table.tableSchema(c).dataType == StringType
       case _ => false
+    }
+    // a DISJUNCTION absorbs when every leaf under it (through nested
+    // Or/And) is absorbable: the reader re-applies the whole tree exactly
+    // (FilterEval.compile composes OR/AND over exact leaves), and the
+    // index resolves it to the union of the branches' candidate sets
+    // (Index.resolveTree). One inabsorbable leaf poisons the tree — its
+    // branch admits rows no index can enumerate.
+    def orAbsorbable(f: Filter): Boolean = f match {
+      case Or(l, r) => orAbsorbable(l) && orAbsorbable(r)
+      case And(l, r) => orAbsorbable(l) && orAbsorbable(r)
+      case leaf => absorbableLeaf(leaf)
+    }
+    val (absorbedEq, rejected1) = rejected0.partition {
+      case o: Or => orAbsorbable(o)
+      case f => absorbableLeaf(f)
     }
     // the IsNotNull(c) conjunct Catalyst pairs with an equality or
     // comparison is SUBSUMED by an absorbed predicate on the same column
     // (null never compares true; FilterEval rejects null rows), so it
     // absorbs alongside — left residual it would block aggregate pushdown
     // for no reason
-    val absorbedCols = absorbedEq.collect {
-      case EqualTo(c, _) => c
-      case In(c, _) => c
-      case GreaterThan(c, _) => c
-      case GreaterThanOrEqual(c, _) => c
-      case LessThan(c, _) => c
-      case LessThanOrEqual(c, _) => c
+    val absorbedCols = absorbedEq.flatMap {
+      case EqualTo(c, _) => Seq(c)
+      case In(c, _) => Seq(c)
+      case GreaterThan(c, _) => Seq(c)
+      case GreaterThanOrEqual(c, _) => Seq(c)
+      case LessThan(c, _) => Seq(c)
+      case LessThanOrEqual(c, _) => Seq(c)
+      case StringStartsWith(c, _) => Seq(c)
+      // a disjunction implies non-null only for a column EVERY branch
+      // constrains (a=1 OR a>5 ⇒ a IS NOT NULL — the shape Catalyst
+      // infers IsNotNull from; within one branch an And constrains all
+      // its referenced columns conjunctively); a column in just one
+      // branch implies nothing
+      case o: Or =>
+        def branchCols(f: Filter): Seq[Set[String]] = f match {
+          case Or(l, r) => branchCols(l) ++ branchCols(r)
+          case other => Seq(other.references.toSet)
+        }
+        branchCols(o).reduce(_ intersect _).toSeq
+      case _ => Nil
     }.toSet
     val (absorbedNn, rejected) = rejected1.partition {
       case org.apache.spark.sql.sources.IsNotNull(c) => absorbedCols(c)
@@ -2290,6 +2498,26 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case GreaterThanOrEqual(c, v) => idxCols(c) && v != null
       case LessThan(c, v) => idxCols(c) && v != null
       case LessThanOrEqual(c, v) => idxCols(c) && v != null
+      case StringStartsWith(c, p) => idxCols(c) && p != null &&
+        table.tableSchema(c).dataType == StringType
+      // a rejected disjunction still shrinks the scan when every leaf is
+      // an INDEXED predicate (the union of branch candidates), even if a
+      // leaf's type comparison isn't reader-exact — Spark re-filters
+      case o: Or =>
+        def leavesIndexed(f: Filter): Boolean = f match {
+          case Or(l, r) => leavesIndexed(l) && leavesIndexed(r)
+          case And(l, r) => leavesIndexed(l) && leavesIndexed(r)
+          case EqualTo(c, v) => idxCols(c) && v != null
+          case In(c, vs) => idxCols(c) && vs != null && vs.nonEmpty
+          case GreaterThan(c, v) => idxCols(c) && v != null
+          case GreaterThanOrEqual(c, v) => idxCols(c) && v != null
+          case LessThan(c, v) => idxCols(c) && v != null
+          case LessThanOrEqual(c, v) => idxCols(c) && v != null
+          case StringStartsWith(c, p) => idxCols(c) && p != null &&
+            table.tableSchema(c).dataType == StringType
+          case _ => false
+        }
+        leavesIndexed(o)
       case _ => false
     }
     pushed = accepted ++ absorbed ++ speculative
@@ -5232,7 +5460,47 @@ object FilterEval {
       val v = conv(v0); row => cmp(row.get(c).orNull, v).exists(_ < 0)
     case LessThanOrEqual(c, v0) =>
       val v = conv(v0); row => cmp(row.get(c).orNull, v).exists(_ <= 0)
+    // LIKE-prefix on default-collation strings: Spark's StartsWith is a
+    // UTF8String byte-prefix test, reproduced exactly (null never matches)
+    case StringStartsWith(c, p0) =>
+      conv(p0) match {
+        case p: UTF8String =>
+          row => row.get(c).orNull match {
+            case s: UTF8String => s.startsWith(p)
+            case _ => false
+          }
+        case _ => _ => true // non-string prefix constant: not evaluable here
+      }
+    case IsNotNull(c) => row => row.get(c).orNull != null
+    // Boolean composition over EXACT children reproduces SQL three-valued
+    // logic because every leaf maps UNKNOWN (null operand) to false:
+    // OR keeps a row iff some branch is TRUE (unknown∨true = true,
+    // unknown∨false = unknown → dropped), AND iff both are TRUE. Sound
+    // only when both children compile exactly — [[exact]] gates every
+    // absorption that relies on this (an inexact child compiles to
+    // constant-true, which under OR would leak rows). NOT is deliberately
+    // unsupported: ¬unknown is unknown, but a false-on-null leaf would
+    // negate to true.
+    case Or(l, r) =>
+      val cl = compile(l); val cr = compile(r)
+      row => cl(row) || cr(row)
+    case And(l, r) =>
+      val cl = compile(l); val cr = compile(r)
+      row => cl(row) && cr(row)
     case _ => _ => true
+  }
+
+  /** Whether [[compile]] evaluates `f` EXACTLY (no constant-true escape
+    * hatch anywhere in the tree) — the precondition for absorbing a filter
+    * (dropping Spark's re-filter above the scan) and for composing it
+    * under OR. */
+  def exact(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
+    case StringStartsWith(_, p) => p != null
+    case Or(l, r) => exact(l) && exact(r)
+    case And(l, r) => exact(l) && exact(r)
+    case _ => false
   }
 
   /** Hash-equality form mirroring [[cmp]]'s numeric widening: integrals
@@ -5307,6 +5575,15 @@ object KeyLookupBounds {
         Some((null: Array[Byte], enc(v)))
       case LessThanOrEqual(c, v) if c == keyName && ranged && v != null =>
         Some((null: Array[Byte], succ(enc(v))))
+      // LIKE-prefix on a STRING key (the only type the scan builder
+      // accepts it for): [p, prefixSucc(p)) holds exactly the prefixed
+      // keys — string keys marshal to their UTF-8 bytes, under which
+      // value-prefix containment is byte-prefix containment. A null
+      // prefixSucc (empty or all-0xFF prefix) leaves the upper side to
+      // the partition's own bound.
+      case StringStartsWith(c, p) if c == keyName && ranged && p != null =>
+        val e = enc(p)
+        Some((e, Codecs.prefixSucc(e)))
       case _ => None
     }
     // AND of conjuncts = intersection of envelopes, then the partition range

@@ -462,4 +462,26 @@ object Codecs {
     }
     a.length - b.length
   }
+
+  /** Smallest byte string strictly GREATER than every string carrying
+    * prefix `p` in unsigned-lexicographic order — the exclusive upper
+    * bound of the half-open window `[p, prefixSucc(p))` that holds exactly
+    * the prefixed strings. Computed by dropping the 0xFF tail and
+    * incrementing the last remaining byte (0xFF bytes have no in-place
+    * successor: `"a\xFF"`'s window must extend past every `"a\xFF..."`,
+    * which only incrementing the 'a' achieves). Null = no upper bound:
+    * the empty prefix matches everything, and an all-0xFF prefix has no
+    * byte string above its window. Shared by the row-key prefix envelope
+    * ([[KeyLookupBounds]]) and the index postings prefix seek
+    * ([[Index]]) so both use one boundary convention. */
+  def prefixSucc(p: Array[Byte]): Array[Byte] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == 0xFF.toByte) i -= 1
+    if (i < 0) null
+    else {
+      val c = java.util.Arrays.copyOf(p, i + 1)
+      c(i) = ((c(i) & 0xff) + 1).toByte
+      c
+    }
+  }
 }

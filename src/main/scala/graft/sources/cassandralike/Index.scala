@@ -1,8 +1,8 @@
 package graft.sources.cassandralike
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{And, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Or, StringStartsWith}
 import org.apache.spark.sql.types._
 
 /** Secondary (value → row key) indexes over regular-mapping cell columns —
@@ -207,11 +207,20 @@ object Index {
     }
 
   /** Inverse of [[encodeKey]]: the Catalyst value a posting's key bytes
-    * decode to. Exact for every STORED value — the absorbed types encode
-    * injectively, and the one lossy case (timestamps, micros→millis)
-    * stores only millisecond-aligned values, which round-trip. Feeds the
-    * grouped RANGE-aggregate path, whose group keys are the postings'
-    * values. */
+    * decode to. Exact for every STORED value under the BINARY encoding —
+    * the absorbed types encode injectively, and the one lossy case
+    * (timestamps, micros→millis) stores only millisecond-aligned values,
+    * which round-trip. Under the TEXT encoding the inverse is
+    * Codecs.decode's width-sniffing dual decode, which is exact for
+    * strings/binary/boolean but can take the binary branch on a numeric
+    * whose decimal rendering happens to be 4 or 8 characters (e.g. long
+    * 10000000) — the SAME dual decode the base reader applies to the
+    * cell's value bytes, so every consumer (the grouped-aggregate group
+    * keys here, the fold's rows) sees one consistent value and
+    * positional == fold holds; the caveat is the coupling, not a
+    * divergence (ADVICE r14; IndexSpec pins an 8-digit text-encoded
+    * numeric both ways). Feeds the grouped RANGE-aggregate path, whose
+    * group keys are the postings' values. */
   private[cassandralike] def decodeKey(dt: DataType, ek: Array[Byte],
       textEncoding: Boolean): Any =
     if (textEncoding) Codecs.decode(dt, ek)
@@ -271,11 +280,14 @@ object Index {
 
   /** Planning-time candidate resolution: every pushed EqualTo/In on an
     * indexed column becomes a point lookup into that column's index store,
-    * and every pushed comparison (>, >=, <, <=) becomes a range lookup;
-    * conjuncts intersect. Returns one In(key, candidates) filter (possibly
-    * with an empty value list — a provably-empty scan), or nothing when no
-    * indexed predicate is pushed or every lookup blew the candidate budget
-    * (full-scan fallback). */
+    * every pushed comparison (>, >=, <, <=) becomes a range lookup, a
+    * LIKE-prefix (StringStartsWith) becomes the range
+    * [p, prefixSucc(p)), and a pushed DISJUNCTION whose every leaf is an
+    * indexed predicate becomes the union of its branches' candidate sets
+    * ([[resolveTree]], round 15); conjuncts intersect. Returns one
+    * In(key, candidates) filter (possibly with an empty value list — a
+    * provably-empty scan), or nothing when no indexed predicate is pushed
+    * or every lookup blew the candidate budget (full-scan fallback). */
   def keyFilters(
       table: CassandraLikeTable,
       options: Map[String, String],
@@ -284,6 +296,8 @@ object Index {
     val opt = (k: String) => table.opt(options, k)
     val idxCols = columns(table.mapping, opt)
     if (idxCols.isEmpty) return Array.empty
+    def dtOf(c: String): DataType =
+      table.mapping.fields.find(_.name == c).get.dataType
     val eqPreds: Seq[(String, Seq[Any])] = filters.toSeq.collect {
       case EqualTo(c, v) if idxCols(c) => c -> Seq(v)
       case In(c, vs) if idxCols(c) && vs.nonEmpty => c -> vs.toSeq
@@ -293,15 +307,43 @@ object Index {
       case f @ GreaterThanOrEqual(c, v) if idxCols(c) && v != null => c -> (f: Filter)
       case f @ LessThan(c, v) if idxCols(c) && v != null => c -> (f: Filter)
       case f @ LessThanOrEqual(c, v) if idxCols(c) && v != null => c -> (f: Filter)
+      // LIKE-prefix: one postings range seek [p, prefixSucc(p)) — the
+      // order-preserving string encoding is the identity, so byte-prefix
+      // containment IS the seek window (round 15)
+      case f @ StringStartsWith(c, p) if idxCols(c) && p != null &&
+        dtOf(c) == StringType => c -> (f: Filter)
     }.groupBy(_._1).map { case (c, fs) => c -> fs.map(_._2) }.toSeq
-    if (eqPreds.isEmpty && rangePreds.isEmpty) return Array.empty
+    // top-level DISJUNCTIONS whose every leaf is an indexed predicate
+    // resolve to the UNION of their branches' candidate sets (round 15) —
+    // any unresolvable leaf poisons the whole Or (a branch that admits
+    // unknown rows makes the union an under-approximation, the one
+    // direction candidate shrinking must never take)
+    val orPreds: Seq[Or] = filters.toSeq.collect { case o: Or => o }
+    if (eqPreds.isEmpty && rangePreds.isEmpty && orPreds.isEmpty)
+      return Array.empty
     val textEnc = opt(Options.Encoding).contains("text")
     val buckets = opt(Options.Buckets).map(_.toInt)
       .getOrElse(Options.DefaultBuckets)
-    val budget = opt(Options.IndexMaxCandidates).map(_.toInt)
+    val budget0 = opt(Options.IndexMaxCandidates).map(_.toInt)
       .getOrElse(Options.DefaultIndexMaxCandidates)
-    def dtOf(c: String): DataType =
-      table.mapping.fields.find(_.name == c).get.dataType
+    val walkTimeoutMs = opt(Options.IndexWalkTimeoutMs).map(_.toLong)
+      .getOrElse(Options.DefaultIndexWalkTimeoutMs)
+    val pointCost = opt(Options.IndexPointCostCells).map(_.toLong)
+      .getOrElse(Options.DefaultIndexPointCostCells)
+    lazy val totalCells = baseCells()
+    // crossover ceiling (ADVICE r14): past totalCells/pointCost candidates
+    // the cost gate below abandons the index anyway, so the lookup budgets
+    // cap THERE — an over-crossover lookup aborts DURING resolution,
+    // bounding the planning-time index IO the gate exists to avoid,
+    // instead of materializing every posting first. Division, not a
+    // product, so extreme knob values can never overflow into a silently
+    // disabled gate. (Conservative under conjunctions: a set the
+    // intersection would have shrunk below crossover is dropped from the
+    // intersection instead — still a sound superset, and exactly the
+    // asymmetric-budget shape SURVEY §7.4 already routes to the fallback.)
+    val budget =
+      if (pointCost > 0) math.min(budget0.toLong, totalCells / pointCost).toInt
+      else budget0
     // EQUALITY sets first — each is one bucket-routed point seek, far
     // cheaper than a range's all-bucket walk — and intersect as they
     // resolve: once the running intersection is provably empty, the range
@@ -331,27 +373,31 @@ object Index {
     val eqResolved = eqSets.flatten
     val eqIntersection =
       if (eqResolved.isEmpty) None else Some(eqResolved.reduce(_ intersect _))
+    val provablyEmpty = eqIntersection.exists(_.isEmpty)
     val rangeSets: Seq[Option[Set[Seq[Byte]]]] =
-      if (eqIntersection.exists(_.isEmpty)) Nil // provably empty already
+      if (provablyEmpty) Nil // provably empty already
       else rangePreds.map { case (c, fs) =>
         val idxDir = dir(table.dir, c)
         if (!formatOk(idxDir)) None
-        else rangeLookup(idxDir, dtOf(c), textEnc, c, fs, buckets, budget)
+        else rangeLookup(idxDir, dtOf(c), textEnc, c, fs, buckets, budget,
+          timeoutMs = walkTimeoutMs)
       }
-    val sets = eqIntersection.toSeq ++ rangeSets.flatten
+    val orSets: Seq[Option[Set[Seq[Byte]]]] =
+      if (provablyEmpty) Nil
+      else orPreds.map(o => resolveTree(o, idxCols, dtOf, table.dir,
+        textEnc, buckets, budget, walkTimeoutMs))
+    val sets = eqIntersection.toSeq ++ rangeSets.flatten ++ orSets.flatten
     if (sets.isEmpty) return Array.empty // every lookup over budget
     val cands = sets.reduce(_ intersect _)
     // COST gate (the candidate budget above is a driver MEMORY bound; this
     // is the crossover decision): the shrunk scan reads each candidate
     // with a run-index seek + bloom probes + a span walk per overlapping
-    // run, while the full scan streams every cell once — past
-    // candidates × per-point-cost > total cells the shrunk job LOSES to
-    // the scan it avoids (IndexedAggProbe sweep arm). Abandon the index
-    // there: same rows either way — the pushed predicates are re-applied
-    // row-level by the readers (absorbed) or by Spark (residual).
-    val pointCost = opt(Options.IndexPointCostCells).map(_.toLong)
-      .getOrElse(Options.DefaultIndexPointCostCells)
-    if (pointCost > 0 && cands.size.toLong * pointCost > baseCells())
+    // run, while the full scan streams every cell once — past the
+    // totalCells/pointCost crossover the shrunk job LOSES to the scan it
+    // avoids (IndexedAggProbe sweep arm). Abandon the index there: same
+    // rows either way — the pushed predicates are re-applied row-level by
+    // the readers (absorbed) or by Spark (residual).
+    if (pointCost > 0 && cands.size.toLong > totalCells / pointCost)
       return Array.empty
     val keyType = table.mapping.keyField.dataType
     // postings carry the BASE KEY's stored bytes — decode with the table's
@@ -359,6 +405,117 @@ object Index {
     val ext = cands.toSeq.map(kb =>
       CatalystTypeConverters.convertToScala(table.keyCodec.decode(kb.toArray), keyType))
     Array(In(table.mapping.keyField.name, ext.toArray))
+  }
+
+  /** Candidate base keys for an arbitrary absorbable predicate TREE — the
+    * DISJUNCTION path (round 15): leaves resolve exactly like
+    * [[keyFilters]]' conjuncts (point lookups for =/IN, postings range
+    * seeks for comparisons and LIKE-prefixes), AND intersects the children
+    * that resolve (an unresolvable AND-child only loses shrink — the
+    * intersection of the rest is still a sound superset), and OR unions —
+    * but requires EVERY branch to resolve, because a branch that admits
+    * unknown rows would make the union an under-approximation (false
+    * negatives, the one failure candidate shrinking must never produce).
+    * A row matching several branches appears once: the union is a set
+    * over key bytes. None = some OR branch was unresolvable (non-indexed
+    * column, format mismatch, over budget) or the union blew the budget.
+    *
+    * `requireAll` = the EXACT mode the indexed-aggregate path needs: there
+    * the result must be precisely the matching keys (not a superset — no
+    * re-filter runs above a planning-time answer), so an unresolvable
+    * AND-child fails the whole tree instead of widening it. Equality
+    * points the encode cannot represent (sub-millisecond timestamps) skip
+    * in BOTH modes: stored values are millisecond multiples, so such a
+    * probe provably matches no row ([[lossyPoint]]). */
+  private[cassandralike] def resolveTree(f: Filter, idxCols: Set[String],
+      dtOf: String => DataType, tableDir: String, textEnc: Boolean,
+      buckets: Int, budget: Int, timeoutMs: Long,
+      idxFiles: String => Map[Int, Seq[java.nio.file.Path]] = null,
+      requireAll: Boolean = false)
+    : Option[Set[Seq[Byte]]] = {
+    def files(c: String): Map[Int, Seq[java.nio.file.Path]] =
+      if (idxFiles == null) null else idxFiles(c)
+    def points(c: String, vs: Seq[Any]): Option[Set[Seq[Byte]]] = {
+      val idxDir = dir(tableDir, c)
+      if (!formatOk(idxDir)) return None
+      val dt = dtOf(c)
+      val acc = collection.mutable.Set.empty[Seq[Byte]]
+      vs.foreach { v =>
+        val cat = CatalystTypeConverters.convertToCatalyst(v)
+        if (cat != null && !lossyPoint(dt, cat))
+          lookupOne(idxDir, encodeKey(dt, cat, textEnc), buckets, budget,
+              files(c)) match {
+            case None => return None
+            case Some(ps) =>
+              ps.foreach(p => acc += p.toSeq)
+              if (acc.size > budget) return None
+          }
+      }
+      Some(acc.toSet)
+    }
+    def ranged(c: String, bound: Filter): Option[Set[Seq[Byte]]] = {
+      val idxDir = dir(tableDir, c)
+      if (!formatOk(idxDir)) None
+      else rangeLookup(idxDir, dtOf(c), textEnc, c, Seq(bound), buckets,
+        budget, files(c), timeoutMs)
+    }
+    // a BETWEEN-shaped And (every leaf a range bound on ONE column)
+    // resolves as a SINGLE seek window: resolving `a <= v <= b` as two
+    // independent walks would scan each open side whole — the lower
+    // bound's walk alone can blow the budget a tight window fits in
+    def rangeLeaves(g: Filter): Option[Seq[(String, Filter)]] = g match {
+      case And(a, b) =>
+        for { x <- rangeLeaves(a); y <- rangeLeaves(b) } yield x ++ y
+      case b @ GreaterThan(c, v) if idxCols(c) && v != null => Some(Seq(c -> b))
+      case b @ GreaterThanOrEqual(c, v) if idxCols(c) && v != null =>
+        Some(Seq(c -> b))
+      case b @ LessThan(c, v) if idxCols(c) && v != null => Some(Seq(c -> b))
+      case b @ LessThanOrEqual(c, v) if idxCols(c) && v != null =>
+        Some(Seq(c -> b))
+      case b @ StringStartsWith(c, p) if idxCols(c) && p != null &&
+        dtOf(c) == StringType => Some(Seq(c -> b))
+      case _ => None
+    }
+    f match {
+      case And(l, r) =>
+        rangeLeaves(f) match {
+          case Some(ls) if ls.map(_._1).distinct.size == 1 =>
+            val c = ls.head._1
+            val idxDir = dir(tableDir, c)
+            if (!formatOk(idxDir)) None
+            else rangeLookup(idxDir, dtOf(c), textEnc, c, ls.map(_._2),
+              buckets, budget, files(c), timeoutMs)
+          case _ =>
+            val children = Seq(l, r).map(
+              resolveTree(_, idxCols, dtOf, tableDir, textEnc, buckets,
+                budget, timeoutMs, idxFiles, requireAll))
+            if (requireAll && children.exists(_.isEmpty)) None
+            else {
+              val sets = children.flatten
+              if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+            }
+        }
+      case Or(l, r) =>
+        for {
+          a <- resolveTree(l, idxCols, dtOf, tableDir, textEnc, buckets,
+            budget, timeoutMs, idxFiles, requireAll)
+          b <- resolveTree(r, idxCols, dtOf, tableDir, textEnc, buckets,
+            budget, timeoutMs, idxFiles, requireAll)
+          u = a union b
+          if u.size <= budget
+        } yield u
+      case EqualTo(c, v) if idxCols(c) && v != null => points(c, Seq(v))
+      case In(c, vs) if idxCols(c) && vs != null && vs.nonEmpty =>
+        points(c, vs.toSeq)
+      case g @ GreaterThan(c, v) if idxCols(c) && v != null => ranged(c, g)
+      case g @ GreaterThanOrEqual(c, v) if idxCols(c) && v != null =>
+        ranged(c, g)
+      case g @ LessThan(c, v) if idxCols(c) && v != null => ranged(c, g)
+      case g @ LessThanOrEqual(c, v) if idxCols(c) && v != null => ranged(c, g)
+      case g @ StringStartsWith(c, p) if idxCols(c) && p != null &&
+        dtOf(c) == StringType => ranged(c, g)
+      case _ => None
+    }
   }
 
   /** One value's base-key postings: bloom-and-run-index-pruned point read
@@ -401,10 +558,11 @@ object Index {
       textEnc: Boolean,
       colName: String, bounds: Seq[Filter], buckets: Int,
       budget: Int,
-      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null,
+      timeoutMs: Long = Options.DefaultIndexWalkTimeoutMs)
     : Option[Set[Seq[Byte]]] =
     rangeWalk(idxDir, dt, textEnc, colName, bounds, buckets, budget,
-      filesByBucket).map(_.iterator.map(_._2.toSeq).toSet)
+      filesByBucket, timeoutMs).map(_.iterator.map(_._2.toSeq).toSet)
 
   /** Per-VALUE candidate groups whose value satisfies every bound — the
     * grouped range-aggregate form ("histogram per source over a value
@@ -416,10 +574,11 @@ object Index {
       textEnc: Boolean,
       colName: String, bounds: Seq[Filter], buckets: Int,
       budget: Int,
-      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null)
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]] = null,
+      timeoutMs: Long = Options.DefaultIndexWalkTimeoutMs)
     : Option[Seq[(Array[Byte], Seq[Array[Byte]])]] =
     rangeWalk(idxDir, dt, textEnc, colName, bounds, buckets, budget,
-      filesByBucket).map { pairs =>
+      filesByBucket, timeoutMs).map { pairs =>
       val m = collection.mutable.LinkedHashMap
         .empty[Seq[Byte], Vector[Array[Byte]]]
       pairs.foreach { case (v, k) =>
@@ -446,8 +605,12 @@ object Index {
       textEnc: Boolean,
       colName: String, bounds: Seq[Filter], buckets: Int,
       budget: Int,
-      filesByBucket: Map[Int, Seq[java.nio.file.Path]])
+      filesByBucket: Map[Int, Seq[java.nio.file.Path]],
+      timeoutMs: Long)
     : Option[Vector[(Array[Byte], Array[Byte])]] = {
+    // non-positive timeout = planning walks disabled outright (the
+    // deterministic form of "declined on expiry" — also what specs pin)
+    if (timeoutMs <= 0) return None
     def enc(v: Any): Array[Byte] =
       encodeKey(dt, CatalystTypeConverters.convertToCatalyst(v), textEnc)
     def succ(b: Array[Byte]): Array[Byte] =
@@ -478,6 +641,16 @@ object Index {
         if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
       case LessThanOrEqual(_, v) =>
         val b = succ(enc(v)); if (hi == null || Codecs.compareBytes(b, hi) < 0) hi = b
+      // LIKE-prefix: exactly the strings in [p, prefixSucc(p)) — the
+      // string encoding is the identity under both marshals, so encoded
+      // byte-prefix containment IS value-prefix containment. A null
+      // prefixSucc (empty / all-0xFF prefix) leaves the upper side open.
+      case StringStartsWith(_, p) =>
+        val b = enc(p)
+        if (lo == null || Codecs.compareBytes(b, lo) > 0) lo = b
+        val ps = Codecs.prefixSucc(b)
+        if (ps != null && (hi == null || Codecs.compareBytes(ps, hi) < 0))
+          hi = ps
       case _ =>
     }
     // non-seekable: the decoded re-check carries the whole predicate (the
@@ -514,12 +687,16 @@ object Index {
         }
       }
     val scanned = new java.util.concurrent.atomic.AtomicInteger(0)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    // expiry/abort flag: a timed-out walk must not leave zombie bucket
+    // tasks grinding through postings on the pool after the planner has
+    // already declined to the scan fallback
+    val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.{Duration, MILLISECONDS}
+    implicit val ec: scala.concurrent.ExecutionContext = walkPool
     val perBucket: Seq[Option[Vector[(Array[Byte], Array[Byte])]]] =
-      Await.result(Future.sequence(toVisit.map { case (b, files) => Future {
-        if (scanned.get() > budget) None // another bucket already aborted
+      try Await.result(Future.sequence(toVisit.map { case (b, files) => Future {
+        if (aborted.get() || scanned.get() > budget) None // already aborted
         else {
           bucketsOpened.incrementAndGet()
           val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi,
@@ -527,18 +704,44 @@ object Index {
           try {
             val out = Vector.newBuilder[(Array[Byte], Array[Byte])]
             var ok = true
-            while (ok && it.hasNext) {
+            while (ok && !aborted.get() && it.hasNext) {
               val c = it.next()
               if (scanned.incrementAndGet() > budget) ok = false
               else if (checks.isEmpty ||
                   checks.forall(_(Map(colName -> Codecs.decode(dt, c.key)))))
                 out += ((c.key, c.col))
             }
-            if (ok) Some(out.result()) else None
+            if (ok && !aborted.get()) Some(out.result()) else None
           } finally it.close()
         }
-      } }), Duration.Inf)
+      } }), Duration(timeoutMs, MILLISECONDS))
+      catch {
+        // a stalled read fails the WALK, never planning (ADVICE r14): the
+        // caller declines to the scan fallback — same rows, no hang
+        case _: java.util.concurrent.TimeoutException =>
+          aborted.set(true)
+          return None
+      }
     if (perBucket.exists(_.isEmpty)) None
     else Some(perBucket.iterator.flatMap(_.get).toVector)
+  }
+
+  /** Dedicated planning-IO pool for index walks (ADVICE r14): bucket seeks
+    * must not occupy — or deadlock behind — the global pool shared with
+    * Spark's own driver-side callbacks, and a bounded pool keeps one
+    * pathological walk from fanning out unboundedly. Daemon threads so an
+    * exiting application never blocks on it. */
+  private lazy val walkPool: scala.concurrent.ExecutionContext = {
+    val n = math.min(Runtime.getRuntime.availableProcessors(), 16).max(2)
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val id = new java.util.concurrent.atomic.AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"cassandralike-index-walk-${id.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(n, tf))
   }
 }

@@ -51,22 +51,40 @@ object IndexedAggProbe {
       concat(col("o_orderpriority"), lit("#"),
         (col("o_orderkey") % 500).cast("string")).as("srcN"),
       floor(col("o_totalprice")).cast("bigint").as("v"))
-    val indexed = Seed.table(spark, sfDir, "idx_agg_probe_on", src,
-      props = Map(Options.IndexColumns -> "src,srcN"))
-    val plain = Seed.table(spark, sfDir, "idx_agg_probe_off", src)
-    // steady state: commit-compact every bucket (a parallel seed's
-    // per-task runs overlap in key range, which fails the disjointness
-    // proof — compaction is the store's normal maintenance answer)
-    Seq(indexed, plain).foreach { d =>
-      (0 until Options.DefaultBuckets).foreach(b =>
-        graft.sources.cassandralike.CellStore.compactBucket(d, b))
-      Seq("src", "srcN").foreach { c =>
-        val idxDir = graft.sources.cassandralike.Index.dir(d, c)
-        if (new java.io.File(idxDir).isDirectory)
-          (0 until Options.DefaultBuckets).foreach(b =>
-            graft.sources.cassandralike.CellStore.compactBucket(idxDir, b))
-      }
+    // SPARK_GRAFT_PROBE_REUSE=1 skips the drop+rewrite when both stores
+    // already exist: seeding is deterministic (same input parquet, fixed
+    // logical write timestamps, same compaction), so a re-measure on an
+    // already-seeded sf10 store saves the ~25 min seed — used to re-run
+    // the timing arms on a quiet machine after a contaminated first pass.
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1")
+    def existing(name: String): Option[String] = {
+      val d = s"${Seed.storeRoot(sfDir)}/$name"
+      if (new java.io.File(d).isDirectory) Some(d) else None
     }
+    val (indexed, plain) =
+      (if (reuse) for {
+        i <- existing("idx_agg_probe_on")
+        p <- existing("idx_agg_probe_off")
+      } yield (i, p)
+      else None).getOrElse {
+        val i = Seed.table(spark, sfDir, "idx_agg_probe_on", src,
+          props = Map(Options.IndexColumns -> "src,srcN"))
+        val p = Seed.table(spark, sfDir, "idx_agg_probe_off", src)
+        // steady state: commit-compact every bucket (a parallel seed's
+        // per-task runs overlap in key range, which fails the disjointness
+        // proof — compaction is the store's normal maintenance answer)
+        Seq(i, p).foreach { d =>
+          (0 until Options.DefaultBuckets).foreach(b =>
+            graft.sources.cassandralike.CellStore.compactBucket(d, b))
+          Seq("src", "srcN").foreach { c =>
+            val idxDir = graft.sources.cassandralike.Index.dir(d, c)
+            if (new java.io.File(idxDir).isDirectory)
+              (0 until Options.DefaultBuckets).foreach(b =>
+                graft.sources.cassandralike.CellStore.compactBucket(idxDir, b))
+          }
+        }
+        (i, p)
+      }
     def q(dir: String, c: String, v: String, opts: Map[String, String]) =
       Seed.read(spark, dir, opts).filter(col(c) === v)
         .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),

@@ -37,10 +37,13 @@ class IndexSpec extends SparkSpec {
 
 
   /** Planned partitions for pushed filters, through the real builder. */
-  private def partitions(dir: String, filters: Array[Filter]): Int = {
+  private def partitions(dir: String, filters: Array[Filter],
+      opts: Map[String, String] = Map.empty): Int = {
     val t = tableOf(dir)
-    val b = t.newScanBuilder(new CaseInsensitiveStringMap(
-      java.util.Map.of(Options.Path, dir)))
+    val m = new java.util.HashMap[String, String]()
+    m.put(Options.Path, dir)
+    opts.foreach { case (k, v) => m.put(k, v) }
+    val b = t.newScanBuilder(new CaseInsensitiveStringMap(m))
     b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
       .pushFilters(filters)
     b.build().toBatch.planInputPartitions().length
@@ -272,9 +275,14 @@ class IndexSpec extends SparkSpec {
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual, LessThan}
     val totalBuckets = CellStore.allSegmentFiles(idxDir).size
     // narrow in-domain window: only the buckets whose segment bounds
-    // intersect [enc(10), enc(12)) may be opened — and some must be skipped
+    // intersect [enc(10), enc(12)) may be opened — and some must be
+    // skipped. Gate OFF so the walk runs to completion: under the default
+    // cost gate this toy store's crossover is 0 candidates, and the
+    // round-15 early abort would stop the walk partway (fewer opens —
+    // the budget property, pinned elsewhere; here we pin the skip set).
     Index.bucketsOpened.set(0)
-    val got = Seed.read(spark, dir)
+    val gateOff = Map(Options.IndexPointCostCells -> "0")
+    val got = Seed.read(spark, dir, gateOff)
       .filter(col("v") >= 10L && col("v") < 12L)
       .collect().map(_.getLong(1)).sorted
     assert(got.toSeq == Seq(10L, 11L))
@@ -1236,5 +1244,303 @@ class IndexSpec extends SparkSpec {
       assert(gFast == gFold,
         s"iter $iter grouped window [$lo, $hi): $gFast vs $gFold")
     }
+  }
+
+  test("prefixSucc: 0xFF tails, empty and all-0xFF prefixes; window property sweep") {
+    def ps(bytes: Int*): Array[Byte] = Codecs.prefixSucc(bytes.map(_.toByte).toArray)
+    // plain increment
+    assert(ps(0x61, 0x62).toSeq == Seq(0x61.toByte, 0x63.toByte))
+    // 0xFF tail drops, then the last survivor increments: "a\xFF" -> "b"
+    assert(ps(0x61, 0xFF).toSeq == Seq(0x62.toByte))
+    assert(ps(0x61, 0xFF, 0xFF).toSeq == Seq(0x62.toByte))
+    // 0xFE increments to 0xFF (no drop)
+    assert(ps(0x61, 0xFE).toSeq == Seq(0x61.toByte, 0xFF.toByte))
+    // empty and all-0xFF prefixes have no upper bound
+    assert(Codecs.prefixSucc(Array.emptyByteArray) == null)
+    assert(ps(0xFF) == null)
+    assert(ps(0xFF, 0xFF) == null)
+    // property: for random byte strings s and prefixes p,
+    //   p <= s < prefixSucc(p)  <=>  s startsWith p   (unsigned byte order)
+    val rnd = new scala.util.Random(15L)
+    for (_ <- 1 to 2000) {
+      val p = Array.fill(rnd.nextInt(4))(rnd.nextInt(256).toByte)
+      val s = Array.fill(rnd.nextInt(6))(rnd.nextInt(256).toByte)
+      val sp = Codecs.prefixSucc(p)
+      val inWindow = Codecs.compareBytes(s, p) >= 0 &&
+        (sp == null || Codecs.compareBytes(s, sp) < 0)
+      val isPrefix = s.length >= p.length && s.take(p.length).sameElements(p)
+      assert(inWindow == isPrefix,
+        s"p=${p.mkString(",")} s=${s.mkString(",")} window=$inWindow prefix=$isPrefix")
+    }
+  }
+
+  test("LIKE-prefix absorbs: postings seek on the indexed column, key range on the row key; edges hold") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.sources.StringStartsWith
+    // string row keys + an indexed string column with shared prefixes,
+    // plus a 3-row needle group for the deterministic bucket-shrink claim
+    val rows = (1L to 2000L).map { i =>
+      val grp = Seq("alpha", "alp", "beta", "b")(i.toInt % 4)
+      (f"k$i%06d", s"$grp#${i % 7}", i * 3)
+    } ++ Seq(("k900001", "zz#a", 3L), ("k900002", "zz#b", 5L),
+      ("k900003", "zz#c", 7L))
+    val dir = Seed.table(spark, sfDir, "spec_idx_prefix",
+      rows.toDF("rk", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name"))
+    def model(p: ((String, String, Long)) => Boolean) = rows.filter(p)
+    // 1) indexed-column prefix: planned partitions shrink to the candidate
+    //    buckets, rows exact (gate off: the bulk prefix is over crossover
+    //    at this toy scale by design)
+    val gateOff = Map(Options.IndexPointCostCells -> "0")
+    def q(prefix: String, opts: Map[String, String] = gateOff) =
+      Seed.read(spark, dir, opts).filter(col("name").startsWith(prefix))
+    val full = partitions(dir, Array.empty)
+    val t = tableOf(dir)
+    def kf(f: Filter, opts: Map[String, String] = gateOff) =
+      Index.keyFilters(t, opts, Array(f), () => Long.MaxValue)
+    // 'alpha#' hits only the alpha# values, not alp#
+    assert(q("alpha#").collect().map(_.getString(0)).sorted.toSeq ==
+      model(_._2.startsWith("alpha#")).map(_._1).sorted)
+    assert(q("alp").count() == model(_._2.startsWith("alp")).size)
+    assert(q("alpha#3").count() == model(_._2.startsWith("alpha#3")).size)
+    // prefix longer than any stored value: provably empty — zero partitions
+    assert(kf(StringStartsWith("name", "alpha#3-and-more")) match {
+      case Array(org.apache.spark.sql.sources.In(_, vs)) => vs.isEmpty
+      case other => fail(s"expected empty In, got ${other.toSeq}")
+    })
+    assert(q("alpha#3-and-more").count() == 0)
+    // empty prefix matches every row (LIKE '%' on a non-null column)
+    assert(q("").count() == rows.size)
+    // the prefix seek shrinks planning to the needle group's few buckets
+    val shrunk = partitions(dir, Array(StringStartsWith("name", "zz#")),
+      gateOff)
+    assert(shrunk <= 3 && shrunk < full,
+      s"prefix seek should prune buckets: $shrunk vs $full")
+    assert(q("zz#").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("k900001", "k900002", "k900003"))
+    // 2) row-KEY prefix: merge bounds tighten (scan stays correct and the
+    //    filter is absorbed — no Spark-side re-filter needed for equality)
+    val byKey = Seed.read(spark, dir).filter(col("rk").startsWith("k00001"))
+    assert(byKey.collect().map(_.getString(0)).sorted.toSeq ==
+      model(_._1.startsWith("k00001")).map(_._1).sorted)
+    // 3) aggregate composition: count/sum/min under a prefix answer at
+    //    planning on the clean store and match the fold
+    def agg(opts: Map[String, String]) =
+      Seed.read(spark, dir, opts).filter(col("name").startsWith("beta#"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          min(col("rk")).as("mk"))
+    val fast = agg(Map.empty)
+    assert(scanDesc(fast).contains("AggStats: complete"),
+      s"prefix aggregate must answer at planning: ${scanDesc(fast)}")
+    assert(fast.collect()(0) == agg(Map(Options.MetadataAgg -> "false")).collect()(0))
+    // grouped form rides the same walk
+    def grp(opts: Map[String, String]) =
+      Seed.read(spark, dir, opts).filter(col("name").startsWith("alp"))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(grp(Map.empty) == grp(Map(Options.MetadataAgg -> "false")))
+    // 4) budget decline stays exact
+    val tight = Map(Options.IndexMaxCandidates -> "3",
+      Options.IndexPointCostCells -> "0")
+    assert(q("alpha#", tight).count() == model(_._2.startsWith("alpha#")).size)
+    // 5) planning-walk timeout: a non-positive bound declines every walk —
+    //    full scan, same rows; aggregates fold, same values
+    val noWalk = Map(Options.IndexWalkTimeoutMs -> "0",
+      Options.IndexPointCostCells -> "0")
+    assert(q("alpha#", noWalk).count() == model(_._2.startsWith("alpha#")).size)
+    def agg2(opts: Map[String, String]) =
+      Seed.read(spark, dir, opts).filter(col("name").startsWith("beta#"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    val timedOut = agg2(Map(Options.IndexWalkTimeoutMs -> "0"))
+    assert(!scanDesc(timedOut).contains("AggStats: complete"),
+      "a disabled walk must decline the planning-time answer")
+    assert(timedOut.collect()(0) ==
+      agg2(Map(Options.MetadataAgg -> "false")).collect()(0))
+  }
+
+  test("unfiltered GROUP BY an indexed column: the full histogram answers at planning; null rows and budget decline") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 1500L).map(i => (i, s"s${i % 11}", i * 7 - 500))
+    val dir = Seed.table(spark, sfDir, "spec_idx_hist",
+      rows.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name"))
+    def hist(dir0: String, opts: Map[String, String] = Map.empty) =
+      Seed.read(spark, dir0, opts)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          min(col("id")).as("mn"))
+    // every row carries the cell: positional, one group per value
+    val fast = hist(dir)
+    assert(scanDesc(fast).contains("AggStats: complete"),
+      s"full histogram must answer at planning: ${scanDesc(fast)}")
+    val got = fast.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = rows.groupBy(_._2).view.mapValues(g =>
+      (g.size.toLong, g.map(_._3).sum, g.map(_._1).min)).toMap
+    assert(got == want)
+    // fold agrees (the ground-truth twin)
+    val fold = hist(dir, Map(Options.MetadataAgg -> "false")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fold == want)
+    // budget decline: tiny candidate budget folds, same histogram
+    val tight = hist(dir, Map(Options.IndexMaxCandidates -> "40"))
+    assert(!scanDesc(tight).contains("AggStats: complete"))
+    assert(tight.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap == want)
+    // a row with a NULL group value forms SQL's NULL group — the index
+    // cannot see it, the totals equality proves it exists, the path
+    // declines, and the fold emits the null group
+    val rows2: Seq[(Long, String, Long)] =
+      rows :+ ((9001L, null.asInstanceOf[String], 13L))
+    val dir2 = Seed.table(spark, sfDir, "spec_idx_hist_null",
+      rows2.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name"))
+    val withNull = hist(dir2)
+    assert(!scanDesc(withNull).contains("AggStats: complete"),
+      "a store with a null group value must decline the histogram")
+    val gotNull = withNull.collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotNull(None) == 1L)
+    assert(gotNull(Some("s3")) == want("s3")._1)
+    // NETTED: a certified takedown nets victims out; an emptied group
+    // vanishes; the histogram stays positional
+    val dir3 = Seed.table(spark, sfDir, "spec_idx_hist_net",
+      rows.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name"))
+    tableOf(dir3).deleteWhere(Array[Filter](In("id",
+      rows.filter(r => r._2 == "s4" || r._1 % 13 == 0)
+        .map(r => Long.box(r._1)).toArray[Any])))
+    val live = rows.filterNot(r => r._2 == "s4" || r._1 % 13 == 0)
+    val wantNet = live.groupBy(_._2).view.mapValues(g =>
+      (g.size.toLong, g.map(_._3).sum, g.map(_._1).min)).toMap
+    val netted = hist(dir3)
+    assert(scanDesc(netted).contains("AggStats: complete"),
+      s"netted histogram should stay positional: ${scanDesc(netted)}")
+    val gotNet = netted.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gotNet == wantNet)
+    assert(!gotNet.contains("s4"), "an emptied group must vanish")
+    // histogram under a conjunct on ANOTHER indexed column: group col is
+    // proven as the extra column, candidates intersect
+    val dir4 = Seed.table(spark, sfDir, "spec_idx_hist_conj",
+      rows.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name,w"))
+    def conj(opts: Map[String, String]) =
+      Seed.read(spark, dir4, opts).filter(col("w") >= 2000L && col("w") < 6000L)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val conjFast = conj(Map.empty)
+    assert(conjFast == conj(Map(Options.MetadataAgg -> "false")))
+    val wantConj = rows.filter(r => r._3 >= 2000L && r._3 < 6000L)
+      .groupBy(_._2).view.mapValues(g => (g.size.toLong, g.map(_._3).sum)).toMap
+    assert(conjFast == wantConj)
+  }
+
+  test("indexed disjunctions: branch union dedups overlap; unresolvable branches decline; netting holds") {
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 1200L).map(i => (i, s"t${i % 9}", i * 5 - 300))
+    val dir = Seed.table(spark, sfDir, "spec_idx_or",
+      rows.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name,w"))
+    // cross-column OR, positional, vs model + fold
+    def orAgg(dir0: String, opts: Map[String, String] = Map.empty) =
+      Seed.read(spark, dir0, opts)
+        .filter(col("name") === "t3" || col("w") > 5000L)
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+          min(col("id")).as("mn"))
+    val fast = orAgg(dir)
+    assert(scanDesc(fast).contains("AggStats: complete"),
+      s"indexed disjunction must answer at planning: ${scanDesc(fast)}")
+    val m = rows.filter(r => r._2 == "t3" || r._3 > 5000L)
+    val r0 = fast.collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2)) ==
+      (m.size.toLong, m.map(_._3).sum, m.map(_._1).min))
+    assert(fast.collect()(0) ==
+      orAgg(dir, Map(Options.MetadataAgg -> "false")).collect()(0))
+    // OVERLAPPING same-column branches: a row matching both counts once
+    val ovl = Seed.read(spark, dir)
+      .filter((col("w") >= 1000L && col("w") <= 3000L) ||
+        (col("w") >= 2000L && col("w") <= 4000L))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(ovl).contains("AggStats: complete"),
+      s"overlapping BETWEEN branches must stay positional: ${scanDesc(ovl)}")
+    val mo = rows.filter(r => (r._3 >= 1000L && r._3 <= 3000L) ||
+      (r._3 >= 2000L && r._3 <= 4000L))
+    assert(ovl.collect()(0).getLong(0) == mo.size.toLong)
+    assert(ovl.collect()(0).getLong(1) == mo.map(_._3).sum)
+    // prefix branch composes
+    val pfx = Seed.read(spark, dir)
+      .filter(col("name").startsWith("t7") || col("w") < -100L)
+      .agg(count(lit(1)).as("n"))
+    assert(scanDesc(pfx).contains("AggStats: complete"))
+    assert(pfx.collect()(0).getLong(0) ==
+      rows.count(r => r._2.startsWith("t7") || r._3 < -100L))
+    // a branch on a NON-indexed column cannot absorb: residual filter,
+    // no planning-time answer, exact rows through Spark's re-filter
+    val mixed = Seed.read(spark, dir)
+      .filter(col("name") === "t3" || col("id") > 1100L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(mixed).contains("AggStats: complete"),
+      "a non-indexed branch must decline the disjunction")
+    assert(mixed.collect()(0).getLong(0) ==
+      rows.count(r => r._2 == "t3" || r._1 > 1100L))
+    // NETTED: deleted rows net out of every branch; group-by under OR
+    // declines but folds exactly
+    val dir2 = Seed.table(spark, sfDir, "spec_idx_or_net",
+      rows.toDF("id", "name", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "name,w"))
+    tableOf(dir2).deleteWhere(Array[Filter](In("id",
+      rows.filter(_._1 % 11 == 0).map(r => Long.box(r._1)).toArray[Any])))
+    val live = rows.filterNot(_._1 % 11 == 0)
+    val net = orAgg(dir2)
+    assert(scanDesc(net).contains("AggStats: complete"),
+      s"netted disjunction should stay positional: ${scanDesc(net)}")
+    val ml = live.filter(r => r._2 == "t3" || r._3 > 5000L)
+    val rn = net.collect()(0)
+    assert((rn.getLong(0), rn.getLong(1), rn.getLong(2)) ==
+      (ml.size.toLong, ml.map(_._3).sum, ml.map(_._1).min))
+    val grpOr = Seed.read(spark, dir)
+      .filter(col("name") === "t3" || col("w") > 5000L)
+      .groupBy(col("name")).agg(count(lit(1)).as("n"))
+    assert(!scanDesc(grpOr).contains("AggStats: complete"),
+      "grouped disjunctions decline (no per-group slicing)")
+    assert(grpOr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      m.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    // budget decline: branches resolve but the union blows the candidate
+    // budget — fold, same values
+    val tight = orAgg(dir, Map(Options.IndexMaxCandidates -> "5"))
+    assert(!scanDesc(tight).contains("AggStats: complete"))
+    assert(tight.collect()(0).getLong(0) == m.size.toLong)
+  }
+
+  test("text-encoded numeric group keys: width-collision decode stays consistent (positional == fold)") {
+    val sp = spark; import sp.implicits._
+    // 10000000 renders as 8 ASCII chars — Codecs.decode width-sniffs that
+    // as a binary long. The INDEX decode and the BASE reader's decode are
+    // the same dual decode, so positional and fold agree on every value
+    // (the ADVICE r14 coupling, pinned here); exact round-tripping is NOT
+    // claimed for text-encoded numerics.
+    val rows = Seq[(Long, Long, Long)](
+      (1L, 10000000L, 5L), (2L, 10000000L, 7L), (3L, 123L, 11L),
+      (4L, 1234L, 13L), (5L, 12345678L, 17L), (6L, 123L, 19L))
+    val dir = Seed.table(spark, sfDir, "spec_idx_textnum",
+      rows.toDF("id", "v", "w").repartition(1),
+      props = Map(Options.IndexColumns -> "v",
+        Options.Encoding -> "text"))
+    def grp(opts: Map[String, String]) =
+      Seed.read(spark, dir, opts)
+        .groupBy(col("v")).agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .collect().map(r => r.get(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fast = grp(Map.empty)
+    val fold = grp(Map(Options.MetadataAgg -> "false"))
+    assert(fast == fold,
+      s"text-encoded numeric group keys must stay consistent: $fast vs $fold")
+    // group cardinality and aggregate payloads survive whatever value the
+    // dual decode assigns to the 8-char rendering
+    assert(fast.size == 4)
+    assert(fast.values.map(_._1).sum == rows.size.toLong)
+    assert(fast.values.map(_._2).sum == rows.map(_._3).sum)
   }
 }

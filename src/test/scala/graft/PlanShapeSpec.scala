@@ -96,7 +96,10 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_indexed_range_group", 1), // GROUP BY under a range window
       ("conn_agg_indexed_multi", 2), // eq × range conjunction + grouped form
       ("conn_agg_indexed_float", 2), // float windows (mid BETWEEN + open >)
-      ("conn_agg_indexed_asof", 5))) { // 2 bounded + netted-now + range + grouped
+      ("conn_agg_indexed_asof", 5), // 2 bounded + netted-now + range + grouped
+      ("conn_agg_indexed_prefix", 2), // LIKE-prefix scalar + grouped (r15)
+      ("conn_agg_indexed_histogram", 1), // unfiltered GROUP BY idx col (r15)
+      ("conn_agg_indexed_or", 3))) { // cross-col OR + overlap + prefix OR (r15)
       val scans = collectAll(plan(name)).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
           if b.scan.description().contains("cassandralike") => b.scan.description()
