@@ -1586,12 +1586,16 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     def colSum(c: String): Option[Long] = colAgg(c).map(_.sum)
     def colExtremal(c: String, wantMin: Boolean): Option[Option[Long]] =
       colAgg(c).map(a => Option(if (wantMin) a.min else a.max).map(Long.unbox))
-    // ONLY the key and the FILTERED columns are never-missing on matching
-    // rows (every conjunct references a non-null cell there) — another
-    // indexed-but-unfiltered column can hold nulls, so its COUNT must go
-    // through the per-point cell arithmetic like any other cell
+    // ONLY the key and the CONJUNCTIVELY-filtered columns are
+    // never-missing on matching rows (every conjunct references a
+    // non-null cell there) — another indexed-but-unfiltered column can
+    // hold nulls, and so can an OPEN pred's column (a disjunction leaf:
+    // a row can match through the OTHER branch with this cell NULL; a
+    // histogram extra column: no predicate constrains it at all — round
+    // 15, caught by the prefix/disjunction fuzz arm), so their COUNTs
+    // must go through the per-point cell arithmetic like any other cell
     def rowCountEquivalent(c: String): Boolean =
-      c == keyN || ctx.preds.exists(_.col == c)
+      c == keyN || ctx.preds.exists(p => p.col == c && !p.open)
     val out = want.map {
       case PushedAgg.CountStar => present.length.toLong
       case PushedAgg.Count(c) if rowCountEquivalent(c) => present.length.toLong

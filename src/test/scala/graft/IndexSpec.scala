@@ -1515,6 +1515,92 @@ class IndexSpec extends SparkSpec {
     assert(tight.collect()(0).getLong(0) == m.size.toLong)
   }
 
+  test("fuzz: prefix and disjunction aggregates match the fold across random stores") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260816L + 15L)
+    for (iter <- 1 to 5) {
+      val n = 150 + rnd.nextInt(350)
+      // names from a small alphabet with heavy shared prefixes ('ab#3'
+      // vs 'ab#31' vs 'a...' — the near-prefix traps), w nullable
+      def nm(): String = {
+        val alpha = Seq("a", "ab", "ab#", "b", "bc", "zz")
+        alpha(rnd.nextInt(alpha.size)) + rnd.nextInt(10) +
+          (if (rnd.nextBoolean()) "#" + rnd.nextInt(5) else "")
+      }
+      def randRows(ids: Seq[Long]) = ids.map { i =>
+        (i, nm(),
+          if (rnd.nextInt(6) == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(rnd.nextInt(2000).toLong - 400))
+      }
+      val rows0 = randRows(1L to n.toLong)
+      val store = Seed.table(spark, sfDir, s"spec_idx_pfxfuzz_$iter",
+        rows0.toDF("id", "name", "w").repartition(1),
+        props = Map(Options.IndexColumns -> "name,w",
+          Options.Buckets -> (1 + rnd.nextInt(4)).toString))
+      rnd.nextInt(4) match {
+        case 0 => () // clean single epoch
+        case 1 => Seed.append(randRows((n + 1L) to (n + 30L)) // clean append
+          .toDF("id", "name", "w").repartition(1), store,
+          Map(Options.WriteTimestamp -> "2"))
+        case 2 => Seed.append(randRows(Seq.fill(6)( // overwrites MOVE names
+          rnd.nextInt(n).toLong + 1).distinct).toDF("id", "name", "w")
+          .repartition(1), store, Map(Options.WriteTimestamp -> "2"))
+        case _ => tableOf(store).deleteWhere(Array[Filter](In("id", // netted
+          Seq.fill(9)(rnd.nextInt(n).toLong + 1).distinct
+            .map(Long.box).toArray[Any])))
+      }
+      // prefixes drawn FROM stored names (truncated mid-token) plus a
+      // miss; disjunctions mix eq/range/prefix branches
+      def somePrefix(): String =
+        if (rnd.nextInt(5) == 0) "q#none"
+        else {
+          val s = rows0(rnd.nextInt(rows0.size))._2
+          s.take(1 + rnd.nextInt(s.length))
+        }
+      val preds: Seq[org.apache.spark.sql.Column] = Seq(
+        col("name").startsWith(somePrefix()),
+        col("name").startsWith(somePrefix()) || col("w") > rnd.nextInt(1500).toLong,
+        col("name") === rows0(rnd.nextInt(rows0.size))._2 ||
+          col("w") < (rnd.nextInt(800).toLong - 300), {
+          val lo = rnd.nextInt(1500).toLong - 400
+          val hi = lo + rnd.nextInt(700)
+          val lo2 = lo + rnd.nextInt(500) - 250
+          val hi2 = lo2 + rnd.nextInt(700)
+          (col("w") >= lo && col("w") <= hi) ||
+            (col("w") >= lo2 && col("w") <= hi2)
+        })
+      val readOpts =
+        if (rnd.nextInt(3) == 0)
+          Map(Options.IndexMaxCandidates -> (1 + rnd.nextInt(50)).toString)
+        else Map.empty[String, String]
+      for ((pred, pi) <- preds.zipWithIndex) {
+        def agg(opts: Map[String, String]) =
+          Seed.read(spark, store, opts).filter(pred)
+            .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+              sum(col("w")).as("sw"), min(col("id")).as("mn"),
+              max(col("id")).as("mx")).collect()(0)
+        val fast = agg(readOpts)
+        val fold = agg(readOpts + (Options.MetadataAgg -> "false"))
+        assert(fast == fold, s"iter $iter pred $pi: $fast vs $fold")
+      }
+      // grouped prefix + unfiltered histogram, both vs the fold
+      def grouped(opts: Map[String, String], p: Option[org.apache.spark.sql.Column]) = {
+        val base = Seed.read(spark, store, opts)
+        p.fold(base)(base.filter(_))
+          .groupBy(col("name"))
+          .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.toSeq(2))).toMap
+      }
+      val gp = Some(col("name").startsWith(somePrefix()))
+      assert(grouped(readOpts, gp) ==
+        grouped(readOpts + (Options.MetadataAgg -> "false"), gp),
+        s"iter $iter grouped prefix")
+      assert(grouped(readOpts, None) ==
+        grouped(readOpts + (Options.MetadataAgg -> "false"), None),
+        s"iter $iter histogram")
+    }
+  }
+
   test("text-encoded numeric group keys: width-collision decode stays consistent (positional == fold)") {
     val sp = spark; import sp.implicits._
     // 10000000 renders as 8 ASCII chars — Codecs.decode width-sniffs that
