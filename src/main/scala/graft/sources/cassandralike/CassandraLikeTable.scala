@@ -1859,10 +1859,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     val textEnc = optF(Options.Encoding).contains("text")
     val byCol = ctx.preds.map(p => p.col -> p.idxByBucket).toMap
     // every leaf column must carry a proven, pinned index listing — a
-    // column outside the proof set must fail the resolution, never fall
-    // back to a fresh (unproven) directory listing
+    // column outside the proof set must FAIL the resolution (null signals
+    // absence; resolveTree maps it to None), never fall back to a fresh
+    // (unproven) listing or to "no postings" (Map.empty would read as an
+    // empty candidate set — an under-count, ADVICE r15)
     val pinned: String => Map[Int, Seq[java.nio.file.Path]] =
-      c => byCol.getOrElse(c, Map.empty)
+      c => byCol.getOrElse(c, null)
     Index.resolveTree(ctx.orFilter.getOrElse(return None),
       byCol.keySet, c => table.tableSchema(c).dataType, table.dir,
       textEnc, ctx.buckets, candidateBudget,
@@ -5340,8 +5342,14 @@ class CellPartitionReader(
 
   // filters compiled once per partition: constants convert to Catalyst form
   // here, not per row, and In probes a hash set (runtime DPP filters can
-  // carry broadcast-sized value lists — linear scans would be O(rows*values))
-  private val compiledFilters = filters.map(FilterEval.compile)
+  // carry broadcast-sized value lists — linear scans would be O(rows*values)).
+  // Only TYPE-AWARE-exact filters compile (FilterEval.exact): a filter the
+  // reader can't reproduce bit-for-bit is SKIPPED, never approximated —
+  // sound because admission only absorbs exact types, so every skipped
+  // filter is one Spark re-applies above the scan (ADVICE r15 high).
+  private val compiledFilters = filters
+    .filter(FilterEval.exact(_, c => mapping.fields.find(_.name == c).map(_.dataType)))
+    .map(FilterEval.compile)
 
   private def project(values: Map[String, Any]): Option[InternalRow] = {
     if (!compiledFilters.forall(_(values))) return None
@@ -5480,11 +5488,11 @@ object FilterEval {
     // logic because every leaf maps UNKNOWN (null operand) to false:
     // OR keeps a row iff some branch is TRUE (unknown∨true = true,
     // unknown∨false = unknown → dropped), AND iff both are TRUE. Sound
-    // only when both children compile exactly — [[exact]] gates every
-    // absorption that relies on this (an inexact child compiles to
-    // constant-true, which under OR would leak rows). NOT is deliberately
-    // unsupported: ¬unknown is unknown, but a false-on-null leaf would
-    // negate to true.
+    // only when both children compile exactly — the READER consults the
+    // type-aware [[exact]] before compiling anything, so an inexact child
+    // (which would compile to constant-true and leak rows through an OR)
+    // never reaches here. NOT is deliberately unsupported: ¬unknown is
+    // unknown, but a false-on-null leaf would negate to true.
     case Or(l, r) =>
       val cl = compile(l); val cr = compile(r)
       row => cl(row) || cr(row)
@@ -5494,26 +5502,61 @@ object FilterEval {
     case _ => _ => true
   }
 
-  /** Whether [[compile]] evaluates `f` EXACTLY (no constant-true escape
-    * hatch anywhere in the tree) — the precondition for absorbing a filter
-    * (dropping Spark's re-filter above the scan) and for composing it
-    * under OR. */
-  def exact(f: Filter): Boolean = f match {
-    case _: EqualTo | _: In | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: IsNotNull => true
-    case StringStartsWith(_, p) => p != null
-    case Or(l, r) => exact(l) && exact(r)
-    case And(l, r) => exact(l) && exact(r)
-    case _ => false
+  /** Whether [[compile]] evaluates `f` EXACTLY for its column TYPES (no
+    * constant-true escape hatch anywhere in the tree, and every leaf
+    * comparison reproduces Spark's semantics for that type bit for bit) —
+    * the reader-side gate: a filter failing it is NOT evaluated at all
+    * (sound because every such filter is one Spark re-applies above the
+    * scan — absorbed/accepted admission only ever admits exact types).
+    * Type-blind shape checks are NOT enough (ADVICE r15): before [[cmp]]
+    * grew its byte-array case, an EqualTo on a BinaryType row key compiled
+    * to constant-false and silently dropped every row. */
+  def exact(f: Filter, dtOf: String => Option[DataType]): Boolean = {
+    def typeOk(c: String): Boolean = dtOf(c).exists {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StringType =>
+        s == org.apache.spark.sql.types.StringType // default collation only
+      case _ => false
+    }
+    f match {
+      case EqualTo(c, _) => typeOk(c)
+      case In(c, _) => typeOk(c)
+      case GreaterThan(c, _) => typeOk(c)
+      case GreaterThanOrEqual(c, _) => typeOk(c)
+      case LessThan(c, _) => typeOk(c)
+      case LessThanOrEqual(c, _) => typeOk(c)
+      case StringStartsWith(c, p) => p != null &&
+        dtOf(c).contains(org.apache.spark.sql.types.StringType)
+      case IsNotNull(_) => true
+      case Or(l, r) => exact(l, dtOf) && exact(r, dtOf)
+      case And(l, r) => exact(l, dtOf) && exact(r, dtOf)
+      case _ => false
+    }
   }
 
   /** Hash-equality form mirroring [[cmp]]'s numeric widening: integrals
     * compare as Long, fractionals as Double (with +0.0 added — SQL equality
-    * makes -0.0 = 0.0, java.lang.Double distinguishes them), so the In-set
-    * probe agrees with the ordered comparisons. */
+    * makes -0.0 = 0.0, java.lang.Double distinguishes them), binary wraps
+    * in a ByteBuffer (value-based equals/hashCode — raw arrays probe by
+    * REFERENCE and never hit), decimals strip trailing zeros (BigDecimal's
+    * hashCode is scale-sensitive: 1.5 and 1.50 compare equal but hash
+    * apart), so the In-set probe agrees with the ordered comparisons. */
   private def norm(v: Any): Any = v match {
     case n: Number if integral(n) => java.lang.Long.valueOf(n.longValue)
     case n: Number => java.lang.Double.valueOf(n.doubleValue + 0.0d)
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal.stripTrailingZeros
     case x => x
   }
 
@@ -5537,6 +5580,9 @@ object FilterEval {
       else Some(java.lang.Double.compare(x.doubleValue + 0.0d, y.doubleValue + 0.0d))
     case (x: UTF8String, y: UTF8String) => Some(x.compareTo(y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    // Spark's BinaryType order: unsigned lexicographic, then by length
+    // (TypeUtils.compareBinary) — exactly Codecs.compareBytes
+    case (x: Array[Byte], y: Array[Byte]) => Some(Codecs.compareBytes(x, y))
     case _ => None
   }
 }

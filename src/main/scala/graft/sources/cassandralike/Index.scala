@@ -87,6 +87,18 @@ object Index {
     * actually opened by the last range lookup — the skip proof. */
   private[graft] val bucketsOpened = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Planning-walk observability (ADVICE/VERDICT r15 #6): a timed-out or
+    * budget-aborted walk silently declines to a full scan — correct but
+    * invisible except by timing. These JVM-wide counters make a
+    * misconfigured `index.walk.timeout.ms` or a stalling filesystem show
+    * up as numbers instead of as mysteriously slow queries:
+    * attempted = range walks started, timedOut = declined on expiry (or
+    * disabled outright by a non-positive timeout), declined = over-budget
+    * or partial walks that fell back to the scan. */
+  private[graft] val walksAttempted = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val walksTimedOut = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val walksDeclined = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Build (or REBUILD) one column's index from the table's existing data —
     * what lets `ALTER TABLE SET ('index.columns'=...)` add an index to an
     * OCCUPIED table (Cassandra's CREATE INDEX + rebuild_index), where the
@@ -433,18 +445,23 @@ object Index {
       idxFiles: String => Map[Int, Seq[java.nio.file.Path]] = null,
       requireAll: Boolean = false)
     : Option[Set[Seq[Byte]]] = {
-    def files(c: String): Map[Int, Seq[java.nio.file.Path]] =
-      if (idxFiles == null) null else idxFiles(c)
+    // Pinned listings (idxFiles non-null): a column the pinned function has
+    // NO entry for must fail its leaf's resolution — falling back to a
+    // fresh (unproven) listing or to "no postings" would under-count
+    // (ADVICE r15). The pinned caller signals absence with null.
+    def files(c: String): Option[Map[Int, Seq[java.nio.file.Path]]] =
+      if (idxFiles == null) Some(null) else Option(idxFiles(c))
     def points(c: String, vs: Seq[Any]): Option[Set[Seq[Byte]]] = {
       val idxDir = dir(tableDir, c)
       if (!formatOk(idxDir)) return None
+      val pinnedFiles = files(c).getOrElse(return None)
       val dt = dtOf(c)
       val acc = collection.mutable.Set.empty[Seq[Byte]]
       vs.foreach { v =>
         val cat = CatalystTypeConverters.convertToCatalyst(v)
         if (cat != null && !lossyPoint(dt, cat))
           lookupOne(idxDir, encodeKey(dt, cat, textEnc), buckets, budget,
-              files(c)) match {
+              pinnedFiles) match {
             case None => return None
             case Some(ps) =>
               ps.foreach(p => acc += p.toSeq)
@@ -456,8 +473,8 @@ object Index {
     def ranged(c: String, bound: Filter): Option[Set[Seq[Byte]]] = {
       val idxDir = dir(tableDir, c)
       if (!formatOk(idxDir)) None
-      else rangeLookup(idxDir, dtOf(c), textEnc, c, Seq(bound), buckets,
-        budget, files(c), timeoutMs)
+      else files(c).flatMap(fb => rangeLookup(idxDir, dtOf(c), textEnc, c,
+        Seq(bound), buckets, budget, fb, timeoutMs))
     }
     // a BETWEEN-shaped And (every leaf a range bound on ONE column)
     // resolves as a SINGLE seek window: resolving `a <= v <= b` as two
@@ -483,8 +500,8 @@ object Index {
             val c = ls.head._1
             val idxDir = dir(tableDir, c)
             if (!formatOk(idxDir)) None
-            else rangeLookup(idxDir, dtOf(c), textEnc, c, ls.map(_._2),
-              buckets, budget, files(c), timeoutMs)
+            else files(c).flatMap(fb => rangeLookup(idxDir, dtOf(c), textEnc,
+              c, ls.map(_._2), buckets, budget, fb, timeoutMs))
           case _ =>
             val children = Seq(l, r).map(
               resolveTree(_, idxCols, dtOf, tableDir, textEnc, buckets,
@@ -608,9 +625,10 @@ object Index {
       filesByBucket: Map[Int, Seq[java.nio.file.Path]],
       timeoutMs: Long)
     : Option[Vector[(Array[Byte], Array[Byte])]] = {
+    walksAttempted.incrementAndGet()
     // non-positive timeout = planning walks disabled outright (the
     // deterministic form of "declined on expiry" — also what specs pin)
-    if (timeoutMs <= 0) return None
+    if (timeoutMs <= 0) { walksTimedOut.incrementAndGet(); return None }
     def enc(v: Any): Array[Byte] =
       encodeKey(dt, CatalystTypeConverters.convertToCatalyst(v), textEnc)
     def succ(b: Array[Byte]): Array[Byte] =
@@ -691,6 +709,15 @@ object Index {
     // tasks grinding through postings on the pool after the planner has
     // already declined to the scan fallback
     val aborted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // in-flight iterators, so the ABORTING thread can close them: the
+    // cooperative flag alone cannot unblock a task stalled INSIDE a read —
+    // it would occupy one of the pool's fixed threads forever, and a few
+    // such stalls would starve every later walk in the JVM (ADVICE r15).
+    // FileChannel.close is thread-safe and idempotent; the stalled read
+    // throws ClosedChannelException, failing only that bucket's future
+    // (already abandoned — the walk has returned None by then).
+    val inFlight =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[CellStore.BucketMergeIterator]()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.{Duration, MILLISECONDS}
     implicit val ec: scala.concurrent.ExecutionContext = walkPool
@@ -701,6 +728,7 @@ object Index {
           bucketsOpened.incrementAndGet()
           val it = new CellStore.BucketMergeIterator(idxDir, b, lo, hi,
             onlyFiles = files)
+          inFlight.add(it)
           try {
             val out = Vector.newBuilder[(Array[Byte], Array[Byte])]
             var ok = true
@@ -712,7 +740,7 @@ object Index {
                 out += ((c.key, c.col))
             }
             if (ok && !aborted.get()) Some(out.result()) else None
-          } finally it.close()
+          } finally { inFlight.remove(it); it.close() }
         }
       } }), Duration(timeoutMs, MILLISECONDS))
       catch {
@@ -720,9 +748,13 @@ object Index {
         // caller declines to the scan fallback — same rows, no hang
         case _: java.util.concurrent.TimeoutException =>
           aborted.set(true)
+          walksTimedOut.incrementAndGet()
+          inFlight.forEach { it =>
+            try it.close() catch { case _: Exception => () }
+          }
           return None
       }
-    if (perBucket.exists(_.isEmpty)) None
+    if (perBucket.exists(_.isEmpty)) { walksDeclined.incrementAndGet(); None }
     else Some(perBucket.iterator.flatMap(_.get).toVector)
   }
 

@@ -1357,6 +1357,22 @@ class IndexSpec extends SparkSpec {
       "a disabled walk must decline the planning-time answer")
     assert(timedOut.collect()(0) ==
       agg2(Map(Options.MetadataAgg -> "false")).collect()(0))
+    // 6) observability (VERDICT r15 #6): the silent declines above surface
+    //    as counters — a timed-out/disabled walk increments walksTimedOut,
+    //    an over-budget walk increments walksDeclined, both under
+    //    walksAttempted, so a misconfigured timeout or stalling filesystem
+    //    is visible without timing anything
+    Index.walksAttempted.set(0); Index.walksTimedOut.set(0)
+    Index.walksDeclined.set(0)
+    q("alpha#", noWalk).count()
+    assert(Index.walksAttempted.get() >= 1 && Index.walksTimedOut.get() >= 1,
+      s"disabled walk must count as attempted+timedOut, got " +
+        s"${Index.walksAttempted.get()}/${Index.walksTimedOut.get()}")
+    Index.walksAttempted.set(0); Index.walksTimedOut.set(0)
+    Index.walksDeclined.set(0)
+    q("alpha#", tight).count() // budget 3: the walk aborts over budget
+    assert(Index.walksDeclined.get() >= 1,
+      s"over-budget walk must count as declined, got ${Index.walksDeclined.get()}")
   }
 
   test("unfiltered GROUP BY an indexed column: the full histogram answers at planning; null rows and budget decline") {
