@@ -1352,6 +1352,41 @@ object Connector {
         .orderBy($"sub_column_name")
     },
 
+    // ---- LIKE-prefix on the SUB column (round 16): the :subcolumn twin of
+    // conn_slice_prefix — `sub LIKE '1996-%'` folds into the inclusive sub byte
+    // window [p, prefixSucc(p)], pruning runs by [subMin, subMax] and
+    // seeking spans within each (key, col) group. ----
+    Q("conn_sub_slice_prefix",
+      """WITH c AS (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |             l_returnflag AS column_name,
+        |             CAST(l_shipdate AS VARCHAR) || '#' ||
+        |               lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |               lpad(CAST(l_linenumber AS VARCHAR), 4, '0')
+        |               AS sub_column_name,
+        |             CAST(floor(l_quantity) AS BIGINT) AS value FROM lineitem),
+        |dedup AS (SELECT row_key, column_name, sub_column_name,
+        |                 max(value) AS value
+        |          FROM c GROUP BY 1, 2, 3)
+        |SELECT column_name, count(*) AS n, CAST(sum(value) AS BIGINT) AS qty
+        |FROM dedup WHERE sub_column_name LIKE '1996-%'
+        |GROUP BY column_name ORDER BY column_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "lineitem").select(
+        lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+        $"l_returnflag".as("column_name"),
+        concat($"l_shipdate".cast("string"), lit("#"),
+          lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+          lpad($"l_linenumber".cast("string"), 4, "0")).as("sub_column_name"),
+        floor($"l_quantity").cast("bigint").as("value"))
+      val store = Seed.table(s, dir, "sub_slice_prefix", src,
+        mapping = Some(":key,:column,:subcolumn,:value"))
+      Seed.read(s, store)
+        .filter($"sub_column_name".startsWith("1996-"))
+        .groupBy($"column_name")
+        .agg(count(lit(1)).as("n"), sum($"value").cast("bigint").as("qty"))
+        .orderBy($"column_name")
+    },
+
     // ---- COLUMN-BLOOM FALSE-WINDOW SKIP, end-to-end through the gate:
     // EVEN column ids seed the store and ODD ids land in a second write's
     // runs, so a multi-point slice for odd columns falls INSIDE every
@@ -1911,6 +1946,44 @@ object Connector {
         Options.SliceCount -> "5"))
         .select($"row_key", $"column_name", $"value")
         .orderBy($"row_key", $"column_name")
+    },
+
+    // ---- LIKE-prefix slice on the CLUSTERING column (round 16): `col LIKE
+    // 'A#%'` on a wide row folds into the inclusive slice byte window
+    // [p, prefixSucc(p)] — the time-series twin of the reference's P2
+    // slice bounds (HiveCassandraStandardColumnInputFormat.java:73-94):
+    // disjoint runs skip, spans seek, the merge reads O(prefix matches)
+    // instead of the row width (ScanMetricsSpec pins the cell counts). ----
+    Q("conn_slice_prefix",
+      """SELECT row_key, count(*) AS n_cells,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM (SELECT row_key, column_name, max(value) AS value
+        |      FROM (SELECT lpad(CAST(l_suppkey AS VARCHAR), 8, '0') AS row_key,
+        |                   l_returnflag || '#' ||
+        |                     lpad(CAST(l_orderkey AS VARCHAR), 10, '0') || '-' ||
+        |                     lpad(CAST(l_linenumber AS VARCHAR), 4, '0') AS column_name,
+        |                   CAST(l_quantity AS VARCHAR) AS value
+        |            FROM lineitem) c
+        |      GROUP BY row_key, column_name) x
+        |WHERE column_name LIKE 'A#%'
+        |GROUP BY row_key ORDER BY row_key""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/slice_prefix"
+      seedOnce(s"$dir#slice_prefix") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_suppkey".cast("string"), 8, "0").as("row_key"),
+          concat($"l_returnflag", lit("#"),
+            lpad($"l_orderkey".cast("string"), 10, "0"), lit("-"),
+            lpad($"l_linenumber".cast("string"), 4, "0")).as("column_name"),
+          $"l_quantity".cast("string").as("value"))
+        Seed.table(s, dir, "slice_prefix", src)
+      }
+      Seed.read(s, store)
+        .filter($"column_name".startsWith("A#"))
+        .groupBy($"row_key")
+        .agg(count(lit(1)).as("n_cells"), d(sum(m($"value"))).as("qty"))
+        .orderBy($"row_key")
     },
 
     // ---- multi-point slice: IN on the clustering column pushes into the

@@ -2390,8 +2390,15 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       // seek past everything outside the prefix window
       // (KeyLookupBounds), exactly like pushed </>= on the key.
       // FilterEval re-applies the predicate per row (exact).
+      // Round 16 extends the same fold to STRING CLUSTERING and SUB
+      // columns (the reference's own P2 slice operator over the
+      // comparator bytes): `col LIKE 'sensor#%'` on a wide row becomes
+      // the inclusive slice byte window [p, prefixSucc(p)] — disjoint
+      // runs skipped, spans seeked — instead of scanning the row width.
       case StringStartsWith(c, p) =>
-        c == keyName && p != null && m.keyField.dataType == StringType
+        p != null && ((c == keyName && m.keyField.dataType == StringType) ||
+          (sliceable(c) &&
+            m.fields.find(_.name == c).exists(_.dataType == StringType)))
       case _ => false
     }
     val (accepted, rejected0) = filters.partition(pushable)
@@ -5160,6 +5167,18 @@ class CellPartitionReader(
           case GreaterThanOrEqual(c, v) if c == colF.name && v != null => tightenLo(enc(v))
           case LessThan(c, v) if c == colF.name && v != null => tightenHi(enc(v))
           case LessThanOrEqual(c, v) if c == colF.name && v != null => tightenHi(enc(v))
+          // LIKE-prefix on a STRING clustering column: the prefixed cells
+          // live exactly in [p, prefixSucc(p)) of the identity UTF-8 byte
+          // form (value-prefix containment IS byte-prefix containment), so
+          // the inclusive window tightens to [p, prefixSucc(p)] — at most
+          // one extra boundary value, re-filtered exactly downstream. A
+          // null prefixSucc (all-0xFF prefix) leaves the upper side open.
+          case StringStartsWith(c, p)
+            if c == colF.name && p != null && colF.dataType == StringType =>
+            val b = enc(p)
+            tightenLo(b)
+            val ps = Codecs.prefixSucc(b)
+            if (ps != null) tightenHi(ps)
           case _ => ()
         }
         // static slice knobs (P2): typed literals on ordered columns,
@@ -5241,6 +5260,14 @@ class CellPartitionReader(
         case GreaterThanOrEqual(c, v) if c == subF.name && v != null => tightenLo(enc(v))
         case LessThan(c, v) if c == subF.name && v != null => tightenHi(enc(v))
         case LessThanOrEqual(c, v) if c == subF.name && v != null => tightenHi(enc(v))
+        // LIKE-prefix on a STRING sub column — the sub twin of the
+        // clustering-column prefix window (identity UTF-8 byte form)
+        case StringStartsWith(c, p)
+          if c == subF.name && p != null && subF.dataType == StringType =>
+          val b = enc(p)
+          tightenLo(b)
+          val ps = Codecs.prefixSucc(b)
+          if (ps != null) tightenHi(ps)
         case _ => ()
       }
       // static sub-slice knobs: the option semantic IS the inclusive

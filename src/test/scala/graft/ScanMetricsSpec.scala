@@ -384,4 +384,69 @@ class ScanMetricsSpec extends SparkSpec {
       }
     }
   }
+
+  /** Drive every partition of `df`'s scan and sum the task metric values. */
+  private def driveTotals(df: org.apache.spark.sql.DataFrame)
+    : collection.mutable.Map[String, Long] = {
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec"))
+    val batch = scan.toBatch
+    val factory = batch.createReaderFactory()
+    val totals = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    batch.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      try { while (r.next()) r.get() } finally {
+        r.currentMetricsValues().foreach(m => totals(m.name()) += m.value())
+        r.close()
+      }
+    }
+    totals
+  }
+
+  test("LIKE-prefix on a string clustering column merges O(matches), not the row width") {
+    // VERDICT r16 #1: `col LIKE 'pre%'` on a wide row folds into the slice
+    // byte window [p, prefixSucc(p)] — the reference's P2 slice operator —
+    // so the merge seeks past the non-matching spans instead of decoding
+    // the full row width
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 4000).map { i =>
+      val c = if (i % 80 == 0) f"pre$i%05d" else f"col$i%05d"
+      ("hot", c, i.toLong)
+    }
+    val dir = Seed.table(spark, sfDir, "spec_metrics_colprefix",
+      rows.toDF("k", "c", "v").repartition(1),
+      mapping = Some(":key,:column,:value"))
+    val df = Seed.read(spark, dir).filter(col("c").startsWith("pre"))
+    // pushed, not residual
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scan.description().contains("StringStartsWith"),
+      s"prefix must reach the scan: ${scan.description()}")
+    val got = df.collect().map(_.getLong(2)).sorted
+    assert(got.toSeq == (0 until 4000 by 80).map(_.toLong), s"got ${got.length} rows")
+    val totals = driveTotals(df)
+    assert(totals("cellsMerged") <= 60,
+      s"prefix slice must merge ~50 matching cells, not the 4000-cell row: $totals")
+    assert(totals("cellsSeekSkipped") >= 3000,
+      s"prefix window must seek past most of the row: $totals")
+  }
+
+  test("LIKE-prefix on a string sub column merges O(matches) within the (key,col) span") {
+    val sp = spark; import sp.implicits._
+    val rows = (0 until 2000).map { i =>
+      val s = if (i % 80 == 0) f"pre$i%05d" else f"sub$i%05d"
+      ("hot", "c1", s, i.toLong)
+    }
+    val dir = Seed.table(spark, sfDir, "spec_metrics_subprefix",
+      rows.toDF("k", "c", "s", "v").repartition(1),
+      mapping = Some(":key,:column,:subcolumn,:value"))
+    val df = Seed.read(spark, dir).filter(col("s").startsWith("pre"))
+    val got = df.collect().map(_.getLong(3)).sorted
+    assert(got.toSeq == (0 until 2000 by 80).map(_.toLong), s"got ${got.length} rows")
+    val totals = driveTotals(df)
+    assert(totals("cellsMerged") <= 35,
+      s"sub prefix must merge ~25 matching cells, not 2000: $totals")
+  }
 }
