@@ -2894,6 +2894,44 @@ object Connector {
       scalar.crossJoin(grouped)
     },
 
+    // ---- ASYMMETRIC-BUDGET CONJUNCTION (round 16, SURVEY §7.4 #1):
+    // `v IN <narrow window> AND src = <hot value>` — the needle side
+    // resolves through its index within the candidate budget, the hot
+    // side (whose postings blow it) is VERIFIED per candidate by a
+    // base-cell value probe: cost O(needle candidates), never O(hot
+    // postings). At small SF the hot side fits the budget and the plain
+    // intersection serves; from sf0.1 up the probe path carries it —
+    // same exact answer either way (the gate's point). ----
+    Q("conn_agg_indexed_needle_range",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |  count(src) AS nsrc, min(k) AS mk
+        |FROM rws
+        |WHERE v >= 123000 AND v < 124000 AND src = 'BUILDING#4'""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      Seed.read(s, store,
+          Map(Options.IndexMaxCandidates -> "200"))
+        .filter($"v" >= 123000L && $"v" < 124000L && $"src" === "BUILDING#4")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          count($"src").as("nsrc"), min($"row_key").as("mk"))
+    },
+
     // ---- INDEXED AGGREGATES UNDER AS-OF BOUNDS (round 14, closing SURVEY
     // §7.4 open #2): "per-source stats as of last Tuesday" — postings carry
     // the SAME logical timestamps as their base cells, so gating BOTH

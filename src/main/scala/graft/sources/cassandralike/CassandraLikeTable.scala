@@ -1875,17 +1875,109 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   }
 
   /** The conjunction's candidate keys: per-predicate sets intersected,
-    * short-circuiting once provably empty. */
+    * short-circuiting once provably empty. ASYMMETRIC BUDGETS (round 16,
+    * SURVEY §7.4 #1): `type = rare AND ts BETWEEN <wide>` used to decline
+    * whenever the wide side blew its candidate budget even though the
+    * needle side alone shrinks the set — now every conjunct that DOES
+    * resolve intersects as before, and each over-budget conjunct is
+    * verified per surviving candidate by reading the actual base cell
+    * value ([[CellStore.colBytesAtPoints]], one batched pass per proven
+    * file) and evaluating the conjunct on the decoded value — cost
+    * O(needle candidates · log), never O(postings in the wide range).
+    * Exact: the probe reads the same pinned files the proof judged, a
+    * NULL/absent cell fails the conjunct (SQL three-valued logic), and
+    * FilterEval supplies the comparison semantics. Clean stores only —
+    * a netted bucket's per-point value needs tombstone reconciliation
+    * the primitive deliberately refuses. */
   private def intersectedCandidateKeys(ctx: IndexedCtx)
     : Option[IndexedSeq[Array[Byte]]] = {
     var acc: Set[Seq[Byte]] = null
+    val unresolved = Seq.newBuilder[IdxPred]
     ctx.preds.foreach { p =>
       if (acc == null || acc.nonEmpty) {
-        val ks = predCandidateKeys(p, ctx).getOrElse(return None)
-        acc = if (acc == null) ks else acc.intersect(ks)
+        if (p.open) return None // no filter to verify a candidate against
+        predCandidateKeys(p, ctx) match {
+          case Some(ks) => acc = if (acc == null) ks else acc.intersect(ks)
+          case None => unresolved += p
+        }
       }
     }
-    Some(acc.iterator.map(_.toArray).toIndexedSeq)
+    val us = unresolved.result()
+    // every conjunct over budget (or the short-circuit fired with probes
+    // pending on a now-empty set — fine, empty intersects to empty)
+    if (acc == null) return None
+    if (acc.isEmpty || us.isEmpty)
+      return Some(acc.iterator.map(_.toArray).toIndexedSeq)
+    if (ctx.netted) return None
+    val cands = acc.iterator.map(_.toArray).toIndexedSeq
+    val optF: String => Option[String] =
+      k => Options.effective(options, table.tableProps, k)
+    val textEnc = optF(Options.Encoding).contains("text")
+    val keep = Array.fill(cands.size)(true)
+    us.foreach { p =>
+      val dt = table.tableSchema(p.col).dataType
+      // the conjunct as a value predicate: range bounds compile through
+      // FilterEval (exact for every absorbed type); a point set compares
+      // in the index's own normalized encoded form (the same bytes the
+      // index writer derives from the stored value)
+      val check: Any => Boolean =
+        if (p.bounds.nonEmpty) {
+          val fs = p.bounds.map(FilterEval.compile)
+          v => fs.forall(_(Map(p.col -> v)))
+        } else {
+          val set = p.pts.iterator.map(_._1.toSeq).toSet
+          v => set.contains(Index.encodeKey(dt, v, textEnc).toSeq)
+        }
+      val vals = colValuesAtKeys(cands, p.col, ctx).getOrElse(return None)
+      var i = 0
+      while (i < cands.size) {
+        if (keep(i)) {
+          val b = vals(i)
+          keep(i) = b != null && check(Codecs.decode(dt, b))
+        }
+        i += 1
+      }
+    }
+    Some(cands.indices.collect { case i if keep(i) => cands(i) })
+  }
+
+  /** Per-candidate VALUE BYTES of one cell column over the proof's pinned
+    * base listing — candidates route to their own bucket (a key's cells
+    * can only live there), each (bucket, file) runs ONE batched
+    * [[CellStore.colBytesAtPoints]] pass, and a value found in TWO files
+    * (impossible under the clean proof's all-addresses-distinct — means
+    * the proof is stale) declines instead of picking one. Null entry =
+    * no such cell for that candidate. */
+  private def colValuesAtKeys(ks: IndexedSeq[Array[Byte]], col: String,
+      ctx: IndexedCtx): Option[Array[Array[Byte]]] = {
+    val cb = MetadataAggReader.regularCellBytes(table.mapping, col)
+    if (cb == null) return None
+    val out = new Array[Array[Byte]](ks.size)
+    val rb = table.rangeBounds
+    ks.zipWithIndex.groupBy { case (k, _) =>
+      TokenRing.bucket(k, ctx.buckets, rb)
+    }.foreach { case (b, pws) =>
+      ctx.baseByBucket.get(b).foreach { files =>
+        val sorted = pws.sortWith((a, c) => Codecs.compareBytes(a._1, c._1) < 0)
+        val pts = sorted.map(_._1)
+        val idxs = sorted.map(_._2)
+        files.foreach { f =>
+          CellStore.colBytesAtPoints(f, pts, cb) match {
+            case Some(per) =>
+              var i = 0
+              while (i < per.length) {
+                if (per(i) != null) {
+                  if (out(idxs(i)) != null) return None // dup across files
+                  out(idxs(i)) = per(i)
+                }
+                i += 1
+              }
+            case None => return None
+          }
+        }
+      }
+    }
+    Some(out)
   }
 
   private def computeRangeAnswer(

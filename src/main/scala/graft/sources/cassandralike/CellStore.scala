@@ -2125,6 +2125,80 @@ object CellStore {
     } finally if (reader != null) reader.close()
   }
 
+  /** Per-point VALUE BYTES of one named cell column — the round-16
+    * primitive behind asymmetric-budget conjunctions: `type = rare AND
+    * ts BETWEEN <wide>` resolves the needle's candidates through its
+    * index, then VERIFIES the wide conjunct per candidate by reading the
+    * actual base cell value here (today's per-point passes yield
+    * counts/sums, not comparable values). Returns one entry per input
+    * point: the (key, col) cell's value bytes, or null when this file
+    * holds no such cell. CLEAN-ONLY by contract (the caller's proof
+    * established tombstone-free + all-addresses-distinct buckets): a
+    * tombstoned or DUPLICATE match — either would make "the value"
+    * ambiguous — declines with None instead of guessing. Cost mirrors
+    * [[colAggAtPoints]]: one seek + span-bounded scan per (hitting run,
+    * point). */
+  def colBytesAtPoints(file: Path, points: Seq[Array[Byte]],
+      col: Array[Byte]): Option[Array[Array[Byte]]] = {
+    val out = new Array[Array[Byte]](points.length)
+    if (points.isEmpty) return Some(out)
+    val infosAll = runInfos(file)
+    val blooms = runBlooms(file)
+    val statsIt = runStats(file).iterator
+    var reader: SegmentReader = null
+    try {
+      var r = 0
+      while (r < infosAll.length) {
+        val ri = infosAll(r)
+        if (ri.cellCount > 0) {
+          val s = statsIt.next()
+          def hits(k: Array[Byte]): Boolean =
+            Codecs.compareBytes(k, s.firstKey) >= 0 &&
+              Codecs.compareBytes(k, s.lastKey) <= 0 &&
+              (blooms(r) == null || blooms(r).mightContain(k))
+          if (points.exists(hits)) {
+            if (s.colVals == null) return None
+            val cv = findColValStat(s.colVals, col)
+            if (cv != null) { // absent column = no values here, exactly
+              if (reader == null) reader = new SegmentReader(file)
+              pointProbeIndexReads.incrementAndGet()
+              val idx = reader.readIndex(ri)
+              var p = 0
+              while (p < points.length) {
+                val k = points(p)
+                if (hits(k)) {
+                  val start =
+                    if (Codecs.compareBytes(idx.keys(0), k) >= 0) 0
+                    else lastEntryBelow(idx.keys, k)
+                  val it = reader.runIterator(
+                    ri.payloadOffset + idx.offsets(start),
+                    ri.cellCount - idx.cellPos(start))
+                  var scanning = true
+                  while (scanning && it.hasNext) {
+                    val c = it.next()
+                    val kc = Codecs.compareBytes(c.key, k)
+                    if (kc > 0) scanning = false
+                    else if (kc == 0 && c.col != null &&
+                        java.util.Arrays.equals(c.col, col)) {
+                      // the clean proof promises one live cell per
+                      // address; a tombstone or a second match breaks
+                      // the promise — decline, never guess
+                      if (c.tombstone || out(p) != null) return None
+                      out(p) = c.value
+                    }
+                  }
+                }
+                p += 1
+              }
+            }
+          }
+        }
+        r += 1
+      }
+      Some(out)
+    } finally if (reader != null) reader.close()
+  }
+
   /** COUNT of one segment's cells NAMED `col` with key in [lo, hi) (null =
     * unbounded), from the CVAL prefix-count tails: runs fully inside the
     * envelope contribute their per-column run total with no IO beyond the

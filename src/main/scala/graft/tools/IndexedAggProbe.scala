@@ -128,6 +128,53 @@ object IndexedAggProbe {
         f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
         f"full_over_positional=${ful.min / pos.min}%.1f")
     }
+    // ASYMMETRIC-BUDGET arm (round 16): `srcN = needle AND src = hot` under
+    // a budget between the two postings counts — the needle side resolves,
+    // the hot side blows the budget and is VERIFIED per candidate by
+    // base-cell value probes. positional cost must track the NEEDLE's
+    // candidate count (the whole point: O(needle), not O(hot postings)).
+    locally {
+      val total = src.count()
+      val asymBudget = math.max(total / 250L, 16L).toString // needle≈N/500 fits, hot≈N/20 blows
+      val opts = Map(Options.IndexMaxCandidates -> asymBudget)
+      def qa(dir: String, o: Map[String, String]) =
+        Seed.read(spark, dir, o)
+          .filter(col("srcN") === "1-URGENT#107" && col("src") === "1-URGENT#7")
+          .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+            sum(col("v")).as("sv"), min(col("row_key")).as("mk"))
+      val scan = qa(indexed, opts).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+          }.orNull
+      }.filter(_ != null).head
+      println(s"asym budget=$asymBudget " +
+        s"complete=${scan.description().contains("AggStats: complete")}")
+      def runA(dir: String, o: Map[String, String]): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = qa(dir, o).collect()(0).getLong(0)
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      runA(indexed, opts); runA(indexed, opts + (Options.MetadataAgg -> "false"))
+      runA(plain, Map.empty)
+      val pos = collection.mutable.ArrayBuffer.empty[Double]
+      val shr = collection.mutable.ArrayBuffer.empty[Double]
+      val ful = collection.mutable.ArrayBuffer.empty[Double]
+      var rows = 0L
+      (1 to 5).foreach { _ =>
+        val (tp, n1) = runA(indexed, opts)
+        val (ts, n2) = runA(indexed, opts + (Options.MetadataAgg -> "false"))
+        val (tf, n3) = runA(plain, Map.empty)
+        require(n1 == n2 && n2 == n3, s"asym paths disagree: $n1 / $n2 / $n3")
+        rows = n1; pos += tp; shr += ts; ful += tf
+      }
+      println(f"asym matching_rows=$rows positional_min=${pos.min}%.4f " +
+        f"shrunk_min=${shr.min}%.4f full_min=${ful.min}%.4f " +
+        f"shrunk_over_positional=${shr.min / pos.min}%.1f " +
+        f"full_over_positional=${ful.min / pos.min}%.1f")
+    }
+
     // CROSSOVER sweep (index.point.cost.cells calibration): IN over k bulk
     // values multiplies the candidate count on the same store, racing the
     // index-shrunk job (cost gate DISABLED, positional disabled) against

@@ -1184,6 +1184,132 @@ class IndexSpec extends SparkSpec {
       (mLive.size.toLong, mLive.map(_._4).sum))
   }
 
+  test("asymmetric-budget conjunctions: the needle side resolves, the wide side verifies per candidate") {
+    // SURVEY §7.4 #1 / VERDICT r15 #2: `typ = rare AND ts BETWEEN <wide>`
+    // used to decline the positional path whenever the wide side blew its
+    // candidate budget; now the needle's candidates resolve through its
+    // index and the wide conjunct is verified per candidate by a
+    // base-cell VALUE probe — cost O(needle candidates), not O(postings
+    // in the wide range)
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 2000L).map { i =>
+      val typ = if (i % 200L == 0L) "rare" else "bulk"
+      // a few rare rows carry NO ts cell: the probe must fail the wide
+      // conjunct on the missing value (SQL: null comparison is unknown)
+      val ts: java.lang.Long = if (i == 400L) null else Long.box(i)
+      (i, typ, ts, i * 3)
+    }
+    val dir = Seed.table(spark, sfDir, "spec_idx_asym",
+      rows.toDF("id", "typ", "ts", "w"),
+      props = Map(Options.IndexColumns -> "typ,ts"))
+    val budget = Map(Options.IndexMaxCandidates -> "50")
+    def model(f: ((Long, String, java.lang.Long, Long)) => Boolean) =
+      rows.filter(f)
+    // needle eq resolves (10 postings), wide range blows the 50 budget
+    val q = Seed.read(spark, dir, budget)
+      .filter(col("typ") === "rare" && col("ts") >= 100L && col("ts") <= 1900L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(scanDesc(q).contains("AggStats: complete"),
+      s"needle × wide must answer at planning: ${scanDesc(q)}")
+    val m = model(r => r._2 == "rare" && r._3 != null &&
+      r._3 >= 100L && r._3 <= 1900L)
+    val r0 = q.collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3)) ==
+      (m.size.toLong, m.map(_._4).sum, m.map(_._1).min, m.map(_._1).max),
+      s"got $r0")
+    val f0 = Seed.read(spark, dir,
+        budget + (Options.MetadataAgg -> "false"))
+      .filter(col("typ") === "rare" && col("ts") >= 100L && col("ts") <= 1900L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        min(col("id")).as("mn"), max(col("id")).as("mx")).collect()(0)
+    assert(r0 == f0, s"fold disagrees: $r0 vs $f0")
+    // COUNT of the WIDE column stays row-count-equivalent: the probe
+    // proved every surviving candidate carries a non-null ts
+    val cq = Seed.read(spark, dir, budget)
+      .filter(col("typ") === "rare" && col("ts") >= 100L && col("ts") <= 1900L)
+      .agg(count(col("ts")).as("nts"))
+    assert(scanDesc(cq).contains("AggStats: complete"))
+    assert(cq.collect()(0).getLong(0) == m.size.toLong)
+    // flipped shape: the RANGE resolves (20 candidates), the hot EQUALITY
+    // blows — the point-set form of the per-candidate check
+    val q2 = Seed.read(spark, dir, budget)
+      .filter(col("typ") === "bulk" && col("ts") >= 100L && col("ts") < 120L)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(q2).contains("AggStats: complete"),
+      s"wide-eq × narrow-range must answer at planning: ${scanDesc(q2)}")
+    val m2 = model(r => r._2 == "bulk" && r._3 != null &&
+      r._3 >= 100L && r._3 < 120L)
+    val r2 = q2.collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) ==
+      (m2.size.toLong, m2.map(_._4).sum), s"got $r2")
+    // both sides over budget: decline, exact through the scan
+    val q3 = Seed.read(spark, dir, Map(Options.IndexMaxCandidates -> "5"))
+      .filter(col("typ") === "bulk" && col("ts") >= 100L && col("ts") <= 1900L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(q3).contains("AggStats: complete"),
+      "every conjunct over budget must decline")
+    val m3 = model(r => r._2 == "bulk" && r._3 != null &&
+      r._3 >= 100L && r._3 <= 1900L)
+    assert(q3.collect()(0).getLong(0) == m3.size.toLong)
+    // NETTED store: the value probe refuses reconciliation — decline, exact
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      (1L to 50L).map(Long.box).toArray[Any])))
+    val q4 = Seed.read(spark, dir, budget)
+      .filter(col("typ") === "rare" && col("ts") >= 100L && col("ts") <= 1900L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanDesc(q4).contains("AggStats: complete"),
+      "netted + asymmetric must decline to the scan")
+    assert(q4.collect()(0).getLong(0) == m.size.toLong,
+      "deletes hit only ids 1-50, none of which are rare matches >= 100")
+  }
+
+  test("fuzz: asymmetric-budget conjunctions match the fold across random stores, shapes and budgets") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    for (iter <- 1 to 6) {
+      val n = 150 + rnd.nextInt(250)
+      val card = 2 + rnd.nextInt(4) // typ cardinality: some values hot
+      def randRows(ids: Seq[Long]) = ids.map { i =>
+        val typ: String =
+          if (rnd.nextInt(6) == 0) null else s"t${rnd.nextInt(card)}"
+        val ts: java.lang.Long =
+          if (rnd.nextInt(6) == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(1200).toLong - 300)
+        (i, typ, ts, rnd.nextInt(500).toLong)
+      }
+      val store = Seed.table(spark, sfDir, s"spec_idx_asymfuzz_$iter",
+        randRows(1L to n.toLong).toDF("id", "typ", "ts", "w").repartition(1),
+        props = Map(Options.IndexColumns -> "typ,ts",
+          Options.Buckets -> (1 + rnd.nextInt(4)).toString))
+      if (rnd.nextInt(3) == 0) // netted arm: the probe must decline, exact
+        tableOf(store).deleteWhere(Array[Filter](In("id",
+          Seq.fill(9)(rnd.nextInt(n).toLong + 1).distinct
+            .map(Long.box).toArray[Any])))
+      // random conjunction: a typ side (eq or IN) × a ts side (range or
+      // eq), under a random LOW budget so either side can blow it
+      val typPred =
+        if (rnd.nextBoolean()) col("typ") === s"t${rnd.nextInt(card)}"
+        else col("typ").isin(Seq.fill(1 + rnd.nextInt(2))(
+          s"t${rnd.nextInt(card)}").distinct.map(x => x: Any): _*)
+      val lo = rnd.nextInt(1500).toLong - 400
+      val tsPred =
+        if (rnd.nextBoolean()) col("ts") >= lo && col("ts") < lo + 100 + rnd.nextInt(800)
+        else col("ts") === lo
+      val opts = Map(Options.IndexMaxCandidates ->
+        (1 + rnd.nextInt(80)).toString)
+      def agg(o: Map[String, String]) =
+        Seed.read(spark, store, o).filter(typPred && tsPred)
+          .agg(count(lit(1)).as("n"), count(col("ts")).as("nts"),
+            count(col("typ")).as("ntyp"), count(col("w")).as("nw"),
+            sum(col("w")).as("sw"), min(col("id")).as("mn"),
+            max(col("id")).as("mx")).collect()(0)
+      val fast = agg(opts)
+      val fold = agg(opts + (Options.MetadataAgg -> "false"))
+      assert(fast == fold, s"iter $iter: $fast vs $fold")
+    }
+  }
+
   test("fuzz: indexed RANGE aggregates match the fold across random stores and windows") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(20260816L)
