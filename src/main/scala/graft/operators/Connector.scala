@@ -2961,9 +2961,12 @@ object Connector {
         |rg AS (SELECT count(*) AS n1_rng, CAST(sum(v) AS BIGINT) AS sv1_rng
         |  FROM e1 WHERE v BETWEEN 123000 AND 155999),
         |g AS (SELECT src AS gsrc, count(*) AS gn, CAST(sum(v) AS BIGINT) AS gsv
-        |  FROM e1 WHERE src IN ('BUILDING#4', 'AUTOMOBILE#7') GROUP BY src)
-        |SELECT s1.*, s2.*, sn.*, rg.*, g.*
-        |FROM s1 CROSS JOIN s2 CROSS JOIN sn CROSS JOIN rg CROSS JOIN g""".stripMargin,
+        |  FROM e1 WHERE src IN ('BUILDING#4', 'AUTOMOBILE#7') GROUP BY src),
+        |h AS (SELECT src AS hsrc, count(*) AS hn, CAST(sum(v) AS BIGINT) AS hsv
+        |  FROM e1 GROUP BY src)
+        |SELECT s1.*, s2.*, sn.*, rg.*, g.*, h.*
+        |FROM s1 CROSS JOIN s2 CROSS JOIN sn CROSS JOIN rg CROSS JOIN g
+        |CROSS JOIN h""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
       val store = s"${Seed.storeRoot(dir)}/agg_indexed_asof"
@@ -3018,7 +3021,14 @@ object Connector {
         .groupBy($"src")
         .agg(count(lit(1)).as("gn"), sum($"v").as("gsv"))
         .select($"src".as("gsrc"), $"gn", $"gsv")
-      s1.crossJoin(s2).crossJoin(sn).crossJoin(rg).crossJoin(g)
+      // round 16 (VERDICT r15 #5): the UNFILTERED histogram under the
+      // same as-of bound — the extra-column proof composes through
+      // asOfView, so the whole per-source breakdown of the bounded view
+      // answers at planning
+      val h = r1.groupBy($"src")
+        .agg(count(lit(1)).as("hn"), sum($"v").as("hsv"))
+        .select($"src".as("hsrc"), $"hn", $"hsv")
+      s1.crossJoin(s2).crossJoin(sn).crossJoin(rg).crossJoin(g).crossJoin(h)
     },
 
     // ---- LIKE-PREFIX PUSHDOWN (round 15, VERDICT r14 #1): the most
@@ -3192,6 +3202,43 @@ object Connector {
       val c = r.filter($"src".startsWith("MACH") || $"v" < 5000L)
         .agg(count(lit(1)).as("n_pfx"))
       a.crossJoin(b).crossJoin(c)
+    },
+
+    // ---- CONJUNCT × DISJUNCTION aggregate (round 16, VERDICT r15 #3):
+    // `src LIKE 'MACH%' AND (v < x OR v > y)` — the Or's branch union
+    // intersects the conjunct's candidate set under the same bijection
+    // proofs (combinedCandidateKeys); either side over budget falls to
+    // the per-candidate base-cell value probe. The aggregate twin of a
+    // filter shape users actually write ("errors OR timeouts, in this
+    // service"). ----
+    Q("conn_agg_indexed_and_or",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v
+        |  FROM customer)
+        |SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+        |  count(v) AS nv, min(k) AS mk
+        |FROM rws
+        |WHERE src LIKE 'MACHINERY#%' AND (v < 100000 OR v > 900000)""".stripMargin,
+      bench = true) { (s, dir) =>
+      import s.implicits._
+      val store = s"${Seed.storeRoot(dir)}/agg_indexed_range"
+      seedOnce(s"$dir#agg_indexed_range") {
+        val src = t(s, dir, "customer").select(
+          lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+          concat($"c_mktsegment", lit("#"),
+            ($"c_custkey" % 10).cast("string")).as("src"),
+          (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+            .cast("bigint").as("v"))
+        Seed.table(s, dir, "agg_indexed_range", src.repartition(1),
+          props = Map(Options.IndexColumns -> "src,v"))
+      }
+      Seed.read(s, store)
+        .filter($"src".startsWith("MACHINERY#") &&
+          ($"v" < 100000L || $"v" > 900000L))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+          count($"v").as("nv"), min($"row_key").as("mk"))
     },
 
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the

@@ -1118,8 +1118,19 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
 
   /** Memoized per builder — the scalar count, scalar stats and grouped
     * paths all consult it during ONE planning pass, and `pushed` (its
-    * only mutable input) is final before Spark offers aggregates. */
+    * only mutable input) is final before Spark offers aggregates. The
+    * histogram's extra-column form memoizes per extraCols alongside
+    * (VERDICT r15 #4): a grouped+scalar offer used to re-walk the
+    * base+index sidecars on every grouped offer. */
   private lazy val indexedAggCtx: Option[IndexedCtx] = indexedAggContext()
+
+  private val indexedAggCtxExtra =
+    collection.mutable.Map.empty[Set[String], Option[IndexedCtx]]
+  private def indexedAggContextMemo(extraCols: Set[String])
+    : Option[IndexedCtx] =
+    if (extraCols.isEmpty) indexedAggCtx
+    else indexedAggCtxExtra.getOrElseUpdate(extraCols,
+      indexedAggContext(extraCols))
 
   /** `extraCols` (round 15, the HISTOGRAM shape): indexed columns to prove
     * and pin WITHOUT any pushed predicate on them — the unfiltered
@@ -1129,6 +1140,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
   private def indexedAggContext(extraCols: Set[String] = Set.empty)
     : Option[IndexedCtx] = {
     if (table.mapping.transposed) return None
+    CellScanBuilder.contextPasses.incrementAndGet()
     val optF: String => Option[String] =
       k => Options.effective(options, table.tableProps, k)
     // AS-OF composes (round 14): postings carry the SAME logical cell
@@ -1180,13 +1192,14 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case o: org.apache.spark.sql.sources.Or => ors += o
       case _ => return None
     }
-    // disjunction shape: exactly ONE Or and nothing else conjunctive —
-    // mixing `x AND (a OR b)` would need per-branch intersection with the
-    // conjuncts; declined until a real workload needs it
+    // disjunction shape: at most ONE Or, now (round 16) freely mixed with
+    // conjuncts — `x = a AND (p OR q)` resolves as the conjuncts'
+    // candidate intersection ∩ the Or's branch union under the same
+    // proofs ([[combinedCandidateKeys]]); only the histogram's extra-col
+    // form keeps declining (no per-group candidate slicing under an Or)
     val orF: Option[Filter] = ors.result() match {
       case Seq() => None
-      case Seq(one) if eqVals.isEmpty && rngs.isEmpty && extraCols.isEmpty =>
-        Some(one)
+      case Seq(one) if extraCols.isEmpty => Some(one)
       case _ => return None
     }
     // every column a disjunction leaf references joins the proof set —
@@ -1385,13 +1398,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       .getOrElse(return None)
     // per-predicate candidate resolution enforces the MaxCompletePoints
     // cap while resolving; a conjunction intersects the columns' sets, a
-    // disjunction (round 15) unions its branches' sets — the union is a
-    // key SET, so a row matching several branches feeds the per-point
-    // arithmetic once
-    val ks = (ctx.orFilter match {
-      case Some(_) => orCandidateKeys(ctx)
-      case None => intersectedCandidateKeys(ctx)
-    }).getOrElse(return None)
+    // disjunction (round 15) unions its branches' sets — and the two now
+    // COMPOSE (round 16, `x = a AND (p OR q)`): the union intersects the
+    // conjuncts' sets, with over-budget sides probe-verified per
+    // candidate. The result is a key SET, so a row matching several
+    // branches feeds the per-point arithmetic once
+    val ks = combinedCandidateKeys(ctx).getOrElse(return None)
     val aggsP = new IndexedPointAggs(ks, ctx)
     // netted: restrict to the VISIBLE rows (a deleted key nets to zero
     // presence) — afterwards the index set is exactly the matching rows
@@ -1655,10 +1667,10 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case Some(c) if c.orFilter.isEmpty && c.preds.exists(_.col == groupCol) =>
         c
       case Some(c) if c.orFilter.isEmpty =>
-        indexedAggContext(Set(groupCol)).getOrElse(return None)
+        indexedAggContextMemo(Set(groupCol)).getOrElse(return None)
       case Some(_) => return None
       case None if pushed.isEmpty =>
-        indexedAggContext(Set(groupCol)).getOrElse(return None)
+        indexedAggContextMemo(Set(groupCol)).getOrElse(return None)
       case None => return None
     }
     val gp = ctx.preds.find(_.col == groupCol).getOrElse(return None)
@@ -1853,7 +1865,7 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     * Under the per-column bijection proofs the result is EXACTLY the keys
     * of rows satisfying the disjunction. */
   private def orCandidateKeys(ctx: IndexedCtx)
-    : Option[IndexedSeq[Array[Byte]]] = {
+    : Option[Set[Seq[Byte]]] = {
     val optF: String => Option[String] =
       k => Options.effective(options, table.tableProps, k)
     val textEnc = optF(Options.Encoding).contains("text")
@@ -1871,42 +1883,50 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       optF(Options.IndexWalkTimeoutMs).map(_.toLong)
         .getOrElse(Options.DefaultIndexWalkTimeoutMs),
       pinned, requireAll = true)
-      .map(_.iterator.map(_.toArray).toIndexedSeq)
   }
 
-  /** The conjunction's candidate keys: per-predicate sets intersected,
-    * short-circuiting once provably empty. ASYMMETRIC BUDGETS (round 16,
-    * SURVEY §7.4 #1): `type = rare AND ts BETWEEN <wide>` used to decline
-    * whenever the wide side blew its candidate budget even though the
-    * needle side alone shrinks the set — now every conjunct that DOES
-    * resolve intersects as before, and each over-budget conjunct is
-    * verified per surviving candidate by reading the actual base cell
-    * value ([[CellStore.colBytesAtPoints]], one batched pass per proven
-    * file) and evaluating the conjunct on the decoded value — cost
-    * O(needle candidates · log), never O(postings in the wide range).
-    * Exact: the probe reads the same pinned files the proof judged, a
-    * NULL/absent cell fails the conjunct (SQL three-valued logic), and
-    * FilterEval supplies the comparison semantics. Clean stores only —
-    * a netted bucket's per-point value needs tombstone reconciliation
-    * the primitive deliberately refuses. */
-  private def intersectedCandidateKeys(ctx: IndexedCtx)
+  /** Candidate keys of the FULL absorbed predicate set — conjuncts AND
+    * the disjunction (round 16 unifies what were two disjoint paths):
+    * every conjunct that resolves within budget intersects, the Or (when
+    * pushed) resolves as its branch union and intersects too, and each
+    * side that BLEW its budget — an over-budget conjunct (ASYMMETRIC
+    * BUDGETS, SURVEY §7.4 #1: `type = rare AND ts BETWEEN <wide>`) or the
+    * over-budget Or itself — is verified per surviving candidate by
+    * reading the actual base cell values ([[CellStore.colBytesAtPoints]],
+    * one batched pass per proven file per column) and evaluating the
+    * predicate on the decoded values: cost O(resolved candidates · log),
+    * never O(postings on the wide side). Exact: the probes read the same
+    * pinned files the proof judged, a NULL/absent cell fails a conjunct
+    * and an Or leaf alike (SQL three-valued logic — FilterEval's exact
+    * leaves map unknown to false, sound under OR because absorption
+    * admitted only exactly-evaluable leaf types), and at least one side
+    * must have RESOLVED (probes verify candidates, they cannot produce
+    * them). Clean stores only — a netted bucket's per-point value needs
+    * tombstone reconciliation the primitive deliberately refuses. */
+  private def combinedCandidateKeys(ctx: IndexedCtx)
     : Option[IndexedSeq[Array[Byte]]] = {
     var acc: Set[Seq[Byte]] = null
     val unresolved = Seq.newBuilder[IdxPred]
-    ctx.preds.foreach { p =>
+    var orUnresolved = false
+    // conjuncts (or-only columns carry OPEN preds — no conjunct to apply)
+    ctx.preds.filterNot(_.open).foreach { p =>
       if (acc == null || acc.nonEmpty) {
-        if (p.open) return None // no filter to verify a candidate against
         predCandidateKeys(p, ctx) match {
           case Some(ks) => acc = if (acc == null) ks else acc.intersect(ks)
           case None => unresolved += p
         }
       }
     }
+    if (ctx.orFilter.isDefined && (acc == null || acc.nonEmpty)) {
+      orCandidateKeys(ctx) match {
+        case Some(ks) => acc = if (acc == null) ks else acc.intersect(ks)
+        case None => orUnresolved = true
+      }
+    }
     val us = unresolved.result()
-    // every conjunct over budget (or the short-circuit fired with probes
-    // pending on a now-empty set — fine, empty intersects to empty)
+    // every side over budget: probes have nothing to verify against
     if (acc == null) return None
-    if (acc.isEmpty || us.isEmpty)
+    if (acc.isEmpty || (us.isEmpty && !orUnresolved))
       return Some(acc.iterator.map(_.toArray).toIndexedSeq)
     if (ctx.netted) return None
     val cands = acc.iterator.map(_.toArray).toIndexedSeq
@@ -1934,6 +1954,32 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
         if (keep(i)) {
           val b = vals(i)
           keep(i) = b != null && check(Codecs.decode(dt, b))
+        }
+        i += 1
+      }
+    }
+    if (orUnresolved) {
+      val or = ctx.orFilter.get
+      def treeCols(f: Filter): Set[String] = f match {
+        case org.apache.spark.sql.sources.Or(l, r) => treeCols(l) ++ treeCols(r)
+        case org.apache.spark.sql.sources.And(l, r) => treeCols(l) ++ treeCols(r)
+        case leaf => leaf.references.toSet
+      }
+      // fetch every referenced column's value per candidate, then evaluate
+      // the whole tree — absorption (orAbsorbable) guaranteed each leaf's
+      // type is exactly evaluable, so the composed compile is exact
+      val colVals: Map[String, Array[Array[Byte]]] = treeCols(or).iterator
+        .map(c => c -> colValuesAtKeys(cands, c, ctx).getOrElse(return None))
+        .toMap
+      val compiled = FilterEval.compile(or)
+      var i = 0
+      while (i < cands.size) {
+        if (keep(i)) {
+          val row: Map[String, Any] = colVals.iterator.map { case (c, vs) =>
+            val dt = table.tableSchema(c).dataType
+            c -> (if (vs(i) == null) null else Codecs.decode(dt, vs(i)))
+          }.toMap
+          keep(i) = compiled(row)
         }
         i += 1
       }
@@ -2647,6 +2693,12 @@ object CellScanBuilder {
   /** Pushed-IN size past which COMPLETE range aggregation declines and
     * the distributed partial path owns the point probes. */
   val MaxCompletePoints = 8192
+
+  /** Test instrumentation: proof-context walks (base+index sidecar
+    * passes) — pins the per-extraCols memoization (a grouped+scalar
+    * planning pass must not re-walk per offer). */
+  private[graft] val contextPasses =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 /** A pushed aggregate, in the serializable form the readers fold. */
