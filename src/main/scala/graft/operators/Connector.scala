@@ -3241,6 +3241,45 @@ object Connector {
           count($"v").as("nv"), min($"row_key").as("mk"))
     },
 
+    // ---- PROBE-SLICED GROUPING (round 16): GROUP BY a NON-INDEXED cell
+    // column under indexed predicates — here a DISJUNCTION, the shape
+    // that previously declined outright. Candidates resolve from the Or's
+    // branch union; ONE batched value probe fetches the group cell per
+    // candidate and slices the groups, rows with a MISSING group cell
+    // landing in SQL's NULL group (seg is NULLed for one segment to judge
+    // exactly that). ----
+    Q("conn_agg_probe_group",
+      """WITH rws AS (SELECT
+        |    lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS k,
+        |    concat(c_mktsegment, '#', CAST(c_custkey % 10 AS VARCHAR)) AS src,
+        |    (c_custkey % 977) * 1000 + c_nationkey AS v,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT seg, count(*) AS n, count(seg) AS nseg,
+        |  CAST(sum(v) AS BIGINT) AS sv
+        |FROM rws
+        |WHERE src = 'BUILDING#4' OR v < 50000
+        |GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "customer").select(
+        lpad($"c_custkey".cast("string"), 10, "0").as("row_key"),
+        concat($"c_mktsegment", lit("#"),
+          ($"c_custkey" % 10).cast("string")).as("src"),
+        (($"c_custkey" % 977) * 1000 + $"c_nationkey")
+          .cast("bigint").as("v"),
+        when($"c_mktsegment" === "MACHINERY", lit(null:String))
+          .otherwise($"c_mktsegment").as("seg"))
+      val store = Seed.table(s, dir, "agg_probe_group", src.repartition(1),
+        props = Map(Options.IndexColumns -> "src,v"))
+      Seed.read(s, store)
+        .filter($"src" === "BUILDING#4" || $"v" < 50000L)
+        .groupBy($"seg")
+        .agg(count(lit(1)).as("n"), count($"seg").as("nseg"),
+          sum($"v").as("sv"))
+        .orderBy($"seg")
+    },
+
     // ---- schema evolution: ADD COLUMN is a metadata-only change over the
     // immutable segments — rows written before the change surface SQL NULL
     // through the missing-cell path (P4), Cassandra's add-column

@@ -1656,23 +1656,39 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       case Seq(Some(g)) => g
       case _ => return None
     }
-    // ctx acquisition (round 15): the memoized context serves when it
-    // carries a pred on the group column; otherwise the HISTOGRAM shapes —
-    // unfiltered `GROUP BY indexedCol`, or filtered only on OTHER indexed
-    // columns — prove the group column as an EXTRA column and walk its
-    // whole postings. A pushed-but-unabsorbed filter set (memoized None
-    // with pushed nonEmpty) and the disjunction shape both decline: the
-    // former has no proof, the latter no per-group candidate slicing.
+    // ctx acquisition (rounds 15/16): the memoized context serves when it
+    // carries a pred on the group column; otherwise PROBE-SLICED grouping
+    // (round 16) resolves the filters' candidates and slices groups by
+    // each candidate's actual group-cell VALUE — serving ANY named cell
+    // group column (indexed or not) and the disjunction shape, with the
+    // extra-column postings-walk proof (which also serves netted stores)
+    // as the fallback. The unfiltered HISTOGRAM keeps the extra-column
+    // walk (no filters = no candidates to slice). A pushed-but-unabsorbed
+    // filter set (memoized None with pushed nonEmpty) declines: no proof.
     val ctx: IndexedCtx = indexedAggCtx match {
       case Some(c) if c.orFilter.isEmpty && c.preds.exists(_.col == groupCol) =>
         c
-      case Some(c) if c.orFilter.isEmpty =>
-        indexedAggContextMemo(Set(groupCol)).getOrElse(return None)
-      case Some(_) => return None
+      case Some(c) =>
+        return probeSlicedGroupAnswer(aggregation, groupCol, c).orElse {
+          if (c.orFilter.isEmpty)
+            indexedAggContextMemo(Set(groupCol))
+              .flatMap(groupAnswerWithCtx(aggregation, groupCol, _))
+          else None
+        }
       case None if pushed.isEmpty =>
         indexedAggContextMemo(Set(groupCol)).getOrElse(return None)
       case None => return None
     }
+    groupAnswerWithCtx(aggregation, groupCol, ctx)
+  }
+
+  /** GROUP BY over a column the context carries (a pred on it, or the
+    * histogram's extra-column proof) — per-group candidates from the
+    * group column's own index. */
+  private def groupAnswerWithCtx(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      groupCol: String, ctx: IndexedCtx)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
     val gp = ctx.preds.find(_.col == groupCol).getOrElse(return None)
     // HISTOGRAM null-group guard: the open walk enumerates rows CARRYING
     // the group cell; rows without it form SQL's NULL group, whose
@@ -1759,6 +1775,69 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
       }
     }
     Some((want, Seq(gp.col), rows))
+  }
+
+  /** PROBE-SLICED grouping (round 16): `SELECT g, agg(...) WHERE <indexed
+    * predicates — conjuncts and/or a disjunction> GROUP BY g` for ANY
+    * named cell column g — indexed or not. The filters' candidate keys
+    * resolve exactly as the scalar path's ([[combinedCandidateKeys]]:
+    * intersection ∩ branch union, over-budget sides probe-verified), then
+    * ONE batched value probe fetches g's cell per candidate and the
+    * groups are sliced by the decoded values — a candidate with NO g cell
+    * lands in SQL's NULL group (which the postings-walk forms can never
+    * emit; the fold does, and so does this). Group keys normalize
+    * floating zeros/NaN the way Spark's grouping does. Clean stores only
+    * (the value probe refuses netted reconciliation) — the extra-column
+    * postings-walk fallback still owns netted histograms. Cost:
+    * O(candidates · log) — the probe pass batches per (bucket, file), and
+    * G groups share one [[IndexedPointAggs]] exactly like the postings
+    * form. */
+  private def probeSlicedGroupAnswer(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      groupCol: String, ctx: IndexedCtx)
+    : Option[(Seq[PushedAgg], Seq[String], Seq[InternalRow])] = {
+    if (ctx.netted) return None
+    if (MetadataAggReader.regularCellBytes(table.mapping, groupCol) == null)
+      return None
+    val want = translateIndexedValueAggs(aggregation, netted = false)
+      .getOrElse(return None)
+    val ks = combinedCandidateKeys(ctx).getOrElse(return None)
+    if (ks.isEmpty) return Some((want, Seq(groupCol), Nil))
+    val gvals = colValuesAtKeys(ks, groupCol, ctx).getOrElse(return None)
+    val dt = table.tableSchema(groupCol).dataType
+    // grouping identity: Spark normalizes -0.0 to +0.0 and all NaNs to
+    // one NaN in group keys; binary wraps for value equality
+    def mapKey(v: Any): Any = v match {
+      case null => null
+      case d: java.lang.Double =>
+        if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+        else if (d == 0.0d) java.lang.Double.valueOf(0.0d) else d
+      case f: java.lang.Float =>
+        if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+        else if (f == 0.0f) java.lang.Float.valueOf(0.0f) else f
+      case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+      case x => x
+    }
+    def rowKeyVal(k: Any): Any = k match {
+      case bb: java.nio.ByteBuffer => bb.array()
+      case x => x
+    }
+    val groups =
+      collection.mutable.LinkedHashMap.empty[Any, collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    while (i < ks.size) {
+      val v = if (gvals(i) == null) null else Codecs.decode(dt, gvals(i))
+      groups.getOrElseUpdate(mapKey(v), collection.mutable.ArrayBuffer.empty) += i
+      i += 1
+    }
+    val aggsP = new IndexedPointAggs(ks, ctx)
+    val rows = groups.iterator.map { case (gk, idxs) =>
+      foldIndexedVals(want, idxs.toArray, ks, aggsP, ctx) match {
+        case Some(vals) => InternalRow.fromSeq(rowKeyVal(gk) +: vals)
+        case None => return None
+      }
+    }.toVector
+    Some((want, Seq(groupCol), rows))
   }
 
   /** Aggregates the indexed VALUE paths can answer: row counts, per-column

@@ -1264,6 +1264,73 @@ class IndexSpec extends SparkSpec {
       "deletes hit only ids 1-50, none of which are rare matches >= 100")
   }
 
+  test("probe-sliced grouping: GROUP BY any cell column under indexed predicates, incl. disjunctions") {
+    // round 16: candidates resolve from the pushed predicates, then the
+    // group column's VALUE per candidate slices the groups — the group
+    // column needs no index, a disjunction groups fine, and rows whose
+    // group cell is MISSING land in SQL's NULL group
+    val sp = spark; import sp.implicits._
+    val rows = (1L to 900L).map { i =>
+      val g: String = if (i % 13 == 0L) null else s"g${i % 3}"
+      (i, s"t${i % 5}", i % 400, g, i * 2)
+    }
+    val dir = Seed.table(spark, sfDir, "spec_idx_probegroup",
+      rows.toDF("id", "typ", "w", "g", "v"),
+      props = Map(Options.IndexColumns -> "typ,w"))
+    def model(f: ((Long, String, Long, String, Long)) => Boolean) =
+      rows.filter(f)
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0)) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    // non-indexed group column under an indexed conjunction
+    val q = Seed.read(spark, dir)
+      .filter(col("typ") === "t1" && col("w") < 200L)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), count(col("g")).as("ng"))
+    assert(scanDesc(q).contains("AggStats: complete"),
+      s"non-indexed group col must slice through probes: ${scanDesc(q)}")
+    val m = model(r => r._2 == "t1" && r._3 < 200L)
+    val exp = m.groupBy(_._4).map { case (g, xs) =>
+      g -> (xs.size.toLong, xs.count(_._4 != null).toLong) }
+    assert(groupsOf(q) == exp, s"got ${groupsOf(q)} want $exp")
+    assert(exp.contains(null), "the fixture must exercise the NULL group")
+    val qf = Seed.read(spark, dir, Map(Options.MetadataAgg -> "false"))
+      .filter(col("typ") === "t1" && col("w") < 200L)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), count(col("g")).as("ng"))
+    assert(groupsOf(q) == groupsOf(qf), "fold agrees")
+    // GROUP BY under a DISJUNCTION (was a documented decline)
+    val qo = Seed.read(spark, dir)
+      .filter(col("typ") === "t2" || col("w") > 390L)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(scanDesc(qo).contains("AggStats: complete"),
+      s"grouping under a disjunction must answer at planning: ${scanDesc(qo)}")
+    val mo = model(r => r._2 == "t2" || r._3 > 390L)
+    val expo = mo.groupBy(_._4).map { case (g, xs) =>
+      g -> (xs.size.toLong, xs.map(_._5).sum) }
+    assert(qo.collect().map(r =>
+      (if (r.isNullAt(0)) null else r.getString(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap == expo)
+    // grouping by an INDEXED column under a disjunction rides the same path
+    val qi = Seed.read(spark, dir)
+      .filter(col("typ") === "t2" || col("w") > 390L)
+      .groupBy(col("typ")).agg(count(lit(1)).as("n"))
+    assert(scanDesc(qi).contains("AggStats: complete"))
+    assert(qi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      mo.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong })
+    // netted store: the probe declines; the fold stays exact
+    tableOf(dir).deleteWhere(Array[Filter](In("id",
+      (1L to 60L).map(Long.box).toArray[Any])))
+    val qn = Seed.read(spark, dir)
+      .filter(col("typ") === "t1" && col("w") < 200L)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), count(col("g")).as("ng"))
+    val mLive = m.filter(_._1 > 60L)
+    assert(groupsOf(qn) == mLive.groupBy(_._4).map { case (g, xs) =>
+      g -> (xs.size.toLong, xs.count(_._4 != null).toLong) })
+  }
+
   test("unfiltered histogram composes with AS-OF bounds: covered epochs answer positionally") {
     // VERDICT r15 #5: the extra-column proof runs through asOfView, so
     // `GROUP BY indexedCol` under read.asof should hold — pinned here
@@ -1403,6 +1470,17 @@ class IndexSpec extends SparkSpec {
       val fast = agg(opts)
       val fold = agg(opts + (Options.MetadataAgg -> "false"))
       assert(fast == fold, s"iter $iter: $fast vs $fold")
+      // round 16: probe-sliced GROUP BY a NON-INDEXED column under the
+      // same conjunction (w carries ~500 distinct values and nulls)
+      def grp(o: Map[String, String]) =
+        Seed.read(spark, store, o).filter(typPred && tsPred)
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+          .collect().map(r =>
+            (if (r.isNullAt(0)) null else Long.box(r.getLong(0))) ->
+              (r.getLong(1), r.getLong(2))).toMap
+      assert(grp(opts) == grp(opts + (Options.MetadataAgg -> "false")),
+        s"iter $iter grouped-by-plain-col")
     }
   }
 
@@ -1739,11 +1817,14 @@ class IndexSpec extends SparkSpec {
     val rn = net.collect()(0)
     assert((rn.getLong(0), rn.getLong(1), rn.getLong(2)) ==
       (ml.size.toLong, ml.map(_._3).sum, ml.map(_._1).min))
+    // round 16: grouped disjunctions no longer decline — PROBE-SLICED
+    // grouping serves them (candidates from the union, groups from the
+    // probed group-cell values) — and stay exact
     val grpOr = Seed.read(spark, dir)
       .filter(col("name") === "t3" || col("w") > 5000L)
       .groupBy(col("name")).agg(count(lit(1)).as("n"))
-    assert(!scanDesc(grpOr).contains("AggStats: complete"),
-      "grouped disjunctions decline (no per-group slicing)")
+    assert(scanDesc(grpOr).contains("AggStats: complete"),
+      s"grouped disjunctions probe-slice now: ${scanDesc(grpOr)}")
     assert(grpOr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       m.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
     // budget decline: branches resolve but the union blows the candidate
@@ -1847,6 +1928,12 @@ class IndexSpec extends SparkSpec {
       assert(grouped(readOpts, None) ==
         grouped(readOpts + (Options.MetadataAgg -> "false"), None),
         s"iter $iter histogram")
+      // round 16: GROUP BY under a DISJUNCTION (probe-sliced)
+      val god = Some(col("name").startsWith(somePrefix()) ||
+        col("w") > rnd.nextInt(1500).toLong)
+      assert(grouped(readOpts, god) ==
+        grouped(readOpts + (Options.MetadataAgg -> "false"), god),
+        s"iter $iter grouped disjunction")
     }
   }
 

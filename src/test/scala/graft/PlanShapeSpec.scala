@@ -96,10 +96,13 @@ class PlanShapeSpec extends SparkSpec {
       ("conn_agg_indexed_range_group", 1), // GROUP BY under a range window
       ("conn_agg_indexed_multi", 2), // eq × range conjunction + grouped form
       ("conn_agg_indexed_float", 2), // float windows (mid BETWEEN + open >)
-      ("conn_agg_indexed_asof", 5), // 2 bounded + netted-now + range + grouped
+      ("conn_agg_indexed_asof", 6), // 2 bounded + netted-now + range + grouped + histogram (r16)
       ("conn_agg_indexed_prefix", 2), // LIKE-prefix scalar + grouped (r15)
       ("conn_agg_indexed_histogram", 1), // unfiltered GROUP BY idx col (r15)
-      ("conn_agg_indexed_or", 3))) { // cross-col OR + overlap + prefix OR (r15)
+      ("conn_agg_indexed_or", 3), // cross-col OR + overlap + prefix OR (r15)
+      ("conn_agg_indexed_needle_range", 1), // asym budget: needle × hot (r16)
+      ("conn_agg_indexed_and_or", 1), // conjunct × disjunction (r16)
+      ("conn_agg_probe_group", 1))) { // GROUP BY non-indexed col under OR (r16)
       val scans = collectAll(plan(name)).collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
           if b.scan.description().contains("cassandralike") => b.scan.description()
