@@ -114,6 +114,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("conn_slice_prefix: the clustering-column prefix reaches the scan, not a residual") {
+    val scans = collectAll(plan("conn_slice_prefix")).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("cassandralike") => b.scan.description()
+    }
+    assert(scans.exists(_.contains("StringStartsWith(column_name")),
+      s"prefix must push into the slice window: ${scans.mkString("\n")}")
+  }
+
   test("rel_q1 filter is pushed down to the parquet scan") {
     val scans = collectAll(plan("rel_q1_pricing_summary"))
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
