@@ -1667,7 +1667,12 @@ class CellScanBuilder(table: CassandraLikeTable, options: Map[String, String])
     // filter set (memoized None with pushed nonEmpty) declines: no proof.
     val ctx: IndexedCtx = indexedAggCtx match {
       case Some(c) if c.orFilter.isEmpty && c.preds.exists(_.col == groupCol) =>
-        c
+        // group pred's own per-group postings first (cheapest); an
+        // asymmetric-budget decline there (another conjunct over budget)
+        // falls to probe-sliced grouping, which verifies the wide side
+        // per candidate instead of declining outright
+        return groupAnswerWithCtx(aggregation, groupCol, c)
+          .orElse(probeSlicedGroupAnswer(aggregation, groupCol, c))
       case Some(c) =>
         return probeSlicedGroupAnswer(aggregation, groupCol, c).orElse {
           if (c.orFilter.isEmpty)

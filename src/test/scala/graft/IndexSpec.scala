@@ -1252,6 +1252,21 @@ class IndexSpec extends SparkSpec {
     val m3 = model(r => r._2 == "bulk" && r._3 != null &&
       r._3 >= 100L && r._3 <= 1900L)
     assert(q3.collect()(0).getLong(0) == m3.size.toLong)
+    // GROUPED asymmetric (round 16, second wave): GROUP BY the needle
+    // column with the wide conjunct over budget — the per-group postings
+    // path declines on the wide side, probe-sliced grouping carries it
+    val qg = Seed.read(spark, dir, budget)
+      .filter(col("typ").isin("rare", "bulk") &&
+        col("ts") >= 100L && col("ts") <= 140L)
+      .groupBy(col("typ"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+    assert(scanDesc(qg).contains("AggStats: complete"),
+      s"grouped needle × wide must answer at planning: ${scanDesc(qg)}")
+    val mg = model(r => r._3 != null && r._3 >= 100L && r._3 <= 140L)
+      .groupBy(_._2).map { case (t, xs) =>
+        t -> (xs.size.toLong, xs.map(_._4).sum) }
+    assert(qg.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap == mg)
     // NETTED store: the value probe refuses reconciliation — decline, exact
     tableOf(dir).deleteWhere(Array[Filter](In("id",
       (1L to 50L).map(Long.box).toArray[Any])))
