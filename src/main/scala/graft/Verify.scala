@@ -21,6 +21,7 @@ object Verify {
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      .config("spark.local.dir", graft.GraftSession.localDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")

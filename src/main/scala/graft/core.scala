@@ -86,6 +86,20 @@ object Util {
 /** Session factory used by mains and tests: local mode sized for the
   * container, AQE on, UTC, 32 shuffle partitions (not the 200 default). */
 object GraftSession {
+  /** Spark scratch (shuffle files, spills, broadcast staging) placed on
+    * tmpfs when available: run-lifetime data whose durability buys nothing,
+    * while the sandbox's virtio disk is 6-8x slower and prone to latency
+    * stalls. Spark creates per-app subdirs (blockmgr-<uuid>), so concurrent
+    * JVMs don't collide. Falls back to the JVM default (/tmp) elsewhere;
+    * a real cluster provisions local disks for shuffle and sets this
+    * explicitly. */
+  val localDir: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+      java.nio.file.Files.isWritable(shm)) "/dev/shm/graft_spark_local"
+    else System.getProperty("java.io.tmpdir", "/tmp")
+  }
+
   def builder(appName: String = "graft"): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
@@ -94,6 +108,7 @@ object GraftSession {
       .appName(appName)
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", graft.GraftSession.localDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       // subset co-partitioning: lets a join whose equi-keys extend an

@@ -216,6 +216,17 @@ object LlmPipeline {
     //    pair's FIRST common prefix gram always satisfies the bound, so
     //    recall stays exact (the spec checks equality with the naive
     //    join). On this corpus the two bounds cut candidates ~10x.
+    // Block count: callers pass an explicit knob (specs sweep it) or 0 =
+    // derive from corpus size — ⌈nDocs / NgramDocsPerVerifyBlock⌉ keeps a
+    // block's gram arrays at a bounded per-task build size at ANY corpus
+    // size, with a floor of 2 so the blocked shape itself always executes
+    // (plan-asserted). The per-doc state replication below costs B copies
+    // per doc, so an over-sized B at small corpora is pure waste — the
+    // fixture was paying 16x replication where 2x suffices (r16 interleaved
+    // min-of-5: 3.24 → 1.74 s at sf0.1; results byte-identical, the knob is
+    // spec-proven semantics-free).
+    val b = if (verifyBlocks > 0) verifyBlocks
+      else math.max(2L, (nDocs + NgramDocsPerVerifyBlock - 1) / NgramDocsPerVerifyBlock).toInt
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.gram") === col("b.gram") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -245,7 +256,6 @@ object LlmPipeline {
     // reach the required overlap, and its integer threshold is EXACTLY the
     // jac >= 0.9 test (19·common >= 9·(na+nb), no float boundary), so
     // common >= 0 survivors are precisely the judged rows.
-    val b = verifyBlocks
     val cand2 = cand
       .withColumn("ba", pmod(hash(col("doc_a")), lit(b)))
       .withColumn("bb", pmod(hash(col("doc_b")), lit(b)))
@@ -306,8 +316,20 @@ object LlmPipeline {
     * memory is one block of gram-key arrays ≈ corpusDocs/B × arrayBytes —
     * a knob to size against executor memory at scale (at the test SFs it
     * mainly guarantees the blocked shape itself is exercised); replication
-    * cost is B array copies per doc, independent of candidate count. */
+    * cost is B array copies per doc, independent of candidate count.
+    * Specs pass explicit values; the judged query passes
+    * [[NgramVerifyBlocksAuto]] (0) and the pipeline derives
+    * B = max(2, ⌈nDocs / NgramDocsPerVerifyBlock⌉). */
   private[graft] val NgramVerifyBlocks = 16
+
+  /** 0 = derive the verify-block count from corpus size (see above). */
+  private[graft] val NgramVerifyBlocksAuto = 0
+
+  /** Docs per verify block under the auto derivation: ~2 K docs of ~300
+    * 8-byte gram keys ≈ 5 MB of build-side arrays per task — bounded task
+    * memory at any corpus size, while a fixture-sized corpus gets the
+    * minimum 2-way replication instead of a fixed 16x. */
+  private[graft] val NgramDocsPerVerifyBlock = 2048L
 
   /** Gram-vocabulary budget for the prefix stage's baked-in df vocabulary
     * (two long arrays, 16 bytes/entry — the default caps the task-binary
@@ -386,7 +408,15 @@ object LlmPipeline {
   private def minhashPairs(d: DataFrame): DataFrame = {
     val bands = d.select(col("doc_id"),
       posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bh"))
+    // MERGE hint: the self-join's two sides are the identical banding
+    // subtree. Left to AQE the build side becomes a broadcast, so the
+    // minhash kernel runs TWICE (once per side); as a sort-merge both sides
+    // share one Exchange(band, bh) and the second becomes a ReusedExchange —
+    // the kernel runs once (r16 interleaved A/B: candidate stage 0.97 →
+    // 0.74 s at sf0.1, SMJ faster in all four trial pairs). At 100 TB SMJ is
+    // also the only strategy that survives: the band table is corpus-sized,
+    // never broadcastable.
+    val cand = bands.hint("MERGE").as("x").join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -671,7 +701,7 @@ object LlmPipeline {
         |WHERE common*1.0/(s1.n + s2.n - common) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
       bench = true) { (s, dir) =>
-      ngramDedup(s, dir, NgramVerifyBlocks, NgramHistBuckets)
+      ngramDedup(s, dir, NgramVerifyBlocksAuto, NgramHistBuckets)
     },
 
     // ---- embedding-cosine similarity join at threshold 0.45, exact, via a

@@ -11,6 +11,7 @@ object ExplainQuery {
       .master("local[8]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.local.dir", graft.GraftSession.localDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")

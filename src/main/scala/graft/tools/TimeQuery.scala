@@ -15,6 +15,7 @@ object TimeQuery {
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", graft.GraftSession.localDir)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.adaptive.enabled", "true")
       // subset co-partitioning: lets a join whose equi-keys extend an

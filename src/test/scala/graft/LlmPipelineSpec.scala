@@ -95,7 +95,9 @@ class LlmPipelineSpec extends SparkSpec {
     val base = run(operators.LlmPipeline.NgramVerifyBlocks,
       operators.LlmPipeline.NgramHistBuckets)
     assert(base.nonEmpty, "fixture should contain near-dup pairs")
-    Seq((1, 128), (3, 128), (16, 16), (5, 512)).foreach { case (b, h) =>
+    // 0 = the judged query's auto derivation (max(2, ⌈nDocs/block⌉))
+    Seq((operators.LlmPipeline.NgramVerifyBlocksAuto, 128),
+      (1, 128), (3, 128), (16, 16), (5, 512)).foreach { case (b, h) =>
       assert(run(b, h) == base, s"knobs (blocks=$b, histBuckets=$h) changed the result")
     }
   }
