@@ -28,7 +28,7 @@ object Connector {
     * timestamps, same input parquet) — the first run per JVM still
     * drops + rewrites, so cross-JVM staleness can't leak in. */
   private val seeded = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private def seedOnce(key: String)(body: => Unit): Unit =
+  private[operators] def seedOnce(key: String)(body: => Unit): Unit =
     seeded.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
   /** Seed the 3-epoch as-of store: epoch 1 (ts=1) keys < '0000000700',
@@ -150,9 +150,12 @@ object Connector {
         |  CAST(sum(CAST(c_nationkey AS BIGINT)) AS BIGINT) AS sum_nation
         |FROM customer""".stripMargin, bench = true) { (s, dir) =>
       import s.implicits._
-      val src = t(s, dir, "customer").withColumn("c_name",
-        when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_name"))
-      val store = Seed.table(s, dir, "agg_pushdown", src)
+      val store = s"${Seed.storeRoot(dir)}/agg_pushdown"
+      seedOnce(s"$dir#agg_pushdown") {
+        val src = t(s, dir, "customer").withColumn("c_name",
+          when($"c_custkey" % 7 === 0, lit(null)).otherwise($"c_name"))
+        Seed.table(s, dir, "agg_pushdown", src)
+      }
       Seed.read(s, store)
         .agg(count(lit(1)).as("n"), count($"c_name").as("n_named"),
           min($"c_acctbal").as("min_bal"), max($"c_acctbal").as("max_bal"),
@@ -1667,18 +1670,21 @@ object Connector {
         |FROM customer""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val cust = t(s, dir, "customer")
-      val store = Seed.table(s, dir, "asof", cust)
-      val updated = cust.filter($"c_custkey" % 4 === 0)
-        .withColumn("c_acctbal", $"c_acctbal" + 999)
-      Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
-      val dead = cust.filter($"c_custkey" % 5 === 0)
-        .select($"c_custkey", lit(null).cast("string").as("c_name"),
-          lit(null).cast("int").as("c_nationkey"),
-          lit(null).cast("double").as("c_acctbal"),
-          lit(null).cast("string").as("c_mktsegment"))
-      Seed.append(dead, store, Map(
-        Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+      val store = s"${Seed.storeRoot(dir)}/asof"
+      seedOnce(s"$dir#read_asof") {
+        val cust = t(s, dir, "customer")
+        Seed.table(s, dir, "asof", cust)
+        val updated = cust.filter($"c_custkey" % 4 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 999)
+        Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+        val dead = cust.filter($"c_custkey" % 5 === 0)
+          .select($"c_custkey", lit(null).cast("string").as("c_name"),
+            lit(null).cast("int").as("c_nationkey"),
+            lit(null).cast("double").as("c_acctbal"),
+            lit(null).cast("string").as("c_mktsegment"))
+        Seed.append(dead, store, Map(
+          Options.WriteTimestamp -> "3", Options.NullsAsTombstones -> "true"))
+      }
       Seed.read(s, store, Map(Options.ReadAsOf -> "1"))
         .agg(count(lit(1)).as("n"), d(sum(m($"c_acctbal"))).as("bal"))
     },
@@ -1759,11 +1765,14 @@ object Connector {
         |FROM customer""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val cust = t(s, dir, "customer")
-      val store = Seed.table(s, dir, "lww", cust)
-      val updated = cust.filter($"c_custkey" % 3 === 0)
-        .withColumn("c_acctbal", $"c_acctbal" + 100)
-      Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+      val store = s"${Seed.storeRoot(dir)}/lww"
+      seedOnce(s"$dir#lww") {
+        val cust = t(s, dir, "customer")
+        Seed.table(s, dir, "lww", cust)
+        val updated = cust.filter($"c_custkey" % 3 === 0)
+          .withColumn("c_acctbal", $"c_acctbal" + 100)
+        Seed.append(updated, store, Map(Options.WriteTimestamp -> "2"))
+      }
       Seed.read(s, store)
         .agg(d(sum(m($"c_acctbal"))).as("bal"), count(lit(1)).as("n"))
     },
@@ -1879,11 +1888,14 @@ object Connector {
         |ORDER BY row_key, column_name""".stripMargin,
       bench = true) { (s, dir) =>
       import s.implicits._
-      val src = t(s, dir, "lineitem").select(
-        lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
-        lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
-        $"l_quantity".cast("string").as("value"))
-      val store = Seed.table(s, dir, "transposed", src)
+      val store = s"${Seed.storeRoot(dir)}/transposed"
+      seedOnce(s"$dir#transposed") {
+        val src = t(s, dir, "lineitem").select(
+          lpad($"l_orderkey".cast("string"), 10, "0").as("row_key"),
+          lpad($"l_linenumber".cast("string"), 4, "0").as("column_name"),
+          $"l_quantity".cast("string").as("value"))
+        Seed.table(s, dir, "transposed", src)
+      }
       Seed.read(s, store)
         .select($"row_key", $"column_name", $"value")
         .orderBy($"row_key", $"column_name")
