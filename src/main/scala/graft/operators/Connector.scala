@@ -994,10 +994,13 @@ object Connector {
       // orders keyed by customer, one cell per (unique) order id — the
       // fixture's lineitem carries duplicate (orderkey, linenumber)
       // addresses, which the store's LWW would rightly collapse
-      val src = t(s, dir, "orders").select($"o_custkey", $"o_orderkey",
-        floor($"o_totalprice").cast("bigint").as("o_total"))
-      val store = Seed.table(s, dir, "agg_grouped", src,
-        mapping = Some(":key,:column,:value"))
+      val store = s"${Seed.storeRoot(dir)}/agg_grouped"
+      seedOnce(s"$dir#agg_grouped") {
+        val src = t(s, dir, "orders").select($"o_custkey", $"o_orderkey",
+          floor($"o_totalprice").cast("bigint").as("o_total"))
+        Seed.table(s, dir, "agg_grouped", src,
+          mapping = Some(":key,:column,:value"))
+      }
       Seed.read(s, store)
         .groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_orders"), sum($"o_total").as("total"),
