@@ -325,6 +325,31 @@ object LlmPipeline {
   /** 0 = derive the verify-block count from corpus size (see above). */
   private[graft] val NgramVerifyBlocksAuto = 0
 
+  /** Driver planning budget for the incremental probes' band-key pushdown:
+    * an In(row_key) list this long plans as point lookups without the
+    * literal set itself becoming a driver/plan cost (each key costs one
+    * hash for bucket pruning plus set membership at the scan). A delta of
+    * ~1 K docs × 32 bands sits comfortably under it; past the budget the
+    * probe declines to the full-index equi-join. */
+  private[graft] val IncrementalProbeMaxKeys = 32768
+
+  /** The delta-probe's view of a persisted band index: the probe join only
+    * ever matches index rows whose row_key appears in the delta's own
+    * band-key set, so when that set fits [[IncrementalProbeMaxKeys]] it
+    * pushes into the index scan as In(row_key) — bucket-pruned point reads,
+    * O(collided buckets) IO at ANY index size, instead of scanning the
+    * full corpus-sized band index per batch (the 100-TB posture: the index
+    * is the corpus, the delta is a day's batch). An oversized delta's
+    * probe declines to the unfiltered scan — same join, same result. */
+  private[graft] def probePrunedIndex(index: DataFrame, probe: DataFrame,
+      maxKeys: Int = IncrementalProbeMaxKeys): DataFrame = {
+    val keys = probe.select("row_key").distinct()
+      .limit(maxKeys + 1).collect().map(_.getString(0))
+    if (keys.length <= maxKeys)
+      index.filter(col("row_key").isin(keys.toIndexedSeq: _*))
+    else index
+  }
+
   /** Docs per verify block under the auto derivation: ~2 K docs of ~300
     * 8-byte gram keys ≈ 5 MB of build-side arrays per task — bounded task
     * memory at any corpus size, while a fixture-sized corpus gets the
@@ -405,7 +430,7 @@ object LlmPipeline {
     * and candidate-only exact verification. A doc with <5 words yields an
     * empty band array and drops out in posexplode, mirroring the shingle
     * filter. */
-  private def minhashPairs(d: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(d: DataFrame, merge: Boolean = true): DataFrame = {
     val bands = d.select(col("doc_id"),
       posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
     // MERGE hint: the self-join's two sides are the identical banding
@@ -413,10 +438,14 @@ object LlmPipeline {
     // minhash kernel runs TWICE (once per side); as a sort-merge both sides
     // share one Exchange(band, bh) and the second becomes a ReusedExchange —
     // the kernel runs once (r16 interleaved A/B: candidate stage 0.97 →
-    // 0.74 s at sf0.1, SMJ faster in all four trial pairs). At 100 TB SMJ is
-    // also the only strategy that survives: the band table is corpus-sized,
-    // never broadcastable.
-    val cand = bands.hint("MERGE").as("x").join(bands.as("y"), Seq("band", "bh"))
+    // 0.74 s at sf0.1, SMJ faster in all four trial pairs; re-adjudicated
+    // r17 on disk scratch at 32 cores after the driver contradiction —
+    // see OPTIMIZATION_r17.md). At 100 TB SMJ is also the only strategy
+    // that survives: the band table is corpus-sized, never broadcastable.
+    // The `merge` knob exists for that interleaved A/B (AdhocProbe); the
+    // judged query always takes the default.
+    val lhs = if (merge) bands.hint("MERGE") else bands
+    val cand = lhs.as("x").join(bands.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -630,20 +659,29 @@ object LlmPipeline {
       // state the index persists across batches — rebuilding it every timed
       // run would bill the one-time base build to the incremental step the
       // query exists to measure. The INCREMENTAL work (delta band append +
-      // probe) stays per-run; replayed appends carry identical cells at the
-      // pinned write timestamp, which LWW collapses (results byte-stable).
+      // probe) stays per-run, and each run first RESTORES the store to the
+      // base segment snapshot (drops the previous run's delta segments) so
+      // every run appends onto identical store state — without the reset
+      // the per-JVM store grows one delta segment set per run and later
+      // timed runs scan more files than earlier ones (results were already
+      // LWW-byte-stable; now the measured work is constant too).
       val store = s"${graft.sources.cassandralike.Seed.storeRoot(dir)}/minhash_band_index"
-      Connector.seedOnce(s"$dir#minhash_band_index") {
+      def seedBase(): Unit = {
         graft.sources.cassandralike.Seed.table(
           s, dir, "minhash_band_index", bandRows(d.filter(!isDelta)))
+        graft.sources.cassandralike.Seed.snapshotSegments(store)
       }
+      Connector.seedOnce(s"$dir#minhash_band_index") { seedBase() }
+      if (!graft.sources.cassandralike.Seed.restoreSegments(store)) seedBase()
       // the incremental step: upsert the delta's bands, then probe
       graft.sources.cassandralike.Seed.append(bandRows(d.filter(isDelta)), store)
       val probe = d.filter(isDelta).select(col("doc_id"),
           posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
         .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
-      val index = graft.sources.cassandralike.Seed.read(s, store)
-        .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+      val index = probePrunedIndex(
+        graft.sources.cassandralike.Seed.read(s, store)
+          .select(col("row_key"), col("column_name").cast("long").as("doc_ix")),
+        probe)
       val cand = probe.join(index, Seq("row_key"))
         .filter(col("doc_id") =!= col("doc_ix"))
         .select(least(col("doc_id"), col("doc_ix")).as("doc_a"),
@@ -1060,13 +1098,19 @@ object LlmPipeline {
       // base corpus indexed once per JVM (seedOnce — in steady state the
       // index persists across batches; see llm_dedup_incremental), then the
       // incremental step per run: one map-only pass over the delta,
-      // LSM-appended — no rebuild, nothing else touched. Replayed delta
-      // appends are identical cells at the pinned timestamp (LWW-stable).
+      // LSM-appended — no rebuild, nothing else touched. Each run first
+      // restores the store to the base segment snapshot (drops the previous
+      // run's delta segments) so the appended-onto state — and therefore
+      // the measured work — is identical every run, not a store that grows
+      // a segment set per rerun (results were LWW-byte-stable either way).
       val isDelta = col("vec_id") % 7 === 0 && col("vec_id") >= 25
       val store = s"${Seed.storeRoot(dir)}/ivf_index"
-      Connector.seedOnce(s"$dir#ivf_index") {
+      def seedBase(): Unit = {
         Seed.table(s, dir, "ivf_index", postingRows(e.filter(!isDelta)))
+        Seed.snapshotSegments(store)
       }
+      Connector.seedOnce(s"$dir#ivf_index") { seedBase() }
+      if (!Seed.restoreSegments(store)) seedBase()
       Seed.append(postingRows(e.filter(isDelta)), store)
       // probe plan: nprobe cells per query — a driver-bounded key set
       // (queries × nprobe), so the index read is an In(row_key) point scan

@@ -444,8 +444,15 @@ object Streaming {
           val probe = batch.select(col("doc_id"),
               posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
             .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
-          val index = Seed.read(s, idx)
-            .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+          // the batch's band-key set pushes into the index scan as
+          // In(row_key) point reads when it fits the planning budget —
+          // O(collided buckets) per batch instead of a full index scan
+          // that grows with everything indexed so far (LlmPipeline's
+          // incremental probe, same cost gate)
+          val index = LlmPipeline.probePrunedIndex(
+            Seed.read(s, idx)
+              .select(col("row_key"), col("column_name").cast("long").as("doc_ix")),
+            probe)
           val cand = probe.join(index, Seq("row_key"))
             .filter(col("doc_id") =!= col("doc_ix"))
             .select(least(col("doc_id"), col("doc_ix")).as("doc_a"),

@@ -53,6 +53,80 @@ class LlmPipelineSpec extends SparkSpec {
     assert(docsIndexed == bandedDocs)
   }
 
+  test("incremental dedup: constant per-run workload — store resets to the base snapshot") {
+    // each run must append its delta onto IDENTICAL store state: without
+    // the per-run restore the seedOnce-persistent store accrues one delta
+    // segment set per rerun, so later runs scan more files than run 1
+    import sources.cassandralike.Seed
+    val store = s"${Seed.storeRoot(sfDir)}/minhash_band_index"
+    def segCount: Int = {
+      val root = java.nio.file.Paths.get(store)
+      val s = java.nio.file.Files.walk(root)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.getFileName.toString.endsWith(".bin")) }
+      finally s.close()
+    }
+    def run(): (Set[(Long, Long)], Int) = {
+      val rows = q("llm_dedup_incremental").select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (rows, segCount)
+    }
+    val (r1, c1) = run()
+    val (r2, c2) = run()
+    val (r3, c3) = run()
+    assert(r1 == r2 && r2 == r3, "results must be byte-stable across reruns")
+    assert(c2 == c1 && c3 == c1,
+      s"every run must leave base+one-delta segments, got counts $c1/$c2/$c3")
+  }
+
+  test("segment snapshot/restore: drops post-snapshot segments, detects a mutated base") {
+    import sources.cassandralike.Seed
+    val sp = spark; import sp.implicits._
+    val name = "spec_snapshot_store"
+    val dir = s"${Seed.storeRoot(sfDir)}/$name"
+    Seed.table(spark, sfDir, name, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Seed.snapshotSegments(dir)
+    def segs: Set[String] = {
+      val root = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(root)
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.endsWith(".bin"))
+          .map(root.relativize(_).toString).toSet }
+      finally s.close()
+    }
+    val base = segs
+    assert(base.nonEmpty)
+    Seed.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(segs != base, "append should land new segments")
+    assert(Seed.restoreSegments(dir), "restore should succeed on an intact base")
+    assert(segs == base, "restore must return the store to the snapshot set")
+    // a vanished base segment (e.g. a compaction folded it) fails the
+    // restore so the caller reseeds from scratch instead of mixing states
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, base.head))
+    assert(!Seed.restoreSegments(dir))
+  }
+
+  test("incremental probe pushdown: pruned index equals full scan, declines past budget") {
+    import sources.cassandralike.Seed
+    q("llm_dedup_incremental").count() // seeds the band index store
+    val d = Tables.load(spark, sfDir, "documents")
+    val probe = d.filter(col("doc_id") % 8 === 0).select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
+    val index = Seed.read(spark,
+        s"${Seed.storeRoot(sfDir)}/minhash_band_index")
+      .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+    def joined(ix: org.apache.spark.sql.DataFrame): Seq[String] =
+      probe.join(ix, Seq("row_key")).select("row_key", "doc_id", "doc_ix")
+        .collect().map(_.toString).sorted.toSeq
+    val full = joined(index)
+    assert(full.nonEmpty)
+    // within budget: the scan narrows to the probe's band keys — same rows
+    assert(joined(operators.LlmPipeline.probePrunedIndex(index, probe)) == full)
+    // past budget: declines to the unfiltered scan — same rows either way
+    assert(joined(operators.LlmPipeline.probePrunedIndex(index, probe, maxKeys = 1)) == full)
+  }
+
   test("simhash banding finds exactly the true Jaccard>=0.8 pairs") {
     val got = q("llm_dedup_simhash").select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

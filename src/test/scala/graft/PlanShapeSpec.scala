@@ -212,6 +212,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 14, s"llm_dedup_incremental plans $shuffles shuffles")
   }
 
+  test("incremental dedup pushes the delta's band keys into the index scan") {
+    // the probe join only matches index rows whose row_key is in the
+    // delta's own band-key set, so that set pushes into the scan as
+    // In(row_key) — the probe reads O(collided buckets) at any index size
+    // instead of scanning the corpus-sized band index per batch (an
+    // oversized delta declines; spec-asserted equal in LlmPipelineSpec)
+    val idxScans = collectThroughCache(plan("llm_dedup_incremental")).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("minhash_band_index") => b
+    }
+    assert(idxScans.nonEmpty, "expected the probe to read the band index store")
+    idxScans.foreach { b =>
+      assert(b.scan.description().contains("In(row_key"),
+        "index scan should carry the delta band-key In pushdown: " +
+          b.scan.description().takeWhile(_ != '[') )
+    }
+  }
+
   test("incremental ANN probes the stored IVF index with point reads") {
     // the probe contract: the index read carries an In(row_key) over the
     // driver-bounded probed-cell set, so it plans at most one partition per

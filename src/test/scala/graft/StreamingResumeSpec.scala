@@ -69,6 +69,42 @@ class StreamingResumeSpec extends SparkSpec {
       .exists(_.contains("RocksDB")))
   }
 
+  test("state partitions: production conf sizes the state stores, judged default otherwise") {
+    // spark.graft.streaming.statePartitions is the production sizing knob:
+    // set, it is honored VERBATIM (r16 clamped every caller down to 2,
+    // making the knob a no-op); unset, runs keep the small judged-run
+    // default. Observed where it physically matters: the number of
+    // per-partition state-store directories the checkpoint materializes.
+    import graft.streaming.StreamOps
+    val sp = spark; import sp.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stparts").toString
+    val srcDir = s"$root/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def statePartitions(ckpt: String): Int = {
+      val stream = spark.readStream.schema("id BIGINT, v STRING").parquet(srcDir)
+        .groupBy($"id").agg(count(lit(1)).as("n"))
+      // the body must consume every partition (Spark 4.1 validates that
+      // each state store instance committed), so count the batch
+      StreamOps.runForeachBatchResumable(stream, "update", ckpt) { (df, _) => df.count(); () }
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(ckpt, "state", "0"))
+      // partition dirs are numeric; schema/metadata dirs sit alongside them
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.forall(_.isDigit)) }
+      finally s.close()
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert(statePartitions(s"$root/ck_default") == StreamOps.DefaultStatePartitions)
+    spark.conf.set(StreamOps.StatePartitionsKey, "12")
+    try assert(statePartitions(s"$root/ck_sized") == 12,
+      "the production sizing conf must be honored, not capped")
+    finally spark.conf.unset(StreamOps.StatePartitionsKey)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "the session shuffle-partition value must be restored after the run")
+  }
+
   test("continuous dedup stop/append/resume equals the full-corpus LSH dedup") {
     // the judged query now drains one epoch, STOPS, lands two more epochs,
     // and resumes from the same checkpoint — its accumulated pairs must
