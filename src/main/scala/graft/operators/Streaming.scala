@@ -445,14 +445,15 @@ object Streaming {
               posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
             .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
           // the batch's band-key set pushes into the index scan as
-          // In(row_key) point reads when it fits the planning budget —
+          // In(row_key) point reads when the cost gate clears (an index
+          // big enough that point reads beat per-key planning cost) —
           // O(collided buckets) per batch instead of a full index scan
           // that grows with everything indexed so far (LlmPipeline's
           // incremental probe, same cost gate)
           val index = LlmPipeline.probePrunedIndex(
             Seed.read(s, idx)
               .select(col("row_key"), col("column_name").cast("long").as("doc_ix")),
-            probe)
+            probe, idx)
           val cand = probe.join(index, Seq("row_key"))
             .filter(col("doc_id") =!= col("doc_ix"))
             .select(least(col("doc_id"), col("doc_ix")).as("doc_a"),

@@ -109,22 +109,29 @@ class LlmPipelineSpec extends SparkSpec {
   test("incremental probe pushdown: pruned index equals full scan, declines past budget") {
     import sources.cassandralike.Seed
     q("llm_dedup_incremental").count() // seeds the band index store
+    val store = s"${Seed.storeRoot(sfDir)}/minhash_band_index"
     val d = Tables.load(spark, sfDir, "documents")
     val probe = d.filter(col("doc_id") % 8 === 0).select(col("doc_id"),
         posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
       .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
-    val index = Seed.read(spark,
-        s"${Seed.storeRoot(sfDir)}/minhash_band_index")
+    val index = Seed.read(spark, store)
       .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
     def joined(ix: org.apache.spark.sql.DataFrame): Seq[String] =
       probe.join(ix, Seq("row_key")).select("row_key", "doc_id", "doc_ix")
         .collect().map(_.toString).sorted.toSeq
     val full = joined(index)
     assert(full.nonEmpty)
-    // within budget: the scan narrows to the probe's band keys — same rows
-    assert(joined(operators.LlmPipeline.probePrunedIndex(index, probe)) == full)
-    // past budget: declines to the unfiltered scan — same rows either way
-    assert(joined(operators.LlmPipeline.probePrunedIndex(index, probe, maxKeys = 1)) == full)
+    // gate forced open (floor 0, ratio gate off): the scan narrows to the
+    // probe's band keys — same rows
+    assert(joined(operators.LlmPipeline.probePrunedIndex(
+      index, probe, store, minIndexCells = 0L, cellsPerKey = 0L)) == full)
+    // key budget exceeded: declines to the unfiltered scan — same rows
+    assert(joined(operators.LlmPipeline.probePrunedIndex(
+      index, probe, store, minIndexCells = 0L, maxKeys = 1,
+      cellsPerKey = 0L)) == full)
+    // fixture-scale default: the small-index floor declines outright
+    assert(joined(operators.LlmPipeline.probePrunedIndex(
+      index, probe, store)) == full)
   }
 
   test("simhash banding finds exactly the true Jaccard>=0.8 pairs") {

@@ -212,22 +212,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 14, s"llm_dedup_incremental plans $shuffles shuffles")
   }
 
-  test("incremental dedup pushes the delta's band keys into the index scan") {
+  test("incremental dedup band-key pushdown: shape when the gate clears, decline at fixture scale") {
     // the probe join only matches index rows whose row_key is in the
-    // delta's own band-key set, so that set pushes into the scan as
-    // In(row_key) — the probe reads O(collided buckets) at any index size
-    // instead of scanning the corpus-sized band index per batch (an
-    // oversized delta declines; spec-asserted equal in LlmPipelineSpec)
-    val idxScans = collectThroughCache(plan("llm_dedup_incremental")).collect {
+    // delta's own band-key set; when the index is big enough that point
+    // reads beat per-key planning cost (IncrementalProbeCellsPerKey) the
+    // set pushes into the scan as In(row_key). Fixture-scale indexes sit
+    // below the floor, so the JUDGED plan must show the gate declining —
+    // a giant In over a tiny index is a measured pessimization.
+    import org.apache.spark.sql.functions._
+    import graft.sources.cassandralike.Seed
+    SparkEntry.queries("llm_dedup_incremental")(spark, sfDir).count() // seed
+    val store = s"${Seed.storeRoot(sfDir)}/minhash_band_index"
+    val probe = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 8 === 0).select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingle_hashes(text))")).as(Seq("band", "bh")))
+      .select(col("doc_id"), concat_ws("#", col("band"), col("bh")).as("row_key"))
+    val index = Seed.read(spark, store)
+      .select(col("row_key"), col("column_name").cast("long").as("doc_ix"))
+    def idxScanDescs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      collectThroughCache(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.description().contains("minhash_band_index") =>
+          b.scan.description()
+      }
+    // gate forced open: the In(row_key) pushdown reaches the scan
+    val pushed = idxScanDescs(probe.join(graft.operators.LlmPipeline
+      .probePrunedIndex(index, probe, store, minIndexCells = 0L,
+        cellsPerKey = 0L), Seq("row_key")))
+    assert(pushed.nonEmpty && pushed.forall(_.contains("In(row_key")),
+      "forced-open gate should push the band keys into the index scan")
+    // judged query at fixture scale: the cost gate declines (no giant In)
+    val judged = collectThroughCache(plan("llm_dedup_incremental")).collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-        if b.scan.description().contains("minhash_band_index") => b
+        if b.scan.description().contains("minhash_band_index") =>
+        b.scan.description()
     }
-    assert(idxScans.nonEmpty, "expected the probe to read the band index store")
-    idxScans.foreach { b =>
-      assert(b.scan.description().contains("In(row_key"),
-        "index scan should carry the delta band-key In pushdown: " +
-          b.scan.description().takeWhile(_ != '[') )
-    }
+    assert(judged.nonEmpty, "expected the probe to read the band index store")
+    assert(judged.forall(!_.contains("In(row_key")),
+      "fixture-scale probe must decline the pushdown (small-index floor)")
   }
 
   test("incremental ANN probes the stored IVF index with point reads") {
